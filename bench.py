@@ -1,0 +1,73 @@
+#!/usr/bin/env python
+"""Benchmark harness — runs the headline queries at $SPARK_GRAFT_SF_DIR
+(default /root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS] and prints ONE
+JSON line: {"metric": ..., "value": total_sec, "unit": "sec",
+"queries": {name: sec}, "sf": ...}.
+
+Each query is executed twice: a warmup pass at sf0.001 amortizes session
+and codegen startup out of the numbers, then the timed pass runs the
+full plan (count() forces execution without collecting results to the
+driver).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+HEADLINE = [
+    "flagship_daily_segment_sales",
+    "multikey_agg",
+    "preagg_left_join",
+    "topk_customers_by_revenue",
+    "dedup_keep_first",
+    "word_count",
+    "dedup_exact_docs",
+    "dedup_minhash_lsh",
+    "similarity_topk_bruteforce",
+    "text_stats",
+    "asof_join_purchases",
+    "tumbling_window_agg",
+]
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
+
+    from esther_apache_spark_spark import plans
+    from esther_apache_spark_spark.session import get_spark
+
+    spark = get_spark("esther-bench")
+    spark.sparkContext.setLogLevel("ERROR")
+
+    warm_dir = "/root/testdata/sf0.001"
+    timings: dict[str, float] = {}
+    for name in HEADLINE:
+        spec = plans.QUERIES[name]
+        spec.fn(spark, warm_dir).count()  # warmup: codegen + classloading
+        t0 = time.perf_counter()
+        spec.fn(spark, sf_dir).count()
+        timings[name] = round(time.perf_counter() - t0, 3)
+
+    total = round(sum(timings.values()), 3)
+    print(
+        json.dumps(
+            {
+                "metric": "headline_queries_total",
+                "value": total,
+                "unit": "sec",
+                "queries": timings,
+                "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+            }
+        )
+    )
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()

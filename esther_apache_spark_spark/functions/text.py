@@ -1,0 +1,52 @@
+"""Text expressions — the reference's word-count surface, generalized.
+
+Reference pipeline (``tutos/tuto_dataframes_pyspark(2).ipynb:404-539``):
+``lower`` → ``regexp_replace('[^\\w\\s]','')`` → ``split('\\s+')`` →
+``explode`` → ``filter != ''``. Shingles / n-grams extend that surface for
+the dedup + text-analysis operators (SURVEY.md §7 M4) — still pure
+column expressions (no UDF) so they run JVM-side at 100 TB.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+PUNCT_RE = r"[^\w\s]"
+WS_RE = r"\s+"
+
+
+def normalize_text(col: Column) -> Column:
+    """lowercase + strip punctuation (reference F3/F4)."""
+    return F.regexp_replace(F.lower(col), PUNCT_RE, "")
+
+
+def tokenize(col: Column, normalize: bool = True) -> Column:
+    """string -> array<string> of non-empty whitespace tokens (F2 + P10)."""
+    base = normalize_text(col) if normalize else col
+    toks = F.split(F.trim(base), WS_RE)
+    return F.filter(toks, lambda t: t != "")
+
+
+def word_shingles(tokens: Column, n: int = 3) -> Column:
+    """array<string> tokens -> array<string> of n-word shingles.
+
+    Pure expression: ``sequence`` over start offsets + ``slice`` +
+    ``array_join``. Empty array when fewer than ``n`` tokens.
+    """
+    k = F.lit(n)
+    starts = F.sequence(F.lit(1), F.size(tokens) - k + 1)
+    grams = F.transform(starts, lambda i: F.array_join(F.slice(tokens, i, k), " "))
+    return F.when(F.size(tokens) >= k, grams).otherwise(
+        F.array().cast("array<string>")
+    )
+
+
+def char_ngrams(col: Column, n: int = 5) -> Column:
+    """string -> array<string> of character n-grams (for Jaccard/MinHash)."""
+    k = F.lit(n)
+    starts = F.sequence(F.lit(1), F.length(col) - k + 1)
+    grams = F.transform(starts, lambda i: F.substring(col, i, n))
+    return F.when(F.length(col) >= k, grams).otherwise(
+        F.array().cast("array<string>")
+    )

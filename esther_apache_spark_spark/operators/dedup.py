@@ -1,0 +1,282 @@
+"""Deduplication operators — exact and near-duplicate (SURVEY.md §7 M4).
+
+Engine extension for training-data pipelines at 100 TB. The exact path
+is the reference's W1 dedup generalized; the near-dup family (MinHash+LSH,
+SimHash, n-gram Jaccard, embedding cosine) follows the published
+MinHash/LSH construction (Broder 1997; Leskovec-Rajaraman-Ullman ch.3)
+expressed entirely in built-in Spark expressions — hashing, banding and
+bucket-joins all JVM-side, no Python worker in the hot path.
+
+Scale notes:
+- Candidate generation is a self-equi-join on (band, bucket) — a normal
+  shuffle join Spark can plan; no all-pairs comparison ever happens.
+- Hot buckets (boilerplate docs) skew the join; AQE skew-join splits
+  them. A salt-by-bucket-size refinement can be added when needed.
+- Signatures are fixed-width arrays (num_perm longs), so the shuffle
+  payload per doc is O(num_perm), independent of doc size.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from esther_apache_spark_spark.functions.text import char_ngrams, tokenize, word_shingles
+from esther_apache_spark_spark.operators.windows import keep_first
+
+
+def exact_dedup(df: DataFrame, on: str | list[str], keep_by: list[Column] | None = None) -> DataFrame:
+    """Exact dedup: keep one row per key set.
+
+    With ``keep_by`` the choice is deterministic (W1 keep-first); without,
+    a plain hash aggregate ``dropDuplicates`` (nondeterministic winner,
+    cheapest plan — one shuffle, map-side partial agg)."""
+    keys = [on] if isinstance(on, str) else list(on)
+    if keep_by is None:
+        return df.dropDuplicates(keys)
+    return keep_first(df, keys, keep_by)
+
+
+def exact_dup_groups(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """Exact-duplicate groups by content hash: (text_hash, keep_id, n_dups).
+
+    Hashes the content (md5) so the aggregate shuffles 16-byte keys, not
+    document bodies — at 100 TB the difference between shuffling hashes
+    and shuffling the corpus."""
+    return (
+        df.groupBy(F.md5(F.col(text_col).cast("binary")).alias("text_hash"))
+        .agg(
+            F.min(id_col).alias("keep_id"),
+            F.count(F.lit(1)).alias("n_dups"),
+        )
+    )
+
+
+def minhash_signature(
+    tokens: Column, num_perm: int = 32, shingle_n: int | None = None
+) -> Column:
+    """array<string> -> array<bigint> MinHash signature.
+
+    Permutation i is simulated with ``xxhash64(i || element)`` (the
+    standard seeded-hash construction); the signature element is the min
+    over the set. Pure expression: ``transform`` + ``array_min``."""
+    elems = word_shingles(tokens, shingle_n) if shingle_n else tokens
+    sigs = [
+        F.array_min(
+            F.transform(elems, lambda e, i=i: F.xxhash64(F.concat(F.lit(f"p{i}:"), e)))
+        )
+        for i in range(num_perm)
+    ]
+    return F.array(*sigs)
+
+
+def minhash_lsh_candidates(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    num_perm: int = 32,
+    bands: int = 8,
+    shingle_n: int = 3,
+) -> DataFrame:
+    """Near-duplicate candidate pairs via MinHash + LSH banding.
+
+    Returns (id_a, id_b, sig_agreement) with id_a < id_b, where
+    sig_agreement is the fraction of matching signature positions — an
+    unbiased Jaccard estimate. Pipeline: signature (narrow) → explode
+    into ``bands`` band-hashes → self-join on (band, band_hash) →
+    distinct pairs. The join is the only shuffle."""
+    rows_per_band = num_perm // bands
+    if rows_per_band * bands != num_perm:
+        raise ValueError("num_perm must be divisible by bands")
+
+    sig = df.select(
+        F.col(id_col).alias("_id"),
+        minhash_signature(tokenize(F.col(text_col)), num_perm, shingle_n=shingle_n).alias("_sig"),
+    )
+    banded = sig.select(
+        "_id",
+        "_sig",
+        F.posexplode(
+            F.array(
+                *[
+                    F.xxhash64(
+                        F.concat_ws(",", *[
+                            F.element_at("_sig", b * rows_per_band + r + 1).cast("string")
+                            for r in range(rows_per_band)
+                        ])
+                    )
+                    for b in range(bands)
+                ]
+            )
+        ).alias("_band", "_bucket"),
+    )
+    left = banded.select(
+        F.col("_id").alias("id_a"), F.col("_sig").alias("sig_a"), "_band", "_bucket"
+    )
+    right = banded.select(
+        F.col("_id").alias("id_b"), F.col("_sig").alias("sig_b"), "_band", "_bucket"
+    )
+    pairs = (
+        left.join(right, ["_band", "_bucket"])
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b", "sig_a", "sig_b")
+        .dropDuplicates(["id_a", "id_b"])
+    )
+    agree = (
+        F.size(F.filter(F.zip_with("sig_a", "sig_b", lambda a, b: a == b), lambda x: x))
+        / F.lit(float(num_perm))
+    )
+    return pairs.select(
+        "id_a", "id_b", F.round(agree, 4).alias("sig_agreement")
+    )
+
+
+def ngram_jaccard_pairs(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    shingle_n: int = 3,
+    threshold: float = 0.5,
+) -> DataFrame:
+    """Exact n-gram Jaccard similarity for candidate pairs via an
+    inverted-index join (explode shingles → join on shingle → count
+    common / union). Exact but quadratic in the worst case — use after
+    LSH candidate generation at scale, or directly on modest corpora."""
+    shingled = df.select(
+        F.col(id_col).alias("_id"),
+        F.array_distinct(word_shingles(tokenize(F.col(text_col)), shingle_n)).alias("_sh"),
+    )
+    sizes = shingled.select("_id", F.size("_sh").alias("_n"))
+    inv = shingled.select("_id", F.explode("_sh").alias("_g"))
+    common = (
+        inv.alias("a")
+        .join(inv.alias("b"), "_g")
+        .filter(F.col("a._id") < F.col("b._id"))
+        .groupBy(F.col("a._id").alias("id_a"), F.col("b._id").alias("id_b"))
+        .agg(F.count(F.lit(1)).alias("_common"))
+    )
+    sa = sizes.select(F.col("_id").alias("id_a"), F.col("_n").alias("_na"))
+    sb = sizes.select(F.col("_id").alias("id_b"), F.col("_n").alias("_nb"))
+    jac = (
+        common.join(sa, "id_a")
+        .join(sb, "id_b")
+        .withColumn(
+            "jaccard",
+            F.round(
+                F.col("_common") / (F.col("_na") + F.col("_nb") - F.col("_common")), 4
+            ),
+        )
+    )
+    return jac.filter(F.col("jaccard") >= threshold).select("id_a", "id_b", "jaccard")
+
+
+def simhash(tokens: Column, bits: int = 64) -> Column:
+    """array<string> -> bigint SimHash (Charikar 2002): per-token 64-bit
+    hash; each bit position accumulates +1/-1; sign of the sum gives the
+    fingerprint bit. Pure expressions via transform/aggregate over bit
+    positions — no UDF."""
+    if bits != 64:
+        raise ValueError("only 64-bit simhash supported")
+    h = F.transform(tokens, lambda t: F.xxhash64(t))
+    # For each bit i: count of tokens with bit set, vs total.
+    n = F.size(h)
+
+    def bit_mask(i: int):
+        # bit 63 overflows a signed-long literal; shiftleft wraps like
+        # Java (1L << 63 == Long.MIN_VALUE), which is exactly the mask
+        return F.shiftleft(F.lit(1).cast("long"), i)
+
+    def bit_set(i: int):
+        # single-arg closure: a two-param lambda would make F.filter
+        # pass the element index as the second argument
+        return lambda x: x.bitwiseAND(bit_mask(i)) != 0
+
+    bit_cols = []
+    for i in range(bits):
+        ones = F.size(F.filter(h, bit_set(i)))
+        bit_cols.append(
+            F.when(ones * 2 >= n, bit_mask(i)).otherwise(F.lit(0).cast("long"))
+        )
+    out = bit_cols[0]
+    for c in bit_cols[1:]:
+        out = out.bitwiseOR(c)
+    return out
+
+
+def simhash_candidates(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    band_bits: int = 16,
+) -> DataFrame:
+    """Near-dup candidates by SimHash banding: split the 64-bit
+    fingerprint into 64/band_bits bands; docs sharing any band are
+    candidates (Hamming-distance blocking). Returns (id_a, id_b,
+    hamming) pairs."""
+    nbands = 64 // band_bits
+    fp = df.select(
+        F.col(id_col).alias("_id"), simhash(tokenize(F.col(text_col))).alias("_fp")
+    )
+    mask = (1 << band_bits) - 1
+    banded = fp.select(
+        "_id",
+        "_fp",
+        F.posexplode(
+            F.array(
+                *[
+                    F.shiftright("_fp", b * band_bits).bitwiseAND(F.lit(mask).cast("long"))
+                    for b in range(nbands)
+                ]
+            )
+        ).alias("_band", "_bucket"),
+    )
+    l, r = banded.alias("a"), banded.alias("b")
+    pairs = (
+        l.join(r, ["_band", "_bucket"])
+        .filter(F.col("a._id") < F.col("b._id"))
+        .select(
+            F.col("a._id").alias("id_a"),
+            F.col("b._id").alias("id_b"),
+            F.col("a._fp").alias("fp_a"),
+            F.col("b._fp").alias("fp_b"),
+        )
+        .dropDuplicates(["id_a", "id_b"])
+    )
+    xor = F.col("fp_a").bitwiseXOR(F.col("fp_b"))
+    return pairs.select("id_a", "id_b", F.bit_count(xor).alias("hamming"))
+
+
+def embedding_cosine_dups(
+    df: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    threshold: float = 0.95,
+    n_planes: int = 12,
+    seed: int = 42,
+) -> DataFrame:
+    """Embedding near-dup pairs: random-hyperplane LSH bucketing then
+    exact cosine within buckets (composition with similarity.lsh_bucket).
+    Returns (id_a, id_b, cosine >= threshold)."""
+    from esther_apache_spark_spark.functions.vector import cosine_similarity
+    from esther_apache_spark_spark.operators.similarity import lsh_bucket
+
+    b = lsh_bucket(df, vec_col, n_planes=n_planes, seed=seed).select(
+        F.col(id_col).alias("_id"), F.col(vec_col).alias("_v"), F.col("bucket")
+    )
+    pairs = (
+        b.alias("a")
+        .join(b.alias("b"), "bucket")
+        .filter(F.col("a._id") < F.col("b._id"))
+        .select(
+            F.col("a._id").alias("id_a"),
+            F.col("b._id").alias("id_b"),
+            F.round(
+                cosine_similarity(
+                    F.col("a._v").cast("array<double>"), F.col("b._v").cast("array<double>")
+                ),
+                4,
+            ).alias("cosine"),
+        )
+        .dropDuplicates(["id_a", "id_b"])
+    )
+    return pairs.filter(F.col("cosine") >= threshold)

@@ -1,0 +1,136 @@
+"""Similarity search over embedding columns (SURVEY.md §7 M4).
+
+Engine extension — the reference has no vector surface. Two paths:
+
+- ``brute_force_topk``: exact cosine top-k. The query set is broadcast
+  (small side), the corpus streams — one pass, no shuffle of the corpus;
+  per-query ranking is a window over (query, score). Baseline and
+  correctness oracle for the approximate path.
+- ``lsh_bucket`` / ``ann_topk_lsh``: random-hyperplane LSH (sign of dot
+  product with seeded deterministic planes) bucketing; exact rerank
+  within buckets. The 100 TB path: candidate generation is an equi-join
+  on bucket, never all-pairs.
+
+All vector math uses built-in higher-order functions (see
+``functions.vector``); deterministic planes come from a seeded NumPy
+generator materialized as literals — no RNG at execution time.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from esther_apache_spark_spark.functions.vector import cosine_similarity, dot
+from esther_apache_spark_spark.operators.windows import top_k_per_group
+
+
+def brute_force_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_id_col: str = "query_id",
+) -> DataFrame:
+    """Exact top-k cosine neighbors per query vector.
+
+    Returns (query_id, neighbor_id, cosine), k rows per query, ranked by
+    (cosine desc, neighbor_id asc) — a total order so results hash
+    stably. Self-matches are kept (cosine 1.0) when ids differ only.
+    """
+    q = F.broadcast(
+        queries.select(
+            F.col(query_id_col).alias("query_id"),
+            F.col(vec_col).cast("array<double>").alias("_qv"),
+        )
+    )
+    c = corpus.select(
+        F.col(id_col).alias("neighbor_id"),
+        F.col(vec_col).cast("array<double>").alias("_cv"),
+    )
+    scored = c.crossJoin(q).select(
+        "query_id",
+        "neighbor_id",
+        F.round(cosine_similarity(F.col("_qv"), F.col("_cv")), 6).alias("cosine"),
+    )
+    return top_k_per_group(
+        scored,
+        "query_id",
+        [F.col("cosine").desc(), F.col("neighbor_id").asc()],
+        k,
+    )
+
+
+def _plane_literals(dim: int, n_planes: int, seed: int) -> list[list[float]]:
+    rng = np.random.default_rng(seed)
+    return rng.standard_normal((n_planes, dim)).tolist()
+
+
+def lsh_bucket(
+    df: DataFrame,
+    vec_col: str = "embedding",
+    n_planes: int = 12,
+    seed: int = 42,
+    dim: int | None = None,
+) -> DataFrame:
+    """Append a ``bucket`` column: the sign-bit signature of the vector
+    against ``n_planes`` deterministic random hyperplanes (Charikar's
+    SRP-LSH). Vectors with equal bucket are cosine-similar with high
+    probability; bucket count is 2^n_planes."""
+    if dim is None:
+        first = df.select(F.size(vec_col).alias("d")).first()
+        if first is None:
+            raise ValueError("empty dataframe; pass dim explicitly")
+        dim = first["d"]
+    planes = _plane_literals(dim, n_planes, seed)
+    v = F.col(vec_col).cast("array<double>")
+    bucket: Column = F.lit(0).cast("long")
+    for i, p in enumerate(planes):
+        plane = F.array(*[F.lit(x) for x in p])
+        bit = F.when(dot(v, plane) >= 0, F.lit(1 << i).cast("long")).otherwise(
+            F.lit(0).cast("long")
+        )
+        bucket = bucket.bitwiseOR(bit)
+    return df.withColumn("bucket", bucket)
+
+
+def ann_topk_lsh(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_id_col: str = "query_id",
+    n_planes: int = 8,
+    seed: int = 42,
+) -> DataFrame:
+    """Approximate top-k: bucket corpus and queries with the same planes,
+    equi-join on bucket, exact cosine rerank within the bucket.
+
+    Recall < 1.0 by construction (single hash table); raise recall with
+    fewer planes (bigger buckets) or multiple tables (union of joins).
+    At 100 TB the equi-join on bucket replaces the crossJoin entirely.
+    """
+    cb = lsh_bucket(
+        corpus.select(F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("_cv")),
+        "_cv", n_planes=n_planes, seed=seed,
+    )
+    qb = F.broadcast(
+        lsh_bucket(
+            queries.select(F.col(query_id_col).alias("query_id"), F.col(vec_col).alias("_qv")),
+            "_qv", n_planes=n_planes, seed=seed,
+        )
+    )
+    scored = cb.join(qb, "bucket").select(
+        "query_id",
+        "neighbor_id",
+        F.round(
+            cosine_similarity(F.col("_qv").cast("array<double>"), F.col("_cv").cast("array<double>")),
+            6,
+        ).alias("cosine"),
+    )
+    return top_k_per_group(
+        scored, "query_id", [F.col("cosine").desc(), F.col("neighbor_id").asc()], k
+    )

@@ -1,0 +1,115 @@
+"""Text-analysis operators for training-data pipelines (SURVEY.md §7 M4).
+
+Language ID (stopword-marker heuristic), quality scoring
+(length/punctuation/stopword ratios), token counting (whitespace +
+BPE-ish regex) and document fingerprinting. Everything is built-in
+column expressions — regex, arrays, higher-order functions — so the hot
+path never leaves the JVM.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from esther_apache_spark_spark.functions.text import normalize_text, tokenize
+
+# Tiny deterministic per-language marker sets (n-gram/stopword heuristic).
+# Real deployments swap in fastText/CLD3 via a pandas_udf; the heuristic
+# keeps language-ID expressible as pure SQL for the oracle gate.
+LANG_MARKERS: dict[str, tuple[str, ...]] = {
+    "en": ("the", "and", "of", "to", "is"),
+    "fr": ("le", "la", "et", "les", "des"),
+    "de": ("der", "die", "und", "das", "ist"),
+    "es": ("el", "los", "las", "y", "es"),
+}
+
+# BPE-ish token regex: letter runs, digit runs, or single non-space symbol.
+BPE_TOKEN_RE = "[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]"
+
+_ENGLISH_STOPWORDS = (
+    "the", "a", "an", "and", "or", "of", "to", "in", "is", "it",
+    "for", "on", "with", "as", "at", "by", "this", "that",
+)
+
+
+def token_count(col: Column, mode: str = "ws") -> Column:
+    """Token count: ``ws`` = non-empty whitespace tokens; ``bpe`` = count
+    of BPE-ish regex matches (letters / digits / single symbols)."""
+    if mode == "ws":
+        return F.size(tokenize(col, normalize=False))
+    if mode == "bpe":
+        return F.size(F.regexp_extract_all(col, F.lit(BPE_TOKEN_RE), 0))
+    raise ValueError(f"unknown token mode: {mode}")
+
+
+def stopword_ratio(tokens: Column, stopwords: tuple[str, ...] = _ENGLISH_STOPWORDS) -> Column:
+    n = F.size(tokens)
+    hits = F.size(F.filter(tokens, lambda t: t.isin(*stopwords)))
+    return F.when(n > 0, hits / n).otherwise(F.lit(0.0))
+
+
+def punct_ratio(col: Column) -> Column:
+    total = F.length(col)
+    punct = total - F.length(F.regexp_replace(col, r"[^\w\s]", ""))
+    return F.when(total > 0, punct / total).otherwise(F.lit(0.0))
+
+
+def quality_score(text: Column) -> Column:
+    """Composite quality heuristic in [0,1]: rewards mid-length docs and
+    normal stopword density, penalizes punctuation soup. Deterministic
+    and SQL-expressible (oracle in plans.extensions)."""
+    toks = tokenize(text)
+    n_tok = F.size(toks)
+    length_score = F.least(n_tok / F.lit(100.0), F.lit(1.0))
+    stop = stopword_ratio(toks)
+    stop_score = F.lit(1.0) - F.abs(stop - F.lit(0.4)) / F.lit(0.4)
+    stop_score = F.greatest(stop_score, F.lit(0.0))
+    punct_score = F.lit(1.0) - F.least(punct_ratio(text) * 5, F.lit(1.0))
+    return F.round((length_score + stop_score + punct_score) / 3, 4)
+
+
+def lang_id(text: Column) -> Column:
+    """Heuristic language ID: score = count of per-language marker words
+    among the tokens; argmax with deterministic tie order (en>fr>de>es>und)."""
+    toks = tokenize(text)
+
+    def marker_hits(markers: tuple[str, ...]):
+        # single-arg closure: a two-param lambda would make F.filter
+        # pass the element index as the second argument
+        return lambda t: t.isin(*markers)
+
+    scores = {
+        lang: F.size(F.filter(toks, marker_hits(markers)))
+        for lang, markers in LANG_MARKERS.items()
+    }
+    best_score = F.greatest(*scores.values())
+    out = F.when(best_score <= 0, F.lit("und"))
+    for lang in LANG_MARKERS:  # declaration order breaks ties (first wins)
+        out = out.when(scores[lang] == best_score, F.lit(lang))
+    return out.otherwise(F.lit("und"))
+
+
+def fingerprint(text: Column, length: int = 16) -> Column:
+    """Normalized-content fingerprint: md5 of (lowercased, punctuation-
+    stripped, whitespace-collapsed) text, truncated. Key for exact-dedup
+    groups that survives formatting noise."""
+    canon = F.regexp_replace(F.trim(normalize_text(text)), r"\s+", " ")
+    return F.substring(F.md5(canon.cast("binary")), 1, length)
+
+
+def document_stats(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """One-pass per-document text-analysis projection."""
+    t = F.col(text_col)
+    toks = tokenize(t)
+    return df.select(
+        id_col,
+        F.length(t).alias("n_chars"),
+        F.size(toks).alias("n_tokens_ws"),
+        token_count(t, "bpe").alias("n_tokens_bpe"),
+        F.round(stopword_ratio(toks), 4).alias("stopword_ratio"),
+        F.round(punct_ratio(t), 4).alias("punct_ratio"),
+        quality_score(t).alias("quality"),
+        lang_id(t).alias("lang_pred"),
+        fingerprint(t).alias("fingerprint"),
+    )

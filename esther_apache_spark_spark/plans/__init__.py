@@ -1,0 +1,15 @@
+"""Query catalog — every SURVEY.md §2 operator as a named, oracle-checked query."""
+
+from esther_apache_spark_spark.plans.catalog import (
+    QUERIES,
+    QuerySpec,
+    oracle_sql,
+    queries,
+    register,
+)
+
+# Importing these modules populates the registry.
+from esther_apache_spark_spark.plans import parity  # noqa: E402,F401
+from esther_apache_spark_spark.plans import extensions  # noqa: E402,F401
+
+__all__ = ["QUERIES", "QuerySpec", "register", "queries", "oracle_sql"]

@@ -1,0 +1,498 @@
+"""Extension queries (SURVEY.md §7 M4/M5) — beyond the reference surface.
+
+Training-data-pipeline operators (dedup, similarity, text analysis,
+multimodal) plus cube/rollup/approx variants and the streaming batch
+twins. Queries whose semantics DuckDB can state get an oracle; LSH /
+approximate / streaming-stateful ones are rows-only by design (the
+driver records the weaker check — ``__spark_entry__.py:31-37``).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from esther_apache_spark_spark.functions.money import dec2, money_sum
+from esther_apache_spark_spark.operators import dedup as D
+from esther_apache_spark_spark.operators import similarity as S
+from esther_apache_spark_spark.operators import textstats as TS
+from esther_apache_spark_spark.operators.asof import as_of_join
+from esther_apache_spark_spark.operators.windows import keep_first
+from esther_apache_spark_spark.plans.catalog import register
+from esther_apache_spark_spark.schemas import load_table
+from esther_apache_spark_spark.streaming.events import (
+    run_streaming_tumbling_agg,
+    sessionize_batch,
+    tumbling_agg,
+)
+
+# ---------------------------------------------------------------------------
+# Grouping-set variants (one-line Spark extensions of A1 — SURVEY.md §2.5).
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "rollup_region_nation",
+    oracle="""
+    SELECT r.r_name AS region, n.n_name AS nation,
+           CAST(COUNT(*) AS BIGINT) AS n_customers,
+           CAST(ROUND(SUM(CAST(c.c_acctbal AS DECIMAL(12,2))), 2) AS DOUBLE) AS total_balance
+    FROM customer c
+    JOIN nation n ON c.c_nationkey = n.n_nationkey
+    JOIN region r ON n.n_regionkey = r.r_regionkey
+    GROUP BY ROLLUP (region, nation)
+    """,
+)
+def rollup_region_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """rollup over the region→nation hierarchy (broadcast dims)."""
+    c = load_table(spark, sf_dir, "customer")
+    n = F.broadcast(load_table(spark, sf_dir, "nation"))
+    r = F.broadcast(load_table(spark, sf_dir, "region"))
+    return (
+        c.join(n, c.c_nationkey == n.n_nationkey)
+        .join(r, n.n_regionkey == r.r_regionkey)
+        .select(F.col("r_name").alias("region"), F.col("n_name").alias("nation"), "c_acctbal")
+        .rollup("region", "nation")
+        .agg(
+            F.count(F.lit(1)).alias("n_customers"),
+            money_sum(dec2("c_acctbal"), "total_balance"),
+        )
+    )
+
+
+@register(
+    "cube_status_priority",
+    oracle="""
+    SELECT o_orderstatus, o_orderpriority,
+           CAST(COUNT(*) AS BIGINT) AS n_orders,
+           CAST(ROUND(SUM(CAST(o_totalprice AS DECIMAL(14,2))), 2) AS DOUBLE) AS total_price
+    FROM orders
+    GROUP BY CUBE (o_orderstatus, o_orderpriority)
+    """,
+)
+def cube_status_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """cube over two independent dimensions."""
+    return (
+        load_table(spark, sf_dir, "orders")
+        .cube("o_orderstatus", "o_orderpriority")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            money_sum(dec2("o_totalprice", "decimal(14,2)"), "total_price"),
+        )
+    )
+
+
+@register("approx_distinct_by_priority", oracle=None)
+def approx_distinct_by_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A3 at-scale variant: HyperLogLog++ approx_count_distinct (opt-in
+    replacement for exact countDistinct at 100 TB). Approximate →
+    rows-only check."""
+    return (
+        load_table(spark, sf_dir, "orders")
+        .groupBy("o_orderpriority")
+        .agg(F.approx_count_distinct("o_custkey", 0.02).alias("approx_customers"))
+    )
+
+
+@register(
+    "median_acctbal_by_nation",
+    oracle="""
+    WITH ranked AS (
+        SELECT c_nationkey, CAST(c_acctbal AS DECIMAL(12,2)) AS bal,
+               row_number() OVER (PARTITION BY c_nationkey
+                                  ORDER BY c_acctbal, c_custkey) AS rn,
+               COUNT(*) OVER (PARTITION BY c_nationkey) AS n
+        FROM customer
+    )
+    SELECT c_nationkey, CAST(SUM(bal) AS DOUBLE) / 2 AS median_balance
+    FROM ranked
+    WHERE rn IN ((n + 1) // 2, (n + 2) // 2)
+    GROUP BY c_nationkey
+    """,
+)
+def median_acctbal_by_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """P12 median imputation support (pandas median, tutoriel_pandas.ipynb
+    cell 43) — exact median via rank-the-middle-rows, decimal-summed so
+    the even-count midpoint is cross-engine deterministic (interpolated
+    percentile built-ins differ in float op order between engines). At
+    scale swap in percentile_approx."""
+    from pyspark.sql import Window
+
+    cust = load_table(spark, sf_dir, "customer")
+    w = Window.partitionBy("c_nationkey").orderBy(F.col("c_acctbal").asc(), F.col("c_custkey").asc())
+    wn = Window.partitionBy("c_nationkey")
+    ranked = cust.select(
+        "c_nationkey",
+        dec2("c_acctbal").alias("bal"),
+        F.row_number().over(w).alias("rn"),
+        F.count(F.lit(1)).over(wn).alias("n"),
+    )
+    mid = ranked.filter(
+        (F.col("rn") == F.floor((F.col("n") + 1) / 2)) | (F.col("rn") == F.floor((F.col("n") + 2) / 2))
+    )
+    return mid.groupBy("c_nationkey").agg(
+        (F.sum("bal").cast("double") / 2).alias("median_balance")
+    )
+
+
+@register(
+    "correlation",
+    oracle="""
+    SELECT ROUND(corr(l_quantity, l_extendedprice), 4) + 0.0 AS qty_price_corr
+    FROM lineitem
+    """,
+)
+def correlation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A9 — Pearson correlation (pandas df.corr, tutoriel_pandas.ipynb)."""
+    return load_table(spark, sf_dir, "lineitem").agg(
+        F.round(F.corr("l_quantity", "l_extendedprice"), 4).alias("qty_price_corr")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Quarantine split (K4) — the reference's reject side-channel.
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "quarantine_clean",
+    oracle="""
+    SELECT l_orderkey, l_linenumber, l_discount FROM lineitem
+    WHERE NOT (l_discount > 0.08)
+    """,
+)
+def quarantine_clean(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """K4 clean side — filter(~reject_pred), the reference's >= 0 keep
+    (pipeline_pyspark.py:131)."""
+    from esther_apache_spark_spark.sources.sinks import quarantine_split
+
+    li = load_table(spark, sf_dir, "lineitem")
+    clean, _ = quarantine_split(li, F.col("l_discount") > 0.08)
+    return clean.select("l_orderkey", "l_linenumber", "l_discount")
+
+
+@register(
+    "quarantine_rejects",
+    oracle="""
+    SELECT l_orderkey, l_linenumber, l_discount FROM lineitem
+    WHERE l_discount > 0.08
+    """,
+)
+def quarantine_rejects(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """K4 reject side (pipeline_pyspark.py:123-130)."""
+    from esther_apache_spark_spark.sources.sinks import quarantine_split
+
+    li = load_table(spark, sf_dir, "lineitem")
+    _, rejects = quarantine_split(li, F.col("l_discount") > 0.08)
+    return rejects.select("l_orderkey", "l_linenumber", "l_discount")
+
+
+# ---------------------------------------------------------------------------
+# Dedup family (M4).
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "dedup_exact_docs",
+    oracle="""
+    SELECT md5(text) AS text_hash,
+           CAST(MIN(doc_id) AS BIGINT) AS keep_id,
+           CAST(COUNT(*) AS BIGINT) AS n_dups
+    FROM documents GROUP BY 1
+    """,
+)
+def dedup_exact_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact dedup groups by content hash — shuffles 16-byte hashes, not
+    document bodies."""
+    return D.exact_dup_groups(load_table(spark, sf_dir, "documents"))
+
+
+_CANON = (
+    "regexp_replace(trim(regexp_replace(lower(text), '[^\\w\\s]', '', 'g')), '\\s+', ' ', 'g')"
+)
+
+
+@register(
+    "dedup_fingerprint",
+    oracle=f"""
+    SELECT doc_id, substr(md5({_CANON}), 1, 16) AS fingerprint
+    FROM documents
+    """,
+)
+def dedup_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Formatting-robust content fingerprint (rolling-hash role)."""
+    docs = load_table(spark, sf_dir, "documents")
+    return docs.select("doc_id", TS.fingerprint(F.col("text")).alias("fingerprint"))
+
+
+@register("dedup_minhash_lsh", oracle=None)
+def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash+LSH near-dup candidate pairs (shingle→minhash→band→
+    bucket-join). Probabilistic blocking → rows-only check; exactness is
+    property-tested against brute-force Jaccard in tests/test_dedup.py."""
+    docs = load_table(spark, sf_dir, "documents")
+    return D.minhash_lsh_candidates(docs, num_perm=32, bands=8, shingle_n=3)
+
+
+@register("dedup_simhash", oracle=None)
+def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash near-dup candidates (Hamming blocking over 16-bit bands)."""
+    docs = load_table(spark, sf_dir, "documents")
+    return D.simhash_candidates(docs, band_bits=16).filter(F.col("hamming") <= 8)
+
+
+@register("dedup_ngram_jaccard", oracle=None)
+def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact 3-gram Jaccard pairs ≥ 0.5 via inverted-index join."""
+    docs = load_table(spark, sf_dir, "documents")
+    return D.ngram_jaccard_pairs(docs, shingle_n=3, threshold=0.5)
+
+
+@register("dedup_embedding_cosine", oracle=None)
+def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding near-dup pairs: SRP-LSH buckets + exact cosine ≥ 0.95."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    return D.embedding_cosine_dups(emb, threshold=0.95, n_planes=10)
+
+
+# ---------------------------------------------------------------------------
+# Similarity search (M4).
+# ---------------------------------------------------------------------------
+
+_COS = "list_cosine_similarity(CAST(q.embedding AS DOUBLE[]), CAST(c.embedding AS DOUBLE[]))"
+
+
+@register(
+    "similarity_topk_bruteforce",
+    oracle=f"""
+    SELECT query_id, neighbor_id, cosine FROM (
+        SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+               ROUND({_COS}, 6) + 0.0 AS cosine,
+               row_number() OVER (
+                   PARTITION BY q.vec_id
+                   ORDER BY ROUND({_COS}, 6) DESC, c.vec_id ASC
+               ) AS rn
+        FROM embeddings c, (SELECT * FROM embeddings WHERE vec_id < 5) q
+    ) WHERE rn <= 10
+    """,
+)
+def similarity_topk_bruteforce(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact cosine top-10 for 5 query vectors — broadcast queries,
+    stream the corpus, per-query heap ranking."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    return S.brute_force_topk(emb, queries, k=10, query_id_col="query_id")
+
+
+@register("similarity_topk_lsh", oracle=None)
+def similarity_topk_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Approximate top-10 via SRP-LSH bucket join + exact rerank.
+    Approximate recall → rows-only; recall measured in tests."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    return S.ann_topk_lsh(emb, queries, k=10, n_planes=6)
+
+
+# ---------------------------------------------------------------------------
+# Text analysis (M4) — full SQL oracle parity.
+# ---------------------------------------------------------------------------
+
+_TOKS_RAW = "list_filter(regexp_split_to_array(trim(text), '\\s+'), x -> x <> '')"
+_TOKS = (
+    "list_filter(regexp_split_to_array(trim(regexp_replace(lower(text), '[^\\w\\s]', '', 'g')),"
+    " '\\s+'), x -> x <> '')"
+)
+_STOPS = "('the','a','an','and','or','of','to','in','is','it','for','on','with','as','at','by','this','that')"
+_MARK = {
+    "en": "('the','and','of','to','is')",
+    "fr": "('le','la','et','les','des')",
+    "de": "('der','die','und','das','ist')",
+    "es": "('el','los','las','y','es')",
+}
+
+
+@register(
+    "text_stats",
+    oracle=f"""
+    WITH base AS (
+        SELECT doc_id,
+               length(text) AS n_chars,
+               len({_TOKS_RAW}) AS n_tokens_ws,
+               len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]')) AS n_tokens_bpe,
+               {_TOKS} AS toks,
+               CASE WHEN length(text) > 0
+                    THEN (length(text) - length(regexp_replace(text, '[^\\w\\s]', '', 'g'))) / length(text)
+                    ELSE 0.0 END AS punct,
+               substr(md5({_CANON}), 1, 16) AS fingerprint
+        FROM documents
+    ), scored AS (
+        SELECT doc_id, n_chars, n_tokens_ws, n_tokens_bpe, punct, fingerprint,
+               len(toks) AS n_tok,
+               CASE WHEN len(toks) > 0
+                    THEN len(list_filter(toks, t -> t IN {_STOPS})) / len(toks)
+                    ELSE 0.0 END AS stop,
+               len(list_filter(toks, t -> t IN {_MARK['en']})) AS s_en,
+               len(list_filter(toks, t -> t IN {_MARK['fr']})) AS s_fr,
+               len(list_filter(toks, t -> t IN {_MARK['de']})) AS s_de,
+               len(list_filter(toks, t -> t IN {_MARK['es']})) AS s_es
+        FROM base
+    )
+    SELECT doc_id,
+           CAST(n_chars AS BIGINT) AS n_chars,
+           CAST(n_tokens_ws AS INT) AS n_tokens_ws,
+           CAST(n_tokens_bpe AS INT) AS n_tokens_bpe,
+           ROUND(stop, 4) AS stopword_ratio,
+           ROUND(punct, 4) AS punct_ratio,
+           ROUND((least(n_tok / 100.0, 1.0)
+                  + greatest(1.0 - abs(stop - 0.4) / 0.4, 0.0)
+                  + (1.0 - least(punct * 5, 1.0))) / 3, 4) AS quality,
+           CASE WHEN greatest(s_en, s_fr, s_de, s_es) <= 0 THEN 'und'
+                WHEN s_en = greatest(s_en, s_fr, s_de, s_es) THEN 'en'
+                WHEN s_fr = greatest(s_en, s_fr, s_de, s_es) THEN 'fr'
+                WHEN s_de = greatest(s_en, s_fr, s_de, s_es) THEN 'de'
+                WHEN s_es = greatest(s_en, s_fr, s_de, s_es) THEN 'es'
+                ELSE 'und' END AS lang_pred,
+           fingerprint
+    FROM scored
+    """,
+)
+def text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Language-ID + quality + token counts + fingerprint in one
+    projection pass (operators.textstats.document_stats)."""
+    docs = load_table(spark, sf_dir, "documents")
+    out = TS.document_stats(docs)
+    # n_chars recomputed from text (matches the documents.n_chars column
+    # by construction, but we don't rely on it)
+    return out
+
+
+# ---------------------------------------------------------------------------
+# Temporal operators: as-of join, sessionization, tumbling windows (M5).
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "asof_join_purchases",
+    oracle="""
+    SELECT e.event_id, e.user_id, epoch_us(e.ts) AS ts_us,
+           ROUND(p.value, 2) AS last_purchase_value
+    FROM (SELECT * FROM events WHERE event_type = 'click') e
+    ASOF LEFT JOIN (
+        SELECT user_id, ts, value FROM (
+            SELECT *, row_number() OVER (PARTITION BY user_id, ts ORDER BY event_id) AS rn
+            FROM events WHERE event_type = 'purchase'
+        ) WHERE rn = 1
+    ) p ON e.user_id = p.user_id AND e.ts >= p.ts
+    """,
+)
+def asof_join_purchases(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """As-of join: each click event gets the user's most recent
+    at-or-before purchase value. Union + fill-forward window — one
+    shuffle, no range-join blow-up. DuckDB's native ASOF JOIN is the
+    oracle."""
+    events = load_table(spark, sf_dir, "events")
+    clicks = events.filter(F.col("event_type") == "click")
+    purchases = keep_first(
+        events.filter(F.col("event_type") == "purchase"),
+        ["user_id", "ts"],
+        [F.col("event_id")],
+    ).select("user_id", "ts", F.col("value").alias("last_purchase_value"))
+    joined = as_of_join(
+        clicks,
+        purchases,
+        on="user_id",
+        left_ts="ts",
+        right_ts="ts",
+        value_cols=["last_purchase_value"],
+    )
+    return joined.select(
+        "event_id",
+        "user_id",
+        F.unix_micros("ts").alias("ts_us"),
+        F.round("last_purchase_value", 2).alias("last_purchase_value"),
+    )
+
+
+@register(
+    "sessionize_events",
+    oracle="""
+    WITH flagged AS (
+        SELECT user_id, event_id, ts,
+               CASE WHEN lag(ts) OVER w IS NULL
+                         OR epoch_us(ts) - epoch_us(lag(ts) OVER w) > 1800000000
+                    THEN 1 ELSE 0 END AS new_session
+        FROM events
+        WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    )
+    SELECT user_id, event_id,
+           CAST(SUM(new_session) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                       ROWS UNBOUNDED PRECEDING) AS BIGINT) AS session_seq
+    FROM flagged
+    """,
+)
+def sessionize_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gap-based sessionization (30-min gap): lag + running sum windows
+    (batch twin of session_window)."""
+    events = load_table(spark, sf_dir, "events")
+    return sessionize_batch(events, gap_minutes=30).select(
+        "user_id", "event_id", "session_seq"
+    )
+
+
+_TUMBLING_ORACLE = """
+    SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS window_start,
+           event_type,
+           CAST(COUNT(*) AS BIGINT) AS n_events,
+           CAST(ROUND(SUM(CAST(value AS DECIMAL(12,2))), 2) AS DOUBLE) AS total_value
+    FROM events GROUP BY 1, 2
+"""
+
+
+@register("tumbling_window_agg", oracle=_TUMBLING_ORACLE)
+def tumbling_window_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tumbling 1-hour window aggregate — batch form of the streaming
+    operator (same function composes onto readStream)."""
+    events = load_table(spark, sf_dir, "events")
+    return tumbling_agg(events, window="1 hour")
+
+
+@register("streaming_tumbling_agg", oracle=_TUMBLING_ORACLE)
+def streaming_tumbling_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The SAME aggregation run through Structured Streaming (file
+    source → watermark → windowed agg → memory sink, driven to
+    completion). Matching the batch oracle proves stream/batch
+    semantic equivalence."""
+    return run_streaming_tumbling_agg(spark, sf_dir, window="1 hour")
+
+
+# ---------------------------------------------------------------------------
+# Multimodal plumbing (stubbed codecs — see operators.multimodal).
+# ---------------------------------------------------------------------------
+
+
+@register("multimodal_fake_features", oracle=None)
+def multimodal_fake_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Media pipeline plumbing over synthetic media rows (documents text
+    encoded as binary payloads): mapInPandas Arrow batches → deterministic
+    fake decode → fixed-dim feature vectors. Rows-only check (binary +
+    stubbed codec are outside SQL)."""
+    from esther_apache_spark_spark.operators.multimodal import extract_features
+
+    docs = load_table(spark, sf_dir, "documents")
+    media = docs.select(
+        F.col("doc_id").alias("media_id"),
+        F.lit("image").alias("kind"),
+        F.encode("text", "utf-8").alias("payload"),
+        F.lit("image/fake").alias("mime"),
+    )
+    feats = extract_features(media, fake=True)
+    return feats.select(
+        "media_id",
+        "kind",
+        "feat_dim",
+        F.round(F.element_at("features", 1).cast("double"), 6).alias("feat0"),
+    )

@@ -1,0 +1,78 @@
+"""SparkSession factory, YAML-configurable.
+
+The reference builds its session inline (``pipeline_pyspark.py:85-89``,
+``SparkSession.builder.appName("PipelinePySpark").master("local[*]")``) and
+drives paths from ``settings.yaml`` (``pipeline_pyspark.py:60-72``). We keep
+the config-driven shape but centralize scale-relevant defaults:
+
+- AQE on (runtime coalescing + skew-join handling at 100 TB),
+- shuffle partitions sized to the local core count for tests (the 200
+  default over-parallelizes tiny data and under-parallelizes huge data;
+  a real cluster deployment overrides via ``extra_conf``),
+- session timezone pinned to UTC so timestamp semantics are stable across
+  engines (DuckDB oracle comparisons are UTC-naive),
+- Arrow enabled for the few pandas boundaries (``toPandas``, pandas UDFs).
+"""
+
+from __future__ import annotations
+
+import os
+from typing import Any
+
+from pyspark.sql import SparkSession
+
+DEFAULT_APP_NAME = "esther-apache-spark-spark"
+
+
+def _local_cores() -> int:
+    cpus = os.environ.get("SPARK_GRAFT_CPUS")
+    if cpus:
+        try:
+            return max(1, int(cpus))
+        except ValueError:
+            pass
+    return os.cpu_count() or 4
+
+
+def get_spark(
+    app_name: str = DEFAULT_APP_NAME,
+    master: str | None = None,
+    shuffle_partitions: int | None = None,
+    extra_conf: dict[str, Any] | None = None,
+) -> SparkSession:
+    """Build (or reuse) a SparkSession with scale-sane defaults.
+
+    ``master`` defaults to ``local[N]`` where N comes from
+    ``$SPARK_GRAFT_CPUS`` (driver contract) or the machine's core count.
+    On a real cluster pass ``master=None`` via spark-submit and these
+    builder calls merge with the cluster conf.
+    """
+    cores = _local_cores()
+    builder = (
+        SparkSession.builder.appName(app_name)
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        .config(
+            "spark.sql.shuffle.partitions",
+            str(shuffle_partitions if shuffle_partitions is not None else cores),
+        )
+        .config("spark.sql.session.timeZone", "UTC")
+        # The driver testdata stores events.ts as TIMESTAMP(NANOS) which
+        # Spark's parquet reader rejects; read the raw int64 nanos and
+        # convert (schemas.load_table) — Spark timestamps are micros.
+        .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        # Files: default 128MB split size is right for big scans; keep
+        # openCostInBytes small so many tiny test files still coalesce.
+        .config("spark.sql.files.openCostInBytes", "1048576")
+        .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEMORY", "8g"))
+        .config("spark.ui.enabled", "false")
+    )
+    if master is not None:
+        builder = builder.master(master)
+    elif not os.environ.get("SPARK_MASTER"):
+        builder = builder.master(f"local[{cores}]")
+    for k, v in (extra_conf or {}).items():
+        builder = builder.config(k, str(v))
+    return builder.getOrCreate()

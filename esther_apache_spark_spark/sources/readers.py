@@ -1,0 +1,86 @@
+"""Scan operators S1-S6 (SURVEY.md §2.1), explicit-schema only.
+
+The reference reads with inference (``pipeline_pyspark.py:94-98``); here
+every reader takes a declared ``StructType`` — at 100 TB schema inference
+is an extra full pass and nondeterministic. Multi-file JSON globs (S1's
+31 daily ``orders_*.json``) become one distributed scan; Spark handles
+the union natively (U1 subsumed at read time).
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterable, Sequence
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql.types import StructType
+
+
+def read_json_multiline(
+    spark: SparkSession,
+    paths: str | Sequence[str],
+    schema: StructType,
+    multiline: bool = True,
+) -> DataFrame:
+    """S1 — daily order JSON files (pretty-printed → multiLine).
+
+    Reference: ``pipeline_pyspark.py:94-96`` (inference dropped by design).
+    """
+    reader = spark.read.schema(schema)
+    if multiline:
+        reader = reader.option("multiLine", "true")
+    if isinstance(paths, str):
+        paths = [paths]
+    return reader.json(list(paths))
+
+
+def read_csv(
+    spark: SparkSession,
+    path: str | Sequence[str],
+    schema: StructType,
+    header: bool = True,
+    sep: str = ",",
+) -> DataFrame:
+    """S2 — CSV with header (reference ``pipeline_pyspark.py:97-98``)."""
+    reader = (
+        spark.read.schema(schema)
+        .option("header", str(header).lower())
+        .option("sep", sep)
+    )
+    if isinstance(path, str):
+        path = [path]
+    return reader.csv(list(path))
+
+
+def read_text(spark: SparkSession, path: str) -> DataFrame:
+    """S3 — line-per-row text (reference ``tuto_dataframes_pyspark(2).ipynb:408``)."""
+    return spark.read.text(path)
+
+
+def read_parquet(
+    spark: SparkSession, path: str, schema: StructType | None = None
+) -> DataFrame:
+    """S5 — parquet scan, the engine's primary columnar source."""
+    reader = spark.read
+    if schema is not None:
+        reader = reader.schema(schema)
+    return reader.parquet(path)
+
+
+def from_rows(
+    spark: SparkSession, rows: Iterable, schema: StructType | list[str]
+) -> DataFrame:
+    """S4 — local collection → DataFrame (test fixtures;
+    reference ``tuto_dataframes_pyspark(2).ipynb:117,171,215``)."""
+    return spark.createDataFrame(list(rows), schema)
+
+
+def read_jdbc(
+    spark: SparkSession,
+    url: str,
+    table: str,
+    properties: dict[str, str] | None = None,
+) -> DataFrame:
+    """S6 — RDBMS source (reference bootstraps customers/refunds from a
+    Postgres dump, ``freshkartmindump.sql:14-32``). Needs the JDBC driver
+    jar on the classpath; tests use parquet instead."""
+    return spark.read.jdbc(url, table, properties=properties or {})

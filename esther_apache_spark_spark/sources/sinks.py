@@ -1,0 +1,92 @@
+"""Sink operators K1-K5 (SURVEY.md §2.2).
+
+The reference exports by collecting tiny aggregates to pandas and
+looping (``pipeline_pyspark.py:186-222``). The engine keeps that shape
+only as an explicit small-result boundary (``write_sqlite``) and provides
+distributed writers for everything else — at 100 TB output must never
+transit the driver.
+"""
+
+from __future__ import annotations
+
+import sqlite3
+from collections.abc import Sequence
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+
+def write_csv_dialect(
+    df: DataFrame,
+    path: str,
+    sep: str = ";",
+    float_cols: Sequence[str] = (),
+    float_format_decimals: int = 2,
+    header: bool = True,
+    partition_by: str | None = None,
+    single_file: bool = False,
+) -> None:
+    """K1/K2 — CSV export with dialect control.
+
+    The reference formats floats ``%.2f`` and uses ``;`` (``settings.yaml:6-9``,
+    ``pipeline_pyspark.py:201-222``). Formatting happens at projection time
+    (``format_number``-style) so the distributed writer emits final bytes —
+    no pandas loop. ``partition_by`` gives the per-date file layout (K2)
+    natively via ``partitionBy``.
+    """
+    out = df
+    for c in float_cols:
+        # format_number inserts thousands separators; use printf for %.2f.
+        out = out.withColumn(c, F.printf(F.lit(f"%.{float_format_decimals}f"), F.col(c)))
+    writer = out.coalesce(1).write if single_file else out.write
+    writer = writer.mode("overwrite").option("header", str(header).lower()).option("sep", sep)
+    if partition_by:
+        writer = writer.partitionBy(partition_by)
+    writer.csv(path)
+
+
+def write_partitioned_parquet(
+    df: DataFrame, path: str, partition_by: str | Sequence[str]
+) -> None:
+    """K2 — partitioned-by-value layout, the scale-native form of the
+    reference's per-date CSV loop (``pipeline_pyspark.py:201-203``)."""
+    cols = [partition_by] if isinstance(partition_by, str) else list(partition_by)
+    df.write.mode("overwrite").partitionBy(*cols).parquet(path)
+
+
+def write_sqlite(df: DataFrame, db_path: str, table: str) -> None:
+    """K3 — SQLite table sink with overwrite semantics.
+
+    Reference: ``pipeline_pyspark.py:197-199`` (``to_sql(if_exists="replace")``).
+    Deliberately a driver-side boundary — only for final small aggregates
+    (C4 policy); large outputs use JDBC/parquet writers.
+    """
+    pdf = df.toPandas()
+    with sqlite3.connect(db_path) as conn:
+        pdf.to_sql(table, conn, if_exists="replace", index=False)
+
+
+def write_jdbc(df: DataFrame, url: str, table: str, mode: str = "overwrite",
+               properties: dict[str, str] | None = None) -> None:
+    """K3 (distributed form) — JDBC writer for RDBMS sinks at scale."""
+    df.write.mode(mode).jdbc(url, table, properties=properties or {})
+
+
+def write_text(df: DataFrame, path: str) -> None:
+    """K5 — text sink (reference RDD ``saveAsTextFile``,
+    ``tuto_rdd_pyspark(2).ipynb:626``)."""
+    df.write.mode("overwrite").text(path)
+
+
+def quarantine_split(df: DataFrame, reject_predicate: Column) -> tuple[DataFrame, DataFrame]:
+    """K4 — data-quality side channel: (clean, rejects).
+
+    Reference quarantines negative unit prices to ``rejects_items.csv``
+    and keeps ``>= 0`` rows (``pipeline_pyspark.py:123-131``). NULLs in the
+    predicate fall into neither side there; we preserve exact semantics:
+    rejects = predicate true, clean = negation true (SQL three-valued
+    logic drops predicate-NULL rows from both, as the reference does).
+    """
+    rejects = df.filter(reject_predicate)
+    clean = df.filter(~reject_predicate)
+    return clean, rejects

@@ -1,0 +1,97 @@
+"""Streaming operators over the ``events`` table (engine extension, M5).
+
+Batch and streaming share the same transformation functions — the
+DataFrame is the IR, so ``tumbling_agg`` composes onto either
+``spark.read`` or ``spark.readStream``. Watermarks bound state for late
+data; the local test driver uses the parquet file-source + memory sink +
+``processAllAvailable`` to run a stream to completion synchronously.
+
+Scale notes: windowed aggregation state is partitioned by (window, keys)
+— the same shuffle as the batch groupBy; watermark GC keeps state
+bounded. The sessionize operator is the batch twin of
+``session_window`` / ``applyInPandasWithState``.
+"""
+
+from __future__ import annotations
+
+import uuid
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from esther_apache_spark_spark.schemas import TESTDATA
+
+
+def streaming_events_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """File-based streaming source over the events parquet (explicit
+    schema — required for readStream). The raw int64-nanos ts is
+    converted to a micros timestamp exactly as the batch reader does
+    (schemas.load_table)."""
+    from esther_apache_spark_spark.schemas import _EVENTS_RAW
+
+    # The file stream source wants a directory; point it at sf_dir with a
+    # glob filter so only the events table streams in.
+    raw = (
+        spark.readStream.schema(_EVENTS_RAW)
+        .option("maxFilesPerTrigger", "1")
+        .option("pathGlobFilter", "events.parquet")
+        .parquet(sf_dir)
+    )
+    return raw.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+
+
+def tumbling_agg(events: DataFrame, window: str = "1 hour", watermark: str = "30 minutes") -> DataFrame:
+    """Tumbling-window count+sum per event_type. Works on batch and
+    streaming inputs alike; the watermark is applied only when streaming."""
+    src = events.withWatermark("ts", watermark) if events.isStreaming else events
+    return (
+        src.groupBy(F.window("ts", window).alias("win"), "event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            # decimal-exact sum: order-independent and cross-engine stable
+            F.round(F.sum(F.col("value").cast("decimal(12,2)")), 2)
+            .cast("double")
+            .alias("total_value"),
+        )
+        .select(
+            F.date_format(F.col("win.start"), "yyyy-MM-dd HH:mm:ss").alias("window_start"),
+            "event_type",
+            "n_events",
+            "total_value",
+        )
+    )
+
+
+def run_streaming_tumbling_agg(spark: SparkSession, sf_dir: str, window: str = "1 hour") -> DataFrame:
+    """Drive the streaming tumbling agg to completion via the memory sink
+    and return the (batch) result table. Complete output mode so every
+    window is emitted regardless of watermark progress."""
+    name = f"stream_agg_{uuid.uuid4().hex[:8]}"
+    q = (
+        tumbling_agg(streaming_events_source(spark, sf_dir), window)
+        .writeStream.outputMode("complete")
+        .format("memory")
+        .queryName(name)
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    return spark.table(name)
+
+
+def sessionize_batch(events: DataFrame, gap_minutes: int = 30) -> DataFrame:
+    """Gap-based sessionization (batch twin of session_window): a new
+    session starts when the time since the user's previous event exceeds
+    the gap. One shuffle on user_id; lag + running sum over one window."""
+    w = Window.partitionBy("user_id").orderBy(F.col("ts").asc(), F.col("event_id").asc())
+    gap_us = gap_minutes * 60 * 1_000_000
+    prev_ts = F.lag("ts").over(w)
+    new_session = F.when(
+        prev_ts.isNull() | (F.unix_micros("ts") - F.unix_micros(prev_ts) > gap_us),
+        F.lit(1),
+    ).otherwise(F.lit(0))
+    return events.withColumn("session_seq", F.sum(new_session).over(
+        w.rowsBetween(Window.unboundedPreceding, 0)
+    ))

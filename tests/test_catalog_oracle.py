@@ -1,0 +1,58 @@
+"""The correctness gate, run locally: every catalog query with an oracle
+is executed on Spark AND DuckDB at sf0.001 and compared the way the
+driver does — row count, column names, and order-insensitive values.
+"""
+
+from __future__ import annotations
+
+import math
+
+import pandas as pd
+import pytest
+
+from esther_apache_spark_spark import plans
+
+ORACLE_QUERIES = sorted(n for n, s in plans.QUERIES.items() if s.oracle)
+ROWS_ONLY_QUERIES = sorted(n for n, s in plans.QUERIES.items() if not s.oracle)
+
+
+def _canon(df: pd.DataFrame) -> pd.DataFrame:
+    df = df.reindex(sorted(df.columns), axis=1)
+    for c in df.columns:
+        if df[c].dtype == object:
+            df[c] = df[c].astype(str)
+        elif pd.api.types.is_float_dtype(df[c]):
+            # exactness already enforced by rounding inside the queries;
+            # normalize -0.0 and NaN representation only
+            df[c] = df[c].apply(
+                lambda x: 0.0 if x == 0 else (math.nan if pd.isna(x) else x)
+            )
+    return df.sort_values(by=list(df.columns), ignore_index=True)
+
+
+@pytest.mark.parametrize("name", ORACLE_QUERIES)
+def test_query_matches_oracle(name, spark, duck, sf_dir):
+    spec = plans.QUERIES[name]
+    got = _canon(spec.fn(spark, sf_dir).toPandas())
+    want = _canon(duck.execute(spec.oracle).df())
+    assert list(got.columns) == list(want.columns), (
+        f"{name}: column mismatch {list(got.columns)} vs {list(want.columns)}"
+    )
+    assert len(got) == len(want), f"{name}: row count {len(got)} vs {len(want)}"
+    pd.testing.assert_frame_equal(got, want, check_dtype=False, check_exact=True)
+
+
+@pytest.mark.parametrize("name", ROWS_ONLY_QUERIES)
+def test_rows_only_queries_run(name, spark, sf_dir):
+    spec = plans.QUERIES[name]
+    df = spec.fn(spark, sf_dir)
+    assert df.count() >= 0
+    assert len(df.schema.fields) > 0
+
+
+def test_entry_smoke(spark):
+    import __spark_entry__ as e
+
+    df = e.entry(spark)
+    assert df.count() > 0
+    assert set(e.oracle_sql()) <= set(e.queries())
