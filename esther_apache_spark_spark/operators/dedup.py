@@ -52,22 +52,39 @@ def exact_dup_groups(df: DataFrame, text_col: str = "text", id_col: str = "doc_i
     )
 
 
+_LONG_MAX = 9223372036854775807
+
+
 def minhash_signature(
     tokens: Column, num_perm: int = 32, shingle_n: int | None = None
 ) -> Column:
     """array<string> -> array<bigint> MinHash signature.
 
-    Permutation i is simulated with ``xxhash64(i || element)`` (the
-    standard seeded-hash construction); the signature element is the min
-    over the set. Pure expression: ``transform`` + ``array_min``."""
+    Permutation i is simulated by re-hashing a per-element base hash with
+    the permutation index — ``xxhash64(xxhash64(element), i)`` — the
+    standard seeded-hash construction (Broder 1997); the signature
+    element is the min over the set.
+
+    Built as ONE pass over the elements: each element is string-hashed
+    once, then folded into a running array of per-permutation minima via
+    ``aggregate``+``zip_with``. The naive form (num_perm separate
+    ``transform``s over the shingle expression) re-evaluates the
+    tokenize→shingle→string-hash subtree per permutation — measured 65×
+    slower at sf0.1 because higher-order functions are interpreted, not
+    codegen'd."""
     elems = word_shingles(tokens, shingle_n) if shingle_n else tokens
-    sigs = [
-        F.array_min(
-            F.transform(elems, lambda e, i=i: F.xxhash64(F.concat(F.lit(f"p{i}:"), e)))
-        )
-        for i in range(num_perm)
-    ]
-    return F.array(*sigs)
+    base = F.transform(F.array_distinct(elems), lambda e: F.xxhash64(e))
+    perm_idx = F.sequence(F.lit(0), F.lit(num_perm - 1))
+    acc0 = F.array_repeat(F.lit(_LONG_MAX).cast("long"), num_perm)
+    return F.aggregate(
+        base,
+        acc0,
+        lambda acc, h: F.zip_with(
+            acc,
+            F.transform(perm_idx, lambda i: F.xxhash64(h, i)),
+            lambda a, b: F.least(a, b),
+        ),
+    )
 
 
 def minhash_lsh_candidates(
@@ -110,6 +127,11 @@ def minhash_lsh_candidates(
             )
         ).alias("_band", "_bucket"),
     )
+    # The self-join would otherwise evaluate the signature pipeline once
+    # per side; the banded table is tiny relative to the corpus (id +
+    # num_perm longs + band/bucket per row), so cache it (reference C1:
+    # cache the reused relation, pipeline_pyspark.py:100-104).
+    banded = banded.cache()
     left = banded.select(
         F.col("_id").alias("id_a"), F.col("_sig").alias("sig_a"), "_band", "_bucket"
     )
@@ -145,7 +167,7 @@ def ngram_jaccard_pairs(
     shingled = df.select(
         F.col(id_col).alias("_id"),
         F.array_distinct(word_shingles(tokenize(F.col(text_col)), shingle_n)).alias("_sh"),
-    )
+    ).cache()  # feeds the sizes lookup and both sides of the index join
     sizes = shingled.select("_id", F.size("_sh").alias("_n"))
     inv = shingled.select("_id", F.explode("_sh").alias("_g"))
     common = (
@@ -177,30 +199,44 @@ def simhash(tokens: Column, bits: int = 64) -> Column:
     positions — no UDF."""
     if bits != 64:
         raise ValueError("only 64-bit simhash supported")
+    # ONE pass over the tokens: hash each token once, then fold its ±1
+    # bit votes into a 64-wide counter array (aggregate + zip_with).
+    # The naive form (64 separate filter() passes over the token-hash
+    # array) re-evaluates the tokenization per bit — interpreted HOFs
+    # make that ~60× slower.
     h = F.transform(tokens, lambda t: F.xxhash64(t))
-    # For each bit i: count of tokens with bit set, vs total.
-    n = F.size(h)
-
-    def bit_mask(i: int):
-        # bit 63 overflows a signed-long literal; shiftleft wraps like
-        # Java (1L << 63 == Long.MIN_VALUE), which is exactly the mask
-        return F.shiftleft(F.lit(1).cast("long"), i)
-
-    def bit_set(i: int):
-        # single-arg closure: a two-param lambda would make F.filter
-        # pass the element index as the second argument
-        return lambda x: x.bitwiseAND(bit_mask(i)) != 0
-
-    bit_cols = []
-    for i in range(bits):
-        ones = F.size(F.filter(h, bit_set(i)))
-        bit_cols.append(
-            F.when(ones * 2 >= n, bit_mask(i)).otherwise(F.lit(0).cast("long"))
-        )
-    out = bit_cols[0]
-    for c in bit_cols[1:]:
-        out = out.bitwiseOR(c)
-    return out
+    bit_idx = F.sequence(F.lit(0), F.lit(bits - 1))
+    votes = F.aggregate(
+        h,
+        F.array_repeat(F.lit(0), bits),
+        lambda acc, x: F.zip_with(
+            acc,
+            F.transform(
+                bit_idx,
+                # call_function: the SQL shiftright accepts a column
+                # shift amount; the Python wrapper insists on an int
+                lambda i: F.when(
+                    F.call_function("shiftright", x, i).bitwiseAND(
+                        F.lit(1).cast("long")
+                    )
+                    != 0,
+                    1,
+                ).otherwise(-1),
+            ),
+            lambda a, b: a + b,
+        ),
+    )
+    # votes[i] >= 0  <=>  ones*2 >= n  =>  set bit i. Bit 63 wraps like
+    # Java (1L << 63 == Long.MIN_VALUE), which is exactly the mask.
+    masks = F.transform(
+        votes,
+        lambda v, i: F.when(
+            v >= 0, F.call_function("shiftleft", F.lit(1).cast("long"), i)
+        ).otherwise(F.lit(0).cast("long")),
+    )
+    return F.aggregate(
+        masks, F.lit(0).cast("long"), lambda acc, m: acc.bitwiseOR(m)
+    )
 
 
 def simhash_candidates(
@@ -230,7 +266,7 @@ def simhash_candidates(
             )
         ).alias("_band", "_bucket"),
     )
-    l, r = banded.alias("a"), banded.alias("b")
+    l, r = (banded := banded.cache()).alias("a"), banded.alias("b")
     pairs = (
         l.join(r, ["_band", "_bucket"])
         .filter(F.col("a._id") < F.col("b._id"))
@@ -250,33 +286,57 @@ def embedding_cosine_dups(
     df: DataFrame,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
-    threshold: float = 0.95,
-    n_planes: int = 12,
+    threshold: float = 0.4,
+    n_planes: int = 4,
+    n_tables: int = 12,
     seed: int = 42,
 ) -> DataFrame:
-    """Embedding near-dup pairs: random-hyperplane LSH bucketing then
-    exact cosine within buckets (composition with similarity.lsh_bucket).
-    Returns (id_a, id_b, cosine >= threshold)."""
-    from esther_apache_spark_spark.functions.vector import cosine_similarity
-    from esther_apache_spark_spark.operators.similarity import lsh_bucket
+    """Embedding near-dup pairs: multi-table random-hyperplane LSH
+    candidate generation, then exact cosine ≥ threshold within buckets.
+    Returns (id_a, id_b, cosine).
 
-    b = lsh_bucket(df, vec_col, n_planes=n_planes, seed=seed).select(
-        F.col(id_col).alias("_id"), F.col(vec_col).alias("_v"), F.col("bucket")
+    Candidates come from an equi-join on (table, bucket) — never
+    all-pairs. Recall is tuned by (n_planes, n_tables); the defaults give
+    ~87% recall at cosine 0.4 (see ``srp_table_buckets``). At larger
+    corpora raise n_planes (smaller buckets) and n_tables together."""
+    from esther_apache_spark_spark.functions.vector import dot
+    from esther_apache_spark_spark.operators.similarity import srp_table_buckets
+
+    first = df.select(F.size(vec_col).alias("d")).first()
+    if first is None:
+        raise ValueError("empty dataframe")
+    dim = first["d"]
+
+    # Pre-normalize each vector ONCE (cached), so the per-pair rerank is
+    # a single dot product instead of dot + two norms — the candidate
+    # set is quadratic in bucket size, the vector set is not.
+    v = F.col(vec_col).cast("array<double>")
+    # aggregate's finish-lambda binds the squared norm ONCE (a lambda
+    # variable) — writing `x / l2_norm(v)` inside a transform would
+    # re-evaluate the norm subtree per element.
+    vn = F.aggregate(
+        v,
+        F.lit(0.0),
+        lambda acc, x: acc + x * x,
+        lambda s: F.when(s != 0, F.transform(v, lambda x: x / F.sqrt(s))),
     )
+    b = df.select(
+        F.col(id_col).alias("_id"),
+        vn.alias("_vn"),
+        F.posexplode(
+            srp_table_buckets(F.col(vec_col), dim, n_planes, n_tables, seed)
+        ).alias("_table", "_bucket"),
+    ).cache()  # reused by both sides of the self-join
     pairs = (
         b.alias("a")
-        .join(b.alias("b"), "bucket")
+        .join(b.alias("b"), ["_table", "_bucket"])
         .filter(F.col("a._id") < F.col("b._id"))
         .select(
             F.col("a._id").alias("id_a"),
             F.col("b._id").alias("id_b"),
-            F.round(
-                cosine_similarity(
-                    F.col("a._v").cast("array<double>"), F.col("b._v").cast("array<double>")
-                ),
-                4,
-            ).alias("cosine"),
+            F.round(dot(F.col("a._vn"), F.col("b._vn")), 4).alias("cosine"),
         )
+        .filter(F.col("cosine") >= threshold)
         .dropDuplicates(["id_a", "id_b"])
     )
-    return pairs.filter(F.col("cosine") >= threshold)
+    return pairs

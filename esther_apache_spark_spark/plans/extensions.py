@@ -250,9 +250,10 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register("dedup_embedding_cosine", oracle=None)
 def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Embedding near-dup pairs: SRP-LSH buckets + exact cosine ≥ 0.95."""
+    """Embedding near-dup pairs: multi-table SRP-LSH candidates + exact
+    cosine ≥ 0.4 rerank (~60 true pairs exist at sf0.01)."""
     emb = load_table(spark, sf_dir, "embeddings")
-    return D.embedding_cosine_dups(emb, threshold=0.95, n_planes=10)
+    return D.embedding_cosine_dups(emb, threshold=0.4, n_planes=4, n_tables=12)
 
 
 # ---------------------------------------------------------------------------
