@@ -11,5 +11,6 @@ from esther_apache_spark_spark.plans.catalog import (
 # Importing these modules populates the registry.
 from esther_apache_spark_spark.plans import parity  # noqa: E402,F401
 from esther_apache_spark_spark.plans import extensions  # noqa: E402,F401
+from esther_apache_spark_spark.plans import freshkart_plans  # noqa: E402,F401
 
 __all__ = ["QUERIES", "QuerySpec", "register", "queries", "oracle_sql"]

@@ -37,7 +37,13 @@ def write_csv_dialect(
     out = df
     for c in float_cols:
         # format_number inserts thousands separators; use printf for %.2f.
-        out = out.withColumn(c, F.printf(F.lit(f"%.{float_format_decimals}f"), F.col(c)))
+        # Cast first: Java's %f rejects integral types (f != java.lang.Long).
+        out = out.withColumn(
+            c,
+            F.printf(
+                F.lit(f"%.{float_format_decimals}f"), F.col(c).cast("double")
+            ),
+        )
     writer = out.coalesce(1).write if single_file else out.write
     writer = writer.mode("overwrite").option("header", str(header).lower()).option("sep", sep)
     if partition_by:

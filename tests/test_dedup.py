@@ -1,0 +1,137 @@
+"""Property tests for the near-dup sketch family (SURVEY.md §7 M4).
+
+MinHash/LSH are probabilistic; the properties verified are the ones the
+constructions guarantee: exactness on identical inputs, precision-1 of
+exact reranks, estimator accuracy within binomial error, and agreement
+with brute-force Python reimplementations of the same definitions.
+"""
+
+from __future__ import annotations
+
+import math
+import re
+
+import numpy as np
+import pytest
+
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from esther_apache_spark_spark.operators import dedup as D
+
+
+def _docs_df(spark, texts):
+    return spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)],
+        T.StructType(
+            [
+                T.StructField("doc_id", T.LongType()),
+                T.StructField("text", T.StringType()),
+            ]
+        ),
+    )
+
+
+def _py_tokenize(text):
+    return [w for w in re.sub(r"[^\w\s]", "", text.lower()).strip().split() if w]
+
+
+def _py_shingles(text, n=3):
+    toks = _py_tokenize(text)
+    return {" ".join(toks[i : i + n]) for i in range(len(toks) - n + 1)}
+
+
+def _jaccard(a, b):
+    return len(a & b) / len(a | b) if a | b else 0.0
+
+
+BASE = (
+    "the quick brown fox jumps over the lazy dog while the cat sleeps "
+    "near the warm fire and the birds sing in the tall green trees today"
+)
+VARIANT = BASE.replace("lazy dog", "sleepy dog")  # near-dup
+DISJOINT = (
+    "completely different words about spark queries shuffles partitions "
+    "joins aggregates windows caching and columnar execution engines"
+)
+
+
+def test_minhash_identical_docs_full_agreement(spark):
+    df = _docs_df(spark, [BASE, BASE, DISJOINT])
+    pairs = D.minhash_lsh_candidates(df, num_perm=32, bands=8, shingle_n=3).collect()
+    got = {(r["id_a"], r["id_b"]): r["sig_agreement"] for r in pairs}
+    assert got.get((0, 1)) == 1.0  # identical docs: every signature position agrees
+
+
+def test_minhash_agreement_estimates_jaccard(spark):
+    texts = [BASE, VARIANT, DISJOINT]
+    df = _docs_df(spark, texts)
+    pairs = D.minhash_lsh_candidates(df, num_perm=64, bands=32, shingle_n=3).collect()
+    got = {(r["id_a"], r["id_b"]): r["sig_agreement"] for r in pairs}
+    true_j = _jaccard(_py_shingles(BASE), _py_shingles(VARIANT))
+    assert true_j > 0.5  # the variant is a genuine near-dup
+    est = got.get((0, 1))
+    assert est is not None, "near-dup pair not blocked by any band"
+    # 64-perm binomial std: sqrt(J(1-J)/64) ~= 0.06; allow 4 sigma
+    assert abs(est - true_j) < 4 * math.sqrt(true_j * (1 - true_j) / 64)
+
+
+def test_ngram_jaccard_is_exact(spark):
+    texts = [BASE, VARIANT, DISJOINT, BASE + " extra tail words here now"]
+    df = _docs_df(spark, texts)
+    got = {
+        (r["id_a"], r["id_b"]): r["jaccard"]
+        for r in D.ngram_jaccard_pairs(df, shingle_n=3, threshold=0.0).collect()
+    }
+    sh = [_py_shingles(t) for t in texts]
+    for (a, b), j in got.items():
+        assert j == pytest.approx(round(_jaccard(sh[a], sh[b]), 4), abs=1e-9)
+    # every overlapping pair is present (threshold 0 keeps all candidates)
+    for a in range(len(texts)):
+        for b in range(a + 1, len(texts)):
+            if _jaccard(sh[a], sh[b]) > 0:
+                assert (a, b) in got
+
+
+def test_simhash_identical_zero_hamming(spark):
+    df = _docs_df(spark, [BASE, BASE, DISJOINT])
+    got = {
+        (r["id_a"], r["id_b"]): r["hamming"]
+        for r in D.simhash_candidates(df, band_bits=16).collect()
+    }
+    assert got.get((0, 1)) == 0
+    if (0, 2) in got:  # if blocked at all, disjoint text is far away
+        assert got[(0, 2)] > 8
+
+
+def test_embedding_cosine_precision_and_recall(spark):
+    rng = np.random.default_rng(3)
+    vecs = rng.standard_normal((60, 16)).astype("float32")
+    # plant 5 near-dup pairs: ids (50+i, i) with tiny noise
+    for i in range(5):
+        vecs[50 + i] = vecs[i] + rng.standard_normal(16).astype("float32") * 0.05
+    df = spark.createDataFrame(
+        [(int(i), [float(x) for x in v]) for i, v in enumerate(vecs)],
+        T.StructType(
+            [
+                T.StructField("vec_id", T.LongType()),
+                T.StructField("embedding", T.ArrayType(T.FloatType())),
+            ]
+        ),
+    )
+    got = {
+        (r["id_a"], r["id_b"]): r["cosine"]
+        for r in D.embedding_cosine_dups(
+            df, threshold=0.9, n_planes=4, n_tables=12
+        ).collect()
+    }
+    norm = vecs / np.linalg.norm(vecs, axis=1, keepdims=True)
+    cos = norm @ norm.T
+    # precision 1: every reported pair is a true >= threshold pair
+    for (a, b), c in got.items():
+        assert cos[a, b] >= 0.9 - 1e-4, (a, b, c, cos[a, b])
+        assert c == pytest.approx(round(float(cos[a, b]), 4), abs=2e-4)
+    # high recall on the planted near-identical pairs (cosine ~0.999)
+    planted = [(i, 50 + i) for i in range(5) if cos[i, 50 + i] >= 0.9]
+    found = sum(1 for p in planted if p in got)
+    assert found >= len(planted) - 1, (found, len(planted))
