@@ -28,10 +28,17 @@ HEADLINE = [
     "word_count",
     "dedup_exact_docs",
     "dedup_minhash_lsh",
+    "dedup_simhash",
+    "dedup_embedding_cosine",
     "similarity_topk_bruteforce",
     "text_stats",
     "asof_join_purchases",
     "tumbling_window_agg",
+    "sliding_window_agg",
+    "session_window_agg",
+    "semi_join_orders_with_returns",
+    "anti_join_customers_no_orders",
+    "freshkart_daily_city_sales",
 ]
 
 

@@ -121,6 +121,38 @@ def freshkart_orders_clean(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "wordcount_textfile",
+    oracle=f"""
+    SELECT word, CAST(COUNT(*) AS BIGINT) AS cnt
+    FROM (
+        SELECT unnest(list_filter(
+                   regexp_split_to_array(
+                       trim(regexp_replace(lower(content), '[^\\w\\s]', '', 'g')),
+                       '\\s+'),
+                   w -> w <> '')) AS word
+        FROM read_text('{_DIR}/data.txt')
+    ) GROUP BY word
+    """,
+)
+def wordcount_textfile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S3 text scan + the notebook word count (FIXTURES.md §1.5,
+    tuto_dataframes_pyspark(2).ipynb:404-539): read.text → lower →
+    strip punctuation → split → explode → filter '' → count. Newlines
+    are whitespace, so per-line tokenization equals whole-file."""
+    from esther_apache_spark_spark.functions.text import tokenize
+    from esther_apache_spark_spark.sources.readers import read_text
+
+    lines = read_text(spark, f"{ensure_fixture()}/data.txt")
+    from pyspark.sql import functions as F
+
+    return (
+        lines.select(F.explode(tokenize(F.col("value"))).alias("word"))
+        .groupBy("word")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+
+
+@register(
     "freshkart_rejects",
     oracle=_PIPELINE_CTES
     + """

@@ -587,6 +587,126 @@ def summary_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# ---------------------------------------------------------------------------
+# Join-family completion (SURVEY.md §2.4: J3/J4 + the free semi/anti
+# extensions noted under "Not present anywhere").
+# ---------------------------------------------------------------------------
+@register(
+    "semi_join_orders_with_returns",
+    oracle="""
+    SELECT o_orderkey, o_orderpriority FROM orders o
+    WHERE EXISTS (SELECT 1 FROM lineitem l
+                  WHERE l.l_orderkey = o.o_orderkey AND l.l_returnflag = 'R')
+    """,
+)
+def semi_join_orders_with_returns(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """left_semi join — EXISTS semantics without duplicating or carrying
+    right-side columns (no row multiplication, half the shuffle payload
+    of an inner join + distinct)."""
+    orders = load_table(spark, sf_dir, "orders")
+    returned = load_table(spark, sf_dir, "lineitem").filter(F.col("l_returnflag") == "R")
+    return orders.join(
+        returned, orders.o_orderkey == returned.l_orderkey, "left_semi"
+    ).select("o_orderkey", "o_orderpriority")
+
+
+@register(
+    "anti_join_customers_no_orders",
+    oracle="""
+    SELECT c_custkey, c_name FROM customer c
+    WHERE NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)
+    """,
+)
+def anti_join_customers_no_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """left_anti join — NOT EXISTS (TPC-H Q22 shape)."""
+    customer = load_table(spark, sf_dir, "customer")
+    orders = load_table(spark, sf_dir, "orders")
+    return customer.join(
+        orders, customer.c_custkey == orders.o_custkey, "left_anti"
+    ).select("c_custkey", "c_name")
+
+
+@register(
+    "full_outer_nation_balance",
+    oracle="""
+    SELECT COALESCE(c.nk, s.nk) AS nationkey,
+           COALESCE(c.n_cust, 0) AS n_customers,
+           COALESCE(s.n_supp, 0) AS n_suppliers
+    FROM (SELECT c_nationkey AS nk, CAST(COUNT(*) AS BIGINT) AS n_cust
+          FROM customer WHERE c_acctbal > 9000 GROUP BY 1) c
+    FULL OUTER JOIN
+         (SELECT s_nationkey AS nk, CAST(COUNT(*) AS BIGINT) AS n_supp
+          FROM supplier WHERE s_acctbal > 9000 GROUP BY 1) s
+    ON c.nk = s.nk
+    """,
+)
+def full_outer_nation_balance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J4 full-outer join of two pre-aggregates with COALESCE'd keys —
+    the taxonomy demo'd in partie2.ipynb cell 33 done at scale (pre-agg
+    below the join keeps both sides small)."""
+    c = (
+        load_table(spark, sf_dir, "customer")
+        .filter(F.col("c_acctbal") > 9000)
+        .groupBy(F.col("c_nationkey").alias("nk"))
+        .agg(F.count(F.lit(1)).alias("n_cust"))
+    )
+    s = (
+        load_table(spark, sf_dir, "supplier")
+        .filter(F.col("s_acctbal") > 9000)
+        .groupBy(F.col("s_nationkey").alias("nk"))
+        .agg(F.count(F.lit(1)).alias("n_supp"))
+    )
+    return (
+        c.join(s, "nk", "full")
+        .select(
+            F.col("nk").alias("nationkey"),
+            F.coalesce("n_cust", F.lit(0)).alias("n_customers"),
+            F.coalesce("n_supp", F.lit(0)).alias("n_suppliers"),
+        )
+    )
+
+
+@register(
+    "right_join_orders_customer",
+    oracle="""
+    SELECT c.c_custkey, c.c_name, o.o_orderkey
+    FROM orders o RIGHT JOIN customer c ON o.o_custkey = c.c_custkey
+    WHERE c.c_mktsegment = 'MACHINERY'
+    """,
+)
+def right_join_orders_customer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J4 right join — customers kept even with zero orders (NULL
+    o_orderkey rows)."""
+    orders = load_table(spark, sf_dir, "orders")
+    customer = load_table(spark, sf_dir, "customer").filter(
+        F.col("c_mktsegment") == "MACHINERY"
+    )
+    return orders.join(
+        customer, orders.o_custkey == customer.c_custkey, "right"
+    ).select("c_custkey", "c_name", "o_orderkey")
+
+
+@register(
+    "join_expr_dup_keys",
+    oracle="""
+    SELECT o.o_orderkey, o.o_custkey, c.c_custkey, c.c_mktsegment
+    FROM orders o LEFT JOIN customer c ON o.o_custkey = c.c_custkey
+    WHERE o.o_totalprice > 400000
+    """,
+)
+def join_expr_dup_keys(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J3 — join on an expression retains BOTH key columns (the
+    notebook's duplicate-customer_id gotcha, pipeline_pyspark_test.ipynb:244),
+    disambiguated by DataFrame reference rather than USING-style dedup."""
+    orders = load_table(spark, sf_dir, "orders").filter(F.col("o_totalprice") > 400000)
+    customer = load_table(spark, sf_dir, "customer")
+    return orders.join(
+        F.broadcast(customer), orders.o_custkey == customer.c_custkey, "left"
+    ).select(
+        orders.o_orderkey, orders.o_custkey, customer.c_custkey, customer.c_mktsegment
+    )
+
+
 @register(
     "explode_embeddings",
     oracle="""

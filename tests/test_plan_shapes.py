@@ -1,0 +1,80 @@
+"""Physical-plan assertions — the 100 TB posture, checked in CI.
+
+Correctness says the query returns the right rows; these tests pin the
+*plan shape* that survives a 1000-executor scale-up: small dims
+broadcast instead of shuffling the fact table, predicates and
+projections reach the parquet scan, top-k avoids a global sort, and
+aggregates stay in whole-stage codegen with map-side partial phases.
+"""
+
+from __future__ import annotations
+
+import contextlib
+import io
+
+from esther_apache_spark_spark import plans
+
+
+def _plan(spark, sf_dir, name: str) -> str:
+    df = plans.QUERIES[name].fn(spark, sf_dir)
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        df.explain("formatted")
+    return buf.getvalue()
+
+
+def test_flagship_broadcasts_customer_dim(spark, sf_dir):
+    plan = _plan(spark, sf_dir, "flagship_daily_segment_sales")
+    assert "BroadcastHashJoin" in plan, plan
+
+
+def test_filter_project_pushdown_and_pruning(spark, sf_dir):
+    plan = _plan(spark, sf_dir, "filter_project")
+    assert "PushedFilters" in plan
+    # the three predicates reach the scan
+    for col in ("l_quantity", "l_discount", "l_returnflag"):
+        assert f"IsNotNull({col})" in plan or col in plan.split("PushedFilters")[1].split("\n")[0]
+    # column pruning: the scan schema must not include unused columns
+    read_schema = [l for l in plan.splitlines() if "ReadSchema" in l][0]
+    assert "l_shipdate" not in read_schema
+    assert "l_tax" not in read_schema
+
+
+def test_topk_plans_take_ordered(spark, sf_dir):
+    plan = _plan(spark, sf_dir, "topk_customers_by_revenue")
+    assert "TakeOrderedAndProject" in plan, plan
+
+
+def test_multikey_agg_partial_final_and_codegen(spark, sf_dir):
+    plan = _plan(spark, sf_dir, "multikey_agg")
+    # map-side partial + final aggregate (the DF form of reduceByKey);
+    # `partial_sum` before the Exchange is the map-side combine.
+    assert plan.count("HashAggregate") >= 2, plan
+    assert "partial_sum" in plan
+    assert plan.index("partial_sum") > plan.index("Scan parquet")
+    # no Python worker in the plan: the cleaning rewrites are native
+    assert "BatchEvalPython" not in plan
+
+
+def test_no_python_udf_in_parity_plans(spark, sf_dir):
+    """Every reference-parity query is UDF-free (SURVEY.md §4: the
+    reference's two BatchEvalPython barriers are rewritten native)."""
+    for name in (
+        "flagship_daily_segment_sales",
+        "truthy_bool_json",
+        "multiformat_date_parse",
+        "dedup_keep_first",
+        "word_count",
+        "freshkart_daily_city_sales",
+    ):
+        plan = _plan(spark, sf_dir, name)
+        assert "BatchEvalPython" not in plan, name
+        assert "ArrowEvalPython" not in plan, name
+
+
+def test_preagg_join_aggregates_below_join(spark, sf_dir):
+    plan = _plan(spark, sf_dir, "preagg_left_join")
+    # the refunds-style aggregate must sit below the join, not above it
+    agg_pos = plan.find("HashAggregate")
+    join_pos = max(plan.find("SortMergeJoin"), plan.find("BroadcastHashJoin"), plan.find("ShuffledHashJoin"))
+    assert agg_pos != -1 and join_pos != -1
