@@ -298,6 +298,18 @@ def similarity_topk_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     return S.ann_topk_lsh(emb, queries, k=10, n_planes=6)
 
 
+@register("similarity_topk_ivf", oracle=None)
+def similarity_topk_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Approximate top-10 via IVF coarse quantization (nlist inverted
+    lists, nprobe probed per query) + exact rerank. The data-adaptive
+    alternative to the SRP-LSH path; rows-only by approximation."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    return S.ivf_topk(emb, queries, k=10, nlist=16, nprobe=4)
+
+
 # ---------------------------------------------------------------------------
 # Text analysis (M4) — full SQL oracle parity.
 # ---------------------------------------------------------------------------

@@ -587,6 +587,33 @@ def summary_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "collect_values_per_group",
+    oracle="""
+    SELECT o_custkey,
+           array_to_string(list_sort(list(DISTINCT o_orderpriority)), ',')
+               AS priorities,
+           CAST(COUNT(*) AS BIGINT) AS n_orders
+    FROM orders GROUP BY o_custkey
+    """,
+)
+def collect_values_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A6 — groupByKey-style value retention done right: collect_set +
+    sort_array (deterministic), emitted as a joined string so the hash
+    is order-insensitive and engine-neutral. The RDD groupByKey form
+    shuffles every row; collect_set still shuffles values but dedups
+    map-side (partial aggregation) — the doctrine's 'gros shuffle'
+    warning (tuto_rdd_pyspark(2).ipynb:469-476) applies to values, so
+    retention is opt-in, never the default aggregation."""
+    orders = load_table(spark, sf_dir, "orders")
+    return orders.groupBy("o_custkey").agg(
+        F.array_join(F.sort_array(F.collect_set("o_orderpriority")), ",").alias(
+            "priorities"
+        ),
+        F.count(F.lit(1)).alias("n_orders"),
+    )
+
+
 # ---------------------------------------------------------------------------
 # Join-family completion (SURVEY.md §2.4: J3/J4 + the free semi/anti
 # extensions noted under "Not present anywhere").

@@ -81,6 +81,39 @@ def run_streaming_tumbling_agg(spark: SparkSession, sf_dir: str, window: str = "
     return spark.table(name)
 
 
+def stream_to_partitioned_parquet(
+    spark: SparkSession,
+    sf_dir: str,
+    out_path: str,
+    checkpoint_path: str,
+    partition_col: str = "event_type",
+) -> None:
+    """foreachBatch → K2-style partitioned sink (SURVEY.md §7 M5): each
+    micro-batch appends into a value-partitioned parquet layout. Using
+    foreachBatch (rather than the native file sink) is the pattern for
+    sinks that need batch-writer features — partitionBy, JDBC, merges —
+    and gives exactly-once per batch via the checkpoint's batch id."""
+
+    def _write_batch(batch_df: DataFrame, batch_id: int) -> None:
+        (
+            batch_df.write.mode("append")
+            .partitionBy(partition_col)
+            .parquet(out_path)
+        )
+
+    q = (
+        streaming_events_source(spark, sf_dir)
+        .writeStream.foreachBatch(_write_batch)
+        .option("checkpointLocation", checkpoint_path)
+        .trigger(availableNow=True)
+        .start()
+    )
+    try:
+        q.awaitTermination()
+    finally:
+        q.stop()
+
+
 def sessionize_batch(events: DataFrame, gap_minutes: int = 30) -> DataFrame:
     """Gap-based sessionization (batch twin of session_window): a new
     session starts when the time since the user's previous event exceeds
