@@ -60,6 +60,30 @@ def write_partitioned_parquet(
     df.write.mode("overwrite").partitionBy(*cols).parquet(path)
 
 
+def write_bucketed_table(
+    df: DataFrame,
+    table: str,
+    bucket_by: str | Sequence[str],
+    n_buckets: int = 32,
+    sort_by: str | Sequence[str] | None = None,
+) -> None:
+    """Bucketed managed table — the co-located-join primitive.
+
+    Two tables bucketed (and sorted) on their join key by the same
+    bucket count join WITHOUT a shuffle: each bucket pair streams through
+    a sort-merge join directly. At 100 TB this turns the recurring
+    fact⋈fact join from a full network shuffle into a local merge — pay
+    the partitioning once at write time, reuse it every query.
+    (Engine extension; the reference's analog is the btree index comment
+    in freshkartmindump.sql:30-32.)"""
+    cols = [bucket_by] if isinstance(bucket_by, str) else list(bucket_by)
+    writer = df.write.mode("overwrite").format("parquet").bucketBy(n_buckets, *cols)
+    if sort_by is not None:
+        sort_cols = [sort_by] if isinstance(sort_by, str) else list(sort_by)
+        writer = writer.sortBy(*sort_cols)
+    writer.saveAsTable(table)
+
+
 def write_sqlite(df: DataFrame, db_path: str, table: str) -> None:
     """K3 — SQLite table sink with overwrite semantics.
 
