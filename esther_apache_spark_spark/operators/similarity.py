@@ -63,6 +63,58 @@ def brute_force_topk(
     )
 
 
+def brute_force_topk_pandas(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_id_col: str = "query_id",
+) -> DataFrame:
+    """Exact cosine top-k via an Arrow-vectorized ``mapInPandas`` scan —
+    the wide-embedding fast path (same results as ``brute_force_topk``,
+    which is its oracle).
+
+    The query matrix is tiny → sent to every partition via a plain
+    closure (driver-side collect of the queries only). Each Arrow batch
+    becomes one numpy ``corpus_batch @ queries.T`` GEMM — per-element
+    cost ~1 multiply-add instead of an interpreted HOF expression tree;
+    at dim ≳ 256 this wins by orders of magnitude. Per-batch local top-k
+    keeps the shuffle at k rows per query per batch before the final
+    global rank."""
+    import numpy as np
+    import pandas as pd
+
+    q_rows = queries.select(query_id_col, vec_col).collect()
+    q_ids = np.array([r[query_id_col] for r in q_rows])
+    qm = np.array([r[vec_col] for r in q_rows], dtype="float64")
+    qm /= np.maximum(np.linalg.norm(qm, axis=1, keepdims=True), 1e-12)
+
+    out_schema = (
+        "query_id long, neighbor_id long, cosine double"
+    )
+
+    def scan(batches):
+        for pdf in batches:
+            ids = pdf[id_col].to_numpy()
+            cm = np.array(pdf[vec_col].tolist(), dtype="float64")
+            cm /= np.maximum(np.linalg.norm(cm, axis=1, keepdims=True), 1e-12)
+            scores = cm @ qm.T  # (batch, n_queries)
+            top = min(k, len(ids))
+            # local top-k per query: argpartition then exact sort
+            part = np.argpartition(-scores, top - 1, axis=0)[:top]
+            rows = []
+            for j, qid in enumerate(q_ids):
+                for i in part[:, j]:
+                    rows.append((int(qid), int(ids[i]), round(float(scores[i, j]), 6)))
+            yield pd.DataFrame(rows, columns=["query_id", "neighbor_id", "cosine"])
+
+    scored = corpus.select(id_col, vec_col).mapInPandas(scan, out_schema)
+    return top_k_per_group(
+        scored, "query_id", [F.col("cosine").desc(), F.col("neighbor_id").asc()], k
+    )
+
+
 def _plane_literals(dim: int, n_planes: int, seed: int) -> list[list[float]]:
     rng = np.random.default_rng(seed)
     return rng.standard_normal((n_planes, dim)).tolist()

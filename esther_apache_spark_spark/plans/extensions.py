@@ -298,6 +298,32 @@ def similarity_topk_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     return S.ann_topk_lsh(emb, queries, k=10, n_planes=6)
 
 
+@register(
+    "similarity_topk_pandas",
+    oracle=f"""
+    SELECT query_id, neighbor_id, cosine FROM (
+        SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+               ROUND({_COS}, 6) + 0.0 AS cosine,
+               row_number() OVER (
+                   PARTITION BY q.vec_id
+                   ORDER BY ROUND({_COS}, 6) DESC, c.vec_id ASC
+               ) AS rn
+        FROM embeddings c, (SELECT * FROM embeddings WHERE vec_id < 5) q
+    ) WHERE rn <= 10
+    """,
+)
+def similarity_topk_pandas(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The SAME exact top-10 as similarity_topk_bruteforce, computed by
+    the Arrow-vectorized mapInPandas GEMM path — sharing the brute-force
+    oracle proves the Pandas-UDF fast path bit-matches the expression
+    path (up to the stated 1e-6 rounding)."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    return S.brute_force_topk_pandas(emb, queries, k=10, query_id_col="query_id")
+
+
 @register("similarity_topk_ivf", oracle=None)
 def similarity_topk_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Approximate top-10 via IVF coarse quantization (nlist inverted
@@ -566,6 +592,43 @@ def session_window_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
             "n_events",
             "total_value",
         )
+    )
+
+
+@register("stateful_user_totals_stream", oracle=None)
+def stateful_user_totals_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Custom stateful streaming operator: applyInPandasWithState keeps
+    per-user (count, total) accumulators across micro-batches. Custom
+    state → no SQL oracle (the driver's rows-only check); equivalence to
+    the batch aggregate is asserted in tests/test_skew_and_streaming.py."""
+    from esther_apache_spark_spark.streaming.events import running_user_totals_stream
+
+    return running_user_totals_stream(spark, sf_dir)
+
+
+@register(
+    "json_parse_props",
+    oracle="""
+    SELECT event_id,
+           json_extract_string(props, '$.k') AS k,
+           TRY_CAST(json_extract_string(props, '$.n') AS BIGINT) AS n,
+           (json_extract_string(props, '$.k') IS NOT NULL) AS has_k
+    FROM events
+    """,
+)
+def json_parse_props(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """from_json with an explicit schema (the declared-schema form of the
+    reference's reader-level JSON parsing): parse the props column into a
+    struct once, then project typed fields."""
+    events = load_table(spark, sf_dir, "events")
+    parsed = events.withColumn(
+        "_p", F.from_json("props", "k string, n long")
+    )
+    return parsed.select(
+        "event_id",
+        F.col("_p.k").alias("k"),
+        F.col("_p.n").alias("n"),
+        F.col("_p.k").isNotNull().alias("has_k"),
     )
 
 

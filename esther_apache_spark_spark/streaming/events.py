@@ -114,6 +114,61 @@ def stream_to_partitioned_parquet(
         q.stop()
 
 
+def running_user_totals_stream(
+    spark: SparkSession, sf_dir: str, value_round: int = 2
+) -> DataFrame:
+    """Custom stateful streaming operator (SURVEY.md §7 M5):
+    ``applyInPandasWithState`` keeps a (count, total) accumulator per
+    user across micro-batches and emits the updated totals each batch.
+
+    This is the escape hatch for stateful logic the built-in windowed
+    aggregations can't express (the built-ins cover tumbling/sliding/
+    session); the state store shuffles by user_id exactly like a groupBy,
+    and state size is O(distinct users). Returns the final totals table
+    (last update per user) after driving the stream to completion."""
+    import pandas as pd
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    def update(key, pdfs, state: GroupState):
+        cnt, total = state.get if state.exists else (0, 0.0)
+        for pdf in pdfs:
+            cnt += len(pdf)
+            total += float(pdf["value"].sum())
+        state.update((cnt, total))
+        yield pd.DataFrame(
+            {"user_id": [key[0]], "n_events": [cnt], "total_value": [round(total, value_round)]}
+        )
+
+    stream = streaming_events_source(spark, sf_dir)
+    updates = stream.groupBy("user_id").applyInPandasWithState(
+        update,
+        outputStructType="user_id long, n_events long, total_value double",
+        stateStructType="cnt long, total double",
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+    name = f"user_totals_{uuid.uuid4().hex[:8]}"
+    q = (
+        updates.writeStream.outputMode("update")
+        .format("memory")
+        .queryName(name)
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    # multiple micro-batches emit multiple updates per user; the final
+    # state is the row with the highest n_events per user
+    all_updates = spark.table(name)
+    w = Window.partitionBy("user_id").orderBy(F.col("n_events").desc())
+    return (
+        all_updates.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") == 1)
+        .drop("_rn")
+    )
+
+
 def sessionize_batch(events: DataFrame, gap_minutes: int = 30) -> DataFrame:
     """Gap-based sessionization (batch twin of session_window): a new
     session starts when the time since the user's previous event exceeds

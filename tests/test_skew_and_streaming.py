@@ -69,6 +69,27 @@ def test_stream_foreachbatch_partitioned_sink(spark, sf_dir, tmp_path):
     )
 
 
+def test_stateful_stream_matches_batch_aggregate(spark, sf_dir):
+    from esther_apache_spark_spark.streaming.events import running_user_totals_stream
+
+    got = {
+        r["user_id"]: (r["n_events"], r["total_value"])
+        for r in running_user_totals_stream(spark, sf_dir).collect()
+    }
+    want = {
+        r["user_id"]: (r["n"], r["t"])
+        for r in load_table(spark, sf_dir, "events")
+        .groupBy("user_id")
+        .agg(F.count(F.lit(1)).alias("n"), F.round(F.sum("value"), 2).alias("t"))
+        .collect()
+    }
+    assert set(got) == set(want)
+    for u, (n, t) in want.items():
+        assert got[u][0] == n, u
+        # float accumulation order differs batch-vs-stream; cents-level
+        assert abs(got[u][1] - t) < 0.02, (u, got[u][1], t)
+
+
 def test_ivf_topk_precision_and_planted_recall(spark):
     rng = np.random.default_rng(11)
     vecs = rng.standard_normal((80, 16)).astype("float64")
