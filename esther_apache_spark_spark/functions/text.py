@@ -42,6 +42,31 @@ def word_shingles(tokens: Column, n: int = 3) -> Column:
     )
 
 
+def shingle_hashes(tokens: Column, n: int = 3) -> Column:
+    """array<string> tokens -> array<bigint> hashes of n-word shingles,
+    WITHOUT materializing the shingle strings: each token is hashed once,
+    then a shingle hash combines the n token hashes with one more
+    ``xxhash64`` call. Equivalent hash family to hashing the joined
+    string (what MinHash needs), at a fraction of the cost — no slice,
+    no array_join, no long-string hashing. ``let`` bindings keep the
+    token list and the token-hash array single-evaluation."""
+    from esther_apache_spark_spark.functions.expr import let
+
+    def with_tokens(toks: Column) -> Column:
+        def with_hashes(th: Column) -> Column:
+            starts = F.sequence(F.lit(0), F.size(th) - n)  # 0-based for F.get
+            return F.transform(
+                starts, lambda i: F.xxhash64(*[F.get(th, i + j) for j in range(n)])
+            )
+
+        grams = let(F.transform(toks, lambda t: F.xxhash64(t)), with_hashes)
+        return F.when(F.size(toks) >= n, grams).otherwise(
+            F.array().cast("array<bigint>")
+        )
+
+    return let(tokens, with_tokens)
+
+
 def char_ngrams(col: Column, n: int = 5) -> Column:
     """string -> array<string> of character n-grams (for Jaccard/MinHash)."""
     k = F.lit(n)

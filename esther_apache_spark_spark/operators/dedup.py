@@ -21,7 +21,12 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
-from esther_apache_spark_spark.functions.text import char_ngrams, tokenize, word_shingles
+from esther_apache_spark_spark.functions.text import (
+    char_ngrams,
+    shingle_hashes,
+    tokenize,
+    word_shingles,
+)
 from esther_apache_spark_spark.operators.windows import keep_first
 
 
@@ -72,8 +77,11 @@ def minhash_signature(
     tokenize→shingle→string-hash subtree per permutation — measured 65×
     slower at sf0.1 because higher-order functions are interpreted, not
     codegen'd."""
-    elems = word_shingles(tokens, shingle_n) if shingle_n else tokens
-    base = F.transform(F.array_distinct(elems), lambda e: F.xxhash64(e))
+    if shingle_n:
+        # shingle hashes directly from token hashes — no shingle strings
+        base = F.array_distinct(shingle_hashes(tokens, shingle_n))
+    else:
+        base = F.transform(F.array_distinct(tokens), lambda e: F.xxhash64(e))
     perm_idx = F.sequence(F.lit(0), F.lit(num_perm - 1))
     acc0 = F.array_repeat(F.lit(_LONG_MAX).cast("long"), num_perm)
     return F.aggregate(
@@ -164,9 +172,12 @@ def ngram_jaccard_pairs(
     inverted-index join (explode shingles → join on shingle → count
     common / union). Exact but quadratic in the worst case — use after
     LSH candidate generation at scale, or directly on modest corpora."""
+    # Shingles travel as 64-bit hashes, not strings: same distinct-set
+    # cardinality w.h.p. (64-bit collisions negligible), far cheaper to
+    # build, and the inverted-index join shuffles longs instead of text.
     shingled = df.select(
         F.col(id_col).alias("_id"),
-        F.array_distinct(word_shingles(tokenize(F.col(text_col)), shingle_n)).alias("_sh"),
+        F.array_distinct(shingle_hashes(tokenize(F.col(text_col)), shingle_n)).alias("_sh"),
     ).cache()  # feeds the sizes lookup and both sides of the index join
     sizes = shingled.select("_id", F.size("_sh").alias("_n"))
     inv = shingled.select("_id", F.explode("_sh").alias("_g"))
@@ -299,7 +310,9 @@ def embedding_cosine_dups(
     all-pairs. Recall is tuned by (n_planes, n_tables); the defaults give
     ~87% recall at cosine 0.4 (see ``srp_table_buckets``). At larger
     corpora raise n_planes (smaller buckets) and n_tables together."""
-    from esther_apache_spark_spark.functions.vector import dot
+    import numpy as np
+    import pandas as pd
+
     from esther_apache_spark_spark.operators.similarity import srp_table_buckets
 
     first = df.select(F.size(vec_col).alias("d")).first()
@@ -307,36 +320,41 @@ def embedding_cosine_dups(
         raise ValueError("empty dataframe")
     dim = first["d"]
 
-    # Pre-normalize each vector ONCE (cached), so the per-pair rerank is
-    # a single dot product instead of dot + two norms — the candidate
-    # set is quadratic in bucket size, the vector set is not.
-    v = F.col(vec_col).cast("array<double>")
-    # aggregate's finish-lambda binds the squared norm ONCE (a lambda
-    # variable) — writing `x / l2_norm(v)` inside a transform would
-    # re-evaluate the norm subtree per element.
-    vn = F.aggregate(
-        v,
-        F.lit(0.0),
-        lambda acc, x: acc + x * x,
-        lambda s: F.when(s != 0, F.transform(v, lambda x: x / F.sqrt(s))),
-    )
     b = df.select(
         F.col(id_col).alias("_id"),
-        vn.alias("_vn"),
+        F.col(vec_col).cast("array<double>").alias("_v"),
         F.posexplode(
             srp_table_buckets(F.col(vec_col), dim, n_planes, n_tables, seed)
         ).alias("_table", "_bucket"),
-    ).cache()  # reused by both sides of the self-join
-    pairs = (
-        b.alias("a")
-        .join(b.alias("b"), ["_table", "_bucket"])
-        .filter(F.col("a._id") < F.col("b._id"))
-        .select(
-            F.col("a._id").alias("id_a"),
-            F.col("b._id").alias("id_b"),
-            F.round(dot(F.col("a._vn"), F.col("b._vn")), 4).alias("cosine"),
-        )
-        .filter(F.col("cosine") >= threshold)
-        .dropDuplicates(["id_a", "id_b"])
     )
-    return pairs
+
+    # Exact rerank per bucket as ONE numpy GEMM over the bucket's vectors
+    # (Arrow-batched applyInPandas) — the candidate count is quadratic in
+    # bucket size, so interpreted per-pair dot expressions dominate the
+    # whole operator; a dense S = N·Nᵀ on ≤ a few thousand rows is
+    # near-free. Zero-norm vectors are excluded (cosine undefined —
+    # matches the expression form, where a NULL cosine fails the
+    # threshold filter).
+    def bucket_pairs(pdf: pd.DataFrame) -> pd.DataFrame:
+        if len(pdf) < 2:
+            return pd.DataFrame({"id_a": [], "id_b": [], "cosine": []}).astype(
+                {"id_a": "int64", "id_b": "int64", "cosine": "float64"}
+            )
+        ids = pdf["_id"].to_numpy()
+        m = np.array(pdf["_v"].tolist(), dtype="float64")
+        norms = np.linalg.norm(m, axis=1)
+        keep = norms > 0
+        ids, m, norms = ids[keep], m[keep], norms[keep]
+        m = m / norms[:, None]
+        s = m @ m.T
+        iu, ju = np.triu_indices(len(ids), k=1)
+        cos = np.round(s[iu, ju], 4)
+        ok = cos >= threshold
+        a, bb = ids[iu[ok]], ids[ju[ok]]
+        lo, hi = np.minimum(a, bb), np.maximum(a, bb)
+        return pd.DataFrame({"id_a": lo, "id_b": hi, "cosine": cos[ok]})
+
+    pairs = b.groupBy("_table", "_bucket").applyInPandas(
+        bucket_pairs, "id_a long, id_b long, cosine double"
+    )
+    return pairs.dropDuplicates(["id_a", "id_b"])
