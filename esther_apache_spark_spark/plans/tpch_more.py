@@ -1,0 +1,503 @@
+"""TPC-H-shaped query catalog extensions (SURVEY.md §7 M2/M4 widening).
+
+The reference's own query surface peaks at the `daily_city_sales`
+aggregate (``pipeline_pyspark.py:175-184``); these queries extend the
+engine's verified surface to the classical analytic shapes a user of a
+general engine expects — conditional aggregation, scalar subqueries,
+HAVING + join-back, disjunctive pushdown predicates, grouping sets, and
+analytic window frames — each with a DuckDB oracle twin.
+
+Scale notes are per-query; the common posture: exact DECIMAL aggregation
+for cross-engine determinism (functions/money.py), broadcast for
+dim-sized relations, pre-aggregation below joins (the reference's own
+J2/A2 trick, ``pipeline_pyspark.py:156-160``, applied at fact scale).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from esther_apache_spark_spark.functions.money import dec2, money_sum, one_minus
+from esther_apache_spark_spark.plans.catalog import register
+from esther_apache_spark_spark.schemas import load_table
+
+SQL_DISC_PRICE = (
+    "CAST(l_extendedprice AS DECIMAL(12,2))"
+    " * (CAST(1 AS DECIMAL(3,2)) - CAST(l_discount AS DECIMAL(3,2)))"
+)
+
+
+# ---------------------------------------------------------------------------
+# Q6 shape — pure scan aggregate under range predicates.
+# ---------------------------------------------------------------------------
+@register(
+    "q6_forecast_revenue",
+    oracle=f"""
+    SELECT CAST(ROUND(SUM(CAST(l_extendedprice AS DECIMAL(12,2))
+                          * CAST(l_discount AS DECIMAL(3,2))), 2) AS DOUBLE) AS revenue,
+           CAST(COUNT(*) AS BIGINT) AS n_lines
+    FROM lineitem
+    WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+      AND l_shipdate <  TIMESTAMP '1997-01-01'
+      AND l_discount BETWEEN 0.05 AND 0.07
+      AND l_quantity < 24
+    """,
+)
+def q6_forecast_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q6 shape: no join, no group — the whole query is a scan with
+    three range predicates and a global sum. At 100 TB this is the purest
+    pushdown test: all three predicates and the 3-column ReadSchema must
+    reach the parquet scan, and the aggregate is a two-stage
+    partial/final with no shuffle of row data at all."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return (
+        li.filter(
+            (F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp"))
+            & (F.col("l_shipdate") < F.lit("1997-01-01").cast("timestamp"))
+            & (F.col("l_discount").between(0.05, 0.07))
+            & (F.col("l_quantity") < 24)
+        )
+        .agg(
+            money_sum(dec2("l_extendedprice") * dec2("l_discount", "decimal(3,2)"), "revenue"),
+            F.count(F.lit(1)).alias("n_lines"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Q12 shape — conditional aggregation (SUM of CASE).
+# ---------------------------------------------------------------------------
+@register(
+    "q12_priority_lines_by_returnflag",
+    oracle="""
+    SELECT l.l_returnflag AS returnflag,
+           CAST(SUM(CASE WHEN o.o_orderpriority IN ('1-URGENT', '2-HIGH')
+                         THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
+           CAST(SUM(CASE WHEN o.o_orderpriority NOT IN ('1-URGENT', '2-HIGH')
+                         THEN 1 ELSE 0 END) AS BIGINT) AS low_line_count
+    FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+    WHERE l.l_shipdate >= TIMESTAMP '1997-01-01'
+    GROUP BY 1
+    """,
+)
+def q12_priority_lines_by_returnflag(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q12 shape: fact⋈fact equi-join then SUM(CASE WHEN …) —
+    conditional aggregation folds what would be two filtered scans into
+    one pass. The shipdate predicate prunes lineitem before the join."""
+    li = load_table(spark, sf_dir, "lineitem").filter(
+        F.col("l_shipdate") >= F.lit("1997-01-01").cast("timestamp")
+    )
+    orders = load_table(spark, sf_dir, "orders")
+    is_high = F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .groupBy(F.col("l_returnflag").alias("returnflag"))
+        .agg(
+            F.sum(F.when(is_high, 1).otherwise(0)).alias("high_line_count"),
+            F.sum(F.when(~is_high, 1).otherwise(0)).alias("low_line_count"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Q14 shape — conditional-sum ratio (promo revenue share).
+# ---------------------------------------------------------------------------
+@register(
+    "q14_promo_revenue_share",
+    oracle=f"""
+    SELECT CAST(ROUND(100.0 * CAST(SUM(CASE WHEN p.p_type = 'PROMO'
+                                            THEN {SQL_DISC_PRICE} ELSE 0 END) AS DOUBLE)
+                      / CAST(SUM({SQL_DISC_PRICE}) AS DOUBLE), 4) AS DOUBLE)
+               AS promo_share_pct
+    FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+    WHERE l.l_shipdate >= TIMESTAMP '1998-01-01'
+      AND l.l_shipdate <  TIMESTAMP '1999-01-01'
+    """,
+)
+def q14_promo_revenue_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q14 shape: ratio of a conditional sum to a total sum in one
+    aggregate. part is dim-sized → broadcast; both sums are exact
+    decimals so the final double division is bit-identical cross-engine."""
+    li = load_table(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1998-01-01").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1999-01-01").cast("timestamp"))
+    )
+    part = load_table(spark, sf_dir, "part")
+    disc = dec2("l_extendedprice") * one_minus("l_discount")
+    return (
+        li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        .agg(
+            F.round(
+                F.lit(100.0)
+                * F.sum(F.when(F.col("p_type") == "PROMO", disc).otherwise(F.lit(0).cast("decimal(16,4)"))).cast("double")
+                / F.sum(disc).cast("double"),
+                4,
+            ).alias("promo_share_pct")
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Q16 shape — distinct-count with NOT-IN exclusion subquery.
+# ---------------------------------------------------------------------------
+@register(
+    "q16_supplier_count_by_part",
+    oracle="""
+    SELECT p.p_brand AS brand, p.p_size AS size,
+           CAST(COUNT(DISTINCT l.l_suppkey) AS BIGINT) AS supplier_cnt
+    FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+    WHERE p.p_brand <> 'Brand#11'
+      AND p.p_type <> 'PROMO'
+      AND l.l_suppkey NOT IN (SELECT s_suppkey FROM supplier WHERE s_acctbal < 1000.0)
+    GROUP BY 1, 2
+    """,
+)
+def q16_supplier_count_by_part(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q16 shape: NOT IN (subquery) becomes a left-anti join —
+    no null-trap because s_suppkey is a key. Anti join against a
+    dim-sized exclusion list broadcasts; the distinct-count shuffles
+    (brand, size, suppkey) only."""
+    li = load_table(spark, sf_dir, "lineitem")
+    part = load_table(spark, sf_dir, "part").filter(
+        (F.col("p_brand") != "Brand#11") & (F.col("p_type") != "PROMO")
+    )
+    bad_supp = load_table(spark, sf_dir, "supplier").filter(
+        F.col("s_acctbal") < 1000.0
+    ).select("s_suppkey")
+    return (
+        li.join(F.broadcast(bad_supp), li.l_suppkey == bad_supp.s_suppkey, "left_anti")
+        .join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        .groupBy(F.col("p_brand").alias("brand"), F.col("p_size").alias("size"))
+        .agg(F.countDistinct("l_suppkey").alias("supplier_cnt"))
+    )
+
+
+# ---------------------------------------------------------------------------
+# Q17 shape — correlated aggregate subquery (per-part avg join-back).
+# ---------------------------------------------------------------------------
+@register(
+    "q17_small_quantity_revenue",
+    oracle="""
+    WITH part_avg AS (
+        SELECT l_partkey,
+               CAST(SUM(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE) / COUNT(*) AS avg_qty
+        FROM lineitem GROUP BY 1
+    )
+    SELECT CAST(ROUND(CAST(SUM(CAST(l.l_extendedprice AS DECIMAL(12,2))) AS DOUBLE) / 7.0, 2)
+               AS DOUBLE) AS avg_yearly,
+           CAST(COUNT(*) AS BIGINT) AS n_lines
+    FROM lineitem l
+    JOIN part_avg a ON l.l_partkey = a.l_partkey
+    JOIN part p ON l.l_partkey = p.p_partkey
+    WHERE p.p_brand = 'Brand#12' AND l.l_quantity < 0.5 * a.avg_qty
+    """,
+)
+def q17_small_quantity_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q17 shape: the correlated `l_quantity < 0.5 * avg(quantity
+    per part)` subquery is decorrelated into a pre-aggregate joined back
+    to the fact — the reference's own aggregate-below-join trick
+    (pipeline_pyspark.py:156-160) at fact scale. The per-part avg output
+    is |parts| rows (dim-sized), so the join-back broadcasts; avg is
+    exact-decimal-sum / count for cross-engine determinism."""
+    li = load_table(spark, sf_dir, "lineitem")
+    part_avg = li.groupBy("l_partkey").agg(
+        (F.sum(dec2("l_quantity")).cast("double") / F.count(F.lit(1))).alias("avg_qty")
+    ).withColumnRenamed("l_partkey", "a_partkey")
+    part = load_table(spark, sf_dir, "part").filter(F.col("p_brand") == "Brand#12")
+    return (
+        li.join(F.broadcast(part_avg), li.l_partkey == part_avg.a_partkey)
+        .join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        .filter(F.col("l_quantity") < 0.5 * F.col("avg_qty"))
+        .agg(
+            F.round(F.sum(dec2("l_extendedprice")).cast("double") / 7.0, 2).alias("avg_yearly"),
+            F.count(F.lit(1)).alias("n_lines"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Q18 shape — HAVING on a fact aggregate, then join back to dims.
+# ---------------------------------------------------------------------------
+@register(
+    "q18_large_volume_orders",
+    oracle="""
+    SELECT c.c_name AS customer_name, o.o_orderkey AS orderkey,
+           strftime(o.o_orderdate, '%Y-%m-%d') AS orderdate,
+           CAST(o.o_totalprice AS DOUBLE) AS totalprice,
+           CAST(ROUND(t.total_qty, 2) AS DOUBLE) AS total_qty
+    FROM (
+        SELECT l_orderkey,
+               CAST(SUM(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE) AS total_qty
+        FROM lineitem GROUP BY 1
+        HAVING SUM(CAST(l_quantity AS DECIMAL(12,2))) > 300
+    ) t
+    JOIN orders o ON t.l_orderkey = o.o_orderkey
+    JOIN customer c ON o.o_custkey = c.c_custkey
+    """,
+)
+def q18_large_volume_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q18 shape: aggregate the fact, HAVING-filter the groups,
+    join the survivors back to orders and customer. The HAVING output is
+    tiny (heavy-hitter orders), so the join-back side broadcasts — the
+    big table is aggregated exactly once."""
+    li = load_table(spark, sf_dir, "lineitem")
+    orders = load_table(spark, sf_dir, "orders")
+    customer = load_table(spark, sf_dir, "customer")
+    big = (
+        li.groupBy("l_orderkey")
+        .agg(F.sum(dec2("l_quantity")).alias("_qty"))
+        .filter(F.col("_qty") > 300)
+    )
+    return (
+        orders.join(F.broadcast(big), orders.o_orderkey == big.l_orderkey)
+        .join(F.broadcast(customer), orders.o_custkey == customer.c_custkey)
+        .select(
+            F.col("c_name").alias("customer_name"),
+            F.col("o_orderkey").alias("orderkey"),
+            F.date_format("o_orderdate", "yyyy-MM-dd").alias("orderdate"),
+            F.col("o_totalprice").cast("double").alias("totalprice"),
+            F.round(F.col("_qty").cast("double"), 2).alias("total_qty"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Q19 shape — disjunction of conjunctive range predicates.
+# ---------------------------------------------------------------------------
+@register(
+    "q19_disjunctive_revenue",
+    oracle=f"""
+    SELECT CAST(ROUND(SUM({SQL_DISC_PRICE}), 2) AS DOUBLE) AS revenue,
+           CAST(COUNT(*) AS BIGINT) AS n_lines
+    FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+    WHERE (p.p_brand = 'Brand#12' AND p.p_size BETWEEN 1 AND 15
+           AND l.l_quantity BETWEEN 1 AND 11)
+       OR (p.p_brand = 'Brand#13' AND p.p_size BETWEEN 1 AND 25
+           AND l.l_quantity BETWEEN 10 AND 20)
+       OR (p.p_brand = 'Brand#14' AND p.p_size BETWEEN 1 AND 35
+           AND l.l_quantity BETWEEN 20 AND 30)
+    """,
+)
+def q19_disjunctive_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q19 shape: OR-of-ANDs spanning both join sides. Catalyst
+    derives the implied single-side filters (brand IN (…) on part,
+    quantity ∈ [1,30] on lineitem) and pushes them below the join —
+    verify with .explain at scale; the residual disjunction evaluates
+    post-join inside codegen."""
+    li = load_table(spark, sf_dir, "lineitem")
+    part = load_table(spark, sf_dir, "part")
+    j = li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+    cond = (
+        (
+            (F.col("p_brand") == "Brand#12")
+            & F.col("p_size").between(1, 15)
+            & F.col("l_quantity").between(1, 11)
+        )
+        | (
+            (F.col("p_brand") == "Brand#13")
+            & F.col("p_size").between(1, 25)
+            & F.col("l_quantity").between(10, 20)
+        )
+        | (
+            (F.col("p_brand") == "Brand#14")
+            & F.col("p_size").between(1, 35)
+            & F.col("l_quantity").between(20, 30)
+        )
+    )
+    return j.filter(cond).agg(
+        money_sum(dec2("l_extendedprice") * one_minus("l_discount"), "revenue"),
+        F.count(F.lit(1)).alias("n_lines"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Q22 shape — scalar subquery + anti join (idle high-balance customers).
+# ---------------------------------------------------------------------------
+@register(
+    "q22_idle_high_balance_customers",
+    oracle="""
+    SELECT c.c_mktsegment AS mktsegment,
+           CAST(COUNT(*) AS BIGINT) AS numcust,
+           CAST(ROUND(SUM(CAST(c.c_acctbal AS DECIMAL(12,2))), 2) AS DOUBLE) AS totacctbal
+    FROM customer c
+    WHERE c.c_acctbal > (
+            SELECT CAST(SUM(CAST(c_acctbal AS DECIMAL(12,2))) AS DOUBLE) / COUNT(*)
+            FROM customer WHERE c_acctbal > 0.0)
+      AND NOT EXISTS (SELECT 1 FROM orders o
+                      WHERE o.o_custkey = c.c_custkey AND o.o_orderstatus = 'P')
+    GROUP BY 1
+    """,
+)
+def q22_idle_high_balance_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q22 shape: scalar aggregate subquery (global avg balance)
+    as a broadcast 1-row cross join, NOT EXISTS (no pending order) as a
+    left-anti join on the filtered orders fact. The status filter prunes
+    the anti side before its shuffle; only (custkey) pairs move."""
+    customer = load_table(spark, sf_dir, "customer")
+    orders = (
+        load_table(spark, sf_dir, "orders")
+        .filter(F.col("o_orderstatus") == "P")
+        .select("o_custkey")
+    )
+    avg_bal = customer.filter(F.col("c_acctbal") > 0.0).agg(
+        (F.sum(dec2("c_acctbal")).cast("double") / F.count(F.lit(1))).alias("_avg_bal")
+    )
+    return (
+        customer.crossJoin(F.broadcast(avg_bal))
+        .filter(F.col("c_acctbal") > F.col("_avg_bal"))
+        .join(orders, customer.c_custkey == orders.o_custkey, "left_anti")
+        .groupBy(F.col("c_mktsegment").alias("mktsegment"))
+        .agg(
+            F.count(F.lit(1)).alias("numcust"),
+            money_sum(dec2("c_acctbal"), "totacctbal"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Q15 shape — argmax via aggregate + max join-back.
+# ---------------------------------------------------------------------------
+@register(
+    "q15_top_supplier",
+    oracle=f"""
+    WITH revenue AS (
+        SELECT l_suppkey, SUM({SQL_DISC_PRICE}) AS total_rev
+        FROM lineitem
+        WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+          AND l_shipdate <  TIMESTAMP '1996-07-01'
+        GROUP BY 1
+    )
+    SELECT s.s_suppkey AS suppkey, s.s_name AS supplier_name,
+           CAST(ROUND(r.total_rev, 2) AS DOUBLE) AS total_rev
+    FROM revenue r JOIN supplier s ON r.l_suppkey = s.s_suppkey
+    WHERE r.total_rev = (SELECT MAX(total_rev) FROM revenue)
+    """,
+)
+def q15_top_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q15 shape: argmax over an aggregate — revenue per supplier,
+    keep the max. The per-supplier aggregate is dim-sized, so the max is
+    a 1-row broadcast and the equality compares exact decimals (ties
+    surface as multiple rows, same as the SQL)."""
+    li = load_table(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1996-07-01").cast("timestamp"))
+    )
+    supplier = load_table(spark, sf_dir, "supplier")
+    rev = li.groupBy("l_suppkey").agg(
+        F.sum(dec2("l_extendedprice") * one_minus("l_discount")).alias("_rev")
+    )
+    max_rev = rev.agg(F.max("_rev").alias("_max_rev"))
+    return (
+        rev.crossJoin(F.broadcast(max_rev))
+        .filter(F.col("_rev") == F.col("_max_rev"))
+        .join(F.broadcast(supplier), F.col("l_suppkey") == F.col("s_suppkey"))
+        .select(
+            F.col("s_suppkey").alias("suppkey"),
+            F.col("s_name").alias("supplier_name"),
+            F.round("_rev", 2).cast("double").alias("total_rev"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# GROUPING SETS — multi-granularity aggregate in one pass.
+# ---------------------------------------------------------------------------
+@register(
+    "grouping_sets_revenue",
+    oracle="""
+    SELECT COALESCE(r.r_name, '<all>') AS region_name,
+           COALESCE(o.o_orderstatus, '<all>') AS orderstatus,
+           CAST(GROUPING(r.r_name) * 2 + GROUPING(o.o_orderstatus) AS BIGINT) AS gid,
+           CAST(ROUND(SUM(CAST(o.o_totalprice AS DECIMAL(14,2))), 2) AS DOUBLE) AS total_price
+    FROM orders o
+    JOIN customer c ON o.o_custkey = c.c_custkey
+    JOIN nation n ON c.c_nationkey = n.n_nationkey
+    JOIN region r ON n.n_regionkey = r.r_regionkey
+    GROUP BY GROUPING SETS ((r.r_name, o.o_orderstatus), (r.r_name), ())
+    """,
+)
+def grouping_sets_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GROUPING SETS beyond the catalog's rollup/cube: three explicit
+    granularities in one logical aggregate (Spark expands to one
+    Expand + single shuffle, not three scans). grouping_id
+    disambiguates aggregate NULLs from data NULLs."""
+    orders = load_table(spark, sf_dir, "orders")
+    customer = load_table(spark, sf_dir, "customer")
+    nation = load_table(spark, sf_dir, "nation")
+    region = load_table(spark, sf_dir, "region")
+    j = (
+        orders.join(F.broadcast(customer), orders.o_custkey == customer.c_custkey)
+        .join(F.broadcast(nation), customer.c_nationkey == nation.n_nationkey)
+        .join(F.broadcast(region), nation.n_regionkey == region.r_regionkey)
+    )
+    j.createOrReplaceTempView("_gsets_base")
+    return spark.sql(
+        """
+        SELECT COALESCE(r_name, '<all>') AS region_name,
+               COALESCE(o_orderstatus, '<all>') AS orderstatus,
+               CAST(grouping_id(r_name, o_orderstatus) AS BIGINT) AS gid,
+               CAST(ROUND(SUM(CAST(o_totalprice AS DECIMAL(14,2))), 2) AS DOUBLE)
+                   AS total_price
+        FROM _gsets_base
+        GROUP BY GROUPING SETS ((r_name, o_orderstatus), (r_name), ())
+        """
+    )
+
+
+# ---------------------------------------------------------------------------
+# Analytic windows over events — lag deltas and running totals.
+# ---------------------------------------------------------------------------
+@register(
+    "lag_event_gaps",
+    oracle="""
+    SELECT user_id, event_id,
+           CAST(epoch_us(ts) - lag(epoch_us(ts)) OVER w AS BIGINT) AS gap_us
+    FROM events
+    WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    """,
+)
+def lag_event_gaps(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Analytic lag (absent from the reference — SURVEY.md §2.6 'no
+    lead/lag'): per-user inter-event gap in microseconds. The window
+    shuffles once on user_id; (ts, event_id) is a total order so the
+    lag is deterministic. This is the batch shape of the streaming
+    sessionize gap test."""
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    us = F.unix_micros(F.col("ts"))
+    return ev.select(
+        "user_id",
+        "event_id",
+        (us - F.lag(us).over(w)).alias("gap_us"),
+    )
+
+
+@register(
+    "running_total_per_user",
+    oracle="""
+    SELECT user_id, event_id,
+           CAST(ROUND(SUM(CAST(value AS DECIMAL(12,2))) OVER
+                (PARTITION BY user_id ORDER BY ts, event_id
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 2) AS DOUBLE)
+               AS running_value
+    FROM events
+    """,
+)
+def running_total_per_user(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cumulative-sum frame (rowsBetween — no frame specs exist in the
+    reference, SURVEY.md §2.6): running per-user value total. Summed in
+    exact DECIMAL because engines associate incremental window sums
+    differently (Spark running accumulator vs DuckDB segment tree) —
+    decimal makes every association order identical."""
+    ev = load_table(spark, sf_dir, "events")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return ev.select(
+        "user_id",
+        "event_id",
+        F.round(F.sum(dec2("value")).over(w), 2).cast("double").alias("running_value"),
+    )
