@@ -659,3 +659,59 @@ def multimodal_fake_features(spark: SparkSession, sf_dir: str) -> DataFrame:
         "feat_dim",
         F.round(F.element_at("features", 1).cast("double"), 6).alias("feat0"),
     )
+
+
+# ---------------------------------------------------------------------------
+# End-to-end training-corpus pipeline: quality gate -> exact dedup ->
+# embedding join. The composed shape a 100 TB data pipeline actually runs;
+# each stage individually verified above, composed here under one oracle.
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "training_corpus_pipeline",
+    oracle="""
+    WITH kept AS (
+        SELECT doc_id, lang, n_chars, text,
+               row_number() OVER (PARTITION BY text ORDER BY doc_id) AS rn
+        FROM documents
+        WHERE n_chars >= 100 AND lang IN ('en', 'fr', 'de')
+    )
+    SELECT k.doc_id, k.lang, CAST(k.n_chars AS BIGINT) AS n_chars,
+           CAST(ROUND(sqrt(list_sum(list_transform(e.embedding,
+                                                   x -> CAST(x AS DOUBLE) * x))), 4)
+               AS DOUBLE) AS l2_norm
+    FROM kept k JOIN embeddings e ON k.doc_id = e.vec_id
+    WHERE k.rn = 1
+    """,
+)
+def training_corpus_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Composed pipeline: language/length quality gate (P7/P8) → exact
+    content dedup keep-first (W1 generalized, md5 so only 16-byte keys
+    shuffle) → join to the embeddings table → per-doc L2 norm via a
+    codegen'd higher-order fold. At 100 TB: the quality filter pushes to
+    the scan, the dedup shuffles hashes not bodies, and the join is a
+    plain equi-join on the id both tables share (co-partitionable /
+    bucketable by doc_id)."""
+    docs = load_table(spark, sf_dir, "documents").filter(
+        (F.col("n_chars") >= 100) & F.col("lang").isin("en", "fr", "de")
+    )
+    kept = keep_first(
+        docs.withColumn("_h", F.md5(F.col("text").cast("binary"))),
+        ["_h"],
+        [F.col("doc_id")],
+    )
+    emb = load_table(spark, sf_dir, "embeddings")
+    v = F.col("embedding").cast("array<double>")
+    norm = F.sqrt(
+        F.aggregate(v, F.lit(0.0), lambda acc, x: acc + x * x)
+    )
+    return (
+        kept.join(emb, kept.doc_id == emb.vec_id)
+        .select(
+            "doc_id",
+            "lang",
+            F.col("n_chars").cast("long").alias("n_chars"),
+            F.round(norm, 4).alias("l2_norm"),
+        )
+    )

@@ -78,3 +78,19 @@ def test_preagg_join_aggregates_below_join(spark, sf_dir):
     agg_pos = plan.find("HashAggregate")
     join_pos = max(plan.find("SortMergeJoin"), plan.find("BroadcastHashJoin"), plan.find("ShuffledHashJoin"))
     assert agg_pos != -1 and join_pos != -1
+
+
+def test_q6_pushes_all_range_predicates(spark, sf_dir):
+    plan = _plan(spark, sf_dir, "q6_forecast_revenue")
+    assert "PushedFilters" in plan
+    pushed = plan.split("PushedFilters")[1].split("]")[0]
+    for col in ("l_shipdate", "l_discount", "l_quantity"):
+        assert col in pushed, (col, pushed)
+    read_schema = plan.split("ReadSchema")[1].split("\n")[0]
+    assert "l_extendedprice" in read_schema
+    assert "l_returnflag" not in read_schema  # pruned: not referenced
+
+
+def test_q18_broadcasts_having_survivors(spark, sf_dir):
+    plan = _plan(spark, sf_dir, "q18_large_volume_orders")
+    assert "BroadcastHashJoin" in plan, plan
