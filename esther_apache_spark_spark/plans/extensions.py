@@ -715,3 +715,21 @@ def training_corpus_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(norm, 4).alias("l2_norm"),
         )
     )
+
+
+@register(
+    "stream_dedup_events",
+    oracle="""
+    SELECT event_id, min(user_id) AS user_id, min(event_type) AS event_type,
+           CAST(min(epoch_us(ts)) AS BIGINT) AS ts_us
+    FROM events GROUP BY event_id
+    """,
+)
+def stream_dedup_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming exact dedup driven through readStream →
+    dropDuplicatesWithinWatermark → memory sink (streaming twin of
+    exact_dedup; state GC'd by the watermark). event_id is unique in the
+    testdata, so the streamed result equals the batch group-by oracle."""
+    from esther_apache_spark_spark.streaming.events import run_stream_dedup
+
+    return run_stream_dedup(spark, sf_dir)

@@ -124,3 +124,63 @@ def test_ivf_topk_precision_and_planted_recall(spark):
         # both live in the query's own probed cell
         assert q in ids
         assert 70 + q in ids, f"planted neighbor missing for query {q}"
+
+
+def test_watermark_drops_late_rows(spark, tmp_path):
+    """Late-data handling: after the watermark advances past an event's
+    window, an update-mode windowed aggregate must drop it. Two
+    micro-batches via the file source: batch 1 advances the watermark to
+    10:50; batch 2 carries an 08:15 straggler (dropped) and an 11:30
+    fresh row (kept)."""
+    import json
+    import uuid as _uuid
+
+    indir = tmp_path / "in"
+    indir.mkdir()
+
+    def write_batch(name, rows):
+        with open(indir / name, "w") as f:
+            for ts, uid, v in rows:
+                f.write(json.dumps({"ts": ts, "user_id": uid, "value": v}) + "\n")
+
+    write_batch("b1.json", [
+        ("2025-01-01 10:00:00", 1, 1.0),
+        ("2025-01-01 10:30:00", 1, 1.0),
+        ("2025-01-01 11:00:00", 2, 1.0),
+    ])
+
+    src = (
+        spark.readStream.schema("ts timestamp, user_id long, value double")
+        .option("maxFilesPerTrigger", "1")
+        .json(str(indir))
+    )
+    agg = (
+        src.withWatermark("ts", "10 minutes")
+        .groupBy(F.window("ts", "1 hour").alias("win"))
+        .agg(F.count(F.lit(1)).alias("n"))
+        .select(F.date_format("win.start", "HH:mm").alias("w"), "n")
+    )
+    name = f"late_{_uuid.uuid4().hex[:8]}"
+    q = (
+        agg.writeStream.outputMode("update")
+        .format("memory")
+        .queryName(name)
+        .start()
+    )
+    try:
+        q.processAllAvailable()  # batch 1: watermark -> 11:00 - 10m = 10:50
+        write_batch("b2.json", [
+            ("2025-01-01 08:15:00", 3, 1.0),   # window 08:00 < watermark: drop
+            ("2025-01-01 11:30:00", 2, 1.0),   # fresh: kept
+        ])
+        q.processAllAvailable()
+    finally:
+        q.stop()
+
+    rows = spark.table(name).collect()
+    seen = {}
+    for r in rows:  # update mode re-emits; keep the latest count per window
+        seen[r["w"]] = max(seen.get(r["w"], 0), r["n"])
+    assert "08:00" not in seen, seen          # straggler dropped by watermark
+    assert seen.get("10:00") == 2, seen
+    assert seen.get("11:00") == 2, seen       # 11:00 + late-but-in-horizon 11:30
