@@ -84,3 +84,26 @@ def read_jdbc(
     Postgres dump, ``freshkartmindump.sql:14-32``). Needs the JDBC driver
     jar on the classpath; tests use parquet instead."""
     return spark.read.jdbc(url, table, properties=properties or {})
+
+
+def read_orc(
+    spark: SparkSession, paths: str | Sequence[str], schema: StructType
+) -> DataFrame:
+    """ORC scan (columnar alternative to parquet — same pushdown/pruning
+    behavior via Spark's vectorized ORC reader). Beyond the reference's
+    format list; included so a user can point the engine at ORC lakes
+    without conversion."""
+    if isinstance(paths, str):
+        paths = [paths]
+    return spark.read.schema(schema).orc(*paths)
+
+
+def read_json_lines(
+    spark: SparkSession, paths: str | Sequence[str], schema: StructType
+) -> DataFrame:
+    """Newline-delimited JSON scan (the splittable default; S1's
+    ``multiLine`` variant exists only for pretty-printed files — at
+    100 TB use JSONL so each file splits into many input partitions)."""
+    if isinstance(paths, str):
+        paths = [paths]
+    return spark.read.schema(schema).json(*paths)

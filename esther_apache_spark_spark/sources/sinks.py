@@ -120,3 +120,16 @@ def quarantine_split(df: DataFrame, reject_predicate: Column) -> tuple[DataFrame
     rejects = df.filter(reject_predicate)
     clean = df.filter(~reject_predicate)
     return clean, rejects
+
+
+def write_orc(df: DataFrame, path: str, partition_by: str | None = None) -> None:
+    """ORC sink, optionally value-partitioned (K2 layout on ORC)."""
+    w = df.write.mode("overwrite")
+    if partition_by:
+        w = w.partitionBy(partition_by)
+    w.orc(path)
+
+
+def write_json_lines(df: DataFrame, path: str) -> None:
+    """Newline-delimited JSON sink (splittable interchange format)."""
+    df.write.mode("overwrite").json(path)

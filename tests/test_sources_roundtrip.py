@@ -1,0 +1,47 @@
+"""Round-trip tests for the format matrix beyond parquet: ORC and
+JSON-lines readers/writers preserve schema and values exactly."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from esther_apache_spark_spark.schemas import TESTDATA, load_table
+from esther_apache_spark_spark.sources.readers import read_json_lines, read_orc
+from esther_apache_spark_spark.sources.sinks import write_json_lines, write_orc
+
+
+def _canon_rows(df):
+    return sorted(tuple(r) for r in df.collect())
+
+
+def test_orc_roundtrip(spark, sf_dir, tmp_path):
+    nation = load_table(spark, sf_dir, "nation")
+    out = str(tmp_path / "nation_orc")
+    write_orc(nation, out)
+    back = read_orc(spark, out, TESTDATA["nation"])
+    assert back.schema == nation.schema
+    assert _canon_rows(back) == _canon_rows(nation)
+
+
+def test_orc_partitioned_layout(spark, sf_dir, tmp_path):
+    cust = load_table(spark, sf_dir, "customer")
+    out = str(tmp_path / "cust_orc")
+    write_orc(cust, out, partition_by="c_mktsegment")
+    import os
+
+    parts = [d for d in os.listdir(out) if d.startswith("c_mktsegment=")]
+    assert len(parts) >= 2, parts
+    back = spark.read.orc(out)
+    assert back.count() == cust.count()
+    # partition pruning: a filter on the partition column reads one dir
+    one = back.filter(F.col("c_mktsegment") == parts[0].split("=")[1])
+    assert one.count() > 0
+
+
+def test_json_lines_roundtrip(spark, sf_dir, tmp_path):
+    region = load_table(spark, sf_dir, "region")
+    out = str(tmp_path / "region_jsonl")
+    write_json_lines(region, out)
+    back = read_json_lines(spark, out, TESTDATA["region"])
+    assert back.schema == region.schema
+    assert _canon_rows(back) == _canon_rows(region)
