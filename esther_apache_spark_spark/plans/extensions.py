@@ -733,3 +733,40 @@ def stream_dedup_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     from esther_apache_spark_spark.streaming.events import run_stream_dedup
 
     return run_stream_dedup(spark, sf_dir)
+
+
+@register(
+    "embedding_centroids_by_label",
+    oracle="""
+    SELECT label, pos,
+           CAST(ROUND(CAST(SUM(CAST(round(x * 1e6) AS BIGINT)) AS DOUBLE)
+                      / COUNT(*) / 1e6, 6) AS DOUBLE) AS centroid
+    FROM (
+      SELECT e.label, CAST(g.i AS INT) AS pos,
+             CAST(e.embedding[g.i + 1] AS DOUBLE) AS x
+      FROM embeddings e, LATERAL (SELECT UNNEST(range(len(e.embedding))) AS i) g
+    )
+    GROUP BY 1, 2
+    """,
+)
+def embedding_centroids_by_label(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-label element-wise centroid — the building block for IVF
+    coarse-quantizer training and class prototypes. Distributive form:
+    posexplode to (label, pos, x) then one hash aggregate keyed on
+    (label, pos) — dim× row inflation but a perfectly spread shuffle
+    key and map-side partial sums; at 100 TB prefer this over
+    collecting vectors anywhere. Elements are quantized to 1e-6 longs
+    before summing so the aggregate is order-independent and
+    cross-engine exact (double sums are neither)."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    q = F.round(F.col("x").cast("double") * 1e6).cast("long")
+    return (
+        emb.select("label", F.posexplode(F.col("embedding")).alias("pos", "x"))
+        .groupBy("label", "pos")
+        .agg(F.sum(q).alias("_s"), F.count(F.lit(1)).alias("_n"))
+        .select(
+            "label",
+            "pos",
+            F.round(F.col("_s").cast("double") / F.col("_n") / 1e6, 6).alias("centroid"),
+        )
+    )
