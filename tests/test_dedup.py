@@ -187,3 +187,27 @@ def test_simhash_vec_matches_expression_form(spark):
     ).collect()
     for r in got:
         assert r["expr_fp"] == r["vec_fp"], r
+
+
+def test_minhash_vec_properties(spark):
+    """Fast-path signature invariants: order-independence, identity on
+    equal sets, and agreement bounded away from 1 for disjoint sets."""
+    from esther_apache_spark_spark.operators.dedup import minhash_signature_vec
+
+    df = spark.createDataFrame(
+        [
+            (1, [10, 20, 30, 40, 50]),
+            (2, [50, 40, 30, 20, 10]),   # same set, different order
+            (3, [60, 70, 80, 90, 100]),  # disjoint
+            (4, []),                      # empty -> LONG_MAX sentinel
+        ],
+        "id long, h array<long>",
+    )
+    sigs = {
+        r["id"]: tuple(r["s"])
+        for r in df.select("id", minhash_signature_vec(F.col("h"), 32).alias("s")).collect()
+    }
+    assert sigs[1] == sigs[2]
+    agree = sum(a == b for a, b in zip(sigs[1], sigs[3])) / 32
+    assert agree < 0.35  # true Jaccard 0; binomial tail bound
+    assert all(v == 9223372036854775807 for v in sigs[4])
