@@ -1,0 +1,60 @@
+"""Deterministic hash-based sampling — train/test splits and stratified
+subsamples for training-data pipelines (engine extension, SURVEY.md §7 M4).
+
+Why not ``df.sample``: Bernoulli sampling is seeded per-partition, so the
+selected set changes with partitioning/cluster layout — unacceptable for
+a reproducible train/test split over 100 TB. Hash-gating on a stable key
+(``bucket(key) < fraction·2^32``) selects the SAME rows regardless of
+partitioning, engine, or run, supports disjoint complements (test =
+complement of train by construction), and pushes down as an ordinary
+filter. The bucket is the first 8 hex chars of ``md5(salt ‖ key)`` —
+md5 is bit-identical across Spark and DuckDB, which is what makes these
+operators oracle-verifiable.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+_BUCKETS = 1 << 32
+
+
+def hash_bucket(key: Column, salt: str = "") -> Column:
+    """Stable uint32 bucket: first 8 hex chars of md5(salt ‖ key)."""
+    h = F.md5(F.concat(F.lit(salt), key.cast("string")))
+    return F.conv(F.substring(h, 1, 8), 16, 10).cast("long")
+
+
+def hash_sample(df: DataFrame, key_col: str, fraction: float, salt: str = "") -> DataFrame:
+    """Keep ~``fraction`` of rows, chosen deterministically by key."""
+    if not 0.0 <= fraction <= 1.0:
+        raise ValueError("fraction must be in [0, 1]")
+    return df.filter(hash_bucket(F.col(key_col), salt) < int(fraction * _BUCKETS))
+
+
+def train_test_split(
+    df: DataFrame, key_col: str, test_fraction: float = 0.1, salt: str = "split"
+) -> tuple[DataFrame, DataFrame]:
+    """(train, test): disjoint, covering, reproducible across runs and
+    partitionings. Rows with equal keys land on the same side — the
+    leakage-safe grouping a by-document split needs."""
+    b = hash_bucket(F.col(key_col), salt)
+    thr = int(test_fraction * _BUCKETS)
+    return df.filter(b >= thr), df.filter(b < thr)
+
+
+def stratified_hash_sample(
+    df: DataFrame,
+    key_col: str,
+    strata_col: str,
+    fractions: dict[str, float],
+    default_fraction: float = 0.0,
+) -> DataFrame:
+    """Per-stratum deterministic sampling (pandas/Spark ``sampleBy``'s
+    job, but stable under repartitioning): each stratum value gets its
+    own keep-threshold via a CASE chain, evaluated in one scan."""
+    thr: Column = F.lit(int(default_fraction * _BUCKETS))
+    for value, frac in sorted(fractions.items()):
+        thr = F.when(F.col(strata_col) == value, int(frac * _BUCKETS)).otherwise(thr)
+    return df.filter(hash_bucket(F.col(key_col)) < thr)

@@ -770,3 +770,46 @@ def embedding_centroids_by_label(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.col("_s").cast("double") / F.col("_n") / 1e6, 6).alias("centroid"),
         )
     )
+
+
+@register(
+    "deterministic_sample_docs",
+    oracle="""
+    SELECT doc_id, lang FROM documents
+    WHERE CAST(CONCAT('0x', substr(md5('s1' || CAST(doc_id AS VARCHAR)), 1, 8))
+               AS BIGINT) < CAST(0.2 * 4294967296 AS BIGINT)
+    """,
+)
+def deterministic_sample_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic ~20% sample of documents by key hash — identical
+    row set on any engine/partitioning (md5 is bit-identical in Spark
+    and DuckDB; `df.sample`'s per-partition RNG is not). Pushes down as
+    a plain filter."""
+    from esther_apache_spark_spark.operators.sampling import hash_sample
+
+    docs = load_table(spark, sf_dir, "documents")
+    return hash_sample(docs, "doc_id", 0.2, salt="s1").select("doc_id", "lang")
+
+
+@register(
+    "stratified_sample_by_lang",
+    oracle="""
+    SELECT doc_id, lang FROM documents
+    WHERE CAST(CONCAT('0x', substr(md5(CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT)
+          < CASE lang
+              WHEN 'en' THEN CAST(0.5 * 4294967296 AS BIGINT)
+              WHEN 'fr' THEN CAST(0.25 * 4294967296 AS BIGINT)
+              ELSE CAST(0.05 * 4294967296 AS BIGINT)
+            END
+    """,
+)
+def stratified_sample_by_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-language deterministic sampling (rebalancing a multilingual
+    corpus): one scan, a CASE-chain threshold per stratum, stable under
+    repartitioning — `sampleBy` without the RNG."""
+    from esther_apache_spark_spark.operators.sampling import stratified_hash_sample
+
+    docs = load_table(spark, sf_dir, "documents")
+    return stratified_hash_sample(
+        docs, "doc_id", "lang", {"en": 0.5, "fr": 0.25}, default_fraction=0.05
+    ).select("doc_id", "lang")
