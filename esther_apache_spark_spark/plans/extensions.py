@@ -813,3 +813,45 @@ def stratified_sample_by_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
     return stratified_hash_sample(
         docs, "doc_id", "lang", {"en": 0.5, "fr": 0.25}, default_fraction=0.05
     ).select("doc_id", "lang")
+
+
+@register(
+    "range_join_event_windows",
+    oracle="""
+    WITH iv AS (
+        SELECT user_id AS iv_user, min(ts) AS iv_start,
+               min(ts) + INTERVAL 2 HOUR AS iv_end
+        FROM events GROUP BY user_id
+    )
+    SELECT iv.iv_user,
+           CAST(COUNT(*) AS BIGINT) AS n_events,
+           CAST(ROUND(SUM(CAST(e.value AS DECIMAL(12,2))), 2) AS DOUBLE) AS total_value
+    FROM events e JOIN iv ON e.ts BETWEEN iv.iv_start AND iv.iv_end
+    GROUP BY 1
+    """,
+)
+def range_join_event_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Point-in-interval range join via bucketized equi-join
+    (operators.rangejoin): per-user 2-hour windows starting at each
+    user's first event, matched against ALL events (no equi-key — the
+    case Spark would otherwise plan as BroadcastNestedLoopJoin).
+    Residual BETWEEN keeps exactness; the oracle is DuckDB's native
+    inequality join."""
+    from esther_apache_spark_spark.operators.rangejoin import range_join
+
+    events = load_table(spark, sf_dir, "events")
+    iv = events.groupBy(F.col("user_id").alias("iv_user")).agg(
+        F.min("ts").alias("iv_start")
+    ).withColumn("iv_end", F.col("iv_start") + F.expr("INTERVAL 2 HOURS"))
+    joined = range_join(
+        events.select("ts", "value"),
+        iv,
+        ts_col="ts",
+        start_col="iv_start",
+        end_col="iv_end",
+        bucket_seconds=3600,
+    )
+    return joined.groupBy("iv_user").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        money_sum(dec2("value"), "total_value"),
+    )
