@@ -855,3 +855,84 @@ def range_join_event_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n_events"),
         money_sum(dec2("value"), "total_value"),
     )
+
+
+@register(
+    "pack_documents_into_shards",
+    oracle="""
+    SELECT doc_id, lang,
+           CAST(floor((SUM(n_chars) OVER w - n_chars) / 20000) AS BIGINT)
+               AS shard_id
+    FROM documents
+    WINDOW w AS (PARTITION BY lang ORDER BY doc_id
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+    """,
+)
+def pack_documents_into_shards(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Training-shard packing: greedy sequential fill of ~20k-char shards
+    per language — `shard = floor(running_total_before_doc / budget)`,
+    a pure window cumulative sum (exact: integer arithmetic). Ordering
+    by doc_id makes packing deterministic. Scale note: the window
+    partitions by lang, so parallelism is bounded by strata count —
+    for billions of docs per stratum add a coarse hash-prefix to the
+    partition key (shards stay budget-bounded, global shard numbering
+    becomes (prefix, shard))."""
+    from pyspark.sql import Window
+
+    docs = load_table(spark, sf_dir, "documents")
+    w = (
+        Window.partitionBy("lang")
+        .orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    before = F.sum("n_chars").over(w) - F.col("n_chars")
+    return docs.select(
+        "doc_id",
+        "lang",
+        F.floor(before / 20000).cast("long").alias("shard_id"),
+    )
+
+
+@register(
+    "dedup_components_docs",
+    oracle="""
+    WITH RECURSIVE edges AS (
+        SELECT a.doc_id AS src, b.doc_id AS dst
+        FROM documents a JOIN documents b
+          ON a.lang = b.lang
+         AND abs(a.n_chars - b.n_chars) <= 3
+         AND a.doc_id < b.doc_id
+    ), und AS (
+        SELECT src, dst FROM edges UNION SELECT dst, src FROM edges
+    ), walk(node, comp) AS (
+        SELECT src, src FROM und
+        UNION
+        SELECT u.dst, w.comp FROM walk w JOIN und u ON u.src = w.node
+    )
+    SELECT node AS doc_id, CAST(min(comp) AS BIGINT) AS component
+    FROM walk GROUP BY node
+    """,
+)
+def dedup_components_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Duplicate-cluster canonicalization: a deterministic similarity
+    graph over documents (same language, near-equal length — a stand-in
+    for LSH candidate pairs, chosen because DuckDB can state it too),
+    collapsed to connected components by iterative min-label propagation
+    (operators.components). component = min doc_id = the canonical doc
+    each cluster keeps. Oracle: recursive CTE reachability."""
+    from esther_apache_spark_spark.operators.components import connected_components
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "lang", "n_chars")
+    a, b = docs.alias("a"), docs.alias("b")
+    edges = (
+        a.join(
+            b,
+            (F.col("a.lang") == F.col("b.lang"))
+            & (F.abs(F.col("a.n_chars") - F.col("b.n_chars")) <= 3)
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(F.col("a.doc_id").alias("src"), F.col("b.doc_id").alias("dst"))
+    )
+    return connected_components(edges).select(
+        F.col("node").alias("doc_id"), F.col("comp").alias("component")
+    )

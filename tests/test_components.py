@@ -1,0 +1,33 @@
+"""Connected-components correctness on hand-built graphs: chains,
+cycles, cliques, self-loops, and convergence within diameter rounds."""
+
+from __future__ import annotations
+
+from esther_apache_spark_spark.operators.components import connected_components
+
+
+def _cc(spark, pairs):
+    edges = spark.createDataFrame(pairs, "src long, dst long")
+    return {
+        r["node"]: r["comp"] for r in connected_components(edges).collect()
+    }
+
+
+def test_two_components_and_cycle(spark):
+    # chain 1-2-3-4, cycle 10-11-12-10, self-loop 20
+    got = _cc(spark, [(1, 2), (2, 3), (3, 4), (10, 11), (11, 12), (12, 10), (20, 20)])
+    assert got[1] == got[2] == got[3] == got[4] == 1
+    assert got[10] == got[11] == got[12] == 10
+    assert got[20] == 20
+
+
+def test_long_chain_converges(spark):
+    n = 40  # diameter 40 > default dense-graph expectation; still < max_iter rounds
+    got = _cc(spark, [(i, i + 1) for i in range(n)])
+    assert set(got.values()) == {0}
+    assert len(got) == n + 1
+
+
+def test_duplicate_and_reversed_edges(spark):
+    got = _cc(spark, [(2, 1), (1, 2), (2, 1), (3, 2)])
+    assert got[1] == got[2] == got[3] == 1
