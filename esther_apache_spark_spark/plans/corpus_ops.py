@@ -1,0 +1,185 @@
+"""Training-corpus pipeline operators, batch 2 (engine extensions,
+SURVEY.md §7 M4): eval-set decontamination, CDC latest-wins merge,
+exact heavy hitters, unpivot/melt, and exact per-group quantiles.
+
+The reference has none of these (its surface peaks at daily_city_sales,
+``pipeline_pyspark.py:175-184``); they are the operations a 100-TB
+training-data pipeline runs daily. Every query here is DuckDB-oracled:
+hash-gated splits reuse the md5 bucket from ``operators/sampling.py``
+(bit-identical across engines), money/quantity math is decimal-exact,
+and quantile interpolation uses the same lower+(upper-lower)*frac
+formula in both engines.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from esther_apache_spark_spark.plans.catalog import register
+from esther_apache_spark_spark.schemas import load_table
+
+
+@register(
+    "decontaminate_train_docs",
+    oracle="""
+    WITH fp AS (
+        SELECT doc_id, lang,
+               md5(lower(text)) AS fingerprint,
+               CAST(CONCAT('0x', substr(md5('decon' || CAST(doc_id AS VARCHAR)),
+                                        1, 8)) AS BIGINT)
+                   < CAST(0.1 * 4294967296 AS BIGINT) AS is_eval
+        FROM documents
+    )
+    SELECT t.doc_id, t.lang FROM fp t
+    WHERE NOT t.is_eval
+      AND NOT EXISTS (SELECT 1 FROM fp e
+                      WHERE e.is_eval AND e.fingerprint = t.fingerprint)
+    """,
+)
+def decontaminate_train_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Eval-set decontamination: drop every training document whose
+    content fingerprint (md5 of lowercased text) also appears in the
+    held-out eval split. The split is the deterministic hash-gate from
+    operators/sampling.py (stable under repartitioning — the property a
+    leakage check must have), and the removal is a LEFT ANTI join on
+    fingerprint. At 100 TB the eval side is tiny (~10% of keys but
+    only fingerprints are shipped) → broadcast anti join, no shuffle of
+    the train side."""
+    from esther_apache_spark_spark.operators.sampling import hash_bucket
+
+    docs = load_table(spark, sf_dir, "documents").withColumn(
+        "fingerprint", F.md5(F.lower(F.col("text")))
+    )
+    is_eval = hash_bucket(F.col("doc_id"), salt="decon") < int(0.1 * (1 << 32))
+    train = docs.filter(~is_eval)
+    eval_fps = docs.filter(is_eval).select("fingerprint")
+    return train.join(
+        F.broadcast(eval_fps), "fingerprint", "left_anti"
+    ).select("doc_id", "lang")
+
+
+@register(
+    "cdc_merge_latest_state",
+    oracle="""
+    WITH ranked AS (
+        SELECT user_id, event_type, value, ts,
+               ROW_NUMBER() OVER (PARTITION BY user_id
+                                  ORDER BY ts DESC, event_id DESC) AS rn
+        FROM events
+    )
+    SELECT user_id,
+           CAST(ROUND(CAST(value AS DECIMAL(12,2)), 2) AS DOUBLE) AS last_value,
+           strftime(ts, '%Y-%m-%d %H:%M:%S') AS last_ts
+    FROM ranked
+    WHERE rn = 1 AND event_type <> 'error'
+    """,
+)
+def cdc_merge_latest_state(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CDC apply / latest-wins merge: collapse a changelog (events) to
+    current state per key — newest row wins (total order: ts desc,
+    event_id desc, so ties can't flap), and a terminal 'error' row acts
+    as a delete (key omitted from the state table). This is the MERGE
+    INTO / upsert primitive expressed as window-dedup: one shuffle on
+    the key, no join. At scale: partition the changelog by key-hash so
+    the window never sees skew beyond one key's history."""
+    events = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy(
+        F.col("ts").desc(), F.col("event_id").desc()
+    )
+    return (
+        events.withColumn("rn", F.row_number().over(w))
+        .filter((F.col("rn") == 1) & (F.col("event_type") != "error"))
+        .select(
+            "user_id",
+            F.round(F.col("value").cast("decimal(12,2)"), 2)
+            .cast("double")
+            .alias("last_value"),
+            F.date_format("ts", "yyyy-MM-dd HH:mm:ss").alias("last_ts"),
+        )
+    )
+
+
+@register(
+    "heavy_hitter_users",
+    oracle="""
+    WITH c AS (SELECT user_id, COUNT(*) AS n FROM events GROUP BY user_id)
+    SELECT user_id, CAST(n AS BIGINT) AS n_events
+    FROM c
+    WHERE CAST(n AS DOUBLE) > 1.5 * (SELECT CAST(SUM(n) AS DOUBLE)
+                                         / COUNT(*) FROM c)
+    """,
+)
+def heavy_hitter_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact heavy hitters: keys whose event count exceeds 1.5× the
+    mean per-key count — per-key count, a 1-row global mean broadcast
+    back, filter. This is the skew-detection primitive: its output is
+    exactly the key set salted_join/salted_collect_list (operators/
+    skew.py) should be given. The mean is sum/count on exact integer
+    doubles, bit-identical cross-engine."""
+    events = load_table(spark, sf_dir, "events")
+    counts = events.groupBy("user_id").agg(F.count(F.lit(1)).alias("n"))
+    mean = counts.agg(
+        (F.sum("n").cast("double") / F.count(F.lit(1))).alias("mean_n")
+    )
+    return (
+        counts.crossJoin(F.broadcast(mean))
+        .filter(F.col("n").cast("double") > 1.5 * F.col("mean_n"))
+        .select("user_id", F.col("n").cast("long").alias("n_events"))
+    )
+
+
+@register(
+    "unpivot_part_metrics",
+    oracle="""
+    SELECT p_partkey, 'p_retailprice' AS metric, p_retailprice AS value
+    FROM part
+    UNION ALL
+    SELECT p_partkey, 'p_size', CAST(p_size AS DOUBLE) FROM part
+    """,
+)
+def unpivot_part_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Unpivot / melt: wide numeric columns to (key, metric, value)
+    long form — the inverse of pivot_status_by_segment, done with the
+    native ``DataFrame.unpivot`` (SQL ``stack``), which emits N rows per
+    input row in one scan with no shuffle at all (verify: no Exchange in
+    the plan). The long form is what per-metric aggregation/quality
+    dashboards group on."""
+    part = load_table(spark, sf_dir, "part").select(
+        "p_partkey",
+        F.col("p_retailprice"),
+        F.col("p_size").cast("double").alias("p_size"),
+    )
+    return part.unpivot(
+        "p_partkey", ["p_retailprice", "p_size"], "metric", "value"
+    )
+
+
+@register(
+    "quantiles_by_segment",
+    oracle="""
+    SELECT c_mktsegment,
+           CAST(ROUND(quantile_cont(c_acctbal, 0.25), 6) AS DOUBLE) AS p25,
+           CAST(ROUND(quantile_cont(c_acctbal, 0.50), 6) AS DOUBLE) AS p50,
+           CAST(ROUND(quantile_cont(c_acctbal, 0.75), 6) AS DOUBLE) AS p75
+    FROM customer
+    GROUP BY c_mktsegment
+    """,
+)
+def quantiles_by_segment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact per-group quantiles (p25/p50/p75 of account balance per
+    market segment) via ``F.percentile`` — exact sort-based, matching
+    DuckDB's quantile_cont interpolation lower+(upper−lower)·frac
+    bit-for-bit on the same doubles. Exact quantiles shuffle all group
+    rows; at 100 TB swap in ``percentile_approx`` (the engine exposes
+    both — approx_distinct_by_priority sets the precedent) unless the
+    report is an SLA."""
+    customer = load_table(spark, sf_dir, "customer")
+    return customer.groupBy("c_mktsegment").agg(
+        *[
+            F.round(F.percentile("c_acctbal", F.lit(q)), 6)
+            .cast("double")
+            .alias(f"p{int(q * 100)}")
+            for q in (0.25, 0.50, 0.75)
+        ]
+    )

@@ -623,3 +623,353 @@ def q8_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("mkt_share")
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Q4 shape — EXISTS decorrelated to a semi join, then a small aggregate.
+# ---------------------------------------------------------------------------
+@register(
+    "q4_order_priority_checking",
+    oracle="""
+    SELECT o_orderpriority, CAST(COUNT(*) AS BIGINT) AS order_count
+    FROM orders
+    WHERE o_orderdate >= TIMESTAMP '1996-01-01'
+      AND o_orderdate <  TIMESTAMP '1997-01-01'
+      AND EXISTS (SELECT 1 FROM lineitem
+                  WHERE l_orderkey = o_orderkey AND l_returnflag = 'R')
+    GROUP BY o_orderpriority
+    """,
+)
+def q4_order_priority_checking(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q4 shape (no l_commitdate in this schema, so the EXISTS
+    predicate is returnflag='R'): correlated EXISTS decorrelated to a
+    LEFT SEMI join — the semi join never widens rows and stops probing an
+    order on the first matching line. The date filter prunes the orders
+    scan before the shuffle; the final aggregate is 5 groups."""
+    orders = load_table(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= F.lit("1996-01-01").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1997-01-01").cast("timestamp"))
+    )
+    returned = load_table(spark, sf_dir, "lineitem").filter(
+        F.col("l_returnflag") == "R"
+    )
+    return (
+        orders.join(returned, orders.o_orderkey == returned.l_orderkey, "left_semi")
+        .groupBy("o_orderpriority")
+        .agg(F.count(F.lit(1)).cast("long").alias("order_count"))
+    )
+
+
+# ---------------------------------------------------------------------------
+# Q9 shape — profit by nation × year over a five-way join with a LIKE filter.
+# ---------------------------------------------------------------------------
+@register(
+    "q9_product_type_profit",
+    oracle="""
+    SELECT n.n_name AS nation,
+           CAST(year(o.o_orderdate) AS INT) AS o_year,
+           CAST(ROUND(SUM(
+               CAST(l.l_extendedprice AS DECIMAL(12,2))
+                 * (CAST(1 AS DECIMAL(3,2)) - CAST(l.l_discount AS DECIMAL(3,2)))
+               - CAST(p.p_retailprice AS DECIMAL(12,2))
+                 * CAST(l.l_quantity AS DECIMAL(12,2))
+                 * CAST(0.1 AS DECIMAL(3,2))
+           ), 2) AS DOUBLE) AS profit
+    FROM lineitem l
+    JOIN part p     ON l.l_partkey = p.p_partkey AND p.p_name LIKE '%red%'
+    JOIN supplier s ON l.l_suppkey = s.s_suppkey
+    JOIN nation n   ON s.s_nationkey = n.n_nationkey
+    JOIN orders o   ON l.l_orderkey = o.o_orderkey
+    GROUP BY 1, 2
+    """,
+)
+def q9_product_type_profit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q9 shape (no partsupp table: supply cost proxied as 10% of
+    retail price × quantity, exact in decimal): profit by supplier
+    nation × order year for parts matching a name pattern. part/
+    supplier/nation broadcast — the LIKE filter shrinks part before the
+    build side ships; the only big shuffle is lineitem ⋈ orders on
+    orderkey. All money math in DECIMAL so cross-engine sums agree."""
+    li = load_table(spark, sf_dir, "lineitem")
+    part = load_table(spark, sf_dir, "part").filter(F.col("p_name").like("%red%"))
+    supplier = load_table(spark, sf_dir, "supplier")
+    nation = load_table(spark, sf_dir, "nation")
+    orders = load_table(spark, sf_dir, "orders")
+    profit = dec2("l_extendedprice") * one_minus("l_discount") - dec2(
+        "p_retailprice"
+    ) * dec2("l_quantity") * F.lit(0.1).cast("decimal(3,2)")
+    return (
+        li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        .join(F.broadcast(supplier), li.l_suppkey == supplier.s_suppkey)
+        .join(F.broadcast(nation), supplier.s_nationkey == nation.n_nationkey)
+        .join(orders, li.l_orderkey == orders.o_orderkey)
+        .groupBy(
+            F.col("n_name").alias("nation"),
+            F.year("o_orderdate").alias("o_year"),
+        )
+        .agg(money_sum(profit, "profit"))
+    )
+
+
+# ---------------------------------------------------------------------------
+# Q13 shape — outer join with a join-condition predicate, then a distribution.
+# ---------------------------------------------------------------------------
+@register(
+    "q13_order_count_distribution",
+    oracle="""
+    SELECT c_count, CAST(COUNT(*) AS BIGINT) AS custdist
+    FROM (
+        SELECT c.c_custkey, CAST(COUNT(o.o_orderkey) AS BIGINT) AS c_count
+        FROM customer c
+        LEFT JOIN orders o
+          ON c.c_custkey = o.o_custkey AND o.o_orderpriority <> '1-URGENT'
+        GROUP BY c.c_custkey
+    )
+    GROUP BY c_count
+    """,
+)
+def q13_order_count_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q13 shape: how many customers placed k orders — a LEFT
+    OUTER join whose extra predicate lives IN the join condition (moving
+    it to WHERE would drop zero-order customers), a per-customer count
+    (COUNT(col) skips the nulls outer rows carry), then a second tiny
+    aggregate over the counts. First agg shuffles on custkey; second is
+    ~dozens of groups."""
+    customer = load_table(spark, sf_dir, "customer")
+    orders = load_table(spark, sf_dir, "orders")
+    per_cust = (
+        customer.join(
+            orders,
+            (customer.c_custkey == orders.o_custkey)
+            & (orders.o_orderpriority != "1-URGENT"),
+            "left",
+        )
+        .groupBy(customer.c_custkey)
+        .agg(F.count("o_orderkey").cast("long").alias("c_count"))
+    )
+    return per_cust.groupBy("c_count").agg(
+        F.count(F.lit(1)).cast("long").alias("custdist")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Q11 shape — HAVING against a scalar subquery of the same aggregate.
+# ---------------------------------------------------------------------------
+@register(
+    "q11_important_part_value",
+    oracle="""
+    WITH per_part AS (
+        SELECT l_partkey,
+               SUM(CAST(l_extendedprice AS DECIMAL(12,2))) AS part_val
+        FROM lineitem GROUP BY l_partkey
+    )
+    SELECT l_partkey, CAST(ROUND(part_val, 2) AS DOUBLE) AS part_value
+    FROM per_part
+    WHERE part_val > (SELECT SUM(CAST(l_extendedprice AS DECIMAL(12,2)))
+                          * CAST(0.005 AS DECIMAL(4,3))
+                      FROM lineitem)
+    """,
+)
+def q11_important_part_value(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q11 shape: per-part total value, kept only when above a
+    fraction of the GLOBAL total — a scalar subquery realized as a 1-row
+    broadcast cross join (no second scan ordering constraint; Spark
+    reuses the shuffle for both aggregates under AQE). Threshold math is
+    exact decimal so the > comparison can't flap cross-engine."""
+    li = load_table(spark, sf_dir, "lineitem")
+    per_part = li.groupBy("l_partkey").agg(
+        F.sum(dec2("l_extendedprice")).alias("part_val")
+    )
+    total = li.agg(
+        (F.sum(dec2("l_extendedprice")) * F.lit(0.005).cast("decimal(4,3)")).alias(
+            "threshold"
+        )
+    )
+    return (
+        per_part.crossJoin(F.broadcast(total))
+        .filter(F.col("part_val") > F.col("threshold"))
+        .select(
+            "l_partkey",
+            F.round("part_val", 2).cast("double").alias("part_value"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Q2 shape — correlated MIN subquery as an argmin join-back.
+# ---------------------------------------------------------------------------
+@register(
+    "q2_min_cost_supplier",
+    oracle="""
+    WITH costs AS (
+        SELECT l.l_partkey, l.l_suppkey,
+               MIN(CAST(l.l_extendedprice AS DECIMAL(12,2))) AS supp_price
+        FROM lineitem l
+        JOIN part p ON l.l_partkey = p.p_partkey AND p.p_type LIKE '%bolt%'
+        GROUP BY 1, 2
+    ), best AS (
+        SELECT l_partkey, MIN(supp_price) AS best_price
+        FROM costs GROUP BY l_partkey
+    )
+    SELECT c.l_partkey AS p_partkey, s.s_name, n.n_name AS nation,
+           CAST(c.supp_price AS DOUBLE) AS best_price
+    FROM costs c
+    JOIN best b ON c.l_partkey = b.l_partkey AND c.supp_price = b.best_price
+    JOIN supplier s ON c.l_suppkey = s.s_suppkey
+    JOIN nation n   ON s.s_nationkey = n.n_nationkey
+    """,
+)
+def q2_min_cost_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q2 shape (no partsupp: a supplier's price for a part is its
+    min lineitem price): for each part of a type, every supplier
+    achieving the part's minimum price — the correlated MIN subquery
+    decorrelated into (per part×supp min) → (per part min) → equality
+    join-back. Both aggregates reuse the same partkey shuffle; `best` is
+    dim-sized so the join-back broadcasts; ties keep all argmin rows
+    (deterministic, unlike a LIMIT 1)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    part = load_table(spark, sf_dir, "part").filter(F.col("p_type").like("%bolt%"))
+    supplier = load_table(spark, sf_dir, "supplier")
+    nation = load_table(spark, sf_dir, "nation")
+    costs = (
+        li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        .groupBy("l_partkey", "l_suppkey")
+        .agg(F.min(dec2("l_extendedprice")).alias("supp_price"))
+    )
+    best = costs.groupBy(F.col("l_partkey").alias("b_partkey")).agg(
+        F.min("supp_price").alias("best_price")
+    )
+    return (
+        costs.join(
+            F.broadcast(best),
+            (costs.l_partkey == best.b_partkey)
+            & (costs.supp_price == best.best_price),
+        )
+        .join(F.broadcast(supplier), costs.l_suppkey == supplier.s_suppkey)
+        .join(F.broadcast(nation), supplier.s_nationkey == nation.n_nationkey)
+        .select(
+            F.col("l_partkey").alias("p_partkey"),
+            "s_name",
+            F.col("n_name").alias("nation"),
+            F.col("supp_price").cast("double").alias("best_price"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Q20 shape — nested aggregates feeding a semi join (dominant suppliers).
+# ---------------------------------------------------------------------------
+@register(
+    "q20_dominant_part_suppliers",
+    oracle="""
+    WITH sp AS (
+        SELECT l.l_partkey, l.l_suppkey,
+               SUM(CAST(l.l_quantity AS DECIMAL(12,2))) AS qty
+        FROM lineitem l
+        JOIN part p ON l.l_partkey = p.p_partkey AND p.p_name LIKE 'small%'
+        GROUP BY 1, 2
+    ), pt AS (
+        SELECT l_partkey, SUM(qty) AS total_qty FROM sp GROUP BY l_partkey
+    )
+    SELECT DISTINCT s.s_name, n.n_name AS nation
+    FROM sp
+    JOIN pt ON sp.l_partkey = pt.l_partkey
+    JOIN supplier s ON sp.l_suppkey = s.s_suppkey
+    JOIN nation n   ON s.s_nationkey = n.n_nationkey
+    WHERE sp.qty > CAST(0.5 AS DECIMAL(2,1)) * pt.total_qty
+    """,
+)
+def q20_dominant_part_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q20 shape (availqty > half of shipped qty becomes: supplier
+    shipped > half of the part's total): nested aggregation — per
+    (part,supp) quantity, re-aggregated per part — joined back on
+    partkey, the >50% filter, then effectively a semi join into the
+    supplier dim (DISTINCT collapses multi-part dominance). The second
+    aggregate and the join-back reuse the partkey shuffle; quantities
+    summed in decimal so the threshold comparison is exact."""
+    li = load_table(spark, sf_dir, "lineitem")
+    part = load_table(spark, sf_dir, "part").filter(F.col("p_name").like("small%"))
+    supplier = load_table(spark, sf_dir, "supplier")
+    nation = load_table(spark, sf_dir, "nation")
+    sp = (
+        li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        .groupBy("l_partkey", "l_suppkey")
+        .agg(F.sum(dec2("l_quantity")).alias("qty"))
+    )
+    pt = sp.groupBy(F.col("l_partkey").alias("t_partkey")).agg(
+        F.sum("qty").alias("total_qty")
+    )
+    dominant = sp.join(F.broadcast(pt), sp.l_partkey == pt.t_partkey).filter(
+        F.col("qty") > F.lit(0.5).cast("decimal(2,1)") * F.col("total_qty")
+    )
+    return (
+        dominant.join(F.broadcast(supplier), dominant.l_suppkey == supplier.s_suppkey)
+        .join(F.broadcast(nation), supplier.s_nationkey == nation.n_nationkey)
+        .select("s_name", F.col("n_name").alias("nation"))
+        .distinct()
+    )
+
+
+# ---------------------------------------------------------------------------
+# Q21 shape — EXISTS + NOT EXISTS decorrelated to per-order aggregates.
+# ---------------------------------------------------------------------------
+@register(
+    "q21_sole_failing_supplier",
+    oracle="""
+    WITH flines AS (
+        SELECT l.l_orderkey, l.l_suppkey, l.l_returnflag
+        FROM lineitem l
+        JOIN orders o ON l.l_orderkey = o.o_orderkey AND o.o_orderstatus = 'F'
+    ), per_order AS (
+        SELECT l_orderkey,
+               COUNT(DISTINCT l_suppkey) AS n_supp,
+               COUNT(DISTINCT CASE WHEN l_returnflag = 'R' THEN l_suppkey END)
+                   AS n_fail
+        FROM flines GROUP BY l_orderkey
+    ), culprits AS (
+        SELECT DISTINCT f.l_orderkey, f.l_suppkey
+        FROM flines f
+        JOIN per_order po ON f.l_orderkey = po.l_orderkey
+        WHERE f.l_returnflag = 'R' AND po.n_supp >= 2 AND po.n_fail = 1
+    )
+    SELECT s.s_name, CAST(COUNT(*) AS BIGINT) AS numwait
+    FROM culprits c JOIN supplier s ON c.l_suppkey = s.s_suppkey
+    GROUP BY s.s_name
+    """,
+)
+def q21_sole_failing_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q21 shape (commit/receipt dates absent: "late" is
+    returnflag='R'): suppliers who were the ONLY supplier with a failed
+    line in a multi-supplier finalized order. The classic EXISTS(other
+    supplier) AND NOT EXISTS(other failing supplier) pair is decorrelated
+    into one per-order aggregate (distinct suppliers / distinct failing
+    suppliers) — one shuffle on orderkey instead of two self-joins —
+    then the failing lines join that tiny filter set."""
+    li = load_table(spark, sf_dir, "lineitem")
+    orders = load_table(spark, sf_dir, "orders").filter(
+        F.col("o_orderstatus") == "F"
+    )
+    supplier = load_table(spark, sf_dir, "supplier")
+    flines = li.join(orders, li.l_orderkey == orders.o_orderkey).select(
+        "l_orderkey", "l_suppkey", "l_returnflag"
+    )
+    per_order = flines.groupBy("l_orderkey").agg(
+        F.countDistinct("l_suppkey").alias("n_supp"),
+        F.countDistinct(
+            F.when(F.col("l_returnflag") == "R", F.col("l_suppkey"))
+        ).alias("n_fail"),
+    )
+    culprits = (
+        flines.filter(F.col("l_returnflag") == "R")
+        .join(
+            per_order.filter((F.col("n_supp") >= 2) & (F.col("n_fail") == 1)),
+            "l_orderkey",
+        )
+        .select("l_orderkey", "l_suppkey")
+        .distinct()
+    )
+    return (
+        culprits.join(F.broadcast(supplier), culprits.l_suppkey == supplier.s_suppkey)
+        .groupBy("s_name")
+        .agg(F.count(F.lit(1)).cast("long").alias("numwait"))
+    )
