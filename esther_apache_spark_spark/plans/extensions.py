@@ -936,3 +936,45 @@ def dedup_components_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return connected_components(edges).select(
         F.col("node").alias("doc_id"), F.col("comp").alias("component")
     )
+
+
+_INTERVAL_JOIN_ORACLE = """
+    SELECT v.user_id, v.event_id AS view_id, p.event_id AS purchase_id,
+           strftime(v.ts, '%Y-%m-%d %H:%M:%S') AS view_ts,
+           strftime(p.ts, '%Y-%m-%d %H:%M:%S') AS purchase_ts
+    FROM events v JOIN events p
+      ON v.user_id = p.user_id
+     AND v.event_type = 'view' AND p.event_type = 'purchase'
+     AND p.ts > v.ts AND p.ts <= v.ts + INTERVAL 1 HOUR
+"""
+
+
+@register("interval_join_view_purchase", oracle=_INTERVAL_JOIN_ORACLE)
+def interval_join_view_purchase(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Attribution interval join, batch: views paired with the same
+    user's purchases within the next hour. Equi-key on user_id keeps it
+    a hash join (the time bound is a post-join residual predicate, not a
+    nested loop); at 100 TB both sides co-partition on user_id."""
+    from esther_apache_spark_spark.streaming.events import (
+        interval_join_views_purchases,
+    )
+
+    events = load_table(spark, sf_dir, "events")
+    return interval_join_views_purchases(
+        events.filter(F.col("event_type") == "view"),
+        events.filter(F.col("event_type") == "purchase"),
+    )
+
+
+@register("streaming_interval_join", oracle=_INTERVAL_JOIN_ORACLE)
+def streaming_interval_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The same interval join run as a stream-stream inner join
+    (readStream both sides, watermarks bounding join state, append
+    mode) and driven to completion — shares the batch twin's oracle
+    because inner-join matches emit exactly once regardless of
+    microbatching."""
+    from esther_apache_spark_spark.streaming.events import (
+        run_streaming_interval_join,
+    )
+
+    return run_streaming_interval_join(spark, sf_dir)

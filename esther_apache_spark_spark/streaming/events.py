@@ -217,3 +217,65 @@ def run_stream_dedup(
     finally:
         q.stop()
     return spark.table(name)
+
+
+def interval_join_views_purchases(
+    views: DataFrame, purchases: DataFrame, horizon: str = "1 hour"
+) -> DataFrame:
+    """Attribution interval join: each view pairs with the same user's
+    purchases in (view_ts, view_ts + horizon]. Works on batch and
+    streaming inputs alike — on streams the equality key plus the
+    two-sided time bound is exactly what Spark needs to run a
+    stream-stream inner join with bounded state (each side's rows are
+    GC'd once the other side's watermark passes the horizon)."""
+    v = views.select(
+        F.col("user_id").alias("v_user"),
+        F.col("event_id").alias("view_id"),
+        F.col("ts").alias("view_ts"),
+    )
+    p = purchases.select(
+        F.col("user_id").alias("p_user"),
+        F.col("event_id").alias("purchase_id"),
+        F.col("ts").alias("purchase_ts"),
+    )
+    if views.isStreaming:
+        v = v.withWatermark("view_ts", "30 minutes")
+        p = p.withWatermark("purchase_ts", "30 minutes")
+    return v.join(
+        p,
+        (F.col("v_user") == F.col("p_user"))
+        & (F.col("purchase_ts") > F.col("view_ts"))
+        & (F.col("purchase_ts") <= F.col("view_ts") + F.expr(f"INTERVAL {horizon}")),
+    ).select(
+        F.col("v_user").alias("user_id"),
+        "view_id",
+        "purchase_id",
+        F.date_format("view_ts", "yyyy-MM-dd HH:mm:ss").alias("view_ts"),
+        F.date_format("purchase_ts", "yyyy-MM-dd HH:mm:ss").alias("purchase_ts"),
+    )
+
+
+def run_streaming_interval_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Drive the stream-stream interval join to completion: two
+    readStream sources over the same events file (filtered to views /
+    purchases), inner-joined on user + time bound, append mode. Inner
+    join rows emit as soon as both sides arrive; watermarks only bound
+    state, so the completed stream equals the batch twin row-for-row."""
+    src1 = streaming_events_source(spark, sf_dir)
+    src2 = streaming_events_source(spark, sf_dir)
+    name = f"stream_ij_{uuid.uuid4().hex[:8]}"
+    q = (
+        interval_join_views_purchases(
+            src1.filter(F.col("event_type") == "view"),
+            src2.filter(F.col("event_type") == "purchase"),
+        )
+        .writeStream.outputMode("append")
+        .format("memory")
+        .queryName(name)
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    return spark.table(name)

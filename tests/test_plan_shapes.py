@@ -94,3 +94,28 @@ def test_q6_pushes_all_range_predicates(spark, sf_dir):
 def test_q18_broadcasts_having_survivors(spark, sf_dir):
     plan = _plan(spark, sf_dir, "q18_large_volume_orders")
     assert "BroadcastHashJoin" in plan, plan
+
+
+def test_q9_broadcasts_all_dims(spark, sf_dir):
+    """Q9's three dims (part/supplier/nation) must broadcast — the only
+    allowed row-shuffle is lineitem ⋈ orders on orderkey."""
+    plan = _plan(spark, sf_dir, "q9_product_type_profit")
+    assert plan.count("BroadcastHashJoin") >= 3, plan
+
+
+def test_q4_plans_semi_join(spark, sf_dir):
+    plan = _plan(spark, sf_dir, "q4_order_priority_checking")
+    assert "LeftSemi" in plan, plan
+
+
+def test_unpivot_has_no_shuffle(spark, sf_dir):
+    """Melt is per-row generation: any Exchange in the plan is a bug."""
+    plan = _plan(spark, sf_dir, "unpivot_part_metrics")
+    assert "Exchange" not in plan, plan
+
+
+def test_decontaminate_broadcasts_eval_side(spark, sf_dir):
+    """The anti join against eval fingerprints must broadcast — the
+    train side (99%+ of 100 TB) must not shuffle."""
+    plan = _plan(spark, sf_dir, "decontaminate_train_docs")
+    assert "BroadcastHashJoin" in plan and "LeftAnti" in plan, plan
