@@ -183,3 +183,48 @@ def quantiles_by_segment(spark: SparkSession, sf_dir: str) -> DataFrame:
             for q in (0.25, 0.50, 0.75)
         ]
     )
+
+
+@register(
+    "chunk_documents_overlapping",
+    oracle="""
+    SELECT doc_id,
+           CAST(off / 150 AS BIGINT) AS chunk_idx,
+           substr(text, CAST(off + 1 AS BIGINT), 200) AS chunk_text,
+           CAST(length(substr(text, CAST(off + 1 AS BIGINT), 200)) AS BIGINT)
+               AS chunk_len
+    FROM (SELECT doc_id, text,
+                 unnest(range(0, CAST(n_chars AS BIGINT), 150)) AS off
+          FROM documents)
+    """,
+)
+def chunk_documents_overlapping(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Context-window chunking: each document becomes overlapping
+    200-char chunks on a 150-char stride (the sliding-window split an
+    LLM training pipeline runs before tokenization). Pure generation —
+    ``sequence(0, n-1, stride)`` then ``posexplode`` + ``substring`` —
+    so the plan has no shuffle and no Python; chunk count scales with
+    text length, not row count. Deterministic chunk_idx = offset/stride
+    makes downstream dedup-by-(doc_id, chunk_idx) stable."""
+    docs = load_table(spark, sf_dir, "documents")
+    return (
+        docs.select(
+            "doc_id",
+            "text",
+            F.posexplode(
+                F.sequence(
+                    F.lit(0), (F.col("n_chars") - 1).cast("int"), F.lit(150)
+                )
+            ).alias("chunk_idx", "off"),
+        )
+        .select(
+            "doc_id",
+            F.col("chunk_idx").cast("long").alias("chunk_idx"),
+            F.substring(F.col("text"), F.col("off") + 1, F.lit(200)).alias(
+                "chunk_text"
+            ),
+            F.length(
+                F.substring(F.col("text"), F.col("off") + 1, F.lit(200))
+            ).cast("long").alias("chunk_len"),
+        )
+    )
