@@ -31,3 +31,46 @@ def test_long_chain_converges(spark):
 def test_duplicate_and_reversed_edges(spark):
     got = _cc(spark, [(2, 1), (1, 2), (2, 1), (3, 2)])
     assert got[1] == got[2] == got[3] == 1
+
+
+# Property: matches a union-find oracle on random graphs.
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+
+
+def _union_find_components(pairs):
+    parent = {}
+
+    def find(x):
+        parent.setdefault(x, x)
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b in pairs:
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+    # canonical label = min node of the component
+    comp = {}
+    for n in parent:
+        root = find(n)
+        comp.setdefault(root, []).append(n)
+    return {n: min(ns) for ns in comp.values() for n in ns}
+
+
+@settings(
+    max_examples=12,
+    deadline=None,
+    suppress_health_check=[HealthCheck.too_slow],
+)
+@given(
+    pairs=st.lists(
+        st.tuples(st.integers(0, 30), st.integers(0, 30)),
+        min_size=1,
+        max_size=40,
+    )
+)
+def test_matches_union_find_oracle(spark, pairs):
+    assert _cc(spark, pairs) == _union_find_components(pairs)
