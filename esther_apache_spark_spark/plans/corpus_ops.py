@@ -228,3 +228,149 @@ def chunk_documents_overlapping(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).cast("long").alias("chunk_len"),
         )
     )
+
+
+_TOKENS_CTE = """
+    tokens AS (
+        SELECT doc_id,
+               unnest(list_filter(
+                   regexp_split_to_array(
+                       trim(regexp_replace(lower(text), '[^\\w\\s]', '', 'g')),
+                       '\\s+'),
+                   w -> w <> '')) AS word
+        FROM documents
+    )
+"""
+
+
+@register(
+    "tfidf_top_terms",
+    oracle=f"""
+    WITH {_TOKENS_CTE},
+    tf AS (
+        SELECT doc_id, word, COUNT(*) AS tf FROM tokens GROUP BY doc_id, word
+    ),
+    df AS (
+        SELECT word, COUNT(DISTINCT doc_id) AS df FROM tf GROUP BY word
+    ),
+    n AS (SELECT COUNT(DISTINCT doc_id) AS n_docs FROM documents),
+    scored AS (
+        SELECT tf.doc_id, tf.word,
+               ROUND(CAST(tf.tf AS DOUBLE) * CAST(n.n_docs + 1 AS DOUBLE)
+                     / CAST(df.df + 1 AS DOUBLE), 6) AS relevance
+        FROM tf JOIN df ON tf.word = df.word CROSS JOIN n
+    )
+    SELECT doc_id, word, CAST(relevance AS DOUBLE) AS relevance
+    FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY doc_id
+                                       ORDER BY relevance DESC, word ASC) AS rn
+          FROM scored)
+    WHERE rn <= 3
+    """,
+)
+def tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-3 characteristic terms per document by tf-idf, with a
+    RATIONAL idf — tf·(N+1)/(df+1) instead of tf·ln(N/df) — because a
+    single division of exact integers is bit-identical across engines
+    while libm ``ln`` is not (same ranking: x↦ln is monotone). Plan:
+    explode → (doc,word) count → per-word doc frequency → 1-row N
+    broadcast → per-doc top-3 window with a word tiebreak. The df
+    aggregate reuses the (doc,word) shuffle's word grouping; at 100 TB
+    cap the explode with a length filter upstream."""
+    from esther_apache_spark_spark.functions.text import tokenize
+
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.select(
+        "doc_id", F.explode(tokenize(F.col("text"))).alias("word")
+    )
+    tf = toks.groupBy("doc_id", "word").agg(F.count(F.lit(1)).alias("tf"))
+    df = tf.groupBy("word").agg(F.countDistinct("doc_id").alias("df"))
+    n = docs.agg(F.countDistinct("doc_id").alias("n_docs"))
+    scored = (
+        tf.join(df, "word")
+        .crossJoin(F.broadcast(n))
+        .select(
+            "doc_id",
+            "word",
+            F.round(
+                F.col("tf").cast("double")
+                * (F.col("n_docs") + 1).cast("double")
+                / (F.col("df") + 1).cast("double"),
+                6,
+            ).alias("relevance"),
+        )
+    )
+    w = Window.partitionBy("doc_id").orderBy(
+        F.col("relevance").desc(), F.col("word").asc()
+    )
+    return (
+        scored.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 3)
+        .select("doc_id", "word", "relevance")
+    )
+
+
+@register(
+    "scrub_pii_docs",
+    oracle="""
+    SELECT doc_id,
+           regexp_replace(
+               regexp_replace(text, '[A-Za-z0-9_.+-]+@[A-Za-z0-9-]+\\.[A-Za-z0-9.]+',
+                              '<EMAIL>', 'g'),
+               '[0-9][0-9 .-]{6,}[0-9]', '<NUM>', 'g') AS clean_text
+    FROM documents
+    """,
+)
+def scrub_pii_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII scrubbing: mask email addresses and long digit runs (phone/
+    account shapes) with placeholder tokens — two chained
+    ``regexp_replace`` column expressions, JVM-side, no UDF, patterns
+    restricted to syntax RE2 and Java regex agree on (explicit classes,
+    no lookaround). Pure map: zero shuffle, scales linearly; behavior
+    on crafted PII is pinned in tests/test_corpus_ops.py."""
+    docs = load_table(spark, sf_dir, "documents")
+    clean = F.regexp_replace(
+        F.regexp_replace(
+            F.col("text"),
+            r"[A-Za-z0-9_.+-]+@[A-Za-z0-9-]+\.[A-Za-z0-9.]+",
+            "<EMAIL>",
+        ),
+        r"[0-9][0-9 .-]{6,}[0-9]",
+        "<NUM>",
+    )
+    return docs.select("doc_id", clean.alias("clean_text"))
+
+
+@register(
+    "build_token_vocab",
+    oracle=f"""
+    WITH {_TOKENS_CTE},
+    counts AS (SELECT word, CAST(COUNT(*) AS BIGINT) AS cnt
+               FROM tokens GROUP BY word)
+    SELECT word, cnt,
+           CAST(ROW_NUMBER() OVER (ORDER BY cnt DESC, word ASC) AS BIGINT)
+               AS token_id
+    FROM counts
+    ORDER BY token_id LIMIT 1000
+    """,
+)
+def build_token_vocab(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tokenizer vocabulary build: corpus-wide token counts, ids
+    assigned by frequency rank (deterministic tiebreak on the token) —
+    the id table a BPE/word-level tokenizer trains from. The top-1000
+    cut means Catalyst plans TakeOrderedAndProject over the counts (no
+    global sort of the full vocab); ids never depend on partitioning.
+    At 100 TB the count is the only real shuffle; the ranked head is
+    dim-sized and broadcastable to the encode pass."""
+    from esther_apache_spark_spark.functions.text import tokenize
+
+    docs = load_table(spark, sf_dir, "documents")
+    counts = (
+        docs.select(F.explode(tokenize(F.col("text"))).alias("word"))
+        .groupBy("word")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    top = counts.orderBy(F.col("cnt").desc(), F.col("word").asc()).limit(1000)
+    w = Window.orderBy(F.col("cnt").desc(), F.col("word").asc())
+    return top.select(
+        "word", "cnt", F.row_number().over(w).cast("long").alias("token_id")
+    )

@@ -1,0 +1,37 @@
+"""Behavior pins for corpus ops whose catalog oracle only proves
+engine-equality, not intent: the PII scrubber on crafted PII."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+
+def _scrub(spark, text: str) -> str:
+    df = spark.createDataFrame([(1, text)], "doc_id long, text string")
+    clean = F.regexp_replace(
+        F.regexp_replace(
+            F.col("text"),
+            r"[A-Za-z0-9_.+-]+@[A-Za-z0-9-]+\.[A-Za-z0-9.]+",
+            "<EMAIL>",
+        ),
+        r"[0-9][0-9 .-]{6,}[0-9]",
+        "<NUM>",
+    )
+    return df.select(clean.alias("c")).collect()[0]["c"]
+
+
+def test_scrub_masks_emails(spark):
+    assert (
+        _scrub(spark, "contact jane.doe+spam@mail.example.org today")
+        == "contact <EMAIL> today"
+    )
+
+
+def test_scrub_masks_phone_shapes(spark):
+    assert _scrub(spark, "call 06 12 34 56 78 now") == "call <NUM> now"
+    assert _scrub(spark, "acct 1234-5678-9012") == "acct <NUM>"
+
+
+def test_scrub_keeps_short_numbers_and_plain_text(spark):
+    assert _scrub(spark, "room 42, floor 3") == "room 42, floor 3"
+    assert _scrub(spark, "no pii here") == "no pii here"
