@@ -374,3 +374,89 @@ def build_token_vocab(spark: SparkSession, sf_dir: str) -> DataFrame:
     return top.select(
         "word", "cnt", F.row_number().over(w).cast("long").alias("token_id")
     )
+
+
+@register(
+    "encode_documents_to_ids",
+    oracle=f"""
+    WITH {_TOKENS_CTE},
+    counts AS (SELECT word, COUNT(*) AS cnt FROM tokens GROUP BY word),
+    vocab AS (
+        SELECT word,
+               ROW_NUMBER() OVER (ORDER BY cnt DESC, word ASC) AS token_id
+        FROM counts
+        ORDER BY token_id LIMIT 1000
+    ),
+    pos_tokens AS (
+        SELECT doc_id, pos, tok.word
+        FROM (
+            SELECT doc_id,
+                   generate_subscripts(toks, 1) AS pos,
+                   unnest(toks) AS word
+            FROM (
+                SELECT doc_id,
+                       list_filter(
+                           regexp_split_to_array(
+                               trim(regexp_replace(lower(text), '[^\\w\\s]', '', 'g')),
+                               '\\s+'),
+                           w -> w <> '') AS toks
+                FROM documents
+            )
+        ) tok
+    )
+    SELECT p.doc_id,
+           array_to_string(list(COALESCE(v.token_id, 0) ORDER BY p.pos), ' ')
+               AS token_ids,
+           CAST(COUNT(*) AS BIGINT) AS n_tokens
+    FROM pos_tokens p LEFT JOIN vocab v ON p.word = v.word
+    GROUP BY p.doc_id
+    """,
+)
+def encode_documents_to_ids(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The tokenizer ENCODE pass: documents → space-joined token-id
+    sequences against the frequency-ranked vocab (build_token_vocab),
+    id 0 for out-of-vocabulary. posexplode keeps token order; the
+    dim-sized vocab broadcasts so the only shuffle is the per-doc
+    regroup; ordered reassembly is sort_array(collect_list(struct(pos,
+    id))) — deterministic regardless of arrival order. Emitted as a
+    string (not array) for stable cross-engine hashing."""
+    from esther_apache_spark_spark.functions.text import tokenize
+
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.select(
+        "doc_id",
+        F.posexplode(tokenize(F.col("text"))).alias("pos", "word"),
+    )
+    counts = toks.groupBy("word").agg(F.count(F.lit(1)).alias("cnt"))
+    vocab = (
+        counts.orderBy(F.col("cnt").desc(), F.col("word").asc())
+        .limit(1000)
+        .select(
+            "word",
+            F.row_number()
+            .over(Window.orderBy(F.col("cnt").desc(), F.col("word").asc()))
+            .alias("token_id"),
+        )
+    )
+    encoded = (
+        toks.join(F.broadcast(vocab), "word", "left")
+        .select(
+            "doc_id",
+            "pos",
+            F.coalesce(F.col("token_id"), F.lit(0)).alias("token_id"),
+        )
+        .groupBy("doc_id")
+        .agg(
+            F.array_join(
+                F.transform(
+                    F.array_sort(
+                        F.collect_list(F.struct("pos", "token_id"))
+                    ),
+                    lambda s: s["token_id"].cast("string"),
+                ),
+                " ",
+            ).alias("token_ids"),
+            F.count(F.lit(1)).cast("long").alias("n_tokens"),
+        )
+    )
+    return encoded

@@ -184,3 +184,48 @@ def test_watermark_drops_late_rows(spark, tmp_path):
     assert "08:00" not in seen, seen          # straggler dropped by watermark
     assert seen.get("10:00") == 2, seen
     assert seen.get("11:00") == 2, seen       # 11:00 + late-but-in-horizon 11:30
+
+
+def test_stream_checkpoint_recovery_exactly_once(spark, sf_dir, tmp_path):
+    """Kill a file-source stream mid-run, restart it on the SAME
+    checkpoint: the file-source offset log + parquet-sink commit log
+    must give exactly-once output (no lost batches, no duplicates) —
+    the property that makes a 100 TB ingest restartable."""
+    import time
+
+    src_dir = str(tmp_path / "src")
+    out = str(tmp_path / "out")
+    ckpt = str(tmp_path / "ckpt")
+    events = load_table(spark, sf_dir, "events")
+    events.repartition(4).write.parquet(src_dir)
+    schema = spark.read.parquet(src_dir).schema
+
+    def start():
+        return (
+            spark.readStream.schema(schema)
+            .option("maxFilesPerTrigger", "1")
+            .parquet(src_dir)
+            .writeStream.format("parquet")
+            .option("path", out)
+            .option("checkpointLocation", ckpt)
+            .outputMode("append")
+            .start()
+        )
+
+    q = start()
+    deadline = time.time() + 60
+    while time.time() < deadline:
+        p = q.lastProgress
+        if p and p["numInputRows"] > 0:
+            break  # at least one batch committed; die mid-stream
+        time.sleep(0.2)
+    q.stop()
+
+    q2 = start()
+    q2.processAllAvailable()
+    q2.stop()
+
+    written = spark.read.parquet(out)
+    n = events.count()
+    assert written.count() == n, "lost or duplicated rows across restart"
+    assert written.select("event_id").distinct().count() == n
