@@ -115,3 +115,22 @@ def frame_sample_plan(df: DataFrame, every_ms: int = 1000) -> DataFrame:
         df.filter(F.col("kind") == "video")
         .select("media_id", F.explode(frames).alias("frame_ts_ms"))
     )
+
+
+def resize_plan(df: DataFrame, max_side: int = 512) -> DataFrame:
+    """Aspect-preserving resize *plan*: target (new_w, new_h) per image
+    so the longer side becomes ``max_side`` (never upscales) — pure
+    integer/metadata expressions; the pixel resample itself is the
+    stubbed codec step. floor(dim·max_side/long_side) matches the
+    formula every thumbnailer uses; both dims stay ≥ 1."""
+    long_side = F.greatest(F.col("width"), F.col("height"))
+    scale = F.lit(max_side)
+    needs = long_side > scale
+
+    def tgt(dim):
+        return F.when(
+            needs,
+            F.greatest(F.floor(F.col(dim) * scale / long_side), F.lit(1)),
+        ).otherwise(F.col(dim)).cast("long")
+
+    return df.withColumn("new_w", tgt("width")).withColumn("new_h", tgt("height"))

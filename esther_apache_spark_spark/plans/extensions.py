@@ -978,3 +978,72 @@ def streaming_interval_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     return run_streaming_interval_join(spark, sf_dir)
+
+
+@register(
+    "image_resize_dims",
+    oracle="""
+    WITH media AS (
+        SELECT doc_id AS media_id,
+               CAST(100 + n_chars % 1900 AS BIGINT) AS width,
+               CAST(100 + (n_chars * 7) % 1000 AS BIGINT) AS height
+        FROM documents
+    )
+    SELECT media_id, width, height,
+           CAST(CASE WHEN GREATEST(width, height) > 512
+                     THEN GREATEST(CAST(floor(width * 512
+                              / GREATEST(width, height)) AS BIGINT), 1)
+                     ELSE width END AS BIGINT) AS new_w,
+           CAST(CASE WHEN GREATEST(width, height) > 512
+                     THEN GREATEST(CAST(floor(height * 512
+                              / GREATEST(width, height)) AS BIGINT), 1)
+                     ELSE height END AS BIGINT) AS new_h
+    FROM media
+    """,
+)
+def image_resize_dims(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multimodal resize planning (operators/multimodal.resize_plan):
+    aspect-preserving target dims, longer side capped at 512, never
+    upscaled — pure metadata math, so unlike the codec step it IS
+    SQL-oracle-able. Media metadata synthesized deterministically from
+    documents (the media table stand-in this testdata lacks). Zero
+    shuffle: the whole plan is one projection."""
+    from esther_apache_spark_spark.operators.multimodal import resize_plan
+
+    docs = load_table(spark, sf_dir, "documents")
+    media = docs.select(
+        F.col("doc_id").alias("media_id"),
+        (F.lit(100) + F.col("n_chars") % 1900).cast("long").alias("width"),
+        (F.lit(100) + (F.col("n_chars") * 7) % 1000).cast("long").alias("height"),
+    )
+    return resize_plan(media, max_side=512)
+
+
+@register(
+    "video_frame_sample_plan",
+    oracle="""
+    SELECT media_id, unnest(range(0, duration_ms, 1000)) AS frame_ts_ms
+    FROM (
+        SELECT doc_id AS media_id,
+               CAST(GREATEST(n_chars * 20, 1) AS BIGINT) AS duration_ms
+        FROM documents
+    )
+    """,
+)
+def video_frame_sample_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Video frame-sampling plan (operators/multimodal.frame_sample_plan):
+    one row per (video, 1 Hz frame timestamp) — sequence+explode on
+    metadata; frame DECODE stays the stubbed step. duration synthesized
+    from documents (20 ms per char, min 1 so every video yields frame 0,
+    matching the plan's zero-duration guard)."""
+    from esther_apache_spark_spark.operators.multimodal import frame_sample_plan
+
+    docs = load_table(spark, sf_dir, "documents")
+    media = docs.select(
+        F.col("doc_id").alias("media_id"),
+        F.lit("video").alias("kind"),
+        F.greatest(F.col("n_chars") * 20, F.lit(1)).cast("long").alias("duration_ms"),
+    )
+    return frame_sample_plan(media, every_ms=1000).select(
+        "media_id", F.col("frame_ts_ms").cast("long").alias("frame_ts_ms")
+    )
