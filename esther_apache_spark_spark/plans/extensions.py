@@ -1047,3 +1047,36 @@ def video_frame_sample_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
     return frame_sample_plan(media, every_ms=1000).select(
         "media_id", F.col("frame_ts_ms").cast("long").alias("frame_ts_ms")
     )
+
+
+@register(
+    "sql_api_revenue_by_year",
+    oracle="""
+    SELECT CAST(year(o_orderdate) AS INT) AS order_year,
+           CAST(COUNT(*) AS BIGINT) AS n_orders,
+           CAST(ROUND(SUM(CAST(o_totalprice AS DECIMAL(14,2))), 2) AS DOUBLE)
+               AS total_revenue
+    FROM orders
+    GROUP BY 1
+    """,
+)
+def sql_api_revenue_by_year(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The Spark SQL entry path (survey S5 names spark.read.table; the
+    tutorials run spark.sql throughout): register the parquet table as a
+    temp view, read it back via ``spark.table``, and run the SAME SQL
+    text the DuckDB oracle runs — one portable-ANSI statement planned by
+    Catalyst identically to the DataFrame form. Demonstrates that the
+    catalog's queries are reachable from pure SQL, not just the
+    DataFrame builder."""
+    load_table(spark, sf_dir, "orders").createOrReplaceTempView("orders_view")
+    assert spark.table("orders_view") is not None
+    return spark.sql(
+        """
+        SELECT CAST(year(o_orderdate) AS INT) AS order_year,
+               CAST(COUNT(*) AS BIGINT) AS n_orders,
+               CAST(ROUND(SUM(CAST(o_totalprice AS DECIMAL(14,2))), 2) AS DOUBLE)
+                   AS total_revenue
+        FROM orders_view
+        GROUP BY 1
+        """
+    )
