@@ -919,19 +919,47 @@ def dedup_components_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     for LSH candidate pairs, chosen because DuckDB can state it too),
     collapsed to connected components by iterative min-label propagation
     (operators.components). component = min doc_id = the canonical doc
-    each cluster keeps. Oracle: recursive CTE reachability."""
+    each cluster keeps. Oracle: recursive CTE reachability.
+
+    Candidate pairs come from a BANDED equi-join (the rangejoin.py
+    trick on the length axis): ``lang`` alone as the join key makes the
+    per-language match a cartesian filter — quadratic per stratum at
+    100 TB. Instead one side keeps its single length-bucket (width =
+    2·tol+1, so a pair can meet in only the point side's bucket — no
+    dedup pass) and the other explodes into the ≤2 buckets its ±tol
+    window covers; the join key is (lang, bucket) and |Δlen| ≤ tol is a
+    residual filter."""
     from esther_apache_spark_spark.operators.components import connected_components
 
+    tol = 3
+    width = 2 * tol + 1
     docs = load_table(spark, sf_dir, "documents").select("doc_id", "lang", "n_chars")
-    a, b = docs.alias("a"), docs.alias("b")
+    point = docs.select(
+        F.col("lang").alias("b_lang"),
+        F.col("doc_id").alias("dst"),
+        F.col("n_chars").alias("b_len"),
+        F.floor(F.col("n_chars") / width).alias("_bk"),
+    )
+    probe = docs.select(
+        "lang",
+        F.col("doc_id").alias("src"),
+        F.col("n_chars").alias("a_len"),
+        F.explode(
+            F.sequence(
+                F.floor((F.col("n_chars") - tol) / width),
+                F.floor((F.col("n_chars") + tol) / width),
+            )
+        ).alias("_bk"),
+    )
     edges = (
-        a.join(
-            b,
-            (F.col("a.lang") == F.col("b.lang"))
-            & (F.abs(F.col("a.n_chars") - F.col("b.n_chars")) <= 3)
-            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        probe.join(
+            point,
+            (probe.lang == point.b_lang)
+            & (probe._bk == point._bk)
+            & (F.abs(F.col("a_len") - F.col("b_len")) <= tol)
+            & (F.col("src") < F.col("dst")),
         )
-        .select(F.col("a.doc_id").alias("src"), F.col("b.doc_id").alias("dst"))
+        .select("src", "dst")
     )
     return connected_components(edges).select(
         F.col("node").alias("doc_id"), F.col("comp").alias("component")

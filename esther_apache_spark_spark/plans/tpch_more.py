@@ -973,3 +973,28 @@ def q21_sole_failing_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("s_name")
         .agg(F.count(F.lit(1)).cast("long").alias("numwait"))
     )
+
+
+@register(
+    "percentile_rank_suppliers",
+    oracle="""
+    SELECT s_suppkey,
+           CAST(ROUND(percent_rank() OVER w, 9) AS DOUBLE) AS pct_rank,
+           CAST(ROUND(cume_dist() OVER w, 9) AS DOUBLE) AS cume
+    FROM supplier
+    WINDOW w AS (PARTITION BY s_nationkey ORDER BY s_acctbal, s_suppkey)
+    """,
+)
+def percentile_rank_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The remaining analytic window pair (W2 family): percent_rank and
+    cume_dist of supplier balance within nation — rank arithmetic on
+    integer positions ((rank-1)/(n-1), rows≤/n), exact in double on both
+    engines; the suppkey tiebreak makes ranks total-ordered. One
+    shuffle on the partition key, no join."""
+    supplier = load_table(spark, sf_dir, "supplier")
+    w = Window.partitionBy("s_nationkey").orderBy("s_acctbal", "s_suppkey")
+    return supplier.select(
+        "s_suppkey",
+        F.round(F.percent_rank().over(w), 9).cast("double").alias("pct_rank"),
+        F.round(F.cume_dist().over(w), 9).cast("double").alias("cume"),
+    )
