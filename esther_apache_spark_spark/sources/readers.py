@@ -107,3 +107,32 @@ def read_json_lines(
     if isinstance(paths, str):
         paths = [paths]
     return spark.read.schema(schema).json(*paths)
+
+
+def read_json_lines_with_rejects(
+    spark: SparkSession,
+    path: str | Sequence[str],
+    schema: StructType,
+    corrupt_col: str = "_corrupt_record",
+) -> DataFrame:
+    """JSON-lines scan with malformed-row capture (the read-time twin of
+    the K4 quarantine split): PERMISSIVE mode parses what it can and
+    lands each unparseable line, verbatim, in ``corrupt_col`` — so one
+    scan yields both clean rows (``corrupt_col IS NULL``) and a reject
+    side channel, instead of a 100 TB re-read in FAILFAST or silent
+    loss in DROPMALFORMED. The corrupt column must be declared in the
+    read schema (Spark ignores it otherwise) — this helper appends it."""
+    from pyspark.sql.types import StringType, StructField
+
+    if corrupt_col not in schema.fieldNames():
+        schema = StructType(
+            list(schema.fields) + [StructField(corrupt_col, StringType())]
+        )
+    reader = (
+        spark.read.schema(schema)
+        .option("mode", "PERMISSIVE")
+        .option("columnNameOfCorruptRecord", corrupt_col)
+    )
+    if isinstance(path, str):
+        path = [path]
+    return reader.json(list(path))

@@ -45,3 +45,36 @@ def test_json_lines_roundtrip(spark, sf_dir, tmp_path):
     back = read_json_lines(spark, out, TESTDATA["region"])
     assert back.schema == region.schema
     assert _canon_rows(back) == _canon_rows(region)
+
+
+def test_json_lines_permissive_captures_corrupt_rows(spark, tmp_path):
+    """Dirty ingest (the reference's negative-price/uncastable theme at
+    read time): malformed JSON lines land in _corrupt_record; clean rows
+    parse; nothing is silently dropped."""
+    from pyspark.sql import functions as F
+    from pyspark.sql.types import LongType, StringType, StructField, StructType
+
+    from esther_apache_spark_spark.sources.readers import (
+        read_json_lines_with_rejects,
+    )
+
+    p = tmp_path / "dirty.jsonl"
+    p.write_text(
+        '{"id": 1, "name": "ok"}\n'
+        "{broken json!!\n"
+        '{"id": 2, "name": "fine"}\n'
+        'not even close\n'
+    )
+    schema = StructType(
+        [StructField("id", LongType()), StructField("name", StringType())]
+    )
+    df = read_json_lines_with_rejects(spark, str(p), schema).cache()
+    clean = df.filter(F.col("_corrupt_record").isNull())
+    rejects = df.filter(F.col("_corrupt_record").isNotNull())
+    assert df.count() == 4
+    assert clean.count() == 2
+    assert sorted(r["id"] for r in clean.collect()) == [1, 2]
+    assert rejects.count() == 2
+    # rejects carry the original line for the quarantine sink
+    assert any("broken" in r["_corrupt_record"] for r in rejects.collect())
+    df.unpersist()
