@@ -113,3 +113,23 @@ def document_stats(df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
         lang_id(t).alias("lang_pred"),
         fingerprint(t).alias("fingerprint"),
     )
+
+
+def rolling_hash(tokens: Column, mod: int = 2147483647) -> Column:
+    """Polynomial (Rabin-Karp-style) rolling hash over the token
+    sequence: fold acc·31 + h(token) mod 2^31−1, where h is the md5-
+    derived 32-bit bucket (same engine-portable hash the sampling gate
+    uses). ORDER-SENSITIVE — unlike the md5 `fingerprint`, reordered
+    tokens change the value — and incremental: a streaming ingester can
+    extend it token-at-a-time. Pure higher-order expressions (transform
+    + aggregate), so it runs JVM-side; the modulus keeps every
+    intermediate < 2^37, overflow-safe in both Spark and DuckDB."""
+    th = F.transform(
+        tokens,
+        lambda t: F.conv(F.substring(F.md5(t), 1, 8), 16, 10).cast("long"),
+    )
+    return F.aggregate(
+        th,
+        F.lit(0).cast("long"),
+        lambda acc, h: (acc * 31 + h) % F.lit(mod),
+    )

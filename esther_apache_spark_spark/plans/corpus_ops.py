@@ -460,3 +460,31 @@ def encode_documents_to_ids(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     return encoded
+
+
+@register(
+    "rolling_fingerprint_docs",
+    oracle="""
+    SELECT doc_id,
+           list_reduce(
+               list_prepend(0, list_transform(
+                   list_filter(
+                       regexp_split_to_array(
+                           trim(regexp_replace(lower(text), '[^\\w\\s]', '', 'g')),
+                           '\\s+'),
+                       w -> w <> ''),
+                   w -> CAST(CONCAT('0x', substr(md5(w), 1, 8)) AS BIGINT))),
+               (acc, h) -> (acc * 31 + h) % 2147483647) AS rhash
+    FROM documents
+    """,
+)
+def rolling_fingerprint_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rolling-hash document fingerprint (operators/textstats.
+    rolling_hash): order-sensitive Rabin-Karp fold over normalized
+    tokens — the incremental complement to the md5 content fingerprint
+    (dedup_fingerprint). Zero shuffle: one projection over the corpus."""
+    from esther_apache_spark_spark.functions.text import tokenize
+    from esther_apache_spark_spark.operators.textstats import rolling_hash
+
+    docs = load_table(spark, sf_dir, "documents")
+    return docs.select("doc_id", rolling_hash(tokenize(F.col("text"))).alias("rhash"))
