@@ -133,3 +133,30 @@ def write_orc(df: DataFrame, path: str, partition_by: str | None = None) -> None
 def write_json_lines(df: DataFrame, path: str) -> None:
     """Newline-delimited JSON sink (splittable interchange format)."""
     df.write.mode("overwrite").json(path)
+
+
+def write_clustered_parquet(
+    df: DataFrame,
+    path: str,
+    partition_by: str | Sequence[str],
+    cluster_by: str | Sequence[str],
+    max_records_per_file: int | None = None,
+) -> None:
+    """Layout-optimized parquet: value-partitioned directories (K2) with
+    rows CLUSTERED inside each file via ``sortWithinPartitions`` — no
+    global sort, no extra shuffle beyond the repartition, but parquet
+    row-group min/max stats become tight on the cluster keys, so readers
+    filtering on them skip whole row groups (the poor man's Z-order, and
+    the layout that matters most at 100 TB: partition pruning on the
+    partition key + stats pruning on the cluster key).
+    ``max_records_per_file`` caps file size so a skewed partition value
+    can't produce one giant file."""
+    pb = [partition_by] if isinstance(partition_by, str) else list(partition_by)
+    cb = [cluster_by] if isinstance(cluster_by, str) else list(cluster_by)
+    out = df.repartition(*[F.col(c) for c in pb]).sortWithinPartitions(
+        *[F.col(c) for c in (pb + cb)]
+    )
+    w = out.write.mode("overwrite").partitionBy(*pb)
+    if max_records_per_file:
+        w = w.option("maxRecordsPerFile", str(max_records_per_file))
+    w.parquet(path)

@@ -78,3 +78,30 @@ def test_json_lines_permissive_captures_corrupt_rows(spark, tmp_path):
     # rejects carry the original line for the quarantine sink
     assert any("broken" in r["_corrupt_record"] for r in rejects.collect())
     df.unpersist()
+
+
+def test_clustered_parquet_layout_and_stats(spark, sf_dir, tmp_path):
+    """write_clustered_parquet: partition dirs by event_type, rows inside
+    each file sorted by user_id (tight row-group min/max for stats
+    pruning), content round-trips exactly."""
+    import glob
+
+    import pyarrow.parquet as pq
+
+    from esther_apache_spark_spark.sources.sinks import write_clustered_parquet
+
+    events = load_table(spark, sf_dir, "events")
+    out = str(tmp_path / "clustered")
+    write_clustered_parquet(events, out, "event_type", "user_id")
+
+    parts = sorted(glob.glob(out + "/event_type=*"))
+    assert len(parts) >= 2, "no value-partitioned layout"
+
+    files = glob.glob(parts[0] + "/*.parquet")
+    assert files
+    col = pq.read_table(files[0], columns=["user_id"])["user_id"].to_pylist()
+    assert col == sorted(col), "rows not clustered on user_id within file"
+
+    back = spark.read.parquet(out)
+    assert back.count() == events.count()
+    assert back.select(F.sum("value")).collect()[0][0] is not None
