@@ -488,3 +488,19 @@ def rolling_fingerprint_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = load_table(spark, sf_dir, "documents")
     return docs.select("doc_id", rolling_hash(tokenize(F.col("text"))).alias("rhash"))
+
+
+@register("heavy_hitter_users_approx", oracle=None)
+def heavy_hitter_users_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Single-pass approximate heavy hitters via ``DataFrame.freqItems``
+    (Karp-Papadimitriou-Shenker counters): candidate keys above a support
+    threshold with NO per-key shuffle — the sketch merges per-partition,
+    so at 100 TB this is one scan plus a tiny driver merge. Superset
+    guarantee (may over-report, never misses a true heavy hitter);
+    rows-only check, precision pinned against the exact query in
+    tests/test_corpus_ops.py."""
+    events = load_table(spark, sf_dir, "events")
+    cand = events.freqItems(["user_id"], support=0.005)
+    return cand.select(
+        F.explode(F.col("user_id_freqItems")).alias("user_id")
+    ).orderBy("user_id")

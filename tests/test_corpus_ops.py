@@ -35,3 +35,26 @@ def test_scrub_masks_phone_shapes(spark):
 def test_scrub_keeps_short_numbers_and_plain_text(spark):
     assert _scrub(spark, "room 42, floor 3") == "room 42, floor 3"
     assert _scrub(spark, "no pii here") == "no pii here"
+
+
+def test_freq_items_superset_of_exact_heavy_hitters(spark, sf_dir):
+    """freqItems' KPS guarantee: every key with frequency > support
+    appears among the candidates (over-reporting allowed)."""
+    from esther_apache_spark_spark import plans
+
+    approx = {
+        r["user_id"]
+        for r in plans.QUERIES["heavy_hitter_users_approx"].fn(spark, sf_dir).collect()
+    }
+    from esther_apache_spark_spark.schemas import load_table
+
+    ev = load_table(spark, sf_dir, "events")
+    total = ev.count()
+    truly_heavy = {
+        r["user_id"]
+        for r in ev.groupBy("user_id")
+        .count()
+        .filter(F.col("count") > 0.005 * total)
+        .collect()
+    }
+    assert truly_heavy <= approx, "freqItems missed a true heavy hitter"
