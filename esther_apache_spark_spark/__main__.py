@@ -1,0 +1,84 @@
+"""CLI — the runnable face of the engine (the reference is a script,
+``python src/pyspark/pipeline_pyspark.py``; this is the equivalent entry
+point for the library form).
+
+    python -m esther_apache_spark_spark list
+    python -m esther_apache_spark_spark run <query> [--sf-dir DIR] [-n N]
+    python -m esther_apache_spark_spark explain <query> [--sf-dir DIR]
+    python -m esther_apache_spark_spark freshkart [--out DIR]
+"""
+
+from __future__ import annotations
+
+import argparse
+import os
+import sys
+
+
+def main(argv: list[str] | None = None) -> int:
+    p = argparse.ArgumentParser(prog="esther_apache_spark_spark")
+    sub = p.add_subparsers(dest="cmd", required=True)
+
+    sub.add_parser("list", help="list catalog queries (o = DuckDB-oracled)")
+
+    runp = sub.add_parser("run", help="run a catalog query and show rows")
+    runp.add_argument("query")
+    runp.add_argument(
+        "--sf-dir", default=os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.01")
+    )
+    runp.add_argument("-n", type=int, default=20, help="rows to show")
+
+    exp = sub.add_parser("explain", help="print a query's physical plan")
+    exp.add_argument("query")
+    exp.add_argument(
+        "--sf-dir", default=os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.01")
+    )
+
+    fk = sub.add_parser("freshkart", help="replay the reference pipeline on the seeded fixture")
+    fk.add_argument("--out", default="/tmp/freshkart_out")
+
+    args = p.parse_args(argv)
+
+    from esther_apache_spark_spark import plans
+    from esther_apache_spark_spark.session import get_spark
+
+    if args.cmd == "list":
+        for name in sorted(plans.QUERIES):
+            spec = plans.QUERIES[name]
+            mark = "o" if spec.oracle else " "
+            doc = spec.doc.split("\n")[0][:70]
+            print(f"[{mark}] {name:40s} {doc}")
+        return 0
+
+    spark = get_spark("esther-cli")
+    spark.sparkContext.setLogLevel("ERROR")
+
+    if args.cmd in ("run", "explain"):
+        if args.query not in plans.QUERIES:
+            print(f"unknown query: {args.query} (see `list`)", file=sys.stderr)
+            return 2
+        df = plans.QUERIES[args.query].fn(spark, args.sf_dir)
+        if args.cmd == "explain":
+            df.explain("formatted")
+        else:
+            df.show(args.n, truncate=False)
+        return 0
+
+    if args.cmd == "freshkart":
+        from esther_apache_spark_spark.freshkart.fixture import ensure_fixture
+        from esther_apache_spark_spark.freshkart.pipeline import (
+            run_freshkart_pipeline,
+            write_freshkart_outputs,
+        )
+
+        fixture = ensure_fixture()
+        result = run_freshkart_pipeline(spark, fixture)
+        write_freshkart_outputs(result, args.out, f"{args.out}/freshkart.db")
+        print(f"FreshKart outputs written under {args.out}")
+        return 0
+
+    return 2
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())
