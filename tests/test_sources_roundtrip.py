@@ -105,3 +105,16 @@ def test_clustered_parquet_layout_and_stats(spark, sf_dir, tmp_path):
     back = spark.read.parquet(out)
     assert back.count() == events.count()
     assert back.select(F.sum("value")).collect()[0][0] is not None
+
+
+def test_text_sink_roundtrip(spark, tmp_path):
+    """K5/S3: write_text part-files round-trip through read_text."""
+    from esther_apache_spark_spark.sources.readers import read_text
+    from esther_apache_spark_spark.sources.sinks import write_text
+
+    lines = ["alpha", "bravo charlie", "delta"]
+    df = spark.createDataFrame([(s,) for s in lines], "value string")
+    out = str(tmp_path / "txt")
+    write_text(df, out)
+    back = read_text(spark, out)
+    assert sorted(r["value"] for r in back.collect()) == sorted(lines)
