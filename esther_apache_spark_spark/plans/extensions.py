@@ -1108,3 +1108,111 @@ def sql_api_revenue_by_year(spark: SparkSession, sf_dir: str) -> DataFrame:
         GROUP BY 1
         """
     )
+
+
+@register(
+    "set_except_all_multiset",
+    oracle="""
+    SELECT o_custkey AS custkey FROM orders WHERE o_orderstatus = 'O'
+    EXCEPT ALL
+    SELECT o_custkey FROM orders WHERE o_orderpriority = '1-URGENT'
+    """,
+)
+def set_except_all_multiset(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multiset EXCEPT ALL (``exceptAll``): bag difference preserving
+    multiplicity — each urgent order cancels ONE open-order occurrence
+    of the same customer, the semantics dedup accounting needs (distinct
+    EXCEPT would erase a key entirely). Spark plans it as a
+    count-and-replicate aggregate, one shuffle, no join explosion."""
+    orders = load_table(spark, sf_dir, "orders")
+    open_keys = orders.filter(F.col("o_orderstatus") == "O").select(
+        F.col("o_custkey").alias("custkey")
+    )
+    urgent = orders.filter(F.col("o_orderpriority") == "1-URGENT").select(
+        F.col("o_custkey").alias("custkey")
+    )
+    return open_keys.exceptAll(urgent)
+
+
+@register(
+    "set_intersect_all_multiset",
+    oracle="""
+    SELECT o_custkey AS custkey FROM orders WHERE o_orderstatus = 'O'
+    INTERSECT ALL
+    SELECT o_custkey FROM orders WHERE o_orderstatus = 'F'
+    """,
+)
+def set_intersect_all_multiset(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multiset INTERSECT ALL (``intersectAll``): min-of-multiplicities
+    bag intersection — customers appear once per matched (open, final)
+    order pair count, the U2 extension the RDD tutorial's distinct-only
+    ``intersection`` can't express."""
+    orders = load_table(spark, sf_dir, "orders")
+    a = orders.filter(F.col("o_orderstatus") == "O").select(
+        F.col("o_custkey").alias("custkey")
+    )
+    b = orders.filter(F.col("o_orderstatus") == "F").select(
+        F.col("o_custkey").alias("custkey")
+    )
+    return a.intersectAll(b)
+
+
+@register(
+    "date_arithmetic_shipping",
+    oracle="""
+    SELECT CAST(o_orderkey AS BIGINT) AS o_orderkey,
+           strftime(date_trunc('month', o_orderdate), '%Y-%m-%d') AS order_month,
+           strftime(o_orderdate + INTERVAL 90 DAY, '%Y-%m-%d') AS due_date,
+           CAST(date_diff('day', o_orderdate,
+                          o_orderdate + INTERVAL 90 DAY) AS BIGINT) AS days_allowed,
+           CAST(dayofweek(o_orderdate) AS INT) AS order_dow
+    FROM orders WHERE o_orderstatus = 'O'
+    """,
+)
+def date_arithmetic_shipping(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Date arithmetic (absent from the reference, which keeps dates as
+    strings — §1.3): month truncation, interval addition, day diffs,
+    day-of-week — all native date expressions that stay inside codegen
+    and push down (the scan reads 3 columns). DuckDB dayofweek is
+    0=Sunday vs Spark dayofweek 1=Sunday: aligned via Spark's -1."""
+    orders = load_table(spark, sf_dir, "orders").filter(
+        F.col("o_orderstatus") == "O"
+    )
+    d = F.col("o_orderdate")
+    return orders.select(
+        F.col("o_orderkey").cast("long").alias("o_orderkey"),
+        F.date_format(F.date_trunc("month", d), "yyyy-MM-dd").alias("order_month"),
+        F.date_format(F.date_add(d.cast("date"), 90), "yyyy-MM-dd").alias("due_date"),
+        F.datediff(F.date_add(d.cast("date"), 90), d.cast("date"))
+        .cast("long")
+        .alias("days_allowed"),
+        (F.dayofweek(d) - 1).cast("int").alias("order_dow"),
+    )
+
+
+@register(
+    "explode_outer_item_arrays",
+    oracle="""
+    WITH toks AS (
+        SELECT doc_id,
+               list_filter(regexp_split_to_array(text, ' '), w -> w LIKE 'z%')
+                   AS zwords
+        FROM documents
+    )
+    SELECT doc_id, u.zword
+    FROM toks LEFT JOIN LATERAL (SELECT unnest(zwords) AS zword) u ON TRUE
+    """,
+)
+def explode_outer_item_arrays(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """``explode_outer``: rows with EMPTY arrays survive as a single
+    null row (plain explode silently drops them — the row-loss bug every
+    flatten pipeline hits once). Filtering tokens to a rare prefix makes
+    both populated and empty arrays occur, so the outer semantics are
+    actually exercised."""
+    docs = load_table(spark, sf_dir, "documents")
+    zwords = F.filter(
+        F.split(F.col("text"), " "), lambda w: w.startswith("z")
+    )
+    return docs.select(
+        "doc_id", F.explode_outer(zwords).alias("zword")
+    )
