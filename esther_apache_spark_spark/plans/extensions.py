@@ -1216,3 +1216,28 @@ def explode_outer_item_arrays(spark: SparkSession, sf_dir: str) -> DataFrame:
     return docs.select(
         "doc_id", F.explode_outer(zwords).alias("zword")
     )
+
+
+@register(
+    "map_functions_props",
+    oracle="""
+    SELECT event_id,
+           array_to_string(list_sort(json_keys(props)), ' ') AS prop_keys,
+           TRY_CAST(json_extract_string(props, '$.k') AS BIGINT) AS k_value
+    FROM events
+    """,
+)
+def map_functions_props(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MapType surface (absent from the reference — §2.9 "no map-type
+    functions"): parse props as ``map<string,bigint>`` and use
+    map_keys / element_at — the schema-free form for JSON whose keys
+    vary per row (the struct form, json_parse_props, needs them
+    declared). Keys emitted sorted+joined so the comparison never
+    depends on map iteration order."""
+    events = load_table(spark, sf_dir, "events")
+    m = F.from_json("props", "map<string,bigint>")
+    return events.select(
+        "event_id",
+        F.array_join(F.array_sort(F.map_keys(m)), " ").alias("prop_keys"),
+        F.element_at(m, "k").alias("k_value"),
+    )
