@@ -58,3 +58,39 @@ def test_freq_items_superset_of_exact_heavy_hitters(spark, sf_dir):
         .collect()
     }
     assert truly_heavy <= approx, "freqItems missed a true heavy hitter"
+
+
+# Property: rolling_hash matches a pure-Python reference fold.
+import hashlib
+
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+
+
+def _py_rolling_hash(tokens, mod=2147483647):
+    acc = 0
+    for t in tokens:
+        h = int(hashlib.md5(t.encode()).hexdigest()[:8], 16)
+        acc = (acc * 31 + h) % mod
+    return acc
+
+
+@settings(max_examples=20, deadline=None, suppress_health_check=[HealthCheck.too_slow])
+@given(
+    docs=st.lists(
+        st.lists(st.text(alphabet="abcxyz0189", min_size=1, max_size=8), max_size=12),
+        min_size=1,
+        max_size=6,
+    )
+)
+def test_rolling_hash_matches_python_reference(spark, docs):
+    from esther_apache_spark_spark.operators.textstats import rolling_hash
+
+    df = spark.createDataFrame(
+        [(i, toks) for i, toks in enumerate(docs)], "id long, toks array<string>"
+    )
+    got = {
+        r["id"]: r["rh"]
+        for r in df.select("id", rolling_hash(F.col("toks")).alias("rh")).collect()
+    }
+    assert got == {i: _py_rolling_hash(t) for i, t in enumerate(docs)}
