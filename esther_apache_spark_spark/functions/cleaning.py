@@ -55,19 +55,29 @@ def parse_multiformat_ts(col: Column, fail_on_unparseable: bool = False) -> Colu
     """Parse ``'YYYY-MM-DD HH:MM:SS'`` or ``'YYYY-MM-DD'`` strings to timestamp.
 
     Native rewrite of the reference's ``order_date_str`` UDF parse step
-    (``pipeline_pyspark.py:48-56``): try the timestamp format first, fall
-    back to date-only. With ``fail_on_unparseable`` the reference's
-    raise-on-garbage behavior is preserved via ``raise_error``; otherwise
-    unparseable input yields NULL (quarantine-friendly).
+    (``pipeline_pyspark.py:48-56``), edge cases included: the reference
+    does ``str(value or '').strip()`` before parsing, so surrounding
+    whitespace is tolerated (handled by ``trim``) and None/empty input
+    is unparseable. With ``fail_on_unparseable`` the reference's
+    raise-on-garbage behavior is preserved via ``raise_error`` —
+    including the raise on NULL/empty, exactly like the reference's
+    raise-on-None; otherwise unparseable input yields NULL
+    (quarantine-friendly).
     """
+    cleaned = F.trim(col)
     parsed = F.coalesce(
-        F.try_to_timestamp(col, F.lit("yyyy-MM-dd HH:mm:ss")),
-        F.try_to_timestamp(col, F.lit("yyyy-MM-dd")),
+        F.try_to_timestamp(cleaned, F.lit("yyyy-MM-dd HH:mm:ss")),
+        F.try_to_timestamp(cleaned, F.lit("yyyy-MM-dd")),
     )
     if fail_on_unparseable:
         return F.when(
-            col.isNotNull() & parsed.isNull(),
-            F.raise_error(F.concat(F.lit("unparseable created_at: "), col)),
+            parsed.isNull(),
+            F.raise_error(
+                F.concat(
+                    F.lit("unparseable created_at: "),
+                    F.coalesce(col.cast("string"), F.lit("NULL")),
+                )
+            ),
         ).otherwise(parsed)
     return parsed
 

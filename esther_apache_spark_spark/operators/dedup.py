@@ -10,17 +10,31 @@ bucket-joins all JVM-side, no Python worker in the hot path.
 Scale notes:
 - Candidate generation is a self-equi-join on (band, bucket) — a normal
   shuffle join Spark can plan; no all-pairs comparison ever happens.
-- Hot buckets (boilerplate docs) skew the join; AQE skew-join splits
-  them. A salt-by-bucket-size refinement can be added when needed.
+- Hot buckets (boilerplate docs) make the candidate join / rerank
+  quadratic in the bucket size. Every bucketed operator therefore caps
+  bucket size deterministically (``max_bucket``): buckets larger than
+  the cap are split into ``ceil(size/max_bucket)`` shards on a
+  band-salted id hash, bounding per-task pair counts at
+  O(max_bucket²). The salt varies per band/table, so a boilerplate
+  cluster shards differently in every band and stays connected for
+  downstream connected-components dedup (each doc still pairs with
+  ~bands·max_bucket neighbors); only the marginal all-pairs recall
+  inside mega-clusters is given up. Pass ``max_bucket=None`` to disable.
 - Signatures are fixed-width arrays (num_perm longs), so the shuffle
   payload per doc is O(num_perm), independent of doc size.
+- The ``.cache()`` calls are load-bearing: they are plan barriers that
+  keep Arrow-batched UDFs out of generator operators AND the relation
+  both sides of the self-join reuse. They are not unpersisted here
+  (results are lazy — the frames are still needed when the caller
+  materializes); callers owning long-lived sessions should
+  ``spark.catalog.clearCache()`` between operator runs.
 """
 
 from __future__ import annotations
 
 import numpy as np
 import pandas as pd
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 from esther_apache_spark_spark.functions.text import (
@@ -60,6 +74,29 @@ def exact_dup_groups(df: DataFrame, text_col: str = "text", id_col: str = "doc_i
 
 
 _LONG_MAX = 9223372036854775807
+
+
+def _shard_by_size(
+    df: DataFrame, bucket_cols: list[str], id_col: str, salt_col: str, max_bucket: int
+) -> DataFrame:
+    """Append ``_shard``: a deterministic sub-bucket bounding group sizes.
+
+    ``nshards = ceil(bucket_size / max_bucket)`` via a window count over
+    the bucket keys (one extra shuffle, linear work — the hot bucket
+    passes through a single task but does no quadratic work there), then
+    ``shard = xxhash64(id, band) % nshards``. Salting the hash with the
+    band/table id makes each band shard a hot cluster differently, which
+    is what keeps mega-clusters connected across bands. Buckets at or
+    under the cap get nshards=1 → _shard=0, so results are byte-identical
+    to the uncapped plan on non-pathological data."""
+    w = Window.partitionBy(*bucket_cols)
+    nsh = F.greatest(
+        F.lit(1).cast("long"),
+        F.ceil(F.count(F.lit(1)).over(w) / F.lit(max_bucket)).cast("long"),
+    )
+    return df.withColumn(
+        "_shard", F.pmod(F.xxhash64(F.col(id_col), F.col(salt_col)), nsh)
+    )
 
 
 def minhash_signature(
@@ -171,6 +208,7 @@ def minhash_lsh_candidates(
     num_perm: int = 32,
     bands: int = 8,
     shingle_n: int = 3,
+    max_bucket: int | None = 4096,
 ) -> DataFrame:
     """Near-duplicate candidate pairs via MinHash + LSH banding.
 
@@ -178,7 +216,12 @@ def minhash_lsh_candidates(
     sig_agreement is the fraction of matching signature positions — an
     unbiased Jaccard estimate. Pipeline: signature (narrow) → explode
     into ``bands`` band-hashes → self-join on (band, band_hash) →
-    distinct pairs. The join is the only shuffle."""
+    distinct pairs. The join is the only shuffle.
+
+    ``max_bucket`` bounds the self-join fan-out on hot buckets (see
+    module docstring): buckets above the cap are sharded, so a 100 TB
+    boilerplate cluster costs O(shards·max_bucket²) pairs instead of
+    O(cluster²)."""
     rows_per_band = num_perm // bands
     if rows_per_band * bands != num_perm:
         raise ValueError("num_perm must be divisible by bands")
@@ -241,14 +284,18 @@ def minhash_lsh_candidates(
             )
         ).alias("_band", "_bucket"),
     )
+    keys = ["_band", "_bucket"]
+    if max_bucket is not None:
+        banded = _shard_by_size(banded, keys, "_id", "_band", max_bucket)
+        keys = keys + ["_shard"]
     left = banded.select(
-        F.col("_id").alias("id_a"), F.col("_sig").alias("sig_a"), "_band", "_bucket"
+        F.col("_id").alias("id_a"), F.col("_sig").alias("sig_a"), *keys
     )
     right = banded.select(
-        F.col("_id").alias("id_b"), F.col("_sig").alias("sig_b"), "_band", "_bucket"
+        F.col("_id").alias("id_b"), F.col("_sig").alias("sig_b"), *keys
     )
     pairs = (
-        left.join(right, ["_band", "_bucket"])
+        left.join(right, keys)
         .filter(F.col("id_a") < F.col("id_b"))
         .select("id_a", "id_b", "sig_a", "sig_b")
         .dropDuplicates(["id_a", "id_b"])
@@ -268,37 +315,59 @@ def ngram_jaccard_pairs(
     text_col: str = "text",
     shingle_n: int = 3,
     threshold: float = 0.5,
+    max_df: int | None = 100_000,
 ) -> DataFrame:
     """Exact n-gram Jaccard similarity for candidate pairs via an
-    inverted-index join (explode shingles → join on shingle → count
-    common / union). Exact but quadratic in the worst case — use after
-    LSH candidate generation at scale, or directly on modest corpora."""
+    inverted-index join (explode shingles → join on shingle → exact
+    recount of the intersection on the full shingle sets).
+
+    ``max_df`` prunes the inverted index: shingles appearing in more
+    than ``max_df`` documents (stop-shingles — boilerplate, license
+    headers) are dropped BEFORE the self-join, so a shingle with df = d
+    contributes O(d²) candidate pairs only while d ≤ max_df. Without it
+    a shingle in 1% of a 100 TB corpus alone yields ~(0.01·N)² pairs.
+    Pruning affects candidate RECALL only, never values: the reported
+    jaccard is recomputed exactly on the full (unpruned) shingle sets,
+    so any emitted pair carries its true Jaccard including hot shingles.
+    A pair is missed only if ALL its shared shingles are hot — the
+    default cap (100k docs) makes that astronomically unlikely for real
+    near-dups. ``max_df=None`` disables pruning (fully exact)."""
     # Shingles travel as 64-bit hashes, not strings: same distinct-set
     # cardinality w.h.p. (64-bit collisions negligible), far cheaper to
     # build, and the inverted-index join shuffles longs instead of text.
     shingled = df.select(
         F.col(id_col).alias("_id"),
         F.array_distinct(shingle_hashes(tokenize(F.col(text_col)), shingle_n)).alias("_sh"),
-    ).cache()  # feeds the sizes lookup and both sides of the index join
-    sizes = shingled.select("_id", F.size("_sh").alias("_n"))
+    ).cache()  # feeds the index join and the exact-recount joins
     inv = shingled.select("_id", F.explode("_sh").alias("_g"))
-    common = (
+    if max_df is not None:
+        # document frequency per shingle is a map-side-combinable count;
+        # the hot-shingle list is tiny (≤ distinct_shingles/max_df) → broadcast anti-join
+        hot = (
+            inv.groupBy("_g")
+            .agg(F.count(F.lit(1)).alias("_df"))
+            .filter(F.col("_df") > max_df)
+            .select("_g")
+        )
+        inv = inv.join(F.broadcast(hot), "_g", "left_anti")
+    cand = (
         inv.alias("a")
         .join(inv.alias("b"), "_g")
         .filter(F.col("a._id") < F.col("b._id"))
-        .groupBy(F.col("a._id").alias("id_a"), F.col("b._id").alias("id_b"))
-        .agg(F.count(F.lit(1)).alias("_common"))
+        .select(F.col("a._id").alias("id_a"), F.col("b._id").alias("id_b"))
+        .dropDuplicates(["id_a", "id_b"])
     )
-    sa = sizes.select(F.col("_id").alias("id_a"), F.col("_n").alias("_na"))
-    sb = sizes.select(F.col("_id").alias("id_b"), F.col("_n").alias("_nb"))
+    sa = shingled.select(F.col("_id").alias("id_a"), F.col("_sh").alias("_sha"))
+    sb = shingled.select(F.col("_id").alias("id_b"), F.col("_sh").alias("_shb"))
+    # jaccard = |A∩B| / |A∪B| as a raw double ratio — int/int division is
+    # bit-identical across engines (no decimal re-rounding to drift)
     jac = (
-        common.join(sa, "id_a")
+        cand.join(sa, "id_a")
         .join(sb, "id_b")
+        .withColumn("_common", F.size(F.array_intersect("_sha", "_shb")))
         .withColumn(
             "jaccard",
-            F.round(
-                F.col("_common") / (F.col("_na") + F.col("_nb") - F.col("_common")), 4
-            ),
+            F.col("_common") / (F.size("_sha") + F.size("_shb") - F.col("_common")),
         )
     )
     return jac.filter(F.col("jaccard") >= threshold).select("id_a", "id_b", "jaccard")
@@ -356,11 +425,13 @@ def simhash_candidates(
     id_col: str = "doc_id",
     text_col: str = "text",
     band_bits: int = 16,
+    max_bucket: int | None = 4096,
 ) -> DataFrame:
     """Near-dup candidates by SimHash banding: split the 64-bit
     fingerprint into 64/band_bits bands; docs sharing any band are
     candidates (Hamming-distance blocking). Returns (id_a, id_b,
-    hamming) pairs."""
+    hamming) pairs. ``max_bucket`` shards hot buckets to bound the
+    self-join fan-out (see module docstring)."""
     nbands = 64 // band_bits
     # cache = reuse across both join sides AND a plan barrier keeping the
     # Arrow UDF out of the posexplode generator (see minhash note)
@@ -383,9 +454,13 @@ def simhash_candidates(
             )
         ).alias("_band", "_bucket"),
     )
+    keys = ["_band", "_bucket"]
+    if max_bucket is not None:
+        banded = _shard_by_size(banded, keys, "_id", "_band", max_bucket)
+        keys = keys + ["_shard"]
     l, r = banded.alias("a"), banded.alias("b")
     pairs = (
-        l.join(r, ["_band", "_bucket"])
+        l.join(r, keys)
         .filter(F.col("a._id") < F.col("b._id"))
         .select(
             F.col("a._id").alias("id_a"),
@@ -407,6 +482,8 @@ def embedding_cosine_dups(
     n_planes: int = 4,
     n_tables: int = 12,
     seed: int = 42,
+    dim: int | None = None,
+    max_bucket: int | None = 4096,
 ) -> DataFrame:
     """Embedding near-dup pairs: multi-table random-hyperplane LSH
     candidate generation, then exact cosine ≥ threshold within buckets.
@@ -415,16 +492,23 @@ def embedding_cosine_dups(
     Candidates come from an equi-join on (table, bucket) — never
     all-pairs. Recall is tuned by (n_planes, n_tables); the defaults give
     ~87% recall at cosine 0.4 (see ``srp_table_buckets``). At larger
-    corpora raise n_planes (smaller buckets) and n_tables together."""
+    corpora raise n_planes (smaller buckets) and n_tables together.
+
+    Pass ``dim`` when known (it is schema metadata, e.g. a fixed
+    embedding width) — deriving it costs one extra driver job scanning a
+    row. ``max_bucket`` shards hot buckets so the per-bucket GEMM rerank
+    is bounded at O(max_bucket²) memory/compute no matter how large a
+    boilerplate cluster gets (see module docstring)."""
     import numpy as np
     import pandas as pd
 
     from esther_apache_spark_spark.operators.similarity import srp_table_buckets_vec
 
-    first = df.select(F.size(vec_col).alias("d")).first()
-    if first is None:
-        raise ValueError("empty dataframe")
-    dim = first["d"]
+    if dim is None:
+        first = df.select(F.size(vec_col).alias("d")).first()
+        if first is None:
+            raise ValueError("empty dataframe; pass dim explicitly")
+        dim = first["d"]
 
     b = df.select(
         F.col(id_col).alias("_id"),
@@ -433,6 +517,10 @@ def embedding_cosine_dups(
             srp_table_buckets_vec(F.col(vec_col), dim, n_planes, n_tables, seed)
         ).alias("_table", "_bucket"),
     )
+    group_keys = ["_table", "_bucket"]
+    if max_bucket is not None:
+        b = _shard_by_size(b, group_keys, "_id", "_table", max_bucket)
+        group_keys = group_keys + ["_shard"]
 
     # Exact rerank per bucket as ONE numpy GEMM over the bucket's vectors
     # (Arrow-batched applyInPandas) — the candidate count is quadratic in
@@ -460,7 +548,7 @@ def embedding_cosine_dups(
         lo, hi = np.minimum(a, bb), np.maximum(a, bb)
         return pd.DataFrame({"id_a": lo, "id_b": hi, "cosine": cos[ok]})
 
-    pairs = b.groupBy("_table", "_bucket").applyInPandas(
+    pairs = b.groupBy(*group_keys).applyInPandas(
         bucket_pairs, "id_a long, id_b long, cosine double"
     )
     return pairs.dropDuplicates(["id_a", "id_b"])

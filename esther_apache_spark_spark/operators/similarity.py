@@ -100,14 +100,28 @@ def brute_force_topk_pandas(
             ids = pdf[id_col].to_numpy()
             cm = np.array(pdf[vec_col].tolist(), dtype="float64")
             cm /= np.maximum(np.linalg.norm(cm, axis=1, keepdims=True), 1e-12)
-            scores = cm @ qm.T  # (batch, n_queries)
+            # round BEFORE the local cut: the global rank orders by the
+            # rounded cosine, so the local selection must use the same
+            # key or a raw-score ordering could cut a row the global
+            # (cosine desc, neighbor_id asc) order keeps
+            scores = np.round(cm @ qm.T, 6)  # (batch, n_queries)
             top = min(k, len(ids))
-            # local top-k per query: argpartition then exact sort
-            part = np.argpartition(-scores, top - 1, axis=0)[:top]
             rows = []
             for j, qid in enumerate(q_ids):
-                for i in part[:, j]:
-                    rows.append((int(qid), int(ids[i]), round(float(scores[i, j]), 6)))
+                col = scores[:, j]
+                if top < len(ids):
+                    # argpartition gives the top scores but breaks ties
+                    # arbitrarily; widen to ALL rows tied with the k-th
+                    # score, then apply the total order (score desc,
+                    # neighbor_id asc) so the local cut can never drop a
+                    # row the global order ranks within k
+                    part = np.argpartition(-col, top - 1)[:top]
+                    cand = np.flatnonzero(col >= col[part].min())
+                else:
+                    cand = np.arange(len(ids))
+                order = cand[np.lexsort((ids[cand], -col[cand]))][:top]
+                for i in order:
+                    rows.append((int(qid), int(ids[i]), float(col[i])))
             yield pd.DataFrame(rows, columns=["query_id", "neighbor_id", "cosine"])
 
     scored = corpus.select(id_col, vec_col).mapInPandas(scan, out_schema)
@@ -166,6 +180,55 @@ def _argmax_centroid(vec: Column, centroids: list[list[float]], top: int = 1) ->
     return F.transform(F.slice(ranked, 1, top), lambda s: s["cid"])
 
 
+def kmeans_centroids(
+    corpus: DataFrame,
+    nlist: int = 16,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    sample: int = 4096,
+    iters: int = 5,
+    seed: int = 42,
+) -> list[list[float]]:
+    """Deterministic driver-side spherical k-means for the IVF coarse
+    quantizer.
+
+    A hash-ordered sample (``orderBy(xxhash64(id, seed))`` — a
+    deterministic pseudo-random shuffle, planned as TakeOrdered: per-
+    partition top-k then a driver merge, no full shuffle) is collected
+    and Lloyd-iterated in NumPy: assign to argmax-dot centroid,
+    recompute means, re-normalize; an emptied cluster keeps its previous
+    centroid. Everything is seeded and order-stable, so the centroids —
+    and therefore every downstream assignment — are reproducible.
+
+    The sample is the only driver-side data (``sample`` rows × dim
+    doubles); training cost is O(iters · sample · nlist · dim) on the
+    driver — trivial next to one corpus scan. At 100 TB this replaces
+    the degenerate first-``nlist``-by-id quantizer with data-adaptive
+    cells: balanced lists, better recall at the same ``nprobe``."""
+    rows = (
+        corpus.select(F.col(id_col).alias("_id"), F.col(vec_col).alias("_v"))
+        .orderBy(F.xxhash64(F.col("_id"), F.lit(seed)), F.col("_id"))
+        .limit(sample)
+        .collect()
+    )
+    m = np.array([r["_v"] for r in rows], dtype="float64")
+    norms = np.maximum(np.linalg.norm(m, axis=1, keepdims=True), 1e-12)
+    m = m / norms
+    if len(m) <= nlist:
+        return m.tolist()
+    cents = m[:nlist].copy()
+    for _ in range(iters):
+        assign = np.argmax(m @ cents.T, axis=1)
+        for c in range(nlist):
+            members = m[assign == c]
+            if len(members):
+                mean = members.mean(axis=0)
+                n = np.linalg.norm(mean)
+                if n > 1e-12:
+                    cents[c] = mean / n
+    return cents.tolist()
+
+
 def ivf_topk(
     corpus: DataFrame,
     queries: DataFrame,
@@ -175,26 +238,31 @@ def ivf_topk(
     query_id_col: str = "query_id",
     nlist: int = 16,
     nprobe: int = 4,
+    centroids: list[list[float]] | None = None,
 ) -> DataFrame:
     """IVF-style approximate top-k: coarse-quantize the corpus into
     ``nlist`` inverted lists, probe the ``nprobe`` closest lists per
     query, exact cosine rerank within them.
 
-    The coarse quantizer is deterministic: the first ``nlist`` corpus
-    vectors by id, L2-normalized on the driver (a tiny model parameter —
-    at scale swap in k-means centroids trained offline; the assignment
-    and probe plan is unchanged). Corpus assignment is a narrow
-    projection, candidates come from an equi-join on list id — the same
-    no-all-pairs property as the LSH path, but with data-adaptive cells
-    and a recall knob (``nprobe``) that needs no re-hashing."""
+    ``centroids`` plugs in a trained quantizer (see
+    ``kmeans_centroids``); the default is deterministic-but-degenerate —
+    the first ``nlist`` corpus vectors by id, L2-normalized on the
+    driver. The default is kept as-is because it is SQL-expressible
+    (the catalog query's DuckDB oracle replays it exactly); the
+    assignment and probe plan is identical either way. Corpus
+    assignment is a narrow projection, candidates come from an
+    equi-join on list id — the same no-all-pairs property as the LSH
+    path, but with data-adaptive cells and a recall knob (``nprobe``)
+    that needs no re-hashing."""
     import numpy as np  # local: driver-side centroid prep only
 
-    cvecs = (
-        corpus.select(id_col, vec_col).orderBy(id_col).limit(nlist).collect()
-    )
-    cents = np.array([r[vec_col] for r in cvecs], dtype="float64")
-    cents /= np.maximum(np.linalg.norm(cents, axis=1, keepdims=True), 1e-12)
-    centroids = cents.tolist()
+    if centroids is None:
+        cvecs = (
+            corpus.select(id_col, vec_col).orderBy(id_col).limit(nlist).collect()
+        )
+        cents = np.array([r[vec_col] for r in cvecs], dtype="float64")
+        cents /= np.maximum(np.linalg.norm(cents, axis=1, keepdims=True), 1e-12)
+        centroids = cents.tolist()
 
     cb = corpus.select(
         F.col(id_col).alias("neighbor_id"),

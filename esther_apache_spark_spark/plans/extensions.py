@@ -19,7 +19,7 @@ from esther_apache_spark_spark.operators import textstats as TS
 from esther_apache_spark_spark.operators.asof import as_of_join
 from esther_apache_spark_spark.operators.windows import keep_first
 from esther_apache_spark_spark.plans.catalog import register
-from esther_apache_spark_spark.schemas import load_table
+from esther_apache_spark_spark.schemas import EMBEDDING_DIM, load_table
 from esther_apache_spark_spark.streaming.events import (
     run_streaming_tumbling_agg,
     sessionize_batch,
@@ -241,9 +241,39 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     return D.simhash_candidates(docs, band_bits=16).filter(F.col("hamming") <= 8)
 
 
-@register("dedup_ngram_jaccard", oracle=None)
+@register(
+    "dedup_ngram_jaccard",
+    oracle="""
+    WITH toks AS (
+        SELECT doc_id,
+               list_filter(regexp_split_to_array(trim(regexp_replace(lower(text), '[^\\w\\s]', '', 'g')), '\\s+'), x -> x <> '') AS t
+        FROM documents
+    ),
+    sh AS (
+        SELECT doc_id,
+               list_distinct(
+                   CASE WHEN len(t) >= 3
+                        THEN list_transform(range(1, len(t) - 1),
+                                            i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2])
+                        ELSE CAST([] AS VARCHAR[]) END
+               ) AS s
+        FROM toks
+    )
+    SELECT id_a, id_b, jaccard FROM (
+        SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+               len(list_intersect(a.s, b.s))
+                   / (len(a.s) + len(b.s) - len(list_intersect(a.s, b.s))) AS jaccard
+        FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+    ) WHERE jaccard >= 0.5
+    """,
+)
 def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Exact 3-gram Jaccard pairs ≥ 0.5 via inverted-index join."""
+    """Exact 3-gram Jaccard pairs ≥ 0.5 via inverted-index join with
+    document-frequency pruning (no-op at test SFs — the cap only bites
+    on corpus-scale stop-shingles). The jaccard value is an exact
+    int/int double ratio, so the DuckDB all-pairs oracle matches
+    bit-for-bit; shingles travel as 64-bit hashes Spark-side, which
+    preserves distinct-set cardinalities w.h.p."""
     docs = load_table(spark, sf_dir, "documents")
     return D.ngram_jaccard_pairs(docs, shingle_n=3, threshold=0.5)
 
@@ -251,9 +281,12 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register("dedup_embedding_cosine", oracle=None)
 def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Embedding near-dup pairs: multi-table SRP-LSH candidates + exact
-    cosine ≥ 0.4 rerank (~60 true pairs exist at sf0.01)."""
+    cosine ≥ 0.4 rerank (~60 true pairs exist at sf0.01). ``dim`` comes
+    from schema metadata — no driver job to rediscover it."""
     emb = load_table(spark, sf_dir, "embeddings")
-    return D.embedding_cosine_dups(emb, threshold=0.4, n_planes=4, n_tables=12)
+    return D.embedding_cosine_dups(
+        emb, threshold=0.4, n_planes=4, n_tables=12, dim=EMBEDDING_DIM
+    )
 
 
 # ---------------------------------------------------------------------------
@@ -324,16 +357,74 @@ def similarity_topk_pandas(spark: SparkSession, sf_dir: str) -> DataFrame:
     return S.brute_force_topk_pandas(emb, queries, k=10, query_id_col="query_id")
 
 
-@register("similarity_topk_ivf", oracle=None)
+@register(
+    "similarity_topk_ivf",
+    oracle="""
+    WITH cents AS (
+        SELECT CAST(row_number() OVER (ORDER BY vec_id) AS INTEGER) - 1 AS cid,
+               list_transform(
+                   CAST(embedding AS DOUBLE[]),
+                   x -> x / greatest(sqrt(list_dot_product(CAST(embedding AS DOUBLE[]),
+                                                           CAST(embedding AS DOUBLE[]))), 1e-12)
+               ) AS c
+        FROM (SELECT vec_id, embedding FROM embeddings ORDER BY vec_id LIMIT 16)
+    ),
+    corpus AS (SELECT vec_id AS neighbor_id, CAST(embedding AS DOUBLE[]) AS cv FROM embeddings),
+    cassign AS (
+        SELECT neighbor_id, cv, cid,
+               row_number() OVER (PARTITION BY neighbor_id
+                                  ORDER BY list_dot_product(cv, c) DESC, cid DESC) AS rn
+        FROM corpus CROSS JOIN cents
+    ),
+    clists AS (SELECT neighbor_id, cv, cid AS list_id FROM cassign WHERE rn = 1),
+    qs AS (SELECT vec_id AS query_id, CAST(embedding AS DOUBLE[]) AS qv
+           FROM embeddings WHERE vec_id < 5),
+    qassign AS (
+        SELECT query_id, qv, cid,
+               row_number() OVER (PARTITION BY query_id
+                                  ORDER BY list_dot_product(qv, c) DESC, cid DESC) AS rn
+        FROM qs CROSS JOIN cents
+    ),
+    qlists AS (SELECT query_id, qv, cid AS list_id FROM qassign WHERE rn <= 4),
+    scored AS (
+        SELECT DISTINCT q.query_id, c.neighbor_id,
+               ROUND(list_cosine_similarity(q.qv, c.cv), 6) + 0.0 AS cosine
+        FROM clists c JOIN qlists q USING (list_id)
+    )
+    SELECT query_id, neighbor_id, cosine FROM (
+        SELECT query_id, neighbor_id, cosine,
+               row_number() OVER (PARTITION BY query_id
+                                  ORDER BY cosine DESC, neighbor_id ASC) AS rn
+        FROM scored
+    ) WHERE rn <= 10
+    """,
+)
 def similarity_topk_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Approximate top-10 via IVF coarse quantization (nlist inverted
-    lists, nprobe probed per query) + exact rerank. The data-adaptive
-    alternative to the SRP-LSH path; rows-only by approximation."""
+    lists, nprobe probed per query) + exact rerank. Fully deterministic
+    (first-nlist-by-id quantizer, argmax-dot assignment with
+    larger-cid tiebreak), so the DuckDB oracle replays the whole
+    pipeline — quantizer, assignment, probing, rerank — exactly."""
     emb = load_table(spark, sf_dir, "embeddings")
     queries = emb.filter(F.col("vec_id") < 5).select(
         F.col("vec_id").alias("query_id"), "embedding"
     )
     return S.ivf_topk(emb, queries, k=10, nlist=16, nprobe=4)
+
+
+@register("similarity_topk_ivf_kmeans", oracle=None)
+def similarity_topk_ivf_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF top-10 with TRAINED centroids: deterministic driver-side
+    spherical k-means over a hash-ordered sample replaces the degenerate
+    first-nlist quantizer — data-adaptive cells, better recall at equal
+    nprobe (asserted in tests/test_skew_and_streaming.py). The k-means
+    result is not SQL-expressible → rows-only check."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    cents = S.kmeans_centroids(emb, nlist=16, iters=5, seed=42)
+    return S.ivf_topk(emb, queries, k=10, nprobe=4, centroids=cents)
 
 
 # ---------------------------------------------------------------------------

@@ -106,6 +106,12 @@ TESTDATA: dict[str, StructType] = {
 
 TESTDATA_TABLES = tuple(TESTDATA)
 
+# Embedding width of the testdata corpus. Spark's ArrayType carries no
+# length, so the fixed width lives here as schema metadata — operators
+# take it as a parameter instead of burning a driver job on
+# ``df.select(size(...)).first()`` to rediscover it.
+EMBEDDING_DIM = 64
+
 # FreshKart model (reference §1.2). The nested items array-of-struct is
 # the one nested type in the reference (``pipeline_pyspark.py:112-121``).
 ORDER_ITEM = StructType(

@@ -125,25 +125,35 @@ def running_user_totals_stream(
     aggregations can't express (the built-ins cover tumbling/sliding/
     session); the state store shuffles by user_id exactly like a groupBy,
     and state size is O(distinct users). Returns the final totals table
-    (last update per user) after driving the stream to completion."""
+    (last update per user) after driving the stream to completion.
+
+    The running total accumulates in integer cents (``value`` is
+    2-decimal money), not a float — integer addition is exact and
+    order-independent, so the result does not depend on micro-batch
+    arrival order, matching the decimal-exact convention of the batch
+    aggregates (``functions/money.py``)."""
     import pandas as pd
     from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
 
+    scale = 10 ** value_round
+
     def update(key, pdfs, state: GroupState):
-        cnt, total = state.get if state.exists else (0, 0.0)
+        cnt, cents = state.get if state.exists else (0, 0)
         for pdf in pdfs:
             cnt += len(pdf)
-            total += float(pdf["value"].sum())
-        state.update((cnt, total))
+            # per-row to integer cents (exact for 2-decimal money), then
+            # integer sum — order-independent, unlike a float accumulator
+            cents += int((pdf["value"] * scale).round().astype("int64").sum())
+        state.update((cnt, cents))
         yield pd.DataFrame(
-            {"user_id": [key[0]], "n_events": [cnt], "total_value": [round(total, value_round)]}
+            {"user_id": [key[0]], "n_events": [cnt], "total_value": [cents / scale]}
         )
 
     stream = streaming_events_source(spark, sf_dir)
     updates = stream.groupBy("user_id").applyInPandasWithState(
         update,
         outputStructType="user_id long, n_events long, total_value double",
-        stateStructType="cnt long, total double",
+        stateStructType="cnt long, cents long",
         outputMode="update",
         timeoutConf=GroupStateTimeout.NoTimeout,
     )

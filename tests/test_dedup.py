@@ -85,7 +85,8 @@ def test_ngram_jaccard_is_exact(spark):
     }
     sh = [_py_shingles(t) for t in texts]
     for (a, b), j in got.items():
-        assert j == pytest.approx(round(_jaccard(sh[a], sh[b]), 4), abs=1e-9)
+        # exact int/int double ratio — bit-identical to the Python value
+        assert j == _jaccard(sh[a], sh[b]), (a, b)
     # every overlapping pair is present (threshold 0 keeps all candidates)
     for a in range(len(texts)):
         for b in range(a + 1, len(texts)):

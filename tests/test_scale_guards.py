@@ -1,0 +1,257 @@
+"""Adversarial scale guards (VERDICT r01 follow-ups).
+
+The 100 TB failure mode for every LSH-family operator is the hot bucket:
+a boilerplate cluster (identical docs, license headers, zero-ish
+embeddings) that lands one quadratic-cost group on one executor. These
+tests plant exactly that pathology at test scale — a cluster far bigger
+than ``max_bucket`` — and assert the three properties the cap must
+deliver: the operator completes with a bounded pair count (not
+O(cluster²)), the cluster stays CONNECTED for downstream
+connected-components dedup, and non-pathological data is byte-identical
+to the uncapped plan.
+
+Also here: document-frequency pruning semantics for exact n-gram
+Jaccard, the no-driver-job ``dim`` contract, and quantizer quality of
+the trained IVF centroids.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pytest
+
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from esther_apache_spark_spark.operators import dedup as D
+from esther_apache_spark_spark.operators import similarity as S
+
+
+def _docs_df(spark, texts):
+    return spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)],
+        "doc_id long, text string",
+    )
+
+
+def _vec_df(spark, vecs):
+    return spark.createDataFrame(
+        [(int(i), [float(x) for x in v]) for i, v in enumerate(vecs)],
+        T.StructType(
+            [
+                T.StructField("vec_id", T.LongType()),
+                T.StructField("embedding", T.ArrayType(T.FloatType())),
+            ]
+        ),
+    )
+
+
+def _max_degree(pairs):
+    """Max per-node edge count — the scale invariant: with the bucket
+    cap, a cluster member pairs with O(bands · max_bucket) neighbors no
+    matter how big the cluster, so total pairs grow O(n), not O(n²)."""
+    from collections import Counter
+
+    deg = Counter()
+    for a, b in pairs:
+        deg[a] += 1
+        deg[b] += 1
+    return max(deg.values()) if deg else 0
+
+
+def _n_components(pairs, ids):
+    """Union-find component count over the pair edge list."""
+    parent = {i: i for i in ids}
+
+    def find(x):
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b in pairs:
+        if a in parent and b in parent:
+            ra, rb = find(a), find(b)
+            if ra != rb:
+                parent[ra] = rb
+    return len({find(i) for i in ids})
+
+
+BOILER = (
+    "this document is provided as is without warranty of any kind either "
+    "express or implied including but not limited to the implied warranties "
+    "of merchantability and fitness for a particular purpose"
+)
+
+
+def test_minhash_hot_bucket_bounded_and_connected(spark):
+    n_dup = 600
+    uniques = [
+        f"unique document number {i} talks about topic {i * 7} and subject "
+        f"{i * 13} with entirely distinct vocabulary item{i}"
+        for i in range(30)
+    ]
+    df = _docs_df(spark, [BOILER] * n_dup + uniques)
+    cap = 40
+    pairs = [
+        (r["id_a"], r["id_b"])
+        for r in D.minhash_lsh_candidates(
+            df, num_perm=32, bands=8, shingle_n=3, max_bucket=cap
+        ).collect()
+    ]
+    cluster_pairs = [p for p in pairs if p[0] < n_dup and p[1] < n_dup]
+    all_pairs = n_dup * (n_dup - 1) // 2
+    assert len(cluster_pairs) < all_pairs / 2
+    # the scale invariant: per-doc degree is O(bands · cap) — independent
+    # of cluster size — so pair count grows O(n), not O(n²). Without the
+    # cap every doc's degree would be n_dup-1 = 599.
+    assert _max_degree(cluster_pairs) <= 8 * 4 * cap  # bands × (hash-skew slack × cap)
+    # connected: every identical doc ends up in ONE dup cluster
+    assert _n_components(cluster_pairs, range(n_dup)) == 1
+
+
+def test_simhash_hot_bucket_bounded_and_connected(spark):
+    n_dup = 600
+    uniques = [
+        f"some other text about item {i} and its qualities {i * 3}"
+        for i in range(20)
+    ]
+    df = _docs_df(spark, [BOILER] * n_dup + uniques)
+    pairs = [
+        (r["id_a"], r["id_b"])
+        for r in D.simhash_candidates(df, band_bits=16, max_bucket=40).collect()
+    ]
+    cluster_pairs = [p for p in pairs if p[0] < n_dup and p[1] < n_dup]
+    assert 0 < len(cluster_pairs) < (n_dup * (n_dup - 1) // 2) / 2
+    assert _max_degree(cluster_pairs) <= 4 * 4 * 40  # bands × slack × cap
+    assert _n_components(cluster_pairs, range(n_dup)) == 1
+
+
+def test_embedding_hot_bucket_bounded_and_connected(spark):
+    rng = np.random.default_rng(17)
+    n_dup = 1500
+    base = rng.standard_normal(16).astype("float32")
+    vecs = np.vstack(
+        [np.tile(base, (n_dup, 1)), rng.standard_normal((40, 16)).astype("float32")]
+    )
+    df = _vec_df(spark, vecs)
+    got = D.embedding_cosine_dups(
+        df, threshold=0.9, n_planes=4, n_tables=6, dim=16, max_bucket=32
+    ).collect()
+    cluster_pairs = [
+        (r["id_a"], r["id_b"]) for r in got if r["id_a"] < n_dup and r["id_b"] < n_dup
+    ]
+    for r in got:
+        if r["id_a"] < n_dup and r["id_b"] < n_dup:
+            assert r["cosine"] == pytest.approx(1.0, abs=1e-4)
+    # bounded: per (table, bucket, shard) the GEMM sees ~max_bucket rows;
+    # per-doc degree stays O(tables · cap), so total pairs grow O(n)
+    assert 0 < len(cluster_pairs) < (n_dup * (n_dup - 1) // 2) / 2
+    assert _max_degree(cluster_pairs) <= 6 * 4 * 32  # tables × slack × cap
+    assert _n_components(cluster_pairs, range(n_dup)) == 1
+
+
+def test_capped_results_identical_on_normal_data(spark):
+    """Buckets at/under the cap: nshards=1 → results byte-identical."""
+    texts = [
+        f"document {i} about {'spark' if i % 2 else 'pandas'} engines "
+        f"with shared middle section of recurring words and tail {i}"
+        for i in range(40
+        )
+    ]
+    df = _docs_df(spark, texts)
+    capped = sorted(
+        (r["id_a"], r["id_b"], r["sig_agreement"])
+        for r in D.minhash_lsh_candidates(df, max_bucket=4096).collect()
+    )
+    uncapped = sorted(
+        (r["id_a"], r["id_b"], r["sig_agreement"])
+        for r in D.minhash_lsh_candidates(df, max_bucket=None).collect()
+    )
+    assert capped == uncapped
+
+
+def test_ngram_df_pruning_drops_hot_keeps_exact_values(spark):
+    # every doc carries the stop-shingle "common boilerplate footer";
+    # docs 0/1 additionally share real content (jaccard >= 0.5)
+    stop = "common boilerplate footer"
+    reals = [
+        f"{stop} alpha beta gamma delta epsilon zeta shared core text",
+        f"{stop} alpha beta gamma delta epsilon zeta shared core body",
+    ]
+    fillers = [f"{stop} filler doc {i} about topic {i * 11}" for i in range(20)]
+    df = _docs_df(spark, reals + fillers)
+
+    pruned = {
+        (r["id_a"], r["id_b"]): r["jaccard"]
+        for r in D.ngram_jaccard_pairs(df, threshold=0.0, max_df=5).collect()
+    }
+    full = {
+        (r["id_a"], r["id_b"]): r["jaccard"]
+        for r in D.ngram_jaccard_pairs(df, threshold=0.0, max_df=None).collect()
+    }
+    # pruning dropped candidates that shared ONLY hot shingles…
+    assert len(pruned) < len(full)
+    # …but every surviving pair carries its EXACT jaccard (hot shingles
+    # included in the value — pruning affects recall, never values)
+    for p, j in pruned.items():
+        assert j == full[p], p
+    # and the real near-dup pair survives with jaccard over the threshold
+    assert pruned[(0, 1)] >= 0.5
+
+
+def test_embedding_dim_param_skips_driver_probe(spark):
+    """With ``dim`` given, no driver job probes the data — an empty
+    frame no longer raises (the probe was the only eager step)."""
+    empty = spark.createDataFrame(
+        [],
+        T.StructType(
+            [
+                T.StructField("vec_id", T.LongType()),
+                T.StructField("embedding", T.ArrayType(T.FloatType())),
+            ]
+        ),
+    )
+    out = D.embedding_cosine_dups(empty, dim=16)  # lazy: no job, no raise
+    assert out.count() == 0
+    with pytest.raises(ValueError, match="pass dim"):
+        D.embedding_cosine_dups(empty)  # probe path still guards
+
+
+def test_kmeans_centroids_deterministic_and_better_recall(spark):
+    rng = np.random.default_rng(5)
+    nlist, per = 16, 30
+    centers = rng.standard_normal((nlist, 32))
+    pts = np.vstack(
+        [
+            c + 0.15 * rng.standard_normal((per, 32))
+            for c in centers
+        ]
+    ).astype("float32")
+    corpus = _vec_df(spark, pts)
+    queries = corpus.filter(F.col("vec_id") % 97 == 0).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+
+    truth = {
+        (r["query_id"], r["neighbor_id"])
+        for r in S.brute_force_topk(corpus, queries, k=10).collect()
+    }
+
+    def recall(result):
+        got = {(r["query_id"], r["neighbor_id"]) for r in result.collect()}
+        return len(got & truth) / len(truth)
+
+    cents = S.kmeans_centroids(corpus, nlist=nlist, iters=5, seed=42)
+    assert cents == S.kmeans_centroids(corpus, nlist=nlist, iters=5, seed=42)
+
+    r_default = recall(
+        S.ivf_topk(corpus, queries, k=10, nlist=nlist, nprobe=2)
+    )
+    r_kmeans = recall(
+        S.ivf_topk(corpus, queries, k=10, nprobe=2, centroids=cents)
+    )
+    # trained cells must beat (or match) the degenerate first-nlist
+    # quantizer at equal nprobe, and clear an absolute floor
+    assert r_kmeans >= r_default, (r_kmeans, r_default)
+    assert r_kmeans >= 0.8, r_kmeans

@@ -12,6 +12,7 @@ import numpy as np
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
+from esther_apache_spark_spark.functions.money import dec2
 from esther_apache_spark_spark.operators.skew import salted_collect_list, salted_join
 from esther_apache_spark_spark.operators.similarity import ivf_topk
 from esther_apache_spark_spark.schemas import load_table
@@ -80,14 +81,17 @@ def test_stateful_stream_matches_batch_aggregate(spark, sf_dir):
         r["user_id"]: (r["n"], r["t"])
         for r in load_table(spark, sf_dir, "events")
         .groupBy("user_id")
-        .agg(F.count(F.lit(1)).alias("n"), F.round(F.sum("value"), 2).alias("t"))
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.sum(dec2("value")), 2).cast("double").alias("t"),
+        )
         .collect()
     }
     assert set(got) == set(want)
     for u, (n, t) in want.items():
         assert got[u][0] == n, u
-        # float accumulation order differs batch-vs-stream; cents-level
-        assert abs(got[u][1] - t) < 0.02, (u, got[u][1], t)
+        # stream accumulates integer cents -> exactly the decimal batch sum
+        assert got[u][1] == t, (u, got[u][1], t)
 
 
 def test_ivf_topk_precision_and_planted_recall(spark):
