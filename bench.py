@@ -4,16 +4,19 @@
 JSON line: {"metric": ..., "value": total_sec, "unit": "sec",
 "queries": {name: sec}, "sf": ...}.
 
-Each query is executed twice: a warmup pass at sf0.001 amortizes session
-and codegen startup out of the numbers, then the timed pass runs the
-full plan (count() forces execution without collecting results to the
-driver).
+Each query runs a warmup pass at sf0.001 (amortizes session and codegen
+startup out of the numbers), then $SPARK_GRAFT_BENCH_RUNS (default 3)
+timed passes of the full plan (count() forces execution without
+collecting results to the driver); the reported figure is the per-query
+MEDIAN — single-run numbers jitter 10-40% under machine load, which is
+indistinguishable from a real plan regression.
 """
 
 from __future__ import annotations
 
 import json
 import os
+import statistics
 import sys
 import time
 
@@ -53,13 +56,17 @@ def main() -> None:
     spark.sparkContext.setLogLevel("ERROR")
 
     warm_dir = "/root/testdata/sf0.001"
+    runs = int(os.environ.get("SPARK_GRAFT_BENCH_RUNS", "3"))
     timings: dict[str, float] = {}
     for name in HEADLINE:
         spec = plans.QUERIES[name]
         spec.fn(spark, warm_dir).count()  # warmup: codegen + classloading
-        t0 = time.perf_counter()
-        spec.fn(spark, sf_dir).count()
-        timings[name] = round(time.perf_counter() - t0, 3)
+        samples = []
+        for _ in range(runs):
+            t0 = time.perf_counter()
+            spec.fn(spark, sf_dir).count()
+            samples.append(time.perf_counter() - t0)
+        timings[name] = round(statistics.median(samples), 3)
 
     total = round(sum(timings.values()), 3)
     print(

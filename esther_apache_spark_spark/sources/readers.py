@@ -82,7 +82,9 @@ def read_jdbc(
 ) -> DataFrame:
     """S6 — RDBMS source (reference bootstraps customers/refunds from a
     Postgres dump, ``freshkartmindump.sql:14-32``). Needs the JDBC driver
-    jar on the classpath; tests use parquet instead."""
+    jar on the classpath at session creation; round-tripped against an
+    embedded DuckDB database in ``tests/test_jdbc.py`` (skips, with the
+    reason stated, when no driver jar is discoverable)."""
     return spark.read.jdbc(url, table, properties=properties or {})
 
 
