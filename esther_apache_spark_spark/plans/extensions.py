@@ -212,6 +212,37 @@ _CANON = (
 )
 
 
+def _duck_plane(p: list[float]) -> str:
+    """A hyperplane as a DuckDB DOUBLE[] literal. ``repr`` emits the
+    shortest round-trip decimal, which DuckDB parses back to the exact
+    same double — the oracle sees bit-identical plane coefficients."""
+    return "[" + ", ".join(repr(float(x)) for x in p) + "]::DOUBLE[]"
+
+
+def _srp_bucket_sql(e: str, planes: list[list[float]], lo: int, n: int) -> str:
+    """SQL for the SRP sign-bit bucket of expression ``e`` against
+    ``planes[lo:lo+n]`` — the same ``dot >= 0 -> bit i`` rule as
+    ``lsh_bucket``/``srp_table_buckets``; both engines evaluate the dot
+    as a sequential fold, so the signs (and hence buckets) agree."""
+    return " + ".join(
+        f"CASE WHEN list_dot_product({e}, {_duck_plane(planes[lo + i])}) >= 0"
+        f" THEN {1 << i} ELSE 0 END"
+        for i in range(n)
+    )
+
+
+# The seeded plane families are deterministic model parameters, so the
+# "approximate" LSH queries are in fact exact functions of their input —
+# embedding the plane literals in the oracle SQL lets DuckDB replay
+# bucketing, candidate generation and rerank end-to-end.
+_LSH6 = _srp_bucket_sql("cv", S._plane_literals(64, 6, 42), 0, 6)
+_SRP48 = S._plane_literals(64, 4 * 12, 42)
+_SRP_TABLES = "\n        UNION ALL\n        ".join(
+    f"SELECT _id, e, {t} AS _table, {_srp_bucket_sql('e', _SRP48, t * 4, 4)} AS _bucket FROM v"
+    for t in range(12)
+)
+
+
 @register(
     "dedup_fingerprint",
     oracle=f"""
@@ -278,10 +309,28 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     return D.ngram_jaccard_pairs(docs, shingle_n=3, threshold=0.5)
 
 
-@register("dedup_embedding_cosine", oracle=None)
+@register(
+    "dedup_embedding_cosine",
+    oracle="""
+    WITH v AS (SELECT vec_id AS _id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
+    b AS ({tables}),
+    cand AS (
+        SELECT DISTINCT a._id AS id_a, b2._id AS id_b
+        FROM b a JOIN b b2
+          ON a._table = b2._table AND a._bucket = b2._bucket AND a._id < b2._id
+    )
+    SELECT id_a, id_b, cosine FROM (
+        SELECT id_a, id_b,
+               ROUND(list_cosine_similarity(va.e, vb.e), 4) + 0.0 AS cosine
+        FROM cand JOIN v va ON va._id = cand.id_a JOIN v vb ON vb._id = cand.id_b
+    ) WHERE cosine >= 0.4
+    """.replace("{tables}", _SRP_TABLES),
+)
 def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Embedding near-dup pairs: multi-table SRP-LSH candidates + exact
-    cosine ≥ 0.4 rerank (~60 true pairs exist at sf0.01). ``dim`` comes
+    cosine ≥ 0.4 rerank (~60 true pairs exist at sf0.01). Fully
+    deterministic — the 48 seeded planes are embedded in the oracle SQL,
+    so DuckDB replays candidate generation table by table. ``dim`` comes
     from schema metadata — no driver job to rediscover it."""
     emb = load_table(spark, sf_dir, "embeddings")
     return D.embedding_cosine_dups(
@@ -320,10 +369,31 @@ def similarity_topk_bruteforce(spark: SparkSession, sf_dir: str) -> DataFrame:
     return S.brute_force_topk(emb, queries, k=10, query_id_col="query_id")
 
 
-@register("similarity_topk_lsh", oracle=None)
+@register(
+    "similarity_topk_lsh",
+    oracle=f"""
+    WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
+    cb AS (SELECT vec_id AS neighbor_id, e AS cv, {_LSH6} AS bucket FROM v),
+    qb AS (SELECT neighbor_id AS query_id, cv AS qv, bucket FROM cb WHERE neighbor_id < 5),
+    scored AS (
+        SELECT query_id, neighbor_id,
+               ROUND(list_cosine_similarity(qv, cv), 6) + 0.0 AS cosine
+        FROM cb JOIN qb USING (bucket)
+    )
+    SELECT query_id, neighbor_id, cosine FROM (
+        SELECT query_id, neighbor_id, cosine,
+               row_number() OVER (PARTITION BY query_id
+                                  ORDER BY cosine DESC, neighbor_id ASC) AS rn
+        FROM scored
+    ) WHERE rn <= 10
+    """,
+)
 def similarity_topk_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Approximate top-10 via SRP-LSH bucket join + exact rerank.
-    Approximate recall → rows-only; recall measured in tests."""
+    Approximate w.r.t. brute force, but an exact function of its input:
+    the seeded planes are embedded in the oracle SQL as literals, so
+    DuckDB replays bucketing + rerank and the hash must match. Recall
+    vs brute force is measured separately in tests."""
     emb = load_table(spark, sf_dir, "embeddings")
     queries = emb.filter(F.col("vec_id") < 5).select(
         F.col("vec_id").alias("query_id"), "embedding"

@@ -1,0 +1,81 @@
+#!/usr/bin/env python
+"""Generate larger scale factors from the driver's read-only testdata.
+
+The driver ships sf0.001/0.01/0.1 only; scale checkpoints (BASELINE.md)
+need ~sf1. This replicates a base SF k times with key-shifted copies:
+every key column in replica i gets ``+ i * OFFSET``, and foreign keys
+shift by the same replica offset — so each replica is internally
+referentially intact and joins neither gain nor lose matches. Dimension
+tables that queries treat as fixed-cardinality vocabularies (region,
+nation) are NOT replicated. Aggregate results therefore scale ~k× while
+per-key densities (orders per customer, lineitems per order) stay at
+the base SF's values — the right shape for watching shuffle sizes, AQE
+decisions and skew handling grow, which is what the checkpoint is for.
+
+Documents/embeddings replicate VERBATIM (ids shifted, content kept):
+k identical copies of every doc is a planted near-dup stress — the LSH
+family must absorb k-sized dup clusters while staying within its
+hot-bucket bounds.
+
+Usage: python tools/make_scale_data.py [k] [base_dir] [out_dir]
+Defaults: 10 /root/testdata/sf0.1 /tmp/scale/sf1  (≈6M lineitem = sf1)
+"""
+
+from __future__ import annotations
+
+import os
+import sys
+
+import duckdb
+
+OFFSET = 100_000_000  # far above any base key
+
+# key columns to shift per table; every other column is copied verbatim
+SHIFT = {
+    "customer": ["c_custkey"],
+    "supplier": ["s_suppkey"],
+    "part": ["p_partkey"],
+    "orders": ["o_orderkey", "o_custkey"],
+    "lineitem": ["l_orderkey", "l_partkey", "l_suppkey"],
+    "events": ["event_id", "user_id"],
+    "documents": ["doc_id"],
+    "embeddings": ["vec_id"],
+}
+COPY_AS_IS = ["region", "nation"]
+
+
+def main() -> None:
+    k = int(sys.argv[1]) if len(sys.argv) > 1 else 10
+    base = sys.argv[2] if len(sys.argv) > 2 else "/root/testdata/sf0.1"
+    out = sys.argv[3] if len(sys.argv) > 3 else "/tmp/scale/sf1"
+    os.makedirs(out, exist_ok=True)
+    con = duckdb.connect()
+    for t in COPY_AS_IS:
+        con.execute(
+            f"COPY (SELECT * FROM read_parquet('{base}/{t}.parquet')) "
+            f"TO '{out}/{t}.parquet' (FORMAT PARQUET)"
+        )
+        print(f"{t}: copied as-is")
+    for t, keys in SHIFT.items():
+        cols = [
+            r[0]
+            for r in con.execute(
+                f"DESCRIBE SELECT * FROM read_parquet('{base}/{t}.parquet')"
+            ).fetchall()
+        ]
+        proj = ", ".join(
+            f"{c} + i * {OFFSET} AS {c}" if c in keys else c for c in cols
+        )
+        con.execute(
+            f"COPY (SELECT {proj} FROM read_parquet('{base}/{t}.parquet') "
+            f"CROSS JOIN (SELECT unnest(range({k})) AS i)) "
+            f"TO '{out}/{t}.parquet' (FORMAT PARQUET)"
+        )
+        n = con.execute(
+            f"SELECT count(*) FROM read_parquet('{out}/{t}.parquet')"
+        ).fetchone()[0]
+        print(f"{t}: {n} rows (x{k})")
+
+
+if __name__ == "__main__":
+    main()
