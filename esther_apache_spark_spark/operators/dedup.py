@@ -34,7 +34,7 @@ from __future__ import annotations
 
 import numpy as np
 import pandas as pd
-from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 from esther_apache_spark_spark.functions.text import (
@@ -76,27 +76,69 @@ def exact_dup_groups(df: DataFrame, text_col: str = "text", id_col: str = "doc_i
 _LONG_MAX = 9223372036854775807
 
 
-def _shard_by_size(
-    df: DataFrame, bucket_cols: list[str], id_col: str, salt_col: str, max_bucket: int
+def _hot_nsh_arr(
+    exploded: DataFrame,
+    id_col: str,
+    band_col: str,
+    bucket_col: str,
+    nbands: int,
+    max_bucket: int,
 ) -> DataFrame:
-    """Append ``_shard``: a deterministic sub-bucket bounding group sizes.
+    """Per-id shard-modulus array for hot-bucket sharding:
+    ``_nsh_arr[b] = ceil(bucket_size / max_bucket)`` for the id's
+    band-``b`` bucket, 1 when the bucket is at or under the cap.
 
-    ``nshards = ceil(bucket_size / max_bucket)`` via a window count over
-    the bucket keys (one extra shuffle, linear work — the hot bucket
-    passes through a single task but does no quadratic work there), then
-    ``shard = xxhash64(id, band) % nshards``. Salting the hash with the
-    band/table id makes each band shard a hot cluster differently, which
-    is what keeps mega-clusters connected across bands. Buckets at or
-    under the cap get nshards=1 → _shard=0, so results are byte-identical
-    to the uncapped plan on non-pathological data."""
-    w = Window.partitionBy(*bucket_cols)
-    nsh = F.greatest(
-        F.lit(1).cast("long"),
-        F.ceil(F.count(F.lit(1)).over(w) / F.lit(max_bucket)).cast("long"),
+    ``shard(id, b) = xxhash64(id, b) % nsh_arr[b]`` then bounds every
+    banded self-join group at ``max_bucket`` expected rows; salting the
+    hash with the band id makes each band shard a hot cluster
+    differently, which is what keeps mega-clusters connected across
+    bands. Carrying the WHOLE array on each row (not just the current
+    band's modulus) is what lets the pair filter replay the join's meet
+    condition for every band — see the first-meet-band comments at the
+    call sites.
+
+    Only over-cap buckets are materialized: the size aggregation is
+    map-side combinable, the ``> max_bucket`` filter leaves a frame that
+    is empty on healthy data (AQE turns both joins into empty
+    broadcasts), and only ids touching a hot bucket reach the per-id
+    aggregation. Consumers left-join the result and coalesce missing ids
+    to all-ones, so the capped plan is byte-identical to the uncapped
+    plan on non-pathological data."""
+    hot = (
+        exploded.groupBy(band_col, bucket_col)
+        .agg(F.count(F.lit(1)).alias("_n"))
+        .filter(F.col("_n") > max_bucket)
+        .select(
+            band_col,
+            bucket_col,
+            F.ceil(F.col("_n") / F.lit(max_bucket)).cast("long").alias("_nsh"),
+        )
     )
-    return df.withColumn(
-        "_shard", F.pmod(F.xxhash64(F.col(id_col), F.col(salt_col)), nsh)
+    return (
+        exploded.join(hot, [band_col, bucket_col])
+        .groupBy(id_col)
+        .agg(
+            F.map_from_entries(F.collect_list(F.struct(band_col, "_nsh"))).alias("_m")
+        )
+        .select(
+            id_col,
+            F.transform(
+                F.sequence(F.lit(0), F.lit(nbands - 1)),
+                lambda b: F.coalesce(F.try_element_at("_m", b), F.lit(1).cast("long")),
+            ).alias("_nsh_arr"),
+        )
     )
+
+
+def _with_shards(src: DataFrame, nsh: DataFrame | None, nbands: int) -> DataFrame:
+    """Left-join the hot-bucket modulus arrays onto ``src`` (all-ones for
+    ids that touch no hot bucket, or when sharding is disabled)."""
+    if nsh is not None:
+        src = src.join(nsh, "_id", "left")
+    else:
+        src = src.withColumn("_nsh_arr", F.lit(None).cast("array<bigint>"))
+    ones = F.array_repeat(F.lit(1).cast("long"), nbands)
+    return src.withColumn("_nsh_arr", F.coalesce("_nsh_arr", ones))
 
 
 def minhash_signature(
@@ -267,38 +309,74 @@ def minhash_lsh_candidates(
     sig = base_df.select(
         "_id", minhash_signature_vec(F.col("_base"), num_perm).alias("_sig")
     ).cache()
-    banded = sig.select(
-        "_id",
-        "_sig",
-        F.posexplode(
-            F.array(
-                *[
-                    F.xxhash64(
-                        F.concat_ws(",", *[
-                            F.element_at("_sig", b * rows_per_band + r + 1).cast("string")
-                            for r in range(rows_per_band)
-                        ])
-                    )
-                    for b in range(bands)
-                ]
-            )
-        ).alias("_band", "_bucket"),
-    )
-    keys = ["_band", "_bucket"]
+    def band_hash(sig, b: int) -> Column:
+        return F.xxhash64(
+            F.concat_ws(",", *[
+                F.element_at(sig, b * rows_per_band + r + 1).cast("string")
+                for r in range(rows_per_band)
+            ])
+        )
+
+    band_arr = F.array(*[band_hash("_sig", b) for b in range(bands)])
     if max_bucket is not None:
-        banded = _shard_by_size(banded, keys, "_id", "_band", max_bucket)
-        keys = keys + ["_shard"]
+        narrow = sig.select("_id", F.posexplode(band_arr).alias("_band", "_bucket"))
+        nsh = _hot_nsh_arr(narrow, "_id", "_band", "_bucket", bands, max_bucket)
+    else:
+        nsh = None
+    banded = (
+        _with_shards(sig, nsh, bands)
+        .select("_id", "_sig", "_nsh_arr", F.posexplode(band_arr).alias("_band", "_bucket"))
+        .withColumn(
+            "_shard",
+            F.pmod(
+                F.xxhash64("_id", "_band"),
+                F.element_at("_nsh_arr", F.col("_band") + 1),
+            ),
+        )
+    )
+    keys = ["_band", "_bucket", "_shard"]
     left = banded.select(
-        F.col("_id").alias("id_a"), F.col("_sig").alias("sig_a"), *keys
+        F.col("_id").alias("id_a"),
+        F.col("_sig").alias("sig_a"),
+        F.col("_nsh_arr").alias("nsh_a"),
+        *keys,
     )
     right = banded.select(
-        F.col("_id").alias("id_b"), F.col("_sig").alias("sig_b"), *keys
+        F.col("_id").alias("id_b"),
+        F.col("_sig").alias("sig_b"),
+        F.col("_nsh_arr").alias("nsh_b"),
+        *keys,
+    )
+    # First-MEET-band filter in place of dropDuplicates: a pair sharing k
+    # bands would surface k times from the self-join; instead of a
+    # dropDuplicates shuffle over the duplicated pairs (quadratic in
+    # dup-cluster size — the dominant cost when boilerplate clusters are
+    # large), emit the pair only from the FIRST band where the two rows
+    # actually meet in the join. "Meet at band b" = band hashes agree
+    # (recomputed from the signatures carried on both sides with the
+    # exact construction used for the join key) AND both ids land in the
+    # same shard of that bucket (replayed from the carried _nsh_arr with
+    # the exact shard formula). Shard-awareness matters: identical docs
+    # agree at EVERY band, so a sharded band 0 would otherwise suppress
+    # the cross-shard pairs that bands 1..n re-emit — the very mechanism
+    # that keeps mega-clusters connected. The emitted pair set is
+    # byte-identical to the dropDuplicates form; only the duplication
+    # (and its shuffle) is gone.
+    meets = F.array(
+        *[
+            (band_hash(F.col("sig_a"), b) == band_hash(F.col("sig_b"), b))
+            & (
+                F.pmod(F.xxhash64("id_a", F.lit(b)), F.element_at("nsh_a", b + 1))
+                == F.pmod(F.xxhash64("id_b", F.lit(b)), F.element_at("nsh_b", b + 1))
+            )
+            for b in range(bands)
+        ]
     )
     pairs = (
         left.join(right, keys)
         .filter(F.col("id_a") < F.col("id_b"))
+        .filter(F.array_position(meets, F.lit(True)) == F.col("_band") + 1)
         .select("id_a", "id_b", "sig_a", "sig_b")
-        .dropDuplicates(["id_a", "id_b"])
     )
     agree = (
         F.size(F.filter(F.zip_with("sig_a", "sig_b", lambda a, b: a == b), lambda x: x))
@@ -442,33 +520,63 @@ def simhash_candidates(
         ).alias("_fp"),
     ).cache()
     mask = (1 << band_bits) - 1
-    banded = fp.select(
-        "_id",
-        "_fp",
-        F.posexplode(
-            F.array(
-                *[
-                    F.shiftright("_fp", b * band_bits).bitwiseAND(F.lit(mask).cast("long"))
-                    for b in range(nbands)
-                ]
-            )
-        ).alias("_band", "_bucket"),
-    )
-    keys = ["_band", "_bucket"]
+
+    def band_val(col: Column | str, b: int) -> Column:
+        return F.shiftright(col, b * band_bits).bitwiseAND(F.lit(mask).cast("long"))
+
+    band_arr = F.array(*[band_val("_fp", b) for b in range(nbands)])
     if max_bucket is not None:
-        banded = _shard_by_size(banded, keys, "_id", "_band", max_bucket)
-        keys = keys + ["_shard"]
+        narrow = fp.select("_id", F.posexplode(band_arr).alias("_band", "_bucket"))
+        nsh = _hot_nsh_arr(narrow, "_id", "_band", "_bucket", nbands, max_bucket)
+    else:
+        nsh = None
+    banded = (
+        _with_shards(fp, nsh, nbands)
+        .select("_id", "_fp", "_nsh_arr", F.posexplode(band_arr).alias("_band", "_bucket"))
+        .withColumn(
+            "_shard",
+            F.pmod(
+                F.xxhash64("_id", "_band"),
+                F.element_at("_nsh_arr", F.col("_band") + 1),
+            ),
+        )
+    )
+    keys = ["_band", "_bucket", "_shard"]
     l, r = banded.alias("a"), banded.alias("b")
+
+    # First-MEET-band filter in place of dropDuplicates — emit each pair
+    # only from the first band where the fingerprints agree AND the two
+    # ids share that bucket's shard, both replayable as pure expressions
+    # from the carried fingerprint + _nsh_arr. See the minhash variant
+    # for the full rationale (why shard-awareness is required for
+    # mega-cluster connectivity, and why the pair set is byte-identical
+    # to the dropDuplicates form with the duplication shuffle removed).
+    meets = F.array(
+        *[
+            (band_val(F.col("a._fp"), b) == band_val(F.col("b._fp"), b))
+            & (
+                F.pmod(
+                    F.xxhash64(F.col("a._id"), F.lit(b)),
+                    F.element_at(F.col("a._nsh_arr"), b + 1),
+                )
+                == F.pmod(
+                    F.xxhash64(F.col("b._id"), F.lit(b)),
+                    F.element_at(F.col("b._nsh_arr"), b + 1),
+                )
+            )
+            for b in range(nbands)
+        ]
+    )
     pairs = (
         l.join(r, keys)
         .filter(F.col("a._id") < F.col("b._id"))
+        .filter(F.array_position(meets, F.lit(True)) == F.col("_band") + 1)
         .select(
             F.col("a._id").alias("id_a"),
             F.col("b._id").alias("id_b"),
             F.col("a._fp").alias("fp_a"),
             F.col("b._fp").alias("fp_b"),
         )
-        .dropDuplicates(["id_a", "id_b"])
     )
     xor = F.col("fp_a").bitwiseXOR(F.col("fp_b"))
     return pairs.select("id_a", "id_b", F.bit_count(xor).alias("hamming"))
@@ -510,17 +618,38 @@ def embedding_cosine_dups(
             raise ValueError("empty dataframe; pass dim explicitly")
         dim = first["d"]
 
-    b = df.select(
+    proj = df.select(
         F.col(id_col).alias("_id"),
         F.col(vec_col).cast("array<double>").alias("_v"),
-        F.posexplode(
-            srp_table_buckets_vec(F.col(vec_col), dim, n_planes, n_tables, seed)
-        ).alias("_table", "_bucket"),
+        srp_table_buckets_vec(F.col(vec_col), dim, n_planes, n_tables, seed).alias(
+            "_all"
+        ),
     )
-    group_keys = ["_table", "_bucket"]
     if max_bucket is not None:
-        b = _shard_by_size(b, group_keys, "_id", "_table", max_bucket)
-        group_keys = group_keys + ["_shard"]
+        # The stats pass re-evaluates the bucket UDF on a second scan —
+        # deliberately: joining the (id, buckets) projection back by id
+        # would shuffle the VECTORS, which costs far more than one extra
+        # GEMM pass over the input.
+        narrow = proj.select("_id", F.posexplode("_all").alias("_table", "_bucket"))
+        nsh = _hot_nsh_arr(narrow, "_id", "_table", "_bucket", n_tables, max_bucket)
+    else:
+        nsh = None
+    b = (
+        _with_shards(proj, nsh, n_tables)
+        .withColumn(
+            "_shard_arr",
+            F.transform(
+                F.sequence(F.lit(0), F.lit(n_tables - 1)),
+                lambda t: F.pmod(F.xxhash64("_id", t), F.element_at("_nsh_arr", t + 1)),
+            ),
+        )
+        .select(
+            "_id", "_v", "_all", "_shard_arr",
+            F.posexplode("_all").alias("_table", "_bucket"),
+        )
+        .withColumn("_shard", F.element_at("_shard_arr", F.col("_table") + 1))
+    )
+    group_keys = ["_table", "_bucket", "_shard"]
 
     # Exact rerank per bucket as ONE numpy GEMM over the bucket's vectors
     # (Arrow-batched applyInPandas) — the candidate count is quadratic in
@@ -529,26 +658,48 @@ def embedding_cosine_dups(
     # near-free. Zero-norm vectors are excluded (cosine undefined —
     # matches the expression form, where a NULL cosine fails the
     # threshold filter).
+    # Each row carries its full per-table bucket array (_all) AND its
+    # per-table shard array (_shard_arr), so the rerank can apply the
+    # first-MEET-table rule: a pair co-grouped in k of the n_tables
+    # (table, bucket, shard) groups is emitted only from the FIRST table
+    # where buckets AND shards both agree, replacing the final
+    # dropDuplicates shuffle (quadratic in dup-cluster size) with a
+    # per-pair argmax inside the GEMM kernel. Shard agreement must be
+    # part of the meet test (not bucket agreement alone): identical
+    # vectors agree at every table, so a sharded table 0 would otherwise
+    # suppress the cross-shard pairs that tables 1..n re-emit — the
+    # mechanism that keeps mega-clusters connected. Pair set is
+    # byte-identical to the dropDuplicates form.
     def bucket_pairs(pdf: pd.DataFrame) -> pd.DataFrame:
+        empty = pd.DataFrame({"id_a": [], "id_b": [], "cosine": []}).astype(
+            {"id_a": "int64", "id_b": "int64", "cosine": "float64"}
+        )
         if len(pdf) < 2:
-            return pd.DataFrame({"id_a": [], "id_b": [], "cosine": []}).astype(
-                {"id_a": "int64", "id_b": "int64", "cosine": "float64"}
-            )
+            return empty
         ids = pdf["_id"].to_numpy()
         m = np.array(pdf["_v"].tolist(), dtype="float64")
+        tables = np.array(pdf["_all"].tolist(), dtype="int64")  # (n, n_tables)
+        shards = np.array(pdf["_shard_arr"].tolist(), dtype="int64")
+        cur_table = int(pdf["_table"].iloc[0])
         norms = np.linalg.norm(m, axis=1)
         keep = norms > 0
-        ids, m, norms = ids[keep], m[keep], norms[keep]
+        ids, m, tables, shards = ids[keep], m[keep], tables[keep], shards[keep]
+        if len(ids) < 2:
+            return empty
+        norms = norms[keep]
         m = m / norms[:, None]
         s = m @ m.T
         iu, ju = np.triu_indices(len(ids), k=1)
         cos = np.round(s[iu, ju], 4)
-        ok = cos >= threshold
+        # first table where the pair meets (bucket AND shard agree)
+        # == this group's table; every pair here meets at cur_table
+        meet = (tables[iu] == tables[ju]) & (shards[iu] == shards[ju])
+        first_hit = meet.argmax(axis=1)
+        ok = (cos >= threshold) & (first_hit == cur_table)
         a, bb = ids[iu[ok]], ids[ju[ok]]
         lo, hi = np.minimum(a, bb), np.maximum(a, bb)
         return pd.DataFrame({"id_a": lo, "id_b": hi, "cosine": cos[ok]})
 
-    pairs = b.groupBy(*group_keys).applyInPandas(
+    return b.groupBy(*group_keys).applyInPandas(
         bucket_pairs, "id_a long, id_b long, cosine double"
     )
-    return pairs.dropDuplicates(["id_a", "id_b"])
