@@ -56,11 +56,17 @@ def _real_decode(payload: bytes, kind: str, mime: str):  # pragma: no cover
 def _fake_features(payload: bytes, dim: int = FEATURE_DIM) -> list[float]:
     """Deterministic stand-in for decode→feature-extract: sha256 of the
     payload expanded to `dim` floats in [0,1). Stable across runs and
-    partitionings, so downstream tests are exact."""
+    partitionings, so downstream tests are exact.
+
+    The block counter is appended as ASCII digits (``b"0"``, ``b"1"``,
+    ...) rather than packed bytes so an external SQL engine can replay
+    the construction — DuckDB's ``sha256`` takes VARCHAR only, and this
+    is what lets the ``multimodal_fake_features`` catalog query carry a
+    full value-hash oracle instead of a rows-only check."""
     out: list[float] = []
     counter = 0
     while len(out) < dim:
-        h = hashlib.sha256(payload + counter.to_bytes(4, "big")).digest()
+        h = hashlib.sha256(payload + str(counter).encode()).digest()
         out.extend(b / 255.0 for b in h)
         counter += 1
     return [float(round(x, 6)) for x in out[:dim]]

@@ -756,12 +756,28 @@ def session_window_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register("stateful_user_totals_stream", oracle=None)
+@register(
+    "stateful_user_totals_stream",
+    oracle="""
+    SELECT user_id,
+           COUNT(*) AS n_events,
+           CAST(SUM(CAST(round(value * 100) AS BIGINT)) AS BIGINT) / 100.0
+               AS total_value
+    FROM events
+    GROUP BY user_id
+    """,
+)
 def stateful_user_totals_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Custom stateful streaming operator: applyInPandasWithState keeps
-    per-user (count, total) accumulators across micro-batches. Custom
-    state → no SQL oracle (the driver's rows-only check); equivalence to
-    the batch aggregate is asserted in tests/test_skew_and_streaming.py."""
+    per-user (count, total) accumulators across micro-batches.
+
+    Despite the custom state, a plain SQL oracle holds: the accumulator
+    is integer cents (exact, order-independent addition), so the final
+    per-user state equals the batch GROUP BY no matter how the file
+    source slices micro-batches. The oracle rounds to cents per row the
+    same way (2-decimal money => value*100 is integer +- fp error; no .5
+    ties, so pandas' half-even and SQL's half-up agree). Batch
+    equivalence is also asserted in tests/test_skew_and_streaming.py."""
     from esther_apache_spark_spark.streaming.events import running_user_totals_stream
 
     return running_user_totals_stream(spark, sf_dir)
@@ -798,12 +814,28 @@ def json_parse_props(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 
 
-@register("multimodal_fake_features", oracle=None)
+@register(
+    "multimodal_fake_features",
+    oracle="""
+    SELECT doc_id AS media_id,
+           'image' AS kind,
+           CAST(16 AS INT) AS feat_dim,
+           round(CAST(('0x' || substr(sha256(text || '0'), 1, 2))::INT AS DOUBLE)
+                 / 255, 6) AS feat0
+    FROM documents
+    """,
+)
 def multimodal_fake_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Media pipeline plumbing over synthetic media rows (documents text
-    encoded as binary payloads): mapInPandas Arrow batches → deterministic
-    fake decode → fixed-dim feature vectors. Rows-only check (binary +
-    stubbed codec are outside SQL)."""
+    encoded as binary payloads): mapInPandas Arrow batches -> deterministic
+    fake decode -> fixed-dim feature vectors.
+
+    Oracled end-to-end: the deterministic fake is sha256(payload || ascii
+    counter) expanded to floats in [0,1), which DuckDB replays exactly
+    (feat0 = first digest byte / 255 rounded to 6; the float32 storage
+    round-trips 6-decimal values in [0,1) since eps/2 ~ 6e-8 < 5e-7).
+    Only the innermost codec call is a stub -- the Arrow batch plumbing,
+    schema, and partitioning the oracle exercises are the real path."""
     from esther_apache_spark_spark.operators.multimodal import extract_features
 
     docs = load_table(spark, sf_dir, "documents")
