@@ -302,13 +302,12 @@ def minhash_lsh_candidates(
                 F.array_distinct(tokenize(F.col(text_col))), lambda e: F.xxhash64(e)
             ).alias("_base"),
         )
-    # Cache the signatures, not the banded exploded form: the cache is
-    # also a plan barrier that keeps the Arrow-batched UDF out of the
-    # posexplode generator (Python UDFs cannot run inside Generate), and
-    # it is the relation both sides of the self-join reuse (reference C1).
-    sig = base_df.select(
-        "_id", minhash_signature_vec(F.col("_base"), num_perm).alias("_sig")
-    ).cache()
+    # Cache the signatures (and their 8 band hashes — computed once here,
+    # consumed by the hot-bucket stats pass, the banded explode AND the
+    # pair filter), not the banded exploded form: the cache is also a
+    # plan barrier that keeps the Arrow-batched UDF out of the posexplode
+    # generator (Python UDFs cannot run inside Generate), and it is the
+    # relation both sides of the self-join reuse (reference C1).
     def band_hash(sig, b: int) -> Column:
         return F.xxhash64(
             F.concat_ws(",", *[
@@ -317,15 +316,20 @@ def minhash_lsh_candidates(
             ])
         )
 
-    band_arr = F.array(*[band_hash("_sig", b) for b in range(bands)])
+    sig = base_df.select(
+        "_id",
+        minhash_signature_vec(F.col("_base"), num_perm).alias("_sig"),
+    ).select(
+        "_id", "_sig", F.array(*[band_hash("_sig", b) for b in range(bands)]).alias("_bh")
+    ).cache()
     if max_bucket is not None:
-        narrow = sig.select("_id", F.posexplode(band_arr).alias("_band", "_bucket"))
+        narrow = sig.select("_id", F.posexplode("_bh").alias("_band", "_bucket"))
         nsh = _hot_nsh_arr(narrow, "_id", "_band", "_bucket", bands, max_bucket)
     else:
         nsh = None
     banded = (
         _with_shards(sig, nsh, bands)
-        .select("_id", "_sig", "_nsh_arr", F.posexplode(band_arr).alias("_band", "_bucket"))
+        .select("_id", "_sig", "_bh", "_nsh_arr", F.posexplode("_bh").alias("_band", "_bucket"))
         .withColumn(
             "_shard",
             F.pmod(
@@ -338,12 +342,14 @@ def minhash_lsh_candidates(
     left = banded.select(
         F.col("_id").alias("id_a"),
         F.col("_sig").alias("sig_a"),
+        F.col("_bh").alias("bh_a"),
         F.col("_nsh_arr").alias("nsh_a"),
         *keys,
     )
     right = banded.select(
         F.col("_id").alias("id_b"),
         F.col("_sig").alias("sig_b"),
+        F.col("_bh").alias("bh_b"),
         F.col("_nsh_arr").alias("nsh_b"),
         *keys,
     )
@@ -353,8 +359,8 @@ def minhash_lsh_candidates(
     # dup-cluster size — the dominant cost when boilerplate clusters are
     # large), emit the pair only from the FIRST band where the two rows
     # actually meet in the join. "Meet at band b" = band hashes agree
-    # (recomputed from the signatures carried on both sides with the
-    # exact construction used for the join key) AND both ids land in the
+    # (read from the cached band-hash arrays carried on both sides — the
+    # very values the join key was built from) AND both ids land in the
     # same shard of that bucket (replayed from the carried _nsh_arr with
     # the exact shard formula). Shard-awareness matters: identical docs
     # agree at EVERY band, so a sharded band 0 would otherwise suppress
@@ -364,7 +370,7 @@ def minhash_lsh_candidates(
     # (and its shuffle) is gone.
     meets = F.array(
         *[
-            (band_hash(F.col("sig_a"), b) == band_hash(F.col("sig_b"), b))
+            (F.element_at("bh_a", b + 1) == F.element_at("bh_b", b + 1))
             & (
                 F.pmod(F.xxhash64("id_a", F.lit(b)), F.element_at("nsh_a", b + 1))
                 == F.pmod(F.xxhash64("id_b", F.lit(b)), F.element_at("nsh_b", b + 1))
