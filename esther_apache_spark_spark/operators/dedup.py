@@ -709,3 +709,96 @@ def embedding_cosine_dups(
     return b.groupBy(*group_keys).applyInPandas(
         bucket_pairs, "id_a long, id_b long, cosine double"
     )
+
+
+def corpus_line_dedup(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    seg_tokens: int = 12,
+    max_df: int = 2,
+) -> DataFrame:
+    """C4-style corpus-level line deduplication (Raffel et al. 2020,
+    "three-sentence span" dedup family): segment every document, drop
+    repeated segments corpus-wide keeping only their FIRST occurrence
+    (min (id, position)), and report the per-document survivorship.
+    Segments occurring in at most ``max_df`` places are left alone —
+    only boilerplate (navigation chrome, license headers) is scrubbed.
+
+    "Lines" are fixed ``seg_tokens``-token windows rather than
+    newline-delimited lines: the synthetic corpus carries no newlines,
+    and the policy is delimiter-agnostic — swap the segmentation
+    expression for a ``split(text, '\\n')`` explode on real corpora.
+
+    Returns (id, n_segments, n_kept, n_dropped, text_hash) where
+    text_hash is md5 of the surviving text (kept segments joined in
+    order) — the downstream contract is "which docs shrank and to
+    what", not a re-materialized corpus.
+
+    Scale shape: segments shuffle ONCE as (16-byte md5, id, idx) for the
+    frequency aggregate (map-side combined); the over-``max_df`` subset
+    of that aggregate is tiny by construction (hot segments are rare),
+    so the keep-filter join broadcasts under AQE and the segment stream
+    itself is never reshuffled for it. The per-doc reassembly is the
+    second and only other shuffle. No window-over-hash anywhere: a
+    boilerplate segment with 100M occurrences would serialize through a
+    single window partition, but only contributes one combined row per
+    map task here."""
+    toks = tokenize(F.col(text_col), normalize=False)
+    base = df.select(
+        F.col(id_col).alias("_id"),
+        toks.alias("_t"),
+        F.ceil(F.size(toks) / F.lit(seg_tokens)).cast("long").alias("n_segments"),
+    )
+    segs = base.select(
+        "_id",
+        F.posexplode(
+            F.when(
+                F.size("_t") > 0,
+                F.transform(
+                    F.sequence(F.lit(0), F.size("_t") - 1, F.lit(seg_tokens)),
+                    lambda s: F.array_join(F.slice("_t", s + 1, seg_tokens), " "),
+                ),
+            ).otherwise(F.array().cast("array<string>"))
+        ).alias("seg_idx", "seg_text"),
+    ).withColumn("_h", F.md5(F.col("seg_text").cast("binary")))
+    hot = (
+        segs.groupBy("_h")
+        .agg(
+            F.count(F.lit(1)).alias("_c"),
+            F.min(F.struct(F.col("_id"), F.col("seg_idx"))).alias("_first"),
+        )
+        .filter(F.col("_c") > max_df)
+    )
+    kept = segs.join(hot, "_h", "left").filter(
+        F.col("_c").isNull()
+        | (
+            (F.col("_id") == F.col("_first._id"))
+            & (F.col("seg_idx") == F.col("_first.seg_idx"))
+        )
+    )
+    agg = kept.groupBy("_id").agg(
+        F.count(F.lit(1)).alias("n_kept"),
+        F.md5(
+            F.array_join(
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("seg_idx", "seg_text"))),
+                    lambda x: x["seg_text"],
+                ),
+                " ",
+            ).cast("binary")
+        ).alias("text_hash"),
+    )
+    return (
+        base.select("_id", "n_segments")
+        .join(agg, "_id", "left")
+        .select(
+            F.col("_id").alias(id_col),
+            "n_segments",
+            F.coalesce("n_kept", F.lit(0).cast("long")).alias("n_kept"),
+            (F.col("n_segments") - F.coalesce("n_kept", F.lit(0).cast("long"))).alias(
+                "n_dropped"
+            ),
+            F.coalesce("text_hash", F.md5(F.lit("").cast("binary"))).alias("text_hash"),
+        )
+    )

@@ -133,3 +133,16 @@ def rolling_hash(tokens: Column, mod: int = 2147483647) -> Column:
         F.lit(0).cast("long"),
         lambda acc, h: (acc * 31 + h) % F.lit(mod),
     )
+
+
+def duplicate_fraction(arr: Column) -> Column:
+    """Fraction of array elements that are repeats of an earlier element:
+    ``(len - distinct_len) / len``, 0.0 for empty arrays. Over token or
+    n-gram arrays this is the Gopher-style repetition signal
+    (Rae et al. 2021, "duplicate n-gram fraction") — high values mark
+    degenerate, loop-generated or boilerplate text that a training
+    pipeline filters before anything else sees it. Pure expression."""
+    n = F.size(arr)
+    return F.when(
+        n > 0, (n - F.size(F.array_distinct(arr))) / n
+    ).otherwise(F.lit(0.0))

@@ -504,3 +504,114 @@ def heavy_hitter_users_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
     return cand.select(
         F.explode(F.col("user_id_freqItems")).alias("user_id")
     ).orderBy("user_id")
+
+
+@register(
+    "line_dedup_docs",
+    oracle="""
+    WITH toks AS (
+        SELECT doc_id,
+               list_filter(regexp_split_to_array(trim(text), '\\s+'),
+                           x -> x <> '') AS t
+        FROM documents
+    ), segs AS (
+        SELECT doc_id,
+               CAST(s // 12 AS INT) AS seg_idx,
+               array_to_string(t[s + 1 : s + 12], ' ') AS seg_text
+        FROM (SELECT doc_id, t, unnest(range(0, len(t), 12)) AS s FROM toks)
+    ), marked AS (
+        SELECT doc_id, seg_idx, seg_text,
+               count(*) OVER (PARTITION BY md5(seg_text)) AS c,
+               row_number() OVER (PARTITION BY md5(seg_text)
+                                  ORDER BY doc_id, seg_idx) AS rn
+        FROM segs
+    ), agg AS (
+        SELECT doc_id,
+               count(*) AS n_kept,
+               md5(string_agg(seg_text, ' ' ORDER BY seg_idx)) AS text_hash
+        FROM marked
+        WHERE c <= 2 OR rn = 1
+        GROUP BY doc_id
+    )
+    SELECT d.doc_id,
+           CAST(ceil(len(t.t) / 12.0) AS BIGINT) AS n_segments,
+           CAST(COALESCE(a.n_kept, 0) AS BIGINT) AS n_kept,
+           CAST(ceil(len(t.t) / 12.0) AS BIGINT)
+               - CAST(COALESCE(a.n_kept, 0) AS BIGINT) AS n_dropped,
+           COALESCE(a.text_hash, md5('')) AS text_hash
+    FROM documents d
+    JOIN toks t USING (doc_id)
+    LEFT JOIN agg a USING (doc_id)
+    """,
+)
+def line_dedup_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C4-style corpus-level line dedup (12-token segments standing in
+    for newline-delimited lines — the synthetic corpus has none): every
+    segment seen in more than 2 places corpus-wide survives only at its
+    first (doc_id, position) occurrence. The oracle replays the policy
+    with a window formulation; the Spark plan deliberately does NOT use
+    a window over the segment hash (a hot segment would serialize
+    through one partition) — see ``dedup.corpus_line_dedup``."""
+    from esther_apache_spark_spark.operators.dedup import corpus_line_dedup
+
+    docs = load_table(spark, sf_dir, "documents")
+    return corpus_line_dedup(docs, seg_tokens=12, max_df=2)
+
+
+@register(
+    "doc_repetition_stats",
+    oracle="""
+    WITH t AS (
+        SELECT doc_id,
+               list_filter(regexp_split_to_array(trim(text), '\\s+'),
+                           x -> x <> '') AS t
+        FROM documents
+    ), g AS (
+        SELECT doc_id, t,
+               list_transform(range(1, len(t)),
+                              i -> t[i] || ' ' || t[i + 1]) AS g2,
+               list_transform(range(1, len(t) - 1),
+                              i -> t[i] || ' ' || t[i + 1] || ' ' || t[i + 2]) AS g3
+        FROM t
+    )
+    SELECT doc_id,
+           CAST(len(t) AS BIGINT) AS n_tokens,
+           ROUND(CASE WHEN len(t) > 0
+                      THEN (len(t) - len(list_distinct(t))) / len(t)
+                      ELSE 0.0 END, 4) AS dup_token_frac,
+           ROUND(CASE WHEN len(g2) > 0
+                      THEN (len(g2) - len(list_distinct(g2))) / len(g2)
+                      ELSE 0.0 END, 4) AS dup_2gram_frac,
+           ROUND(CASE WHEN len(g3) > 0
+                      THEN (len(g3) - len(list_distinct(g3))) / len(g3)
+                      ELSE 0.0 END, 4) AS dup_3gram_frac
+    FROM g
+    """,
+)
+def doc_repetition_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher-style repetition quality signals (Rae et al. 2021): per-doc
+    duplicate fraction of tokens, 2-grams and 3-grams. Degenerate
+    (looping, boilerplate-stuffed) documents score high and get filtered
+    before any expensive pipeline stage. Pure expressions — array build,
+    distinct, size — one scan, zero shuffles, exact int/int division so
+    the values are bit-identical cross-engine."""
+    from esther_apache_spark_spark.functions.text import tokenize, word_shingles
+    from esther_apache_spark_spark.operators.textstats import duplicate_fraction
+
+    docs = load_table(spark, sf_dir, "documents")
+    base = docs.select(
+        "doc_id", tokenize(F.col("text"), normalize=False).alias("_t")
+    )
+    g = base.select(
+        "doc_id",
+        "_t",
+        word_shingles(F.col("_t"), 2).alias("_g2"),
+        word_shingles(F.col("_t"), 3).alias("_g3"),
+    )
+    return g.select(
+        "doc_id",
+        F.size("_t").cast("long").alias("n_tokens"),
+        F.round(duplicate_fraction(F.col("_t")), 4).alias("dup_token_frac"),
+        F.round(duplicate_fraction(F.col("_g2")), 4).alias("dup_2gram_frac"),
+        F.round(duplicate_fraction(F.col("_g3")), 4).alias("dup_3gram_frac"),
+    )

@@ -94,3 +94,48 @@ def test_rolling_hash_matches_python_reference(spark, docs):
         for r in df.select("id", rolling_hash(F.col("toks")).alias("rh")).collect()
     }
     assert got == {i: _py_rolling_hash(t) for i, t in enumerate(docs)}
+
+
+def test_corpus_line_dedup_keep_first_policy(spark):
+    """Crafted corpus: a boilerplate segment repeated in 4 docs survives
+    only at its first (doc_id, seg_idx); a 2-occurrence segment is left
+    alone; within-budget docs are untouched."""
+    from esther_apache_spark_spark.operators.dedup import corpus_line_dedup
+
+    boiler = " ".join(f"b{i}" for i in range(4))  # one full 4-token segment
+    pair = " ".join(f"p{i}" for i in range(4))
+    rows = [
+        (1, boiler + " " + pair),           # segs: [boiler, pair]
+        (2, boiler + " unique two words"),  # segs: [boiler, unique...]
+        (3, boiler + " " + pair),           # segs: [boiler, pair] (pair df=2: kept)
+        (4, "solo text right here " + boiler),  # segs: [solo..., boiler]
+        (5, ""),                            # zero segments
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {
+        r["doc_id"]: r
+        for r in corpus_line_dedup(df, seg_tokens=4, max_df=2).collect()
+    }
+    # boiler occurs 4x (> max_df): only doc 1 seg 0 keeps it
+    assert (out[1]["n_kept"], out[1]["n_dropped"]) == (2, 0)
+    assert (out[2]["n_kept"], out[2]["n_dropped"]) == (1, 1)
+    assert (out[3]["n_kept"], out[3]["n_dropped"]) == (1, 1)
+    assert (out[4]["n_kept"], out[4]["n_dropped"]) == (1, 1)
+    assert (out[5]["n_segments"], out[5]["n_kept"]) == (0, 0)
+    # doc 3 keeps exactly the pair segment -> same hash as a pair-only doc
+    only_pair = corpus_line_dedup(
+        spark.createDataFrame([(9, pair)], "doc_id long, text string"),
+        seg_tokens=4,
+        max_df=2,
+    ).collect()[0]["text_hash"]
+    assert out[3]["text_hash"] == only_pair
+
+
+def test_duplicate_fraction_values(spark):
+    from esther_apache_spark_spark.operators.textstats import duplicate_fraction
+
+    df = spark.createDataFrame(
+        [(["a", "a", "a", "b"],), ([],), (["x", "y"],)], "arr array<string>"
+    )
+    got = [r[0] for r in df.select(duplicate_fraction(F.col("arr"))).collect()]
+    assert got == [0.5, 0.0, 0.0]
