@@ -106,13 +106,15 @@ def cdc_merge_latest_state(spark: SparkSession, sf_dir: str) -> DataFrame:
     WITH c AS (SELECT user_id, COUNT(*) AS n FROM events GROUP BY user_id)
     SELECT user_id, CAST(n AS BIGINT) AS n_events
     FROM c
-    WHERE CAST(n AS DOUBLE) > 1.5 * (SELECT CAST(SUM(n) AS DOUBLE)
+    WHERE CAST(n AS DOUBLE) > 1.1 * (SELECT CAST(SUM(n) AS DOUBLE)
                                          / COUNT(*) FROM c)
     """,
 )
 def heavy_hitter_users(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Exact heavy hitters: keys whose event count exceeds 1.5× the
-    mean per-key count — per-key count, a 1-row global mean broadcast
+    """Exact heavy hitters: keys whose event count exceeds 1.1× the
+    mean per-key count (testdata user traffic is near-uniform, so a
+    higher multiplier returns zero rows at every SF — a vacuous oracle
+    match) — per-key count, a 1-row global mean broadcast
     back, filter. This is the skew-detection primitive: its output is
     exactly the key set salted_join/salted_collect_list (operators/
     skew.py) should be given. The mean is sum/count on exact integer
@@ -124,7 +126,7 @@ def heavy_hitter_users(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return (
         counts.crossJoin(F.broadcast(mean))
-        .filter(F.col("n").cast("double") > 1.5 * F.col("mean_n"))
+        .filter(F.col("n").cast("double") > 1.1 * F.col("mean_n"))
         .select("user_id", F.col("n").cast("long").alias("n_events"))
     )
 

@@ -177,11 +177,12 @@ except ImportError:  # pragma: no cover
     MEDIA = None
 
 
-# events.ts is stored as parquet TIMESTAMP(NANOS), which Spark's reader
-# rejects as TimestampType; it is read as raw int64 nanos (session conf
-# spark.sql.legacy.parquet.nanosAsLong) and converted to a micros
-# timestamp below. DuckDB oracles see TIMESTAMP_NS and epoch_us()
-# truncates the same way integer `div 1000` does.
+# events.ts precision varies by testdata generation: TIMESTAMP(NANOS)
+# (which Spark's reader rejects as TimestampType — read as raw int64
+# nanos via session conf spark.sql.legacy.parquet.nanosAsLong, then
+# `div 1000` to micros) or plain TIMESTAMP(MICROS) (read natively).
+# The footer is probed once per path to pick the branch; DuckDB oracles
+# see the same file, and epoch_us() agrees with both paths.
 _EVENTS_RAW = _st(
     ("event_id", LongType()),
     ("ts", LongType()),
@@ -190,6 +191,24 @@ _EVENTS_RAW = _st(
     ("value", DoubleType()),
     ("props", StringType()),
 )
+
+_EVENTS_TS_UNIT: dict[str, str] = {}
+
+
+def _events_ts_unit(path: str) -> str:
+    """Parquet time unit ('ns'/'us'/'ms') of events.ts, from the footer."""
+    if path not in _EVENTS_TS_UNIT:
+        import glob
+        import os
+
+        import pyarrow.parquet as pq
+
+        probe = path
+        if os.path.isdir(path):  # spark-style directory of part files
+            probe = sorted(glob.glob(os.path.join(path, "*.parquet")))[0]
+        field = pq.ParquetFile(probe).schema_arrow.field("ts")
+        _EVENTS_TS_UNIT[path] = getattr(field.type, "unit", "us")
+    return _EVENTS_TS_UNIT[path]
 
 
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
@@ -202,7 +221,7 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     if name not in TESTDATA:
         raise KeyError(f"unknown testdata table: {name!r}")
     path = f"{sf_dir}/{name}.parquet"
-    if name == "events":
+    if name == "events" and _events_ts_unit(path) == "ns":
         from pyspark.sql import functions as F
 
         raw = spark.read.schema(_EVENTS_RAW).parquet(path)

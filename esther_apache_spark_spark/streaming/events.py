@@ -24,20 +24,27 @@ from esther_apache_spark_spark.schemas import TESTDATA
 
 def streaming_events_source(spark: SparkSession, sf_dir: str) -> DataFrame:
     """File-based streaming source over the events parquet (explicit
-    schema — required for readStream). The raw int64-nanos ts is
-    converted to a micros timestamp exactly as the batch reader does
-    (schemas.load_table)."""
-    from esther_apache_spark_spark.schemas import _EVENTS_RAW
+    schema — required for readStream). The ts precision branch mirrors
+    the batch reader (schemas.load_table): int64-nanos files are read
+    raw and converted to a micros timestamp; micros files read natively."""
+    from esther_apache_spark_spark.schemas import _EVENTS_RAW, _events_ts_unit
 
     # The file stream source wants a directory; point it at sf_dir with a
     # glob filter so only the events table streams in.
-    raw = (
-        spark.readStream.schema(_EVENTS_RAW)
+    if _events_ts_unit(f"{sf_dir}/events.parquet") == "ns":
+        raw = (
+            spark.readStream.schema(_EVENTS_RAW)
+            .option("maxFilesPerTrigger", "1")
+            .option("pathGlobFilter", "events.parquet")
+            .parquet(sf_dir)
+        )
+        return raw.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    return (
+        spark.readStream.schema(TESTDATA["events"])
         .option("maxFilesPerTrigger", "1")
         .option("pathGlobFilter", "events.parquet")
         .parquet(sf_dir)
     )
-    return raw.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
 
 
 def tumbling_agg(events: DataFrame, window: str = "1 hour", watermark: str = "30 minutes") -> DataFrame:
