@@ -617,3 +617,76 @@ def doc_repetition_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(duplicate_fraction(F.col("_g2")), 4).alias("dup_2gram_frac"),
         F.round(duplicate_fraction(F.col("_g3")), 4).alias("dup_3gram_frac"),
     )
+
+
+@register(
+    "scd2_user_state_history",
+    oracle="""
+    WITH ordered AS (
+        SELECT user_id, ts, event_id, event_type,
+               LAG(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev
+        FROM events
+    ),
+    changes AS (
+        SELECT user_id, ts, event_id, event_type FROM ordered
+        WHERE prev IS NULL OR prev <> event_type
+    )
+    SELECT user_id,
+           event_type AS state,
+           epoch_us(ts) AS valid_from_us,
+           epoch_us(LEAD(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)) AS valid_to_us
+    FROM changes
+    """,
+)
+def scd2_user_state_history(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SCD-type-2 history build from an event log: collapse consecutive
+    identical states per user (lag filter), then derive each surviving
+    row's validity interval [valid_from, valid_to) from the NEXT change
+    (lead; NULL = current). The complement of cdc_merge_latest_state —
+    that keeps only the newest row, this keeps the full versioned
+    timeline a training-data snapshot-as-of query needs.
+
+    Scale: two window passes over the SAME (user_id / ts, event_id)
+    ordering — one Exchange + one sort, the second window reuses the
+    partitioning. Deterministic total order via the unique event_id
+    tiebreak; timestamps emitted as epoch micros per oracle doctrine."""
+    ev = load_table(spark, sf_dir, "events").select(
+        "user_id", "ts", "event_id", "event_type"
+    )
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    changes = ev.withColumn("prev", F.lag("event_type").over(w)).filter(
+        F.col("prev").isNull() | (F.col("prev") != F.col("event_type"))
+    )
+    return changes.select(
+        "user_id",
+        F.col("event_type").alias("state"),
+        F.unix_micros("ts").alias("valid_from_us"),
+        F.unix_micros(F.lead("ts").over(w)).alias("valid_to_us"),
+    )
+
+
+@register("approx_quantiles_by_segment", oracle=None)
+def approx_quantiles_by_segment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Approximate per-group quantiles via ``percentile_approx``
+    (Greenwald-Khanna sketch, accuracy 10000 → rank error ≤ n/10000):
+    the 100-TB form of quantiles_by_segment. The sketch merges
+    per-partition — no shuffle of group rows, constant memory per group
+    — where the exact percentile must sort every row of the group.
+    Rows-only for the driver (sketch results aren't SQL-replayable);
+    the rank-error bound vs the exact quantile is pinned in
+    tests/test_corpus_ops.py."""
+    customer = load_table(spark, sf_dir, "customer")
+    approx = F.percentile_approx(
+        "c_acctbal", F.array(F.lit(0.25), F.lit(0.5), F.lit(0.75)), F.lit(10000)
+    )
+    return (
+        customer.groupBy("c_mktsegment")
+        .agg(approx.alias("q"))
+        .select(
+            "c_mktsegment",
+            F.col("q")[0].alias("p25"),
+            F.col("q")[1].alias("p50"),
+            F.col("q")[2].alias("p75"),
+        )
+        .orderBy("c_mktsegment")
+    )

@@ -1434,3 +1434,71 @@ def map_functions_props(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.array_join(F.array_sort(F.map_keys(m)), " ").alias("prop_keys"),
         F.element_at(m, "k").alias("k_value"),
     )
+
+
+@register(
+    "cogroup_user_activity",
+    oracle="""
+    WITH e AS (
+        SELECT user_id, CAST(COUNT(*) AS BIGINT) AS n_events,
+               CAST(ROUND(SUM(CAST(value AS DECIMAL(12,2))), 2) AS DOUBLE) AS events_value
+        FROM events GROUP BY 1
+    ),
+    o AS (
+        SELECT o_custkey AS user_id, CAST(COUNT(*) AS BIGINT) AS n_orders,
+               CAST(ROUND(SUM(CAST(o_totalprice AS DECIMAL(14,2))), 2) AS DOUBLE) AS orders_total
+        FROM orders GROUP BY 1
+    )
+    SELECT COALESCE(e.user_id, o.user_id) AS user_id,
+           CAST(COALESCE(e.n_events, 0) AS BIGINT) AS n_events,
+           COALESCE(e.events_value, 0.0) AS events_value,
+           CAST(COALESCE(o.n_orders, 0) AS BIGINT) AS n_orders,
+           COALESCE(o.orders_total, 0.0) AS orders_total
+    FROM e FULL OUTER JOIN o ON e.user_id = o.user_id
+    """,
+)
+def cogroup_user_activity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cogrouped applyInPandas (the D3 surface's third form, after
+    pandas_udf and mapInPandas): events and orders co-shuffled on the
+    user key, one Arrow kernel per (event-group, order-group) pair,
+    full-outer emit. The combine here is algebraic on purpose — DuckDB
+    states it as FULL OUTER JOIN of two GROUP BYs, oracling the cogroup
+    machinery (key routing, empty-side groups, cent-exact sums)."""
+    from esther_apache_spark_spark.operators.cogroup import user_activity_cogroup
+
+    return user_activity_cogroup(
+        load_table(spark, sf_dir, "events"), load_table(spark, sf_dir, "orders")
+    )
+
+
+_ENRICH_ORACLE = """
+    SELECT c.c_mktsegment AS segment,
+           CAST(COUNT(*) AS BIGINT) AS n_events,
+           CAST(ROUND(SUM(CAST(e.value AS DECIMAL(12,2))), 2) AS DOUBLE) AS total_value
+    FROM events e JOIN customer c ON e.user_id = c.c_custkey
+    GROUP BY 1
+"""
+
+
+@register("enriched_segment_totals", oracle=_ENRICH_ORACLE)
+def enriched_segment_totals_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batch twin of the stream-static enrichment join: fact ⋈ broadcast
+    dim → per-segment totals. Exists so the streaming variant below has
+    an exact shared oracle (same kernel function, same decimal-exact
+    aggregate)."""
+    from esther_apache_spark_spark.streaming.events import enriched_segment_totals
+
+    return enriched_segment_totals(
+        load_table(spark, sf_dir, "events"), load_table(spark, sf_dir, "customer")
+    )
+
+
+@register("streaming_enriched_totals", oracle=_ENRICH_ORACLE)
+def streaming_enriched_totals_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-static broadcast enrichment driven through readStream →
+    complete-mode memory sink. The static customer dim is re-broadcast
+    per micro-batch (no state store); the result must match the batch
+    twin bit-for-bit, which the shared oracle enforces."""
+    from esther_apache_spark_spark.streaming.events import run_streaming_enriched_totals
+
+    return run_streaming_enriched_totals(spark, sf_dir)

@@ -160,3 +160,21 @@ def write_clustered_parquet(
     if max_records_per_file:
         w = w.option("maxRecordsPerFile", str(max_records_per_file))
     w.parquet(path)
+
+def write_range_partitioned_parquet(
+    df: DataFrame, path: str, order_by: str, num_files: int
+) -> None:
+    """Globally range-ordered parquet layout: ``repartitionByRange`` puts
+    disjoint key ranges in separate files (Spark samples the key to pick
+    balanced bounds), ``sortWithinPartitions`` orders rows inside each.
+    The result is a layout whose per-file min/max stats are PAIRWISE
+    DISJOINT on the order key — a range predicate then prunes to the one
+    or two files that can match, which on 100 TB turns a full-corpus
+    scan into a few-file read. Costs one sampled range shuffle at write
+    time; the write is the once-per-dataset price for every later read.
+    (Contrast write_clustered_parquet: that clusters within value
+    partitions; this orders the WHOLE table on one key.)"""
+    out = df.repartitionByRange(num_files, F.col(order_by)).sortWithinPartitions(
+        F.col(order_by)
+    )
+    out.write.mode("overwrite").parquet(path)

@@ -296,3 +296,46 @@ def run_streaming_interval_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     finally:
         q.stop()
     return spark.table(name)
+
+
+def enriched_segment_totals(events: DataFrame, customer: DataFrame) -> DataFrame:
+    """Stream-static enrichment: join the (possibly streaming) event fact
+    to the static customer dimension, then aggregate per market segment.
+    The dim side is broadcast — in streaming this is THE pattern for
+    reference-data enrichment: the static side is re-broadcast per
+    micro-batch, no state store involved, and the stream side never
+    shuffles for the join itself. Works identically on a batch frame,
+    which is what the shared DuckDB oracle checks."""
+    dim = customer.select(F.col("c_custkey").alias("user_id"), "c_mktsegment")
+    return (
+        events.join(F.broadcast(dim), "user_id")
+        .groupBy(F.col("c_mktsegment").alias("segment"))
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.round(F.sum(F.col("value").cast("decimal(12,2)")), 2)
+            .cast("double")
+            .alias("total_value"),
+        )
+    )
+
+
+def run_streaming_enriched_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Drive the stream-static enrichment to completion: events as a file
+    stream, customer loaded once as a plain batch dim, complete-mode
+    memory sink (global agg, no watermark needed)."""
+    from esther_apache_spark_spark.schemas import load_table
+
+    customer = load_table(spark, sf_dir, "customer")
+    name = f"stream_enrich_{uuid.uuid4().hex[:8]}"
+    q = (
+        enriched_segment_totals(streaming_events_source(spark, sf_dir), customer)
+        .writeStream.outputMode("complete")
+        .format("memory")
+        .queryName(name)
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    return spark.table(name)

@@ -139,3 +139,36 @@ def test_duplicate_fraction_values(spark):
     )
     got = [r[0] for r in df.select(duplicate_fraction(F.col("arr"))).collect()]
     assert got == [0.5, 0.0, 0.0]
+
+
+def test_approx_quantiles_rank_error_bound(spark, sf_dir):
+    """percentile_approx(accuracy=10000) guarantees rank error <= n/10000
+    (< 1 rank at test scale, but assert the formal bound): the value it
+    returns for quantile q must sit at a rank within eps*n of q*n among
+    the group's sorted values."""
+    from esther_apache_spark_spark import plans
+    from esther_apache_spark_spark.schemas import load_table
+
+    got = {
+        r["c_mktsegment"]: (r["p25"], r["p50"], r["p75"])
+        for r in plans.QUERIES["approx_quantiles_by_segment"].fn(spark, sf_dir).collect()
+    }
+    rows = load_table(spark, sf_dir, "customer").select(
+        "c_mktsegment", "c_acctbal"
+    ).collect()
+    by_seg: dict[str, list[float]] = {}
+    for r in rows:
+        by_seg.setdefault(r["c_mktsegment"], []).append(r["c_acctbal"])
+    for seg, vals in by_seg.items():
+        vals.sort()
+        n = len(vals)
+        eps = 1.0 / 10000
+        for q, v in zip((0.25, 0.5, 0.75), got[seg]):
+            # rank interval of v among the sorted group values
+            lo = sum(1 for x in vals if x < v)
+            hi = sum(1 for x in vals if x <= v)
+            target = q * n
+            assert lo - eps * n - 1 <= target <= hi + eps * n + 1, (
+                f"{seg} q={q}: value {v} occupies ranks [{lo},{hi}] of {n}, "
+                f"target {target}"
+            )

@@ -118,3 +118,36 @@ def test_text_sink_roundtrip(spark, tmp_path):
     write_text(df, out)
     back = read_text(spark, out)
     assert sorted(r["value"] for r in back.collect()) == sorted(lines)
+
+
+def test_range_partitioned_layout_disjoint_stats(spark, sf_dir, tmp_path):
+    """write_range_partitioned_parquet: per-file [min,max] intervals on
+    the order key must be pairwise disjoint (that's the pruning
+    guarantee), and the rows must round-trip completely."""
+    import glob
+
+    import pyarrow.parquet as pq
+
+    from esther_apache_spark_spark.schemas import load_table
+    from esther_apache_spark_spark.sources.sinks import write_range_partitioned_parquet
+
+    orders = load_table(spark, sf_dir, "orders")
+    n_in = orders.count()
+    out = str(tmp_path / "ranged")
+    write_range_partitioned_parquet(orders, out, "o_custkey", 4)
+
+    spans = []
+    for f in glob.glob(f"{out}/*.parquet"):
+        pf = pq.ParquetFile(f)
+        idx = pf.schema_arrow.get_field_index("o_custkey")
+        lo = min(pf.metadata.row_group(i).column(idx).statistics.min
+                 for i in range(pf.metadata.num_row_groups))
+        hi = max(pf.metadata.row_group(i).column(idx).statistics.max
+                 for i in range(pf.metadata.num_row_groups))
+        spans.append((lo, hi))
+    assert len(spans) >= 2, "range write produced a single file; no pruning to test"
+    spans.sort()
+    for (_, prev_hi), (nxt_lo, _) in zip(spans, spans[1:]):
+        assert prev_hi <= nxt_lo, f"overlapping file ranges: {spans}"
+
+    assert spark.read.parquet(out).count() == n_in
