@@ -690,3 +690,85 @@ def approx_quantiles_by_segment(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("c_mktsegment")
     )
+
+
+@register(
+    "decontaminate_ngram_train_docs",
+    oracle="""
+    WITH toks AS (
+        SELECT doc_id, lang,
+               list_filter(regexp_split_to_array(trim(text), '\\s+'),
+                           x -> x <> '') AS t,
+               CAST(CONCAT('0x', substr(md5('decon' || CAST(doc_id AS VARCHAR)),
+                                        1, 8)) AS BIGINT)
+                   < CAST(0.1 * 4294967296 AS BIGINT) AS is_eval
+        FROM documents
+    ),
+    grams AS (
+        SELECT doc_id, is_eval, array_to_string(t[i:i+4], ' ') AS gram
+        FROM toks, UNNEST(range(1, len(t) - 3)) AS r(i)
+        WHERE len(t) >= 5
+    ),
+    contaminated AS (
+        SELECT DISTINCT g.doc_id
+        FROM grams g
+        WHERE NOT g.is_eval
+          AND EXISTS (SELECT 1 FROM grams e
+                      WHERE e.is_eval AND e.gram = g.gram)
+    )
+    SELECT t.doc_id, t.lang FROM toks t
+    WHERE NOT t.is_eval
+      AND t.doc_id NOT IN (SELECT doc_id FROM contaminated)
+    """,
+)
+def decontaminate_ngram_train_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """N-gram-overlap decontamination (the published eval-contamination
+    method for LLM corpora: drop any training document sharing an
+    n-gram with the eval set — here n=5 to suit the short synthetic
+    docs; production uses 8-13): tokenize once, explode each doc into
+    its n-grams, SEMI-join train grams against the eval gram set to
+    find contaminated doc_ids, anti-join them away. Catches paraphrase
+    splices that the exact-fingerprint decontaminate_train_docs misses.
+
+    Scale: the eval gram set is the small side (held-out fraction) →
+    broadcast semi join, so the exploded train grams never shuffle;
+    gram explosion multiplies rows ~doc_len× but each row is one small
+    string, and the filter collapses back to distinct doc_ids before
+    the final anti join. Same hash-gated split as the fingerprint
+    variant (salt 'decon'), so the two queries agree on the split."""
+    from esther_apache_spark_spark.operators.sampling import hash_bucket
+
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id",
+        "lang",
+        F.filter(
+            F.split(F.trim(F.col("text")), r"\s+"), lambda x: x != ""
+        ).alias("t"),
+        (hash_bucket(F.col("doc_id"), salt="decon") < int(0.1 * (1 << 32))).alias(
+            "is_eval"
+        ),
+    )
+    grams = (
+        docs.filter(F.size("t") >= 5)
+        .select(
+            "doc_id",
+            "is_eval",
+            F.explode(F.sequence(F.lit(1), F.size("t") - 4)).alias("i"),
+            "t",
+        )
+        .select(
+            "doc_id", "is_eval", F.expr("concat_ws(' ', slice(t, i, 5))").alias("gram")
+        )
+    )
+    eval_grams = grams.filter(F.col("is_eval")).select("gram").distinct()
+    contaminated = (
+        grams.filter(~F.col("is_eval"))
+        .join(F.broadcast(eval_grams), "gram", "left_semi")
+        .select("doc_id")
+        .distinct()
+    )
+    return (
+        docs.filter(~F.col("is_eval"))
+        .join(contaminated, "doc_id", "left_anti")
+        .select("doc_id", "lang")
+    )

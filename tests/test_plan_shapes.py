@@ -119,3 +119,24 @@ def test_decontaminate_broadcasts_eval_side(spark, sf_dir):
     train side (99%+ of 100 TB) must not shuffle."""
     plan = _plan(spark, sf_dir, "decontaminate_train_docs")
     assert "BroadcastHashJoin" in plan and "LeftAnti" in plan, plan
+
+
+def test_q7_broadcasts_both_nation_roles(spark, sf_dir):
+    """Q7: supplier/customer/nation(×2 roles) all broadcast; the only
+    non-broadcast join (lineitem ⋈ orders) shuffles on orderkey. No
+    cartesian anywhere despite the symmetric pair filter."""
+    plan = _plan(spark, sf_dir, "q7_volume_shipping")
+    assert plan.count("BroadcastHashJoin") >= 4, plan
+    assert "CartesianProduct" not in plan
+    assert "BatchEvalPython" not in plan
+
+
+def test_q8_broadcasts_dims_and_prunes_part(spark, sf_dir):
+    """Q8: 6 dim-side joins all broadcast, and the p_type filter is
+    pushed into the part scan (build side shrinks before shipping)."""
+    plan = _plan(spark, sf_dir, "q8_national_market_share")
+    assert plan.count("BroadcastHashJoin") >= 5, plan
+    assert "CartesianProduct" not in plan
+    # p_type filter reaches the part scan
+    part_scans = [l for l in plan.splitlines() if "part.parquet" in l or "p_type" in l]
+    assert any("p_type" in l for l in part_scans), plan
