@@ -772,3 +772,47 @@ def decontaminate_ngram_train_docs(spark: SparkSession, sf_dir: str) -> DataFram
         .join(contaminated, "doc_id", "left_anti")
         .select("doc_id", "lang")
     )
+
+
+@register(
+    "cap_docs_per_lang",
+    oracle="""
+    WITH ranked AS (
+        SELECT doc_id, lang,
+               ROW_NUMBER() OVER (
+                   PARTITION BY lang
+                   ORDER BY CAST(CONCAT('0x', substr(md5('cap' || CAST(doc_id AS VARCHAR)),
+                                                     1, 8)) AS BIGINT),
+                            doc_id
+               ) AS rn
+        FROM documents
+    )
+    SELECT doc_id, lang FROM ranked WHERE rn <= 100
+    """,
+)
+def cap_docs_per_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-stratum cap (the 'at most N docs per domain/language' rule
+    every corpus-mixture spec has): a deterministic reservoir — rank
+    each lang's docs by a seeded hash of their id (a stable
+    pseudo-random shuffle, unlike ``ORDER BY random()``) and keep the
+    first 100. Reproducible across runs, partitionings and engines;
+    adding new docs only displaces rows at the boundary.
+
+    Scale: the window shuffles one partition per lang — skew-prone when
+    one lang dominates the corpus. The 100-TB posture: pre-filter with
+    ``hash_bucket < (N/count_per_lang adjusted) * 2^32`` (broadcast the
+    per-lang counts) to shed ~all rows before the exact window ranks
+    the small survivor set; the operator keeps the simple form because
+    the cap itself bounds what the window must sort per group after
+    that pre-filter."""
+    from esther_apache_spark_spark.operators.sampling import hash_bucket
+
+    docs = load_table(spark, sf_dir, "documents")
+    w = Window.partitionBy("lang").orderBy(
+        hash_bucket(F.col("doc_id"), salt="cap"), F.col("doc_id")
+    )
+    return (
+        docs.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 100)
+        .select("doc_id", "lang")
+    )

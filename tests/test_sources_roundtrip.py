@@ -151,3 +151,27 @@ def test_range_partitioned_layout_disjoint_stats(spark, sf_dir, tmp_path):
         assert prev_hi <= nxt_lo, f"overlapping file ranges: {spans}"
 
     assert spark.read.parquet(out).count() == n_in
+
+
+def test_merge_schema_read_evolved_parquet(spark, tmp_path):
+    """Schema evolution across parquet batches: a later batch adds a
+    column; mergeSchema=true reads the union schema with nulls filled
+    for the older files (the corpus-refresh pattern where new crawls
+    gain metadata columns)."""
+    from pyspark.sql import functions as F
+
+    old = spark.range(3).select(F.col("id").alias("doc_id"), F.lit("en").alias("lang"))
+    new = spark.range(3, 6).select(
+        F.col("id").alias("doc_id"),
+        F.lit("fr").alias("lang"),
+        F.lit(0.9).alias("quality"),
+    )
+    old.write.parquet(str(tmp_path / "corpus" / "batch=1"))
+    new.write.parquet(str(tmp_path / "corpus" / "batch=2"))
+
+    merged = spark.read.option("mergeSchema", "true").parquet(str(tmp_path / "corpus"))
+    # union schema + the discovered `batch` partition column
+    assert set(merged.columns) == {"doc_id", "lang", "quality", "batch"}
+    rows = {r["doc_id"]: r for r in merged.collect()}
+    assert rows[0]["quality"] is None and rows[4]["quality"] == 0.9
+    assert merged.count() == 6
