@@ -1134,3 +1134,86 @@ def q8_national_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("mkt_share")
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Time-RANGE window frame — value-based (interval) sliding aggregate.
+# ---------------------------------------------------------------------------
+@register(
+    "rolling_1h_user_value",
+    oracle="""
+    SELECT user_id, event_id,
+           CAST(ROUND(SUM(CAST(value AS DECIMAL(12,2)))
+                          OVER (PARTITION BY user_id ORDER BY ts
+                                RANGE BETWEEN INTERVAL 1 HOUR PRECEDING
+                                          AND CURRENT ROW), 2) AS DOUBLE)
+               AS rolling_1h_value
+    FROM events
+    """,
+)
+def rolling_1h_user_value(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RANGE-frame window (value-based, not row-based): per user, the
+    decimal-exact sum of event values in the trailing 1-hour interval
+    ending at each event. Rows with EQUAL timestamps are peers — they
+    share one frame and one result, which is why no tiebreak column is
+    needed for determinism (contrast the ROWS frames elsewhere, which
+    need the event_id tiebreak). Spark expresses the interval frame as
+    ``rangeBetween(-3600, 0)`` over the epoch-seconds ordering — the
+    same frame DuckDB states as RANGE INTERVAL 1 HOUR PRECEDING.
+
+    Scale: one shuffle on user_id + one sort per partition, identical
+    cost profile to any other window; the frame is evaluated by a
+    sliding two-pointer over the sorted run, not by re-scanning the
+    hour for every row."""
+    events = load_table(spark, sf_dir, "events")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy(F.col("ts").cast("long"))
+        .rangeBetween(-3600, 0)
+    )
+    return events.select(
+        "user_id",
+        "event_id",
+        F.round(F.sum(F.col("value").cast("decimal(12,2)")).over(w), 2)
+        .cast("double")
+        .alias("rolling_1h_value"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# max_by / arg-max aggregate — the single-pass form of latest-per-key.
+# ---------------------------------------------------------------------------
+@register(
+    "latest_event_per_user_maxby",
+    oracle="""
+    SELECT user_id,
+           arg_max(event_type, CAST(epoch_us(ts) AS HUGEINT) * 1000000000000 + event_id)
+               AS last_type,
+           CAST(ROUND(CAST(arg_max(value, CAST(epoch_us(ts) AS HUGEINT) * 1000000000000
+                                          + event_id) AS DECIMAL(12,2)), 2)
+                AS DOUBLE) AS last_value
+    FROM events
+    GROUP BY user_id
+    """,
+)
+def latest_event_per_user_maxby(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Latest event per key via the ``max_by`` aggregate — same answer
+    as a row_number()-over-desc window (cdc_merge_latest_state's
+    mechanism) but ONE hash aggregate with map-side partial combine:
+    no per-partition sort, no full row shuffle — only (key, current
+    argmax) pairs move. At 100 TB this is the preferred latest-per-key
+    plan; the window form earns its sort only when the full ranked
+    history is needed. Tiebreak: the ordering key packs (epoch-micros,
+    event_id) into one wide integer (DuckDB's arg_max takes scalar
+    keys only), so equal-timestamp ties resolve identically in both
+    engines via the unique event_id."""
+    events = load_table(spark, sf_dir, "events")
+    ordkey = F.unix_micros("ts").cast("decimal(38,0)") * F.lit(
+        1_000_000_000_000
+    ) + F.col("event_id")
+    return events.groupBy("user_id").agg(
+        F.max_by("event_type", ordkey).alias("last_type"),
+        F.round(F.max_by("value", ordkey).cast("decimal(12,2)"), 2)
+        .cast("double")
+        .alias("last_value"),
+    )

@@ -172,3 +172,29 @@ def test_approx_quantiles_rank_error_bound(spark, sf_dir):
                 f"{seg} q={q}: value {v} occupies ranks [{lo},{hi}] of {n}, "
                 f"target {target}"
             )
+
+
+def test_cap_docs_per_lang_stable_under_repartitioning(spark, sf_dir):
+    """The per-lang cap must select the SAME doc set whatever the
+    physical partitioning (the property that separates the seeded-hash
+    reservoir from ORDER BY random() / df.sample)."""
+    from esther_apache_spark_spark.operators.sampling import hash_bucket
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+    from esther_apache_spark_spark.schemas import load_table
+
+    def run(docs):
+        w = Window.partitionBy("lang").orderBy(
+            hash_bucket(F.col("doc_id"), salt="cap"), F.col("doc_id")
+        )
+        out = (
+            docs.withColumn("rn", F.row_number().over(w))
+            .filter(F.col("rn") <= 100)
+            .select("doc_id", "lang")
+        )
+        return {(r["doc_id"], r["lang"]) for r in out.collect()}
+
+    docs = load_table(spark, sf_dir, "documents")
+    base = run(docs)
+    assert base == run(docs.repartition(7))
+    assert base == run(docs.repartition(1))
