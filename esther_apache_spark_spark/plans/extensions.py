@@ -338,6 +338,44 @@ def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "dedup_embedding_cosine_collapsed",
+    oracle="""
+    WITH v AS (SELECT vec_id AS _id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
+    b AS ({tables}),
+    cand AS (
+        SELECT DISTINCT a._id AS id_a, b2._id AS id_b
+        FROM b a JOIN b b2
+          ON a._table = b2._table AND a._bucket = b2._bucket AND a._id < b2._id
+    )
+    SELECT id_a, id_b, cosine FROM (
+        SELECT id_a, id_b,
+               ROUND(list_cosine_similarity(va.e, vb.e), 4) + 0.0 AS cosine
+        FROM cand JOIN v va ON va._id = cand.id_a JOIN v vb ON vb._id = cand.id_b
+    ) WHERE cosine >= 0.4
+    """.replace("{tables}", _SRP_TABLES),
+)
+def dedup_embedding_cosine_collapsed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The ``collapse_exact=True`` path of embedding_cosine_dups under
+    the SAME oracle as dedup_embedding_cosine: byte-identical vectors
+    collapse to one representative before LSH, pairs expand afterwards
+    (sub-cap groups exactly — chunked-clique beyond; see
+    _expand_collapsed_pairs). Off by default in the operator because
+    clone-free corpora pay its shuffles for nothing (bench sf0.1:
+    ~3× overhead), but a 2.6× end-to-end win on the 10-deep clone
+    clusters of the sf1 scale set — this entry keeps the path under the
+    driver's hash gate so the trade stays a flag, not a fork."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    return D.embedding_cosine_dups(
+        emb,
+        threshold=0.4,
+        n_planes=4,
+        n_tables=12,
+        dim=EMBEDDING_DIM,
+        collapse_exact=True,
+    )
+
+
 # ---------------------------------------------------------------------------
 # Similarity search (M4).
 # ---------------------------------------------------------------------------

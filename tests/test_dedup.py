@@ -212,3 +212,63 @@ def test_minhash_vec_properties(spark):
     agree = sum(a == b for a, b in zip(sigs[1], sigs[3])) / 32
     assert agree < 0.35  # true Jaccard 0; binomial tail bound
     assert all(v == 9223372036854775807 for v in sigs[4])
+
+
+def test_embedding_collapse_exact_preserves_pair_set(spark, sf_dir):
+    """collapse_exact must emit EXACTLY the pair set of the direct
+    pipeline on a corpus with planted clone clusters (the sf1 replica
+    shape: identical vectors under shifted ids)."""
+    from pyspark.sql import functions as F
+
+    from esther_apache_spark_spark.operators.dedup import embedding_cosine_dups
+    from esther_apache_spark_spark.schemas import EMBEDDING_DIM, load_table
+
+    emb = load_table(spark, sf_dir, "embeddings").select("vec_id", "embedding").limit(60)
+    cloned = emb
+    for i in (1, 2):
+        cloned = cloned.unionByName(
+            emb.select(
+                (F.col("vec_id") + F.lit(1_000_000 * i)).alias("vec_id"), "embedding"
+            )
+        )
+    kw = dict(threshold=0.4, n_planes=4, n_tables=12, dim=EMBEDDING_DIM)
+    fast = {
+        (r["id_a"], r["id_b"], r["cosine"])
+        for r in embedding_cosine_dups(cloned, collapse_exact=True, **kw).collect()
+    }
+    slow = {
+        (r["id_a"], r["id_b"], r["cosine"])
+        for r in embedding_cosine_dups(cloned, collapse_exact=False, **kw).collect()
+    }
+    assert fast == slow
+    assert len(fast) >= 3 * 60  # at least the intra-clone pairs exist
+
+
+def test_text_collapse_preserves_pair_sets(spark, sf_dir):
+    """minhash/simhash collapse_exact must emit EXACTLY the direct
+    pipeline's pair set on a corpus with planted identical clones."""
+    from pyspark.sql import functions as F
+
+    from esther_apache_spark_spark.operators.dedup import (
+        minhash_lsh_candidates,
+        simhash_candidates,
+    )
+    from esther_apache_spark_spark.schemas import load_table
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text").limit(80)
+    cloned = docs
+    for i in (1, 2):
+        cloned = cloned.unionByName(
+            docs.select((F.col("doc_id") + F.lit(1_000_000 * i)).alias("doc_id"), "text")
+        )
+
+    def pairs(df):
+        return {tuple(r) for r in df.collect()}
+
+    mh_fast = pairs(minhash_lsh_candidates(cloned, collapse_exact=True))
+    mh_slow = pairs(minhash_lsh_candidates(cloned, collapse_exact=False))
+    assert mh_fast == mh_slow and len(mh_fast) >= 3 * 80
+
+    sh_fast = pairs(simhash_candidates(cloned, collapse_exact=True))
+    sh_slow = pairs(simhash_candidates(cloned, collapse_exact=False))
+    assert sh_fast == sh_slow and len(sh_fast) >= 3 * 80
