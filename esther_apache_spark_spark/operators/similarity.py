@@ -391,3 +391,72 @@ def ann_topk_lsh(
     return top_k_per_group(
         scored, "query_id", [F.col("cosine").desc(), F.col("neighbor_id").asc()], k
     )
+
+
+def brute_force_topk_arrow(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_id_col: str = "query_id",
+) -> DataFrame:
+    """Exact cosine top-k via ``mapInArrow`` — the zero-copy sibling of
+    ``brute_force_topk_pandas`` (same semantics, same oracle). Arrow
+    RecordBatches reach the kernel without the Arrow→pandas conversion:
+    the list column's flat value buffer reshapes straight into the
+    (batch × dim) GEMM operand, where the pandas path materializes a
+    Python list per row (``Series.tolist``) and re-assembles the matrix
+    — the dominant per-batch overhead for wide embeddings. Same
+    tie-safety: rounded scores before the local cut, ties widened to the
+    k-th score, (cosine desc, neighbor_id asc) total order."""
+    import numpy as np
+    import pyarrow as pa
+
+    q_rows = queries.select(query_id_col, vec_col).collect()
+    q_ids = np.array([r[query_id_col] for r in q_rows])
+    qm = np.array([r[vec_col] for r in q_rows], dtype="float64")
+    qm /= np.maximum(np.linalg.norm(qm, axis=1, keepdims=True), 1e-12)
+
+    def scan(batches):
+        for batch in batches:
+            ids = batch.column(0).to_numpy()
+            varr = batch.column(1)
+            lens = np.asarray(pa.compute.list_value_length(varr))
+            if len(ids) == 0 or lens.min() != lens.max():
+                raise ValueError("embedding column must be fixed-width")
+            cm = (
+                np.asarray(varr.flatten().to_numpy(zero_copy_only=False))
+                .astype("float64")
+                .reshape(len(ids), int(lens[0]))
+            )
+            cm /= np.maximum(np.linalg.norm(cm, axis=1, keepdims=True), 1e-12)
+            scores = np.round(cm @ qm.T, 6)
+            top = min(k, len(ids))
+            out_q, out_n, out_c = [], [], []
+            for j, qid in enumerate(q_ids):
+                col = scores[:, j]
+                if top < len(ids):
+                    part = np.argpartition(-col, top - 1)[:top]
+                    cand = np.flatnonzero(col >= col[part].min())
+                else:
+                    cand = np.arange(len(ids))
+                order = cand[np.lexsort((ids[cand], -col[cand]))][:top]
+                out_q.extend([int(qid)] * len(order))
+                out_n.extend(int(ids[i]) for i in order)
+                out_c.extend(float(col[i]) for i in order)
+            yield pa.RecordBatch.from_arrays(
+                [
+                    pa.array(out_q, pa.int64()),
+                    pa.array(out_n, pa.int64()),
+                    pa.array(out_c, pa.float64()),
+                ],
+                names=["query_id", "neighbor_id", "cosine"],
+            )
+
+    scored = corpus.select(id_col, vec_col).mapInArrow(
+        scan, "query_id long, neighbor_id long, cosine double"
+    )
+    return top_k_per_group(
+        scored, "query_id", [F.col("cosine").desc(), F.col("neighbor_id").asc()], k
+    )

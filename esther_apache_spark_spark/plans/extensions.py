@@ -440,6 +440,32 @@ def similarity_topk_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "similarity_topk_arrow",
+    oracle=f"""
+    SELECT query_id, neighbor_id, cosine FROM (
+        SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+               ROUND({_COS}, 6) + 0.0 AS cosine,
+               row_number() OVER (
+                   PARTITION BY q.vec_id
+                   ORDER BY ROUND({_COS}, 6) DESC, c.vec_id ASC
+               ) AS rn
+        FROM embeddings c, (SELECT * FROM embeddings WHERE vec_id < 5) q
+    ) WHERE rn <= 10
+    """,
+)
+def similarity_topk_arrow(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """mapInArrow GEMM top-k (zero-copy Arrow kernel — completes the
+    Python-execution surface: pandas_udf, mapInPandas, applyInPandas,
+    applyInPandasWithState, cogroup applyInPandas, mapInArrow). Shares
+    the brute-force oracle: identical results, different transport."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    return S.brute_force_topk_arrow(emb, queries, k=10)
+
+
+@register(
     "similarity_topk_pandas",
     oracle=f"""
     SELECT query_id, neighbor_id, cosine FROM (
