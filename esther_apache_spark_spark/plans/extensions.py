@@ -9,7 +9,7 @@ driver records the weaker check — ``__spark_entry__.py:31-37``).
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from esther_apache_spark_spark.functions.money import dec2, money_sum
@@ -1566,3 +1566,125 @@ def streaming_enriched_totals_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     from esther_apache_spark_spark.streaming.events import run_streaming_enriched_totals
 
     return run_streaming_enriched_totals(spark, sf_dir)
+
+
+@register(
+    "funnel_view_click_purchase",
+    oracle="""
+    WITH w1 AS (
+        SELECT user_id, event_type, ts,
+               MIN(CASE WHEN event_type = 'view' THEN ts END)
+                   OVER (PARTITION BY user_id) AS vts
+        FROM events WHERE ts < TIMESTAMP '2024-01-02 00:00:00'
+    ),
+    w2 AS (
+        SELECT *, MIN(CASE WHEN event_type = 'click' AND ts > vts THEN ts END)
+                      OVER (PARTITION BY user_id) AS cts
+        FROM w1
+    ),
+    w3 AS (
+        SELECT *, MIN(CASE WHEN event_type = 'purchase' AND ts > cts THEN ts END)
+                      OVER (PARTITION BY user_id) AS pts
+        FROM w2
+    )
+    SELECT CAST(COUNT(DISTINCT CASE WHEN vts IS NOT NULL THEN user_id END) AS BIGINT) AS viewed,
+           CAST(COUNT(DISTINCT CASE WHEN cts IS NOT NULL THEN user_id END) AS BIGINT) AS clicked_after_view,
+           CAST(COUNT(DISTINCT CASE WHEN pts IS NOT NULL THEN user_id END) AS BIGINT) AS purchased_after_click
+    FROM w3
+    """,
+)
+def funnel_view_click_purchase(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered funnel: users who viewed, then clicked strictly AFTER
+    their first view, then purchased strictly after that click — the
+    event-sequence analysis shape (strict temporal order, not mere
+    co-occurrence). Three unordered window passes over ONE user_id
+    partitioning: each stage's earliest qualifying timestamp is a
+    conditional MIN over the partition referencing the previous stage's
+    result — no self-joins, no sort (min needs no ordering), one
+    shuffle total. At 100 TB this beats the 3-way self-join form by two
+    shuffles and is skew-safe (a power user's events still fit one
+    partition's window state). The day-one cutoff keeps the funnel
+    DISCRIMINATING on the synthetic traffic (56 viewed / 19 clicked /
+    3 purchased at sf0.01) — over the full month every user completes
+    every stage, which would verify nothing."""
+    events = load_table(spark, sf_dir, "events").filter(
+        F.col("ts") < F.lit("2024-01-02 00:00:00").cast("timestamp")
+    )
+    w = Window.partitionBy("user_id")
+    s1 = events.withColumn(
+        "vts", F.min(F.when(F.col("event_type") == "view", F.col("ts"))).over(w)
+    )
+    s2 = s1.withColumn(
+        "cts",
+        F.min(
+            F.when(
+                (F.col("event_type") == "click") & (F.col("ts") > F.col("vts")),
+                F.col("ts"),
+            )
+        ).over(w),
+    )
+    s3 = s2.withColumn(
+        "pts",
+        F.min(
+            F.when(
+                (F.col("event_type") == "purchase") & (F.col("ts") > F.col("cts")),
+                F.col("ts"),
+            )
+        ).over(w),
+    )
+    return s3.agg(
+        F.countDistinct(F.when(F.col("vts").isNotNull(), F.col("user_id"))).alias(
+            "viewed"
+        ),
+        F.countDistinct(F.when(F.col("cts").isNotNull(), F.col("user_id"))).alias(
+            "clicked_after_view"
+        ),
+        F.countDistinct(F.when(F.col("pts").isNotNull(), F.col("user_id"))).alias(
+            "purchased_after_click"
+        ),
+    )
+
+
+@register(
+    "retention_cohorts_weekly",
+    oracle="""
+    WITH firsts AS (
+        SELECT user_id, date_trunc('week', MIN(ts)) AS cohort_week
+        FROM events GROUP BY user_id
+    ),
+    activity AS (
+        SELECT DISTINCT user_id, date_trunc('week', ts) AS act_week FROM events
+    )
+    SELECT strftime(f.cohort_week, '%Y-%m-%d') AS cohort_week,
+           CAST(date_diff('day', f.cohort_week, a.act_week) / 7 AS INT) AS week_offset,
+           CAST(COUNT(DISTINCT a.user_id) AS BIGINT) AS active_users
+    FROM firsts f JOIN activity a ON f.user_id = a.user_id
+    GROUP BY 1, 2
+    """,
+)
+def retention_cohorts_weekly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Retention cohort matrix: users grouped by first-activity week,
+    counted as active at each whole-week offset since — the
+    product-analytics staple. Two narrow aggregates (per-user first
+    event; distinct user-weeks) joined on the user key, then a
+    coarse-grained count. Both engines truncate weeks to ISO Monday, so
+    offsets are exact integers. Scale: the join carries only
+    (user, week) pairs — activity is pre-distincted, so a 100 TB event
+    log reduces to |users|×|weeks| rows before anything joins."""
+    events = load_table(spark, sf_dir, "events")
+    firsts = events.groupBy("user_id").agg(
+        F.date_trunc("week", F.min("ts")).alias("cohort_week")
+    )
+    activity = events.select(
+        "user_id", F.date_trunc("week", F.col("ts")).alias("act_week")
+    ).distinct()
+    return (
+        firsts.join(activity, "user_id")
+        .groupBy(
+            F.date_format("cohort_week", "yyyy-MM-dd").alias("cohort_week"),
+            F.floor(F.datediff("act_week", "cohort_week") / 7)
+            .cast("int")
+            .alias("week_offset"),
+        )
+        .agg(F.countDistinct("user_id").alias("active_users"))
+    )
