@@ -272,3 +272,37 @@ def test_text_collapse_preserves_pair_sets(spark, sf_dir):
     sh_fast = pairs(simhash_candidates(cloned, collapse_exact=True))
     sh_slow = pairs(simhash_candidates(cloned, collapse_exact=False))
     assert sh_fast == sh_slow and len(sh_fast) >= 3 * 80
+
+
+def test_embedding_collapse_zero_vector_groups_excluded(spark):
+    """Zero-norm clone groups must produce NO intra pairs under
+    collapse_exact (cosine undefined), matching the direct kernel's
+    zero-norm exclusion; nonzero clones still pair."""
+    import numpy as np
+    from pyspark.sql import types as T
+
+    from esther_apache_spark_spark.operators.dedup import embedding_cosine_dups
+
+    rng = np.random.default_rng(11)
+    v = rng.standard_normal(8)
+    rows = (
+        [(i, [0.0] * 8) for i in range(3)]          # zero-vector clones
+        + [(10 + i, [float(x) for x in v]) for i in range(3)]  # real clones
+    )
+    df = spark.createDataFrame(
+        rows,
+        T.StructType(
+            [
+                T.StructField("vec_id", T.LongType()),
+                T.StructField("embedding", T.ArrayType(T.DoubleType())),
+            ]
+        ),
+    )
+    for collapse in (True, False):
+        got = {
+            (r["id_a"], r["id_b"])
+            for r in embedding_cosine_dups(
+                df, threshold=0.4, dim=8, collapse_exact=collapse
+            ).collect()
+        }
+        assert got == {(10, 11), (10, 12), (11, 12)}, (collapse, got)
