@@ -1688,3 +1688,69 @@ def retention_cohorts_weekly(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .agg(F.countDistinct("user_id").alias("active_users"))
     )
+
+
+@register(
+    "top_session_paths",
+    oracle="""
+    WITH lagged AS (
+        SELECT user_id, event_id, ts, event_type,
+               LAG(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_ts
+        FROM events
+    ),
+    s AS (
+        SELECT user_id, event_id, ts, event_type,
+               SUM(CASE WHEN prev_ts IS NULL
+                          OR epoch_us(ts) - epoch_us(prev_ts) > 30 * 60 * 1000000
+                        THEN 1 ELSE 0 END)
+                   OVER (PARTITION BY user_id ORDER BY ts, event_id
+                         ROWS UNBOUNDED PRECEDING) AS session_seq
+        FROM lagged
+    ),
+    p AS (
+        SELECT user_id, session_seq,
+               array_to_string(list_slice(list(event_type ORDER BY ts, event_id), 1, 3),
+                               '>') AS path
+        FROM s GROUP BY 1, 2
+    )
+    SELECT path, CAST(COUNT(*) AS BIGINT) AS n_sessions
+    FROM p GROUP BY 1
+    ORDER BY n_sessions DESC, path ASC
+    LIMIT 10
+    """,
+)
+def top_session_paths(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Session path analysis: the 10 most common opening 3-step
+    event-type sequences across gap-sessionized visits (30-min gap,
+    shared with sessionize_batch — same lag + running-sum construction
+    the streaming session query uses). Per-session ordering is made
+    deterministic by sorting the collected (ts, event_id, type) structs
+    INSIDE the aggregate — array_sort of collect_list — rather than
+    relying on collect_list order, which Spark does not guarantee.
+    Two shuffles (user sessionization, path count) + a top-10
+    TakeOrdered; at 100 TB the per-session state is one short struct
+    array, never the full history."""
+    from esther_apache_spark_spark.streaming.events import sessionize_batch
+
+    ev = sessionize_batch(load_table(spark, sf_dir, "events"), gap_minutes=30)
+    per_session = ev.groupBy("user_id", "session_seq").agg(
+        F.array_join(
+            F.slice(
+                F.transform(
+                    F.array_sort(
+                        F.collect_list(F.struct("ts", "event_id", "event_type"))
+                    ),
+                    lambda s: s["event_type"],
+                ),
+                1,
+                3,
+            ),
+            ">",
+        ).alias("path")
+    )
+    return (
+        per_session.groupBy("path")
+        .agg(F.count(F.lit(1)).alias("n_sessions"))
+        .orderBy(F.desc("n_sessions"), F.asc("path"))
+        .limit(10)
+    )

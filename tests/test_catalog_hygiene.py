@@ -1,0 +1,50 @@
+"""Catalog meta-invariants — every registered query is documented,
+named consistently, and its oracle (when present) references only the
+driver's pre-registered views."""
+
+from __future__ import annotations
+
+import re
+
+from esther_apache_spark_spark import plans
+
+DRIVER_TABLES = (
+    "region nation customer supplier part orders lineitem events "
+    "documents embeddings"
+).split()
+
+
+def test_every_query_documented_and_named():
+    for name, spec in plans.QUERIES.items():
+        assert spec.name == name
+        assert spec.doc and len(spec.doc) > 20, f"{name}: missing/thin docstring"
+
+
+def test_oracles_reference_only_driver_views():
+    """The driver registers exactly ten parquet views; an oracle naming
+    any other relation would fail only at driver time — catch it here.
+    Identifier extraction is rough (FROM/JOIN tokens), which is enough
+    to catch a typo'd table name."""
+    for name, sql in plans.oracle_sql().items():
+        # strip CTE names defined in the statement itself
+        ctes = set(
+            re.findall(
+                r"(?:WITH(?:\s+RECURSIVE)?|,|\))\s*([a-zA-Z_]\w*)\s*(?:\([^)]*\))?\s+AS\s*\(",
+                sql,
+            )
+        )
+        refs = re.findall(r"(?:FROM|JOIN)\s+([a-zA-Z_]\w*)", sql)
+        for ref in refs:
+            ok = (
+                ref.lower() in DRIVER_TABLES
+                or ref in ctes
+                or ref.lower() in {"unnest", "range", "lateral", "generate_series"}
+                or ref.lower().startswith("read_")  # duckdb file readers
+            )
+            assert ok, f"{name}: oracle references unknown relation {ref!r}"
+
+
+def test_queries_and_oracles_align():
+    q = set(plans.queries())
+    o = set(plans.oracle_sql())
+    assert o <= q, f"oracles without queries: {o - q}"
