@@ -1754,3 +1754,33 @@ def top_session_paths(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("n_sessions"), F.asc("path"))
         .limit(10)
     )
+
+
+@register(
+    "interval_join_left_view_purchase",
+    oracle="""
+    SELECT v.user_id, v.event_id AS view_id, p.event_id AS purchase_id,
+           strftime(v.ts, '%Y-%m-%d %H:%M:%S') AS view_ts,
+           strftime(p.ts, '%Y-%m-%d %H:%M:%S') AS purchase_ts
+    FROM (SELECT * FROM events WHERE event_type = 'view') v
+    LEFT JOIN (SELECT * FROM events WHERE event_type = 'purchase') p
+      ON v.user_id = p.user_id
+     AND p.ts > v.ts AND p.ts <= v.ts + INTERVAL 1 HOUR
+    """,
+)
+def interval_join_left_view_purchase(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batch twin of the LEFT OUTER interval join: every view row kept,
+    purchase columns null when no conversion lands inside the hour.
+    The streaming variant shares the kernel; its prefix-completeness
+    containment (a bounded stream cannot null-extend views whose
+    horizon the final watermark never passed) is pinned in
+    tests/test_skew_and_streaming.py rather than oracled."""
+    from esther_apache_spark_spark.streaming.events import (
+        interval_join_views_purchases_left,
+    )
+
+    events = load_table(spark, sf_dir, "events")
+    return interval_join_views_purchases_left(
+        events.filter(F.col("event_type") == "view"),
+        events.filter(F.col("event_type") == "purchase"),
+    )

@@ -339,3 +339,46 @@ def run_streaming_enriched_totals(spark: SparkSession, sf_dir: str) -> DataFrame
     finally:
         q.stop()
     return spark.table(name)
+
+
+def interval_join_views_purchases_left(
+    views: DataFrame, purchases: DataFrame, horizon: str = "1 hour"
+) -> DataFrame:
+    """LEFT OUTER attribution join: every view row survives; purchases
+    within (view_ts, view_ts + horizon] attach, unconverted views carry
+    NULL purchase columns. Batch and streaming share this kernel, but
+    their COMPLETENESS differs by design: a streaming left-outer join
+    emits a null-extended row only once the purchase-side watermark has
+    passed the view's horizon (state can then prove no match will
+    arrive). A bounded file stream stops advancing the watermark after
+    its last batch, so views near the end of input remain unemitted —
+    the streamed result is a PREFIX-complete subset of the batch twin
+    (matched rows all present; null-extensions only for views whose
+    horizon closed). tests/test_skew_and_streaming.py pins exactly that
+    containment; the batch twin is the oracled complete answer."""
+    v = views.select(
+        F.col("user_id").alias("v_user"),
+        F.col("event_id").alias("view_id"),
+        F.col("ts").alias("view_ts"),
+    )
+    p = purchases.select(
+        F.col("user_id").alias("p_user"),
+        F.col("event_id").alias("purchase_id"),
+        F.col("ts").alias("purchase_ts"),
+    )
+    if views.isStreaming:
+        v = v.withWatermark("view_ts", "30 minutes")
+        p = p.withWatermark("purchase_ts", "30 minutes")
+    return v.join(
+        p,
+        (F.col("v_user") == F.col("p_user"))
+        & (F.col("purchase_ts") > F.col("view_ts"))
+        & (F.col("purchase_ts") <= F.col("view_ts") + F.expr(f"INTERVAL {horizon}")),
+        "leftOuter",
+    ).select(
+        F.col("v_user").alias("user_id"),
+        "view_id",
+        F.col("purchase_id"),
+        F.date_format("view_ts", "yyyy-MM-dd HH:mm:ss").alias("view_ts"),
+        F.date_format("purchase_ts", "yyyy-MM-dd HH:mm:ss").alias("purchase_ts"),
+    )

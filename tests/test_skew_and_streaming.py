@@ -233,3 +233,54 @@ def test_stream_checkpoint_recovery_exactly_once(spark, sf_dir, tmp_path):
     n = events.count()
     assert written.count() == n, "lost or duplicated rows across restart"
     assert written.select("event_id").distinct().count() == n
+
+
+def test_streaming_left_interval_join_prefix_containment(spark, sf_dir):
+    """Streaming LEFT OUTER interval join vs its batch twin: every
+    MATCHED row must appear (inner rows emit on arrival), every
+    streamed row must exist in the batch answer, and null-extended
+    rows may only be missing (views whose horizon the final watermark
+    never passed) — never wrong."""
+    import uuid
+
+    from pyspark.sql import functions as F
+
+    from esther_apache_spark_spark.schemas import load_table
+    from esther_apache_spark_spark.streaming.events import (
+        interval_join_views_purchases_left,
+        streaming_events_source,
+    )
+
+    events = load_table(spark, sf_dir, "events")
+    batch = {
+        tuple(r)
+        for r in interval_join_views_purchases_left(
+            events.filter(F.col("event_type") == "view"),
+            events.filter(F.col("event_type") == "purchase"),
+        ).collect()
+    }
+    matched_batch = {r for r in batch if r[2] is not None}
+
+    name = f"stream_loj_{uuid.uuid4().hex[:8]}"
+    q = (
+        interval_join_views_purchases_left(
+            streaming_events_source(spark, sf_dir).filter(
+                F.col("event_type") == "view"
+            ),
+            streaming_events_source(spark, sf_dir).filter(
+                F.col("event_type") == "purchase"
+            ),
+        )
+        .writeStream.outputMode("append")
+        .format("memory")
+        .queryName(name)
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    streamed = {tuple(r) for r in spark.table(name).collect()}
+
+    assert matched_batch <= streamed, "inner rows must all emit"
+    assert streamed <= batch, "streamed rows must agree with the batch twin"
