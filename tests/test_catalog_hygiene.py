@@ -48,3 +48,44 @@ def test_queries_and_oracles_align():
     q = set(plans.queries())
     o = set(plans.oracle_sql())
     assert o <= q, f"oracles without queries: {o - q}"
+
+
+def test_catalog_plans_free_of_scale_antipatterns(spark, sf_dir):
+    """Sweep EVERY catalog query's physical plan for the three
+    100 TB anti-patterns: CartesianProduct, BroadcastNestedLoopJoin and
+    row-at-a-time Python (BatchEvalPython). Allowed exceptions are
+    pinned by name: four scalar-subquery shapes whose NLJ build side is
+    ONE row (global mean / total / avg / doc-count broadcast back), and
+    the brute-force similarity oracle whose cartesian is its definition.
+    Streaming runner queries are skipped (explaining the returned
+    memory-sink table says nothing about the streaming plan; their
+    shapes are asserted in the streaming tests)."""
+    import contextlib
+    import io
+
+    from esther_apache_spark_spark import plans
+
+    ONE_ROW_NLJ_OK = {
+        "heavy_hitter_users",        # 1-row global mean
+        "q11_important_part_value",  # 1-row global total
+        "q22_idle_high_balance_customers",  # 1-row global avg
+        "tfidf_top_terms",           # 1-row corpus doc count
+        "similarity_topk_bruteforce",  # fenced all-pairs oracle
+    }
+    offenders = {}
+    for name, spec in plans.QUERIES.items():
+        if name.startswith(("streaming_", "stream_")):
+            continue
+        df = spec.fn(spark, sf_dir)
+        buf = io.StringIO()
+        with contextlib.redirect_stdout(buf):
+            df.explain("formatted")
+        plan = buf.getvalue()
+        hits = [
+            op
+            for op in ("CartesianProduct", "BroadcastNestedLoopJoin", "BatchEvalPython")
+            if op in plan
+        ]
+        if hits and not (hits == ["BroadcastNestedLoopJoin"] and name in ONE_ROW_NLJ_OK):
+            offenders[name] = hits
+    assert not offenders, offenders
