@@ -175,3 +175,30 @@ def test_merge_schema_read_evolved_parquet(spark, tmp_path):
     rows = {r["doc_id"]: r for r in merged.collect()}
     assert rows[0]["quality"] is None and rows[4]["quality"] == 0.9
     assert merged.count() == 6
+
+
+def test_observed_metrics_match_direct_aggregates(spark, sf_dir, tmp_path):
+    """with_metrics: values computed in the SAME pass as the sink write
+    must equal a direct aggregate over the same frame — and the
+    instrumented write must not change the written data."""
+    from pyspark.sql import functions as F
+
+    from esther_apache_spark_spark.operators.observe import with_metrics
+    from esther_apache_spark_spark.schemas import load_table
+
+    orders = load_table(spark, sf_dir, "orders").filter(F.col("o_totalprice") > 1000)
+    out, obs = with_metrics(
+        orders,
+        n=F.count(F.lit(1)),
+        total_cents=F.sum(F.round(F.col("o_totalprice") * 100).cast("long")),
+    )
+    path = str(tmp_path / "observed")
+    out.write.parquet(path)
+
+    direct = orders.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.round(F.col("o_totalprice") * 100).cast("long")).alias("total_cents"),
+    ).collect()[0]
+    got = obs.get
+    assert got["n"] == direct["n"] and got["total_cents"] == direct["total_cents"]
+    assert spark.read.parquet(path).count() == direct["n"]
