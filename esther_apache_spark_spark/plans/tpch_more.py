@@ -1217,3 +1217,52 @@ def latest_event_per_user_maxby(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("double")
         .alias("last_value"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Market-basket co-occurrence — self-join on the basket key.
+# ---------------------------------------------------------------------------
+@register(
+    "copurchase_brand_pairs",
+    oracle="""
+    WITH ob AS (
+        SELECT DISTINCT l.l_orderkey, p.p_brand
+        FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+    )
+    SELECT a.p_brand AS brand_a, b.p_brand AS brand_b,
+           CAST(COUNT(*) AS BIGINT) AS n_orders
+    FROM ob a JOIN ob b
+      ON a.l_orderkey = b.l_orderkey AND a.p_brand < b.p_brand
+    GROUP BY 1, 2
+    ORDER BY n_orders DESC, brand_a ASC, brand_b ASC
+    LIMIT 10
+    """,
+)
+def copurchase_brand_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Market-basket co-occurrence: which part brands are bought
+    together in one order (top 10 pairs). The scale discipline is the
+    DISTINCT **before** the self-join: collapsing line items to unique
+    (order, brand) first bounds the join fan-out at C(brands-in-order,2)
+    instead of C(lineitems-in-order,2) — on a 7-line order with 3
+    brands that is 3 pairs, not 21, and corpus-wide it is the
+    difference between a brand-pair count and a lineitem² blowup. Both
+    the distinct and the self-join shuffle on the same orderkey, so the
+    second Exchange vanishes (co-partitioned self-join); part is
+    broadcast. Deterministic top-10 via (count desc, pair asc)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    part = load_table(spark, sf_dir, "part")
+    ob = (
+        li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        .select("l_orderkey", "p_brand")
+        .distinct()
+    )
+    a = ob.select(F.col("l_orderkey").alias("k"), F.col("p_brand").alias("brand_a"))
+    b = ob.select(F.col("l_orderkey").alias("k"), F.col("p_brand").alias("brand_b"))
+    return (
+        a.join(b, "k")
+        .filter(F.col("brand_a") < F.col("brand_b"))
+        .groupBy("brand_a", "brand_b")
+        .agg(F.count(F.lit(1)).alias("n_orders"))
+        .orderBy(F.desc("n_orders"), F.asc("brand_a"), F.asc("brand_b"))
+        .limit(10)
+    )
