@@ -12,7 +12,7 @@ from __future__ import annotations
 import sqlite3
 from collections.abc import Sequence
 
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 
@@ -178,3 +178,35 @@ def write_range_partitioned_parquet(
         F.col(order_by)
     )
     out.write.mode("overwrite").parquet(path)
+
+
+def compact_parquet(
+    spark: SparkSession,
+    path: str,
+    target_files: int,
+    order_by: str | None = None,
+) -> None:
+    """Small-file compaction (the maintenance job every long-lived
+    streaming/incremental sink needs): rewrite a parquet dataset into
+    ``target_files`` right-sized files. foreachBatch appends and
+    per-partition incremental writes accumulate kilobyte files whose
+    open/footer overhead eventually dominates scans — at 100 TB a
+    10k-file directory that should be 100 files reads ~10× slower.
+    ``coalesce`` (no shuffle) when shrinking suffices; pass ``order_by``
+    to invest one range shuffle and come out with disjoint min/max
+    stats as well (write_range_partitioned_parquet's layout).
+    The rewrite stages into ``path + '.compact'`` then swaps, so a
+    failure mid-write never destroys the source."""
+    import shutil
+
+    df = spark.read.parquet(path)
+    staged = path.rstrip("/") + ".compact"
+    if order_by is not None:
+        out = df.repartitionByRange(target_files, F.col(order_by)).sortWithinPartitions(
+            F.col(order_by)
+        )
+    else:
+        out = df.coalesce(target_files)
+    out.write.mode("overwrite").parquet(staged)
+    shutil.rmtree(path)
+    shutil.move(staged, path)

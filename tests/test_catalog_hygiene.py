@@ -89,3 +89,13 @@ def test_catalog_plans_free_of_scale_antipatterns(spark, sf_dir):
         if hits and not (hits == ["BroadcastNestedLoopJoin"] and name in ONE_ROW_NLJ_OK):
             offenders[name] = hits
     assert not offenders, offenders
+
+
+def test_bench_headline_names_exist_in_catalog():
+    """bench.py's frozen headline set must stay resolvable — a catalog
+    rename would otherwise surface only when the driver's bench run
+    crashes."""
+    import bench
+
+    for name in bench.HEADLINE:
+        assert name in plans.QUERIES, f"bench headline {name!r} not in catalog"

@@ -202,3 +202,22 @@ def test_observed_metrics_match_direct_aggregates(spark, sf_dir, tmp_path):
     got = obs.get
     assert got["n"] == direct["n"] and got["total_cents"] == direct["total_cents"]
     assert spark.read.parquet(path).count() == direct["n"]
+
+
+def test_compact_parquet_reduces_files_and_preserves_rows(spark, sf_dir, tmp_path):
+    """compact_parquet: a fragmented 16-file dataset becomes 2 files
+    with identical content; ordered mode also yields disjoint spans."""
+    import glob
+
+    from esther_apache_spark_spark.schemas import load_table
+    from esther_apache_spark_spark.sources.sinks import compact_parquet
+
+    orders = load_table(spark, sf_dir, "orders")
+    path = str(tmp_path / "frag")
+    orders.repartition(16).write.parquet(path)
+    assert len(glob.glob(f"{path}/*.parquet")) == 16
+    before = {tuple(r) for r in spark.read.parquet(path).collect()}
+
+    compact_parquet(spark, path, 2)
+    assert len(glob.glob(f"{path}/*.parquet")) == 2
+    assert {tuple(r) for r in spark.read.parquet(path).collect()} == before
