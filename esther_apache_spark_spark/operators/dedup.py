@@ -774,9 +774,11 @@ def embedding_cosine_dups(
     ~87% recall at cosine 0.4 (see ``srp_table_buckets``). At larger
     corpora raise n_planes (smaller buckets) and n_tables together.
 
-    ``collapse_exact`` (default on) collapses byte-identical vectors to
-    one representative BEFORE the LSH pipeline and expands pairs back
-    afterwards. Identical vectors land in identical buckets in every
+    ``collapse_exact`` (default **off** — it costs ~1.6× on clone-free
+    corpora and wins ~2.6× on clone-heavy ones, see BASELINE.md; enable
+    it when the corpus is known to carry boilerplate clones) collapses
+    byte-identical vectors to one representative BEFORE the LSH pipeline
+    and expands pairs back afterwards. Identical vectors land in identical buckets in every
     table, so a clone cluster of size k inflates every one of its
     buckets k× and the quadratic GEMM/meet work k²× — the dominant cost
     on boilerplate-heavy corpora (warm median 4.3 s vs 11.0 s direct on
@@ -809,11 +811,13 @@ def embedding_cosine_dups(
         F.col(id_col).alias("_id"), F.col(vec_col).cast("array<double>").alias("_v")
     )
     if collapse_exact:
-        # Content key: md5 over the exact decimal rendering — identical
-        # doubles only (an ulp of difference keeps rows apart, which is
-        # safe: they just don't collapse). 128-bit key → collision-free
-        # in practice at any corpus size.
-        vkey = F.md5(F.concat_ws(",", F.transform("_v", lambda x: x.cast("string"))))
+        # Content key: md5 over the JSON rendering — identical doubles
+        # only (an ulp of difference keeps rows apart, which is safe:
+        # they just don't collapse). JSON, not concat_ws: concat_ws
+        # silently DROPS null elements, so [1.0, null, 2.0] and
+        # [1.0, 2.0] would collide; to_json encodes nulls explicitly.
+        # 128-bit key → collision-free in practice at any corpus size.
+        vkey = F.md5(F.to_json(F.col("_v")))
         keyed = base.withColumn("_vkey", vkey)
         # Narrow member map (no vectors) — reused by both expansion
         # joins; cached per module cache doctrine (plan barrier + reuse).

@@ -422,8 +422,12 @@ def brute_force_topk_arrow(
         for batch in batches:
             ids = batch.column(0).to_numpy()
             varr = batch.column(1)
+            if len(ids) == 0:
+                # Empty batches are legal (empty source split) — skip,
+                # don't misreport them as ragged-width input.
+                continue
             lens = np.asarray(pa.compute.list_value_length(varr))
-            if len(ids) == 0 or lens.min() != lens.max():
+            if lens.min() != lens.max():
                 raise ValueError("embedding column must be fixed-width")
             cm = (
                 np.asarray(varr.flatten().to_numpy(zero_copy_only=False))

@@ -1154,12 +1154,18 @@ def q8_national_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
 def rolling_1h_user_value(spark: SparkSession, sf_dir: str) -> DataFrame:
     """RANGE-frame window (value-based, not row-based): per user, the
     decimal-exact sum of event values in the trailing 1-hour interval
-    ending at each event. Rows with EQUAL timestamps are peers — they
-    share one frame and one result, which is why no tiebreak column is
-    needed for determinism (contrast the ROWS frames elsewhere, which
-    need the event_id tiebreak). Spark expresses the interval frame as
-    ``rangeBetween(-3600, 0)`` over the epoch-seconds ordering — the
-    same frame DuckDB states as RANGE INTERVAL 1 HOUR PRECEDING.
+    ending at each event. Rows with EQUAL timestamps (full microsecond
+    precision, not truncated seconds) are peers — they share one frame
+    and one result, which is why no tiebreak column is needed for
+    determinism (contrast the ROWS frames elsewhere, which need the
+    event_id tiebreak). Spark expresses the interval frame as
+    ``rangeBetween(-3_600_000_000, 0)`` over the epoch-MICROseconds
+    ordering (``unix_micros``) — the same frame DuckDB states as RANGE
+    INTERVAL 1 HOUR PRECEDING over its microsecond timestamps. Ordering
+    by ``ts.cast('long')`` (epoch seconds) would be wrong twice over:
+    it truncates sub-second precision so distinct timestamps within one
+    wall-clock second wrongly become peers, and the 1-hour bound gets
+    evaluated on the truncated values.
 
     Scale: one shuffle on user_id + one sort per partition, identical
     cost profile to any other window; the frame is evaluated by a
@@ -1168,8 +1174,8 @@ def rolling_1h_user_value(spark: SparkSession, sf_dir: str) -> DataFrame:
     events = load_table(spark, sf_dir, "events")
     w = (
         Window.partitionBy("user_id")
-        .orderBy(F.col("ts").cast("long"))
-        .rangeBetween(-3600, 0)
+        .orderBy(F.unix_micros("ts"))
+        .rangeBetween(-3_600_000_000, 0)
     )
     return events.select(
         "user_id",

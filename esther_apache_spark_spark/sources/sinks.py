@@ -192,21 +192,33 @@ def compact_parquet(
     per-partition incremental writes accumulate kilobyte files whose
     open/footer overhead eventually dominates scans — at 100 TB a
     10k-file directory that should be 100 files reads ~10× slower.
-    ``coalesce`` (no shuffle) when shrinking suffices; pass ``order_by``
-    to invest one range shuffle and come out with disjoint min/max
-    stats as well (write_range_partitioned_parquet's layout).
-    The rewrite stages into ``path + '.compact'`` then swaps, so a
-    failure mid-write never destroys the source."""
+    ``coalesce`` (no shuffle) when shrinking suffices — but coalesce
+    cannot INCREASE the file count, so when ``target_files`` exceeds the
+    source's current partition count we use ``repartition`` (one round-
+    robin shuffle) instead; pass ``order_by`` to invest one range
+    shuffle and come out with disjoint min/max stats as well
+    (write_range_partitioned_parquet's layout).
+    The rewrite stages into ``path + '.compact'``, then swaps via
+    rename-aside: the old directory is renamed to ``path + '.old'``
+    BEFORE the staged copy is renamed into place, so at every instant a
+    complete copy of the data exists under a well-known name — a crash
+    between the two renames leaves ``path + '.old'`` (and possibly the
+    staged copy) intact rather than leaving the canonical path empty."""
     import shutil
 
     df = spark.read.parquet(path)
     staged = path.rstrip("/") + ".compact"
+    old = path.rstrip("/") + ".old"
     if order_by is not None:
         out = df.repartitionByRange(target_files, F.col(order_by)).sortWithinPartitions(
             F.col(order_by)
         )
+    elif df.rdd.getNumPartitions() < target_files:
+        out = df.repartition(target_files)
     else:
         out = df.coalesce(target_files)
     out.write.mode("overwrite").parquet(staged)
-    shutil.rmtree(path)
+    shutil.rmtree(old, ignore_errors=True)
+    shutil.move(path, old)
     shutil.move(staged, path)
+    shutil.rmtree(old)

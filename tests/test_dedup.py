@@ -306,3 +306,42 @@ def test_embedding_collapse_zero_vector_groups_excluded(spark):
             ).collect()
         }
         assert got == {(10, 11), (10, 12), (11, 12)}, (collapse, got)
+
+
+def test_embedding_collapse_null_elements_not_conflated(spark):
+    """Vectors whose element lists differ only in NULL placement must
+    NOT share a collapse key: concat_ws silently drops nulls, so
+    [1,2,null] and [1,null,2] would collide and the representative's
+    vector would stand in for a DIFFERENT vector downstream. The
+    JSON-based key encodes nulls explicitly. (The zero-norm/NaN guards
+    downstream mask most external symptoms at fixed width, so this is
+    a contract test on the full-operator output: null-bearing vectors
+    have undefined cosine, and the only pair the operator may emit is
+    between the byte-identical null-FREE clones.)"""
+    from pyspark.sql import types as T
+
+    from esther_apache_spark_spark.operators.dedup import embedding_cosine_dups
+
+    rows = [
+        (1, [1.0, 2.0, None]),   # null-bearing
+        (2, [1.0, None, 2.0]),   # same multiset, different null slot
+        (3, [1.0, 2.0, None]),   # exact clone of 1 (still null-bearing)
+        (10, [1.0, 2.0, 3.0]),   # clean clones — the only valid pair
+        (11, [1.0, 2.0, 3.0]),
+    ]
+    df = spark.createDataFrame(
+        rows,
+        T.StructType(
+            [
+                T.StructField("vec_id", T.LongType()),
+                T.StructField("embedding", T.ArrayType(T.DoubleType())),
+            ]
+        ),
+    )
+    got = {
+        (r["id_a"], r["id_b"])
+        for r in embedding_cosine_dups(
+            df, threshold=0.4, dim=3, collapse_exact=True
+        ).collect()
+    }
+    assert got == {(10, 11)}, got

@@ -255,3 +255,36 @@ def test_kmeans_centroids_deterministic_and_better_recall(spark):
     # quantizer at equal nprobe, and clear an absolute floor
     assert r_kmeans >= r_default, (r_kmeans, r_default)
     assert r_kmeans >= 0.8, r_kmeans
+
+
+def test_arrow_topk_tolerates_empty_batches(spark):
+    """An empty corpus split (or a fully-filtered one) reaches the
+    mapInArrow kernel as a zero-row batch; it must be skipped, not
+    misreported as 'embedding column must be fixed-width'."""
+    from pyspark.sql import types as T
+
+    from esther_apache_spark_spark.operators import similarity as S
+
+    schema = T.StructType(
+        [
+            T.StructField("vec_id", T.LongType()),
+            T.StructField("embedding", T.ArrayType(T.DoubleType())),
+        ]
+    )
+    qschema = T.StructType(
+        [
+            T.StructField("query_id", T.LongType()),
+            T.StructField("embedding", T.ArrayType(T.DoubleType())),
+        ]
+    )
+    corpus = spark.createDataFrame(
+        [(1, [1.0, 0.0]), (2, [0.0, 1.0]), (3, [1.0, 1.0])], schema
+    ).repartition(8)  # 8 splits, 3 rows: most splits are empty
+    queries = spark.createDataFrame([(100, [1.0, 0.0])], qschema)
+
+    got = S.brute_force_topk_arrow(corpus, queries, k=2).collect()
+    assert {(r["query_id"], r["neighbor_id"]) for r in got} == {(100, 1), (100, 3)}
+
+    # Genuinely empty corpus: zero result rows, no crash.
+    empty = spark.createDataFrame([], schema)
+    assert S.brute_force_topk_arrow(empty, queries, k=2).count() == 0

@@ -221,3 +221,26 @@ def test_compact_parquet_reduces_files_and_preserves_rows(spark, sf_dir, tmp_pat
     compact_parquet(spark, path, 2)
     assert len(glob.glob(f"{path}/*.parquet")) == 2
     assert {tuple(r) for r in spark.read.parquet(path).collect()} == before
+
+
+def test_compact_parquet_can_grow_file_count_and_cleans_up(spark, sf_dir, tmp_path):
+    """target_files ABOVE the current partition count must be honored
+    (coalesce cannot grow — the repartition path takes over), and the
+    rename-aside swap must leave no .compact/.old residue on success."""
+    import glob
+    import os
+
+    from esther_apache_spark_spark.schemas import load_table
+    from esther_apache_spark_spark.sources.sinks import compact_parquet
+
+    nation = load_table(spark, sf_dir, "nation")
+    path = str(tmp_path / "grow")
+    nation.coalesce(1).write.parquet(path)
+    assert len(glob.glob(f"{path}/*.parquet")) == 1
+    before = {tuple(r) for r in spark.read.parquet(path).collect()}
+
+    compact_parquet(spark, path, 4)
+    assert len(glob.glob(f"{path}/*.parquet")) == 4
+    assert {tuple(r) for r in spark.read.parquet(path).collect()} == before
+    assert not os.path.exists(path + ".compact")
+    assert not os.path.exists(path + ".old")
