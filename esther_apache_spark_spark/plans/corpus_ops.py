@@ -54,9 +54,12 @@ def decontaminate_train_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     is_eval = hash_bucket(F.col("doc_id"), salt="decon") < int(0.1 * (1 << 32))
     train = docs.filter(~is_eval)
     eval_fps = docs.filter(is_eval).select("fingerprint")
-    return train.join(
-        F.broadcast(eval_fps), "fingerprint", "left_anti"
-    ).select("doc_id", "lang")
+    # eval_fps is a fixed FRACTION of the corpus — it grows with sf, so
+    # no forced broadcast hint: AQE broadcasts the anti-join build side
+    # while it fits and falls back to a shuffled anti join at scale.
+    return train.join(eval_fps, "fingerprint", "left_anti").select(
+        "doc_id", "lang"
+    )
 
 
 @register(
@@ -763,7 +766,9 @@ def decontaminate_ngram_train_docs(spark: SparkSession, sf_dir: str) -> DataFram
     eval_grams = grams.filter(F.col("is_eval")).select("gram").distinct()
     contaminated = (
         grams.filter(~F.col("is_eval"))
-        .join(F.broadcast(eval_grams), "gram", "left_semi")
+        # eval_grams grows with the corpus (distinct 5-grams of the eval
+        # split) — AQE-sized semi join, no forced hint.
+        .join(eval_grams, "gram", "left_semi")
         .select("doc_id")
         .distinct()
     )

@@ -43,7 +43,8 @@ SQL_DISC_PRICE = (
 # ---------------------------------------------------------------------------
 # M1 flagship — daily revenue by market segment.
 # Shape of the reference's daily_city_sales (pipeline_pyspark.py:175-184):
-# fact ⋈ dim join (J1, broadcast), filter (P7), derived revenue (F6),
+# fact ⋈ dim join (J1; AQE broadcasts the small side at test scale —
+# no forced hint, customer grows with sf), filter (P7), revenue (F6),
 # multi-key agg with sum + two countDistinct (A1/A3), orderBy (O1).
 # ---------------------------------------------------------------------------
 @register(
@@ -71,7 +72,7 @@ def flagship_daily_segment_sales(spark: SparkSession, sf_dir: str) -> DataFrame:
     customer = load_table(spark, sf_dir, "customer")
     return (
         lineitem.join(orders, lineitem.l_orderkey == orders.o_orderkey)
-        .join(F.broadcast(customer), orders.o_custkey == customer.c_custkey)
+        .join(customer, orders.o_custkey == customer.c_custkey)
         .groupBy(
             _d("o_orderdate").alias("order_date"),
             F.col("c_mktsegment").alias("mktsegment"),
@@ -209,7 +210,7 @@ def join_then_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     orders = load_table(spark, sf_dir, "orders")
     customer = load_table(spark, sf_dir, "customer")
     return (
-        orders.join(F.broadcast(customer), orders.o_custkey == customer.c_custkey, "left")
+        orders.join(customer, orders.o_custkey == customer.c_custkey, "left")
         .filter(F.col("c_mktsegment") == "BUILDING")
         .select("o_orderkey", "o_totalprice", "c_name", "c_mktsegment")
     )
@@ -273,7 +274,7 @@ def topk_customers_by_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     revenue = (
         per_order.join(orders, per_order.l_orderkey == orders.o_orderkey)
-        .join(F.broadcast(customer), orders.o_custkey == customer.c_custkey)
+        .join(customer, orders.o_custkey == customer.c_custkey)
         .groupBy("c_custkey", "c_name")
         .agg(money_sum(F.col("ord_rev"), "revenue"))
     )
@@ -561,7 +562,7 @@ def pivot_status_by_segment(spark: SparkSession, sf_dir: str) -> DataFrame:
     orders = load_table(spark, sf_dir, "orders")
     customer = load_table(spark, sf_dir, "customer")
     return (
-        orders.join(F.broadcast(customer), orders.o_custkey == customer.c_custkey)
+        orders.join(customer, orders.o_custkey == customer.c_custkey)
         .groupBy(F.col("c_mktsegment").alias("mktsegment"))
         .pivot("o_orderstatus", ["F", "O", "P"])
         .count()
@@ -736,7 +737,7 @@ def join_expr_dup_keys(spark: SparkSession, sf_dir: str) -> DataFrame:
     orders = load_table(spark, sf_dir, "orders").filter(F.col("o_totalprice") > 400000)
     customer = load_table(spark, sf_dir, "customer")
     return orders.join(
-        F.broadcast(customer), orders.o_custkey == customer.c_custkey, "left"
+        customer, orders.o_custkey == customer.c_custkey, "left"
     ).select(
         orders.o_orderkey, orders.o_custkey, customer.c_custkey, customer.c_mktsegment
     )
@@ -765,7 +766,9 @@ def join_expr_dup_keys(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def q3_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q3 shape: selective dim filter → 3-way join → agg → top-10.
-    Both date predicates push to their scans; customer broadcasts."""
+    Both date predicates push to their scans; no broadcast hint on
+    customer (it grows with sf) — AQE/size stats pick broadcast at
+    test scale, shuffle join at cluster scale."""
     c = load_table(spark, sf_dir, "customer").filter(
         F.col("c_mktsegment") == "BUILDING"
     )
@@ -777,7 +780,7 @@ def q3_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return (
         li.join(o, li.l_orderkey == o.o_orderkey)
-        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .join(c, o.o_custkey == c.c_custkey)
         .groupBy(
             "l_orderkey",
             _d("o_orderdate").alias("order_date"),
@@ -807,8 +810,10 @@ def q3_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def q5_regional_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q5 shape: 6-way join across the whole star schema with the
-    local-supplier correlation (s_nationkey = c_nationkey). All four
-    dimension tables broadcast; only lineitem⋈orders shuffles."""
+    local-supplier correlation (s_nationkey = c_nationkey). Bounded
+    dims (nation=25, region=5) carry broadcast hints; customer/supplier
+    grow with sf, so their join strategy is left to size stats + AQE —
+    broadcast at test scale, shuffle join at cluster scale."""
     r = load_table(spark, sf_dir, "region").filter(F.col("r_name") == "ASIA")
     n = load_table(spark, sf_dir, "nation")
     c = load_table(spark, sf_dir, "customer")
@@ -817,9 +822,9 @@ def q5_regional_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = load_table(spark, sf_dir, "lineitem")
     return (
         li.join(o, li.l_orderkey == o.o_orderkey)
-        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .join(c, o.o_custkey == c.c_custkey)
         .join(
-            F.broadcast(s),
+            s,
             (li.l_suppkey == s.s_suppkey) & (s.s_nationkey == c.c_nationkey),
         )
         .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
@@ -852,7 +857,7 @@ def q10_returned_by_customer(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = load_table(spark, sf_dir, "lineitem").filter(F.col("l_returnflag") == "R")
     return (
         li.join(o, li.l_orderkey == o.o_orderkey)
-        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .join(c, o.o_custkey == c.c_custkey)
         .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
         .groupBy("c_custkey", "c_name", F.col("n_name").alias("nation"))
         .agg(money_sum(dec2("l_extendedprice") * one_minus("l_discount"), "revenue"))
@@ -879,7 +884,7 @@ def part_brand_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     p = load_table(spark, sf_dir, "part").filter(F.col("p_size") <= 20)
     li = load_table(spark, sf_dir, "lineitem")
     return (
-        li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
+        li.join(p, li.l_partkey == p.p_partkey)
         .groupBy("p_brand")
         .agg(
             F.countDistinct("p_partkey").alias("n_parts"),

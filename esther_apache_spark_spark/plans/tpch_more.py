@@ -8,9 +8,16 @@ HAVING + join-back, disjunctive pushdown predicates, grouping sets, and
 analytic window frames — each with a DuckDB oracle twin.
 
 Scale notes are per-query; the common posture: exact DECIMAL aggregation
-for cross-engine determinism (functions/money.py), broadcast for
-dim-sized relations, pre-aggregation below joins (the reference's own
-J2/A2 trick, ``pipeline_pyspark.py:156-160``, applied at fact scale).
+for cross-engine determinism (functions/money.py), pre-aggregation
+below joins (the reference's own J2/A2 trick,
+``pipeline_pyspark.py:156-160``, applied at fact scale), and NO forced
+broadcast hints on relations that grow with scale factor
+(customer/part/supplier and anything derived from them): their join
+strategy is left to size statistics + AQE, which still picks broadcast
+at test scale but degrades safely to a shuffle join at 100 TB, where a
+forced hint would OOM the build side. Hints remain only on genuinely
+bounded sides — nation (25 rows), region (5), and 1-row scalar
+pre-aggregates.
 """
 
 from __future__ import annotations
@@ -117,8 +124,10 @@ def q12_priority_lines_by_returnflag(spark: SparkSession, sf_dir: str) -> DataFr
 )
 def q14_promo_revenue_share(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q14 shape: ratio of a conditional sum to a total sum in one
-    aggregate. part is dim-sized → broadcast; both sums are exact
-    decimals so the final double division is bit-identical cross-engine."""
+    aggregate. part grows with sf, so no broadcast hint — AQE picks
+    broadcast at test scale, shuffle at cluster scale; both sums are
+    exact decimals so the final double division is bit-identical
+    cross-engine."""
     li = load_table(spark, sf_dir, "lineitem").filter(
         (F.col("l_shipdate") >= F.lit("1998-01-01").cast("timestamp"))
         & (F.col("l_shipdate") < F.lit("1999-01-01").cast("timestamp"))
@@ -126,7 +135,7 @@ def q14_promo_revenue_share(spark: SparkSession, sf_dir: str) -> DataFrame:
     part = load_table(spark, sf_dir, "part")
     disc = dec2("l_extendedprice") * one_minus("l_discount")
     return (
-        li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        li.join(part, li.l_partkey == part.p_partkey)
         .agg(
             F.round(
                 F.lit(100.0)
@@ -155,8 +164,9 @@ def q14_promo_revenue_share(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def q16_supplier_count_by_part(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q16 shape: NOT IN (subquery) becomes a left-anti join —
-    no null-trap because s_suppkey is a key. Anti join against a
-    dim-sized exclusion list broadcasts; the distinct-count shuffles
+    no null-trap because s_suppkey is a key. The exclusion list grows
+    with sf (it is a supplier subset) — AQE sizes the anti join, which
+    stays a broadcast at test scale; the distinct-count shuffles
     (brand, size, suppkey) only."""
     li = load_table(spark, sf_dir, "lineitem")
     part = load_table(spark, sf_dir, "part").filter(
@@ -166,8 +176,8 @@ def q16_supplier_count_by_part(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("s_acctbal") < 1000.0
     ).select("s_suppkey")
     return (
-        li.join(F.broadcast(bad_supp), li.l_suppkey == bad_supp.s_suppkey, "left_anti")
-        .join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        li.join(bad_supp, li.l_suppkey == bad_supp.s_suppkey, "left_anti")
+        .join(part, li.l_partkey == part.p_partkey)
         .groupBy(F.col("p_brand").alias("brand"), F.col("p_size").alias("size"))
         .agg(F.countDistinct("l_suppkey").alias("supplier_cnt"))
     )
@@ -198,7 +208,8 @@ def q17_small_quantity_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     per part)` subquery is decorrelated into a pre-aggregate joined back
     to the fact — the reference's own aggregate-below-join trick
     (pipeline_pyspark.py:156-160) at fact scale. The per-part avg output
-    is |parts| rows (dim-sized), so the join-back broadcasts; avg is
+    is |parts| rows — grows with sf, so no forced hint on the
+    join-back (AQE broadcasts it while it fits); avg is
     exact-decimal-sum / count for cross-engine determinism."""
     li = load_table(spark, sf_dir, "lineitem")
     part_avg = li.groupBy("l_partkey").agg(
@@ -206,8 +217,8 @@ def q17_small_quantity_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).withColumnRenamed("l_partkey", "a_partkey")
     part = load_table(spark, sf_dir, "part").filter(F.col("p_brand") == "Brand#12")
     return (
-        li.join(F.broadcast(part_avg), li.l_partkey == part_avg.a_partkey)
-        .join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        li.join(part_avg, li.l_partkey == part_avg.a_partkey)
+        .join(part, li.l_partkey == part.p_partkey)
         .filter(F.col("l_quantity") < 0.5 * F.col("avg_qty"))
         .agg(
             F.round(F.sum(dec2("l_extendedprice")).cast("double") / 7.0, 2).alias("avg_yearly"),
@@ -239,8 +250,9 @@ def q17_small_quantity_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q18_large_volume_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q18 shape: aggregate the fact, HAVING-filter the groups,
     join the survivors back to orders and customer. The HAVING output is
-    tiny (heavy-hitter orders), so the join-back side broadcasts — the
-    big table is aggregated exactly once."""
+    tiny in selectivity but grows with sf, so the join-back strategy
+    is left to AQE (broadcast while it fits) — the big table is
+    aggregated exactly once either way."""
     li = load_table(spark, sf_dir, "lineitem")
     orders = load_table(spark, sf_dir, "orders")
     customer = load_table(spark, sf_dir, "customer")
@@ -250,8 +262,8 @@ def q18_large_volume_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("_qty") > 300)
     )
     return (
-        orders.join(F.broadcast(big), orders.o_orderkey == big.l_orderkey)
-        .join(F.broadcast(customer), orders.o_custkey == customer.c_custkey)
+        orders.join(big, orders.o_orderkey == big.l_orderkey)
+        .join(customer, orders.o_custkey == customer.c_custkey)
         .select(
             F.col("c_name").alias("customer_name"),
             F.col("o_orderkey").alias("orderkey"),
@@ -287,7 +299,7 @@ def q19_disjunctive_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     post-join inside codegen."""
     li = load_table(spark, sf_dir, "lineitem")
     part = load_table(spark, sf_dir, "part")
-    j = li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+    j = li.join(part, li.l_partkey == part.p_partkey)
     cond = (
         (
             (F.col("p_brand") == "Brand#12")
@@ -391,7 +403,7 @@ def q15_top_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         rev.crossJoin(F.broadcast(max_rev))
         .filter(F.col("_rev") == F.col("_max_rev"))
-        .join(F.broadcast(supplier), F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(supplier, F.col("l_suppkey") == F.col("s_suppkey"))
         .select(
             F.col("s_suppkey").alias("suppkey"),
             F.col("s_name").alias("supplier_name"),
@@ -427,7 +439,7 @@ def grouping_sets_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     nation = load_table(spark, sf_dir, "nation")
     region = load_table(spark, sf_dir, "region")
     j = (
-        orders.join(F.broadcast(customer), orders.o_custkey == customer.c_custkey)
+        orders.join(customer, orders.o_custkey == customer.c_custkey)
         .join(F.broadcast(nation), customer.c_nationkey == nation.n_nationkey)
         .join(F.broadcast(region), nation.n_regionkey == region.r_regionkey)
     )
@@ -542,8 +554,8 @@ def q7_nation_pair_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
     ) | ((F.col("supp_nation") == "NATION_2") & (F.col("cust_nation") == "NATION_1"))
     return (
         li.join(orders, li.l_orderkey == orders.o_orderkey)
-        .join(F.broadcast(supplier), li.l_suppkey == supplier.s_suppkey)
-        .join(F.broadcast(customer), orders.o_custkey == customer.c_custkey)
+        .join(supplier, li.l_suppkey == supplier.s_suppkey)
+        .join(customer, orders.o_custkey == customer.c_custkey)
         .join(F.broadcast(n1), F.col("s_nationkey") == F.col("n1_key"))
         .join(F.broadcast(n2), F.col("c_nationkey") == F.col("n2_key"))
         .filter(pair)
@@ -584,8 +596,10 @@ def q7_nation_pair_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def q8_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q8 shape: one nation's share of a region's revenue per year
-    — a conditional-sum ratio over a six-way join. All dims broadcast;
-    the region filter prunes the customer side before the fact join;
+    — a conditional-sum ratio over a six-way join. Bounded dims
+    (nation/region) broadcast by hint; customer/supplier/part joins are
+    AQE-sized; the region filter prunes the customer side before the
+    fact join;
     both sums are exact decimals so the double division is bit-identical
     cross-engine."""
     li = load_table(spark, sf_dir, "lineitem")
@@ -603,10 +617,10 @@ def q8_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
     vol = dec2("l_extendedprice") * one_minus("l_discount")
     joined = (
         li.join(orders, li.l_orderkey == orders.o_orderkey)
-        .join(F.broadcast(customer), orders.o_custkey == customer.c_custkey)
+        .join(customer, orders.o_custkey == customer.c_custkey)
         .join(F.broadcast(n_cust), F.col("c_nationkey") == F.col("cn_key"))
         .join(F.broadcast(region), F.col("cn_region") == region.r_regionkey)
-        .join(F.broadcast(supplier), li.l_suppkey == supplier.s_suppkey)
+        .join(supplier, li.l_suppkey == supplier.s_suppkey)
         .join(F.broadcast(n_supp), F.col("s_nationkey") == F.col("sn_key"))
     )
     return (
@@ -687,8 +701,9 @@ def q9_product_type_profit(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q9 shape (no partsupp table: supply cost proxied as 10% of
     retail price × quantity, exact in decimal): profit by supplier
     nation × order year for parts matching a name pattern. part/
-    supplier/nation broadcast — the LIKE filter shrinks part before the
-    build side ships; the only big shuffle is lineitem ⋈ orders on
+    supplier/part joins are AQE-sized (the LIKE filter shrinks part
+    ~17× before it ships while it fits broadcast; nation keeps its
+    hint); the only big shuffle is lineitem ⋈ orders on
     orderkey. All money math in DECIMAL so cross-engine sums agree."""
     li = load_table(spark, sf_dir, "lineitem")
     part = load_table(spark, sf_dir, "part").filter(F.col("p_name").like("%red%"))
@@ -699,8 +714,8 @@ def q9_product_type_profit(spark: SparkSession, sf_dir: str) -> DataFrame:
         "p_retailprice"
     ) * dec2("l_quantity") * F.lit(0.1).cast("decimal(3,2)")
     return (
-        li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
-        .join(F.broadcast(supplier), li.l_suppkey == supplier.s_suppkey)
+        li.join(part, li.l_partkey == part.p_partkey)
+        .join(supplier, li.l_suppkey == supplier.s_suppkey)
         .join(F.broadcast(nation), supplier.s_nationkey == nation.n_nationkey)
         .join(orders, li.l_orderkey == orders.o_orderkey)
         .groupBy(
@@ -832,7 +847,7 @@ def q2_min_cost_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
     supplier = load_table(spark, sf_dir, "supplier")
     nation = load_table(spark, sf_dir, "nation")
     costs = (
-        li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        li.join(part, li.l_partkey == part.p_partkey)
         .groupBy("l_partkey", "l_suppkey")
         .agg(F.min(dec2("l_extendedprice")).alias("supp_price"))
     )
@@ -841,11 +856,11 @@ def q2_min_cost_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return (
         costs.join(
-            F.broadcast(best),
+            best,
             (costs.l_partkey == best.b_partkey)
             & (costs.supp_price == best.best_price),
         )
-        .join(F.broadcast(supplier), costs.l_suppkey == supplier.s_suppkey)
+        .join(supplier, costs.l_suppkey == supplier.s_suppkey)
         .join(F.broadcast(nation), supplier.s_nationkey == nation.n_nationkey)
         .select(
             F.col("l_partkey").alias("p_partkey"),
@@ -892,18 +907,18 @@ def q20_dominant_part_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     supplier = load_table(spark, sf_dir, "supplier")
     nation = load_table(spark, sf_dir, "nation")
     sp = (
-        li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        li.join(part, li.l_partkey == part.p_partkey)
         .groupBy("l_partkey", "l_suppkey")
         .agg(F.sum(dec2("l_quantity")).alias("qty"))
     )
     pt = sp.groupBy(F.col("l_partkey").alias("t_partkey")).agg(
         F.sum("qty").alias("total_qty")
     )
-    dominant = sp.join(F.broadcast(pt), sp.l_partkey == pt.t_partkey).filter(
+    dominant = sp.join(pt, sp.l_partkey == pt.t_partkey).filter(
         F.col("qty") > F.lit(0.5).cast("decimal(2,1)") * F.col("total_qty")
     )
     return (
-        dominant.join(F.broadcast(supplier), dominant.l_suppkey == supplier.s_suppkey)
+        dominant.join(supplier, dominant.l_suppkey == supplier.s_suppkey)
         .join(F.broadcast(nation), supplier.s_nationkey == nation.n_nationkey)
         .select("s_name", F.col("n_name").alias("nation"))
         .distinct()
@@ -969,7 +984,7 @@ def q21_sole_failing_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
         .distinct()
     )
     return (
-        culprits.join(F.broadcast(supplier), culprits.l_suppkey == supplier.s_suppkey)
+        culprits.join(supplier, culprits.l_suppkey == supplier.s_suppkey)
         .groupBy("s_name")
         .agg(F.count(F.lit(1)).cast("long").alias("numwait"))
     )
@@ -1051,10 +1066,10 @@ def q7_volume_shipping(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("n_nationkey").alias("c_nkey"), F.col("n_name").alias("cust_nation")
     )
     return (
-        li.join(F.broadcast(supplier), li.l_suppkey == supplier.s_suppkey)
+        li.join(supplier, li.l_suppkey == supplier.s_suppkey)
         .join(F.broadcast(n1), F.col("s_nationkey") == F.col("s_nkey"))
         .join(orders, li.l_orderkey == orders.o_orderkey)
-        .join(F.broadcast(customer), orders.o_custkey == customer.c_custkey)
+        .join(customer, orders.o_custkey == customer.c_custkey)
         .join(F.broadcast(n2), F.col("c_nationkey") == F.col("c_nkey"))
         .filter(
             ((F.col("supp_nation") == nations[0]) & (F.col("cust_nation") == nations[1]))
@@ -1095,8 +1110,8 @@ def q8_national_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q8 shape: target nation's share of regional revenue for one
     part type, by order year — a conditional sum divided by the group
     total in a single aggregate pass (no self-join, no second scan).
-    part is pre-filtered on p_type before broadcast (build side shrinks
-    ~6×); the customer-side nation⋈region chain collapses to a
+    part is pre-filtered on p_type before its AQE-sized join (build
+    side shrinks ~6×); the customer-side nation⋈region chain collapses to a
     broadcast semi-filter on EUROPE. Numerator and denominator are
     exact decimal sums; the one double division per group is
     bit-identical cross-engine."""
@@ -1120,11 +1135,11 @@ def q8_national_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     return (
-        li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
-        .join(F.broadcast(supplier), li.l_suppkey == supplier.s_suppkey)
+        li.join(part, li.l_partkey == part.p_partkey)
+        .join(supplier, li.l_suppkey == supplier.s_suppkey)
         .join(F.broadcast(n2), F.col("s_nationkey") == F.col("s_nkey"))
         .join(orders, li.l_orderkey == orders.o_orderkey)
-        .join(F.broadcast(customer), orders.o_custkey == customer.c_custkey)
+        .join(customer, orders.o_custkey == customer.c_custkey)
         .join(F.broadcast(n1), F.col("c_nationkey") == F.col("c_nkey"))
         .join(F.broadcast(region), F.col("c_rkey") == region.r_regionkey)
         .groupBy(F.year("o_orderdate").alias("o_year"))
@@ -1253,12 +1268,12 @@ def copurchase_brand_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     brands that is 3 pairs, not 21, and corpus-wide it is the
     difference between a brand-pair count and a lineitem² blowup. Both
     the distinct and the self-join shuffle on the same orderkey, so the
-    second Exchange vanishes (co-partitioned self-join); part is
-    broadcast. Deterministic top-10 via (count desc, pair asc)."""
+    second Exchange vanishes (co-partitioned self-join); the part join
+    is AQE-sized. Deterministic top-10 via (count desc, pair asc)."""
     li = load_table(spark, sf_dir, "lineitem")
     part = load_table(spark, sf_dir, "part")
     ob = (
-        li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        li.join(part, li.l_partkey == part.p_partkey)
         .select("l_orderkey", "p_brand")
         .distinct()
     )

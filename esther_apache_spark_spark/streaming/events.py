@@ -301,14 +301,17 @@ def run_streaming_interval_join(spark: SparkSession, sf_dir: str) -> DataFrame:
 def enriched_segment_totals(events: DataFrame, customer: DataFrame) -> DataFrame:
     """Stream-static enrichment: join the (possibly streaming) event fact
     to the static customer dimension, then aggregate per market segment.
-    The dim side is broadcast — in streaming this is THE pattern for
-    reference-data enrichment: the static side is re-broadcast per
+    The static side broadcasts by SIZE STATS (no forced hint — the
+    customer dim grows with sf, and a hint would pin the broadcast even
+    when it no longer fits): while it is under
+    autoBroadcastJoinThreshold this is THE streaming reference-data
+    enrichment pattern — the static side is re-broadcast per
     micro-batch, no state store involved, and the stream side never
     shuffles for the join itself. Works identically on a batch frame,
     which is what the shared DuckDB oracle checks."""
     dim = customer.select(F.col("c_custkey").alias("user_id"), "c_mktsegment")
     return (
-        events.join(F.broadcast(dim), "user_id")
+        events.join(dim, "user_id")
         .groupBy(F.col("c_mktsegment").alias("segment"))
         .agg(
             F.count(F.lit(1)).alias("n_events"),

@@ -1,0 +1,89 @@
+"""No forced broadcast hints on scale-factor-growing relations.
+
+A ``F.broadcast()`` hint overrides ``autoBroadcastJoinThreshold``
+unconditionally. That is correct ONLY for sides whose size is bounded by
+construction (nation=25 rows, region=5, 1-row scalar pre-aggregates, a
+``limit``-capped vocab, a fixed-size query matrix). For anything that
+grows with scale factor — customer/part/supplier, and any frame derived
+from a fact or the corpus — the hint is right at sf0.1 and an OOM at
+sf10^4: the 100 TB plan must be chosen by size statistics + AQE, which
+still broadcast at test scale (test_plan_shapes asserts that) and
+degrade to a shuffle join when the side no longer fits.
+
+This test is the grep-level gate: every ``F.broadcast(<arg>)`` in
+non-test source must appear in the allowlist below, with its
+boundedness justification. Adding a new hint means adding an allowlist
+entry — i.e. writing down WHY the side cannot grow with the data.
+"""
+
+from __future__ import annotations
+
+import re
+from pathlib import Path
+
+SRC = Path(__file__).resolve().parent.parent / "esther_apache_spark_spark"
+
+# (file relative to package, hinted identifier) -> why it is bounded.
+ALLOWED: dict[tuple[str, str], str] = {
+    # nation (25 rows) / region (5 rows) — constant-size TPC-H dims
+    ("plans/parity.py", "n"): "nation, 25 rows at every sf",
+    ("plans/parity.py", "r"): "region, 5 rows at every sf",
+    ("plans/tpch_more.py", "nation"): "nation, 25 rows",
+    ("plans/tpch_more.py", "region"): "region, 5 rows",
+    ("plans/tpch_more.py", "n1"): "nation role subset",
+    ("plans/tpch_more.py", "n2"): "nation role subset",
+    ("plans/tpch_more.py", "n_cust"): "nation role projection",
+    ("plans/tpch_more.py", "n_supp"): "nation role projection",
+    ("plans/extensions.py", "load_table"): "wraps nation/region loads only",
+    # 1-row scalar pre-aggregates
+    ("plans/tpch_more.py", "avg_bal"): "global aggregate, 1 row",
+    ("plans/tpch_more.py", "max_rev"): "global aggregate, 1 row",
+    ("plans/tpch_more.py", "total"): "global aggregate, 1 row",
+    ("plans/corpus_ops.py", "mean"): "global aggregate, 1 row",
+    ("plans/corpus_ops.py", "n"): "global count, 1 row",
+    # explicitly capped frames
+    ("plans/corpus_ops.py", "vocab"): "limit(1000) upstream",
+    ("operators/dedup.py", "hot"): "df-pruned stop-shingle set, capped by max_df selectivity on distinct shingles",
+    # fixed-size query matrices (ANN query side is user-provided, small
+    # by contract and collected to the driver anyway)
+    ("operators/similarity.py", "queries"): "query matrix, driver-collected by contract",
+    ("operators/similarity.py", "lsh_bucket"): "bucketed QUERY side (same small-by-contract query matrix)",
+    # caller-gated opt-in (default off)
+    ("operators/rangejoin.py", "ib"): "behind broadcast_intervals flag, caller asserts boundedness",
+    # FreshKart dims are fixed-size reference data (VERDICT r2: harmless)
+    ("freshkart/pipeline.py", "customers_clean"): "fixed-size reference dim",
+    ("freshkart/pipeline.py", "refunds_sum"): "per-order pre-agg of the fixed refunds feed",
+}
+
+# Identifiers that must NEVER be hinted anywhere: relations that grow
+# linearly with scale factor (and their conventional aliases).
+FORBIDDEN_NAMES = {
+    "customer", "part", "supplier", "orders", "lineitem",
+    "events", "documents", "embeddings",
+    "c", "s", "p", "o", "li",
+    "part_avg", "bad_supp", "big", "best", "pt",
+    "eval_fps", "eval_grams", "dim",
+}
+
+HINT_RE = re.compile(r"F\.broadcast\(\s*([A-Za-z_][A-Za-z0-9_]*)")
+
+
+def _hints():
+    for path in sorted(SRC.rglob("*.py")):
+        rel = str(path.relative_to(SRC))
+        text = path.read_text()
+        for m in HINT_RE.finditer(text):
+            yield rel, m.group(1)
+
+
+def test_no_broadcast_hint_on_sf_scaled_relations():
+    bad = [(f, ident) for f, ident in _hints() if ident in FORBIDDEN_NAMES]
+    assert not bad, f"forced broadcast hints on sf-scaled relations: {bad}"
+
+
+def test_every_broadcast_hint_is_allowlisted():
+    unknown = [(f, ident) for f, ident in _hints() if (f, ident) not in ALLOWED]
+    assert not unknown, (
+        "unreviewed F.broadcast hints (add to ALLOWED with a boundedness "
+        f"justification, or drop the hint): {unknown}"
+    )
