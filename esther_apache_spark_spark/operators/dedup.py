@@ -24,13 +24,27 @@ Scale notes:
   payload per doc is O(num_perm), independent of doc size.
 - The ``.cache()`` calls are load-bearing: they are plan barriers that
   keep Arrow-batched UDFs out of generator operators AND the relation
-  both sides of the self-join reuse. They are not unpersisted here
+  both sides of the self-join reuse. They are not unpersisted eagerly
   (results are lazy — the frames are still needed when the caller
-  materializes); callers owning long-lived sessions should
-  ``spark.catalog.clearCache()`` between operator runs.
+  materializes). For a single query per session that is fine (executor
+  storage is reclaimed at session end); a pipeline composing SEVERAL
+  dedup passes in one long-lived session should wrap each pass in
+  ``cache_scope()``, which unpersists every frame the pass cached as
+  the scope exits — materialize results INSIDE the scope::
+
+      with cache_scope():
+          pairs = minhash_lsh_candidates(docs)
+          pairs.write.parquet(out)      # materialized in-scope
+      # executor storage for this pass is freed here
+
+  (``spark.catalog.clearCache()`` remains the blunt whole-session
+  fallback.)
 """
 
 from __future__ import annotations
+
+import contextlib
+from contextvars import ContextVar
 
 import numpy as np
 import pandas as pd
@@ -44,6 +58,47 @@ from esther_apache_spark_spark.functions.text import (
     word_shingles,
 )
 from esther_apache_spark_spark.operators.windows import keep_first
+
+# --- cache lifecycle -------------------------------------------------------
+# Every plan-barrier cache in this module registers with the active
+# cache_scope (if any), so composed pipelines can free executor storage
+# per pass instead of accumulating it until eviction thrashes.
+_active_cache_scope: ContextVar[list | None] = ContextVar(
+    "_dedup_cache_scope", default=None
+)
+
+
+def _cache(df: DataFrame) -> DataFrame:
+    """``df.cache()`` that enrolls the frame in the active cache_scope."""
+    df = df.cache()
+    scope = _active_cache_scope.get()
+    if scope is not None:
+        scope.append(df)
+    return df
+
+
+@contextlib.contextmanager
+def cache_scope():
+    """Scope the plan-barrier caches of the dedup operators.
+
+    Frames cached by any dedup operator called inside the ``with`` block
+    are unpersisted when the block exits — materialize results inside
+    the scope (see module docstring). Scopes nest: each scope frees only
+    the frames cached while it was the innermost one. Caveat: Spark's
+    CacheManager keys entries by analyzed plan, so two scopes running an
+    operator over the IDENTICAL input share one entry — the first scope
+    to exit unpersists it for both. Distinct passes over distinct inputs
+    (the composed-pipeline case this exists for) are unaffected. Without
+    a scope, behavior is unchanged (caches live until session end or
+    ``spark.catalog.clearCache()``)."""
+    frames: list[DataFrame] = []
+    token = _active_cache_scope.set(frames)
+    try:
+        yield
+    finally:
+        _active_cache_scope.reset(token)
+        for df in frames:
+            df.unpersist()
 
 
 def exact_dedup(df: DataFrame, on: str | list[str], keep_by: list[Column] | None = None) -> DataFrame:
@@ -257,11 +312,10 @@ def _collapse_identical_text(
     Both frames are cached per the module cache doctrine."""
     keyed = df.select(F.col(id_col).alias("_cid"), F.col(text_col).alias("_ct"))
     keyed = keyed.withColumn("_tkey", F.md5(F.coalesce(F.col("_ct"), F.lit(""))))
-    members = keyed.select("_tkey", F.col("_cid").alias("_mid")).cache()
-    groups = (
+    members = _cache(keyed.select("_tkey", F.col("_cid").alias("_mid")))
+    groups = _cache(
         keyed.groupBy("_tkey")
         .agg(F.min("_cid").alias(id_col), F.first("_ct").alias(text_col))
-        .cache()
     )
     return groups, members
 
@@ -458,12 +512,12 @@ def minhash_lsh_candidates(
             ])
         )
 
-    sig = base_df.select(
+    sig = _cache(base_df.select(
         "_id",
         minhash_signature_vec(F.col("_base"), num_perm).alias("_sig"),
     ).select(
         "_id", "_sig", F.array(*[band_hash("_sig", b) for b in range(bands)]).alias("_bh")
-    ).cache()
+    ))
     if max_bucket is not None:
         narrow = sig.select("_id", F.posexplode("_bh").alias("_band", "_bucket"))
         nsh = _hot_nsh_arr(narrow, "_id", "_band", "_bucket", bands, max_bucket)
@@ -561,10 +615,10 @@ def ngram_jaccard_pairs(
     # Shingles travel as 64-bit hashes, not strings: same distinct-set
     # cardinality w.h.p. (64-bit collisions negligible), far cheaper to
     # build, and the inverted-index join shuffles longs instead of text.
-    shingled = df.select(
+    shingled = _cache(df.select(
         F.col(id_col).alias("_id"),
         F.array_distinct(shingle_hashes(tokenize(F.col(text_col)), shingle_n)).alias("_sh"),
-    ).cache()  # feeds the index join and the exact-recount joins
+    ))  # feeds the index join and the exact-recount joins
     inv = shingled.select("_id", F.explode("_sh").alias("_g"))
     if max_df is not None:
         # document frequency per shingle is a map-side-combinable count;
@@ -684,12 +738,12 @@ def simhash_candidates(
     nbands = 64 // band_bits
     # cache = reuse across both join sides AND a plan barrier keeping the
     # Arrow UDF out of the posexplode generator (see minhash note)
-    fp = df.select(
+    fp = _cache(df.select(
         F.col(id_col).alias("_id"),
         simhash_vec(
             F.transform(tokenize(F.col(text_col)), lambda t: F.xxhash64(t))
         ).alias("_fp"),
-    ).cache()
+    ))
     mask = (1 << band_bits) - 1
 
     def band_val(col: Column | str, b: int) -> Column:
@@ -821,14 +875,13 @@ def embedding_cosine_dups(
         keyed = base.withColumn("_vkey", vkey)
         # Narrow member map (no vectors) — reused by both expansion
         # joins; cached per module cache doctrine (plan barrier + reuse).
-        members = keyed.select("_vkey", F.col("_id").alias("_mid")).cache()
+        members = _cache(keyed.select("_vkey", F.col("_id").alias("_mid")))
         # One row per distinct vector; representative = min id. Cached:
         # feeds the LSH pipeline AND the rep→key map. Holds one vector
         # per DISTINCT content — spills to disk at corpus scale.
-        groups = (
+        groups = _cache(
             keyed.groupBy("_vkey")
             .agg(F.min("_id").alias("_id"), F.first("_v").alias("_v"))
-            .cache()
         )
         src = groups.select("_id", "_v")
     else:

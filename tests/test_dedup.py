@@ -345,3 +345,72 @@ def test_embedding_collapse_null_elements_not_conflated(spark):
         ).collect()
     }
     assert got == {(10, 11)}, got
+
+
+def _n_persistent(spark) -> int:
+    return spark.sparkContext._jsc.getPersistentRDDs().size()
+
+
+def test_cache_scope_frees_storage_after_composed_pipeline(spark):
+    """A pipeline composing several dedup passes in one session must be
+    able to free each pass's plan-barrier caches: inside cache_scope the
+    operators cache as usual; on exit every enrolled frame is
+    unpersisted, returning executor storage to the pre-scope level."""
+    from esther_apache_spark_spark.operators.dedup import (
+        cache_scope,
+        minhash_lsh_candidates,
+        simhash_candidates,
+    )
+
+    texts = [
+        f"document {i} about {'spark' if i % 2 else 'pandas'} engines "
+        f"with shared middle section of recurring words and tail {i}"
+        for i in range(30)
+    ]
+    docs = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], "doc_id long, text string"
+    )
+    base = _n_persistent(spark)
+    with cache_scope():
+        mh = minhash_lsh_candidates(docs)
+        sh = simhash_candidates(docs)
+        mh.count()
+        sh.count()
+        assert _n_persistent(spark) > base  # caches live inside the scope
+    assert _n_persistent(spark) == base  # and are freed on exit
+
+
+def test_cache_scope_nests_and_default_unscoped_behavior_unchanged(spark):
+    """Nested scopes free only their own frames; outside any scope the
+    operators still cache (and the cache survives materialization, the
+    pre-existing single-query behavior)."""
+    from esther_apache_spark_spark.operators.dedup import (
+        cache_scope,
+        simhash_candidates,
+    )
+
+    docs = spark.createDataFrame(
+        [(i, f"text body number {i} with words {i*3}") for i in range(10)],
+        "doc_id long, text string",
+    )
+    # distinct input for the inner scope: Spark's CacheManager dedups
+    # identical plans, so re-caching the SAME plan would not create a
+    # new entry (and inner unpersist would drop the shared one)
+    docs2 = spark.createDataFrame(
+        [(i, f"other corpus line {i} carrying words {i*7}") for i in range(10)],
+        "doc_id long, text string",
+    )
+    base = _n_persistent(spark)
+    with cache_scope():
+        simhash_candidates(docs).count()
+        outer_level = _n_persistent(spark)
+        with cache_scope():
+            simhash_candidates(docs2).count()
+            assert _n_persistent(spark) > outer_level
+        assert _n_persistent(spark) == outer_level  # inner freed only its own
+    assert _n_persistent(spark) == base
+
+    # unscoped: cache persists until the caller clears it
+    simhash_candidates(docs).count()
+    assert _n_persistent(spark) > base
+    spark.catalog.clearCache()
