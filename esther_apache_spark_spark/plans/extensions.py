@@ -439,6 +439,51 @@ def similarity_topk_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     return S.ann_topk_lsh(emb, queries, k=10, n_planes=6)
 
 
+_SRP24 = S._plane_literals(64, 6 * 4, 42)
+_LSH_MT_TABLES = "\n        UNION ALL\n        ".join(
+    f"SELECT vec_id, e, {t} AS _table, {_srp_bucket_sql('e', _SRP24, t * 6, 6)} AS _bucket FROM v"
+    for t in range(4)
+)
+
+
+@register(
+    "similarity_topk_lsh_multi",
+    oracle=f"""
+    WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
+    tb AS (
+        {_LSH_MT_TABLES}
+    ),
+    cb AS (SELECT vec_id AS neighbor_id, e AS cv, _table, _bucket FROM tb),
+    qb AS (SELECT vec_id AS query_id, e AS qv, _table, _bucket FROM tb WHERE vec_id < 5),
+    cand AS (
+        SELECT DISTINCT query_id, neighbor_id,
+               ROUND(list_cosine_similarity(qv, cv), 6) + 0.0 AS cosine
+        FROM cb JOIN qb USING (_table, _bucket)
+    )
+    SELECT query_id, neighbor_id, cosine FROM (
+        SELECT query_id, neighbor_id, cosine,
+               row_number() OVER (PARTITION BY query_id
+                                  ORDER BY cosine DESC, neighbor_id ASC) AS rn
+        FROM cand
+    ) WHERE rn <= 10
+    """,
+)
+def similarity_topk_lsh_multi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-table SRP-LSH top-10: 4 independent 6-plane tables, the
+    candidate set is the union of the per-table bucket joins (one
+    (table, bucket) equi-join), deduplicated before the ranking cut.
+    Same exact-function-of-input property as the single-table form —
+    the 24 seeded planes are embedded in the oracle SQL, so DuckDB
+    replays all four tables, the DISTINCT pair-dedup and the rerank,
+    and the hash must match. Recall vs brute force (higher than the
+    single-table entry by construction) is measured in tests."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    return S.ann_topk_lsh(emb, queries, k=10, n_planes=6, n_tables=4, dim=64)
+
+
 @register(
     "similarity_topk_arrow",
     oracle=f"""

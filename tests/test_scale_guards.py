@@ -288,3 +288,52 @@ def test_arrow_topk_tolerates_empty_batches(spark):
     # Genuinely empty corpus: zero result rows, no crash.
     empty = spark.createDataFrame([], schema)
     assert S.brute_force_topk_arrow(empty, queries, k=2).count() == 0
+
+
+def test_lsh_multi_table_raises_recall(spark):
+    """The n_tables knob must buy recall: at fixed n_planes, the union
+    of t independent tables finds a superset-in-expectation of the
+    single table's candidates (collision prob 1-(1-p)^t vs p). Measured
+    against brute-force top-k on the same data."""
+    rng = np.random.default_rng(23)
+    vecs = rng.standard_normal((300, 16)).astype("float64")
+    # plant 10 genuine near neighbors (cosine ~0.97) per query vector:
+    # ANN recall is defined over neighbors that ARE near — the top-10 of
+    # pure Gaussian noise sits at cosine ~0.5 where ANY 6-plane scheme
+    # has low collision probability by design
+    for q in range(8):
+        for j in range(10):
+            vecs[100 + q * 10 + j] = vecs[q] + rng.standard_normal(16) * 0.15
+    df = spark.createDataFrame(
+        [(int(i), [float(x) for x in v]) for i, v in enumerate(vecs)],
+        T.StructType(
+            [
+                T.StructField("vec_id", T.LongType()),
+                T.StructField("embedding", T.ArrayType(T.DoubleType())),
+            ]
+        ),
+    )
+    queries = df.filter(F.col("vec_id") < 8).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+
+    def topk_set(res):
+        out = {}
+        for r in res.collect():
+            out.setdefault(r["query_id"], set()).add(r["neighbor_id"])
+        return out
+
+    truth = topk_set(S.brute_force_topk(df, queries, k=10, query_id_col="query_id"))
+
+    def recall(n_tables):
+        got = topk_set(
+            S.ann_topk_lsh(
+                df, queries, k=10, n_planes=6, n_tables=n_tables, dim=16
+            )
+        )
+        hits = sum(len(got.get(q, set()) & t) for q, t in truth.items())
+        return hits / sum(len(t) for t in truth.values())
+
+    r1, r6 = recall(1), recall(6)
+    assert r6 > r1, (r1, r6)
+    assert r6 >= 0.9, r6
