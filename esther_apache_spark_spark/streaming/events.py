@@ -14,12 +14,51 @@ bounded. The sessionize operator is the batch twin of
 
 from __future__ import annotations
 
+import contextlib
 import uuid
 
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from esther_apache_spark_spark.schemas import TESTDATA
+
+# Off-heap state store for big-state streaming (see DEPLOYMENT.md).
+ROCKSDB_STATE_STORE = (
+    "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider"
+)
+_PROVIDER_KEY = "spark.sql.streaming.stateStore.providerClass"
+
+
+@contextlib.contextmanager
+def state_store_provider(spark: SparkSession, provider: str = ROCKSDB_STATE_STORE):
+    """Run streaming queries under a specific state-store provider.
+
+    The default HDFSBackedStateStoreProvider keeps every partition's
+    state map ON-HEAP in the executor — fine for bounded windowed aggs,
+    a memory wall for 100 TB-scale stateful pipelines (billions of keys
+    in dedup-within-watermark or applyInPandasWithState accumulators).
+    RocksDB spills state to local SSD with an off-heap block cache, so
+    state size is bounded by disk, not heap, and GC pauses stop scaling
+    with key count.
+
+    The provider is a runtime SQL conf read at QUERY START — queries
+    started inside this context use ``provider``, queries already
+    running are unaffected. Restores the previous setting on exit.
+    Checkpoint compatibility: a query's provider is fixed by its
+    checkpoint; don't flip providers across restarts of the same
+    checkpoint dir."""
+    # get(key, None) is None when the conf was never explicitly set
+    # (plain get() would return the class's baked-in default and make
+    # the restore pin it explicitly, changing observable conf state)
+    old = spark.conf.get(_PROVIDER_KEY, None)
+    spark.conf.set(_PROVIDER_KEY, provider)
+    try:
+        yield
+    finally:
+        if old is None:
+            spark.conf.unset(_PROVIDER_KEY)
+        else:
+            spark.conf.set(_PROVIDER_KEY, old)
 
 
 def streaming_events_source(spark: SparkSession, sf_dir: str) -> DataFrame:

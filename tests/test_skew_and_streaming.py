@@ -284,3 +284,40 @@ def test_streaming_left_interval_join_prefix_containment(spark, sf_dir):
 
     assert matched_batch <= streamed, "inner rows must all emit"
     assert streamed <= batch, "streamed rows must agree with the batch twin"
+
+
+def test_stateful_stream_on_rocksdb_state_store(spark, sf_dir):
+    """The RocksDB provider must be selectable per-query and produce the
+    same answer as the default on-heap provider: run the stateful
+    running-totals stream under state_store_provider(...) and compare to
+    the batch aggregate (the same oracle the on-heap test uses). Also
+    asserts the conf round-trips (set inside the scope, restored after)."""
+    from esther_apache_spark_spark.streaming.events import (
+        ROCKSDB_STATE_STORE,
+        running_user_totals_stream,
+        state_store_provider,
+    )
+
+    key = "spark.sql.streaming.stateStore.providerClass"
+    before = spark.conf.get(key, None)
+    with state_store_provider(spark):
+        assert spark.conf.get(key) == ROCKSDB_STATE_STORE
+        got = {
+            r["user_id"]: (r["n_events"], r["total_value"])
+            for r in running_user_totals_stream(spark, sf_dir).collect()
+        }
+    assert spark.conf.get(key, None) == before
+
+    events = spark.read.parquet(f"{sf_dir}/events.parquet")
+    want = {
+        r["user_id"]: (r["n"], r["tv"])
+        for r in events.groupBy("user_id")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.sum(F.col("value").cast("decimal(12,2)")), 2)
+            .cast("double")
+            .alias("tv"),
+        )
+        .collect()
+    }
+    assert got == want
