@@ -79,12 +79,42 @@ def read_jdbc(
     url: str,
     table: str,
     properties: dict[str, str] | None = None,
+    partition_column: str | None = None,
+    lower_bound: int | str | None = None,
+    upper_bound: int | str | None = None,
+    num_partitions: int | None = None,
 ) -> DataFrame:
     """S6 — RDBMS source (reference bootstraps customers/refunds from a
     Postgres dump, ``freshkartmindump.sql:14-32``). Needs the JDBC driver
     jar on the classpath at session creation; round-tripped against an
     embedded DuckDB database in ``tests/test_jdbc.py`` (skips, with the
-    reason stated, when no driver jar is discoverable)."""
+    reason stated, when no driver jar is discoverable).
+
+    Without the partitioning arguments the read is ONE task on one
+    executor — a driver-side bottleneck the moment the table is bigger
+    than a dim. Pass ``partition_column`` (a roughly-uniform numeric/
+    date key, e.g. the PK) with ``lower_bound``/``upper_bound``/
+    ``num_partitions`` and Spark issues ``num_partitions`` concurrent
+    range-predicate queries (WHERE col >= lo AND col < hi), one per
+    task — the standard way to drain an RDBMS at cluster ingest speed
+    without hand-sharding. Bounds only steer the stride; rows outside
+    them still land in the first/last partition. All four must be given
+    together (Spark's contract)."""
+    if partition_column is not None:
+        if lower_bound is None or upper_bound is None or num_partitions is None:
+            raise ValueError(
+                "partition_column requires lower_bound, upper_bound and "
+                "num_partitions (Spark's jdbc partitioning contract)"
+            )
+        return spark.read.jdbc(
+            url,
+            table,
+            column=partition_column,
+            lowerBound=lower_bound,
+            upperBound=upper_bound,
+            numPartitions=num_partitions,
+            properties=properties or {},
+        )
     return spark.read.jdbc(url, table, properties=properties or {})
 
 

@@ -92,3 +92,63 @@ def test_jdbc_write_then_read_round_trip(tmp_path):
     )
     assert proc.returncode == 0, proc.stderr[-3000:]
     assert "JDBC_OK 3" in proc.stdout
+
+
+def test_jdbc_partitioned_read_parallel_tasks(tmp_path):
+    """Partitioned JDBC ingest: numPartitions>1 must yield that many
+    input partitions (concurrent range queries), cover rows OUTSIDE the
+    given bounds (they fall into the edge partitions), and return the
+    same rows as the single-task read."""
+    jar = _find_jdbc_jar()
+    if jar is None:
+        pytest.skip("no JDBC driver jar discoverable in this container")
+    db = str(tmp_path / "part.duckdb")
+    script = textwrap.dedent(
+        f"""
+        import sys
+        sys.path.insert(0, {REPO!r})
+        import duckdb
+        from pyspark.sql import SparkSession
+
+        from esther_apache_spark_spark.sources.readers import read_jdbc
+
+        con = duckdb.connect({db!r})
+        con.execute("CREATE TABLE t AS SELECT range AS id, range * 1.5 AS v FROM range(200)")
+        con.close()
+
+        spark = (
+            SparkSession.builder.master("local[4]")
+            .appName("jdbc-partitioned")
+            .config("spark.driver.extraClassPath", {jar!r})
+            .config("spark.ui.enabled", "false")
+            .config("spark.sql.shuffle.partitions", "4")
+            .getOrCreate()
+        )
+        spark.sparkContext.setLogLevel("ERROR")
+        url = "jdbc:duckdb:" + {db!r}
+        props = {{"driver": "org.duckdb.DuckDBDriver"}}
+        # bounds deliberately INSIDE the id range: rows below 50 /
+        # above 150 must still arrive via the unbounded edge partitions
+        part = read_jdbc(
+            spark, url, "t", properties=props,
+            partition_column="id", lower_bound=50, upper_bound=150,
+            num_partitions=4,
+        )
+        assert part.rdd.getNumPartitions() == 4, part.rdd.getNumPartitions()
+        single = read_jdbc(spark, url, "t", properties=props)
+        prows = sorted((int(r["id"]), float(r["v"])) for r in part.collect())
+        srows = sorted((int(r["id"]), float(r["v"])) for r in single.collect())
+        assert len(prows) == 200, len(prows)
+        assert prows == srows
+        print("JDBC_PART_OK", len(prows))
+        spark.stop()
+        """
+    )
+    proc = subprocess.run(
+        [sys.executable, "-c", script],
+        capture_output=True,
+        text=True,
+        timeout=300,
+    )
+    assert proc.returncode == 0, proc.stderr[-3000:]
+    assert "JDBC_PART_OK 200" in proc.stdout
