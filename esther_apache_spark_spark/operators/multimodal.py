@@ -3,11 +3,15 @@
 Image/audio/video travel as opaque ``binary`` payloads with typed
 metadata (``schemas.MEDIA``). The Spark-side plumbing — schema,
 partitioning, Arrow batch shape, ``mapInPandas`` signatures — is real
-and tested; the actual codec step is STUBBED: the image/audio libraries
-(Pillow, torchaudio, ffmpeg) are not in this container, so ``decode``
-raises ``NotImplementedError`` unless ``fake=True``, which substitutes a
-deterministic fake decoder (payload-hash-seeded) that preserves every
-contract the real one would have.
+and tested. The codec layer is real for the dependency-free raster
+formats (binary **PPM** ``P6`` and uncompressed 24-bit **BMP**, decoded
+in pure NumPy — ``decode_image`` / ``resize_image`` below), so
+``extract_features(fake=False)`` genuinely decodes pixels and pools
+them into features for those mimes. Formats that need absent libraries
+(JPEG/PNG/audio/video — Pillow, torchaudio, ffmpeg are not in this
+container) still raise ``NotImplementedError``; ``fake=True``
+substitutes a deterministic payload-hash-seeded decoder that preserves
+every contract the real one would have, for any mime.
 
 Batching contract: ``mapInPandas`` receives Arrow record batches; media
 payloads dominate memory, so callers should
@@ -19,8 +23,10 @@ size bands to keep batches balanced.
 from __future__ import annotations
 
 import hashlib
+import struct
 from collections.abc import Iterator
 
+import numpy as np
 import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
@@ -46,10 +52,130 @@ FEATURES_SCHEMA = StructType(
 )
 
 
-def _real_decode(payload: bytes, kind: str, mime: str):  # pragma: no cover
+# --- real dependency-free codecs (pure NumPy) ------------------------------
+
+PPM_MIMES = ("image/x-portable-pixmap", "image/ppm")
+BMP_MIMES = ("image/bmp", "image/x-bmp")
+
+
+def decode_ppm(payload: bytes) -> np.ndarray:
+    """Binary PPM (``P6``, maxval ≤ 255) → (h, w, 3) uint8 RGB array.
+
+    Full header grammar: the magic and the three decimal fields
+    (width, height, maxval) are separated by runs of whitespace which
+    may contain ``#`` comments running to end-of-line; a single
+    whitespace byte after maxval starts the raster."""
+    if payload[:2] != b"P6":
+        raise ValueError("not a binary PPM (P6) payload")
+    pos = 2
+    fields: list[int] = []
+    while len(fields) < 3:
+        # skip whitespace and comments
+        while pos < len(payload) and payload[pos : pos + 1].isspace():
+            pos += 1
+        if payload[pos : pos + 1] == b"#":
+            while pos < len(payload) and payload[pos] != 0x0A:
+                pos += 1
+            continue
+        start = pos
+        while pos < len(payload) and payload[pos : pos + 1].isdigit():
+            pos += 1
+        if start == pos:
+            raise ValueError("malformed PPM header")
+        fields.append(int(payload[start:pos]))
+    w, h, maxval = fields
+    if maxval > 255:
+        raise ValueError("16-bit PPM not supported")
+    pos += 1  # the single whitespace byte before the raster
+    raster = np.frombuffer(payload, dtype=np.uint8, count=w * h * 3, offset=pos)
+    return raster.reshape(h, w, 3).copy()
+
+
+def encode_ppm(arr: np.ndarray) -> bytes:
+    """(h, w, 3) uint8 → binary PPM payload (fixture/round-trip helper)."""
+    h, w = arr.shape[:2]
+    return b"P6\n%d %d\n255\n" % (w, h) + arr.astype(np.uint8).tobytes()
+
+
+def decode_bmp(payload: bytes) -> np.ndarray:
+    """Uncompressed 24-bit BMP (BI_RGB) → (h, w, 3) uint8 RGB array.
+
+    Handles the standard layout: BITMAPFILEHEADER (pixel-data offset at
+    byte 10), BITMAPINFOHEADER (width, signed height — negative means
+    top-down), BGR byte order, rows padded to 4-byte boundaries,
+    bottom-up row order unless height < 0."""
+    if payload[:2] != b"BM":
+        raise ValueError("not a BMP payload")
+    (data_off,) = struct.unpack_from("<I", payload, 10)
+    w, h_signed = struct.unpack_from("<ii", payload, 18)
+    (bpp,) = struct.unpack_from("<H", payload, 28)
+    (compression,) = struct.unpack_from("<I", payload, 30)
+    if bpp != 24 or compression != 0:
+        raise ValueError("only uncompressed 24-bit BMP (BI_RGB) supported")
+    h = abs(h_signed)
+    stride = (w * 3 + 3) & ~3  # rows pad to 4-byte boundaries
+    rows = np.frombuffer(
+        payload, dtype=np.uint8, count=h * stride, offset=data_off
+    ).reshape(h, stride)
+    bgr = rows[:, : w * 3].reshape(h, w, 3)
+    if h_signed > 0:  # bottom-up storage
+        bgr = bgr[::-1]
+    return bgr[:, :, ::-1].copy()  # BGR -> RGB
+
+
+def encode_bmp(arr: np.ndarray) -> bytes:
+    """(h, w, 3) uint8 → bottom-up 24-bit BI_RGB BMP payload."""
+    h, w = arr.shape[:2]
+    stride = (w * 3 + 3) & ~3
+    raster = np.zeros((h, stride), dtype=np.uint8)
+    raster[:, : w * 3] = arr[::-1, :, ::-1].reshape(h, w * 3)  # flip + RGB->BGR
+    data = raster.tobytes()
+    header = struct.pack("<2sIHHI", b"BM", 54 + len(data), 0, 0, 54)
+    info = struct.pack("<IiiHHIIiiII", 40, w, h, 1, 24, 0, len(data), 2835, 2835, 0, 0)
+    return header + info + data
+
+
+def decode_image(payload: bytes, mime: str) -> np.ndarray | None:
+    """Dispatch to a real decoder; None when the format needs a library
+    this environment doesn't have (the caller decides whether to raise)."""
+    if mime in PPM_MIMES:
+        return decode_ppm(payload)
+    if mime in BMP_MIMES:
+        return decode_bmp(payload)
+    return None
+
+
+def resize_image(arr: np.ndarray, new_w: int, new_h: int) -> np.ndarray:
+    """Nearest-neighbor resample to (new_h, new_w, 3) — the pixel step
+    ``resize_plan`` plans for. Pure index-map gather: rows/cols pick
+    source index floor(i·src/dst), the same mapping every NN resampler
+    uses; deterministic, no interpolation seams across partitions."""
+    h, w = arr.shape[:2]
+    rows = (np.arange(new_h) * h) // new_h
+    cols = (np.arange(new_w) * w) // new_w
+    return arr[rows][:, cols]
+
+
+def image_features(arr: np.ndarray, dim: int = FEATURE_DIM) -> list[float]:
+    """Deterministic pixel features: grayscale in [0,1] (mean of RGB),
+    flattened row-major and block-pooled into ``dim`` means
+    (``np.array_split`` chunking, so any image size works). Matches the
+    fake path's contract: ``dim`` floats in [0,1), rounded to 6."""
+    gray = arr.astype(np.float64).mean(axis=2).ravel() / 255.0
+    chunks = np.array_split(gray, dim)
+    return [float(round(c.mean(), 6)) if len(c) else 0.0 for c in chunks]
+
+
+def _real_decode(payload: bytes, kind: str, mime: str, dim: int = FEATURE_DIM):
+    if kind == "image":
+        arr = decode_image(payload, mime)
+        if arr is not None:
+            return image_features(arr, dim)
     raise NotImplementedError(
-        "media codecs (Pillow/ffmpeg/torchaudio) are not available in this "
-        "environment; run with fake=True for the deterministic stub"
+        f"no dependency-free codec for kind={kind!r} mime={mime!r} "
+        f"(PPM/BMP decode natively; JPEG/PNG/audio/video need "
+        f"Pillow/ffmpeg/torchaudio, not available in this environment); "
+        f"run with fake=True for the deterministic stub"
     )
 
 
@@ -75,8 +201,10 @@ def _fake_features(payload: bytes, dim: int = FEATURE_DIM) -> list[float]:
 def extract_features(df: DataFrame, fake: bool = False, dim: int = FEATURE_DIM) -> DataFrame:
     """media rows -> (media_id, kind, feat_dim, features) via mapInPandas.
 
-    The per-batch loop is the real Arrow plumbing; only the innermost
-    decode call is stubbed (see module docstring).
+    The per-batch loop is the real Arrow plumbing. With ``fake=False``
+    the decode is REAL for PPM/BMP images (pure-NumPy codecs above) and
+    raises for formats that need absent libraries; ``fake=True`` swaps
+    in the deterministic hash stub for any mime (see module docstring).
     """
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
@@ -87,7 +215,7 @@ def extract_features(df: DataFrame, fake: bool = False, dim: int = FEATURE_DIM) 
                 if fake:
                     feats.append(_fake_features(raw, dim))
                 else:
-                    feats.append(_real_decode(raw, kind, mime))
+                    feats.append(_real_decode(raw, kind, mime, dim))
             yield pd.DataFrame(
                 {
                     "media_id": pdf["media_id"],

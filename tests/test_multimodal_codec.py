@@ -1,0 +1,117 @@
+"""Real dependency-free image codecs (VERDICT r2 item 6).
+
+PPM(P6)/BMP(24-bit) decode in pure NumPy behind the codec interface:
+golden-byte decodes, encode/decode round-trips on awkward shapes (row
+padding, comments), the Spark mapInPandas path with ``fake=False``
+producing real pixel features, the resize-plan → resize-kernel
+hand-off, and the honest NotImplementedError for formats that genuinely
+need absent libraries.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pytest
+
+from pyspark.sql import functions as F
+
+from esther_apache_spark_spark.operators import multimodal as M
+
+
+def _gradient(h, w):
+    """Deterministic RGB test image."""
+    r = np.tile(np.arange(w, dtype=np.uint8) * 7 % 256, (h, 1))
+    g = np.tile((np.arange(h, dtype=np.uint8) * 11 % 256)[:, None], (1, w))
+    b = (r.astype(int) + g.astype(int)) % 256
+    return np.stack([r, g, b.astype(np.uint8)], axis=2)
+
+
+def test_ppm_golden_bytes_decode():
+    """A hand-written P6 payload with a header comment decodes to the
+    exact pixel matrix (golden-file check, no round-trip involved)."""
+    payload = (
+        b"P6\n# golden fixture\n2 2\n255\n"
+        + bytes([255, 0, 0, 0, 255, 0, 0, 0, 255, 10, 20, 30])
+    )
+    arr = M.decode_ppm(payload)
+    assert arr.shape == (2, 2, 3)
+    assert arr[0, 0].tolist() == [255, 0, 0]
+    assert arr[0, 1].tolist() == [0, 255, 0]
+    assert arr[1, 0].tolist() == [0, 0, 255]
+    assert arr[1, 1].tolist() == [10, 20, 30]
+
+
+def test_ppm_and_bmp_round_trip_awkward_shapes():
+    """encode→decode is the identity, including BMP's 4-byte row padding
+    (width 3 and 5 both have non-zero pad) and bottom-up row order."""
+    for h, w in ((1, 1), (3, 5), (4, 3), (7, 2)):
+        img = _gradient(h, w)
+        assert np.array_equal(M.decode_ppm(M.encode_ppm(img)), img), (h, w)
+        assert np.array_equal(M.decode_bmp(M.encode_bmp(img)), img), (h, w)
+
+
+def test_decode_image_dispatch_and_unsupported():
+    img = _gradient(2, 2)
+    assert np.array_equal(M.decode_image(M.encode_ppm(img), "image/ppm"), img)
+    assert np.array_equal(M.decode_image(M.encode_bmp(img), "image/bmp"), img)
+    assert M.decode_image(b"\x89PNG...", "image/png") is None
+    with pytest.raises(NotImplementedError, match="image/png"):
+        M._real_decode(b"\x89PNG...", "image", "image/png")
+    with pytest.raises(NotImplementedError, match="audio"):
+        M._real_decode(b"RIFF....", "audio", "audio/wav")
+
+
+def test_resize_plan_feeds_resize_kernel(spark):
+    """The metadata resize PLAN and the pixel resize KERNEL must agree:
+    decode a fixture, plan (new_w, new_h) for max_side, run the kernel,
+    and check both the planned shape and nearest-neighbor semantics."""
+    img = _gradient(8, 16)
+    meta = spark.createDataFrame(
+        [(1, "image", int(img.shape[1]), int(img.shape[0]))],
+        "media_id long, kind string, width int, height int",
+    )
+    plan = M.resize_plan(meta, max_side=4).collect()[0]
+    assert (plan["new_w"], plan["new_h"]) == (4, 2)  # aspect preserved
+
+    out = M.resize_image(img, plan["new_w"], plan["new_h"])
+    assert out.shape == (2, 4, 3)
+    # nearest-neighbor: output (i, j) is source (i*h//nh, j*w//nw)
+    for i in range(2):
+        for j in range(4):
+            assert np.array_equal(out[i, j], img[i * 8 // 2, j * 16 // 4]), (i, j)
+    # never upscale: a small image passes through untouched
+    small = M.resize_plan(meta, max_side=64).collect()[0]
+    assert (small["new_w"], small["new_h"]) == (16, 8)
+
+
+def test_extract_features_real_codec_through_spark(spark):
+    """fake=False end-to-end on the mapInPandas path: PPM payloads are
+    really decoded and block-pooled; the result matches the driver-side
+    reference computation exactly."""
+    imgs = {i: _gradient(4 + i, 6) for i in range(3)}
+    rows = [
+        (i, "image", bytearray(M.encode_ppm(img)), "image/x-portable-pixmap")
+        for i, img in imgs.items()
+    ]
+    media = spark.createDataFrame(
+        rows, "media_id long, kind string, payload binary, mime string"
+    )
+    got = {
+        r["media_id"]: r["features"]
+        for r in M.extract_features(media, fake=False).collect()
+    }
+    assert set(got) == set(imgs)
+    for i, img in imgs.items():
+        want = M.image_features(img)
+        assert got[i] == pytest.approx(want, abs=1e-6), i
+        assert len(got[i]) == M.FEATURE_DIM
+        assert all(0.0 <= x <= 1.0 for x in got[i])
+
+
+def test_extract_features_unsupported_mime_fails_loudly(spark):
+    media = spark.createDataFrame(
+        [(1, "image", bytearray(b"\xff\xd8jpegdata"), "image/jpeg")],
+        "media_id long, kind string, payload binary, mime string",
+    )
+    with pytest.raises(Exception, match="NotImplementedError|no dependency-free codec"):
+        M.extract_features(media, fake=False).collect()
