@@ -10,6 +10,15 @@ timed passes of the full plan (count() forces execution without
 collecting results to the driver); the reported figure is the per-query
 MEDIAN — single-run numbers jitter 10-40% under machine load, which is
 indistinguishable from a real plan regression.
+
+``--sf1-cold`` runs the scale-checkpoint protocol instead (BASELINE.md):
+sf1 data is generated if absent (tools/make_scale_data.py, 10× sf0.1
+with planted 10-clone dup clusters), codegen is warmed at sf0.001, then
+each query runs ONCE with the OS page cache dropped first (sync +
+/proc/sys/vm/drop_caches, privilege permitting — the JSON records
+whether the drop succeeded as "cold"). sf1 wall-clock on a single box
+is page-cache-dominated (BASELINE.md r2: 43.3 s cold vs 17.1 s warm for
+one query), so only cold first-touch rows are comparable across rounds.
 """
 
 from __future__ import annotations
@@ -45,9 +54,39 @@ HEADLINE = [
 ]
 
 
+def _drop_caches() -> bool:
+    """Best-effort OS page-cache drop; False when unprivileged."""
+    try:
+        os.sync()
+        with open("/proc/sys/vm/drop_caches", "w") as f:
+            f.write("1\n")
+        return True
+    except OSError:
+        return False
+
+
+def _ensure_sf1(sf1_dir: str) -> None:
+    if os.path.isdir(sf1_dir) and os.listdir(sf1_dir):
+        return
+    import subprocess
+
+    tool = os.path.join(os.path.dirname(os.path.abspath(__file__)), "tools", "make_scale_data.py")
+    subprocess.run(
+        [sys.executable, tool, "10", "/root/testdata/sf0.1", sf1_dir],
+        check=True,
+    )
+
+
 def main() -> None:
-    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
-    sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
+    cold_sf1 = "--sf1-cold" in sys.argv
+    if cold_sf1:
+        sf_dir = os.environ.get("SPARK_GRAFT_SF1_DIR", "/tmp/scale/sf1")
+        _ensure_sf1(sf_dir)
+        sf: object = 1.0
+    else:
+        sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+        s = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
+        sf = float(s) if s.replace(".", "").isdigit() else s
 
     from esther_apache_spark_spark import plans
     from esther_apache_spark_spark.session import get_spark
@@ -56,11 +95,15 @@ def main() -> None:
     spark.sparkContext.setLogLevel("ERROR")
 
     warm_dir = "/root/testdata/sf0.001"
-    runs = int(os.environ.get("SPARK_GRAFT_BENCH_RUNS", "3"))
+    runs = 1 if cold_sf1 else int(os.environ.get("SPARK_GRAFT_BENCH_RUNS", "3"))
     timings: dict[str, float] = {}
+    dropped = True
     for name in HEADLINE:
         spec = plans.QUERIES[name]
         spec.fn(spark, warm_dir).count()  # warmup: codegen + classloading
+        if cold_sf1:
+            # data pages cold per query; codegen stays JIT-warm in the JVM
+            dropped = _drop_caches() and dropped
         samples = []
         for _ in range(runs):
             t0 = time.perf_counter()
@@ -69,17 +112,16 @@ def main() -> None:
         timings[name] = round(statistics.median(samples), 3)
 
     total = round(sum(timings.values()), 3)
-    print(
-        json.dumps(
-            {
-                "metric": "headline_queries_total",
-                "value": total,
-                "unit": "sec",
-                "queries": timings,
-                "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
-            }
-        )
-    )
+    out = {
+        "metric": "headline_queries_total_sf1_cold" if cold_sf1 else "headline_queries_total",
+        "value": total,
+        "unit": "sec",
+        "queries": timings,
+        "sf": sf,
+    }
+    if cold_sf1:
+        out["cold"] = dropped
+    print(json.dumps(out))
     spark.stop()
 
 
