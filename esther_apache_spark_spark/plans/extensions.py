@@ -1829,3 +1829,209 @@ def interval_join_left_view_purchase(spark: SparkSession, sf_dir: str) -> DataFr
         events.filter(F.col("event_type") == "view"),
         events.filter(F.col("event_type") == "purchase"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Iterative graph analytics — PageRank over the brand co-purchase graph.
+# ---------------------------------------------------------------------------
+
+def _pagerank_iter_sql(prev: str, out: str) -> str:
+    return (
+        f"{out} AS (SELECT e.dst AS v, ROUND(0.15 / MAX(nn.n)"
+        f" + 0.85 * SUM(r.pr / dg.d), 9) AS pr"
+        f" FROM edges e JOIN {prev} r ON e.src = r.v"
+        f" JOIN deg dg ON e.src = dg.src CROSS JOIN nn GROUP BY e.dst)"
+    )
+
+
+@register(
+    "pagerank_brands",
+    oracle=f"""
+    WITH ob AS (
+        SELECT DISTINCT l.l_orderkey AS k, p.p_brand AS b
+        FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+    ),
+    edges AS (
+        SELECT DISTINCT a.b AS src, c.b AS dst
+        FROM ob a JOIN ob c USING (k) WHERE a.b <> c.b
+    ),
+    deg AS (SELECT src, COUNT(*) AS d FROM edges GROUP BY src),
+    nn AS (SELECT COUNT(*) AS n FROM deg),
+    r0 AS (SELECT src AS v, ROUND(1.0 / MAX(nn.n), 9) AS pr
+           FROM deg CROSS JOIN nn GROUP BY src),
+    {_pagerank_iter_sql("r0", "r1")},
+    {_pagerank_iter_sql("r1", "r2")},
+    {_pagerank_iter_sql("r2", "r3")}
+    SELECT v AS brand, CAST(ROUND(pr, 6) AS DOUBLE) AS pagerank FROM r3
+    """,
+)
+def pagerank_brands(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PageRank (3 iterations, damping 0.85) over the brand co-purchase
+    graph — the iterative-algorithm pattern a training pipeline uses for
+    link-graph quality weighting, expressed as a statically unrolled
+    DataFrame loop (each iteration: edges ⋈ ranks, shuffle on dst, one
+    hash aggregate). Static unrolling keeps lineage shallow at 3
+    iterations; for tens of iterations, ``localCheckpoint`` every few
+    rounds (the ``operators/components.py`` doctrine) bounds plan depth.
+
+    Determinism across engines: ranks are ROUNDed to 9 decimals at
+    every iteration in BOTH engines, so each iteration's input is
+    bit-identical and float summation-order differences cannot
+    accumulate; the final report rounds to 6. The co-purchase graph is
+    symmetric, so there are no dangling nodes (no rank leak) and every
+    node has in-edges. The scalar node count is a 1-row broadcast back
+    onto the rank frame (the same pinned scalar-subquery shape as
+    ``tfidf_top_terms``' corpus doc count — Catalyst folds the constant
+    join key away, so it plans as the allowed one-row
+    BroadcastNestedLoopJoin)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    part = load_table(spark, sf_dir, "part")
+    ob = (
+        li.join(part, li.l_partkey == part.p_partkey)
+        .select(F.col("l_orderkey").alias("k"), F.col("p_brand").alias("b"))
+        .distinct()
+    )
+    a = ob.select("k", F.col("b").alias("src"))
+    c = ob.select("k", F.col("b").alias("dst"))
+    edges = (
+        a.join(c, "k").filter(F.col("src") != F.col("dst")).select("src", "dst").distinct()
+    )
+    deg = edges.groupBy("src").agg(F.count(F.lit(1)).alias("d"))
+    nn = deg.agg(F.count(F.lit(1)).alias("n")).withColumn("_k", F.lit(1))
+    ranks = (
+        deg.select(F.col("src").alias("v")).withColumn("_k", F.lit(1))
+        .join(nn, "_k")
+        .select("v", F.round(F.lit(1.0) / F.col("n"), 9).alias("pr"), "n")
+    )
+    for _ in range(3):
+        ranks = (
+            edges.join(ranks, edges.src == ranks.v)
+            .join(deg, "src")
+            .groupBy("dst")
+            .agg(
+                F.round(
+                    F.lit(0.15) / F.first("n") + F.lit(0.85) * F.sum(F.col("pr") / F.col("d")),
+                    9,
+                ).alias("pr"),
+                F.first("n").alias("n"),
+            )
+            .select(F.col("dst").alias("v"), "pr", "n")
+        )
+    return ranks.select(
+        F.col("v").alias("brand"), F.round("pr", 6).cast("double").alias("pagerank")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Time-series gap fill — per-key daily resample with forward fill.
+# ---------------------------------------------------------------------------
+@register(
+    "gapfill_daily_user_value",
+    oracle="""
+    WITH daily AS (
+        SELECT user_id, CAST(ts AS DATE) AS day,
+               CAST(ROUND(SUM(CAST(value AS DECIMAL(12,2))), 2) AS DOUBLE) AS dv
+        FROM events GROUP BY 1, 2
+    ),
+    spans AS (SELECT user_id, MIN(day) AS lo, MAX(day) AS hi FROM daily GROUP BY 1),
+    cal AS (
+        SELECT user_id,
+               CAST(unnest(generate_series(lo::TIMESTAMP, hi::TIMESTAMP,
+                                           INTERVAL 1 DAY)) AS DATE) AS day
+        FROM spans
+    )
+    SELECT c.user_id, strftime(c.day, '%Y-%m-%d') AS day,
+           last_value(d.dv IGNORE NULLS) OVER (
+               PARTITION BY c.user_id ORDER BY c.day
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+           ) AS day_value,
+           CAST(d.dv IS NULL AS BOOLEAN) AS filled
+    FROM cal c LEFT JOIN daily d ON c.user_id = d.user_id AND c.day = d.day
+    """,
+)
+def gapfill_daily_user_value(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user daily resample with forward fill — the telemetry/feature
+    regularization every time-series training pipeline needs (turn an
+    irregular event stream into a dense daily grid, carrying the last
+    observation across gaps).
+
+    Scale shape: the calendar comes from EXPLODING each user's own
+    (min_day, max_day) span — no users×days cartesian, no global
+    calendar join; one groupBy for the daily sums, one for the spans,
+    one per-user window for the fill. All date math in DATE space,
+    emitted as ISO strings for cross-engine stability. The first day of
+    each span always has a value (it IS a min), so the fill never
+    emits null."""
+    events = load_table(spark, sf_dir, "events")
+    daily = (
+        events.groupBy("user_id", F.to_date("ts").alias("day"))
+        .agg(
+            F.round(F.sum(F.col("value").cast("decimal(12,2)")), 2)
+            .cast("double")
+            .alias("dv")
+        )
+    )
+    cal = (
+        daily.groupBy("user_id")
+        .agg(F.min("day").alias("lo"), F.max("day").alias("hi"))
+        .select(
+            "user_id",
+            F.explode(F.sequence("lo", "hi")).alias("day"),
+        )
+    )
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("day")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    joined = cal.join(daily, ["user_id", "day"], "left")
+    return joined.select(
+        "user_id",
+        F.date_format("day", "yyyy-MM-dd").alias("day"),
+        F.last("dv", ignorenulls=True).over(w).alias("day_value"),
+        F.col("dv").isNull().alias("filled"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Histogram binning — fixed-width buckets, explicit edge semantics.
+# ---------------------------------------------------------------------------
+_HIST_LO, _HIST_HI, _HIST_NB = -1000.0, 10000.0, 11
+
+
+@register(
+    "histogram_acctbal_by_nation",
+    oracle=f"""
+    SELECT n.n_name AS nation,
+           CAST(LEAST(GREATEST(FLOOR((CAST(c.c_acctbal AS DOUBLE) - ({_HIST_LO}))
+                                     / (({_HIST_HI}) - ({_HIST_LO})) * {_HIST_NB}) + 1,
+                               0), {_HIST_NB} + 1) AS BIGINT) AS bucket,
+           CAST(COUNT(*) AS BIGINT) AS n_customers
+    FROM customer c JOIN nation n ON c.c_nationkey = n.n_nationkey
+    GROUP BY 1, 2
+    """,
+)
+def histogram_acctbal_by_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fixed-width histogram of customer balances per nation — the
+    distribution profile an ingest-quality dashboard computes per
+    column. The bucket formula is written out identically in BOTH
+    engines (floor((x-lo)/(hi-lo)·nb)+1, clamped to [0, nb+1] for
+    under/overflow) rather than relying on each engine's width_bucket
+    edge conventions; one hash aggregate, map-side combinable, no
+    shuffle beyond it."""
+    c = load_table(spark, sf_dir, "customer")
+    n = load_table(spark, sf_dir, "nation")
+    x = F.col("c_acctbal").cast("double")
+    bucket = F.least(
+        F.greatest(
+            F.floor((x - F.lit(_HIST_LO)) / F.lit(_HIST_HI - _HIST_LO) * F.lit(_HIST_NB))
+            + F.lit(1),
+            F.lit(0),
+        ),
+        F.lit(_HIST_NB + 1),
+    ).cast("long")
+    return (
+        c.join(n, c.c_nationkey == n.n_nationkey)
+        .groupBy(F.col("n_name").alias("nation"), bucket.alias("bucket"))
+        .agg(F.count(F.lit(1)).cast("long").alias("n_customers"))
+    )
