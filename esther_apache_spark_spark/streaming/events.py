@@ -225,6 +225,109 @@ def running_user_totals_stream(
     )
 
 
+def tws_available() -> bool:
+    """Whether ``transformWithStateInPandas`` can execute here: its
+    Python↔JVM state protocol is protobuf-encoded, so the worker needs
+    the ``protobuf`` package (not bundled with pyspark)."""
+    try:
+        from google.protobuf import descriptor  # noqa: F401
+
+        return True
+    except ImportError:
+        return False
+
+
+def running_user_peak_stream(
+    spark: SparkSession, sf_dir: str, value_round: int = 2
+) -> DataFrame:
+    """Custom stateful operator on the MODERN state API
+    (``transformWithStateInPandas``, Spark 4 — the arbitrary-state
+    replacement for ``applyInPandasWithState``): a ``StatefulProcessor``
+    with an explicit ``ValueState`` tracks each user's peak single-event
+    value (integer cents — exact, order-independent max) and event
+    count across micro-batches, emitting the updated pair per batch.
+
+    transformWithState REQUIRES the RocksDB state-store provider (the
+    on-heap HDFS provider does not implement the new state API), so the
+    runner wraps the query in ``state_store_provider`` — which is also
+    the 100 TB posture: typed per-key state (value/list/map states,
+    timers, TTL) living off-heap, instead of one opaque pickled tuple
+    per key on the executor heap. Returns the final per-user state
+    after driving the stream to completion (max is monotone, so the
+    final emission per user is the max over its updates).
+
+    Environment gate (honest, like the non-PPM/BMP codecs): the state
+    protocol needs the ``protobuf`` Python package, which this container
+    lacks — ``tws_available()`` is checked up front and a clear
+    ``NotImplementedError`` raised instead of the opaque mid-query
+    runner crash; the query wiring up to runner init is exercised by
+    ``tests/test_skew_and_streaming.py`` either way. The
+    ``applyInPandasWithState`` twin (``running_user_totals_stream``)
+    carries the tested-in-container stateful semantics."""
+    import pandas as pd
+
+    if not tws_available():
+        raise NotImplementedError(
+            "transformWithStateInPandas needs the 'protobuf' package for its "
+            "Python<->JVM state protocol, which is not available in this "
+            "environment; use running_user_totals_stream "
+            "(applyInPandasWithState) instead"
+        )
+    from pyspark.sql.streaming.stateful_processor import (
+        StatefulProcessor,
+        StatefulProcessorHandle,
+    )
+
+    scale = 10 ** value_round
+
+    class PeakProcessor(StatefulProcessor):
+        def init(self, handle: StatefulProcessorHandle) -> None:
+            self._state = handle.getValueState("peak", "mx long, cnt long")
+
+        def handleInputRows(self, key, rows, timer_values):
+            got = self._state.get()
+            mx, cnt = got if got is not None else (None, 0)
+            for pdf in rows:
+                cents = (pdf["value"] * scale).round().astype("int64")
+                batch_mx = int(cents.max())
+                mx = batch_mx if mx is None else max(mx, batch_mx)
+                cnt += len(pdf)
+            self._state.update((mx, cnt))
+            yield pd.DataFrame(
+                {"user_id": [key[0]], "max_value": [mx / scale], "n_events": [cnt]}
+            )
+
+        def close(self) -> None:
+            pass
+
+    stream = streaming_events_source(spark, sf_dir)
+    name = f"user_peak_{uuid.uuid4().hex[:8]}"
+    with state_store_provider(spark):
+        updates = stream.groupBy("user_id").transformWithStateInPandas(
+            PeakProcessor(),
+            outputStructType="user_id long, max_value double, n_events long",
+            outputMode="Update",
+            timeMode="None",
+        )
+        q = (
+            updates.writeStream.outputMode("update")
+            .format("memory")
+            .queryName(name)
+            .start()
+        )
+        try:
+            q.processAllAvailable()
+        finally:
+            q.stop()
+    all_updates = spark.table(name)
+    w = Window.partitionBy("user_id").orderBy(F.col("n_events").desc())
+    return (
+        all_updates.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") == 1)
+        .drop("_rn")
+    )
+
+
 def sessionize_batch(events: DataFrame, gap_minutes: int = 30) -> DataFrame:
     """Gap-based sessionization (batch twin of session_window): a new
     session starts when the time since the user's previous event exceeds

@@ -321,3 +321,38 @@ def test_stateful_stream_on_rocksdb_state_store(spark, sf_dir):
         .collect()
     }
     assert got == want
+
+
+def test_transform_with_state_peak_or_honest_gate(spark, sf_dir):
+    """The modern state API (transformWithStateInPandas) either runs —
+    matching the batch max/count oracle — or raises the documented
+    NotImplementedError BEFORE starting a query, because its state
+    protocol needs the protobuf package this container lacks. Either
+    way the gate is exact: tws_available() decides which branch."""
+    import pytest as _pytest
+
+    from esther_apache_spark_spark.streaming.events import (
+        running_user_peak_stream,
+        tws_available,
+    )
+
+    if not tws_available():
+        with _pytest.raises(NotImplementedError, match="protobuf"):
+            running_user_peak_stream(spark, sf_dir)
+        return
+
+    got = {
+        r["user_id"]: (r["max_value"], r["n_events"])
+        for r in running_user_peak_stream(spark, sf_dir).collect()
+    }
+    events = spark.read.parquet(f"{sf_dir}/events.parquet")
+    want = {
+        r["user_id"]: (r["mx"], r["n"])
+        for r in events.groupBy("user_id")
+        .agg(
+            (F.max(F.round(F.col("value") * 100).cast("long")) / 100.0).alias("mx"),
+            F.count(F.lit(1)).alias("n"),
+        )
+        .collect()
+    }
+    assert got == want
