@@ -161,6 +161,72 @@ def write_clustered_parquet(
         w = w.option("maxRecordsPerFile", str(max_records_per_file))
     w.parquet(path)
 
+def zorder_value(cols: list, mins: list[float], maxs: list[float], bits: int = 16):
+    """Z-order (Morton) code column: each input column is linearly
+    quantized to ``bits`` levels over its [min, max] range, then the
+    bit-planes of all columns are interleaved — so files that are
+    contiguous in z-value are simultaneously tight on EVERY input
+    column's min/max stats. Linear quantization keeps the whole code a
+    JVM expression (no global rank window, which would single-partition
+    the sort at scale); heavy skew in a column degrades its pruning
+    resolution but never correctness — stats pruning is always safe.
+    """
+    n = len(cols)
+    levels = (1 << bits) - 1
+    qs = []
+    for c, lo, hi in zip(cols, mins, maxs):
+        span = (hi - lo) or 1.0
+        q = F.least(
+            F.greatest(
+                F.floor((c.cast("double") - F.lit(float(lo))) / F.lit(span) * levels),
+                F.lit(0),
+            ),
+            F.lit(levels),
+        ).cast("long")
+        qs.append(q)
+    z = F.lit(0).cast("long")
+    for i in range(bits):
+        for d, q in enumerate(qs):
+            bit = F.shiftright(q, i).bitwiseAND(F.lit(1))
+            z = z.bitwiseOR(F.shiftleft(bit, i * n + d))
+    return z
+
+
+def write_zorder_parquet(
+    df: DataFrame,
+    path: str,
+    zorder_by: Sequence[str],
+    num_files: int,
+    bits: int = 16,
+) -> None:
+    """Z-order-clustered parquet layout: range-partition and sort the
+    table by the Morton interleave of ``zorder_by`` — the multi-column
+    generalization of ``write_range_partitioned_parquet``. A single-key
+    range layout makes per-file min/max stats disjoint on ONE column;
+    z-ordering makes them tight on ALL the listed columns at once, so a
+    selective predicate on ANY of them prunes most files. This is the
+    layout move for 100 TB fact tables queried along several axes
+    (e.g. lineitem by part AND by supplier): one sampled range shuffle
+    at write time buys stats pruning on every z-order key forever
+    after. Column ranges for quantization come from one tiny min/max
+    aggregate (driver-side scalars, not a rank window)."""
+    zcols = list(zorder_by)
+    stats = df.agg(
+        *[F.min(F.col(c).cast("double")).alias(f"_lo_{c}") for c in zcols],
+        *[F.max(F.col(c).cast("double")).alias(f"_hi_{c}") for c in zcols],
+    ).first()
+    mins = [stats[f"_lo_{c}"] for c in zcols]
+    maxs = [stats[f"_hi_{c}"] for c in zcols]
+    z = zorder_value([F.col(c) for c in zcols], mins, maxs, bits)
+    out = (
+        df.withColumn("_z", z)
+        .repartitionByRange(num_files, F.col("_z"))
+        .sortWithinPartitions("_z")
+        .drop("_z")
+    )
+    out.write.mode("overwrite").parquet(path)
+
+
 def write_range_partitioned_parquet(
     df: DataFrame, path: str, order_by: str, num_files: int
 ) -> None:

@@ -244,3 +244,62 @@ def test_compact_parquet_can_grow_file_count_and_cleans_up(spark, sf_dir, tmp_pa
     assert {tuple(r) for r in spark.read.parquet(path).collect()} == before
     assert not os.path.exists(path + ".compact")
     assert not os.path.exists(path + ".old")
+
+
+def test_zorder_layout_prunes_on_both_columns(spark, sf_dir, tmp_path):
+    """Z-order layout must make per-file min/max stats tight on BOTH
+    z-order columns simultaneously — the property stats pruning needs.
+    Quantified as the mean per-file span fraction of the global range:
+    a naive (arrival-order) layout spans ~100% of both columns in every
+    file; a single-key range layout is tight on its key only; z-order
+    is materially tight on both."""
+    import glob
+
+    from esther_apache_spark_spark.schemas import load_table
+    from esther_apache_spark_spark.sources.sinks import (
+        write_range_partitioned_parquet,
+        write_zorder_parquet,
+    )
+
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_partkey", "l_suppkey", "l_quantity"
+    )
+    n_files = 8
+
+    def mean_span(path, col):
+        spans = []
+        glo = hi = None
+        per_file = []
+        for f in sorted(glob.glob(f"{path}/*.parquet")):
+            r = spark.read.parquet(f).agg(
+                F.min(col).alias("lo"), F.max(col).alias("hi")
+            ).first()
+            per_file.append((r["lo"], r["hi"]))
+        glo = min(lo for lo, _ in per_file)
+        ghi = max(hi for _, hi in per_file)
+        width = (ghi - glo) or 1
+        return sum((hi - lo) / width for lo, hi in per_file) / len(per_file)
+
+    zpath = str(tmp_path / "zorder")
+    write_zorder_parquet(li, zpath, ["l_partkey", "l_suppkey"], n_files)
+    rpath = str(tmp_path / "range")
+    write_range_partitioned_parquet(li, rpath, "l_partkey", n_files)
+    npath = str(tmp_path / "naive")
+    li.repartition(n_files).write.parquet(npath)
+
+    # content preserved
+    assert spark.read.parquet(zpath).count() == li.count()
+
+    z_part, z_supp = mean_span(zpath, "l_partkey"), mean_span(zpath, "l_suppkey")
+    r_part, r_supp = mean_span(rpath, "l_partkey"), mean_span(rpath, "l_suppkey")
+    n_part, n_supp = mean_span(npath, "l_partkey"), mean_span(npath, "l_suppkey")
+
+    # naive layout: every file spans (almost) everything on both axes
+    assert n_part > 0.9 and n_supp > 0.9, (n_part, n_supp)
+    # range layout: disjoint on its key, blind on the other
+    assert r_part < 0.3, r_part
+    assert r_supp > 0.9, r_supp
+    # z-order: materially tight on BOTH axes at once (8 files / 2 dims
+    # -> ~sqrt(8)=2.8 cells per axis -> ~0.35 expected span fraction)
+    assert z_part < 0.6 and z_supp < 0.6, (z_part, z_supp)
+    assert z_part < n_part / 1.5 and z_supp < n_supp / 1.5
