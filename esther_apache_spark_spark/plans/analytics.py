@@ -1,0 +1,306 @@
+"""Relevance / resolution / anomaly analytics (engine extensions,
+SURVEY.md §7 M4 spirit): BM25 document scoring, fuzzy vocabulary
+canonicalization, per-group z-score anomaly flags, triangle counting on
+the co-purchase graph, and int8 embedding quantization.
+
+The reference has none of these (its analytics ceiling is
+``daily_city_sales``, ``src/pyspark/pipeline_pyspark.py:175-184``);
+they are the next ring of operations a 100-TB training-data /
+analytics platform runs daily. Every query is DuckDB-oracled.
+
+Cross-engine determinism doctrine (same as ``corpus_ops``):
+
+- idf stays RATIONAL — ``(N-df+0.5)/(df+0.5)`` without ``ln`` — so no
+  transcendental function whose last ulp differs between libm and the
+  JVM enters the hash (the classic Robertson idf is ``ln`` of exactly
+  this ratio; swapping it in is a one-line change that only compresses
+  the score range).
+- quantization rounds via ``floor(x+0.5)``, one IEEE add + floor in
+  both engines, never ``round()`` (HALF_UP vs banker's ties).
+- floating aggregates are ROUNDed before they are compared or used as
+  sort keys; sort tiebreaks are total (id-complete).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from esther_apache_spark_spark.functions import vector as V
+from esther_apache_spark_spark.plans.catalog import register
+from esther_apache_spark_spark.schemas import load_table
+
+# ---------------------------------------------------------------------------
+# BM25 relevance scoring over the documents corpus.
+# ---------------------------------------------------------------------------
+
+_BM25_TERMS = ("spark", "window", "hash")
+_K1, _B = 1.2, 0.75
+
+
+@register(
+    "bm25_top_docs",
+    oracle=f"""
+    WITH d AS (SELECT doc_id, string_split(lower(text), ' ') AS toks FROM documents),
+    dd AS (SELECT doc_id, len(toks) AS dl FROM d),
+    sc AS (SELECT count(*) AS n, avg(dl) AS avgdl FROM dd),
+    w AS (SELECT doc_id, unnest(toks) AS term FROM d),
+    tf AS (SELECT doc_id, term, count(*) AS tf FROM w
+           WHERE term IN ('spark','window','hash') GROUP BY 1, 2),
+    dft AS (SELECT term, count(*) AS dfreq FROM tf GROUP BY 1),
+    scored AS (
+        SELECT tf.doc_id,
+               SUM( ((sc.n - dft.dfreq + 0.5) / (dft.dfreq + 0.5))
+                    * (tf.tf * ({_K1} + 1.0))
+                    / (tf.tf + {_K1} * (1.0 - {_B} + {_B} * dd.dl / sc.avgdl)) ) AS s
+        FROM tf JOIN dft USING (term) JOIN dd USING (doc_id) CROSS JOIN sc
+        GROUP BY 1
+    )
+    SELECT doc_id, ROUND(s, 4) + 0.0 AS score
+    FROM scored ORDER BY ROUND(s, 4) DESC, doc_id LIMIT 20
+    """,
+)
+def bm25_top_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-20 documents by BM25 (k1=1.2, b=0.75) for a fixed query term
+    set — the IR scoring pass a corpus pipeline uses for relevance
+    filtering / retrieval evaluation, one ring past ``tfidf_top_terms``.
+
+    Plan shape at scale: tokenize+explode is generate-only (no
+    shuffle); tf is one hash aggregate on (doc_id, term) AFTER the
+    ``isin`` filter prunes the exploded stream to query terms only, so
+    the shuffle carries |terms| rows per doc, not the corpus; dfreq is
+    a |terms|-row aggregate that AQE broadcasts back; N/avgdl ride the
+    pinned 1-row scalar join (same shape as ``tfidf_top_terms``); the
+    final top-20 plans as TakeOrderedAndProject on the ROUNDED score
+    with a doc_id tiebreak (total order — both engines cut the same
+    set). idf is rational (module doctrine) — no ``ln`` in the hash."""
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", F.split(F.lower("text"), " ").alias("toks")
+    )
+    dd = docs.select("doc_id", F.size("toks").alias("dl"))
+    sc = dd.agg(
+        F.count(F.lit(1)).alias("n"), F.avg("dl").alias("avgdl")
+    )
+    tf = (
+        docs.select("doc_id", F.explode("toks").alias("term"))
+        .filter(F.col("term").isin(*_BM25_TERMS))
+        .groupBy("doc_id", "term")
+        .agg(F.count(F.lit(1)).alias("tf"))
+    )
+    dft = tf.groupBy("term").agg(F.count(F.lit(1)).alias("dfreq"))
+    idf = (F.col("n") - F.col("dfreq") + 0.5) / (F.col("dfreq") + 0.5)
+    contrib = idf * (F.col("tf") * (_K1 + 1.0)) / (
+        F.col("tf") + _K1 * (1.0 - _B + _B * F.col("dl") / F.col("avgdl"))
+    )
+    scored = (
+        tf.join(dft, "term")
+        .join(dd, "doc_id")
+        .crossJoin(F.broadcast(sc))
+        .groupBy("doc_id")
+        .agg(F.round(F.sum(contrib), 4).alias("score"))
+    )
+    return scored.orderBy(F.desc("score"), "doc_id").limit(20)
+
+
+# ---------------------------------------------------------------------------
+# Fuzzy vocabulary canonicalization (entity-resolution pattern).
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "fuzzy_canon_part_names",
+    oracle="""
+    WITH n AS (SELECT p_name, count(*) AS cnt FROM part GROUP BY p_name),
+    p AS (SELECT p_name, cnt, string_split(p_name, ' ')[-1] AS blk FROM n)
+    SELECT a.p_name AS name_a, b.p_name AS name_b,
+           CAST(levenshtein(a.p_name, b.p_name) AS INTEGER) AS dist,
+           a.cnt AS parts_a, b.cnt AS parts_b
+    FROM p a JOIN p b ON a.blk = b.blk AND a.p_name < b.p_name
+    WHERE levenshtein(a.p_name, b.p_name) BETWEEN 1 AND 2
+    """,
+)
+def fuzzy_canon_part_names(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-identical name pairs in the part-name vocabulary
+    (levenshtein <= 2), the blocking+pairwise-distance core of entity
+    resolution / catalog canonicalization.
+
+    The scale design is the DISTINCT-first contraction: the pairwise
+    (quadratic) stage runs on the deduplicated VOCABULARY — one hash
+    aggregate collapses the table to its distinct names (vocabulary
+    size is sublinear in corpus size), and the edit-distance join runs
+    on that. Blocking key = last token: an equi-join, so no
+    NestedLoop/cartesian ever appears; like all ER blocking it bounds
+    recall (a typo in the blocking token hides the pair — the standard
+    multi-pass fix is a second pass blocked on the first token).
+    Per-name part counts ride along from the same aggregate so the
+    canonicalization's merge impact is visible."""
+    n = (
+        load_table(spark, sf_dir, "part")
+        .groupBy("p_name")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .withColumn("blk", F.element_at(F.split("p_name", " "), -1))
+    )
+    a = n.select(
+        F.col("p_name").alias("name_a"), F.col("cnt").alias("parts_a"), "blk"
+    )
+    b = n.select(
+        F.col("p_name").alias("name_b"), F.col("cnt").alias("parts_b"), "blk"
+    )
+    dist = F.levenshtein("name_a", "name_b")
+    return (
+        a.join(b, "blk")
+        .filter(F.col("name_a") < F.col("name_b"))
+        .filter(dist.between(1, 2))
+        .select("name_a", "name_b", dist.alias("dist"), "parts_a", "parts_b")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Per-group z-score anomaly detection.
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "zscore_anomaly_events",
+    oracle="""
+    WITH s AS (SELECT event_type, avg(value) AS m, stddev_samp(value) AS sd
+               FROM events GROUP BY event_type)
+    SELECT e.event_id, e.event_type, ROUND((e.value - s.m) / s.sd, 4) + 0.0 AS z
+    FROM events e JOIN s USING (event_type)
+    WHERE abs((e.value - s.m) / s.sd) >= 2.5
+    """,
+)
+def zscore_anomaly_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Events whose value sits >= 2.5 sample standard deviations from
+    their event-type mean — the single-pass outlier flag of a data
+    quality / monitoring pipeline.
+
+    Two aggregates per group (mean, stddev) in ONE hash aggregate,
+    then the |event_type|-row stats frame joins back onto the stream —
+    bounded by the type vocabulary, so AQE broadcasts it and the fact
+    table never shuffles. The filter evaluates on the UNROUNDED z
+    (boundary rows would need |z| within ~1e-9 of 2.5 to diverge
+    between engines — measure-zero for continuous values); the
+    reported z rounds to 4."""
+    events = load_table(spark, sf_dir, "events")
+    stats = events.groupBy("event_type").agg(
+        F.avg("value").alias("m"), F.stddev_samp("value").alias("sd")
+    )
+    z = (F.col("value") - F.col("m")) / F.col("sd")
+    return (
+        events.join(stats, "event_type")
+        .filter(F.abs(z) >= 2.5)
+        .select("event_id", "event_type", F.round(z, 4).alias("z"))
+    )
+
+
+# ---------------------------------------------------------------------------
+# Triangle counting on the brand co-purchase graph.
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "triangle_count_brands",
+    oracle="""
+    WITH ob AS (SELECT DISTINCT l.l_orderkey AS ok, p.p_brand AS b
+                FROM lineitem l JOIN part p ON p.p_partkey = l.l_partkey),
+    ec AS (SELECT a.b AS ba, b2.b AS bb, count(*) AS c
+           FROM ob a JOIN ob b2 ON a.ok = b2.ok AND a.b < b2.b GROUP BY 1, 2),
+    top AS (SELECT ba, bb FROM ec ORDER BY c DESC, ba, bb LIMIT 60),
+    tri AS (SELECT e1.ba AS x, e1.bb AS y, e2.bb AS z
+            FROM top e1 JOIN top e2 ON e2.ba = e1.bb
+            JOIN top e3 ON e3.ba = e1.ba AND e3.bb = e2.bb)
+    SELECT node AS brand, CAST(count(*) AS BIGINT) AS triangles
+    FROM (SELECT unnest([x, y, z]) AS node FROM tri) GROUP BY 1
+    """,
+)
+def triangle_count_brands(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-brand triangle participation in the top-60-strongest-edge
+    co-purchase graph — the clustering/cohesion primitive next to
+    ``pagerank_brands`` (same edge construction).
+
+    Edges keep only the 60 strongest co-occurrence pairs under a TOTAL
+    order (count desc, then both endpoints) so both engines cut the
+    identical edge set; triangles enumerate once per a<b<c via two
+    equi-joins on the oriented edge list (the standard wedge-closing
+    join). At real graph scale the same shape survives: orient edges
+    low-degree->high-degree first (the node-iterator bound) and the
+    two joins shuffle on single node keys; the 60-row edge frame here
+    broadcasts under AQE without hints."""
+    li = load_table(spark, sf_dir, "lineitem")
+    part = load_table(spark, sf_dir, "part")
+    ob = (
+        li.join(part, li.l_partkey == part.p_partkey)
+        .select(F.col("l_orderkey").alias("ok"), F.col("p_brand").alias("b"))
+        .distinct()
+    )
+    a = ob.select("ok", F.col("b").alias("ba"))
+    b2 = ob.select("ok", F.col("b").alias("bb"))
+    ec = (
+        a.join(b2, "ok")
+        .filter(F.col("ba") < F.col("bb"))
+        .groupBy("ba", "bb")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    top = ec.orderBy(F.desc("c"), "ba", "bb").limit(60).select("ba", "bb")
+    e1 = top.select(F.col("ba").alias("x"), F.col("bb").alias("y"))
+    e2 = top.select(F.col("ba").alias("y"), F.col("bb").alias("z"))
+    e3 = top.select(F.col("ba").alias("x"), F.col("bb").alias("z"))
+    tri = e1.join(e2, "y").join(e3, ["x", "z"])
+    return (
+        tri.select(F.explode(F.array("x", "y", "z")).alias("brand"))
+        .groupBy("brand")
+        .agg(F.count(F.lit(1)).alias("triangles"))
+    )
+
+
+# ---------------------------------------------------------------------------
+# Int8 embedding quantization (the ANN scale path's storage format).
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "embedding_quantize_int8",
+    oracle="""
+    WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
+    mm AS (SELECT vec_id, e, list_max(list_transform(e, x -> abs(x))) AS m FROM v)
+    SELECT vec_id,
+           CASE WHEN m = 0 THEN 0.0 ELSE m / 127.0 END AS scale,
+           md5(to_json(CASE WHEN m = 0
+                THEN list_transform(e, x -> CAST(0 AS BIGINT))
+                ELSE list_transform(e, x -> CAST(floor(x * 127.0 / m + 0.5) AS BIGINT))
+                END)::VARCHAR) AS qsig,
+           ROUND(CASE WHEN m = 0 THEN 0.0 ELSE
+                list_sum(list_transform(e,
+                    x -> abs(x - floor(x * 127.0 / m + 0.5) * (m / 127.0)))) / len(e)
+                END, 6) + 0.0 AS err
+    FROM mm
+    """,
+)
+def embedding_quantize_int8(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Symmetric per-vector int8 quantization of the embedding column:
+    scale = maxabs/127, q = floor(x*127/maxabs + 0.5), plus the mean
+    absolute reconstruction error — the compression step that makes
+    100-TB ANN shuffles 8x narrower (int8 payloads) while the GEMM
+    rerank dequantizes exactly via q*scale.
+
+    Pure higher-order expressions (``transform``/``aggregate``), zero
+    shuffle, whole-stage codegen end to end. The full quantized array
+    is hash-pinned cross-engine through md5(to_json(q)) — both engines
+    render int arrays as ``[1,2,-127]`` — so the oracle checks every
+    element, not a summary. ``floor(x+0.5)`` not ``round()`` per the
+    module's determinism doctrine; all-zero vectors quantize to zeros
+    with scale 0 and error 0."""
+    emb = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("e")
+    )
+    m = F.col("m")
+    return (
+        emb.withColumn("m", V.maxabs(F.col("e")))
+        .select(
+            "vec_id",
+            F.when(m == 0, F.lit(0.0)).otherwise(m / 127.0).alias("scale"),
+            F.md5(F.to_json(V.quantize_int8(F.col("e"), m))).alias("qsig"),
+            F.round(V.quantize_error(F.col("e"), m), 6).alias("err"),
+        )
+    )

@@ -41,6 +41,7 @@ ALLOWED: dict[tuple[str, str], str] = {
     ("plans/tpch_more.py", "total"): "global aggregate, 1 row",
     ("plans/corpus_ops.py", "mean"): "global aggregate, 1 row",
     ("plans/corpus_ops.py", "n"): "global count, 1 row",
+    ("plans/analytics.py", "sc"): "global count+avgdl aggregate, 1 row",
     # explicitly capped frames
     ("plans/corpus_ops.py", "vocab"): "limit(1000) upstream",
     ("operators/dedup.py", "hot"): "df-pruned stop-shingle set, capped by max_df selectivity on distinct shingles",

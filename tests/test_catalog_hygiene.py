@@ -70,6 +70,7 @@ def test_catalog_plans_free_of_scale_antipatterns(spark, sf_dir):
         "q11_important_part_value",  # 1-row global total
         "q22_idle_high_balance_customers",  # 1-row global avg
         "tfidf_top_terms",           # 1-row corpus doc count
+        "bm25_top_docs",             # 1-row corpus count + avgdl scalars
         "pagerank_brands",           # 1-row node count broadcast
         "similarity_topk_bruteforce",  # fenced all-pairs oracle
     }
