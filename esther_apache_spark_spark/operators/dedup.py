@@ -861,11 +861,14 @@ def embedding_cosine_dups(
             raise ValueError("empty dataframe; pass dim explicitly")
         dim = first["d"]
 
-    base = df.select(
-        F.col(id_col).alias("_id"), F.col(vec_col).cast("array<double>").alias("_v")
-    )
+    # NO cast to array<double> here: the source column is float32 and
+    # every consumer of _v is a numpy kernel that widens to float64 on
+    # entry (exact for every float32 value) — casting before the
+    # 12-table explode would double the shuffle payload for zero
+    # information. Expression-level consumers below cast locally.
+    base = df.select(F.col(id_col).alias("_id"), F.col(vec_col).alias("_v"))
     if collapse_exact:
-        # Content key: md5 over the JSON rendering — identical doubles
+        # Content key: md5 over the JSON rendering — identical values
         # only (an ulp of difference keeps rows apart, which is safe:
         # they just don't collapse). JSON, not concat_ws: concat_ws
         # silently DROPS null elements, so [1.0, null, 2.0] and
@@ -981,8 +984,15 @@ def embedding_cosine_dups(
     # undefined cosine and the kernel drops them, so the expansion must
     # too. If the threshold exceeds 1.0, intra pairs (cosine exactly
     # 1.0) cannot qualify — expand cross pairs only.
+    # Cast locally: x*x in float32 can underflow to 0 for subnormal-ish
+    # inputs where the kernel's float64 square stays positive.
     nz_keys = groups.filter(
-        F.aggregate("_v", F.lit(0.0), lambda acc, x: acc + x * x) > 0
+        F.aggregate(
+            F.col("_v").cast("array<double>"),
+            F.lit(0.0),
+            lambda acc, x: acc + x * x,
+        )
+        > 0
     ).select("_vkey")
     mm = members.join(nz_keys, "_vkey") if threshold <= 1.0 else members.limit(0)
     return _expand_collapsed_pairs(
