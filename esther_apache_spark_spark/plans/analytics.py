@@ -304,3 +304,52 @@ def embedding_quantize_int8(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(V.quantize_error(F.col("e"), m), 6).alias("err"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# ANN over int8-quantized vectors (exact-integer scores: SQL-replayable).
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "similarity_topk_int8",
+    oracle="""
+    WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
+    mm AS (SELECT vec_id, e, list_max(list_transform(e, x -> abs(x))) AS m FROM v),
+    q8 AS (SELECT vec_id,
+                  CASE WHEN m = 0 THEN list_transform(e, x -> 0.0)
+                       ELSE list_transform(e, x -> floor((x * 127.0) / m + 0.5))
+                  END AS q
+           FROM mm),
+    n8 AS (SELECT vec_id, q, sqrt(list_dot_product(q, q)) AS nrm FROM q8),
+    qs AS (SELECT * FROM n8 WHERE vec_id < 5 AND nrm > 0),
+    cs AS (SELECT * FROM n8 WHERE nrm > 0)
+    SELECT query_id, neighbor_id, cosine FROM (
+        SELECT qs.vec_id AS query_id, cs.vec_id AS neighbor_id,
+               ROUND(list_dot_product(cs.q, qs.q) / (cs.nrm * qs.nrm), 6) + 0.0
+                   AS cosine,
+               row_number() OVER (
+                   PARTITION BY qs.vec_id
+                   ORDER BY ROUND(list_dot_product(cs.q, qs.q)
+                                  / (cs.nrm * qs.nrm), 6) DESC, cs.vec_id ASC
+               ) AS rn
+        FROM cs, qs
+    ) WHERE rn <= 10
+    """,
+)
+def similarity_topk_int8(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-10 neighbors on int8-QUANTIZED vectors (``ann_topk_int8``) —
+    the compressed-storage ANN path. The per-vector scales cancel out
+    of the cosine, and every dot product is an exact integer < 2^53, so
+    the scores are bit-identical between numpy's float64 GEMM and
+    DuckDB's list_dot_product regardless of summation order — a FULLY
+    hash-checked approximate index, where the float GEMM variants
+    (``similarity_topk_pandas``/``_arrow``) need the brute-force oracle.
+    Same query set (vec_id < 5) as the whole similarity family."""
+    from esther_apache_spark_spark.operators.similarity import ann_topk_int8
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    return ann_topk_int8(emb, queries, k=10)

@@ -337,3 +337,27 @@ def test_lsh_multi_table_raises_recall(spark):
     r1, r6 = recall(1), recall(6)
     assert r6 > r1, (r1, r6)
     assert r6 >= 0.9, r6
+
+
+def test_int8_topk_high_fidelity_vs_float_bruteforce(spark, sf_dir):
+    """Quantized ANN must track the float ranking closely: int8 codes
+    perturb cosines by ~1e-3, so recall@10 against the exact float
+    brute force should stay high (reordering only near-ties)."""
+    from esther_apache_spark_spark.schemas import load_table
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 8).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+
+    def topk_set(res):
+        out = {}
+        for r in res.collect():
+            out.setdefault(r["query_id"], set()).add(r["neighbor_id"])
+        return out
+
+    truth = topk_set(S.brute_force_topk(emb, queries, k=10))
+    got = topk_set(S.ann_topk_int8(emb, queries, k=10))
+    hits = sum(len(got.get(q, set()) & t) for q, t in truth.items())
+    recall = hits / sum(len(t) for t in truth.values())
+    assert recall >= 0.85, recall
