@@ -353,3 +353,34 @@ def similarity_topk_int8(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("vec_id").alias("query_id"), "embedding"
     )
     return ann_topk_int8(emb, queries, k=10)
+
+
+# ---------------------------------------------------------------------------
+# Skyline (Pareto frontier).
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "skyline_price_size",
+    oracle="""
+    SELECT p_partkey, p_retailprice, p_size FROM part p
+    WHERE NOT EXISTS (
+        SELECT 1 FROM part q
+        WHERE q.p_retailprice <= p.p_retailprice AND q.p_size >= p.p_size
+          AND (q.p_retailprice < p.p_retailprice OR q.p_size > p.p_size)
+    )
+    """,
+)
+def skyline_price_size(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pareto-optimal parts (no part is both cheaper and larger) via
+    ``operators.skyline.skyline_2d`` — local skyline per Arrow batch,
+    then one merge pass over the tiny candidate union; zero shuffle of
+    the base table. The oracle states the quadratic NOT EXISTS
+    dominance definition directly (fine at oracle scale; the operator
+    exists precisely because that shape cannot run at 100 TB)."""
+    from esther_apache_spark_spark.operators.skyline import skyline_2d
+
+    part = load_table(spark, sf_dir, "part").select(
+        "p_partkey", "p_retailprice", "p_size"
+    )
+    return skyline_2d(part, "p_retailprice", "p_size")
