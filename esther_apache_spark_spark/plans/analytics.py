@@ -23,6 +23,7 @@ Cross-engine determinism doctrine (same as ``corpus_ops``):
 
 from __future__ import annotations
 
+import pandas as pd
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
@@ -384,3 +385,110 @@ def skyline_price_size(spark: SparkSession, sf_dir: str) -> DataFrame:
         "p_partkey", "p_retailprice", "p_size"
     )
     return skyline_2d(part, "p_retailprice", "p_size")
+
+
+# ---------------------------------------------------------------------------
+# PySpark-4 Python-execution surface: arrow UDTF, grouped-agg UDAF, Variant.
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "chunk_documents_udtf",
+    oracle="""
+    SELECT doc_id,
+           CAST(off / 150 AS BIGINT) AS chunk_idx,
+           substr(text, CAST(off + 1 AS BIGINT), 200) AS chunk_text,
+           CAST(length(substr(text, CAST(off + 1 AS BIGINT), 200)) AS BIGINT)
+               AS chunk_len
+    FROM (SELECT doc_id, text,
+                 unnest(range(0, CAST(n_chars AS BIGINT), 150)) AS off
+          FROM documents)
+    """,
+)
+def chunk_documents_udtf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Python-UDTF twin of ``chunk_documents_overlapping`` — identical
+    output, identical oracle (the pandas/arrow-twin pattern the
+    similarity family uses). The expression form is the production
+    path (zero Python); this entry completes the Python-execution
+    matrix with an ARROW-optimized user-defined TABLE function
+    (``ArrowEvalPythonUDTF`` in the plan — a lateral generator, the
+    escape hatch for per-row expansions no builtin generator
+    expresses). Text is ASCII in this corpus, so Python slicing and
+    SQL ``substr`` agree on character offsets."""
+    from pyspark.sql.functions import udtf
+
+    @udtf(
+        returnType="doc_id bigint, chunk_idx bigint, chunk_text string,"
+        " chunk_len bigint",
+        useArrow=True,
+    )
+    class ChunkDoc:
+        def eval(self, doc_id, text, n_chars):  # noqa: ANN001
+            for i, off in enumerate(range(0, int(n_chars), 150)):
+                piece = text[off : off + 200]
+                yield doc_id, i, piece, len(piece)
+
+    spark.udtf.register("chunk_doc", ChunkDoc)
+    load_table(spark, sf_dir, "documents").createOrReplaceTempView("_docs_udtf")
+    return spark.sql(
+        "SELECT c.* FROM _docs_udtf d,"
+        " LATERAL chunk_doc(d.doc_id, d.text, d.n_chars) c"
+    )
+
+
+@register(
+    "weighted_avg_price_udaf",
+    oracle="""
+    SELECT l_returnflag,
+           ROUND(SUM(l_extendedprice * l_quantity) / SUM(l_quantity), 2) + 0.0
+               AS wavg_price
+    FROM lineitem GROUP BY l_returnflag
+    """,
+)
+def weighted_avg_price_udaf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quantity-weighted mean price per return flag via a GROUPED-AGG
+    pandas UDF — the user-defined AGGREGATE slot of the Python matrix
+    (``ArrowAggregatePython`` in the plan: Arrow batches per group, one
+    vectorized reduction, no per-row Python). The reference has no UDAF
+    surface (SURVEY.md §2.10); this is the engine's sanctioned shape
+    for aggregations built-ins can't express. Here the math IS
+    expressible natively (sum(v*w)/sum(w) — what the oracle runs), so
+    the entry doubles as an equivalence check of the UDAF path."""
+    from pyspark.sql.functions import pandas_udf
+
+    @pandas_udf("double")
+    def wmean(v: pd.Series, w: pd.Series) -> float:
+        return float((v * w).sum() / w.sum())
+
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.round(wmean("l_extendedprice", "l_quantity"), 2).alias("wavg_price")
+    )
+
+
+@register(
+    "variant_props_stats",
+    oracle="""
+    SELECT event_type,
+           CAST(COUNT(json_extract(props, '$.k')) AS BIGINT) AS n_k,
+           ROUND(AVG(CAST(json_extract(props, '$.k') AS INTEGER)), 4) + 0.0
+               AS avg_k
+    FROM events GROUP BY event_type
+    """,
+)
+def variant_props_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semi-structured stats through the VARIANT type (PySpark 4):
+    ``parse_json`` once into a binary-encoded variant, then typed
+    ``try_variant_get`` paths — the modern shredded-JSON scan pattern
+    that replaces per-query string re-parsing (``json_parse_props`` is
+    this catalog's map-functions twin). At 100 TB variant columns
+    parse at ingest and store shredded; queries pay typed-path access
+    only."""
+    ev = load_table(spark, sf_dir, "events").withColumn(
+        "v", F.parse_json("props")
+    )
+    k = F.try_variant_get("v", "$.k", "int")
+    return ev.groupBy("event_type").agg(
+        F.count(k).alias("n_k"),
+        F.round(F.avg(k), 4).alias("avg_k"),
+    )
