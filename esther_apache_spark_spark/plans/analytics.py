@@ -492,3 +492,134 @@ def variant_props_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(k).alias("n_k"),
         F.round(F.avg(k), 4).alias("avg_k"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Robust statistics: winsorization, median/MAD z-score, trend slope.
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "winsorize_event_values",
+    oracle="""
+    WITH s AS (SELECT event_type,
+                      quantile_cont(value, 0.01) AS p01,
+                      quantile_cont(value, 0.99) AS p99
+               FROM events GROUP BY event_type)
+    SELECT e.event_id, e.event_type,
+           ROUND(e.value, 4) + 0.0 AS value_raw,
+           ROUND(CASE WHEN e.value < s.p01 THEN s.p01
+                      WHEN e.value > s.p99 THEN s.p99 END, 4) + 0.0 AS value_w
+    FROM events e JOIN s USING (event_type)
+    WHERE e.value < s.p01 OR e.value > s.p99
+    """,
+)
+def winsorize_event_values(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tail clipping at the per-group exact p01/p99 (winsorization) —
+    the outlier-capping step of a feature pipeline; emits only the
+    clipped rows with before/after values. ``F.percentile`` matches
+    DuckDB's ``quantile_cont`` interpolation bit-for-bit on the same
+    doubles (the ``quantiles_by_segment`` precedent); the two-quantile
+    stats frame is bounded by the type vocabulary and joins back
+    without shuffling the facts. At 100 TB swap ``percentile_approx``
+    into the stats pass — the clip expression is unchanged."""
+    events = load_table(spark, sf_dir, "events")
+    s = events.groupBy("event_type").agg(
+        F.percentile("value", F.lit(0.01)).alias("p01"),
+        F.percentile("value", F.lit(0.99)).alias("p99"),
+    )
+    v, p01, p99 = F.col("value"), F.col("p01"), F.col("p99")
+    return (
+        events.join(s, "event_type")
+        .filter((v < p01) | (v > p99))
+        .select(
+            "event_id",
+            "event_type",
+            F.round(v, 4).alias("value_raw"),
+            F.round(F.when(v < p01, p01).when(v > p99, p99), 4).alias("value_w"),
+        )
+    )
+
+
+@register(
+    "robust_zscore_events",
+    oracle="""
+    WITH med AS (SELECT event_type, quantile_cont(value, 0.5) AS m
+                 FROM events GROUP BY event_type),
+    mad AS (SELECT e.event_type, quantile_cont(abs(e.value - med.m), 0.5) AS mad
+            FROM events e JOIN med USING (event_type) GROUP BY e.event_type)
+    SELECT e.event_id, e.event_type,
+           ROUND(0.6745 * (e.value - med.m) / mad.mad, 4) + 0.0 AS rz
+    FROM events e JOIN med USING (event_type) JOIN mad USING (event_type)
+    WHERE abs(0.6745 * (e.value - med.m) / mad.mad) >= 3.0
+    """,
+)
+def robust_zscore_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Median/MAD robust z-score (the 0.6745 consistency constant maps
+    MAD to sigma under normality): immune to the outliers that inflate
+    ``zscore_anomaly_events``' stddev and mask real anomalies. Two
+    exact-percentile passes — median per group, then median absolute
+    deviation — each a bounded stats frame joined back; the facts
+    never shuffle. Flag threshold 3.5 is the literature default; 3.0
+    here keeps the result set non-trivial at oracle scale."""
+    events = load_table(spark, sf_dir, "events")
+    med = events.groupBy("event_type").agg(
+        F.percentile("value", F.lit(0.5)).alias("m")
+    )
+    with_m = events.join(med, "event_type")
+    mad = with_m.groupBy("event_type").agg(
+        F.percentile(F.abs(F.col("value") - F.col("m")), F.lit(0.5)).alias("mad")
+    )
+    rz = 0.6745 * (F.col("value") - F.col("m")) / F.col("mad")
+    return (
+        with_m.join(mad, "event_type")
+        .filter(F.abs(rz) >= 3.0)
+        .select("event_id", "event_type", F.round(rz, 4).alias("rz"))
+    )
+
+
+@register(
+    "value_trend_per_type",
+    oracle="""
+    WITH x AS (SELECT event_type, value,
+                      CAST(date_diff('day', DATE '2024-01-01', ts) AS BIGINT) AS d
+               FROM events),
+    s AS (SELECT event_type,
+                 CAST(COUNT(*) AS BIGINT) AS n,
+                 CAST(SUM(d) AS BIGINT) AS sx,
+                 CAST(SUM(d * d) AS BIGINT) AS sxx,
+                 SUM(value) AS sy,
+                 SUM(d * value) AS sxy
+          FROM x GROUP BY event_type)
+    SELECT event_type,
+           ROUND((n * sxy - sx * sy) / (n * sxx - sx * sx), 6) + 0.0 AS slope
+    FROM s
+    """,
+)
+def value_trend_per_type(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-type least-squares trend (slope of value vs day index) from
+    the five classical sums — the single-pass closed form, one hash
+    aggregate, no window. The day index keeps x small so sx/sxx are
+    EXACT integers in both engines (summing epoch seconds squared
+    would exceed 2^53 and make the sums order-dependent — the classic
+    naive-regression instability); only sy/sxy are floating and the
+    slope rounds to 6."""
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_type",
+        "value",
+        F.datediff(F.col("ts").cast("date"), F.lit("2024-01-01").cast("date"))
+        .cast("long")
+        .alias("d"),
+    )
+    s = ev.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("d").alias("sx"),
+        F.sum(F.col("d") * F.col("d")).alias("sxx"),
+        F.sum("value").alias("sy"),
+        F.sum(F.col("d") * F.col("value")).alias("sxy"),
+    )
+    n, sx, sxx, sy, sxy = (F.col(c) for c in ("n", "sx", "sxx", "sy", "sxy"))
+    return s.select(
+        "event_type",
+        F.round((n * sxy - sx * sy) / (n * sxx - sx * sx), 6).alias("slope"),
+    )
