@@ -623,3 +623,51 @@ def value_trend_per_type(spark: SparkSession, sf_dir: str) -> DataFrame:
         "event_type",
         F.round((n * sxy - sx * sy) / (n * sxx - sx * sx), 6).alias("slope"),
     )
+
+
+@register(
+    "fuzzy_canon_multipass",
+    oracle="""
+    WITH n AS (SELECT DISTINCT p_name FROM part),
+    p AS (SELECT p_name,
+                 string_split(p_name, ' ')[-1] AS b1,
+                 string_split(p_name, ' ')[1] AS b2
+          FROM n),
+    k AS (SELECT p_name, b1 AS blk FROM p UNION SELECT p_name, b2 FROM p)
+    SELECT DISTINCT a.p_name AS name_a, b.p_name AS name_b,
+           CAST(levenshtein(a.p_name, b.p_name) AS INTEGER) AS dist
+    FROM k a JOIN k b ON a.blk = b.blk AND a.p_name < b.p_name
+    WHERE levenshtein(a.p_name, b.p_name) BETWEEN 1 AND 3
+    """,
+)
+def fuzzy_canon_multipass(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-pass ER blocking — the recall fix ``fuzzy_canon_part_names``
+    documents: candidate pairs are the UNION of a last-token pass and a
+    first-token pass (each still an equi-join on its key), deduplicated
+    after the distance filter. On this vocabulary the second pass adds
+    16 pairs at lev<=3 the first cannot see (same adjective, different
+    noun). The standard production ladder is exactly this: add cheap
+    orthogonal blocking keys until held-out pair recall plateaus; cost
+    stays sum-of-equi-joins over the distinct vocabulary, never
+    all-pairs."""
+    names = load_table(spark, sf_dir, "part").select("p_name").distinct()
+    p = names.select(
+        "p_name",
+        F.element_at(F.split("p_name", " "), -1).alias("b1"),
+        F.element_at(F.split("p_name", " "), 1).alias("b2"),
+    )
+    k = (
+        p.select("p_name", F.col("b1").alias("blk"))
+        .union(p.select("p_name", F.col("b2").alias("blk")))
+        .distinct()
+    )
+    a = k.select(F.col("p_name").alias("name_a"), "blk")
+    b = k.select(F.col("p_name").alias("name_b"), "blk")
+    dist = F.levenshtein("name_a", "name_b")
+    return (
+        a.join(b, "blk")
+        .filter(F.col("name_a") < F.col("name_b"))
+        .filter(dist.between(1, 3))
+        .select("name_a", "name_b", dist.alias("dist"))
+        .distinct()
+    )
