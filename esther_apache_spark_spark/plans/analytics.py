@@ -1,7 +1,11 @@
-"""Relevance / resolution / anomaly analytics (engine extensions,
-SURVEY.md §7 M4 spirit): BM25 document scoring, fuzzy vocabulary
-canonicalization, per-group z-score anomaly flags, triangle counting on
-the co-purchase graph, and int8 embedding quantization.
+"""Relevance / resolution / robust-stats / graph / quantization
+analytics (engine extensions, SURVEY.md §7 M4 spirit): BM25 document
+scoring, fuzzy vocabulary canonicalization (single- and multi-pass
+blocking), per-group z-score and median/MAD anomaly flags,
+winsorization, least-squares trend slopes, triangle counting on the
+co-purchase graph, int8 embedding quantization + bit-exact-oracled int8
+ANN, a distributed 2-D skyline, and the PySpark-4 Python-execution
+surface (arrow UDTF, grouped-agg UDAF, VARIANT paths).
 
 The reference has none of these (its analytics ceiling is
 ``daily_city_sales``, ``src/pyspark/pipeline_pyspark.py:175-184``);
@@ -24,7 +28,7 @@ Cross-engine determinism doctrine (same as ``corpus_ops``):
 from __future__ import annotations
 
 import pandas as pd
-from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from esther_apache_spark_spark.functions import vector as V
