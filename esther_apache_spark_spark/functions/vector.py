@@ -31,6 +31,13 @@ def cosine_similarity(a: Column, b: Column) -> Column:
     return F.when(denom != 0, dot(a, b) / denom)
 
 
+def is_valid_vector(a: Column) -> Column:
+    """True iff the array is non-NULL with no NULL elements — the
+    precondition every vector kernel assumes (cosine is undefined
+    otherwise, and a ragged batch kills a GEMM kernel mid-job)."""
+    return a.isNotNull() & ~F.exists(a, lambda x: x.isNull())
+
+
 def maxabs(a: Column) -> Column:
     """Largest absolute element of an array<numeric> column."""
     return F.array_max(F.transform(a, lambda x: F.abs(x)))

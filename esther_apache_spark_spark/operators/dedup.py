@@ -101,6 +101,23 @@ def cache_scope():
             df.unpersist()
 
 
+def _non_null_text(df: DataFrame, text_col: str) -> DataFrame:
+    """Exclude NULL-text rows from similarity pipelines: a NULL document
+    has no shingle set, and hashing it would silently alias it with the
+    empty string (every NULL would pair with every empty doc). Empty
+    strings are kept — they are real, deterministic content."""
+    return df.filter(F.col(text_col).isNotNull())
+
+
+def _non_null_vec(df: DataFrame, vec_col: str) -> DataFrame:
+    """Exclude NULL vectors and vectors with NULL elements: cosine is
+    undefined for them, and a ragged batch would kill the GEMM kernels
+    mid-job at scale. Mirrors the kernels' zero-norm exclusion."""
+    from esther_apache_spark_spark.functions.vector import is_valid_vector
+
+    return df.filter(is_valid_vector(F.col(vec_col)))
+
+
 def exact_dedup(df: DataFrame, on: str | list[str], keep_by: list[Column] | None = None) -> DataFrame:
     """Exact dedup: keep one row per key set.
 
@@ -442,6 +459,7 @@ def minhash_lsh_candidates(
     rows_per_band = num_perm // bands
     if rows_per_band * bands != num_perm:
         raise ValueError("num_perm must be divisible by bands")
+    df = _non_null_text(df, text_col)
     if collapse_exact:
         groups, members = _collapse_identical_text(df, id_col, text_col)
         rep_pairs = minhash_lsh_candidates(
@@ -615,7 +633,7 @@ def ngram_jaccard_pairs(
     # Shingles travel as 64-bit hashes, not strings: same distinct-set
     # cardinality w.h.p. (64-bit collisions negligible), far cheaper to
     # build, and the inverted-index join shuffles longs instead of text.
-    shingled = _cache(df.select(
+    shingled = _cache(_non_null_text(df, text_col).select(
         F.col(id_col).alias("_id"),
         F.array_distinct(shingle_hashes(tokenize(F.col(text_col)), shingle_n)).alias("_sh"),
     ))  # feeds the index join and the exact-recount joins
@@ -716,6 +734,7 @@ def simhash_candidates(
     additionally collapses byte-identical texts to one representative
     first (identical fingerprints — pair set preserved exactly, clone
     clusters stop inflating buckets; see _collapse_identical_text)."""
+    df = _non_null_text(df, text_col)
     if collapse_exact:
         groups, members = _collapse_identical_text(df, id_col, text_col)
         rep_pairs = simhash_candidates(
@@ -738,7 +757,7 @@ def simhash_candidates(
     nbands = 64 // band_bits
     # cache = reuse across both join sides AND a plan barrier keeping the
     # Arrow UDF out of the posexplode generator (see minhash note)
-    fp = _cache(df.select(
+    fp = _cache(_non_null_text(df, text_col).select(
         F.col(id_col).alias("_id"),
         simhash_vec(
             F.transform(tokenize(F.col(text_col)), lambda t: F.xxhash64(t))
@@ -855,6 +874,7 @@ def embedding_cosine_dups(
 
     from esther_apache_spark_spark.operators.similarity import srp_table_buckets_vec
 
+    df = _non_null_vec(df, vec_col)
     if dim is None:
         first = df.select(F.size(vec_col).alias("d")).first()
         if first is None:

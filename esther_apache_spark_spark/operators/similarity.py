@@ -23,7 +23,11 @@ import pandas as pd
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
-from esther_apache_spark_spark.functions.vector import cosine_similarity, dot
+from esther_apache_spark_spark.functions.vector import (
+    cosine_similarity,
+    dot,
+    is_valid_vector,
+)
 from esther_apache_spark_spark.operators.windows import top_k_per_group
 
 
@@ -41,6 +45,8 @@ def brute_force_topk(
     (cosine desc, neighbor_id asc) — a total order so results hash
     stably. Self-matches are kept (cosine 1.0) when ids differ only.
     """
+    corpus = corpus.filter(is_valid_vector(F.col(vec_col)))
+    queries = queries.filter(is_valid_vector(F.col(vec_col)))
     q = F.broadcast(
         queries.select(
             F.col(query_id_col).alias("query_id"),
@@ -83,6 +89,8 @@ def brute_force_topk_pandas(
     at dim ≳ 256 this wins by orders of magnitude. Per-batch local top-k
     keeps the shuffle at k rows per query per batch before the final
     global rank."""
+    corpus = corpus.filter(is_valid_vector(F.col(vec_col)))
+    queries = queries.filter(is_valid_vector(F.col(vec_col)))
     import numpy as np
     import pandas as pd
 
@@ -205,6 +213,7 @@ def kmeans_centroids(
     driver — trivial next to one corpus scan. At 100 TB this replaces
     the degenerate first-``nlist``-by-id quantizer with data-adaptive
     cells: balanced lists, better recall at the same ``nprobe``."""
+    corpus = corpus.filter(is_valid_vector(F.col(vec_col)))
     rows = (
         corpus.select(F.col(id_col).alias("_id"), F.col(vec_col).alias("_v"))
         .orderBy(F.xxhash64(F.col("_id"), F.lit(seed)), F.col("_id"))
@@ -256,6 +265,8 @@ def ivf_topk(
     that needs no re-hashing."""
     import numpy as np  # local: driver-side centroid prep only
 
+    corpus = corpus.filter(is_valid_vector(F.col(vec_col)))
+    queries = queries.filter(is_valid_vector(F.col(vec_col)))
     if centroids is None:
         cvecs = (
             corpus.select(id_col, vec_col).orderBy(id_col).limit(nlist).collect()
@@ -381,6 +392,8 @@ def ann_topk_lsh(
 
     ``dim`` skips the one-row driver probe when the embedding width is
     known (schema metadata)."""
+    corpus = corpus.filter(is_valid_vector(F.col(vec_col)))
+    queries = queries.filter(is_valid_vector(F.col(vec_col)))
     if n_tables <= 1:
         cb = lsh_bucket(
             corpus.select(F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("_cv")),
@@ -457,6 +470,8 @@ def brute_force_topk_arrow(
     — the dominant per-batch overhead for wide embeddings. Same
     tie-safety: rounded scores before the local cut, ties widened to the
     k-th score, (cosine desc, neighbor_id asc) total order."""
+    corpus = corpus.filter(is_valid_vector(F.col(vec_col)))
+    queries = queries.filter(is_valid_vector(F.col(vec_col)))
     import numpy as np
     import pyarrow as pa
 
@@ -553,6 +568,8 @@ def ann_topk_int8(
     Same kernel shape as ``brute_force_topk_arrow``: zero-copy Arrow
     batches, per-batch GEMM, tie-safe local cut, (cosine desc, id asc)
     total order; zero-norm codes are excluded (cosine undefined)."""
+    corpus = corpus.filter(is_valid_vector(F.col(vec_col)))
+    queries = queries.filter(is_valid_vector(F.col(vec_col)))
     import pyarrow as pa
 
     q_rows = queries.select(query_id_col, vec_col).collect()

@@ -361,3 +361,48 @@ def test_int8_topk_high_fidelity_vs_float_bruteforce(spark, sf_dir):
     hits = sum(len(got.get(q, set()) & t) for q, t in truth.items())
     recall = hits / sum(len(t) for t in truth.values())
     assert recall >= 0.85, recall
+
+
+def test_dedup_and_ann_tolerate_null_text_and_vectors(spark):
+    """Real corpora carry NULLs. NULL text must not silently alias the
+    empty string in LSH candidates, and NULL vectors / NULL elements
+    must be excluded (cosine undefined) instead of killing a GEMM
+    kernel with a ragged batch."""
+    docs = spark.createDataFrame(
+        [(1, "hello world hello"), (2, "hello world hello"), (3, None), (4, "")],
+        "doc_id long, text string",
+    )
+    mh = D.minhash_lsh_candidates(docs).collect()
+    assert {(r["id_a"], r["id_b"]) for r in mh} == {(1, 2)}
+    sh = D.simhash_candidates(docs).collect()
+    assert all(3 not in (r["id_a"], r["id_b"]) for r in sh)
+    nj = D.ngram_jaccard_pairs(docs, threshold=0.5).collect()
+    assert {(r["id_a"], r["id_b"]) for r in nj} == {(1, 2)}
+
+    vecs = spark.createDataFrame(
+        [(1, [1.0, 2.0]), (2, [1.0, 2.0]), (3, None), (4, [None, 2.0])],
+        T.StructType(
+            [
+                T.StructField("vec_id", T.LongType()),
+                T.StructField("embedding", T.ArrayType(T.DoubleType())),
+            ]
+        ),
+    )
+    emb = D.embedding_cosine_dups(
+        vecs, threshold=0.4, n_planes=2, n_tables=2, dim=2
+    ).collect()
+    assert {(r["id_a"], r["id_b"]) for r in emb} == {(1, 2)}
+
+    queries = vecs.select(F.col("vec_id").alias("query_id"), "embedding")
+    for fn in (
+        S.brute_force_topk,
+        S.brute_force_topk_pandas,
+        S.brute_force_topk_arrow,
+        S.ann_topk_int8,
+    ):
+        got = fn(vecs, queries, k=5)
+        rows = got.collect()
+        qids = {r["query_id"] for r in rows}
+        nids = {r["neighbor_id"] for r in rows}
+        assert qids == {1, 2}, (fn.__name__, qids)
+        assert nids == {1, 2}, (fn.__name__, nids)
