@@ -675,3 +675,93 @@ def fuzzy_canon_multipass(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("name_a", "name_b", dist.alias("dist"))
         .distinct()
     )
+
+
+# ---------------------------------------------------------------------------
+# Experiment analysis: deterministic A/B assignment + two-proportion z.
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "ab_test_purchase_lift",
+    oracle="""
+    WITH u AS (
+        SELECT user_id,
+               CAST(CONCAT('0x', substr(md5('ab1' || CAST(user_id AS VARCHAR)),
+                                        1, 8)) AS BIGINT) % 2 AS variant,
+               MAX(CASE WHEN event_type = 'purchase' AND value >= 90.0
+                        THEN 1 ELSE 0 END) AS converted
+        FROM events GROUP BY user_id
+    ),
+    s AS (SELECT variant,
+                 CAST(COUNT(*) AS BIGINT) AS n,
+                 CAST(SUM(converted) AS BIGINT) AS conv
+          FROM u GROUP BY variant),
+    w AS (SELECT
+            MAX(CASE WHEN variant = 0 THEN n END) AS na,
+            MAX(CASE WHEN variant = 1 THEN n END) AS nb,
+            MAX(CASE WHEN variant = 0 THEN conv END) AS ca,
+            MAX(CASE WHEN variant = 1 THEN conv END) AS cb
+          FROM s)
+    SELECT na, nb, ca, cb,
+           ROUND(CAST(ca AS DOUBLE) / na, 6) + 0.0 AS rate_a,
+           ROUND(CAST(cb AS DOUBLE) / nb, 6) + 0.0 AS rate_b,
+           CASE WHEN ca + cb > 0 AND ca + cb < na + nb THEN
+           ROUND((CAST(ca AS DOUBLE) / na - CAST(cb AS DOUBLE) / nb)
+                 / sqrt((CAST(ca + cb AS DOUBLE) / (na + nb))
+                        * (1.0 - CAST(ca + cb AS DOUBLE) / (na + nb))
+                        * (1.0 / na + 1.0 / nb)), 4) + 0.0 END AS z
+    FROM w
+    """,
+)
+def ab_test_purchase_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Experiment readout: users split 50/50 into variants by the
+    engine's deterministic md5 hash gate (``operators/sampling.py`` —
+    assignment is reproducible across runs, engines, and partitionings,
+    the property A/B bucketing cannot live without), purchase
+    conversion per variant, and the pooled two-proportion z statistic.
+    One aggregate over users, then a 2-row pivot to a single readout
+    row — the facts shuffle once, on user_id. All inputs to z are exact
+    integers, so the statistic is one deterministic float expression in
+    both engines; degenerate pools (all or none converted) yield NULL z
+    under the same guard in both."""
+    from esther_apache_spark_spark.operators.sampling import hash_bucket
+
+    ev = load_table(spark, sf_dir, "events")
+    u = (
+        ev.groupBy("user_id")
+        .agg(
+            F.max(
+                F.when(
+                    (F.col("event_type") == "purchase")
+                    & (F.col("value") >= 90.0),
+                    1,
+                ).otherwise(0)
+            ).alias("converted")
+        )
+        .withColumn("variant", hash_bucket(F.col("user_id"), "ab1") % 2)
+    )
+    s = u.groupBy("variant").agg(
+        F.count(F.lit(1)).alias("n"), F.sum("converted").alias("conv")
+    )
+    w = s.agg(
+        F.max(F.when(F.col("variant") == 0, F.col("n"))).alias("na"),
+        F.max(F.when(F.col("variant") == 1, F.col("n"))).alias("nb"),
+        F.max(F.when(F.col("variant") == 0, F.col("conv"))).alias("ca"),
+        F.max(F.when(F.col("variant") == 1, F.col("conv"))).alias("cb"),
+    )
+    na, nb, ca, cb = (F.col(c).cast("double") for c in ("na", "nb", "ca", "cb"))
+    pooled = (ca + cb) / (F.col("na") + F.col("nb"))
+    z = (ca / F.col("na") - cb / F.col("nb")) / F.sqrt(
+        pooled * (1.0 - pooled) * (1.0 / F.col("na") + 1.0 / F.col("nb"))
+    )
+    total_conv = F.col("ca") + F.col("cb")
+    total_n = F.col("na") + F.col("nb")
+    return w.select(
+        "na", "nb", "ca", "cb",
+        F.round(ca / F.col("na"), 6).alias("rate_a"),
+        F.round(cb / F.col("nb"), 6).alias("rate_b"),
+        F.when(
+            (total_conv > 0) & (total_conv < total_n), F.round(z, 4)
+        ).alias("z"),
+    )
