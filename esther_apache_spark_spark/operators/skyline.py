@@ -30,6 +30,13 @@ def _local_skyline(pdf: pd.DataFrame, min_col: str, max_col: str) -> pd.DataFram
     ``max_col`` rows survive (same-group strict dominance)."""
     if len(pdf) == 0:
         return pdf
+    # Rows with a NULL/NaN dimension are excluded EXPLICITLY (dominance
+    # is undefined for them): pandas groupby would drop NaN group keys
+    # silently, which is the same outcome but must be a contract, not
+    # an accident.
+    pdf = pdf.dropna(subset=[min_col, max_col])
+    if len(pdf) == 0:
+        return pdf
     pdf = pdf.sort_values([min_col, max_col], ascending=[True, False])
     keep_idx = []
     best = None
@@ -44,7 +51,8 @@ def _local_skyline(pdf: pd.DataFrame, min_col: str, max_col: str) -> pd.DataFram
 def skyline_2d(df: DataFrame, min_col: str, max_col: str) -> DataFrame:
     """Rows not dominated by any other row, where q dominates p iff
     q.min_col <= p.min_col AND q.max_col >= p.max_col with at least one
-    strict. Exact; keeps all rows tied on both dimensions."""
+    strict. Exact; keeps all rows tied on both dimensions; rows with a
+    NULL in either dimension are excluded (dominance undefined)."""
     cols = df.columns
 
     def phase(itr):

@@ -62,3 +62,43 @@ def test_stream_read_replayable_microbatches(spark, tmp_path):
         assert sorted(got.collect()) == sorted(batch.collect())
     finally:
         q.stop()
+
+
+def test_stream_composes_with_windowed_agg(spark, tmp_path):
+    """The custom source feeds the engine's real streaming operators:
+    a watermarked tumbling-window aggregate over the streamed rows must
+    equal the same aggregate applied in batch to the same generator
+    output (schema parity + replayable offsets make this exact)."""
+    from esther_apache_spark_spark.streaming.events import tumbling_agg
+
+    register_synthetic_source(spark)
+    stream = (
+        spark.readStream.format("synthetic_events")
+        .option("batch_rows", 40)
+        .option("max_rows", 120)
+        .option("seed", 11)
+        .load()
+    )
+    q = (
+        tumbling_agg(stream, window="1 minute", watermark="5 minutes")
+        .writeStream.format("memory")
+        .queryName("synth_windowed")
+        .outputMode("complete")
+        .option("checkpointLocation", str(tmp_path / "ckpt2"))
+        .trigger(processingTime="0 seconds")
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+        got = {
+            (r["window_start"], r["event_type"]): (r["n_events"], r["total_value"])
+            for r in spark.sql("select * from synth_windowed").collect()
+        }
+    finally:
+        q.stop()
+    batch = _read(spark, rows=120, partitions=4, seed=11)
+    want = {
+        (r["window_start"], r["event_type"]): (r["n_events"], r["total_value"])
+        for r in tumbling_agg(batch, window="1 minute").collect()
+    }
+    assert got == want

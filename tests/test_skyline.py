@@ -56,3 +56,16 @@ def test_skyline_keeps_both_dim_ties_and_drops_same_price_losers(spark):
         }
     )
     _check(spark, pdf, 3)
+
+
+def test_skyline_excludes_null_dimension_rows(spark):
+    pdf = pd.DataFrame(
+        {
+            "pid": [1, 2, 3],
+            "price": [10.0, None, 5.0],
+            "size": [9, 12, None],
+        }
+    )
+    df = spark.createDataFrame(pdf)
+    got = skyline_2d(df, "price", "size").toPandas()
+    assert got["pid"].tolist() == [1]
