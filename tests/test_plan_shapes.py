@@ -140,3 +140,34 @@ def test_q8_broadcasts_dims_and_prunes_part(spark, sf_dir):
     # p_type filter reaches the part scan
     part_scans = [l for l in plan.splitlines() if "part.parquet" in l or "p_type" in l]
     assert any("p_type" in l for l in part_scans), plan
+
+
+def test_bm25_plans_take_ordered_on_rounded_score(spark, sf_dir):
+    plan = _plan(spark, sf_dir, "bm25_top_docs")
+    assert "TakeOrderedAndProject" in plan, plan
+    assert "BatchEvalPython" not in plan
+
+
+def test_skyline_zero_shuffle_of_base_table(spark, sf_dir):
+    """The whole point of the two-phase skyline: the base table never
+    shuffles — the only movement is the Coalesce of the tiny local
+    skyline union."""
+    plan = _plan(spark, sf_dir, "skyline_price_size")
+    assert "Exchange" not in plan, plan
+    assert "MapInPandas" in plan and "Coalesce" in plan, plan
+
+
+def test_quantize_is_pure_codegen_projection(spark, sf_dir):
+    """Int8 quantization is a zero-shuffle, Python-free projection —
+    higher-order expressions inside whole-stage codegen."""
+    plan = _plan(spark, sf_dir, "embedding_quantize_int8")
+    assert "Exchange" not in plan, plan
+    assert "BatchEvalPython" not in plan
+    assert "MapInPandas" not in plan
+
+
+def test_zscore_joins_stats_without_shuffling_facts(spark, sf_dir):
+    """The per-type stats frame must broadcast back onto events — the
+    fact side carries no hash-partition Exchange before the join."""
+    plan = _plan(spark, sf_dir, "zscore_anomaly_events")
+    assert "BroadcastHashJoin" in plan, plan

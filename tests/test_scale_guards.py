@@ -406,3 +406,29 @@ def test_dedup_and_ann_tolerate_null_text_and_vectors(spark):
         nids = {r["neighbor_id"] for r in rows}
         assert qids == {1, 2}, (fn.__name__, qids)
         assert nids == {1, 2}, (fn.__name__, nids)
+
+
+def test_int8_quantization_error_bound(spark):
+    """Per-element reconstruction error of symmetric int8 quantization
+    is bounded by scale/2 (half a quantization step), so the reported
+    mean error must be too — on adversarial values including exact
+    ties, negatives, zeros, and a zero vector."""
+    from esther_apache_spark_spark.functions import vector as V
+
+    rows = [
+        (1, [0.5, -0.5, 127.0, -127.0, 0.0, 63.5]),
+        (2, [1e-8, -1e-8, 1.0, 2.0, 3.0, 4.0]),
+        (3, [0.0, 0.0, 0.0, 0.0, 0.0, 0.0]),
+        (4, [-2.5, 2.5, -2.5, 2.5, -2.5, 2.5]),
+    ]
+    df = spark.createDataFrame(rows, "vec_id long, e array<double>")
+    m = V.maxabs(F.col("e"))
+    out = df.select(
+        "vec_id",
+        F.when(m == 0, F.lit(0.0)).otherwise(m / 127.0).alias("scale"),
+        V.quantize_error(F.col("e"), m).alias("err"),
+        V.quantize_int8(F.col("e"), m).alias("q"),
+    ).collect()
+    for r in out:
+        assert r["err"] <= r["scale"] / 2 + 1e-12, r
+        assert all(-127 <= qi <= 127 for qi in r["q"]), r
