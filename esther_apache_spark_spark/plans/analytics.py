@@ -28,7 +28,7 @@ Cross-engine determinism doctrine (same as ``corpus_ops``):
 from __future__ import annotations
 
 import pandas as pd
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from esther_apache_spark_spark.functions import vector as V
@@ -764,4 +764,66 @@ def ab_test_purchase_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.when(
             (total_conv > 0) & (total_conv < total_n), F.round(z, 4)
         ).alias("z"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Time-series smoothing: per-key EWMA over a trailing frame.
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "ewma_user_value",
+    oracle="""
+    WITH f AS (
+        SELECT user_id, ts, event_id,
+               list(value) OVER (
+                   PARTITION BY user_id ORDER BY ts, event_id
+                   ROWS BETWEEN 19 PRECEDING AND CURRENT ROW
+               ) AS vals,
+               row_number() OVER (
+                   PARTITION BY user_id ORDER BY ts DESC, event_id DESC
+               ) AS rn
+        FROM events
+    )
+    SELECT user_id,
+           ROUND(list_reduce(CAST(vals AS DOUBLE[]),
+                             (acc, x) -> 0.2 * x + 0.8 * acc), 6) + 0.0 AS ewma
+    FROM f WHERE rn = 1
+    """,
+)
+def ewma_user_value(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Latest exponentially-weighted moving average (alpha=0.2) of each
+    user's value over their trailing 20 events — the telemetry
+    smoothing a monitoring pipeline keeps per key. The EWMA recursion
+    is a LEFT FOLD over the ordered frame (init = oldest element,
+    acc = 0.2*x + 0.8*acc), evaluated as the identical IEEE sequence
+    in Spark's ``aggregate`` and DuckDB's ``list_reduce`` — frame
+    order is pinned by the (ts, event_id) total order, so the result
+    is bit-identical with no transcendental weights (``pow`` ulp
+    differences never enter; the fold IS the weighting). One shuffle
+    on user_id for the window; the frame is row-bounded so state per
+    row is 20 doubles regardless of history length."""
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(-19, 0)
+    )
+    latest = Window.partitionBy("user_id").orderBy(
+        F.desc("ts"), F.desc("event_id")
+    )
+    fold = F.aggregate(
+        F.slice(F.col("vals"), 2, 20),
+        F.element_at(F.col("vals"), 1),
+        lambda acc, x: 0.2 * x + 0.8 * acc,
+    )
+    return (
+        load_table(spark, sf_dir, "events")
+        .select(
+            "user_id",
+            F.collect_list("value").over(w).alias("vals"),
+            F.row_number().over(latest).alias("rn"),
+        )
+        .filter(F.col("rn") == 1)
+        .select("user_id", F.round(fold, 6).alias("ewma"))
     )
