@@ -827,3 +827,45 @@ def ewma_user_value(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rn") == 1)
         .select("user_id", F.round(fold, 6).alias("ewma"))
     )
+
+
+@register(
+    "weighted_avg_price_arrow_grouped",
+    oracle="""
+    SELECT l_returnflag,
+           ROUND(SUM(l_extendedprice * l_quantity) / SUM(l_quantity), 2) + 0.0
+               AS wavg_price
+    FROM lineitem GROUP BY l_returnflag
+    """,
+)
+def weighted_avg_price_arrow_grouped(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Grouped ``applyInArrow`` twin of ``weighted_avg_price_udaf`` —
+    same math, same oracle, zero-copy Arrow tables per group instead of
+    pandas frames (the last cell of the Python-execution matrix:
+    pandas_udf, grouped-agg UDAF, mapInPandas, mapInArrow,
+    applyInPandas(+WithState), cogrouped applyInPandas, arrow UDTF, and
+    now grouped applyInArrow). Grouped-map receives the WHOLE group per
+    call, so it is the shape for per-group logic that needs every row
+    at once; for reductions like this one the grouped-AGG form is
+    preferred (no group materialization) — the pairing documents the
+    trade."""
+    import pyarrow as pa
+
+    def wavg(table: pa.Table) -> pa.Table:
+        flag = table.column("l_returnflag")[0].as_py()
+        v = table.column("l_extendedprice").to_numpy()
+        w = table.column("l_quantity").to_numpy()
+        val = round(float((v * w).sum() / w.sum()), 2) + 0.0
+        return pa.table(
+            {
+                "l_returnflag": pa.array([flag], pa.string()),
+                "wavg_price": pa.array([val], pa.float64()),
+            }
+        )
+
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_returnflag", "l_extendedprice", "l_quantity"
+    )
+    return li.groupBy("l_returnflag").applyInArrow(
+        wavg, "l_returnflag string, wavg_price double"
+    )
