@@ -56,3 +56,21 @@ def test_entry_smoke(spark):
     df = e.entry(spark)
     assert df.count() > 0
     assert set(e.oracle_sql()) <= set(e.queries())
+
+
+@pytest.mark.parametrize("name", ROWS_ONLY_QUERIES)
+def test_rows_only_queries_deterministic_across_partitioning(name, spark, sf_dir):
+    """Rows-only queries have no oracle cross-check, so pin the next
+    best thing: the result must be bit-identical when the shuffle
+    partitioning changes (catches partition-order- and tie-sensitive
+    emissions). The full catalog passes the same audit run-to-run; this
+    keeps the unoracled subset pinned in CI."""
+    spec = plans.QUERIES[name]
+    base = spark.conf.get("spark.sql.shuffle.partitions")
+    try:
+        a = _canon(spec.fn(spark, sf_dir).toPandas())
+        spark.conf.set("spark.sql.shuffle.partitions", "7")
+        b = _canon(spec.fn(spark, sf_dir).toPandas())
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", base)
+    pd.testing.assert_frame_equal(a, b, check_dtype=False, check_exact=True)
