@@ -869,3 +869,55 @@ def weighted_avg_price_arrow_grouped(spark: SparkSession, sf_dir: str) -> DataFr
     return li.groupBy("l_returnflag").applyInArrow(
         wavg, "l_returnflag string, wavg_price double"
     )
+
+
+# ---------------------------------------------------------------------------
+# Data-quality expectations report (single-pass gate).
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "dq_report_lineitem",
+    oracle="""
+    WITH s AS (
+        SELECT CAST(COUNT(*) AS BIGINT) AS total,
+               CAST(SUM(CASE WHEN l_orderkey IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS orderkey_not_null,
+               CAST(SUM(CASE WHEN l_quantity NOT BETWEEN 1 AND 50 THEN 1 ELSE 0 END) AS BIGINT) AS qty_in_range,
+               CAST(SUM(CASE WHEN l_discount NOT BETWEEN 0.0 AND 0.1 THEN 1 ELSE 0 END) AS BIGINT) AS discount_in_range,
+               CAST(SUM(CASE WHEN l_returnflag NOT IN ('A','N','R') THEN 1 ELSE 0 END) AS BIGINT) AS returnflag_accepted,
+               CAST(SUM(CASE WHEN l_extendedprice <= 0 THEN 1 ELSE 0 END) AS BIGINT) AS price_positive,
+               CAST(COUNT(*) - COUNT(DISTINCT (l_orderkey, l_linenumber)) AS BIGINT) AS line_key_unique
+        FROM lineitem
+    )
+    SELECT rule, violations, total, violations = 0 AS passed FROM (
+        SELECT total, 'orderkey_not_null' AS rule, orderkey_not_null AS violations FROM s
+        UNION ALL SELECT total, 'qty_in_range', qty_in_range FROM s
+        UNION ALL SELECT total, 'discount_in_range', discount_in_range FROM s
+        UNION ALL SELECT total, 'returnflag_accepted', returnflag_accepted FROM s
+        UNION ALL SELECT total, 'price_positive', price_positive FROM s
+        UNION ALL SELECT total, 'line_key_unique', line_key_unique FROM s
+    )
+    """,
+)
+def dq_report_lineitem(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Data-quality gate over lineitem: six declarative expectations
+    (null check, two range checks, accepted vocabulary, positivity,
+    composite-key uniqueness) evaluated by
+    ``operators.expectations.check`` as ONE aggregate over ONE scan —
+    pass count, not rule count, is the scale cost. The synthetic data
+    deliberately fails the uniqueness rule (duplicate (orderkey,
+    linenumber) pairs exist), so the report exercises both outcomes."""
+    from esther_apache_spark_spark.operators import expectations as E
+
+    li = load_table(spark, sf_dir, "lineitem")
+    return E.check(
+        li,
+        [
+            E.not_null("orderkey_not_null", "l_orderkey"),
+            E.between("qty_in_range", "l_quantity", 1, 50),
+            E.between("discount_in_range", "l_discount", 0.0, 0.1),
+            E.accepted("returnflag_accepted", "l_returnflag", ("A", "N", "R")),
+            E.positive("price_positive", "l_extendedprice"),
+        ],
+        unique_keys={"line_key_unique": ["l_orderkey", "l_linenumber"]},
+    )
