@@ -921,3 +921,83 @@ def dq_report_lineitem(spark: SparkSession, sf_dir: str) -> DataFrame:
         ],
         unique_keys={"line_key_unique": ["l_orderkey", "l_linenumber"]},
     )
+
+
+# ---------------------------------------------------------------------------
+# Embedding-space decontamination (third modality: exact / n-gram / vector).
+# ---------------------------------------------------------------------------
+
+
+def _edecon_oracle() -> str:
+    from esther_apache_spark_spark.plans.extensions import _SRP_TABLES
+
+    return """
+    WITH v AS (SELECT vec_id AS _id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
+    b AS ({tables}),
+    cand AS (
+        SELECT DISTINCT a._id AS id_a, b2._id AS id_b
+        FROM b a JOIN b b2
+          ON a._table = b2._table AND a._bucket = b2._bucket AND a._id < b2._id
+    ),
+    pairs AS (
+        SELECT id_a, id_b FROM (
+            SELECT id_a, id_b,
+                   ROUND(list_cosine_similarity(va.e, vb.e), 4) AS c
+            FROM cand JOIN v va ON va._id = cand.id_a
+                      JOIN v vb ON vb._id = cand.id_b
+        ) WHERE c >= 0.4
+    ),
+    g AS (SELECT _id,
+                 CAST(CONCAT('0x', substr(md5('edecon' || CAST(_id AS VARCHAR)),
+                                          1, 8)) AS BIGINT)
+                     < CAST(0.1 * 4294967296 AS BIGINT) AS is_eval
+          FROM v),
+    flagged AS (
+        SELECT p.id_b AS vid FROM pairs p
+        JOIN g ga ON ga._id = p.id_a JOIN g gb ON gb._id = p.id_b
+        WHERE ga.is_eval AND NOT gb.is_eval
+        UNION
+        SELECT p.id_a FROM pairs p
+        JOIN g ga ON ga._id = p.id_a JOIN g gb ON gb._id = p.id_b
+        WHERE gb.is_eval AND NOT ga.is_eval
+    )
+    SELECT _id AS vec_id FROM g
+    WHERE NOT is_eval AND _id NOT IN (SELECT vid FROM flagged)
+    """.replace("{tables}", _SRP_TABLES)
+
+
+@register("decontaminate_embedding_train_docs", oracle=_edecon_oracle())
+def decontaminate_embedding_train_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-space eval-set decontamination — the third modality
+    beside exact-fingerprint (``decontaminate_train_docs``) and 5-gram
+    overlap (``decontaminate_ngram_train_docs``): a train vector is
+    contaminated if it is an SRP-LSH near-dup (cosine >= 0.4) of ANY
+    eval vector, catching paraphrases the lexical modalities miss.
+    Composition of existing engine pieces — the deterministic md5 hash
+    gate splits eval/train, ``embedding_cosine_dups`` supplies the
+    near-dup pairs (capped, multi-table, first-meet), and two
+    semi/anti joins flag and drop contaminated train ids. Fully
+    SQL-replayed: seeded planes embedded as literals, same gate
+    arithmetic, same rounded-cosine threshold."""
+    from esther_apache_spark_spark.operators import dedup as D
+    from esther_apache_spark_spark.operators.sampling import hash_bucket
+    from esther_apache_spark_spark.schemas import EMBEDDING_DIM
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    gate = hash_bucket(F.col("vec_id"), "edecon") < int(0.1 * 4294967296)
+    ids = emb.select("vec_id", gate.alias("is_eval"))
+    ev = ids.filter("is_eval").select("vec_id")
+    tr = ids.filter(~F.col("is_eval")).select("vec_id")
+    pairs = D.embedding_cosine_dups(
+        emb, threshold=0.4, n_planes=4, n_tables=12, dim=EMBEDDING_DIM
+    )
+    flagged = (
+        pairs.join(ev, pairs.id_a == ev.vec_id, "left_semi")
+        .select(F.col("id_b").alias("vec_id"))
+        .union(
+            pairs.join(ev, pairs.id_b == ev.vec_id, "left_semi").select(
+                F.col("id_a").alias("vec_id")
+            )
+        )
+    )
+    return tr.join(flagged, "vec_id", "left_anti")
