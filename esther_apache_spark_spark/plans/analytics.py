@@ -1001,3 +1001,38 @@ def decontaminate_embedding_train_docs(spark: SparkSession, sf_dir: str) -> Data
         )
     )
     return tr.join(flagged, "vec_id", "left_anti")
+
+
+@register(
+    "audience_overlap_matrix",
+    oracle="""
+    WITH ut AS (SELECT DISTINCT user_id, event_type FROM events)
+    SELECT a.event_type AS type_a, b.event_type AS type_b,
+           CAST(COUNT(*) AS BIGINT) AS users_both
+    FROM ut a JOIN ut b
+      ON a.user_id = b.user_id AND a.event_type < b.event_type
+    GROUP BY 1, 2
+    """,
+)
+def audience_overlap_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pairwise audience intersections: for every pair of event types,
+    how many users did both — the overlap matrix behind segment
+    planning and dedup of audience reach. Distinct-first contraction
+    again: one hash aggregate collapses events to (user, type) pairs
+    (bounded by users x type-vocabulary), and the self-join runs on
+    that, co-partitioned on user_id — at 100 TB the join input is the
+    user-type incidence, never the raw event stream. The a < b
+    orientation emits each unordered pair once."""
+    ut = (
+        load_table(spark, sf_dir, "events")
+        .select("user_id", "event_type")
+        .distinct()
+    )
+    a = ut.select("user_id", F.col("event_type").alias("type_a"))
+    b = ut.select("user_id", F.col("event_type").alias("type_b"))
+    return (
+        a.join(b, "user_id")
+        .filter(F.col("type_a") < F.col("type_b"))
+        .groupBy("type_a", "type_b")
+        .agg(F.count(F.lit(1)).alias("users_both"))
+    )
