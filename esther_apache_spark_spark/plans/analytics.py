@@ -1036,3 +1036,28 @@ def audience_overlap_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("type_a", "type_b")
         .agg(F.count(F.lit(1)).alias("users_both"))
     )
+
+
+@register(
+    "assign_doc_uids",
+    oracle="""
+    SELECT doc_id, lang,
+           CAST(row_number() OVER (ORDER BY lang, doc_id) - 1 AS BIGINT) AS uid
+    FROM documents
+    """,
+)
+def assign_doc_uids(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dense 0..N-1 ids for the corpus under the (lang, doc_id) total
+    order via ``operators.ids.assign_contiguous_ids`` — shard
+    addressing / embedding-matrix row assignment without the
+    single-partition window the naive global ``row_number`` plans.
+    Two passes over a range-partitioned sort: per-partition counts,
+    driver prefix-sum, zero-shuffle mapInPandas tag. The oracle states
+    the naive form (fine at oracle scale; the operator exists because
+    that shape cannot run at 100 TB)."""
+    from esther_apache_spark_spark.operators.ids import assign_contiguous_ids
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "lang")
+    return assign_contiguous_ids(
+        docs, [F.col("lang"), F.col("doc_id")], id_col="uid", num_partitions=8
+    )
