@@ -37,6 +37,15 @@ def main(argv: list[str] | None = None) -> int:
     fk = sub.add_parser("freshkart", help="replay the reference pipeline on the seeded fixture")
     fk.add_argument("--out", default="/tmp/freshkart_out")
 
+    fz = sub.add_parser(
+        "fuzz", help="differential fuzz sweep: generated SQL, Spark vs DuckDB"
+    )
+    fz.add_argument("--seeds", type=int, default=500, help="number of seeds to run")
+    fz.add_argument("--start", type=int, default=0, help="first seed")
+    fz.add_argument(
+        "--sf-dir", default=os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.001")
+    )
+
     args = p.parse_args(argv)
 
     from esther_apache_spark_spark import plans
@@ -63,6 +72,28 @@ def main(argv: list[str] | None = None) -> int:
         else:
             df.show(args.n, truncate=False)
         return 0
+
+    if args.cmd == "fuzz":
+        import duckdb
+
+        from esther_apache_spark_spark import fuzz
+        from esther_apache_spark_spark.schemas import load_table
+
+        for t in fuzz.TABLES:
+            load_table(spark, args.sf_dir, t).createOrReplaceTempView(t)
+        con = duckdb.connect()
+        for t in fuzz.TABLES:
+            con.execute(
+                f"CREATE VIEW {t} AS SELECT * FROM "
+                f"read_parquet('{args.sf_dir}/{t}.parquet')"
+            )
+        stats = fuzz.build_stats(args.sf_dir)
+        seeds = range(args.start, args.start + args.seeds)
+        failures = fuzz.run_differential(spark, con, stats, seeds)
+        print(f"{len(seeds) - len(failures)}/{len(seeds)} seeds match")
+        for seed, sql, err in failures:
+            print(f"--- seed={seed}: {err}\n    {sql}")
+        return 1 if failures else 0
 
     if args.cmd == "freshkart":
         from esther_apache_spark_spark.freshkart.fixture import ensure_fixture

@@ -1,0 +1,619 @@
+"""Differential SQL fuzzer: seeded random queries, Spark vs DuckDB.
+
+The fixed catalog (`plans/`) pins ~160 hand-written queries to DuckDB
+oracles. This module adds the complementary axis: *generated* queries.
+Each seed deterministically expands to one SQL string drawn from a
+grammar restricted to the dialect subset where Spark SQL and DuckDB
+must agree bit-for-bit:
+
+- aggregates over money columns go through ``CAST(x AS DECIMAL(18,2))``
+  and come back as ``CAST(ROUND(.., 2) AS DOUBLE)`` so floating-point
+  summation order (which Spark's partial aggregation deliberately does
+  not fix) cannot produce spurious diffs — the same discipline every
+  hand-written catalog oracle follows;
+- integer aggregates are cast to BIGINT on both sides (DuckDB's
+  ``SUM(BIGINT)`` widens to HUGEINT, which its pandas bridge would
+  otherwise render as float64);
+- window frames are fully ordered by the table's unique key so running
+  sums and row_numbers are deterministic;
+- ``ORDER BY .. LIMIT`` always appends the unique key as the final sort
+  tiebreak, making the *selected row set* deterministic even though the
+  comparison itself is order-insensitive;
+- LEFT-join predicates stay on the preserved side so null-extension
+  semantics are actually exercised rather than silently collapsed to an
+  inner join.
+
+Literals are sampled from the actual data (via DuckDB, deterministic
+ORDER BY everywhere) so predicates are selective rather than vacuous.
+
+Scale posture: the fuzzer is a correctness harness, not a benchmark —
+it runs at sf0.001 in CI. But every generated shape is one the engine
+claims to support at 100 TB (scans with pushable predicates, FK-chain
+equi-joins, partial-aggregable GROUP BYs, single-shuffle windows), so a
+divergence here is a real engine bug, not a test artifact.
+"""
+
+from __future__ import annotations
+
+import datetime
+import math
+import random
+from dataclasses import dataclass, field
+
+import pandas as pd
+
+__all__ = ["build_stats", "generate_query", "canonicalize", "run_differential"]
+
+
+# ---------------------------------------------------------------------------
+# Table metadata: the grammar's universe.
+# ---------------------------------------------------------------------------
+@dataclass(frozen=True)
+class TableMeta:
+    name: str
+    unique: tuple[str, ...]  # row-identity columns used in projections
+    ints: tuple[str, ...] = ()
+    doubles: tuple[str, ...] = ()
+    cats: tuple[str, ...] = ()  # low-cardinality filter/group columns
+    strings: tuple[str, ...] = ()  # free-text-ish strings
+    ts: tuple[str, ...] = ()
+    # Columns whose combination totally orders the table (up to rows that
+    # are identical in ALL of them, which are interchangeable and so give
+    # deterministic window/top-k output anyway). Defaults to `unique`;
+    # lineitem overrides with every column because the synthetic data has
+    # no short unique key ((l_orderkey, l_linenumber) carries duplicates).
+    tiebreak_cols: tuple[str, ...] = ()
+
+    @property
+    def all_cols(self) -> tuple[str, ...]:
+        seen: dict[str, None] = {}
+        for group in (self.unique, self.ints, self.doubles, self.cats, self.strings, self.ts):
+            for c in group:
+                seen.setdefault(c, None)
+        return tuple(seen)
+
+    @property
+    def tiebreak(self) -> tuple[str, ...]:
+        return self.tiebreak_cols or self.unique
+
+
+TABLES: dict[str, TableMeta] = {
+    "lineitem": TableMeta(
+        "lineitem",
+        unique=("l_orderkey", "l_linenumber"),
+        ints=("l_orderkey", "l_partkey", "l_suppkey", "l_linenumber"),
+        doubles=("l_quantity", "l_extendedprice", "l_discount", "l_tax"),
+        cats=("l_returnflag", "l_linestatus"),
+        ts=("l_shipdate",),
+        tiebreak_cols=(
+            "l_orderkey",
+            "l_linenumber",
+            "l_partkey",
+            "l_suppkey",
+            "l_quantity",
+            "l_extendedprice",
+            "l_discount",
+            "l_tax",
+            "l_returnflag",
+            "l_linestatus",
+            "l_shipdate",
+        ),
+    ),
+    "orders": TableMeta(
+        "orders",
+        unique=("o_orderkey",),
+        ints=("o_orderkey", "o_custkey"),
+        doubles=("o_totalprice",),
+        cats=("o_orderstatus", "o_orderpriority"),
+        ts=("o_orderdate",),
+    ),
+    "customer": TableMeta(
+        "customer",
+        unique=("c_custkey",),
+        ints=("c_custkey", "c_nationkey"),
+        doubles=("c_acctbal",),
+        cats=("c_mktsegment",),
+        strings=("c_name",),
+    ),
+    "part": TableMeta(
+        "part",
+        unique=("p_partkey",),
+        ints=("p_partkey", "p_size"),
+        doubles=("p_retailprice",),
+        cats=("p_brand", "p_type"),
+        strings=("p_name",),
+    ),
+    "supplier": TableMeta(
+        "supplier",
+        unique=("s_suppkey",),
+        ints=("s_suppkey", "s_nationkey"),
+        doubles=("s_acctbal",),
+        strings=("s_name",),
+    ),
+    "nation": TableMeta(
+        "nation",
+        unique=("n_nationkey",),
+        ints=("n_nationkey", "n_regionkey"),
+        cats=("n_name",),
+    ),
+    "events": TableMeta(
+        "events",
+        unique=("event_id",),
+        ints=("event_id", "user_id"),
+        doubles=("value",),
+        cats=("event_type",),
+        ts=("ts",),
+    ),
+    "documents": TableMeta(
+        "documents",
+        unique=("doc_id",),
+        ints=("doc_id", "n_chars"),
+        cats=("lang", "source"),
+        strings=("text",),
+    ),
+}
+
+# FK edges (left_table, right_table, left_key, right_key). LEFT joins
+# preserve the first table; chains extend right along these edges.
+JOIN_EDGES: tuple[tuple[str, str, str, str], ...] = (
+    ("lineitem", "orders", "l_orderkey", "o_orderkey"),
+    ("lineitem", "part", "l_partkey", "p_partkey"),
+    ("lineitem", "supplier", "l_suppkey", "s_suppkey"),
+    ("orders", "customer", "o_custkey", "c_custkey"),
+    ("customer", "nation", "c_nationkey", "n_nationkey"),
+    ("supplier", "nation", "s_nationkey", "n_nationkey"),
+)
+
+
+# ---------------------------------------------------------------------------
+# Literal pools, sampled once per sf_dir from the real data.
+# ---------------------------------------------------------------------------
+@dataclass
+class ColumnStats:
+    numeric_points: dict[str, list[float]] = field(default_factory=dict)
+    int_points: dict[str, list[int]] = field(default_factory=dict)
+    cat_values: dict[str, list[str]] = field(default_factory=dict)
+    str_prefixes: dict[str, list[str]] = field(default_factory=dict)
+    ts_points: dict[str, list[str]] = field(default_factory=dict)
+
+
+def build_stats(sf_dir: str) -> ColumnStats:
+    """Sample literal pools from the parquet tables (deterministic:
+    every sampling query is fully ORDER BY'd)."""
+    import duckdb
+
+    con = duckdb.connect()
+    stats = ColumnStats()
+    try:
+        for t in TABLES.values():
+            view = f"read_parquet('{sf_dir}/{t.name}.parquet')"
+            for c in t.doubles:
+                lo, hi = con.execute(
+                    f"SELECT min({c}), max({c}) FROM {view}"
+                ).fetchone()
+                lo, hi = float(lo), float(hi)
+                pts = [round(lo + (hi - lo) * f, 2) for f in (0.2, 0.4, 0.6, 0.8)]
+                stats.numeric_points[f"{t.name}.{c}"] = pts
+            for c in t.ints:
+                lo, hi = con.execute(
+                    f"SELECT min({c}), max({c}) FROM {view}"
+                ).fetchone()
+                lo, hi = int(lo), int(hi)
+                pts = sorted({lo + (hi - lo) * k // 5 for k in (1, 2, 3, 4)})
+                stats.int_points[f"{t.name}.{c}"] = [int(p) for p in pts]
+            for c in t.cats:
+                vals = [
+                    r[0]
+                    for r in con.execute(
+                        f"SELECT DISTINCT {c} FROM {view} WHERE {c} IS NOT NULL ORDER BY {c} LIMIT 8"
+                    ).fetchall()
+                ]
+                stats.cat_values[f"{t.name}.{c}"] = vals
+            for c in t.strings:
+                rows = con.execute(
+                    f"SELECT {c} FROM {view} WHERE {c} IS NOT NULL AND length({c}) >= 2 "
+                    f"ORDER BY {', '.join(t.unique)} LIMIT 5"
+                ).fetchall()
+                stats.str_prefixes[f"{t.name}.{c}"] = sorted(
+                    {str(r[0])[:2] for r in rows if r[0]}
+                )
+            for c in t.ts:
+                lo, hi = con.execute(
+                    f"SELECT min({c}), max({c}) FROM {view}"
+                ).fetchone()
+                span = (hi - lo).total_seconds()
+                pts = [
+                    (lo + datetime.timedelta(seconds=span * f)).strftime(
+                        "%Y-%m-%d %H:%M:%S"
+                    )
+                    for f in (0.25, 0.5, 0.75)
+                ]
+                stats.ts_points[f"{t.name}.{c}"] = pts
+    finally:
+        con.close()
+    return stats
+
+
+# ---------------------------------------------------------------------------
+# Expression generators. Every helper takes the seeded Random.
+# ---------------------------------------------------------------------------
+def _sql_str(v: str) -> str:
+    return "'" + str(v).replace("'", "''") + "'"
+
+
+def _num_lit(r: random.Random, stats: ColumnStats, table: str, col: str) -> str:
+    pts = stats.numeric_points.get(f"{table}.{col}")
+    if pts:
+        return repr(r.choice(pts))
+    return repr(round(r.uniform(0, 100), 2))
+
+
+def _int_lit(r: random.Random, stats: ColumnStats, table: str, col: str) -> str:
+    pts = stats.int_points.get(f"{table}.{col}")
+    if pts:
+        return str(r.choice(pts))
+    return str(r.randint(0, 1000))
+
+
+def _predicate(r: random.Random, stats: ColumnStats, t: TableMeta, n_max: int = 3) -> str:
+    """1..n_max conjuncts/disjuncts over one table's columns."""
+    conjuncts: list[str] = []
+    for _ in range(r.randint(1, n_max)):
+        kind_pool: list[str] = []
+        if t.doubles:
+            kind_pool.append("double")
+        if t.ints:
+            kind_pool.append("int")
+        if t.cats and any(stats.cat_values.get(f"{t.name}.{c}") for c in t.cats):
+            kind_pool.append("cat")
+        if t.strings and any(stats.str_prefixes.get(f"{t.name}.{c}") for c in t.strings):
+            kind_pool.append("str")
+        if t.ts:
+            kind_pool.append("ts")
+        kind = r.choice(kind_pool)
+        if kind == "double":
+            c = r.choice(t.doubles)
+            op = r.choice(["<", "<=", ">", ">="])
+            conjuncts.append(f"{c} {op} {_num_lit(r, stats, t.name, c)}")
+        elif kind == "int":
+            c = r.choice(t.ints)
+            if r.random() < 0.3:
+                a = _int_lit(r, stats, t.name, c)
+                b = _int_lit(r, stats, t.name, c)
+                lo, hi = sorted((int(a), int(b)))
+                conjuncts.append(f"{c} BETWEEN {lo} AND {hi}")
+            else:
+                op = r.choice(["<", "<=", ">", ">=", "<>"])
+                conjuncts.append(f"{c} {op} {_int_lit(r, stats, t.name, c)}")
+        elif kind == "cat":
+            cands = [c for c in t.cats if stats.cat_values.get(f"{t.name}.{c}")]
+            c = r.choice(cands)
+            vals = stats.cat_values[f"{t.name}.{c}"]
+            if len(vals) >= 2 and r.random() < 0.5:
+                chosen = r.sample(vals, k=min(len(vals), r.randint(2, 4)))
+                conjuncts.append(f"{c} IN ({', '.join(_sql_str(v) for v in sorted(chosen))})")
+            else:
+                op = r.choice(["=", "<>"])
+                conjuncts.append(f"{c} {op} {_sql_str(r.choice(vals))}")
+        elif kind == "str":
+            cands = [c for c in t.strings if stats.str_prefixes.get(f"{t.name}.{c}")]
+            c = r.choice(cands)
+            if r.random() < 0.6:
+                pfx = r.choice(stats.str_prefixes[f"{t.name}.{c}"])
+                conjuncts.append(f"{c} LIKE {_sql_str(pfx + '%')}")
+            else:
+                conjuncts.append(f"LENGTH({c}) > {r.randint(2, 20)}")
+        else:  # ts
+            c = r.choice(t.ts)
+            pts = stats.ts_points[f"{t.name}.{c}"]
+            if len(pts) >= 2 and r.random() < 0.4:
+                lo, hi = sorted(r.sample(pts, k=2))
+                conjuncts.append(
+                    f"{c} BETWEEN TIMESTAMP '{lo}' AND TIMESTAMP '{hi}'"
+                )
+            else:
+                op = r.choice([">=", "<"])
+                conjuncts.append(f"{c} {op} TIMESTAMP '{r.choice(pts)}'")
+    if len(conjuncts) == 1:
+        return conjuncts[0]
+    glue = " AND " if r.random() < 0.7 else " OR "
+    return "(" + glue.join(conjuncts) + ")"
+
+
+def _computed_item(r: random.Random, stats: ColumnStats, t: TableMeta, idx: int) -> str:
+    """One derived select item with a stable alias."""
+    choices: list[str] = []
+    if t.doubles:
+        choices += ["arith", "case"]
+    if t.strings:
+        choices += ["upper", "substr", "length"]
+    if t.ts:
+        choices.append("year")
+    if t.ints:
+        choices.append("case_int")
+    kind = r.choice(choices or ["count_star_placeholder"])
+    alias = f"c{idx}"
+    if kind == "arith":
+        a, b = r.choice(t.doubles), r.choice(t.doubles)
+        op = r.choice(["+", "-", "*"])
+        return (
+            f"CAST(ROUND(CAST({a} AS DECIMAL(18,2)) {op} CAST({b} AS DECIMAL(18,2)), 2)"
+            f" AS DOUBLE) AS {alias}"
+        )
+    if kind == "case":
+        c = r.choice(t.doubles)
+        lit = _num_lit(r, stats, t.name, c)
+        return f"CASE WHEN {c} > {lit} THEN 'hi' ELSE 'lo' END AS {alias}"
+    if kind == "case_int":
+        c = r.choice(t.ints)
+        lit = _int_lit(r, stats, t.name, c)
+        return f"CASE WHEN {c} > {lit} THEN {c} ELSE 0 END AS {alias}"
+    if kind == "upper":
+        return f"UPPER({r.choice(t.strings)}) AS {alias}"
+    if kind == "substr":
+        return f"SUBSTR({r.choice(t.strings)}, 1, {r.randint(1, 6)}) AS {alias}"
+    if kind == "length":
+        return f"LENGTH({r.choice(t.strings)}) AS {alias}"
+    if kind == "year":
+        return f"CAST(EXTRACT(YEAR FROM {r.choice(t.ts)}) AS INT) AS {alias}"
+    return f"1 AS {alias}"
+
+
+def _agg_items(r: random.Random, t: TableMeta, prefix: str = "") -> list[str]:
+    items = [f"CAST(COUNT(*) AS BIGINT) AS {prefix}cnt"]
+    n_extra = r.randint(1, 3)
+    pool: list[str] = []
+    for c in t.doubles:
+        pool.append(
+            f"CAST(ROUND(SUM(CAST({c} AS DECIMAL(18,2))), 2) AS DOUBLE) AS {prefix}sum_{c}"
+        )
+        pool.append(f"MIN({c}) AS {prefix}min_{c}")
+        pool.append(f"MAX({c}) AS {prefix}max_{c}")
+    for c in t.ints:
+        pool.append(f"CAST(SUM({c}) AS BIGINT) AS {prefix}isum_{c}")
+        pool.append(f"CAST(COUNT(DISTINCT {c}) AS BIGINT) AS {prefix}nd_{c}")
+    for c in t.cats:
+        pool.append(f"MIN({c}) AS {prefix}min_{c}")
+    r.shuffle(pool)
+    items.extend(pool[:n_extra])
+    return items
+
+
+# ---------------------------------------------------------------------------
+# Query templates.
+# ---------------------------------------------------------------------------
+def _q_filter_project(r: random.Random, stats: ColumnStats) -> str:
+    t = TABLES[r.choice(["lineitem", "orders", "customer", "part", "supplier", "events", "documents"])]
+    cols = list(t.unique)
+    extra = [c for c in t.all_cols if c not in cols]
+    r.shuffle(extra)
+    cols += extra[: r.randint(1, 3)]
+    items = list(cols)
+    for i in range(r.randint(0, 2)):
+        items.append(_computed_item(r, stats, t, i))
+    pred = _predicate(r, stats, t)
+    distinct = "DISTINCT " if r.random() < 0.15 else ""
+    return f"SELECT {distinct}{', '.join(items)} FROM {t.name} WHERE {pred}"
+
+
+def _q_groupby(r: random.Random, stats: ColumnStats) -> str:
+    t = TABLES[r.choice(["lineitem", "orders", "customer", "part", "events", "documents"])]
+    keys: list[str] = []
+    if t.cats:
+        keys.append(r.choice(t.cats))
+    if t.ts and r.random() < 0.4:
+        c = r.choice(t.ts)
+        keys.append(f"CAST(EXTRACT(MONTH FROM {c}) AS INT)")
+    if not keys:
+        keys.append(r.choice(t.ints))
+    key_aliases = [f"k{i}" for i in range(len(keys))]
+    key_items = [f"{k} AS {a}" for k, a in zip(keys, key_aliases)]
+    items = key_items + _agg_items(r, t)
+    pred = _predicate(r, stats, t)
+    having = ""
+    if r.random() < 0.4:
+        having = f" HAVING COUNT(*) > {r.randint(1, 20)}"
+    return (
+        f"SELECT {', '.join(items)} FROM {t.name} WHERE {pred} "
+        f"GROUP BY {', '.join(keys)}{having}"
+    )
+
+
+def _q_join(r: random.Random, stats: ColumnStats) -> str:
+    edge = r.choice(JOIN_EDGES)
+    lt, rt = TABLES[edge[0]], TABLES[edge[1]]
+    join_kind = r.choice(["JOIN", "JOIN", "LEFT JOIN"])
+    on = f"{edge[0]}.{edge[2]} = {edge[1]}.{edge[3]}"
+    # Optionally extend the chain one more hop from the right table.
+    more = [e for e in JOIN_EDGES if e[0] == rt.name]
+    third = r.choice(more) if more and r.random() < 0.4 else None
+    tables_sql = f"{lt.name} {join_kind} {rt.name} ON {on}"
+    if third is not None:
+        tables_sql += (
+            f" {join_kind} {third[1]} ON {third[0]}.{third[2]} = {third[1]}.{third[3]}"
+        )
+    preds = [_predicate(r, stats, lt, n_max=2)]
+    if join_kind == "JOIN" and r.random() < 0.6:
+        preds.append(_predicate(r, stats, rt, n_max=2))
+    where = " AND ".join(preds)
+    if r.random() < 0.5 and rt.cats:
+        # group the join by a right-side categorical
+        key = r.choice(rt.cats)
+        items = [f"{key} AS k0"] + _agg_items(r, lt)
+        return (
+            f"SELECT {', '.join(items)} FROM {tables_sql} WHERE {where} GROUP BY {key}"
+        )
+    cols = [f"{lt.name}.{c}" for c in lt.unique]
+    rcols = [c for c in rt.all_cols if c not in rt.unique] or list(rt.unique)
+    r.shuffle(rcols)
+    cols += [f"{rt.name}.{c}" for c in rcols[:2]]
+    return f"SELECT {', '.join(cols)} FROM {tables_sql} WHERE {where}"
+
+
+def _q_window(r: random.Random, stats: ColumnStats) -> str:
+    # ORDER BY the full tiebreak column set with explicit NULLS LAST:
+    # Spark defaults ASC to NULLS FIRST while DuckDB defaults to NULLS
+    # LAST, and rows tied on a partial ordering would make ROWS frames
+    # engine-dependent. Ties are then only possible between rows equal
+    # in every tiebreak column, which produce identical output rows.
+    t = TABLES[r.choice(["lineitem", "orders", "events"])]
+    part = r.choice(t.cats) if t.cats else t.ints[0]
+    order = ", ".join(f"{c} NULLS LAST" for c in t.tiebreak)
+    v = r.choice(t.doubles)
+    pred = _predicate(r, stats, t, n_max=2)
+    frame = r.choice(
+        [
+            "ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW",
+            f"ROWS BETWEEN {r.randint(1, 5)} PRECEDING AND CURRENT ROW",
+        ]
+    )
+    return (
+        f"SELECT {', '.join(t.unique)}, "
+        f"CAST(ROUND(SUM(CAST({v} AS DECIMAL(18,2))) OVER "
+        f"(PARTITION BY {part} ORDER BY {order} {frame}), 2) AS DOUBLE) AS running, "
+        f"CAST(ROW_NUMBER() OVER (PARTITION BY {part} ORDER BY {order}) AS BIGINT) AS rn "
+        f"FROM {t.name} WHERE {pred}"
+    )
+
+
+def _q_setop(r: random.Random, stats: ColumnStats) -> str:
+    t = TABLES[r.choice(["orders", "customer", "part", "events", "documents"])]
+    cols = list(t.unique) + list(t.cats[:1])
+    op = r.choice(["UNION ALL", "UNION", "INTERSECT", "EXCEPT"])
+    p1 = _predicate(r, stats, t, n_max=2)
+    p2 = _predicate(r, stats, t, n_max=2)
+    sel = f"SELECT {', '.join(cols)} FROM {t.name}"
+    return f"{sel} WHERE {p1} {op} {sel} WHERE {p2}"
+
+
+def _q_exists(r: random.Random, stats: ColumnStats) -> str:
+    neg = "NOT " if r.random() < 0.4 else ""
+    outer, inner, ok, ik = r.choice(
+        [
+            ("orders", "lineitem", "o_orderkey", "l_orderkey"),
+            ("customer", "orders", "c_custkey", "o_custkey"),
+            ("part", "lineitem", "p_partkey", "l_partkey"),
+            ("supplier", "lineitem", "s_suppkey", "l_suppkey"),
+        ]
+    )
+    ot, it = TABLES[outer], TABLES[inner]
+    opred = _predicate(r, stats, ot, n_max=2)
+    ipred = _predicate(r, stats, it, n_max=2)
+    cols = list(ot.unique) + [c for c in ot.all_cols if c not in ot.unique][:2]
+    return (
+        f"SELECT {', '.join(cols)} FROM {outer} WHERE {opred} AND {neg}EXISTS "
+        f"(SELECT 1 FROM {inner} WHERE {inner}.{ik} = {outer}.{ok} AND {ipred})"
+    )
+
+
+def _q_topk(r: random.Random, stats: ColumnStats) -> str:
+    # The LIMIT'd row set is deterministic only under a total order:
+    # sort key first, then the full tiebreak column set, all with
+    # explicit NULLS LAST (Spark and DuckDB default differently).
+    t = TABLES[r.choice(["lineitem", "orders", "customer", "part", "events"])]
+    sort_col = r.choice(t.doubles or t.ints)
+    direction = r.choice(["ASC", "DESC"])
+    pred = _predicate(r, stats, t, n_max=2)
+    cols = list(t.unique) + [sort_col] if sort_col not in t.unique else list(t.unique)
+    tiebreak = ", ".join(f"{c} NULLS LAST" for c in t.tiebreak)
+    return (
+        f"SELECT {', '.join(dict.fromkeys(cols))} FROM {t.name} WHERE {pred} "
+        f"ORDER BY {sort_col} {direction} NULLS LAST, {tiebreak} "
+        f"LIMIT {r.choice([5, 20, 100])}"
+    )
+
+
+_TEMPLATES = [
+    (_q_filter_project, 3),
+    (_q_groupby, 4),
+    (_q_join, 4),
+    (_q_window, 2),
+    (_q_setop, 2),
+    (_q_exists, 2),
+    (_q_topk, 2),
+]
+
+
+def generate_query(seed: int, stats: ColumnStats) -> str:
+    """Deterministically expand one seed into one SQL string."""
+    r = random.Random(seed)
+    gens = [g for g, w in _TEMPLATES for _ in range(w)]
+    return gens[r.randrange(len(gens))](r, stats)
+
+
+# ---------------------------------------------------------------------------
+# Canonical comparison (string-normalized, order-insensitive) — stricter
+# than needed so dtype bridges (HUGEINT→float64, int-with-null→float64,
+# datetime64[us] vs [ns]) cannot mask or fake a diff.
+# ---------------------------------------------------------------------------
+def _norm_cell(x: object) -> str:
+    if x is None:
+        return "NULL"
+    if isinstance(x, float):
+        if math.isnan(x):
+            return "NULL"
+        if x == 0:
+            return "0"
+        if x == int(x) and abs(x) < 1e15:
+            return str(int(x))
+        return repr(x)
+    if isinstance(x, bool):
+        return "true" if x else "false"
+    if isinstance(x, int):
+        return str(x)
+    if isinstance(x, pd.Timestamp):
+        if pd.isna(x):
+            return "NULL"
+        return x.isoformat()
+    if isinstance(x, (datetime.datetime, datetime.date)):
+        return x.isoformat()
+    try:
+        if pd.isna(x):  # NaT and friends
+            return "NULL"
+    except (TypeError, ValueError):
+        pass
+    return str(x)
+
+
+def canonicalize(df: pd.DataFrame) -> pd.DataFrame:
+    """Columns sorted by name, every cell normalized to a string, rows
+    sorted — the multiset-of-rows view both engines must agree on."""
+    df = df.reindex(sorted(df.columns), axis=1)
+    out = df.apply(lambda col: col.map(lambda v: _norm_cell(_unwrap_numpy(v))))
+    # astype(object): a 0-row column keeps its source dtype through map,
+    # and two empty-but-equal results must not diff on float64 vs object
+    out = out.astype(object)
+    if len(out.columns):
+        out = out.sort_values(by=list(out.columns), ignore_index=True)
+    return out
+
+
+def _unwrap_numpy(v: object) -> object:
+    # numpy scalars: unify to native python so _norm_cell sees one type
+    item = getattr(v, "item", None)
+    if item is not None and type(v).__module__ == "numpy":
+        return v.item()
+    return v
+
+
+def run_differential(spark, duck, stats: ColumnStats, seeds: range) -> list[tuple[int, str, str]]:
+    """Run each seed's query on both engines; return (seed, sql, error)
+    rows for any divergence. Used by the CLI sweep; pytest asserts
+    per-seed instead."""
+    failures: list[tuple[int, str, str]] = []
+    for seed in seeds:
+        sql = generate_query(seed, stats)
+        try:
+            got = canonicalize(spark.sql(sql).toPandas())
+            want = canonicalize(duck.execute(sql).df())
+            if list(got.columns) != list(want.columns):
+                raise AssertionError(
+                    f"columns {list(got.columns)} vs {list(want.columns)}"
+                )
+            if not got.equals(want):
+                raise AssertionError(
+                    f"values differ: {len(got)} vs {len(want)} rows"
+                )
+        except Exception as e:  # noqa: BLE001 — collected, not swallowed
+            failures.append((seed, sql, f"{type(e).__name__}: {e}"))
+    return failures
