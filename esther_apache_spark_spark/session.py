@@ -76,3 +76,36 @@ def get_spark(
     for k, v in (extra_conf or {}).items():
         builder = builder.config(k, str(v))
     return builder.getOrCreate()
+
+
+def runtime_filter_conf(
+    application_side_threshold: str = "10GB",
+    creation_side_threshold: str = "10MB",
+) -> dict[str, str]:
+    """Conf fragment enabling Catalyst's runtime bloom-filter join
+    pruning — the built-in semi-join reduction for shuffle joins whose
+    build side carries a selective filter.
+
+    At 100 TB this is the difference between shuffling the full fact
+    table and shuffling only rows whose keys *might* appear on the
+    filtered dim side: the optimizer injects
+    ``bloom_filter_agg(xxhash64(key))`` over the (filtered) creation
+    side and a ``might_contain`` filter above the application-side scan,
+    which evaluates before the Exchange. No false negatives, so results
+    are exact; false positives only cost shuffle bytes.
+
+    Spark gates injection on estimated sizes: the application side must
+    exceed ``applicationSideScanSizeThreshold`` (default 10 GB — always
+    true for a 100 TB fact scan, never true at test scale, hence this
+    helper for tests/benchmarks to lower it) and the creation side must
+    be under ``creationSideThreshold``. Broadcast joins skip the bloom
+    filter because the broadcast hash set already prunes exactly.
+
+    Use with ``get_spark(extra_conf=runtime_filter_conf())`` or set on a
+    live session via ``spark.conf.set`` (all three are runtime-settable).
+    """
+    return {
+        "spark.sql.optimizer.runtime.bloomFilter.enabled": "true",
+        "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold": application_side_threshold,
+        "spark.sql.optimizer.runtime.bloomFilter.creationSideThreshold": creation_side_threshold,
+    }

@@ -171,3 +171,50 @@ def test_zscore_joins_stats_without_shuffling_facts(spark, sf_dir):
     fact side carries no hash-partition Exchange before the join."""
     plan = _plan(spark, sf_dir, "zscore_anomaly_events")
     assert "BroadcastHashJoin" in plan, plan
+
+
+def test_runtime_bloom_filter_join_pruning(spark, sf_dir):
+    """100 TB shuffle-join posture: with runtime filtering enabled (and
+    the size gates scaled down to test data), Catalyst injects a bloom
+    filter built from the filtered dim side as a might_contain predicate
+    above the fact scan — the fact rows are pruned BEFORE the Exchange.
+    Results stay exact (no false negatives); false positives only cost
+    shuffle bytes. At the real 100 TB scale the default 10 GB
+    application-side gate passes on its own; `runtime_filter_conf`
+    exists so tests and local benches can exercise the same plan."""
+    from esther_apache_spark_spark.schemas import load_table
+    from esther_apache_spark_spark.session import runtime_filter_conf
+
+    saved = {
+        "spark.sql.autoBroadcastJoinThreshold": spark.conf.get(
+            "spark.sql.autoBroadcastJoinThreshold"
+        )
+    }
+    conf = runtime_filter_conf(application_side_threshold="0")
+    for k in conf:
+        saved[k] = spark.conf.get(k)
+    try:
+        for k, v in conf.items():
+            spark.conf.set(k, v)
+        # force a shuffle join: broadcast joins prune exactly already
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        fact = load_table(spark, sf_dir, "lineitem")
+        dim = load_table(spark, sf_dir, "orders").filter("o_orderstatus = 'F'")
+        j = fact.join(dim, fact.l_orderkey == dim.o_orderkey).groupBy(
+            "o_orderstatus"
+        ).count()
+        plan = j._jdf.queryExecution().executedPlan().toString()
+        assert "might_contain" in plan, plan
+        assert "bloom_filter_agg" in plan, plan
+        # sanity: the pruned plan still returns exact results
+        expected = (
+            fact.join(dim.hint("broadcast"), fact.l_orderkey == dim.o_orderkey)
+            .groupBy("o_orderstatus")
+            .count()
+        )
+        assert sorted(map(tuple, j.collect())) == sorted(
+            map(tuple, expected.collect())
+        )
+    finally:
+        for k, v in saved.items():
+            spark.conf.set(k, v)
