@@ -3,13 +3,14 @@
 Image/audio/video travel as opaque ``binary`` payloads with typed
 metadata (``schemas.MEDIA``). The Spark-side plumbing — schema,
 partitioning, Arrow batch shape, ``mapInPandas`` signatures — is real
-and tested. The codec layer is real for the dependency-free raster
-formats (binary **PPM** ``P6`` and uncompressed 24-bit **BMP**, decoded
-in pure NumPy — ``decode_image`` / ``resize_image`` below), so
-``extract_features(fake=False)`` genuinely decodes pixels and pools
-them into features for those mimes. Formats that need absent libraries
-(JPEG/PNG/audio/video — Pillow, torchaudio, ffmpeg are not in this
-container) still raise ``NotImplementedError``; ``fake=True``
+and tested. The codec layer is real for the dependency-free formats
+(binary **PPM** ``P6`` and uncompressed 24-bit **BMP** images, integer
+**PCM WAV** audio — all decoded in pure NumPy: ``decode_image`` /
+``decode_wav`` / ``resize_image`` below), so
+``extract_features(fake=False)`` genuinely decodes pixels/samples and
+pools them into features for those mimes. Formats that need absent
+libraries (JPEG/PNG/MP3/video — Pillow, torchaudio, ffmpeg are not in
+this container) still raise ``NotImplementedError``; ``fake=True``
 substitutes a deterministic payload-hash-seeded decoder that preserves
 every contract the real one would have, for any mime.
 
@@ -135,6 +136,73 @@ def encode_bmp(arr: np.ndarray) -> bytes:
     return header + info + data
 
 
+WAV_MIMES = ("audio/wav", "audio/x-wav", "audio/wave")
+
+
+def decode_wav(payload: bytes) -> tuple[np.ndarray, int]:
+    """RIFF/WAVE with integer PCM (format 1, 8- or 16-bit) →
+    ``(samples, sample_rate)`` where samples is (n_frames, n_channels)
+    float64 in [-1, 1].
+
+    Full chunk walk: ``RIFF<size>WAVE`` then a sequence of
+    ``<id><size><data>`` chunks (word-aligned — odd sizes carry a pad
+    byte). ``fmt `` must precede ``data``; unknown chunks (LIST, fact,
+    cue, …) are skipped, which is what real-world encoders emit."""
+    if payload[:4] != b"RIFF" or payload[8:12] != b"WAVE":
+        raise ValueError("not a RIFF/WAVE payload")
+    pos, fmt = 12, None
+    while pos + 8 <= len(payload):
+        cid = payload[pos : pos + 4]
+        (size,) = struct.unpack_from("<I", payload, pos + 4)
+        body = payload[pos + 8 : pos + 8 + size]
+        if cid == b"fmt ":
+            code, channels, rate = struct.unpack_from("<HHI", body, 0)
+            (bits,) = struct.unpack_from("<H", body, 14)
+            if code != 1 or bits not in (8, 16):
+                raise ValueError(
+                    f"only integer PCM 8/16-bit supported (format={code}, bits={bits})"
+                )
+            fmt = (channels, rate, bits)
+        elif cid == b"data":
+            if fmt is None:
+                raise ValueError("WAV data chunk before fmt chunk")
+            channels, rate, bits = fmt
+            if bits == 16:
+                raw = np.frombuffer(body, dtype="<i2", count=len(body) // 2)
+                samples = raw.astype(np.float64) / 32768.0
+            else:  # 8-bit PCM is unsigned, midpoint 128
+                raw = np.frombuffer(body, dtype=np.uint8)
+                samples = (raw.astype(np.float64) - 128.0) / 128.0
+            n = (len(samples) // channels) * channels
+            return samples[:n].reshape(-1, channels), rate
+        pos += 8 + size + (size & 1)  # chunks are word-aligned
+    raise ValueError("WAV payload has no data chunk")
+
+
+def encode_wav(samples: np.ndarray, sample_rate: int) -> bytes:
+    """(n_frames, n_channels) float in [-1, 1] → 16-bit PCM WAV payload
+    (fixture/round-trip helper)."""
+    if samples.ndim == 1:
+        samples = samples[:, None]
+    channels = samples.shape[1]
+    pcm = np.clip(np.round(samples * 32768.0), -32768, 32767).astype("<i2")
+    data = pcm.tobytes()
+    byte_rate = sample_rate * channels * 2
+    fmt = struct.pack("<HHIIHH", 1, channels, sample_rate, byte_rate, channels * 2, 16)
+    chunks = b"fmt " + struct.pack("<I", len(fmt)) + fmt
+    chunks += b"data" + struct.pack("<I", len(data)) + data
+    return b"RIFF" + struct.pack("<I", 4 + len(chunks)) + b"WAVE" + chunks
+
+
+def audio_features(samples: np.ndarray, dim: int = FEATURE_DIM) -> list[float]:
+    """Deterministic audio features: channel-mean amplitude envelope —
+    mean |x| over ``dim`` equal time blocks (``np.array_split``), values
+    in [0, 1], rounded to 6. The audio twin of ``image_features``."""
+    mono = np.abs(samples.astype(np.float64)).mean(axis=1)
+    chunks = np.array_split(mono, dim)
+    return [float(round(c.mean(), 6)) if len(c) else 0.0 for c in chunks]
+
+
 def decode_image(payload: bytes, mime: str) -> np.ndarray | None:
     """Dispatch to a real decoder; None when the format needs a library
     this environment doesn't have (the caller decides whether to raise)."""
@@ -171,11 +239,14 @@ def _real_decode(payload: bytes, kind: str, mime: str, dim: int = FEATURE_DIM):
         arr = decode_image(payload, mime)
         if arr is not None:
             return image_features(arr, dim)
+    if kind == "audio" and mime in WAV_MIMES:
+        samples, _rate = decode_wav(payload)
+        return audio_features(samples, dim)
     raise NotImplementedError(
         f"no dependency-free codec for kind={kind!r} mime={mime!r} "
-        f"(PPM/BMP decode natively; JPEG/PNG/audio/video need "
-        f"Pillow/ffmpeg/torchaudio, not available in this environment); "
-        f"run with fake=True for the deterministic stub"
+        f"(PPM/BMP images and PCM WAV audio decode natively; JPEG/PNG/"
+        f"MP3/video need Pillow/ffmpeg/torchaudio, not available in this "
+        f"environment); run with fake=True for the deterministic stub"
     )
 
 

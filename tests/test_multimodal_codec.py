@@ -1,11 +1,12 @@
-"""Real dependency-free image codecs (VERDICT r2 item 6).
+"""Real dependency-free media codecs (VERDICT r2 item 6).
 
-PPM(P6)/BMP(24-bit) decode in pure NumPy behind the codec interface:
-golden-byte decodes, encode/decode round-trips on awkward shapes (row
-padding, comments), the Spark mapInPandas path with ``fake=False``
-producing real pixel features, the resize-plan → resize-kernel
-hand-off, and the honest NotImplementedError for formats that genuinely
-need absent libraries.
+PPM(P6)/BMP(24-bit) image and PCM WAV audio decode in pure NumPy behind
+the codec interface: golden-byte decodes, encode/decode round-trips on
+awkward shapes (row padding, comments, skipped odd-sized RIFF chunks),
+the Spark mapInPandas path with ``fake=False`` producing real pixel and
+envelope features, the resize-plan → resize-kernel hand-off, and the
+honest NotImplementedError for formats that genuinely need absent
+libraries.
 """
 
 from __future__ import annotations
@@ -57,8 +58,10 @@ def test_decode_image_dispatch_and_unsupported():
     assert M.decode_image(b"\x89PNG...", "image/png") is None
     with pytest.raises(NotImplementedError, match="image/png"):
         M._real_decode(b"\x89PNG...", "image", "image/png")
-    with pytest.raises(NotImplementedError, match="audio"):
-        M._real_decode(b"RIFF....", "audio", "audio/wav")
+    with pytest.raises(NotImplementedError, match="audio/mpeg"):
+        M._real_decode(b"ID3....", "audio", "audio/mpeg")
+    with pytest.raises(ValueError, match="RIFF"):
+        M._real_decode(b"nonsense", "audio", "audio/wav")
 
 
 def test_resize_plan_feeds_resize_kernel(spark):
@@ -115,3 +118,80 @@ def test_extract_features_unsupported_mime_fails_loudly(spark):
     )
     with pytest.raises(Exception, match="NotImplementedError|no dependency-free codec"):
         M.extract_features(media, fake=False).collect()
+
+
+def _tone(n_frames, channels=1, freq=440.0, rate=8000):
+    """Deterministic test signal: sine per channel with phase offset."""
+    t = np.arange(n_frames, dtype=np.float64) / rate
+    chans = [np.sin(2 * np.pi * freq * t + 0.5 * c) * 0.8 for c in range(channels)]
+    return np.stack(chans, axis=1)
+
+
+def test_wav_round_trip_mono_and_stereo():
+    """encode→decode recovers the signal to 16-bit quantization accuracy
+    for mono and stereo, and the sample rate survives."""
+    for channels in (1, 2):
+        sig = _tone(500, channels=channels)
+        samples, rate = M.decode_wav(M.encode_wav(sig, 8000))
+        assert rate == 8000
+        assert samples.shape == (500, channels)
+        assert np.max(np.abs(samples - sig)) < 1.0 / 32768 + 1e-9
+
+
+def test_wav_golden_bytes_decode_with_skipped_chunk():
+    """A hand-built payload with a LIST chunk between fmt and data (the
+    layout real encoders emit) and an odd-sized skipped chunk decodes
+    correctly — the walker honors word alignment."""
+    import struct
+
+    fmt = struct.pack("<HHIIHH", 1, 1, 8000, 16000, 2, 16)
+    pcm = struct.pack("<4h", 0, 16384, -16384, -32768)
+    payload = b"".join(
+        [
+            b"RIFF", struct.pack("<I", 0), b"WAVE",
+            b"fmt ", struct.pack("<I", len(fmt)), fmt,
+            b"LIST", struct.pack("<I", 5), b"INFOx", b"\x00",  # odd size + pad
+            b"data", struct.pack("<I", len(pcm)), pcm,
+        ]
+    )
+    samples, rate = M.decode_wav(payload)
+    assert rate == 8000
+    assert samples[:, 0].tolist() == [0.0, 0.5, -0.5, -1.0]
+
+
+def test_wav_rejects_non_pcm_and_truncated():
+    import struct
+
+    float_fmt = struct.pack("<HHIIHH", 3, 1, 8000, 32000, 4, 32)  # IEEE float
+    payload = (
+        b"RIFF" + struct.pack("<I", 0) + b"WAVE"
+        + b"fmt " + struct.pack("<I", len(float_fmt)) + float_fmt
+    )
+    with pytest.raises(ValueError, match="PCM"):
+        M.decode_wav(payload)
+    with pytest.raises(ValueError, match="no data chunk"):
+        M.decode_wav(b"RIFF\x00\x00\x00\x00WAVE")
+
+
+def test_extract_features_real_wav_through_spark(spark):
+    """fake=False end-to-end for audio: WAV payloads really decode on
+    the mapInPandas path and the envelope features match the
+    driver-side reference exactly."""
+    sigs = {i: _tone(400 + 37 * i, channels=1 + i % 2) for i in range(3)}
+    rows = [
+        (i, "audio", bytearray(M.encode_wav(sig, 8000)), "audio/wav")
+        for i, sig in sigs.items()
+    ]
+    media = spark.createDataFrame(
+        rows, "media_id long, kind string, payload binary, mime string"
+    )
+    got = {
+        r["media_id"]: r["features"]
+        for r in M.extract_features(media, fake=False).collect()
+    }
+    assert set(got) == set(sigs)
+    for i, sig in sigs.items():
+        decoded, _ = M.decode_wav(M.encode_wav(sig, 8000))
+        want = M.audio_features(decoded)
+        assert got[i] == pytest.approx(want, abs=1e-6), i
+        assert all(0.0 <= x <= 1.0 for x in got[i])
