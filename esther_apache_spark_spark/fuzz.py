@@ -523,6 +523,72 @@ def _q_topk(r: random.Random, stats: ColumnStats) -> str:
     )
 
 
+def _q_rollup(r: random.Random, stats: ColumnStats) -> str:
+    # Hierarchical grouping: ROLLUP/CUBE emit NULL placeholders for the
+    # aggregated-out keys in both engines, which the canonicalizer
+    # renders identically.
+    t = TABLES[r.choice(["lineitem", "orders", "events", "documents"])]
+    keys = list(t.cats[:2])
+    if len(keys) < 2 and t.ints:
+        keys.append(t.ints[-1])
+    op = r.choice(["ROLLUP", "CUBE"])
+    items = [f"{k} AS k{i}" for i, k in enumerate(keys)] + _agg_items(r, t)
+    pred = _predicate(r, stats, t, n_max=2)
+    # HAVING COUNT(*) > 0 is a no-op on every real group but masks a
+    # known dialect divergence the fuzzer itself found: on an EMPTY
+    # input, the standard (and DuckDB) emit the ()-grouping-set grand
+    # total row with count 0, while Spark propagates the empty relation
+    # and returns no rows. Pinned explicitly in
+    # tests/test_differential_fuzz.py::test_known_divergence_cube_on_empty_input.
+    return (
+        f"SELECT {', '.join(items)} FROM {t.name} WHERE {pred} "
+        f"GROUP BY {op}({', '.join(keys)}) HAVING COUNT(*) > 0"
+    )
+
+
+def _q_conditional_agg(r: random.Random, stats: ColumnStats) -> str:
+    # Pivot-style conditional aggregation, optionally gated by an exact
+    # scalar subquery (MIN/MAX only — AVG over doubles is summation-
+    # order-dependent and would flip boundary rows between engines).
+    t = TABLES[r.choice(["lineitem", "orders", "customer", "events"])]
+    key = r.choice(t.cats) if t.cats else t.ints[-1]
+    branches = []
+    for i in range(r.randint(1, 3)):
+        p = _predicate(r, stats, t, n_max=1)
+        branches.append(
+            f"CAST(SUM(CASE WHEN {p} THEN 1 ELSE 0 END) AS BIGINT) AS b{i}"
+        )
+    where = _predicate(r, stats, t, n_max=2)
+    if t.doubles and r.random() < 0.5:
+        c = r.choice(t.doubles)
+        fn = r.choice(["MIN", "MAX"])
+        where = f"{where} AND {c} <= (SELECT {fn}({c}) FROM {t.name})"
+    items = [f"{key} AS k0", "CAST(COUNT(*) AS BIGINT) AS cnt"] + branches
+    return f"SELECT {', '.join(items)} FROM {t.name} WHERE {where} GROUP BY {key}"
+
+
+def _q_antijoin_nullcheck(r: random.Random, stats: ColumnStats) -> str:
+    # The LEFT JOIN ... IS NULL anti-join idiom (distinct from EXISTS):
+    # exercises null-extension plus post-join filtering.
+    outer, inner, ok, ik = r.choice(
+        [
+            ("orders", "lineitem", "o_orderkey", "l_orderkey"),
+            ("customer", "orders", "c_custkey", "o_custkey"),
+            ("part", "lineitem", "p_partkey", "l_partkey"),
+        ]
+    )
+    ot, it = TABLES[outer], TABLES[inner]
+    opred = _predicate(r, stats, ot, n_max=2)
+    ipred = _predicate(r, stats, it, n_max=1)
+    cols = [f"{outer}.{c}" for c in ot.unique]
+    return (
+        f"SELECT {', '.join(cols)} FROM {outer} LEFT JOIN "
+        f"(SELECT {ik} FROM {inner} WHERE {ipred}) hits "
+        f"ON {outer}.{ok} = hits.{ik} "
+        f"WHERE {opred} AND hits.{ik} IS NULL"
+    )
+
+
 _TEMPLATES = [
     (_q_filter_project, 3),
     (_q_groupby, 4),
@@ -531,6 +597,9 @@ _TEMPLATES = [
     (_q_setop, 2),
     (_q_exists, 2),
     (_q_topk, 2),
+    (_q_rollup, 2),
+    (_q_conditional_agg, 2),
+    (_q_antijoin_nullcheck, 2),
 ]
 
 

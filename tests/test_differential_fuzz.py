@@ -55,6 +55,28 @@ def test_generated_query_matches_duckdb(seed, spark, duck, fuzz_stats, spark_fuz
         )
 
 
+def test_known_divergence_cube_on_empty_input(spark, duck, spark_fuzz_views):
+    """A real dialect divergence the fuzzer surfaced (seed 900 of the
+    pre-HAVING grammar): GROUP BY CUBE/ROLLUP over an EMPTY input. The
+    SQL standard's ()-grouping-set aggregates the whole (empty) input
+    into one grand-total group, so DuckDB returns one row of NULL keys
+    with count 0; Spark propagates the empty relation through the
+    Expand and returns zero rows. This test pins both behaviors so a
+    change in either engine is noticed; the generator masks the case
+    with HAVING COUNT(*) > 0 (a no-op for every non-empty group)."""
+    sql = (
+        "SELECT o_orderstatus AS k0, CAST(COUNT(*) AS BIGINT) AS cnt "
+        "FROM orders WHERE o_orderkey < 0 GROUP BY CUBE(o_orderstatus)"
+    )
+    assert spark.sql(sql).count() == 0  # Spark: empty-relation propagation
+    want = duck.execute(sql).df()
+    assert len(want) == 1 and int(want["cnt"][0]) == 0  # DuckDB: standard
+    # the generator's HAVING guard reconciles the two
+    guarded = sql + " HAVING COUNT(*) > 0"
+    assert spark.sql(guarded).count() == 0
+    assert len(duck.execute(guarded).df()) == 0
+
+
 def test_generator_is_deterministic(fuzz_stats):
     for seed in (0, 7, 63, 119):
         assert fuzz.generate_query(seed, fuzz_stats) == fuzz.generate_query(
