@@ -757,7 +757,7 @@ def simhash_candidates(
     nbands = 64 // band_bits
     # cache = reuse across both join sides AND a plan barrier keeping the
     # Arrow UDF out of the posexplode generator (see minhash note)
-    fp = _cache(_non_null_text(df, text_col).select(
+    fp = _cache(df.select(  # df already NULL-text-filtered at entry
         F.col(id_col).alias("_id"),
         simhash_vec(
             F.transform(tokenize(F.col(text_col)), lambda t: F.xxhash64(t))

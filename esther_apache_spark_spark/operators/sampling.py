@@ -44,6 +44,26 @@ def train_test_split(
     return df.filter(b >= thr), df.filter(b < thr)
 
 
+def shuffle_positions(
+    df: DataFrame, key_col: str, salt: str = "epoch0", id_col: str = "position"
+) -> DataFrame:
+    """Deterministic global shuffle order for training-data export:
+    every row gets a dense 0..N-1 ``id_col`` under the pseudo-random
+    total order (md5 bucket of key, then key). Same salt → same order
+    on any cluster/partitioning; vary the salt per epoch for fresh
+    shuffles. Positions are assigned by ``ids.assign_contiguous_ids``
+    (range-partition + per-partition counts + driver prefix-sum), NOT a
+    global row_number window — the naive form funnels the whole corpus
+    through one task and cannot run at 100 TB."""
+    from esther_apache_spark_spark.operators.ids import assign_contiguous_ids
+
+    keyed = df.withColumn("_shuf", hash_bucket(F.col(key_col), salt))
+    out = assign_contiguous_ids(
+        keyed, [F.col("_shuf"), F.col(key_col)], id_col=id_col
+    )
+    return out.drop("_shuf")
+
+
 def stratified_hash_sample(
     df: DataFrame,
     key_col: str,

@@ -1061,3 +1061,35 @@ def assign_doc_uids(spark: SparkSession, sf_dir: str) -> DataFrame:
     return assign_contiguous_ids(
         docs, [F.col("lang"), F.col("doc_id")], id_col="uid", num_partitions=8
     )
+
+
+# ---------------------------------------------------------------------------
+# Deterministic epoch shuffle — training-data export order.
+# ---------------------------------------------------------------------------
+@register(
+    "shuffled_export_order",
+    oracle="""
+    SELECT doc_id, lang,
+           CAST(row_number() OVER (
+               ORDER BY CAST(CONCAT('0x',
+                   substr(md5('epoch0' || CAST(doc_id AS VARCHAR)), 1, 8))
+                   AS BIGINT),
+                    doc_id) - 1 AS BIGINT) AS position
+    FROM documents
+    """,
+)
+def shuffled_export_order(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic global shuffle for training-data export: each doc
+    gets a dense 0..N-1 position under the pseudo-random order
+    (md5 hash-bucket of doc_id salted by epoch, doc_id tiebreak) via
+    ``operators.sampling.shuffle_positions``. Same salt → identical
+    order on any cluster or partitioning (what makes a training run
+    reproducible and this query oracle-able); a new salt per epoch
+    reshuffles. Positions come from the two-pass contiguous-id
+    assigner, not a single-partition row_number window — the oracle
+    states the naive form, which is exactly the shape that cannot run
+    at 100 TB."""
+    from esther_apache_spark_spark.operators.sampling import shuffle_positions
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "lang")
+    return shuffle_positions(docs, "doc_id", salt="epoch0", id_col="position")
