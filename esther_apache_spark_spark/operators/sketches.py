@@ -1,0 +1,118 @@
+"""Mergeable sketches (Apache DataSketches via Spark 4 built-ins) —
+the 100 TB pattern for distinct counts, set overlap, and quantiles.
+
+Engine extension (no reference citation; the reference's only distinct
+count is exact ``countDistinct``). At fact-table scale the winning
+shape is NOT "compute the metric over the raw data each time" but
+"pre-aggregate a *mergeable* sketch per partition/day/segment once,
+then answer any coarser rollup by merging sketches" — the sketch column
+is a few KB regardless of cardinality, so a year-over-year distinct is
+a union over 365 tiny binaries instead of a re-scan of the year.
+
+Three families, all JVM-side aggregates (no Python in the path):
+
+- **HLL** (``hll_sketch_agg`` / ``hll_union_agg``): distinct counts.
+  Register-max construction → insertion-order- and partition-
+  insensitive, so estimates are deterministic and catalog queries over
+  them survive the partition-determinism audit.
+- **Theta** (``theta_sketch_agg`` + ``theta_union/intersection/
+  difference``): distinct counts WITH set algebra — audience overlap
+  between segments without an exact (user, segment) self-join.
+  k-smallest-hashes construction → also order-insensitive.
+- **KLL** (``kll_sketch_agg_double`` + ``kll_sketch_merge_double``):
+  mergeable quantiles. NOTE: unlike HLL/theta, KLL estimates DEPEND on
+  merge order (compaction is sampling-based), so changing shuffle
+  partitioning can move an estimate within its rank-error bound —
+  callers must treat results as (value, ±rank_error), never as
+  deterministic scalars. That is why KLL has no catalog query: the
+  catalog pins rows-only queries to partition-count determinism, which
+  KLL honestly cannot promise. Guarantees are property-tested instead.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def hll_bucket_sketches(
+    df: DataFrame, key_col: str, bucket_cols: list[str], lgk: int = 12
+) -> DataFrame:
+    """One HLL sketch of ``key_col`` per bucket — the pre-aggregate you
+    persist. ``lgk`` = log2 of registers (12 → 4 KB, ~1.6% rel. std
+    err). One partial-aggregable shuffle on the bucket keys; sketch
+    payloads, not raw keys, cross the wire for the final merge."""
+    return df.groupBy(*bucket_cols).agg(
+        F.hll_sketch_agg(F.col(key_col), F.lit(lgk)).alias("hll_sketch")
+    )
+
+
+def hll_rollup(
+    sketches: DataFrame, rollup_cols: list[str] | None = None
+) -> DataFrame:
+    """Merge persisted bucket sketches up to ``rollup_cols`` granularity
+    (None/[] → grand total). Input is the output of
+    ``hll_bucket_sketches`` — the raw data is NOT re-read."""
+    groups = rollup_cols or []
+    agg = (
+        F.hll_sketch_estimate(F.hll_union_agg(F.col("hll_sketch")))
+        .alias("distinct_est")
+    )
+    if groups:
+        return sketches.groupBy(*groups).agg(agg)
+    return sketches.agg(agg)
+
+
+def theta_segment_overlap(
+    df: DataFrame, key_col: str, segment_col: str
+) -> DataFrame:
+    """Pairwise distinct-key overlap between every two segment values:
+    per-segment theta sketches (one shuffle on segment), then sketch
+    set-algebra on the tiny per-segment frame — estimates of |A|, |B|,
+    |A∩B|, |A∪B| and Jaccard, without the exact (key, segment)
+    incidence self-join (`audience_overlap_matrix`) whose input grows
+    with the key universe. The self-join here is over #segments rows.
+    """
+    sk = df.groupBy(segment_col).agg(
+        F.theta_sketch_agg(F.col(key_col)).alias("sk")
+    )
+    a = sk.select(F.col(segment_col).alias("seg_a"), F.col("sk").alias("sk_a"))
+    b = sk.select(F.col(segment_col).alias("seg_b"), F.col("sk").alias("sk_b"))
+    pairs = a.join(b, F.col("seg_a") < F.col("seg_b"))
+    inter = F.theta_sketch_estimate(
+        F.theta_intersection(F.col("sk_a"), F.col("sk_b"))
+    )
+    union = F.theta_sketch_estimate(F.theta_union(F.col("sk_a"), F.col("sk_b")))
+    return pairs.select(
+        "seg_a",
+        "seg_b",
+        F.theta_sketch_estimate(F.col("sk_a")).alias("distinct_a"),
+        F.theta_sketch_estimate(F.col("sk_b")).alias("distinct_b"),
+        inter.alias("overlap_est"),
+        union.alias("union_est"),
+        F.round(inter / union, 6).alias("jaccard_est"),
+    )
+
+
+def kll_group_quantiles(
+    df: DataFrame,
+    value_col: str,
+    group_cols: list[str],
+    probs: list[float],
+    k: int = 200,
+) -> DataFrame:
+    """Per-group mergeable quantile estimates: one KLL sketch per group
+    (k=200 → ~1.65% rank error, few-KB state), quantiles read off the
+    sketch. The sketch column could equally be persisted per partition
+    and merged later (``kll_sketch_merge_double``) — same error bound.
+    Estimates are rank-error-bounded, NOT deterministic under
+    re-partitioning (see module docstring)."""
+    quantiles = F.kll_sketch_get_quantile_double(
+        F.kll_sketch_agg_double(F.col(value_col).cast("double"), F.lit(k)),
+        F.array(*[F.lit(float(p)) for p in probs]),
+    )
+    out = df.groupBy(*group_cols).agg(
+        quantiles.alias("quantile_ests"),
+        F.count(value_col).alias("n"),
+    )
+    return out

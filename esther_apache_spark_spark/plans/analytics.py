@@ -1093,3 +1093,54 @@ def shuffled_export_order(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = load_table(spark, sf_dir, "documents").select("doc_id", "lang")
     return shuffle_positions(docs, "doc_id", salt="epoch0", id_col="position")
+
+
+# ---------------------------------------------------------------------------
+# Mergeable sketches (operators/sketches.py) — rows-only by design:
+# DuckDB has no DataSketches twin. HLL/theta constructions are order-
+# insensitive, so these still pass the partition-determinism audit.
+# ---------------------------------------------------------------------------
+@register("distinct_users_hll_rollup", oracle=None)
+def distinct_users_hll_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The mergeable-sketch pattern end-to-end: per-(event_type, day)
+    HLL sketches of user_id (the pre-aggregate a 100 TB pipeline
+    persists), then a rollup to per-type whole-period distinct purely
+    by sketch union — the daily raw data is never re-read. Estimates
+    are deterministic (register-max construction is order-insensitive);
+    accuracy vs exact is property-tested in tests/test_sketches.py."""
+    from esther_apache_spark_spark.operators.sketches import (
+        hll_bucket_sketches,
+        hll_rollup,
+    )
+
+    events = load_table(spark, sf_dir, "events").withColumn(
+        "day", F.to_date("ts")
+    )
+    daily = hll_bucket_sketches(events, "user_id", ["event_type", "day"])
+    return (
+        hll_rollup(daily, ["event_type"])
+        .select("event_type", F.col("distinct_est").cast("long").alias("distinct_users_est"))
+    )
+
+
+@register("audience_overlap_theta", oracle=None)
+def audience_overlap_theta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distinct-user overlap between every pair of event types via
+    theta sketch set algebra — |A|, |B|, |A∩B|, |A∪B| and Jaccard from
+    per-segment sketches, with the pair join running over #segments
+    rows instead of the exact (user, type) incidence self-join
+    (`audience_overlap_matrix`, which this approximates and which
+    serves as its accuracy reference in tests/test_sketches.py)."""
+    from esther_apache_spark_spark.operators.sketches import theta_segment_overlap
+
+    events = load_table(spark, sf_dir, "events")
+    t = theta_segment_overlap(events, "user_id", "event_type")
+    return t.select(
+        "seg_a",
+        "seg_b",
+        F.col("distinct_a").cast("long").alias("distinct_a"),
+        F.col("distinct_b").cast("long").alias("distinct_b"),
+        F.col("overlap_est").cast("long").alias("overlap_est"),
+        F.col("union_est").cast("long").alias("union_est"),
+        "jaccard_est",
+    )

@@ -73,6 +73,11 @@ def test_catalog_plans_free_of_scale_antipatterns(spark, sf_dir):
         "bm25_top_docs",             # 1-row corpus count + avgdl scalars
         "pagerank_brands",           # 1-row node count broadcast
         "similarity_topk_bruteforce",  # fenced all-pairs oracle
+        # inequality pair join over the PER-SEGMENT sketch frame — its
+        # size is the segment vocabulary (|types|² pairs of few-KB
+        # sketches), independent of data volume; the raw keys never
+        # enter the join (that is the operator's whole point)
+        "audience_overlap_theta",
     }
     offenders = {}
     for name, spec in plans.QUERIES.items():

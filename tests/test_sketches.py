@@ -1,0 +1,139 @@
+"""Mergeable sketch guarantees (operators/sketches.py).
+
+No DuckDB oracle exists for DataSketches, so the contracts are pinned
+directly: accuracy vs exact answers computed on the same data,
+mergeability (rollup-of-parts equals direct computation), and the
+determinism boundary (HLL/theta order-insensitive; KLL only
+rank-error-bounded).
+"""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from esther_apache_spark_spark.operators import sketches as S
+from esther_apache_spark_spark.schemas import load_table
+
+
+@pytest.fixture(scope="module")
+def events(spark, sf_dir):
+    return load_table(spark, sf_dir, "events").withColumn("day", F.to_date("ts"))
+
+
+def test_hll_rollup_matches_direct_sketch_and_exact(spark, events):
+    """Union-of-daily-sketches must give the SAME estimate as sketching
+    the whole period directly (mergeability is lossless for HLL), and
+    both must sit within the lgk=12 error envelope of the exact count."""
+    daily = S.hll_bucket_sketches(events, "user_id", ["event_type", "day"])
+    rolled = {
+        r["event_type"]: r["distinct_est"]
+        for r in S.hll_rollup(daily, ["event_type"]).collect()
+    }
+    direct = {
+        r["event_type"]: r["distinct_est"]
+        for r in S.hll_rollup(
+            S.hll_bucket_sketches(events, "user_id", ["event_type"]),
+            ["event_type"],
+        ).collect()
+    }
+    exact = {
+        r["event_type"]: r["n"]
+        for r in events.groupBy("event_type")
+        .agg(F.countDistinct("user_id").alias("n"))
+        .collect()
+    }
+    assert rolled == direct  # merge is lossless, estimates identical
+    for t, est in rolled.items():
+        assert est == pytest.approx(exact[t], rel=0.06), (t, est, exact[t])
+
+
+def test_hll_estimate_partition_insensitive(spark, events):
+    """Register-max construction: the estimate cannot depend on row
+    order or partitioning — repartitioned input gives bit-equal output."""
+    a = sorted(
+        map(tuple, S.hll_rollup(S.hll_bucket_sketches(events, "user_id", ["event_type"]), ["event_type"]).collect())
+    )
+    b = sorted(
+        map(
+            tuple,
+            S.hll_rollup(
+                S.hll_bucket_sketches(events.repartition(7, "value"), "user_id", ["event_type"]),
+                ["event_type"],
+            ).collect(),
+        )
+    )
+    assert a == b
+
+
+def test_theta_overlap_tracks_exact_incidence(spark, events):
+    """Theta overlap/Jaccard estimates vs the exact distinct-user
+    incidence for every segment pair."""
+    got = {
+        (r["seg_a"], r["seg_b"]): r
+        for r in S.theta_segment_overlap(events, "user_id", "event_type").collect()
+    }
+    inc = events.select("user_id", "event_type").distinct()
+    a = inc.select("user_id", F.col("event_type").alias("seg_a"))
+    b = inc.select("user_id", F.col("event_type").alias("seg_b"))
+    exact_overlap = {
+        (r["seg_a"], r["seg_b"]): r["n"]
+        for r in a.join(b, "user_id")
+        .filter(F.col("seg_a") < F.col("seg_b"))
+        .groupBy("seg_a", "seg_b")
+        .agg(F.countDistinct("user_id").alias("n"))
+        .collect()
+    }
+    exact_sizes = {
+        r["event_type"]: r["n"]
+        for r in inc.groupBy("event_type").agg(F.count("*").alias("n")).collect()
+    }
+    assert set(got) == set(exact_overlap)
+    for (sa, sb), row in got.items():
+        assert row["distinct_a"] == pytest.approx(exact_sizes[sa], rel=0.05)
+        assert row["distinct_b"] == pytest.approx(exact_sizes[sb], rel=0.05)
+        assert row["overlap_est"] == pytest.approx(
+            exact_overlap[(sa, sb)], rel=0.12, abs=8
+        )
+        union_exact = (
+            exact_sizes[sa] + exact_sizes[sb] - exact_overlap[(sa, sb)]
+        )
+        assert row["union_est"] == pytest.approx(union_exact, rel=0.06)
+
+
+def test_kll_quantiles_within_rank_error(spark, events):
+    """KLL promise: the estimated p-quantile's TRUE rank is within
+    p ± eps for eps ≈ 1.65% at k=200 (asserted at 3x slack). Checked
+    for both the one-shot sketch and a two-stage merged sketch — the
+    merge must preserve the bound, not the exact estimate."""
+    probs = [0.1, 0.5, 0.9]
+    n_total = {
+        r["event_type"]: r["cnt"]
+        for r in events.groupBy("event_type").count().withColumnRenamed("count", "cnt").collect()
+    }
+
+    def check(df):
+        for row in df.collect():
+            t = row["event_type"]
+            for p, q in zip(probs, row["quantile_ests"]):
+                true_rank = (
+                    events.filter(
+                        (F.col("event_type") == t) & (F.col("value") <= q)
+                    ).count()
+                    / n_total[t]
+                )
+                assert abs(true_rank - p) < 0.05, (t, p, q, true_rank)
+
+    check(S.kll_group_quantiles(events, "value", ["event_type"], probs))
+
+    # two-stage: per-day sketches merged up to event_type
+    per_day = events.groupBy("event_type", "day").agg(
+        F.kll_sketch_agg_double(F.col("value").cast("double"), F.lit(200)).alias("sk")
+    )
+    merged = per_day.groupBy("event_type").agg(
+        F.kll_sketch_get_quantile_double(
+            F.kll_merge_agg_double("sk"),
+            F.array(*[F.lit(p) for p in probs]),
+        ).alias("quantile_ests")
+    )
+    check(merged)
