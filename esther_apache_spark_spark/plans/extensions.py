@@ -2035,3 +2035,55 @@ def histogram_acctbal_by_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy(F.col("n_name").alias("nation"), bucket.alias("bucket"))
         .agg(F.count(F.lit(1)).cast("long").alias("n_customers"))
     )
+
+
+@register(
+    "filter_docs_by_quality_percentile",
+    oracle=f"""
+    WITH scored AS (
+        SELECT doc_id, lang,
+               ROUND((least(len({_TOKS}) / 100.0, 1.0)
+                      + greatest(1.0 - abs(
+                            (CASE WHEN len({_TOKS}) > 0
+                                  THEN len(list_filter({_TOKS}, t -> t IN {_STOPS}))
+                                       / len({_TOKS})
+                                  ELSE 0.0 END) - 0.4) / 0.4, 0.0)
+                      + (1.0 - least((CASE WHEN length(text) > 0
+                             THEN (length(text) - length(regexp_replace(text, '[^\\w\\s]', '', 'g')))
+                                  / length(text)
+                             ELSE 0.0 END) * 5, 1.0))) / 3, 4) AS quality
+        FROM documents
+    ), thr AS (
+        SELECT lang, ROUND(quantile_cont(quality, 0.25), 6) AS q25
+        FROM scored GROUP BY lang
+    )
+    SELECT s.doc_id, s.lang, s.quality
+    FROM scored s JOIN thr t ON s.lang = t.lang
+    WHERE s.quality > t.q25
+    """,
+)
+def filter_docs_by_quality_percentile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Percentile-gated corpus filtering — the composition a training
+    pipeline actually runs: score every document (textstats
+    ``quality_score``, pure expressions), take the per-language exact
+    p25 of the score (one small agg — rows = #languages), and keep
+    documents strictly above their language's threshold. Per-language
+    (not global) thresholds keep a low-resource language from being
+    wiped out by a high-resource language's score distribution. The
+    threshold frame is vocabulary-sized, so Catalyst broadcasts it back
+    onto the corpus — the fact side never shuffles. Rounding the
+    threshold to 6dp on both engines pins the boundary comparison."""
+    from esther_apache_spark_spark.operators.textstats import quality_score
+
+    docs = load_table(spark, sf_dir, "documents")
+    scored = docs.select(
+        "doc_id", "lang", quality_score(F.col("text")).alias("quality")
+    )
+    thr = scored.groupBy("lang").agg(
+        F.round(F.percentile("quality", F.lit(0.25)), 6).alias("q25")
+    )
+    return (
+        scored.join(thr, "lang")
+        .filter(F.col("quality") > F.col("q25"))
+        .select("doc_id", "lang", "quality")
+    )
