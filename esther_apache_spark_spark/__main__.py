@@ -87,6 +87,11 @@ def main(argv: list[str] | None = None) -> int:
                 f"CREATE VIEW {t} AS SELECT * FROM "
                 f"read_parquet('{args.sf_dir}/{t}.parquet')"
             )
+        fp = fuzz.ensure_nullish("/tmp/esther_fuzz_fixtures")
+        spark.read.parquet(fp).createOrReplaceTempView("nullish")
+        con.execute(
+            f"CREATE VIEW nullish AS SELECT * FROM read_parquet('{fp}')"
+        )
         stats = fuzz.build_stats(args.sf_dir)
         seeds = range(args.start, args.start + args.seeds)
         failures = fuzz.run_differential(spark, con, stats, seeds)

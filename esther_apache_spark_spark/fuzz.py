@@ -153,6 +153,73 @@ TABLES: dict[str, TableMeta] = {
     ),
 }
 
+# The synthetic TPC-H-ish testdata is nearly NULL-free, so NULL
+# semantics — where engines genuinely differ — would go unexercised.
+# `nullish` is a deterministic fixture generated by ensure_nullish():
+# a nullable int key with hash-planted NULLs (≈1/7 of rows), a double
+# that is NULL for one whole group (all-NULL aggregates), strings mixing
+# NULL and '' (distinct values that sloppy code conflates), a nullable
+# timestamp, and a NULL-free category. Its queries exercise grouping by
+# NULL keys, COUNT(col) vs COUNT(*), SUM over all-NULL groups, IS [NOT]
+# NULL pushdown, and NULL-key join behavior.
+NULLISH = TableMeta(
+    "nullish",
+    unique=("id",),
+    ints=("id", "k"),
+    doubles=("v",),
+    cats=("cat",),
+    strings=("s",),
+    ts=("t",),
+)
+
+NULLISH_ROWS = 4000
+
+
+def ensure_nullish(path: str) -> str:
+    """Write the deterministic NULL-rich parquet fixture (idempotent);
+    returns the parquet file path. Pure-arithmetic construction — no
+    RNG — so both engines and every run see identical bytes."""
+    import os
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    fp = os.path.join(path, "nullish.parquet")
+    if os.path.exists(fp):
+        return fp
+    os.makedirs(path, exist_ok=True)
+    ids = list(range(NULLISH_ROWS))
+    k = [None if i % 7 == 3 else (i * 13) % 50 for i in ids]
+    # group cat='g3' (i%5==3) carries only NULL doubles → all-NULL SUM
+    v = [
+        None if (i % 5 == 3 or i % 11 == 7) else round((i * 37 % 1000) / 4.0, 2)
+        for i in ids
+    ]
+    s = [
+        None if i % 6 == 1 else ("" if i % 6 == 4 else f"w{(i * 7) % 23:02d}")
+        for i in ids
+    ]
+    t = [
+        None
+        if i % 9 == 5
+        else datetime.datetime(2024, 1 + (i % 12), 1 + (i % 28), i % 24, i % 60, 0)
+        for i in ids
+    ]
+    cat = [f"g{i % 5}" for i in ids]
+    table = pa.table(
+        {
+            "id": pa.array(ids, pa.int64()),
+            "k": pa.array(k, pa.int32()),
+            "v": pa.array(v, pa.float64()),
+            "s": pa.array(s, pa.string()),
+            "t": pa.array(t, pa.timestamp("us")),
+            "cat": pa.array(cat, pa.string()),
+        }
+    )
+    pq.write_table(table, fp)
+    return fp
+
+
 # FK edges (left_table, right_table, left_key, right_key). LEFT joins
 # preserve the first table; chains extend right along these edges.
 JOIN_EDGES: tuple[tuple[str, str, str, str], ...] = (
@@ -589,6 +656,72 @@ def _q_antijoin_nullcheck(r: random.Random, stats: ColumnStats) -> str:
     )
 
 
+def _null_pred(r: random.Random, n_max: int = 3, prefix: str = "") -> str:
+    """Predicates over the nullish fixture: three-valued logic, IS
+    [NOT] NULL, the ''-vs-NULL distinction. ``prefix`` qualifies the
+    columns (e.g. ``"a."``) for self-joins."""
+    p = prefix
+    pool = [
+        f"{p}k IS NULL",
+        f"{p}k IS NOT NULL",
+        f"{p}k < {r.randint(5, 45)}",
+        f"{p}v IS NULL",
+        f"{p}v >= {round(r.uniform(10.0, 200.0), 2)}",
+        f"{p}s IS NULL",
+        f"{p}s = ''",
+        f"{p}s <> ''",
+        f"{p}s LIKE 'w1%'",
+        f"{p}t IS NULL",
+        f"{p}t >= TIMESTAMP '2024-06-01 00:00:00'",
+        f"{p}cat IN ({', '.join(sorted(_sql_str('g' + str(g)) for g in r.sample(range(5), 2)))})",
+    ]
+    conjuncts = [r.choice(pool) for _ in range(r.randint(1, n_max))]
+    if len(conjuncts) == 1:
+        return conjuncts[0]
+    glue = " AND " if r.random() < 0.6 else " OR "
+    return "(" + glue.join(conjuncts) + ")"
+
+
+def _q_nullish(r: random.Random, stats: ColumnStats) -> str:
+    """One of several NULL-semantics shapes over the nullish fixture."""
+    shape = r.choice(["groupby", "filter", "selfjoin", "distinct", "setop"])
+    if shape == "groupby":
+        key = r.choice(["k", "cat", "s"])
+        return (
+            f"SELECT {key} AS k0, CAST(COUNT(*) AS BIGINT) AS cnt, "
+            f"CAST(COUNT(v) AS BIGINT) AS cnt_v, "  # COUNT(col) skips NULLs
+            f"CAST(ROUND(SUM(CAST(v AS DECIMAL(18,2))), 2) AS DOUBLE) AS sum_v, "
+            f"MIN(s) AS min_s, "
+            f"CAST(COUNT(DISTINCT s) AS BIGINT) AS nd_s "
+            f"FROM nullish WHERE {_null_pred(r)} GROUP BY {key}"
+        )
+    if shape == "filter":
+        return (
+            f"SELECT id, k, COALESCE(s, '<null>') AS s2, "
+            f"NULLIF(cat, 'g{r.randint(0, 4)}') AS c2, "
+            f"CASE WHEN v IS NULL THEN -1.0 ELSE v END AS v2 "
+            f"FROM nullish WHERE {_null_pred(r)}"
+        )
+    if shape == "selfjoin":
+        # NULL keys never match in an inner equi-join — both engines
+        # must drop the i%7==3 rows from both sides
+        return (
+            f"SELECT a.k AS k0, CAST(COUNT(*) AS BIGINT) AS pairs "
+            f"FROM nullish a JOIN nullish b ON a.k = b.k AND a.id < b.id "
+            f"WHERE {_null_pred(r, 2, prefix='a.')} "
+            f"GROUP BY a.k"
+        )
+    if shape == "distinct":
+        cols = r.choice(["s", "k, s", "cat, k"])
+        return f"SELECT DISTINCT {cols} FROM nullish WHERE {_null_pred(r)}"
+    # setop: NULLs are "not distinct" in set semantics in both engines
+    op = r.choice(["INTERSECT", "EXCEPT", "UNION"])
+    return (
+        f"SELECT s, k FROM nullish WHERE {_null_pred(r, 2)} "
+        f"{op} SELECT s, k FROM nullish WHERE {_null_pred(r, 2)}"
+    )
+
+
 _TEMPLATES = [
     (_q_filter_project, 3),
     (_q_groupby, 4),
@@ -600,6 +733,7 @@ _TEMPLATES = [
     (_q_rollup, 2),
     (_q_conditional_agg, 2),
     (_q_antijoin_nullcheck, 2),
+    (_q_nullish, 4),
 ]
 
 

@@ -23,13 +23,18 @@ def fuzz_stats(sf_dir):
 
 
 @pytest.fixture(scope="session")
-def spark_fuzz_views(spark, sf_dir):
+def spark_fuzz_views(spark, duck, sf_dir, tmp_path_factory):
     from esther_apache_spark_spark.schemas import load_table
 
     for t in fuzz.TABLES:
         load_table(spark, sf_dir, t).createOrReplaceTempView(t)
+    fp = fuzz.ensure_nullish(str(tmp_path_factory.mktemp("fuzz_fixtures")))
+    spark.read.parquet(fp).createOrReplaceTempView("nullish")
+    duck.execute(
+        f"CREATE OR REPLACE VIEW nullish AS SELECT * FROM read_parquet('{fp}')"
+    )
     yield
-    for t in fuzz.TABLES:
+    for t in list(fuzz.TABLES) + ["nullish"]:
         spark.catalog.dropTempView(t)
 
 
