@@ -2087,3 +2087,20 @@ def filter_docs_by_quality_percentile(spark: SparkSession, sf_dir: str) -> DataF
         .filter(F.col("quality") > F.col("q25"))
         .select("doc_id", "lang", "quality")
     )
+
+
+@register("streaming_distinct_users_hll", oracle=None)
+def streaming_distinct_users_hll(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Windowed distinct-user HLL estimates through Structured
+    Streaming (file source → watermark → windowed sketch agg → memory
+    sink, driven to completion). Bounded state is the point: exact
+    streaming distinct keeps every user id in the state store, the
+    sketch keeps ~4 KB per group regardless of cardinality. Rows-only
+    (DuckDB has no DataSketches twin) but deterministic — register-max
+    merge across micro-batches is lossless, so the completed stream
+    equals its batch twin bit-for-bit (tests/test_sketches.py)."""
+    from esther_apache_spark_spark.streaming.events import (
+        run_streaming_distinct_users_hll,
+    )
+
+    return run_streaming_distinct_users_hll(spark, sf_dir)

@@ -527,3 +527,53 @@ def interval_join_views_purchases_left(
         F.date_format("view_ts", "yyyy-MM-dd HH:mm:ss").alias("view_ts"),
         F.date_format("purchase_ts", "yyyy-MM-dd HH:mm:ss").alias("purchase_ts"),
     )
+
+
+def windowed_distinct_users_hll(
+    events: DataFrame,
+    window: str = "6 hours",
+    watermark: str = "30 minutes",
+    lgk: int = 12,
+) -> DataFrame:
+    """Distinct users per (window, event_type), HLL-estimated — the
+    streaming face of ``operators.sketches``. Exact streaming distinct
+    would keep every user id in the state store (state grows with the
+    key universe); the HLL register array is a few KB per group no
+    matter the cardinality, and register-max merge across micro-batches
+    is lossless, so the completed stream's estimates equal the batch
+    twin's bit-for-bit (asserted in tests). Works on batch and
+    streaming inputs alike."""
+    src = events.withWatermark("ts", watermark) if events.isStreaming else events
+    return (
+        src.groupBy(F.window("ts", window).alias("win"), "event_type")
+        .agg(
+            F.hll_sketch_estimate(F.hll_sketch_agg("user_id", F.lit(lgk)))
+            .cast("long")
+            .alias("distinct_users_est")
+        )
+        .select(
+            F.date_format(F.col("win.start"), "yyyy-MM-dd HH:mm:ss").alias(
+                "window_start"
+            ),
+            "event_type",
+            "distinct_users_est",
+        )
+    )
+
+
+def run_streaming_distinct_users_hll(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Drive the windowed HLL distinct to completion via the memory
+    sink (complete mode) and return the result table."""
+    name = f"stream_hll_{uuid.uuid4().hex[:8]}"
+    q = (
+        windowed_distinct_users_hll(streaming_events_source(spark, sf_dir))
+        .writeStream.outputMode("complete")
+        .format("memory")
+        .queryName(name)
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    return spark.table(name)

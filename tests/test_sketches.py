@@ -137,3 +137,27 @@ def test_kll_quantiles_within_rank_error(spark, events):
         ).alias("quantile_ests")
     )
     check(merged)
+
+
+def test_streaming_hll_equals_batch_twin(spark, sf_dir):
+    """Completed streaming windowed HLL == batch twin, bit-for-bit:
+    register-max merge across micro-batches is lossless, so chopping
+    the input into file-source triggers cannot move an estimate."""
+    from esther_apache_spark_spark.schemas import load_table
+    from esther_apache_spark_spark.streaming.events import (
+        run_streaming_distinct_users_hll,
+        windowed_distinct_users_hll,
+    )
+
+    got = sorted(
+        map(tuple, run_streaming_distinct_users_hll(spark, sf_dir).collect())
+    )
+    batch = sorted(
+        map(
+            tuple,
+            windowed_distinct_users_hll(
+                load_table(spark, sf_dir, "events")
+            ).collect(),
+        )
+    )
+    assert got == batch and len(got) > 0
