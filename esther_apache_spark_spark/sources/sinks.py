@@ -288,3 +288,41 @@ def compact_parquet(
     shutil.move(path, old)
     shutil.move(staged, path)
     shutil.rmtree(old)
+
+
+def write_sized_shards(
+    df: DataFrame,
+    path: str,
+    order_key: str,
+    records_per_file: int,
+    fmt: str = "parquet",
+    salt: str = "epoch0",
+) -> None:
+    """Training-export sink: fixed-size shards in a deterministic
+    pseudo-random order. Rows get shuffle positions
+    (``sampling.shuffle_positions`` — md5-bucket order, two-pass
+    contiguous ids, no single-partition window), are range-partitioned
+    by position so shard boundaries align with file boundaries, and
+    ``maxRecordsPerFile`` caps every output file at
+    ``records_per_file`` rows. The result: ``ceil(N / records_per_file)``
+    files, each internally ordered by position, reproducible across
+    clusters and runs for a fixed salt — what a training job wants to
+    stream shard-by-shard. ``fmt`` is ``parquet`` or ``json`` (JSONL)."""
+    from esther_apache_spark_spark.operators.sampling import shuffle_positions
+
+    positioned = shuffle_positions(df, order_key, salt=salt, id_col="position")
+    n_shards = max(
+        1, -(-positioned.count() // records_per_file)  # ceil div
+    )
+    writer = (
+        positioned.repartitionByRange(n_shards, "position")
+        .sortWithinPartitions("position")
+        .write.mode("overwrite")
+        .option("maxRecordsPerFile", records_per_file)
+    )
+    if fmt == "parquet":
+        writer.parquet(path)
+    elif fmt == "json":
+        writer.json(path)
+    else:
+        raise ValueError(f"unsupported shard format: {fmt!r}")

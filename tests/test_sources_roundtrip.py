@@ -303,3 +303,34 @@ def test_zorder_layout_prunes_on_both_columns(spark, sf_dir, tmp_path):
     # -> ~sqrt(8)=2.8 cells per axis -> ~0.35 expected span fraction)
     assert z_part < 0.6 and z_supp < 0.6, (z_part, z_supp)
     assert z_part < n_part / 1.5 and z_supp < n_supp / 1.5
+
+
+def test_write_sized_shards_deterministic_and_bounded(spark, sf_dir, tmp_path):
+    """Sized-shard export: every file row-capped, full dataset
+    round-trips, positions are a 0..N-1 permutation, and the assignment
+    is identical across runs (fixed salt)."""
+    import glob
+
+    from esther_apache_spark_spark.schemas import load_table
+    from esther_apache_spark_spark.sources.sinks import write_sized_shards
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "lang")
+    n = docs.count()
+    out = str(tmp_path / "shards")
+    write_sized_shards(docs, out, "doc_id", records_per_file=64)
+
+    files = sorted(glob.glob(f"{out}/part-*.parquet"))
+    assert len(files) >= -(-n // 64)  # at least ceil(N/64) files
+    back = spark.read.parquet(out)
+    assert back.count() == n
+    positions = sorted(r["position"] for r in back.select("position").collect())
+    assert positions == list(range(n))  # dense permutation survived
+    # per-file cap honored
+    for f in files:
+        assert spark.read.parquet(f).count() <= 64, f
+    # reproducible: same salt → same (doc_id, position) mapping
+    out2 = str(tmp_path / "shards2")
+    write_sized_shards(docs, out2, "doc_id", records_per_file=64)
+    a = sorted(map(tuple, spark.read.parquet(out).select("doc_id", "position").collect()))
+    b = sorted(map(tuple, spark.read.parquet(out2).select("doc_id", "position").collect()))
+    assert a == b
