@@ -9,7 +9,7 @@ then answer any coarser rollup by merging sketches" — the sketch column
 is a few KB regardless of cardinality, so a year-over-year distinct is
 a union over 365 tiny binaries instead of a re-scan of the year.
 
-Three families, all JVM-side aggregates (no Python in the path):
+Four families, all JVM-side aggregates (no Python in the path):
 
 - **HLL** (``hll_sketch_agg`` / ``hll_union_agg``): distinct counts.
   Register-max construction → insertion-order- and partition-
@@ -27,6 +27,10 @@ Three families, all JVM-side aggregates (no Python in the path):
   deterministic scalars. That is why KLL has no catalog query: the
   catalog pins rows-only queries to partition-count determinism, which
   KLL honestly cannot promise. Guarantees are property-tested instead.
+- **Positional bitmaps** (``bitmap_construct_agg`` / ``bitmap_or_agg``):
+  the EXACT mergeable twin for integer keys — zero error, fully
+  SQL-oracle-able, state proportional to the key space instead of
+  HLL's fixed few KB.
 """
 
 from __future__ import annotations
@@ -116,3 +120,40 @@ def kll_group_quantiles(
         F.count(value_col).alias("n"),
     )
     return out
+
+
+def bitmap_bucket_sketches(
+    df: DataFrame, key_col: str, bucket_cols: list[str]
+) -> DataFrame:
+    """EXACT mergeable distinct state: positional bitmaps over an
+    integer key, one row per (bucket, bitmap-bucket). The key space is
+    chunked into 32768-bit buckets (``bitmap_bucket_number``); each
+    bucket's 4 KB bitmap records exactly which positions occurred.
+    Mergeable by OR — the exact-count twin of the HLL sketch: bigger
+    state (proportional to key-space/8 bytes per bucket combination,
+    vs HLL's fixed 4 KB) but zero error and still order/partition-
+    insensitive. The 100 TB shape: persist per-day bitmaps, answer any
+    period's exact distinct by OR-merge without re-reading raw data."""
+    return df.groupBy(
+        *bucket_cols,
+        F.expr(f"bitmap_bucket_number({key_col})").alias("bitmap_bucket"),
+    ).agg(
+        F.expr(f"bitmap_construct_agg(bitmap_bit_position({key_col}))").alias(
+            "bitmap"
+        )
+    )
+
+
+def bitmap_rollup(
+    bitmaps: DataFrame, rollup_cols: list[str] | None = None
+) -> DataFrame:
+    """OR-merge persisted bitmaps up to ``rollup_cols`` granularity and
+    count bits — the EXACT distinct count (None/[] → grand total)."""
+    groups = rollup_cols or []
+    merged = bitmaps.groupBy(*groups, "bitmap_bucket").agg(
+        F.expr("bitmap_or_agg(bitmap)").alias("bitmap")
+    )
+    agg = F.sum(F.expr("bitmap_count(bitmap)")).cast("long").alias("distinct_exact")
+    if groups:
+        return merged.groupBy(*groups).agg(agg)
+    return merged.agg(agg)

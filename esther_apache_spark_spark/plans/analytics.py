@@ -1144,3 +1144,31 @@ def audience_overlap_theta(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("union_est").cast("long").alias("union_est"),
         "jaccard_est",
     )
+
+
+@register(
+    "distinct_users_bitmap_rollup",
+    oracle="""
+    SELECT event_type,
+           CAST(COUNT(DISTINCT user_id) AS BIGINT) AS distinct_exact
+    FROM events GROUP BY event_type
+    """,
+)
+def distinct_users_bitmap_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXACT distinct users per event type computed the mergeable way:
+    per-(type, day) positional bitmaps (operators/sketches.
+    bitmap_bucket_sketches), OR-merged up to type — the raw events are
+    read once to build the daily bitmaps and never re-read for the
+    rollup. Unlike the HLL twin (`distinct_users_hll_rollup`) this is
+    exact, so it carries a full COUNT(DISTINCT) value-hash oracle; the
+    price is state proportional to the key space instead of HLL's fixed
+    4 KB. Two bitmap shuffles of 4 KB pages, never a shuffle of raw
+    user ids."""
+    from esther_apache_spark_spark.operators.sketches import (
+        bitmap_bucket_sketches,
+        bitmap_rollup,
+    )
+
+    events = load_table(spark, sf_dir, "events").withColumn("day", F.to_date("ts"))
+    daily = bitmap_bucket_sketches(events, "user_id", ["event_type", "day"])
+    return bitmap_rollup(daily, ["event_type"])

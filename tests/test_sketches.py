@@ -161,3 +161,24 @@ def test_streaming_hll_equals_batch_twin(spark, sf_dir):
         )
     )
     assert got == batch and len(got) > 0
+
+
+def test_bitmap_rollup_is_exact(spark, events):
+    """Positional bitmaps: rollup-of-daily == direct == exact
+    countDistinct — zero error, and the grand total works too."""
+    from esther_apache_spark_spark.operators import sketches as S2
+
+    daily = S2.bitmap_bucket_sketches(events, "user_id", ["event_type", "day"])
+    rolled = {
+        r["event_type"]: r["distinct_exact"]
+        for r in S2.bitmap_rollup(daily, ["event_type"]).collect()
+    }
+    exact = {
+        r["event_type"]: r["n"]
+        for r in events.groupBy("event_type")
+        .agg(F.countDistinct("user_id").alias("n"))
+        .collect()
+    }
+    assert rolled == exact
+    total = S2.bitmap_rollup(daily).collect()[0]["distinct_exact"]
+    assert total == events.select("user_id").distinct().count()
