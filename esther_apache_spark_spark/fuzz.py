@@ -682,6 +682,30 @@ def _null_pred(r: random.Random, n_max: int = 3, prefix: str = "") -> str:
     return "(" + glue.join(conjuncts) + ")"
 
 
+def _q_range_window(r: random.Random, stats: ColumnStats) -> str:
+    # Value-based RANGE frame over an integer ORDER BY: rows tied on the
+    # order value are peers sharing one frame, so the result is
+    # deterministic WITHOUT a total order — the property ROWS frames
+    # lack. Both engines evaluate numeric RANGE offsets identically.
+    t = TABLES[r.choice(["lineitem", "orders", "events", "customer"])]
+    order_col = r.choice(t.ints)
+    v = r.choice(t.doubles)
+    part = r.choice(t.cats) if t.cats and r.random() < 0.7 else None
+    width = r.choice([1, 5, 50, 1000])
+    over = (
+        f"PARTITION BY {part} ORDER BY {order_col} " if part else f"ORDER BY {order_col} "
+    )
+    pred = _predicate(r, stats, t, n_max=2)
+    proj = list(dict.fromkeys(list(t.unique) + [order_col]))
+    return (
+        f"SELECT {', '.join(proj)}, "
+        f"CAST(ROUND(SUM(CAST({v} AS DECIMAL(18,2))) OVER "
+        f"({over}RANGE BETWEEN {width} PRECEDING AND CURRENT ROW), 2) AS DOUBLE)"
+        f" AS range_sum "
+        f"FROM {t.name} WHERE {pred}"
+    )
+
+
 def _q_nullish(r: random.Random, stats: ColumnStats) -> str:
     """One of several NULL-semantics shapes over the nullish fixture."""
     shape = r.choice(["groupby", "filter", "selfjoin", "distinct", "setop"])
@@ -734,6 +758,7 @@ _TEMPLATES = [
     (_q_conditional_agg, 2),
     (_q_antijoin_nullcheck, 2),
     (_q_nullish, 4),
+    (_q_range_window, 2),
 ]
 
 
