@@ -356,3 +356,49 @@ def test_transform_with_state_peak_or_honest_gate(spark, sf_dir):
         .collect()
     }
     assert got == want
+
+
+def test_aqe_skew_join_splits_hot_partition(spark):
+    """The built-in complement to salted_join: with AQE skew handling on
+    (engine default) and thresholds scaled down to test data, a planted
+    hot key makes AQE split the oversized shuffle partition at runtime —
+    the executed plan shows SortMergeJoin(skew=true) over a skewed
+    AQEShuffleRead, and the answer still matches the broadcast-join
+    truth. At 100 TB the default 256 MB threshold plays the same role
+    without any salting code."""
+    from pyspark.sql import functions as F
+
+    keys = [
+        "spark.sql.autoBroadcastJoinThreshold",
+        "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes",
+        "spark.sql.adaptive.advisoryPartitionSizeInBytes",
+        "spark.sql.adaptive.skewJoin.skewedPartitionFactor",
+    ]
+    saved = {k: spark.conf.get(k) for k in keys}
+    try:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        spark.conf.set(
+            "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes", "64KB"
+        )
+        spark.conf.set("spark.sql.adaptive.advisoryPartitionSizeInBytes", "32KB")
+        spark.conf.set("spark.sql.adaptive.skewJoin.skewedPartitionFactor", "2")
+        left = spark.range(300000).selectExpr("cast(0 as long) k", "id v").union(
+            spark.range(30000).selectExpr("1 + cast(id % 99 as long) k", "id v")
+        )
+        right = spark.range(100).selectExpr("id k", "id * 10 w")
+        j = left.join(right, "k").groupBy().agg(
+            F.sum("v").alias("s"), F.sum("w").alias("t")
+        )
+        got = j.collect()[0]
+        plan = j._jdf.queryExecution().executedPlan().toString()
+        assert "skew=true" in plan, plan
+        want = (
+            left.join(right.hint("broadcast"), "k")
+            .groupBy()
+            .agg(F.sum("v").alias("s"), F.sum("w").alias("t"))
+            .collect()[0]
+        )
+        assert (got["s"], got["t"]) == (want["s"], want["t"])
+    finally:
+        for k, v in saved.items():
+            spark.conf.set(k, v)
