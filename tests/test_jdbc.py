@@ -152,3 +152,54 @@ def test_jdbc_partitioned_read_parallel_tasks(tmp_path):
     )
     assert proc.returncode == 0, proc.stderr[-3000:]
     assert "JDBC_PART_OK 200" in proc.stdout
+
+
+def test_jdbc_filter_pushdown_reaches_scan(tmp_path):
+    """Predicates on a JDBC relation must reach the remote engine as
+    PushedFilters (the scan's WHERE runs in the RDBMS, so only matching
+    rows cross the wire) — at scale the difference between shipping a
+    table and shipping a result."""
+    jar = _find_jdbc_jar()
+    if jar is None:
+        pytest.skip("no JDBC driver jar discoverable in this container")
+    db = str(tmp_path / "pushdown.duckdb")
+    script = textwrap.dedent(
+        f"""
+        import sys
+        sys.path.insert(0, {REPO!r})
+        import duckdb
+        from pyspark.sql import SparkSession
+        from pyspark.sql import functions as F
+
+        from esther_apache_spark_spark.sources.readers import read_jdbc
+
+        con = duckdb.connect({db!r})
+        con.execute("CREATE TABLE t AS SELECT range AS id, range % 10 AS k FROM range(1000)")
+        con.close()
+
+        spark = (
+            SparkSession.builder.master("local[2]")
+            .appName("jdbc-pushdown")
+            .config("spark.driver.extraClassPath", {jar!r})
+            .config("spark.ui.enabled", "false")
+            .getOrCreate()
+        )
+        spark.sparkContext.setLogLevel("ERROR")
+        url = "jdbc:duckdb:" + {db!r}
+        props = {{"driver": "org.duckdb.DuckDBDriver"}}
+        df = read_jdbc(spark, url, "t", properties=props).filter(F.col("k") == 3).select("id")
+        plan = df._jdf.queryExecution().executedPlan().toString()
+        assert "PushedFilters" in plan and "k" in plan.split("PushedFilters")[1][:80], plan
+        assert df.count() == 100
+        print("PUSHDOWN_OK")
+        spark.stop()
+        """
+    )
+    proc = subprocess.run(
+        [sys.executable, "-c", script],
+        capture_output=True,
+        text=True,
+        timeout=300,
+    )
+    assert proc.returncode == 0, proc.stderr[-3000:]
+    assert "PUSHDOWN_OK" in proc.stdout
