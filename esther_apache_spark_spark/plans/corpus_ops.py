@@ -821,3 +821,46 @@ def cap_docs_per_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rn") <= 100)
         .select("doc_id", "lang")
     )
+
+
+@register(
+    "cap_chars_per_lang_by_quality",
+    oracle="""
+    WITH ranked AS (
+        SELECT doc_id, lang, n_chars,
+               SUM(n_chars) OVER (
+                   PARTITION BY lang
+                   ORDER BY n_chars DESC, doc_id
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+               ) - n_chars AS chars_before
+        FROM documents
+    )
+    SELECT doc_id, lang, CAST(n_chars AS BIGINT) AS n_chars
+    FROM ranked WHERE chars_before < 30000
+    """,
+)
+def cap_chars_per_lang_by_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Budgeted greedy mixture cap: per language, keep the best
+    documents until a character budget is spent — the 'N billion tokens
+    per language, best-first' rule of a corpus-mixture spec. 'Best' here
+    is the longest-first proxy (n_chars DESC with doc_id tiebreak —
+    deterministic total order); a doc is kept iff the budget was not
+    already exhausted BEFORE it (running sum minus self), so exactly
+    the first overshooting doc is still admitted — the standard greedy
+    knapsack-prefix semantics, and a pure window cumsum. Unlike
+    ``cap_docs_per_lang`` (count cap, pseudo-random order) the budget is
+    weighted and the order is merit-based. Same scale posture as every
+    per-stratum window: one partition per lang; pre-filter with a
+    per-lang quantile gate when a stratum dominates the corpus."""
+    docs = load_table(spark, sf_dir, "documents")
+    w = (
+        Window.partitionBy("lang")
+        .orderBy(F.col("n_chars").desc(), "doc_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    before = F.sum("n_chars").over(w) - F.col("n_chars")
+    return (
+        docs.select("doc_id", "lang", "n_chars", before.alias("_before"))
+        .filter(F.col("_before") < 30000)
+        .drop("_before")
+    )
