@@ -157,3 +157,94 @@ def bitmap_rollup(
     if groups:
         return merged.groupBy(*groups).agg(agg)
     return merged.agg(agg)
+
+
+# ---------------------------------------------------------------------------
+# Count-min sketch — mergeable per-key frequency estimates.
+# ---------------------------------------------------------------------------
+
+def cms_slot(key: Column, row: int, width: int, salt: str = "cms") -> Column:
+    """Counter slot for ``key`` in hash row ``row``: the md5 uint32
+    bucket (bit-identical in Spark and DuckDB — same construction as
+    ``sampling.hash_bucket``) reduced mod ``width``. Each row uses an
+    independent hash via the ``salt‖row:`` prefix."""
+    h = F.md5(F.concat(F.lit(f"{salt}{row}:"), key.cast("string")))
+    return F.pmod(F.conv(F.substring(h, 1, 8), 16, 10).cast("long"), F.lit(width))
+
+
+def cms_bucket_pages(
+    df: DataFrame,
+    key_col: str,
+    bucket_cols: list[str],
+    width: int = 2048,
+    depth: int = 4,
+    salt: str = "cms",
+) -> DataFrame:
+    """Count-min sketch per bucket, stored as sparse counter pages:
+    one row per (bucket, cms_row, cms_slot) with its exact hit count —
+    the frequency-estimation member of the mergeable-sketch family
+    (HLL=distinct, theta=overlap, KLL=quantiles, bitmap=exact distinct,
+    CMS=per-key counts). State is ≤ depth·width rows per bucket no
+    matter how many distinct keys stream through, and pages merge by
+    plain integer addition, so per-day pages answer any period's
+    frequency query without re-reading raw data.
+
+    Unlike HLL/KLL this is FULLY deterministic (md5 rows, integer
+    counts — no estimator randomness), so CMS queries carry complete
+    DuckDB value-hash oracles. One partial-aggregable shuffle of
+    (bucket, row, slot) triples; raw keys never cross the wire."""
+    slots = F.array(
+        *[cms_slot(F.col(key_col), j, width, salt) for j in range(depth)]
+    )
+    return (
+        df.select(*bucket_cols, F.posexplode(slots).alias("cms_row", "cms_slot"))
+        .groupBy(*bucket_cols, "cms_row", "cms_slot")
+        .agg(F.count(F.lit(1)).alias("cms_cnt"))
+    )
+
+
+def cms_rollup(
+    pages: DataFrame, rollup_cols: list[str] | None = None
+) -> DataFrame:
+    """Merge counter pages up to ``rollup_cols`` granularity (None/[] →
+    grand total): CMS merge is elementwise addition, exactly SUM over
+    the page rows — associative/commutative, so partition- and
+    order-insensitive."""
+    groups = rollup_cols or []
+    return pages.groupBy(*groups, "cms_row", "cms_slot").agg(
+        F.sum("cms_cnt").alias("cms_cnt")
+    )
+
+
+def cms_estimate(
+    pages: DataFrame,
+    keys: DataFrame,
+    key_col: str,
+    width: int = 2048,
+    depth: int = 4,
+    salt: str = "cms",
+) -> DataFrame:
+    """Point-query the sketch for every key in ``keys`` (must carry
+    ``key_col``; pages must already be rolled up to a single logical
+    sketch — no extra bucket columns). Returns ``keys`` plus
+    ``cms_count`` = min over the depth rows of the key's slot counters
+    (missing page → 0). Guarantees: ``cms_count ≥ true_count`` always
+    (hash collisions only ever add), and the overshoot is ≤ ⌈e·N/width⌉
+    with probability 1−(1/e)^depth (Cormode & Muthukrishnan 2005) —
+    both pinned in tests/test_sketches.py.
+
+    Plan shape: the key side explodes to depth rows per key and joins
+    pages on (cms_row, cms_slot) — an equi-join on a ≤ depth·width-row
+    relation, which AQE broadcasts; the min-of-depth is one hash
+    aggregate on the key."""
+    probes = keys.select(
+        key_col,
+        F.posexplode(
+            F.array(*[cms_slot(F.col(key_col), j, width, salt) for j in range(depth)])
+        ).alias("cms_row", "cms_slot"),
+    )
+    joined = probes.join(pages, ["cms_row", "cms_slot"], "left")
+    return (
+        joined.groupBy(key_col)
+        .agg(F.min(F.coalesce(F.col("cms_cnt"), F.lit(0))).alias("cms_count"))
+    )

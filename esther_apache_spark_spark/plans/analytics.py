@@ -1172,3 +1172,58 @@ def distinct_users_bitmap_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     events = load_table(spark, sf_dir, "events").withColumn("day", F.to_date("ts"))
     daily = bitmap_bucket_sketches(events, "user_id", ["event_type", "day"])
     return bitmap_rollup(daily, ["event_type"])
+
+
+@register(
+    "user_event_freq_cms",
+    oracle="""
+    WITH j AS (SELECT unnest([0, 1, 2, 3]) AS j),
+    pages AS (
+        SELECT j, slot, COUNT(*) AS cnt FROM (
+            SELECT j.j AS j,
+                   CAST(CONCAT('0x', substr(md5('cms' || CAST(j.j AS VARCHAR)
+                        || ':' || CAST(user_id AS VARCHAR)), 1, 8)) AS BIGINT)
+                       % 2048 AS slot
+            FROM events CROSS JOIN j
+        ) GROUP BY 1, 2
+    ),
+    cand AS (SELECT DISTINCT user_id FROM events),
+    probe AS (
+        SELECT user_id, j.j AS j,
+               CAST(CONCAT('0x', substr(md5('cms' || CAST(j.j AS VARCHAR)
+                    || ':' || CAST(user_id AS VARCHAR)), 1, 8)) AS BIGINT)
+                   % 2048 AS slot
+        FROM cand CROSS JOIN j
+    )
+    SELECT p.user_id, CAST(MIN(COALESCE(g.cnt, 0)) AS BIGINT) AS cms_count
+    FROM probe p LEFT JOIN pages g USING (j, slot)
+    GROUP BY 1
+    """,
+)
+def user_event_freq_cms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user event frequencies answered from a count-min sketch —
+    the mergeable frequency-estimation pattern: per-(day) counter pages
+    (what a 100 TB pipeline persists beside its HLL/bitmap state),
+    integer-SUM-merged to one global sketch, then point-queried for
+    every candidate user. Estimates are ≥ the true count always and
+    within ⌈e·N/width⌉ w.h.p. (bounds pinned in tests/test_sketches.py,
+    where the daily-merge = direct-build identity is also pinned).
+
+    Unlike the HLL/KLL entries this one is FULLY deterministic (md5
+    hash rows, integer counts), so it carries a complete value-hash
+    oracle — DuckDB replays the identical sketch bit-for-bit. Plan
+    shape: pages are a partial-aggregable shuffle of (day, row, slot)
+    triples bounded at depth·width rows per day; the probe joins a
+    ≤ depth·width-row relation (AQE broadcasts it) and min-reduces over
+    depth=4 rows per key; raw event rows never shuffle."""
+    from esther_apache_spark_spark.operators.sketches import (
+        cms_bucket_pages,
+        cms_estimate,
+        cms_rollup,
+    )
+
+    events = load_table(spark, sf_dir, "events").withColumn("day", F.to_date("ts"))
+    daily = cms_bucket_pages(events, "user_id", ["day"])
+    merged = cms_rollup(daily)
+    cand = events.select("user_id").distinct()
+    return cms_estimate(merged, cand, "user_id")

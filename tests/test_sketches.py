@@ -182,3 +182,42 @@ def test_bitmap_rollup_is_exact(spark, events):
     assert rolled == exact
     total = S2.bitmap_rollup(daily).collect()[0]["distinct_exact"]
     assert total == events.select("user_id").distinct().count()
+
+
+def test_cms_overestimates_and_bounds_error(spark, events):
+    """CMS point estimates: ≥ true count for EVERY key (collisions only
+    add), and overshoot ≤ ⌈e·N/width⌉ (the Cormode-Muthukrishnan bound;
+    deterministic md5 rows make this reproducible, not probabilistic,
+    for a fixed corpus)."""
+    import math
+
+    width, depth = 2048, 4
+    pages = S.cms_rollup(S.cms_bucket_pages(events, "user_id", ["day"],
+                                            width=width, depth=depth))
+    cand = events.select("user_id").distinct()
+    est = {
+        r["user_id"]: r["cms_count"]
+        for r in S.cms_estimate(pages, cand, "user_id",
+                                width=width, depth=depth).collect()
+    }
+    exact = {
+        r["user_id"]: r["n"]
+        for r in events.groupBy("user_id").agg(F.count(F.lit(1)).alias("n")).collect()
+    }
+    n_total = events.count()
+    bound = math.ceil(math.e * n_total / width)
+    assert set(est) == set(exact)
+    for uid, e in est.items():
+        assert e >= exact[uid], (uid, e, exact[uid])
+        assert e - exact[uid] <= bound, (uid, e, exact[uid], bound)
+
+
+def test_cms_daily_merge_equals_direct_build(spark, events):
+    """Merging per-day pages must yield the identical sketch (integer
+    addition is exact) as building one global sketch directly."""
+    daily = S.cms_rollup(S.cms_bucket_pages(events, "user_id", ["day"]))
+    direct = S.cms_bucket_pages(events.withColumn("g", F.lit(1)), "user_id", ["g"]).drop("g")
+    key = lambda r: (r["cms_row"], r["cms_slot"])
+    a = {key(r): r["cms_cnt"] for r in daily.collect()}
+    b = {key(r): r["cms_cnt"] for r in direct.collect()}
+    assert a == b
