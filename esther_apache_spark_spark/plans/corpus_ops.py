@@ -864,3 +864,83 @@ def cap_chars_per_lang_by_quality(spark: SparkSession, sf_dir: str) -> DataFrame
         .filter(F.col("_before") < 30000)
         .drop("_before")
     )
+
+
+@register(
+    "unigram_nll_score_docs",
+    oracle="""
+    WITH tok AS (
+        SELECT doc_id, t AS term FROM (
+            SELECT doc_id, unnest(string_split(lower(text), ' ')) AS t
+            FROM documents
+        ) WHERE t <> ''
+    ),
+    v AS (SELECT term, COUNT(*) AS cnt FROM tok GROUP BY term),
+    sc AS (SELECT CAST(SUM(cnt) AS BIGINT) AS tot, COUNT(*) AS vocab FROM v),
+    lp AS (
+        SELECT term,
+               ROUND(LN((CAST(cnt AS DOUBLE) + 1.0)
+                        / (CAST(tot AS DOUBLE) + CAST(vocab AS DOUBLE))), 9)
+                   AS lp
+        FROM v CROSS JOIN sc
+    )
+    SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_tokens,
+           ROUND(-SUM(lp) / COUNT(*), 4) AS nll
+    FROM tok JOIN lp USING (term)
+    GROUP BY doc_id
+    """,
+)
+def unigram_nll_score_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Unigram language-model fluency score per document — the
+    CCNet/perplexity-filtering signal of an LLM data pipeline, with the
+    LM trained on the corpus itself in the same pass: token
+    probabilities are add-one-smoothed corpus frequencies, and each
+    doc's score is its mean token negative log-likelihood (low = built
+    from common words; high = rare-token noise). The full
+    perplexity-gate composes this with the per-lang percentile filter
+    (`filter_docs_by_quality_percentile`) exactly as the KenLM-bucketed
+    CCNet pipeline does.
+
+    Cross-engine determinism: everything upstream of the single `ln`
+    is exact integer arithmetic; the per-TERM log-prob is rounded to
+    9 dp once in the vocabulary (thousands of rows), not per
+    occurrence, so an ulp disagreement between Java's and libm's `ln`
+    would have to land within 5e-10 of a rounding boundary to flip a
+    value — and the per-doc mean is rounded to 4 dp like every floating
+    aggregate in this catalog.
+
+    Plan shape at scale: tokenize+explode is generate-only; the vocab
+    is one (term) hash aggregate; tot/vocab ride the pinned 1-row
+    scalar cross-join; scoring is an equi-join of the token stream
+    against the vocab (AQE broadcasts it while it fits, shuffle-join
+    beyond) followed by one (doc_id) hash aggregate. Raw text never
+    shuffles — only (doc_id, term) pairs."""
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", F.split(F.lower("text"), " ").alias("toks")
+    )
+    tok = docs.select("doc_id", F.explode("toks").alias("term")).filter(
+        F.col("term") != ""
+    )
+    v = tok.groupBy("term").agg(F.count(F.lit(1)).alias("cnt"))
+    sc = v.agg(
+        F.sum("cnt").cast("long").alias("tot"),
+        F.count(F.lit(1)).alias("vocab"),
+    )
+    lp = v.crossJoin(F.broadcast(sc)).select(
+        "term",
+        F.round(
+            F.log(
+                (F.col("cnt").cast("double") + 1.0)
+                / (F.col("tot").cast("double") + F.col("vocab").cast("double"))
+            ),
+            9,
+        ).alias("lp"),
+    )
+    return (
+        tok.join(lp, "term")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_tokens"),
+            F.round(-F.sum("lp") / F.count(F.lit(1)), 4).alias("nll"),
+        )
+    )
