@@ -376,6 +376,92 @@ def dedup_embedding_cosine_collapsed(spark: SparkSession, sf_dir: str) -> DataFr
     )
 
 
+@register(
+    "semantic_dedup_survivors",
+    oracle="""
+    WITH RECURSIVE
+    v AS (SELECT vec_id AS _id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
+    b AS ({tables}),
+    cand AS (
+        SELECT DISTINCT a._id AS id_a, b2._id AS id_b
+        FROM b a JOIN b b2
+          ON a._table = b2._table AND a._bucket = b2._bucket AND a._id < b2._id
+    ),
+    pairs AS (
+        SELECT id_a, id_b FROM (
+            SELECT id_a, id_b,
+                   ROUND(list_cosine_similarity(va.e, vb.e), 4) + 0.0 AS cosine
+            FROM cand JOIN v va ON va._id = cand.id_a
+                      JOIN v vb ON vb._id = cand.id_b
+        ) WHERE cosine >= 0.4
+    ),
+    und AS (
+        SELECT id_a AS src, id_b AS dst FROM pairs
+        UNION SELECT id_b, id_a FROM pairs
+    ),
+    walk(node, comp) AS (
+        SELECT src, src FROM und
+        UNION
+        SELECT u.dst, w.comp FROM walk w JOIN und u ON u.src = w.node
+    ),
+    lab AS (SELECT node, MIN(comp) AS comp FROM walk GROUP BY node),
+    sizes AS (SELECT comp, COUNT(*) AS sz FROM lab GROUP BY comp)
+    SELECT e.vec_id, CAST(COALESCE(s.sz, 1) AS BIGINT) AS cluster_size
+    FROM embeddings e
+    LEFT JOIN lab l ON l.node = e.vec_id
+    LEFT JOIN sizes s ON s.comp = e.vec_id
+    WHERE l.node IS NULL OR l.comp = e.vec_id
+    """.replace("{tables}", _SRP_TABLES),
+)
+def semantic_dedup_survivors(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup-style semantic pruning end-to-end (Abbas et al. 2023,
+    arXiv:2303.09540): embedding near-dup pairs (seeded multi-table
+    SRP-LSH + exact cosine rerank, same machinery as
+    `dedup_embedding_cosine`) → connected components → keep exactly ONE
+    representative per semantic cluster (the min vec_id) plus every
+    unclustered vector. Returns the SURVIVING corpus with each
+    survivor's ``cluster_size`` (how many near-duplicates it stands in
+    for; 1 = unique), i.e. the row set a pipeline would join back onto
+    the documents to materialize the deduplicated training corpus.
+
+    Fully deterministic — seeded planes are embedded in the oracle, and
+    component labels are order-free minima — so unlike the paper's
+    k-means formulation this composition carries a complete value hash
+    oracle (candidate generation, rerank, and reachability all replayed
+    in SQL, the component step as a recursive CTE).
+
+    Scale shape: the pair stage is the capped LSH equi-join (never
+    all-pairs); components run min-label propagation + pointer jumping
+    over the PAIR set only (tiny vs the corpus — empty for unique
+    vectors, which skip the iteration entirely via the final left
+    join); the survivor filter is one broadcast-size join of labels
+    back onto the id column. Raw vectors never enter the iterative
+    stage."""
+    from esther_apache_spark_spark.operators.components import connected_components
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    pairs = D.embedding_cosine_dups(
+        emb, threshold=0.4, n_planes=4, n_tables=12, dim=EMBEDDING_DIM
+    )
+    edges = pairs.select(F.col("id_a").alias("src"), F.col("id_b").alias("dst"))
+    lab = connected_components(edges)
+    # sizes.comp values are representative ids (all present in lab), so a
+    # singleton's vec_id can never collide with another cluster's label.
+    sizes = lab.groupBy("comp").agg(F.count(F.lit(1)).alias("sz")).select(
+        F.col("comp").alias("rep"), "sz"
+    )
+    ids = emb.select("vec_id")
+    return (
+        ids.join(lab, ids.vec_id == lab.node, "left")
+        .filter(F.col("node").isNull() | (F.col("comp") == F.col("vec_id")))
+        .join(sizes, F.col("rep") == F.col("vec_id"), "left")
+        .select(
+            "vec_id",
+            F.coalesce(F.col("sz"), F.lit(1)).cast("long").alias("cluster_size"),
+        )
+    )
+
+
 # ---------------------------------------------------------------------------
 # Similarity search (M4).
 # ---------------------------------------------------------------------------
