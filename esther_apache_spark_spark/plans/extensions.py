@@ -1917,6 +1917,37 @@ def interval_join_left_view_purchase(spark: SparkSession, sf_dir: str) -> DataFr
     )
 
 
+@register(
+    "interval_join_full_view_purchase",
+    oracle="""
+    SELECT COALESCE(v.user_id, p.user_id) AS user_id,
+           v.event_id AS view_id, p.event_id AS purchase_id,
+           strftime(v.ts, '%Y-%m-%d %H:%M:%S') AS view_ts,
+           strftime(p.ts, '%Y-%m-%d %H:%M:%S') AS purchase_ts
+    FROM (SELECT * FROM events WHERE event_type = 'view') v
+    FULL JOIN (SELECT * FROM events WHERE event_type = 'purchase') p
+      ON v.user_id = p.user_id
+     AND p.ts > v.ts AND p.ts <= v.ts + INTERVAL 1 HOUR
+    """,
+)
+def interval_join_full_view_purchase(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batch twin of the FULL OUTER interval join: unconverted views AND
+    orphan purchases both survive with null opposite-side columns —
+    the symmetric completion of `interval_join_left_view_purchase`.
+    The streaming variant shares the kernel; its two-sided
+    prefix-completeness containment is pinned in
+    tests/test_skew_and_streaming.py rather than oracled."""
+    from esther_apache_spark_spark.streaming.events import (
+        interval_join_views_purchases_full,
+    )
+
+    events = load_table(spark, sf_dir, "events")
+    return interval_join_views_purchases_full(
+        events.filter(F.col("event_type") == "view"),
+        events.filter(F.col("event_type") == "purchase"),
+    )
+
+
 # ---------------------------------------------------------------------------
 # Iterative graph analytics — PageRank over the brand co-purchase graph.
 # ---------------------------------------------------------------------------

@@ -529,6 +529,49 @@ def interval_join_views_purchases_left(
     )
 
 
+def interval_join_views_purchases_full(
+    views: DataFrame, purchases: DataFrame, horizon: str = "1 hour"
+) -> DataFrame:
+    """FULL OUTER attribution join — the completion of the interval-join
+    family (inner / leftOuter / fullOuter share one kernel): every view
+    AND every purchase survives; unconverted views carry NULL purchase
+    columns, orphan purchases (no view in the preceding hour) carry NULL
+    view columns. Streaming semantics extend the left-outer contract
+    symmetrically: matched rows emit on arrival; null-extensions on
+    EITHER side emit only once the opposite side's watermark passes the
+    horizon, so a bounded stream yields a prefix-complete subset of the
+    batch twin on both sides (pinned in
+    tests/test_skew_and_streaming.py). State stays bounded exactly as in
+    the inner form — the equality key plus the two-sided time bound lets
+    each side GC rows the other side's watermark has passed."""
+    v = views.select(
+        F.col("user_id").alias("v_user"),
+        F.col("event_id").alias("view_id"),
+        F.col("ts").alias("view_ts"),
+    )
+    p = purchases.select(
+        F.col("user_id").alias("p_user"),
+        F.col("event_id").alias("purchase_id"),
+        F.col("ts").alias("purchase_ts"),
+    )
+    if views.isStreaming:
+        v = v.withWatermark("view_ts", "30 minutes")
+        p = p.withWatermark("purchase_ts", "30 minutes")
+    return v.join(
+        p,
+        (F.col("v_user") == F.col("p_user"))
+        & (F.col("purchase_ts") > F.col("view_ts"))
+        & (F.col("purchase_ts") <= F.col("view_ts") + F.expr(f"INTERVAL {horizon}")),
+        "fullOuter",
+    ).select(
+        F.coalesce(F.col("v_user"), F.col("p_user")).alias("user_id"),
+        "view_id",
+        "purchase_id",
+        F.date_format("view_ts", "yyyy-MM-dd HH:mm:ss").alias("view_ts"),
+        F.date_format("purchase_ts", "yyyy-MM-dd HH:mm:ss").alias("purchase_ts"),
+    )
+
+
 def windowed_distinct_users_hll(
     events: DataFrame,
     window: str = "6 hours",

@@ -402,3 +402,54 @@ def test_aqe_skew_join_splits_hot_partition(spark):
     finally:
         for k, v in saved.items():
             spark.conf.set(k, v)
+
+
+def test_streaming_full_interval_join_prefix_containment(spark, sf_dir):
+    """Streaming FULL OUTER interval join vs its batch twin: matched
+    rows must all emit, every streamed row must exist in the batch
+    answer, and null-extensions on EITHER side may only be missing
+    (rows whose horizon the final watermark never passed) — never
+    wrong."""
+    import uuid
+
+    from pyspark.sql import functions as F
+
+    from esther_apache_spark_spark.schemas import load_table
+    from esther_apache_spark_spark.streaming.events import (
+        interval_join_views_purchases_full,
+        streaming_events_source,
+    )
+
+    events = load_table(spark, sf_dir, "events")
+    batch = {
+        tuple(r)
+        for r in interval_join_views_purchases_full(
+            events.filter(F.col("event_type") == "view"),
+            events.filter(F.col("event_type") == "purchase"),
+        ).collect()
+    }
+    matched_batch = {r for r in batch if r[1] is not None and r[2] is not None}
+
+    name = f"stream_foj_{uuid.uuid4().hex[:8]}"
+    q = (
+        interval_join_views_purchases_full(
+            streaming_events_source(spark, sf_dir).filter(
+                F.col("event_type") == "view"
+            ),
+            streaming_events_source(spark, sf_dir).filter(
+                F.col("event_type") == "purchase"
+            ),
+        )
+        .writeStream.outputMode("append")
+        .format("memory")
+        .queryName(name)
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    streamed = {tuple(r) for r in spark.table(name).collect()}
+
+    assert matched_batch <= streamed, "inner rows must all emit"
+    assert streamed <= batch, "streamed rows must agree with the batch twin"
