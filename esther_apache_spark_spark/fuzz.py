@@ -746,6 +746,76 @@ def _q_nullish(r: random.Random, stats: ColumnStats) -> str:
     )
 
 
+def _q_string_funcs(r: random.Random, stats: ColumnStats) -> str:
+    """String-function projection shapes over the Spark∩DuckDB agreement
+    subset: upper/lower/length/trim/substr/replace/lpad/`||` all have
+    identical semantics (char-based length, truncating lpad, NULL-in →
+    NULL-out), plus a LIKE predicate so pushdown of string filters is
+    exercised."""
+    t = TABLES[r.choice(["customer", "part", "supplier", "documents"])]
+    s = r.choice(t.strings or t.cats)
+    ch = chr(ord("a") + r.randrange(26))
+    items = [*t.unique]
+    pool = [
+        f"upper({s}) AS s_up",
+        f"lower({s}) AS s_lo",
+        f"CAST(length({s}) AS BIGINT) AS s_len",
+        f"substr({s}, 1, {r.randint(1, 8)}) AS s_pre",
+        f"replace({s}, '{ch}', '_') AS s_rep",
+        f"lpad({s}, {r.randint(2, 12)}, '#') AS s_pad",
+        f"trim({s}) AS s_trim",
+    ]
+    r.shuffle(pool)
+    items += pool[: r.randint(2, 4)]
+    if t.cats and r.random() < 0.5:
+        items.append(f"({s} || '-' || {r.choice(t.cats)}) AS s_cat")
+    pred = f"{s} LIKE '%{ch}%'"
+    if r.random() < 0.5:
+        pred += f" AND {_predicate(r, stats, t, n_max=2)}"
+    return f"SELECT {', '.join(items)} FROM {t.name} WHERE {pred}"
+
+
+def _q_derived_table(r: random.Random, stats: ColumnStats) -> str:
+    """Two-level aggregation through a derived table (aggregate of an
+    aggregate) — the count-of-counts / per-group-max-of-subgroup shape.
+    Inner aggregates are exact integers, so the outer MAX/SUM/COUNT
+    stay exact; SUMs are cast back to BIGINT against DuckDB's HUGEINT
+    widening."""
+    t = TABLES[r.choice(["lineitem", "orders", "events"])]
+    g1 = r.choice(t.cats)
+    g2 = r.choice([c for c in t.ints if c not in t.unique] or list(t.ints))
+    pred = _predicate(r, stats, t, n_max=2)
+    inner = (
+        f"SELECT {g1} AS g1, {g2} AS g2, CAST(COUNT(*) AS BIGINT) AS c "
+        f"FROM {t.name} WHERE {pred} GROUP BY {g1}, {g2}"
+    )
+    return (
+        f"SELECT g1, CAST(COUNT(*) AS BIGINT) AS n_groups, "
+        f"CAST(MAX(c) AS BIGINT) AS max_c, CAST(MIN(c) AS BIGINT) AS min_c, "
+        f"CAST(SUM(c) AS BIGINT) AS sum_c "
+        f"FROM ({inner}) d GROUP BY g1"
+    )
+
+
+def _q_scalar_subquery(r: random.Random, stats: ColumnStats) -> str:
+    """Uncorrelated scalar subquery in the WHERE clause (threshold =
+    MIN/MAX of a filtered scan — exact, no floating aggregate). An
+    empty subquery yields NULL, and `x > NULL` drops every row in both
+    engines, so the vacuous case is itself a semantics check."""
+    t = TABLES[r.choice(["orders", "lineitem", "events", "part"])]
+    v = r.choice(t.ints)
+    fn = r.choice(["MIN", "MAX"])
+    op = r.choice([">", ">=", "<", "<="])
+    sub_pred = _predicate(r, stats, t, n_max=2)
+    pred = _predicate(r, stats, t, n_max=2)
+    cols = list(t.unique) + [c for c in (t.cats or t.ints) if c not in t.unique][:1]
+    return (
+        f"SELECT {', '.join(cols)} FROM {t.name} "
+        f"WHERE {pred} AND {v} {op} "
+        f"(SELECT {fn}({v}) FROM {t.name} WHERE {sub_pred})"
+    )
+
+
 _TEMPLATES = [
     (_q_filter_project, 3),
     (_q_groupby, 4),
@@ -759,6 +829,9 @@ _TEMPLATES = [
     (_q_antijoin_nullcheck, 2),
     (_q_nullish, 4),
     (_q_range_window, 2),
+    (_q_string_funcs, 2),
+    (_q_derived_table, 2),
+    (_q_scalar_subquery, 2),
 ]
 
 
