@@ -78,3 +78,38 @@ def stratified_hash_sample(
     for value, frac in sorted(fractions.items()):
         thr = F.when(F.col(strata_col) == value, int(frac * _BUCKETS)).otherwise(thr)
     return df.filter(hash_bucket(F.col(key_col)) < thr)
+
+
+def temperature_sample(
+    df: DataFrame,
+    key_col: str,
+    strata_col: str,
+    alpha: float = 0.5,
+    salt: str = "temp",
+) -> DataFrame:
+    """Temperature-based mixture sampling — the multilingual-corpus
+    rebalancing rule (sample stratum l at a rate ∝ p_l^α, α<1 upweights
+    tail languages; Conneau & Lample 2019): per-stratum keep-rates are
+    DERIVED FROM THE DATA in one tiny aggregate (rate_l = n_l^α /
+    max_m n_m^α, so the largest stratum keeps everything and smaller
+    strata keep relatively more than proportional sampling would),
+    then applied as a deterministic hash gate. Every arithmetic step is
+    a single IEEE double op (pow, divide, multiply, floor) evaluated in
+    a fixed order, so the selected row set is bit-reproducible across
+    engines and partitionings — unlike RNG-based `sampleBy`.
+
+    Scale shape: the rate table is #strata rows (broadcast); the gate
+    is an ordinary filter over the single scan."""
+    counts = df.groupBy(strata_col).agg(F.count(F.lit(1)).alias("_n"))
+    q = F.pow(F.col("_n").cast("double"), F.lit(float(alpha)))
+    rates = counts.select(strata_col, q.alias("_q"))
+    maxq = rates.agg(F.max("_q").alias("_maxq"))
+    rates = rates.crossJoin(F.broadcast(maxq)).select(
+        strata_col, (F.col("_q") / F.col("_maxq")).alias("_rate")
+    )
+    thr = F.floor(F.col("_rate") * F.lit(float(_BUCKETS))).cast("long")
+    return (
+        df.join(F.broadcast(rates), strata_col)
+        .filter(hash_bucket(F.col(key_col), salt) < thr)
+        .drop("_rate")
+    )

@@ -1180,6 +1180,40 @@ def deterministic_sample_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "temperature_sample_by_lang",
+    oracle="""
+    WITH c AS (SELECT lang, COUNT(*) AS n FROM documents GROUP BY lang),
+    r AS (
+        SELECT lang,
+               pow(CAST(n AS DOUBLE), 0.5)
+                   / (SELECT MAX(pow(CAST(n AS DOUBLE), 0.5)) FROM c) AS rate
+        FROM c
+    )
+    SELECT d.doc_id, d.lang FROM documents d JOIN r USING (lang)
+    WHERE CAST(CONCAT('0x', substr(md5('temp' || CAST(doc_id AS VARCHAR)), 1, 8))
+               AS BIGINT)
+          < CAST(FLOOR(rate * 4294967296) AS BIGINT)
+    """,
+)
+def temperature_sample_by_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Temperature-based multilingual rebalancing (rate_l ∝ n_l^0.5,
+    normalized so the largest language keeps 100%): the standard α<1
+    upweighting of tail languages in a multilingual training mixture,
+    with the keep-rates derived from the corpus itself — unlike
+    `stratified_sample_by_lang`, whose rates are constants. The rate
+    computation is a #langs-row aggregate with one pow/divide each
+    (fixed op order → bit-identical doubles cross-engine), broadcast
+    back as a hash-gate threshold; the sample is one pushed-down filter
+    over the single scan and stable under any repartitioning."""
+    from esther_apache_spark_spark.operators.sampling import temperature_sample
+
+    docs = load_table(spark, sf_dir, "documents")
+    return temperature_sample(docs, "doc_id", "lang", alpha=0.5).select(
+        "doc_id", "lang"
+    )
+
+
+@register(
     "stratified_sample_by_lang",
     oracle="""
     SELECT doc_id, lang FROM documents

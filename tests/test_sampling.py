@@ -3,6 +3,8 @@ splits, and approximate fraction sizing."""
 
 from __future__ import annotations
 
+from pyspark.sql import functions as F
+
 from esther_apache_spark_spark.operators.sampling import (
     hash_sample,
     stratified_hash_sample,
@@ -38,3 +40,33 @@ def test_stratified_fractions(spark, sf_dir):
     assert langs == {"en"}  # default 0 excludes every other stratum
     n_en = docs.filter(docs.lang == "en").count()
     assert abs(got.count() / n_en - 0.8) < 0.12
+
+
+def test_temperature_sample_upweights_tail_strata(spark, sf_dir):
+    """α=0.5 temperature sampling: the largest language keeps 100% of
+    its rows (rate normalizes to 1), every stratum's realized keep-rate
+    tracks (n_l/n_max)^0.5 — i.e. strictly MORE than proportional
+    sampling would keep for tail languages — and the selected set is
+    reproducible."""
+    from esther_apache_spark_spark.operators.sampling import temperature_sample
+
+    docs = load_table(spark, sf_dir, "documents")
+    before = {r["lang"]: r["n"] for r in docs.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n")).collect()}
+    got = temperature_sample(docs, "doc_id", "lang", alpha=0.5)
+    after = {r["lang"]: r["n"] for r in got.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n")).collect()}
+    n_max = max(before.values())
+    top = max(before, key=lambda k: before[k])
+    assert after[top] == before[top]  # rate 1.0 → everything kept
+    for lang, n in before.items():
+        expected = (n / n_max) ** 0.5
+        realized = after.get(lang, 0) / n
+        assert abs(realized - expected) < 0.25, (lang, realized, expected)
+        # tail strata keep more than proportional sampling would
+        if n < n_max:
+            assert realized > (n / n_max) - 0.05
+    again = temperature_sample(docs, "doc_id", "lang", alpha=0.5)
+    assert sorted(r["doc_id"] for r in got.select("doc_id").collect()) == sorted(
+        r["doc_id"] for r in again.select("doc_id").collect()
+    )
