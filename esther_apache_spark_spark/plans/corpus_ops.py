@@ -944,3 +944,113 @@ def unigram_nll_score_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(-F.sum("lp") / F.count(F.lit(1)), 4).alias("nll"),
         )
     )
+
+
+_BPE_ITERS = 6
+
+
+def _bpe_oracle() -> str:
+    """Build the statically-unrolled DuckDB replay of BPE merge
+    learning: w{k} = corpus after k merges, p{k}/m{k} = pair counts and
+    argmax of iteration k (same unrolled-CTE doctrine as the PageRank
+    oracle)."""
+    ctes = [
+        """w0 AS (
+        SELECT ' ' || regexp_replace(w, '(.)', '\\1 ', 'g') || '</w> ' AS s,
+               CAST(cnt AS BIGINT) AS cnt
+        FROM (
+            SELECT t AS w, COUNT(*) AS cnt FROM (
+                SELECT unnest(string_split(lower(text), ' ')) AS t
+                FROM documents
+            ) WHERE t <> '' GROUP BY t
+        )
+    )"""
+    ]
+    for k in range(1, _BPE_ITERS + 1):
+        ctes.append(f"""p{k} AS (
+        SELECT pair, CAST(SUM(cnt) AS BIGINT) AS c FROM (
+            SELECT cnt, unnest(list_transform(range(1, len(sy)),
+                               i -> sy[i] || ' ' || sy[i + 1])) AS pair
+            FROM (SELECT cnt, string_split(trim(s), ' ') AS sy FROM w{k - 1})
+        ) GROUP BY pair
+    )""")
+        ctes.append(
+            f"m{k} AS (SELECT pair, c FROM p{k} ORDER BY c DESC, pair LIMIT 1)"
+        )
+        if k < _BPE_ITERS:
+            ctes.append(f"""w{k} AS (
+        SELECT replace(s, ' ' || (SELECT pair FROM m{k}) || ' ',
+                       ' ' || (SELECT replace(pair, ' ', '') FROM m{k}) || ' ') AS s,
+               cnt
+        FROM w{k - 1}
+    )""")
+    rows = "\n    UNION ALL ".join(
+        f"SELECT {k} AS rank, string_split(pair, ' ')[1] AS sym_a, "
+        f"string_split(pair, ' ')[2] AS sym_b, c AS freq FROM m{k}"
+        for k in range(1, _BPE_ITERS + 1)
+    )
+    return "WITH " + ",\n    ".join(ctes) + "\n    " + rows
+
+
+@register("bpe_learn_merges", oracle=_bpe_oracle())
+def bpe_learn_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Learn the corpus's first 6 BPE merge rules (Sennrich et al.
+    2016 — the tokenizer-training core of an LLM data pipeline): start
+    from the character-level word vocabulary (with `</w>` end-of-word
+    markers), repeatedly count adjacent-symbol pairs weighted by word
+    frequency, pick the most frequent pair (count DESC, pair ASC — a
+    total order, so the winner is engine-independent), and merge it
+    everywhere. Returns the ranked merge table (rank, sym_a, sym_b,
+    freq) — the artifact a tokenizer ships.
+
+    Scale shape: the corpus collapses to its word VOCABULARY first
+    (one hash aggregate — pair statistics are weighted by word counts,
+    so all later work is sublinear in corpus size, the same
+    distinct-first contraction as `fuzzy_canon_part_names`); each
+    iteration is one explode + hash aggregate over the vocabulary plus
+    a 1-ROW argmax collected to the driver (the same documented
+    boundary as `q15_top_supplier`'s scalar and the IVF k-means
+    centroids — 6 tiny actions total). Merge application is a literal
+    string replace on the space-joined symbol form: left-to-right,
+    non-overlapping in both engines, which IS greedy BPE apply
+    semantics. The DuckDB oracle replays all six rounds as unrolled
+    CTEs with scalar-subquery replaces — bit-identical including
+    tiebreaks."""
+    docs = load_table(spark, sf_dir, "documents")
+    words = (
+        docs.select(F.explode(F.split(F.lower("text"), " ")).alias("w"))
+        .filter(F.col("w") != "")
+        .groupBy("w")
+        .agg(F.count(F.lit(1)).cast("long").alias("cnt"))
+    )
+    cur = words.select(
+        F.concat(
+            F.lit(" "), F.regexp_replace("w", "(.)", "$1 "), F.lit("</w> ")
+        ).alias("s"),
+        "cnt",
+    ).cache()
+    out: list[tuple[int, str, str, int]] = []
+    for k in range(1, _BPE_ITERS + 1):
+        sy = F.split(F.trim("s"), " ")
+        pairs = cur.select(
+            "cnt",
+            F.explode(
+                F.transform(
+                    F.sequence(F.lit(1), F.size(sy) - 1),
+                    lambda i: F.concat_ws(
+                        " ", F.element_at(sy, i), F.element_at(sy, i + 1)
+                    ),
+                )
+            ).alias("pair"),
+        ).groupBy("pair").agg(F.sum("cnt").alias("c"))
+        best = pairs.orderBy(F.desc("c"), F.asc("pair")).first()
+        a, b = best["pair"].split(" ")
+        out.append((k, a, b, best["c"]))
+        if k < _BPE_ITERS:
+            cur = cur.withColumn(
+                "s", F.replace("s", F.lit(f" {a} {b} "), F.lit(f" {a}{b} "))
+            )
+    cur.unpersist()
+    return spark.createDataFrame(
+        out, "rank int, sym_a string, sym_b string, freq long"
+    )
