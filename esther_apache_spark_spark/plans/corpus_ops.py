@@ -977,8 +977,7 @@ def _bpe_oracle() -> str:
         ctes.append(
             f"m{k} AS (SELECT pair, c FROM p{k} ORDER BY c DESC, pair LIMIT 1)"
         )
-        if k < _BPE_ITERS:
-            ctes.append(f"""w{k} AS (
+        ctes.append(f"""w{k} AS (
         SELECT replace(s, ' ' || (SELECT pair FROM m{k}) || ' ',
                        ' ' || (SELECT replace(pair, ' ', '') FROM m{k}) || ' ') AS s,
                cnt
@@ -990,6 +989,19 @@ def _bpe_oracle() -> str:
         for k in range(1, _BPE_ITERS + 1)
     )
     return "WITH " + ",\n    ".join(ctes) + "\n    " + rows
+
+
+def _bpe_subword_oracle() -> str:
+    """Same unrolled chain, but the answer is read off the FINAL merged
+    vocabulary: corpus-wide subword frequencies after all merges."""
+    base = _bpe_oracle()
+    chain = base[: base.rindex("SELECT 1 AS rank")]
+    return (
+        chain
+        + f"""SELECT sym, CAST(SUM(cnt) AS BIGINT) AS freq FROM (
+        SELECT cnt, unnest(string_split(trim(s), ' ')) AS sym FROM w{_BPE_ITERS}
+    ) GROUP BY sym ORDER BY freq DESC, sym LIMIT 20"""
+    )
 
 
 @register("bpe_learn_merges", oracle=_bpe_oracle())
@@ -1016,6 +1028,18 @@ def bpe_learn_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
     semantics. The DuckDB oracle replays all six rounds as unrolled
     CTEs with scalar-subquery replaces — bit-identical including
     tiebreaks."""
+    out, _base, _final = _bpe_learn(spark, sf_dir)
+    return spark.createDataFrame(
+        out, "rank int, sym_a string, sym_b string, freq long"
+    )
+
+
+def _bpe_learn(
+    spark: SparkSession, sf_dir: str
+) -> tuple[list[tuple[int, str, str, int]], DataFrame, DataFrame]:
+    """Shared BPE trainer: returns (ranked merges, cached char-level
+    vocabulary, vocabulary with ALL merges applied). Caller owns the
+    cached base (unpersist when done)."""
     docs = load_table(spark, sf_dir, "documents")
     words = (
         docs.select(F.explode(F.split(F.lower("text"), " ")).alias("w"))
@@ -1023,12 +1047,13 @@ def bpe_learn_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("w")
         .agg(F.count(F.lit(1)).cast("long").alias("cnt"))
     )
-    cur = words.select(
+    base = words.select(
         F.concat(
             F.lit(" "), F.regexp_replace("w", "(.)", "$1 "), F.lit("</w> ")
         ).alias("s"),
         "cnt",
     ).cache()
+    cur = base
     out: list[tuple[int, str, str, int]] = []
     for k in range(1, _BPE_ITERS + 1):
         sy = F.split(F.trim("s"), " ")
@@ -1046,11 +1071,28 @@ def bpe_learn_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
         best = pairs.orderBy(F.desc("c"), F.asc("pair")).first()
         a, b = best["pair"].split(" ")
         out.append((k, a, b, best["c"]))
-        if k < _BPE_ITERS:
-            cur = cur.withColumn(
-                "s", F.replace("s", F.lit(f" {a} {b} "), F.lit(f" {a}{b} "))
-            )
-    cur.unpersist()
-    return spark.createDataFrame(
-        out, "rank int, sym_a string, sym_b string, freq long"
+        cur = cur.withColumn(
+            "s", F.replace("s", F.lit(f" {a} {b} "), F.lit(f" {a}{b} "))
+        )
+    return out, base, cur
+
+
+@register("bpe_subword_frequencies", oracle=_bpe_subword_oracle())
+def bpe_subword_frequencies(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Apply the learned BPE merges back to the corpus and report the
+    top-20 subword frequencies — the learn→segment round trip that
+    proves the merge table actually tokenizes (merged symbols like
+    `th`/`the</w>` displace their constituent characters in the
+    frequency table). Same sublinear shape as `bpe_learn_merges`: all
+    work happens on the weighted word vocabulary; the final count is
+    one explode + hash aggregate with a rounded TakeOrdered head
+    (freq DESC, sym ASC — total order)."""
+    _merges, base, final = _bpe_learn(spark, sf_dir)
+    out = (
+        final.select("cnt", F.explode(F.split(F.trim("s"), " ")).alias("sym"))
+        .groupBy("sym")
+        .agg(F.sum("cnt").cast("long").alias("freq"))
+        .orderBy(F.desc("freq"), F.asc("sym"))
+        .limit(20)
     )
+    return out
