@@ -77,6 +77,7 @@ def brute_force_topk_pandas(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     query_id_col: str = "query_id",
+    max_cosine: float | None = None,
 ) -> DataFrame:
     """Exact cosine top-k via an Arrow-vectorized ``mapInPandas`` scan —
     the wide-embedding fast path (same results as ``brute_force_topk``,
@@ -88,7 +89,14 @@ def brute_force_topk_pandas(
     cost ~1 multiply-add instead of an interpreted HOF expression tree;
     at dim ≳ 256 this wins by orders of magnitude. Per-batch local top-k
     keeps the shuffle at k rows per query per batch before the final
-    global rank."""
+    global rank.
+
+    ``max_cosine`` (exclusive, applied to the ROUNDED score) turns the
+    scan into a hard-negative miner: only neighbors strictly below the
+    ceiling compete for the top-k — "closest vectors that are NOT
+    near-duplicates", the negative-pair source for contrastive
+    embedding training. Self-matches (cosine 1.0) fall out
+    automatically."""
     corpus = corpus.filter(is_valid_vector(F.col(vec_col)))
     queries = queries.filter(is_valid_vector(F.col(vec_col)))
     import numpy as np
@@ -113,11 +121,18 @@ def brute_force_topk_pandas(
             # key or a raw-score ordering could cut a row the global
             # (cosine desc, neighbor_id asc) order keeps
             scores = np.round(cm @ qm.T, 6)  # (batch, n_queries)
-            top = min(k, len(ids))
             rows = []
             for j, qid in enumerate(q_ids):
                 col = scores[:, j]
-                if top < len(ids):
+                if max_cosine is not None:
+                    sel = np.flatnonzero(col < max_cosine)
+                    ids_j, col = ids[sel], col[sel]
+                else:
+                    ids_j = ids
+                top = min(k, len(ids_j))
+                if top == 0:
+                    continue
+                if top < len(ids_j):
                     # argpartition gives the top scores but breaks ties
                     # arbitrarily; widen to ALL rows tied with the k-th
                     # score, then apply the total order (score desc,
@@ -126,10 +141,10 @@ def brute_force_topk_pandas(
                     part = np.argpartition(-col, top - 1)[:top]
                     cand = np.flatnonzero(col >= col[part].min())
                 else:
-                    cand = np.arange(len(ids))
-                order = cand[np.lexsort((ids[cand], -col[cand]))][:top]
+                    cand = np.arange(len(ids_j))
+                order = cand[np.lexsort((ids_j[cand], -col[cand]))][:top]
                 for i in order:
-                    rows.append((int(qid), int(ids[i]), float(col[i])))
+                    rows.append((int(qid), int(ids_j[i]), float(col[i])))
             yield pd.DataFrame(rows, columns=["query_id", "neighbor_id", "cosine"])
 
     scored = corpus.select(id_col, vec_col).mapInPandas(scan, out_schema)

@@ -1227,3 +1227,78 @@ def user_event_freq_cms(spark: SparkSession, sf_dir: str) -> DataFrame:
     merged = cms_rollup(daily)
     cand = events.select("user_id").distinct()
     return cms_estimate(merged, cand, "user_id")
+
+
+@register(
+    "column_stats_lineitem",
+    oracle="""
+    SELECT 'l_orderkey' AS col_name,
+           CAST(MIN(l_orderkey) AS VARCHAR) AS min_v,
+           CAST(MAX(l_orderkey) AS VARCHAR) AS max_v,
+           CAST(COUNT(*) - COUNT(l_orderkey) AS BIGINT) AS null_count,
+           CAST(COUNT(DISTINCT l_orderkey) AS BIGINT) AS ndv
+    FROM lineitem
+    UNION ALL
+    SELECT 'l_partkey', CAST(MIN(l_partkey) AS VARCHAR),
+           CAST(MAX(l_partkey) AS VARCHAR),
+           CAST(COUNT(*) - COUNT(l_partkey) AS BIGINT),
+           CAST(COUNT(DISTINCT l_partkey) AS BIGINT)
+    FROM lineitem
+    UNION ALL
+    SELECT 'l_returnflag', MIN(l_returnflag), MAX(l_returnflag),
+           CAST(COUNT(*) - COUNT(l_returnflag) AS BIGINT),
+           CAST(COUNT(DISTINCT l_returnflag) AS BIGINT)
+    FROM lineitem
+    UNION ALL
+    SELECT 'l_linestatus', MIN(l_linestatus), MAX(l_linestatus),
+           CAST(COUNT(*) - COUNT(l_linestatus) AS BIGINT),
+           CAST(COUNT(DISTINCT l_linestatus) AS BIGINT)
+    FROM lineitem
+    UNION ALL
+    SELECT 'l_shipdate', strftime(MIN(l_shipdate), '%Y-%m-%d %H:%M:%S'),
+           strftime(MAX(l_shipdate), '%Y-%m-%d %H:%M:%S'),
+           CAST(COUNT(*) - COUNT(l_shipdate) AS BIGINT),
+           CAST(COUNT(DISTINCT l_shipdate) AS BIGINT)
+    FROM lineitem
+    """,
+)
+def column_stats_lineitem(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ANALYZE-style per-column statistics (min/max/null_count/exact
+    NDV) for the fact table, computed in ONE logical pass — the stats
+    that drive CBO join ordering, AQE thresholds, and file-skipping
+    decisions at 100 TB (`ANALYZE TABLE ... COMPUTE STATISTICS FOR
+    COLUMNS` as a query). All per-column aggregates go into a single
+    `.agg(...)`; the multiple exact COUNT(DISTINCT)s plan as one
+    Expand-based aggregate (one scan, data replicated per distinct
+    column in the shuffle — the documented exact-NDV trade; swap in HLL
+    sketches via `operators/sketches.py` when approximate NDV is
+    acceptable at scale). The 1-row wide result is then unpivoted to
+    long form with `stack` — a zero-shuffle projection."""
+    li = load_table(spark, sf_dir, "lineitem")
+    int_cols = ["l_orderkey", "l_partkey"]
+    str_cols = ["l_returnflag", "l_linestatus"]
+    ts_cols = ["l_shipdate"]
+    aggs = []
+    for c in int_cols + str_cols:
+        aggs += [
+            F.min(c).cast("string").alias(f"min__{c}"),
+            F.max(c).cast("string").alias(f"max__{c}"),
+        ]
+    for c in ts_cols:
+        aggs += [
+            F.date_format(F.min(c), "yyyy-MM-dd HH:mm:ss").alias(f"min__{c}"),
+            F.date_format(F.max(c), "yyyy-MM-dd HH:mm:ss").alias(f"max__{c}"),
+        ]
+    for c in int_cols + str_cols + ts_cols:
+        aggs += [
+            (F.count(F.lit(1)) - F.count(c)).cast("long").alias(f"nulls__{c}"),
+            F.countDistinct(c).cast("long").alias(f"ndv__{c}"),
+        ]
+    wide = li.agg(*aggs)
+    cols = int_cols + str_cols + ts_cols
+    stack_args = ", ".join(
+        f"'{c}', min__{c}, max__{c}, nulls__{c}, ndv__{c}" for c in cols
+    )
+    return wide.selectExpr(
+        f"stack({len(cols)}, {stack_args}) AS (col_name, min_v, max_v, null_count, ndv)"
+    )

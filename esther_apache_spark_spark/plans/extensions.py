@@ -623,6 +623,43 @@ def similarity_topk_pandas(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "hard_negative_mining",
+    oracle=f"""
+    SELECT query_id, neighbor_id, cosine FROM (
+        SELECT query_id, neighbor_id, cosine,
+               row_number() OVER (
+                   PARTITION BY query_id
+                   ORDER BY cosine DESC, neighbor_id ASC
+               ) AS rn
+        FROM (
+            SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+                   ROUND({_COS}, 6) + 0.0 AS cosine
+            FROM embeddings c, (SELECT * FROM embeddings WHERE vec_id < 5) q
+        ) WHERE cosine < 0.4
+    ) WHERE rn <= 5
+    """,
+)
+def hard_negative_mining(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hard-negative mining for contrastive embedding training: for
+    each anchor, the 5 CLOSEST vectors strictly below the near-dup
+    threshold (cosine < 0.4) — similar enough to be informative
+    negatives, distant enough to not be positives (the near-dup band at
+    ≥ 0.4 belongs to `dedup_embedding_cosine`; self-matches at 1.0 fall
+    out with it). Runs on the same mapInPandas GEMM scan as
+    `similarity_topk_pandas` with the ceiling applied to the rounded
+    score inside the kernel, BEFORE the local top-k cut — filtering
+    after a plain top-k would lose every negative outranked by the
+    anchor's duplicates. Shuffle stays ≤ k rows per anchor per batch."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    return S.brute_force_topk_pandas(
+        emb, queries, k=5, query_id_col="query_id", max_cosine=0.4
+    )
+
+
+@register(
     "similarity_topk_ivf",
     oracle="""
     WITH cents AS (
