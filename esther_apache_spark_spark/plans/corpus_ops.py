@@ -1096,3 +1096,55 @@ def bpe_subword_frequencies(spark: SparkSession, sf_dir: str) -> DataFrame:
         .limit(20)
     )
     return out
+
+
+@register(
+    "token_entropy_score_docs",
+    oracle="""
+    WITH tok AS (
+        SELECT doc_id, t AS term FROM (
+            SELECT doc_id, unnest(string_split(lower(text), ' ')) AS t
+            FROM documents
+        ) WHERE t <> ''
+    ),
+    dl AS (SELECT doc_id, COUNT(*) AS len FROM tok GROUP BY doc_id),
+    tf AS (SELECT doc_id, term, COUNT(*) AS c FROM tok GROUP BY doc_id, term),
+    contrib AS (
+        SELECT tf.doc_id,
+               ROUND(-(CAST(c AS DOUBLE) / CAST(len AS DOUBLE))
+                     * LN(CAST(c AS DOUBLE) / CAST(len AS DOUBLE)), 9) AS h
+        FROM tf JOIN dl USING (doc_id)
+    )
+    SELECT c.doc_id, CAST(dl.len AS BIGINT) AS n_tokens,
+           ROUND(SUM(h) / LN(2.0), 4) AS entropy_bits
+    FROM contrib c JOIN dl USING (doc_id)
+    GROUP BY c.doc_id, dl.len
+    """,
+)
+def token_entropy_score_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document token Shannon entropy (bits) — the lexical-DIVERSITY
+    quality signal, orthogonal to `unigram_nll_score_docs`' fluency:
+    low entropy flags repetitive/template docs (the Gopher
+    duplicate-fraction family measures the same pathology by counting;
+    entropy measures it distributionally), high entropy flags
+    random-token noise. Same determinism discipline as the NLL score:
+    exact integer (c, len) upstream, each token's −p·ln p contribution
+    rounded once to 9 dp (ulp-proofing the sole transcendental), the
+    per-doc sum rounded to 4 dp. Plan: one explode, two hash aggregates
+    on (doc_id[, term]), a doc-level join — text never shuffles."""
+    docs = load_table(spark, sf_dir, "documents")
+    tok = (
+        docs.select("doc_id", F.explode(F.split(F.lower("text"), " ")).alias("term"))
+        .filter(F.col("term") != "")
+    )
+    dl = tok.groupBy("doc_id").agg(F.count(F.lit(1)).alias("len"))
+    tf = tok.groupBy("doc_id", "term").agg(F.count(F.lit(1)).alias("c"))
+    p = F.col("c").cast("double") / F.col("len").cast("double")
+    contrib = tf.join(dl, "doc_id").select(
+        "doc_id", "len", F.round(-p * F.log(p), 9).alias("h")
+    )
+    return contrib.groupBy("doc_id", "len").agg(
+        F.round(F.sum("h") / F.log(F.lit(2.0)), 4).alias("entropy_bits")
+    ).select(
+        "doc_id", F.col("len").cast("long").alias("n_tokens"), "entropy_bits"
+    )

@@ -462,6 +462,81 @@ def semantic_dedup_survivors(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "lexical_dedup_survivors",
+    oracle="""
+    WITH RECURSIVE toks AS (
+        SELECT doc_id,
+               list_filter(regexp_split_to_array(trim(regexp_replace(lower(text), '[^\\w\\s]', '', 'g')), '\\s+'), x -> x <> '') AS t
+        FROM documents
+    ),
+    sh AS (
+        SELECT doc_id,
+               list_distinct(
+                   CASE WHEN len(t) >= 3
+                        THEN list_transform(range(1, len(t) - 1),
+                                            i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2])
+                        ELSE CAST([] AS VARCHAR[]) END
+               ) AS s
+        FROM toks
+    ),
+    pairs AS (
+        SELECT id_a, id_b FROM (
+            SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+                   len(list_intersect(a.s, b.s))
+                       / (len(a.s) + len(b.s) - len(list_intersect(a.s, b.s))) AS jaccard
+            FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+        ) WHERE jaccard >= 0.5
+    ),
+    und AS (
+        SELECT id_a AS src, id_b AS dst FROM pairs
+        UNION SELECT id_b, id_a FROM pairs
+    ),
+    walk(node, comp) AS (
+        SELECT src, src FROM und
+        UNION
+        SELECT u.dst, w.comp FROM walk w JOIN und u ON u.src = w.node
+    ),
+    lab AS (SELECT node, MIN(comp) AS comp FROM walk GROUP BY node),
+    sizes AS (SELECT comp, COUNT(*) AS sz FROM lab GROUP BY comp)
+    SELECT d.doc_id, CAST(COALESCE(s.sz, 1) AS BIGINT) AS cluster_size
+    FROM documents d
+    LEFT JOIN lab l ON l.node = d.doc_id
+    LEFT JOIN sizes s ON s.comp = d.doc_id
+    WHERE l.node IS NULL OR l.comp = d.doc_id
+    """,
+)
+def lexical_dedup_survivors(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Lexical near-dedup end-to-end: exact 3-gram Jaccard ≥ 0.5 pairs
+    (df-pruned inverted-index join, `dedup_ngram_jaccard` machinery) →
+    connected components → keep the min-doc_id representative of each
+    near-dup cluster plus every unique document. The TEXT member of the
+    survivor family (`semantic_dedup_survivors` is the embedding
+    member; exact dedup the byte member) — together the three
+    modalities a corpus pipeline actually runs. Same scale shape as the
+    semantic twin: candidate generation is an equi-join, the iterative
+    step sees only the pair set, survivors come from one label join."""
+    from esther_apache_spark_spark.operators.components import connected_components
+
+    docs = load_table(spark, sf_dir, "documents")
+    pairs = D.ngram_jaccard_pairs(docs, shingle_n=3, threshold=0.5)
+    edges = pairs.select(F.col("id_a").alias("src"), F.col("id_b").alias("dst"))
+    lab = connected_components(edges)
+    sizes = lab.groupBy("comp").agg(F.count(F.lit(1)).alias("sz")).select(
+        F.col("comp").alias("rep"), "sz"
+    )
+    ids = docs.select("doc_id")
+    return (
+        ids.join(lab, ids.doc_id == lab.node, "left")
+        .filter(F.col("node").isNull() | (F.col("comp") == F.col("doc_id")))
+        .join(sizes, F.col("rep") == F.col("doc_id"), "left")
+        .select(
+            "doc_id",
+            F.coalesce(F.col("sz"), F.lit(1)).cast("long").alias("cluster_size"),
+        )
+    )
+
+
 # ---------------------------------------------------------------------------
 # Similarity search (M4).
 # ---------------------------------------------------------------------------
@@ -800,6 +875,47 @@ def text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     # n_chars recomputed from text (matches the documents.n_chars column
     # by construction, but we don't rely on it)
     return out
+
+
+@register(
+    "langid_confusion_matrix",
+    oracle=f"""
+    WITH scored AS (
+        SELECT lang,
+               len(list_filter({_TOKS}, t -> t IN {_MARK['en']})) AS s_en,
+               len(list_filter({_TOKS}, t -> t IN {_MARK['fr']})) AS s_fr,
+               len(list_filter({_TOKS}, t -> t IN {_MARK['de']})) AS s_de,
+               len(list_filter({_TOKS}, t -> t IN {_MARK['es']})) AS s_es
+        FROM documents
+    )
+    SELECT lang AS lang_true,
+           CASE WHEN greatest(s_en, s_fr, s_de, s_es) <= 0 THEN 'und'
+                WHEN s_en = greatest(s_en, s_fr, s_de, s_es) THEN 'en'
+                WHEN s_fr = greatest(s_en, s_fr, s_de, s_es) THEN 'fr'
+                WHEN s_de = greatest(s_en, s_fr, s_de, s_es) THEN 'de'
+                WHEN s_es = greatest(s_en, s_fr, s_de, s_es) THEN 'es'
+                ELSE 'und' END AS lang_pred,
+           CAST(COUNT(*) AS BIGINT) AS n_docs
+    FROM scored GROUP BY 1, 2
+    """,
+)
+def langid_confusion_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Classifier-evaluation readout for the heuristic language ID:
+    predicted vs labeled language as a confusion matrix (one count per
+    (true, pred) cell) — the accuracy/coverage audit a pipeline runs
+    before trusting a classifier to gate a corpus (here it quantifies
+    exactly how weak marker-word lang-ID is on synthetic text: most
+    mass lands in the 'und' column). One projection pass + one tiny
+    hash aggregate; the #langs² result broadcasts anywhere."""
+    docs = load_table(spark, sf_dir, "documents")
+    return (
+        docs.select(
+            F.col("lang").alias("lang_true"),
+            TS.lang_id(F.col("text")).alias("lang_pred"),
+        )
+        .groupBy("lang_true", "lang_pred")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_docs"))
+    )
 
 
 # ---------------------------------------------------------------------------

@@ -1201,6 +1201,46 @@ def rolling_1h_user_value(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "rolling_median_user_value",
+    oracle="""
+    SELECT user_id, event_id,
+           ROUND(quantile_cont(value, 0.5)
+                     OVER (PARTITION BY user_id ORDER BY ts
+                           RANGE BETWEEN INTERVAL 1 HOUR PRECEDING
+                                     AND CURRENT ROW), 4) + 0.0
+               AS rolling_med
+    FROM events
+    """,
+)
+def rolling_median_user_value(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rolling EXACT median over the trailing hour — the robust twin of
+    `rolling_1h_user_value` (a median shrugs off the value spikes that
+    drag a rolling mean; it is the baseline for spike/anomaly
+    monitoring). Spark's `percentile(0.5)` and DuckDB's `quantile_cont`
+    share linear-interpolation semantics: the median of an even frame
+    is one IEEE midpoint, deterministic in both engines, rounded to
+    4 dp per the module doctrine. Same frame discipline as the sum
+    form: ordered by epoch MICROseconds, equal timestamps are peers.
+
+    Scale note: an exact percentile over a sliding frame cannot stream
+    like SUM — Spark evaluates it per frame, O(frame) each — so at
+    100 TB the knob is the frame width (an hour of one user's events),
+    not the corpus; for wide frames swap in `approx_percentile` or the
+    KLL sketch rollup."""
+    events = load_table(spark, sf_dir, "events")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy(F.unix_micros("ts"))
+        .rangeBetween(-3_600_000_000, 0)
+    )
+    return events.select(
+        "user_id",
+        "event_id",
+        F.round(F.percentile("value", 0.5).over(w), 4).alias("rolling_med"),
+    )
+
+
 # ---------------------------------------------------------------------------
 # max_by / arg-max aggregate — the single-pass form of latest-per-key.
 # ---------------------------------------------------------------------------

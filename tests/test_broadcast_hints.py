@@ -42,6 +42,9 @@ ALLOWED: dict[tuple[str, str], str] = {
     ("plans/corpus_ops.py", "mean"): "global aggregate, 1 row",
     ("plans/corpus_ops.py", "n"): "global count, 1 row",
     ("plans/analytics.py", "sc"): "global count+avgdl aggregate, 1 row",
+    ("plans/corpus_ops.py", "sc"): "global token-total+vocab-size aggregate, 1 row",
+    ("operators/sampling.py", "maxq"): "global max aggregate, 1 row",
+    ("operators/sampling.py", "rates"): "one row per stratum value (#langs), bounded by the categorical domain",
     # explicitly capped frames
     ("plans/corpus_ops.py", "vocab"): "limit(1000) upstream",
     ("operators/dedup.py", "hot"): "df-pruned stop-shingle set, capped by max_df selectivity on distinct shingles",

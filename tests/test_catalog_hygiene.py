@@ -72,6 +72,8 @@ def test_catalog_plans_free_of_scale_antipatterns(spark, sf_dir):
         "tfidf_top_terms",           # 1-row corpus doc count
         "bm25_top_docs",             # 1-row corpus count + avgdl scalars
         "pagerank_brands",           # 1-row node count broadcast
+        "unigram_nll_score_docs",    # 1-row token-total + vocab-size scalars
+        "temperature_sample_by_lang",  # 1-row global max-rate scalar
         "similarity_topk_bruteforce",  # fenced all-pairs oracle
         # inequality pair join over the PER-SEGMENT sketch frame — its
         # size is the segment vocabulary (|types|² pairs of few-KB
