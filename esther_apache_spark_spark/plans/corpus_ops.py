@@ -1148,3 +1148,102 @@ def token_entropy_score_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select(
         "doc_id", F.col("len").cast("long").alias("n_tokens"), "entropy_bits"
     )
+
+
+@register(
+    "incremental_dedup_new_docs",
+    oracle="""
+    WITH fp AS (
+        SELECT doc_id, lang, md5(lower(text)) AS fingerprint,
+               CAST(CONCAT('0x', substr(md5('incr' || CAST(doc_id AS VARCHAR)),
+                                        1, 8)) AS BIGINT)
+                   < CAST(0.8 * 4294967296 AS BIGINT) AS in_history
+        FROM documents
+    ),
+    batch AS (
+        SELECT doc_id, lang, fingerprint,
+               ROW_NUMBER() OVER (PARTITION BY fingerprint
+                                  ORDER BY doc_id) AS rn
+        FROM fp WHERE NOT in_history
+    )
+    SELECT b.doc_id, b.lang FROM batch b
+    WHERE b.rn = 1
+      AND NOT EXISTS (SELECT 1 FROM fp h
+                      WHERE h.in_history AND h.fingerprint = b.fingerprint)
+    """,
+)
+def incremental_dedup_new_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental (batch-vs-history) exact dedup — the daily-ingest
+    shape: the arriving batch (~20% of the corpus here, hash-gated for
+    reproducibility) is deduplicated WITHIN itself (keep-first on
+    fingerprint) and AGAINST the historical index, which at 100 TB is a
+    persisted table of fingerprints only — the history's raw text is
+    never re-read, never re-shuffled. Survivors are what gets appended.
+    Plan: one window over the (small) batch, one left-anti equi-join
+    against the fingerprint index; AQE broadcasts whichever side is
+    smaller (no forced hint — both sides grow with corpus age)."""
+    from esther_apache_spark_spark.operators.sampling import hash_bucket
+
+    docs = load_table(spark, sf_dir, "documents").withColumn(
+        "fingerprint", F.md5(F.lower(F.col("text")))
+    )
+    in_history = hash_bucket(F.col("doc_id"), salt="incr") < int(0.8 * (1 << 32))
+    history_fps = docs.filter(in_history).select("fingerprint")
+    batch = docs.filter(~in_history)
+    w = Window.partitionBy("fingerprint").orderBy("doc_id")
+    batch_dedup = (
+        batch.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+    )
+    return batch_dedup.join(history_fps, "fingerprint", "left_anti").select(
+        "doc_id", "lang"
+    )
+
+
+@register(
+    "weekly_from_daily_rollup",
+    oracle="""
+    WITH daily AS (
+        SELECT event_type, CAST(ts AS DATE) AS day,
+               COUNT(*) AS n,
+               SUM(CAST(CAST(value AS DECIMAL(12,2)) * 100 AS BIGINT)) AS cents
+        FROM events GROUP BY 1, 2
+    )
+    SELECT event_type, strftime(date_trunc('week', day), '%Y-%m-%d') AS week,
+           CAST(SUM(n) AS BIGINT) AS n_events,
+           CAST(SUM(cents) / 100.0 AS DOUBLE) AS total_value
+    FROM daily GROUP BY 1, 2
+    """,
+)
+def weekly_from_daily_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rollup-hierarchy reaggregation — the pre-aggregate doctrine made
+    explicit: the weekly report is computed FROM THE PERSISTED DAILY
+    AGGREGATE (what a 100 TB pipeline materializes once per day), not
+    from raw events — the second aggregate touches #types×#days rows
+    instead of the fact table. Works because COUNT and integer-cent SUM
+    are reaggregable (associative); AVG/quantiles are not — they must
+    be carried as (sum, count) pairs or sketches (`operators/sketches`
+    holds the distinct-count member of this family). Monday-start weeks
+    via date_trunc in both engines; cents keep the money math exact
+    across the two levels."""
+    events = load_table(spark, sf_dir, "events")
+    daily = (
+        events.groupBy(
+            "event_type", F.col("ts").cast("date").alias("day")
+        ).agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(
+                (F.col("value").cast("decimal(12,2)") * 100).cast("long")
+            ).alias("cents"),
+        )
+    )
+    return (
+        daily.groupBy(
+            "event_type",
+            F.date_format(F.date_trunc("week", "day"), "yyyy-MM-dd").alias("week"),
+        )
+        .agg(
+            F.sum("n").cast("long").alias("n_events"),
+            (F.sum("cents") / 100.0).cast("double").alias("total_value"),
+        )
+    )
