@@ -1302,3 +1302,64 @@ def column_stats_lineitem(spark: SparkSession, sf_dir: str) -> DataFrame:
     return wide.selectExpr(
         f"stack({len(cols)}, {stack_args}) AS (col_name, min_v, max_v, null_count, ndv)"
     )
+
+
+@register(
+    "referential_integrity_audit",
+    oracle="""
+    SELECT 'lineitem.l_orderkey -> orders' AS fk_edge,
+           CAST((SELECT COUNT(*) FROM lineitem l
+                 WHERE NOT EXISTS (SELECT 1 FROM orders o
+                                   WHERE o.o_orderkey = l.l_orderkey)) AS BIGINT)
+               AS orphan_rows
+    UNION ALL
+    SELECT 'orders.o_custkey -> customer',
+           CAST((SELECT COUNT(*) FROM orders o
+                 WHERE NOT EXISTS (SELECT 1 FROM customer c
+                                   WHERE c.c_custkey = o.o_custkey)) AS BIGINT)
+    UNION ALL
+    SELECT 'lineitem.l_partkey -> part',
+           CAST((SELECT COUNT(*) FROM lineitem l
+                 WHERE NOT EXISTS (SELECT 1 FROM part p
+                                   WHERE p.p_partkey = l.l_partkey)) AS BIGINT)
+    UNION ALL
+    SELECT 'customer.c_nationkey -> nation',
+           CAST((SELECT COUNT(*) FROM customer c
+                 WHERE NOT EXISTS (SELECT 1 FROM nation n
+                                   WHERE n.n_nationkey = c.c_nationkey)) AS BIGINT)
+    """,
+)
+def referential_integrity_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Foreign-key orphan audit across the star schema — the
+    referential-integrity member of the data-governance family
+    (`dq_report_lineitem` checks column contracts, `column_stats_*`
+    collects optimizer stats, this one checks join keys): one row per
+    FK edge with its orphan count (rows whose key has no parent).
+    All-zeros is the healthy answer; any nonzero is exactly the row set
+    that silently vanishes from inner joins — the most common cause of
+    "the revenue report shrank" at 100 TB.
+
+    Plan: each edge is a LEFT ANTI equi-join + count. Anti joins
+    broadcast their parent side while it fits (no hints — parents grow
+    with sf); the four 1-row counts union into a local result. One scan
+    per edge; at scale, run edges in one job and share scans via
+    cached parents where profitable."""
+    li = load_table(spark, sf_dir, "lineitem")
+    orders = load_table(spark, sf_dir, "orders")
+    customer = load_table(spark, sf_dir, "customer")
+    part = load_table(spark, sf_dir, "part")
+    nation = load_table(spark, sf_dir, "nation")
+
+    def orphans(child: DataFrame, ck: str, parent: DataFrame, pk: str, label: str) -> DataFrame:
+        cnt = (
+            child.join(parent.select(pk), child[ck] == parent[pk], "left_anti")
+            .agg(F.count(F.lit(1)).cast("long").alias("orphan_rows"))
+        )
+        return cnt.select(F.lit(label).alias("fk_edge"), "orphan_rows")
+
+    return (
+        orphans(li, "l_orderkey", orders, "o_orderkey", "lineitem.l_orderkey -> orders")
+        .unionAll(orphans(orders, "o_custkey", customer, "c_custkey", "orders.o_custkey -> customer"))
+        .unionAll(orphans(li, "l_partkey", part, "p_partkey", "lineitem.l_partkey -> part"))
+        .unionAll(orphans(customer, "c_nationkey", nation, "n_nationkey", "customer.c_nationkey -> nation"))
+    )
