@@ -432,3 +432,38 @@ def test_int8_quantization_error_bound(spark):
     for r in out:
         assert r["err"] <= r["scale"] / 2 + 1e-12, r
         assert all(-127 <= qi <= 127 for qi in r["q"]), r
+
+
+def test_dedup_survivors_collapse_planted_cluster(spark):
+    """Survivor composition (pairs → components → keep-one): a planted
+    60-deep near-identical text cluster must collapse to exactly ONE
+    survivor whose cluster_size is 60, every unique doc must survive
+    with cluster_size 1, and the survivor must be the min doc_id (the
+    deterministic canonical choice)."""
+    from esther_apache_spark_spark.operators.components import connected_components
+
+    base = "the quick brown fox jumps over the lazy dog again and again today"
+    rows = [(i, base + f" tail{'x' * (i % 2)}") for i in range(60)]
+    rows += [(1000 + i, f"totally different document number {i} "
+              + " ".join(f"tok{i}_{j}" for j in range(12))) for i in range(20)]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+
+    pairs = D.ngram_jaccard_pairs(docs, shingle_n=3, threshold=0.5)
+    edges = pairs.select(F.col("id_a").alias("src"), F.col("id_b").alias("dst"))
+    lab = connected_components(edges)
+    sizes = lab.groupBy("comp").agg(F.count(F.lit(1)).alias("sz")).select(
+        F.col("comp").alias("rep"), "sz"
+    )
+    ids = docs.select("doc_id")
+    surv = (
+        ids.join(lab, ids.doc_id == lab.node, "left")
+        .filter(F.col("node").isNull() | (F.col("comp") == F.col("doc_id")))
+        .join(sizes, F.col("rep") == F.col("doc_id"), "left")
+        .select("doc_id", F.coalesce(F.col("sz"), F.lit(1)).alias("cluster_size"))
+    )
+    got = {r["doc_id"]: r["cluster_size"] for r in surv.collect()}
+    cluster_survivors = [d for d in got if d < 1000]
+    assert cluster_survivors == [0], got  # one survivor, the min id
+    assert got[0] == 60
+    for i in range(20):
+        assert got[1000 + i] == 1

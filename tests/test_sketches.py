@@ -221,3 +221,15 @@ def test_cms_daily_merge_equals_direct_build(spark, events):
     a = {key(r): r["cms_cnt"] for r in daily.collect()}
     b = {key(r): r["cms_cnt"] for r in direct.collect()}
     assert a == b
+
+
+def test_cms_empty_keys_and_unseen_key(spark, events):
+    """Edges: probing with an empty key frame yields an empty result
+    (not an error); probing a key never inserted yields a count that is
+    only ever hash-collision noise (≥ 0, ≤ the global bound)."""
+    pages = S.cms_rollup(S.cms_bucket_pages(events, "user_id", ["day"]))
+    empty = spark.createDataFrame([], "user_id long")
+    assert S.cms_estimate(pages, empty, "user_id").count() == 0
+    ghost = spark.createDataFrame([(999_999_999,)], "user_id long")
+    [row] = S.cms_estimate(pages, ghost, "user_id").collect()
+    assert row["cms_count"] >= 0
