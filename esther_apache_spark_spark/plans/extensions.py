@@ -2408,3 +2408,50 @@ def streaming_distinct_users_hll(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     return run_streaming_distinct_users_hll(spark, sf_dir)
+
+
+_WINDOWED_CMS_ORACLE = """
+    WITH j AS (SELECT unnest([0, 1, 2, 3]) AS j)
+    SELECT strftime(time_bucket(INTERVAL 6 HOURS, ts), '%Y-%m-%d %H:%M:%S')
+               AS window_start,
+           j.j AS cms_row,
+           CAST(CONCAT('0x', substr(md5('cms' || CAST(j.j AS VARCHAR)
+                || ':' || CAST(user_id AS VARCHAR)), 1, 8)) AS BIGINT)
+               % 2048 AS cms_slot,
+           CAST(COUNT(*) AS BIGINT) AS cms_cnt
+    FROM events CROSS JOIN j
+    GROUP BY 1, 2, 3
+"""
+
+
+@register("windowed_user_freq_cms", oracle=_WINDOWED_CMS_ORACLE)
+def windowed_user_freq_cms_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Count-min counter pages per 6-hour event-time window, batch form
+    — the persisted frequency-sketch state a streaming pipeline
+    accumulates (the frequency member of the sketch family;
+    `distinct_users_hll_rollup` is the distinct member). Unlike the HLL
+    twin this is FULLY deterministic (md5 rows, integer counts), so
+    both the batch and the streamed form carry the complete value-hash
+    oracle. Windows are epoch-aligned in both engines (`F.window` ≡
+    `time_bucket`)."""
+    from esther_apache_spark_spark.streaming.events import windowed_user_freq_cms
+
+    events = load_table(spark, sf_dir, "events")
+    return windowed_user_freq_cms(events)
+
+
+@register("streaming_user_freq_cms", oracle=_WINDOWED_CMS_ORACLE)
+def streaming_user_freq_cms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The SAME windowed CMS pages accumulated through Structured
+    Streaming (file source → watermark → windowed counter agg → memory
+    sink, driven to completion). Counter addition is associative, so
+    micro-batch accumulation ≡ the batch aggregate — this is the rare
+    STREAMING query with a full DuckDB hash oracle, not just a batch
+    twin: the sketch state is bit-reproducible end to end. State per
+    window is bounded at depth·width counters regardless of user
+    cardinality."""
+    from esther_apache_spark_spark.streaming.events import (
+        run_streaming_user_freq_cms,
+    )
+
+    return run_streaming_user_freq_cms(spark, sf_dir)

@@ -620,3 +620,63 @@ def run_streaming_distinct_users_hll(spark: SparkSession, sf_dir: str) -> DataFr
     finally:
         q.stop()
     return spark.table(name)
+
+
+def windowed_user_freq_cms(
+    events: DataFrame,
+    window: str = "6 hours",
+    watermark: str = "30 minutes",
+    width: int = 2048,
+    depth: int = 4,
+) -> DataFrame:
+    """Count-min counter pages per event-time window — the FREQUENCY
+    member of the streaming sketch family (the HLL twin above answers
+    "how many distinct", this answers "how often is key X", both with
+    state bounded by the sketch, not the key universe: ≤ depth·width
+    counters per window vs one state row per (window, user)). Counter
+    addition is associative, so micro-batch accumulation is exactly the
+    batch aggregate — the completed stream's pages equal the batch
+    twin's bit-for-bit (md5 hash rows, integer counts; asserted in
+    tests/test_sketches.py), and persisted window pages merge into any
+    coarser period later via ``sketches.cms_rollup``. Works on batch
+    and streaming inputs alike."""
+    from esther_apache_spark_spark.operators.sketches import cms_slot
+
+    src = events.withWatermark("ts", watermark) if events.isStreaming else events
+    slots = F.array(
+        *[cms_slot(F.col("user_id"), j, width) for j in range(depth)]
+    )
+    return (
+        src.select(
+            F.window("ts", window).alias("win"),
+            F.posexplode(slots).alias("cms_row", "cms_slot"),
+        )
+        .groupBy("win", "cms_row", "cms_slot")
+        .agg(F.count(F.lit(1)).alias("cms_cnt"))
+        .select(
+            F.date_format(F.col("win.start"), "yyyy-MM-dd HH:mm:ss").alias(
+                "window_start"
+            ),
+            "cms_row",
+            "cms_slot",
+            "cms_cnt",
+        )
+    )
+
+
+def run_streaming_user_freq_cms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Drive the windowed CMS pages to completion via the memory sink
+    (complete mode) and return the result table."""
+    name = f"stream_cms_{uuid.uuid4().hex[:8]}"
+    q = (
+        windowed_user_freq_cms(streaming_events_source(spark, sf_dir))
+        .writeStream.outputMode("complete")
+        .format("memory")
+        .queryName(name)
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    return spark.table(name)
