@@ -816,6 +816,33 @@ def _q_scalar_subquery(r: random.Random, stats: ColumnStats) -> str:
     )
 
 
+def _q_date_funcs(r: random.Random, stats: ColumnStats) -> str:
+    """Date/time projection shapes over the agreement subset: EXTRACT
+    units, epoch-aligned date_trunc (cast to DATE so both engines emit
+    the same type), and literal INTERVAL arithmetic. datediff/strftime
+    are deliberately absent — their names/argument orders differ between
+    the engines, so they live in hand-written oracles, not the shared
+    SQL."""
+    t = TABLES[r.choice(["orders", "lineitem", "events"])]
+    c = t.ts[0]
+    unit = r.choice(["day", "month", "year"])
+    n = r.randint(1, 30)
+    items = [*t.unique]
+    pool = [
+        f"CAST(EXTRACT(YEAR FROM {c}) AS INT) AS t_y",
+        f"CAST(EXTRACT(MONTH FROM {c}) AS INT) AS t_mo",
+        f"CAST(EXTRACT(DAY FROM {c}) AS INT) AS t_d",
+        f"CAST(EXTRACT(HOUR FROM {c}) AS INT) AS t_h",
+        f"CAST(date_trunc('{unit}', {c}) AS DATE) AS t_bucket",
+        f"CAST({c} + INTERVAL {n} DAY AS DATE) AS t_shift",
+        f"CAST({c} AS DATE) AS t_date",
+    ]
+    r.shuffle(pool)
+    items += pool[: r.randint(2, 4)]
+    pred = _predicate(r, stats, t, n_max=2)
+    return f"SELECT {', '.join(items)} FROM {t.name} WHERE {pred}"
+
+
 _TEMPLATES = [
     (_q_filter_project, 3),
     (_q_groupby, 4),
@@ -832,6 +859,7 @@ _TEMPLATES = [
     (_q_string_funcs, 2),
     (_q_derived_table, 2),
     (_q_scalar_subquery, 2),
+    (_q_date_funcs, 2),
 ]
 
 
@@ -847,6 +875,16 @@ def generate_query(seed: int, stats: ColumnStats) -> str:
 # than needed so dtype bridges (HUGEINT→float64, int-with-null→float64,
 # datetime64[us] vs [ns]) cannot mask or fake a diff.
 # ---------------------------------------------------------------------------
+def _dt_iso(x) -> str:
+    """ISO form with the DATE-vs-midnight-TIMESTAMP bridge normalized:
+    a DATE crosses the pandas bridge as `datetime.date` from Spark but
+    as a midnight datetime64 from DuckDB — same value, different
+    rendering. Midnight timestamps therefore canonicalize to the bare
+    date; timestamps with any time component keep the full form."""
+    s = x.isoformat()
+    return s[:-9] if s.endswith("T00:00:00") else s
+
+
 def _norm_cell(x: object) -> str:
     if x is None:
         return "NULL"
@@ -865,9 +903,9 @@ def _norm_cell(x: object) -> str:
     if isinstance(x, pd.Timestamp):
         if pd.isna(x):
             return "NULL"
-        return x.isoformat()
+        return _dt_iso(x)
     if isinstance(x, (datetime.datetime, datetime.date)):
-        return x.isoformat()
+        return _dt_iso(x)
     try:
         if pd.isna(x):  # NaT and friends
             return "NULL"
