@@ -58,9 +58,11 @@ def check(
     Returns (rule, violations, total, passed) with one row per rule.
     ``unique_keys`` maps a rule name to the column list whose
     combinations must be unique; its violation count is
-    ``count(*) - countDistinct(cols)`` (exact — swap in
-    ``approx_count_distinct`` at scales where exact distinct is the
-    bottleneck)."""
+    ``count(rows with every key col non-null) - countDistinct(cols)``
+    (exact — swap in ``approx_count_distinct`` at scales where exact
+    distinct is the bottleneck). NULL-keyed rows are excluded from BOTH
+    sides (countDistinct drops them anyway): a NULL key is not a
+    duplicate — pair the rule with ``not_null`` to police NULLs."""
     unique_keys = unique_keys or {}
     aggs = [F.count(F.lit(1)).alias("_total")]
     for r in rules:
@@ -70,9 +72,17 @@ def check(
             .alias(r.name)
         )
     for name, cols in unique_keys.items():
+        # countDistinct silently DROPS any tuple with a NULL component,
+        # so the minuend must count the same population (rows where
+        # every key column is non-null) — plain count(*) would report
+        # every NULL-keyed row as a duplicate, violating the module's
+        # NULL contract (NULL keys are not_null's job, not uniqueness's).
+        all_set = F.lit(True)
+        for c in cols:
+            all_set = all_set & F.col(c).isNotNull()
         aggs.append(
             (
-                F.count(F.lit(1))
+                F.count(F.when(all_set, 1))
                 - F.countDistinct(*[F.col(c) for c in cols])
             )
             .cast("long")

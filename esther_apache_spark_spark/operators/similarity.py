@@ -103,6 +103,12 @@ def brute_force_topk_pandas(
     import pandas as pd
 
     q_rows = queries.select(query_id_col, vec_col).collect()
+    if not q_rows:
+        # no queries after the validity filter → empty result, not an
+        # AxisError on a 1-D array
+        return corpus.sparkSession.createDataFrame(
+            [], "query_id long, neighbor_id long, cosine double"
+        )
     q_ids = np.array([r[query_id_col] for r in q_rows])
     qm = np.array([r[vec_col] for r in q_rows], dtype="float64")
     qm /= np.maximum(np.linalg.norm(qm, axis=1, keepdims=True), 1e-12)
@@ -491,6 +497,10 @@ def brute_force_topk_arrow(
     import pyarrow as pa
 
     q_rows = queries.select(query_id_col, vec_col).collect()
+    if not q_rows:
+        return corpus.sparkSession.createDataFrame(
+            [], "query_id long, neighbor_id long, cosine double"
+        )
     q_ids = np.array([r[query_id_col] for r in q_rows])
     qm = np.array([r[vec_col] for r in q_rows], dtype="float64")
     qm /= np.maximum(np.linalg.norm(qm, axis=1, keepdims=True), 1e-12)
@@ -588,6 +598,12 @@ def ann_topk_int8(
     import pyarrow as pa
 
     q_rows = queries.select(query_id_col, vec_col).collect()
+    if not q_rows:
+        # no queries (possibly all filtered as invalid) → empty top-k,
+        # not an AxisError from a 1-D quantize input
+        return corpus.sparkSession.createDataFrame(
+            [], "query_id long, neighbor_id long, cosine double"
+        )
     q_ids = np.array([r[query_id_col] for r in q_rows])
     qm = _quantize_rows(np.array([r[vec_col] for r in q_rows], dtype="float64"))
     q_norms = np.sqrt((qm * qm).sum(axis=1))

@@ -59,7 +59,23 @@ def skyline_2d(df: DataFrame, min_col: str, max_col: str) -> DataFrame:
         for pdf in itr:
             yield _local_skyline(pdf, min_col, max_col)
 
+    def merge(itr):
+        # The merge MUST see every candidate at once: coalesce(1) makes
+        # one partition, but mapInPandas still splits it into Arrow
+        # batches (maxRecordsPerBatch, default 10k) — running the local
+        # skyline per batch would let a row dominated by a row in an
+        # earlier batch survive. Concatenate the iterator first; the
+        # candidate set is partitions × local-skyline-size, small by
+        # construction.
+        import pandas as pd
+
+        pdfs = [p for p in itr if len(p)]
+        if pdfs:
+            yield _local_skyline(
+                pd.concat(pdfs, ignore_index=True), min_col, max_col
+            )
+
     schema = df.schema
     local = df.mapInPandas(phase, schema)
     # Candidate set is small by construction — one task finishes it.
-    return local.coalesce(1).mapInPandas(phase, schema).select(*cols)
+    return local.coalesce(1).mapInPandas(merge, schema).select(*cols)

@@ -849,13 +849,19 @@ def weighted_avg_price_arrow_grouped(spark: SparkSession, sf_dir: str) -> DataFr
     at once; for reductions like this one the grouped-AGG form is
     preferred (no group materialization) — the pairing documents the
     trade."""
+    import math
+
     import pyarrow as pa
 
     def wavg(table: pa.Table) -> pa.Table:
         flag = table.column("l_returnflag")[0].as_py()
         v = table.column("l_extendedprice").to_numpy()
         w = table.column("l_quantity").to_numpy()
-        val = round(float((v * w).sum() / w.sum()), 2) + 0.0
+        # floor(x·100 + 0.5)/100, NOT Python round(): round() is
+        # banker's (half-to-even) while the oracle's ROUND and the UDAF
+        # twin's F.round are HALF_UP — a mean landing exactly on a half
+        # cent would diverge (module doctrine: never round())
+        val = math.floor(float((v * w).sum() / w.sum()) * 100 + 0.5) / 100
         return pa.table(
             {
                 "l_returnflag": pa.array([flag], pa.string()),

@@ -1023,12 +1023,22 @@ def bpe_learn_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
     a 1-ROW argmax collected to the driver (the same documented
     boundary as `q15_top_supplier`'s scalar and the IVF k-means
     centroids — 6 tiny actions total). Merge application is a literal
-    string replace on the space-joined symbol form: left-to-right,
-    non-overlapping in both engines, which IS greedy BPE apply
-    semantics. The DuckDB oracle replays all six rounds as unrolled
-    CTEs with scalar-subquery replaces — bit-identical including
-    tiebreaks."""
-    out, _base, _final = _bpe_learn(spark, sf_dir)
+    string replace on the space-joined symbol form — left-to-right and
+    non-overlapping with identical semantics in both engines. For a
+    SELF-ADJACENT pair (a,a) inside an odd run this differs from
+    reference BPE's single-scan greedy order in one way: the replace
+    consumes the pair's trailing separator, so a run like ``a a a a``
+    merges to ``aa a a`` in one pass (reference greedy gives
+    ``aa aa``) — a deterministic variant, not an engine divergence
+    (both engines and the oracle apply the identical rule; for pairs
+    with distinct symbols, which is what natural text learns, it
+    coincides with greedy BPE exactly). The DuckDB oracle replays all
+    six rounds as unrolled CTEs with scalar-subquery replaces —
+    bit-identical including tiebreaks."""
+    out, base, _final = _bpe_learn(spark, sf_dir)
+    # the merge table is already driver-local — the vocabulary cache has
+    # served its purpose and can be freed eagerly
+    base.unpersist()
     return spark.createDataFrame(
         out, "rank int, sym_a string, sym_b string, freq long"
     )
@@ -1038,8 +1048,10 @@ def _bpe_learn(
     spark: SparkSession, sf_dir: str
 ) -> tuple[list[tuple[int, str, str, int]], DataFrame, DataFrame]:
     """Shared BPE trainer: returns (ranked merges, cached char-level
-    vocabulary, vocabulary with ALL merges applied). Caller owns the
-    cached base (unpersist when done)."""
+    vocabulary, vocabulary with ALL merges applied). The base cache is
+    enrolled via dedup._cache, so a surrounding ``dedup.cache_scope()``
+    frees it; callers whose result no longer depends on it (the merge
+    table is driver-local) should ``base.unpersist()`` eagerly."""
     docs = load_table(spark, sf_dir, "documents")
     words = (
         docs.select(F.explode(F.split(F.lower("text"), " ")).alias("w"))
@@ -1047,12 +1059,16 @@ def _bpe_learn(
         .groupBy("w")
         .agg(F.count(F.lit(1)).cast("long").alias("cnt"))
     )
-    base = words.select(
-        F.concat(
-            F.lit(" "), F.regexp_replace("w", "(.)", "$1 "), F.lit("</w> ")
-        ).alias("s"),
-        "cnt",
-    ).cache()
+    from esther_apache_spark_spark.operators.dedup import _cache
+
+    base = _cache(
+        words.select(
+            F.concat(
+                F.lit(" "), F.regexp_replace("w", "(.)", "$1 "), F.lit("</w> ")
+            ).alias("s"),
+            "cnt",
+        )
+    )
     cur = base
     out: list[tuple[int, str, str, int]] = []
     for k in range(1, _BPE_ITERS + 1):

@@ -172,6 +172,17 @@ def zorder_value(cols: list, mins: list[float], maxs: list[float], bits: int = 1
     resolution but never correctness — stats pruning is always safe.
     """
     n = len(cols)
+    # The interleaved code must fit a SIGNED 64-bit long: the highest
+    # shift is (bits-1)*n + n-1 = bits*n - 1, which must stay <= 62
+    # (bit 63 is the sign — a set sign bit would range-partition
+    # "large" codes BEFORE small ones and invert the layout; shifts
+    # >= 64 silently wrap, aliasing high bit-planes onto low bits).
+    # Clamp per-column resolution instead of failing: 4 cols -> 15
+    # bits each, 5 cols -> 12, ... Resolution loss only coarsens
+    # pruning granularity, never correctness.
+    bits = min(bits, 62 // n)
+    if bits < 1:
+        raise ValueError(f"too many z-order columns ({n}) for a 64-bit code")
     levels = (1 << bits) - 1
     qs = []
     for c, lo, hi in zip(cols, mins, maxs):

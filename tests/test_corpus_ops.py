@@ -198,3 +198,24 @@ def test_cap_docs_per_lang_stable_under_repartitioning(spark, sf_dir):
     base = run(docs)
     assert base == run(docs.repartition(7))
     assert base == run(docs.repartition(1))
+
+
+def test_uniqueness_rule_ignores_null_keys(spark):
+    """A NULL key component is not a duplicate: 3 rows with k = 1, 2,
+    NULL have zero uniqueness violations (the NULL row is not_null's
+    business); genuine duplicates still count."""
+    from esther_apache_spark_spark.operators import expectations as E
+
+    df = spark.createDataFrame([(1,), (2,), (None,)], "k int")
+    [row] = [
+        r for r in E.check(df, [], unique_keys={"u": ["k"]}).collect()
+        if r["rule"] == "u"
+    ]
+    assert row["violations"] == 0 and bool(row["passed"])
+
+    dup = spark.createDataFrame([(1,), (1,), (None,), (None,)], "k int")
+    [row] = [
+        r for r in E.check(dup, [], unique_keys={"u": ["k"]}).collect()
+        if r["rule"] == "u"
+    ]
+    assert row["violations"] == 1 and not bool(row["passed"])

@@ -467,3 +467,21 @@ def test_dedup_survivors_collapse_planted_cluster(spark):
     assert got[0] == 60
     for i in range(20):
         assert got[1000 + i] == 1
+
+
+def test_ann_kernels_tolerate_empty_query_side(spark):
+    """An empty (or fully-invalid) query frame must yield an empty
+    top-k from every vectorized kernel, not a numpy AxisError on the
+    driver."""
+    corpus = spark.createDataFrame(
+        [(i, [float(i), 1.0]) for i in range(5)],
+        "vec_id long, embedding array<double>",
+    )
+    empty = spark.createDataFrame([], "query_id long, embedding array<double>")
+    allnull = spark.createDataFrame(
+        [(9, None)], "query_id long, embedding array<double>"
+    )
+    for q in (empty, allnull):
+        assert S.brute_force_topk_pandas(corpus, q, k=3).count() == 0
+        assert S.brute_force_topk_arrow(corpus, q, k=3).count() == 0
+        assert S.ann_topk_int8(corpus, q, k=3).count() == 0

@@ -69,3 +69,21 @@ def test_skyline_excludes_null_dimension_rows(spark):
     df = spark.createDataFrame(pdf)
     got = skyline_2d(df, "price", "size").toPandas()
     assert got["pid"].tolist() == [1]
+
+
+def test_skyline_merge_spans_arrow_batches(spark):
+    """The merge pass must compare candidates ACROSS Arrow batches: with
+    a tiny maxRecordsPerBatch, a dominating row in one batch must still
+    eliminate dominated rows that arrive in other batches."""
+    from esther_apache_spark_spark.operators.skyline import skyline_2d
+
+    old = spark.conf.get("spark.sql.execution.arrow.maxRecordsPerBatch")
+    spark.conf.set("spark.sql.execution.arrow.maxRecordsPerBatch", "5")
+    try:
+        rows = [(i, float(i), float(i)) for i in range(1, 60)]
+        rows.append((1000, 0.0, 1e6))  # dominates every other row
+        df = spark.createDataFrame(rows, "id long, lo double, hi double")
+        got = skyline_2d(df, "lo", "hi").collect()
+        assert [r["id"] for r in got] == [1000], got
+    finally:
+        spark.conf.set("spark.sql.execution.arrow.maxRecordsPerBatch", old)

