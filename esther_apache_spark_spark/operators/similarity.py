@@ -661,3 +661,148 @@ def ann_topk_int8(
     return top_k_per_group(
         scored, "query_id", [F.col("cosine").desc(), F.col("neighbor_id").asc()], k
     )
+
+
+def pq_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 10,
+    m_sub: int = 8,
+    ksub: int = 16,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_id_col: str = "query_id",
+) -> DataFrame:
+    """Product-quantization ANN top-k with ADC scoring — the memory
+    endpoint of the compression family (float64 GEMM → int8 codes →
+    PQ): each int8 vector splits into ``m_sub`` subspaces, every
+    subspace is encoded as the index of its nearest codebook centroid
+    (L2, lowest-index tiebreak), and a vector is then ``m_sub`` small
+    integers — 4 bits each at ksub=16, a 64-dim float32 vector
+    compressed 64×. Scoring is asymmetric-distance-style over dot
+    products: per query, one (m_sub × ksub) integer table of
+    subspace dots against the codebook, and each corpus vector's score
+    is m_sub table lookups — no per-pair arithmetic on the original
+    vectors at all. Approximate cosine = ADC dot / (|q_code|·|recon|),
+    where recon is the concatenated centroid reconstruction.
+
+    Exactly SQL-replayable BY CONSTRUCTION, like ``ann_topk_int8``:
+    codes, codebook, subspace distances, ADC dots, and both norms are
+    integer arithmetic (≤ dim·127² per term, exact in int64/float64);
+    only the final sqrt/divide are single IEEE ops. The codebook here
+    is the DEGENERATE deterministic one — the int8 subvectors of the
+    ``ksub`` lowest-id valid vectors (same doctrine as ``ivf_topk``'s
+    default quantizer: replayable beats trained for the oracle; a
+    k-means-per-subspace codebook is the drop-in trained upgrade and
+    changes only the centroid table). Recall vs float brute force is
+    property-tested.
+
+    Scale shape: one driver collect of ksub codebook rows + the query
+    matrix; the corpus scan is a zero-copy Arrow pass that would, in a
+    persisted deployment, read the 4-byte PQ codes instead of raw
+    vectors — encode once, query forever; shuffle is ≤ k rows per
+    query per batch."""
+    import numpy as np
+    import pyarrow as pa
+
+    corpus = corpus.filter(is_valid_vector(F.col(vec_col)))
+    queries = queries.filter(is_valid_vector(F.col(vec_col)))
+
+    cb_rows = (
+        corpus.select(id_col, vec_col).orderBy(id_col).limit(ksub * 4).collect()
+    )
+    if not cb_rows:
+        return corpus.sparkSession.createDataFrame(
+            [], "query_id long, neighbor_id long, cosine double"
+        )
+    cb_all = _quantize_rows(
+        np.array([r[vec_col] for r in cb_rows], dtype="float64")
+    )
+    # valid = nonzero code norm; keep the first ksub
+    cb_all = cb_all[(cb_all * cb_all).sum(axis=1) > 0][:ksub]
+    if len(cb_all) < ksub:
+        raise ValueError(f"corpus has fewer than {ksub} valid vectors")
+    dim = cb_all.shape[1]
+    if dim % m_sub:
+        raise ValueError(f"dim {dim} not divisible by m_sub {m_sub}")
+    d_sub = dim // m_sub
+    # (m_sub, ksub, d_sub)
+    cb = cb_all.reshape(ksub, m_sub, d_sub).transpose(1, 0, 2).copy()
+    cb_n2 = (cb * cb).sum(axis=2)  # (m_sub, ksub) centroid norm² per subspace
+
+    q_rows = queries.select(query_id_col, vec_col).collect()
+    if not q_rows:
+        return corpus.sparkSession.createDataFrame(
+            [], "query_id long, neighbor_id long, cosine double"
+        )
+    q_ids = np.array([r[query_id_col] for r in q_rows])
+    qm = _quantize_rows(np.array([r[vec_col] for r in q_rows], dtype="float64"))
+    q_n2 = (qm * qm).sum(axis=1)
+    live = q_n2 > 0
+    q_ids, qm, q_n2 = q_ids[live], qm[live], q_n2[live]
+    # ADC dot tables: (n_q, m_sub, ksub)
+    qsub = qm.reshape(len(q_ids), m_sub, d_sub)
+    adc = np.einsum("qmd,mkd->qmk", qsub, cb)
+
+    def scan(batches):
+        for batch in batches:
+            ids = batch.column(0).to_numpy()
+            varr = batch.column(1)
+            if len(ids) == 0:
+                continue
+            lens = np.asarray(pa.compute.list_value_length(varr))
+            if lens.min() != lens.max():
+                raise ValueError("embedding column must be fixed-width")
+            cm = _quantize_rows(
+                np.asarray(varr.flatten().to_numpy(zero_copy_only=False))
+                .astype("float64")
+                .reshape(len(ids), int(lens[0]))
+            )
+            keep = (cm * cm).sum(axis=1) > 0
+            ids, cm = ids[keep], cm[keep]
+            if len(ids) == 0:
+                continue
+            sub = cm.reshape(len(ids), m_sub, d_sub)
+            # L2 encode: argmin_c |x|² - 2·x·c + |c|²; |x|² is constant
+            # per (row, subspace) so argmin over (-2·dot + |c|²) suffices;
+            # np.argmin takes the FIRST minimum — the lowest-index
+            # tiebreak the oracle's (d, cid) order states
+            dots = np.einsum("nmd,mkd->nmk", sub, cb)
+            codes = np.argmin(cb_n2[None, :, :] - 2.0 * dots, axis=2)  # (n, m_sub)
+            rows_idx = np.arange(len(ids))[:, None]
+            r_n2 = cb_n2[np.arange(m_sub)[None, :], codes].sum(axis=1)  # (n,)
+            ok = r_n2 > 0
+            if not ok.any():
+                continue
+            ids, codes, r_n2 = ids[ok], codes[ok], r_n2[ok]
+            rows_idx = np.arange(len(ids))[:, None]
+            out_q, out_n, out_c = [], [], []
+            for j, qid in enumerate(q_ids):
+                # score = Σ_s adc[j, s, code_s]
+                dot = adc[j][np.arange(m_sub)[None, :], codes].sum(axis=1)
+                col = np.round(dot / np.sqrt(r_n2 * q_n2[j]), 6)
+                top = min(k, len(ids))
+                if top < len(ids):
+                    part = np.argpartition(-col, top - 1)[:top]
+                    cand = np.flatnonzero(col >= col[part].min())
+                else:
+                    cand = np.arange(len(ids))
+                order = cand[np.lexsort((ids[cand], -col[cand]))][:top]
+                out_q.extend([int(qid)] * len(order))
+                out_n.extend(int(ids[i]) for i in order)
+                out_c.extend(float(col[i]) for i in order)
+            yield pa.RecordBatch.from_arrays(
+                [
+                    pa.array(out_q, pa.int64()),
+                    pa.array(out_n, pa.int64()),
+                    pa.array(out_c, pa.float64()),
+                ],
+                names=["query_id", "neighbor_id", "cosine"],
+            )
+
+    scored = corpus.select(id_col, vec_col).mapInArrow(
+        scan, "query_id long, neighbor_id long, cosine double"
+    )
+    return top_k_per_group(
+        scored, "query_id", [F.col("cosine").desc(), F.col("neighbor_id").asc()], k
+    )

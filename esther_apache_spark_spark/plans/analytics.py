@@ -360,6 +360,87 @@ def similarity_topk_int8(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ann_topk_int8(emb, queries, k=10)
 
 
+@register(
+    "similarity_topk_pq",
+    oracle="""
+    WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
+    mm AS (SELECT vec_id, e, list_max(list_transform(e, x -> abs(x))) AS m FROM v),
+    q8 AS (SELECT vec_id,
+                  CASE WHEN m = 0 THEN list_transform(e, x -> 0.0)
+                       ELSE list_transform(e, x -> floor((x * 127.0) / m + 0.5))
+                  END AS q
+           FROM mm),
+    n8 AS (SELECT vec_id, q, list_dot_product(q, q) AS n2 FROM q8),
+    valid AS (SELECT vec_id, q, n2 FROM n8 WHERE n2 > 0),
+    cb AS (
+        SELECT CAST(row_number() OVER (ORDER BY vec_id) AS INTEGER) - 1 AS cid, q
+        FROM (SELECT vec_id, q FROM valid ORDER BY vec_id LIMIT 16)
+    ),
+    sp AS (SELECT CAST(unnest(range(8)) AS INTEGER) AS s),
+    cbs AS (SELECT cid, s, list_slice(cb.q, s * 8 + 1, s * 8 + 8) AS c
+            FROM cb CROSS JOIN sp),
+    cbn AS (SELECT cid, s, list_dot_product(c, c) AS cn2 FROM cbs),
+    encd AS (
+        SELECT x.vec_id, cbs.s, cbs.cid,
+               cbn.cn2 - 2 * list_dot_product(
+                   list_slice(x.q, cbs.s * 8 + 1, cbs.s * 8 + 8), cbs.c) AS d
+        FROM valid x CROSS JOIN cbs
+        JOIN cbn ON cbn.cid = cbs.cid AND cbn.s = cbs.s
+    ),
+    enc AS (SELECT vec_id, s, cid AS code FROM (
+        SELECT *, row_number() OVER (PARTITION BY vec_id, s ORDER BY d, cid) AS rn
+        FROM encd
+    ) WHERE rn = 1),
+    rn2 AS (SELECT e.vec_id, SUM(cbn.cn2) AS r2
+            FROM enc e JOIN cbn ON cbn.s = e.s AND cbn.cid = e.code
+            GROUP BY e.vec_id),
+    qs AS (SELECT vec_id, q, n2 FROM valid WHERE vec_id < 5),
+    adc AS (
+        SELECT qs.vec_id AS query_id, e.vec_id AS neighbor_id,
+               SUM(list_dot_product(
+                   list_slice(qs.q, e.s * 8 + 1, e.s * 8 + 8), cbs.c)) AS dot
+        FROM qs CROSS JOIN enc e
+        JOIN cbs ON cbs.s = e.s AND cbs.cid = e.code
+        GROUP BY 1, 2
+    )
+    SELECT query_id, neighbor_id, cosine FROM (
+        SELECT a.query_id, a.neighbor_id,
+               ROUND(a.dot / sqrt(r.r2 * qs.n2), 6) + 0.0 AS cosine,
+               row_number() OVER (
+                   PARTITION BY a.query_id
+                   ORDER BY ROUND(a.dot / sqrt(r.r2 * qs.n2), 6) DESC,
+                            a.neighbor_id ASC
+               ) AS rn
+        FROM adc a
+        JOIN rn2 r ON r.vec_id = a.neighbor_id
+        JOIN qs ON qs.vec_id = a.query_id
+        WHERE r.r2 > 0
+    ) WHERE rn <= 10
+    """,
+)
+def similarity_topk_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-10 by PRODUCT-QUANTIZED approximate cosine
+    (``similarity.pq_topk``): 8 subspaces × 16 centroids → each vector
+    is 8 four-bit codes (64× smaller than float32), scored by ADC
+    table lookups against the degenerate deterministic codebook (the
+    int8 subvectors of the 16 lowest-id vectors). Every code,
+    distance, ADC dot, and norm is exact integer arithmetic, so —
+    uniquely among PQ implementations — the WHOLE index replays in SQL
+    and hash-matches: the oracle re-derives the codebook, re-encodes
+    the corpus (same (distance, cid) argmin tiebreak), rebuilds the
+    ADC tables, and ranks by the same rounded score. Recall vs float
+    brute force is property-tested in tests/test_scale_guards.py; a
+    trained per-subspace k-means codebook is the drop-in upgrade
+    (rows-only, like `similarity_topk_ivf_kmeans`)."""
+    from esther_apache_spark_spark.operators.similarity import pq_topk
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    return pq_topk(emb, queries, k=10)
+
+
 # ---------------------------------------------------------------------------
 # Skyline (Pareto frontier).
 # ---------------------------------------------------------------------------

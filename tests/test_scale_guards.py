@@ -485,3 +485,33 @@ def test_ann_kernels_tolerate_empty_query_side(spark):
         assert S.brute_force_topk_pandas(corpus, q, k=3).count() == 0
         assert S.brute_force_topk_arrow(corpus, q, k=3).count() == 0
         assert S.ann_topk_int8(corpus, q, k=3).count() == 0
+
+
+def test_pq_topk_recall_vs_bruteforce(spark, sf_dir):
+    """PQ with the degenerate 16-centroid codebook is a coarse index —
+    but its top-10 must still overlap the exact float top-10
+    substantially (it reconstructs from real corpus subvectors), and
+    every returned score must be a valid cosine in [-1, 1]."""
+    from esther_apache_spark_spark.operators.similarity import (
+        brute_force_topk,
+        pq_topk,
+    )
+    from esther_apache_spark_spark.schemas import load_table
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    exact = brute_force_topk(emb, queries, k=10)
+    approx = pq_topk(emb, queries, k=10)
+    ex = {}
+    for r in exact.collect():
+        ex.setdefault(r["query_id"], set()).add(r["neighbor_id"])
+    ap = {}
+    for r in approx.collect():
+        ap.setdefault(r["query_id"], set()).add(r["neighbor_id"])
+        assert -1.0 - 1e-9 <= r["cosine"] <= 1.0 + 1e-9
+    assert set(ap) == set(ex)
+    recall = sum(len(ex[q] & ap[q]) for q in ex) / sum(len(ex[q]) for q in ex)
+    # coarse codebook: expect meaningful but not perfect overlap
+    assert recall >= 0.3, recall
