@@ -663,6 +663,70 @@ def ann_topk_int8(
     )
 
 
+def pq_codebook_kmeans(
+    corpus: DataFrame,
+    m_sub: int = 8,
+    ksub: int = 16,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    sample: int = 4096,
+    iters: int = 5,
+    seed: int = 42,
+):
+    """Trained PQ codebook: plain-L2 Lloyd k-means per SUBSPACE over the
+    int8 codes of a deterministic hash-ordered sample (the same
+    TakeOrdered sampling as ``kmeans_centroids`` — no full shuffle,
+    reproducible on any partitioning). Returns an (m_sub, ksub, d_sub)
+    float64 array for ``pq_topk(codebook=...)``. Trained centroids are
+    REAL-valued means, so the exact-integer SQL replay of the degenerate
+    codebook no longer applies — the trained variant is rows-only, its
+    quality pinned by the recall test (same degenerate/trained pairing
+    as ``ivf_topk`` vs ``similarity_topk_ivf_kmeans``)."""
+    import numpy as np
+
+    corpus = corpus.filter(is_valid_vector(F.col(vec_col)))
+    rows = (
+        corpus.select(F.col(id_col).alias("_id"), F.col(vec_col).alias("_v"))
+        .orderBy(F.xxhash64(F.col("_id"), F.lit(seed)), F.col("_id"))
+        .limit(sample)
+        .collect()
+    )
+    m = _quantize_rows(np.array([r["_v"] for r in rows], dtype="float64"))
+    m = m[(m * m).sum(axis=1) > 0]
+    dim = m.shape[1]
+    if dim % m_sub:
+        raise ValueError(f"dim {dim} not divisible by m_sub {m_sub}")
+    d_sub = dim // m_sub
+    subs = m.reshape(len(m), m_sub, d_sub)
+    cb = np.empty((m_sub, ksub, d_sub))
+    for s in range(m_sub):
+        x = subs[:, s, :]
+        cents = x[:ksub].copy()
+        if len(x) <= ksub:
+            cb[s, : len(x)] = x
+            cb[s, len(x):] = 0.0
+            continue
+        for _ in range(iters):
+            d2 = ((x[:, None, :] - cents[None, :, :]) ** 2).sum(axis=2)
+            assign = np.argmin(d2, axis=1)
+            for c in range(ksub):
+                members = x[assign == c]
+                if len(members):
+                    mu = members.mean(axis=0)
+                    # norm-preserving update: a plain mean of spread-out
+                    # subvectors shrinks toward zero, and the ADC cosine
+                    # divides by the reconstruction norm — shrunken
+                    # centroids distort the ranking nonuniformly.
+                    # Rescale the mean DIRECTION to the members' mean
+                    # norm so reconstructions keep realistic magnitude.
+                    n = np.linalg.norm(mu)
+                    if n > 1e-12:
+                        mu = mu / n * np.linalg.norm(members, axis=1).mean()
+                    cents[c] = mu
+        cb[s] = cents
+    return cb
+
+
 def pq_topk(
     corpus: DataFrame,
     queries: DataFrame,
@@ -672,6 +736,7 @@ def pq_topk(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     query_id_col: str = "query_id",
+    codebook=None,
 ) -> DataFrame:
     """Product-quantization ANN top-k with ADC scoring — the memory
     endpoint of the compression family (float64 GEMM → int8 codes →
@@ -708,26 +773,33 @@ def pq_topk(
     corpus = corpus.filter(is_valid_vector(F.col(vec_col)))
     queries = queries.filter(is_valid_vector(F.col(vec_col)))
 
-    cb_rows = (
-        corpus.select(id_col, vec_col).orderBy(id_col).limit(ksub * 4).collect()
-    )
-    if not cb_rows:
-        return corpus.sparkSession.createDataFrame(
-            [], "query_id long, neighbor_id long, cosine double"
+    if codebook is not None:
+        # trained path (pq_codebook_kmeans): real-valued centroids —
+        # deterministic given the seeded sample, but no longer
+        # exact-integer, so rows-only rather than SQL-replayed
+        cb = np.asarray(codebook, dtype="float64")
+        m_sub, ksub, d_sub = cb.shape
+    else:
+        cb_rows = (
+            corpus.select(id_col, vec_col).orderBy(id_col).limit(ksub * 4).collect()
         )
-    cb_all = _quantize_rows(
-        np.array([r[vec_col] for r in cb_rows], dtype="float64")
-    )
-    # valid = nonzero code norm; keep the first ksub
-    cb_all = cb_all[(cb_all * cb_all).sum(axis=1) > 0][:ksub]
-    if len(cb_all) < ksub:
-        raise ValueError(f"corpus has fewer than {ksub} valid vectors")
-    dim = cb_all.shape[1]
-    if dim % m_sub:
-        raise ValueError(f"dim {dim} not divisible by m_sub {m_sub}")
-    d_sub = dim // m_sub
-    # (m_sub, ksub, d_sub)
-    cb = cb_all.reshape(ksub, m_sub, d_sub).transpose(1, 0, 2).copy()
+        if not cb_rows:
+            return corpus.sparkSession.createDataFrame(
+                [], "query_id long, neighbor_id long, cosine double"
+            )
+        cb_all = _quantize_rows(
+            np.array([r[vec_col] for r in cb_rows], dtype="float64")
+        )
+        # valid = nonzero code norm; keep the first ksub
+        cb_all = cb_all[(cb_all * cb_all).sum(axis=1) > 0][:ksub]
+        if len(cb_all) < ksub:
+            raise ValueError(f"corpus has fewer than {ksub} valid vectors")
+        dim = cb_all.shape[1]
+        if dim % m_sub:
+            raise ValueError(f"dim {dim} not divisible by m_sub {m_sub}")
+        d_sub = dim // m_sub
+        # (m_sub, ksub, d_sub)
+        cb = cb_all.reshape(ksub, m_sub, d_sub).transpose(1, 0, 2).copy()
     cb_n2 = (cb * cb).sum(axis=2)  # (m_sub, ksub) centroid norm² per subspace
 
     q_rows = queries.select(query_id_col, vec_col).collect()

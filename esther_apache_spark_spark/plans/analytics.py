@@ -441,6 +441,34 @@ def similarity_topk_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pq_topk(emb, queries, k=10)
 
 
+@register("similarity_topk_pq_kmeans", oracle=None)
+def similarity_topk_pq_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """`similarity_topk_pq` with a TRAINED per-subspace k-means
+    codebook (`similarity.pq_codebook_kmeans`): data-adaptive,
+    norm-preserving centroids at identical storage (8 four-bit codes
+    per vector). Real-valued centroids break the exact-integer SQL
+    replay, so this is rows-only, mirroring the `similarity_topk_ivf` /
+    `similarity_topk_ivf_kmeans` pairing; determinism survives (the
+    training sample is a seeded TakeOrdered, partition-insensitive).
+    Honest caveat, measured and pinned in tests/test_scale_guards.py:
+    on this synthetic near-UNIFORM embedding corpus k-means has no
+    cluster structure to exploit, and the degenerate codebook (real
+    full-norm subvectors) actually recalls slightly better — training
+    pays off on real clustered embeddings, which is why both codebooks
+    stay one argument apart."""
+    from esther_apache_spark_spark.operators.similarity import (
+        pq_codebook_kmeans,
+        pq_topk,
+    )
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    cb = pq_codebook_kmeans(emb)
+    return pq_topk(emb, queries, k=10, codebook=cb)
+
+
 # ---------------------------------------------------------------------------
 # Skyline (Pareto frontier).
 # ---------------------------------------------------------------------------
