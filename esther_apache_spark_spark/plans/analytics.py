@@ -1478,3 +1478,57 @@ def referential_integrity_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         .unionAll(orphans(li, "l_partkey", part, "p_partkey", "lineitem.l_partkey -> part"))
         .unionAll(orphans(customer, "c_nationkey", nation, "n_nationkey", "customer.c_nationkey -> nation"))
     )
+
+
+@register(
+    "cumulative_distinct_users_daily",
+    oracle="""
+    WITH days AS (SELECT DISTINCT CAST(ts AS DATE) AS day FROM events)
+    SELECT strftime(d.day, '%Y-%m-%d') AS day,
+           CAST(COUNT(DISTINCT e.user_id) AS BIGINT) AS cum_distinct_users
+    FROM days d JOIN events e ON CAST(e.ts AS DATE) <= d.day
+    GROUP BY 1
+    """,
+)
+def cumulative_distinct_users_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cumulative distinct users as of each day — the growth-curve /
+    DAU-accumulation metric — answered ENTIRELY from the persisted
+    per-day bitmap pages: pages for days ≤ D OR-merge into day D's
+    exact count, so the raw events are scanned once to build the daily
+    state and never again (the naive form rescans the fact table per
+    day — O(days · corpus) at 100 TB; COUNT(DISTINCT) over an expanding
+    window is not reaggregable from daily counts, which is exactly why
+    the mergeable bitmap state exists; HLL pages give the same query
+    approximately when the key space outgrows bitmaps).
+
+    The day ≤ asof pairing is an inequality join over two
+    calendar-bounded tiny relations (#days × #days·pages — thousands of
+    4 KB rows at any corpus size), the documented NestedLoop exception
+    class (`tests/test_catalog_hygiene.py`); the merge itself is one
+    hash aggregate on (asof, bitmap_bucket)."""
+    from esther_apache_spark_spark.operators.sketches import (
+        bitmap_bucket_sketches,
+    )
+
+    events = load_table(spark, sf_dir, "events").withColumn(
+        "day", F.col("ts").cast("date")
+    )
+    daily = bitmap_bucket_sketches(events, "user_id", ["day"])
+    asof = daily.select("day").distinct().select(F.col("day").alias("asof"))
+    merged = (
+        daily.join(asof, daily.day <= F.col("asof"))
+        .groupBy("asof", "bitmap_bucket")
+        .agg(F.expr("bitmap_or_agg(bitmap)").alias("bitmap"))
+    )
+    return (
+        merged.groupBy("asof")
+        .agg(
+            F.sum(F.expr("bitmap_count(bitmap)"))
+            .cast("long")
+            .alias("cum_distinct_users")
+        )
+        .select(
+            F.date_format("asof", "yyyy-MM-dd").alias("day"),
+            "cum_distinct_users",
+        )
+    )

@@ -80,6 +80,10 @@ def test_catalog_plans_free_of_scale_antipatterns(spark, sf_dir):
         # sketches), independent of data volume; the raw keys never
         # enter the join (that is the operator's whole point)
         "audience_overlap_theta",
+        # expanding day<=asof pairing over two calendar-bounded page
+        # relations (#days × #days·bitmap-pages, KBs at any corpus
+        # size) — raw keys/events never enter the join
+        "cumulative_distinct_users_daily",
     }
     offenders = {}
     for name, spec in plans.QUERIES.items():
