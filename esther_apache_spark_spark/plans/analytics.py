@@ -1532,3 +1532,33 @@ def cumulative_distinct_users_daily(spark: SparkSession, sf_dir: str) -> DataFra
             "cum_distinct_users",
         )
     )
+
+
+@register(
+    "daily_new_users",
+    oracle="""
+    WITH first_seen AS (
+        SELECT user_id, MIN(CAST(ts AS DATE)) AS day FROM events GROUP BY user_id
+    )
+    SELECT strftime(day, '%Y-%m-%d') AS day,
+           CAST(COUNT(*) AS BIGINT) AS new_users
+    FROM first_seen GROUP BY day
+    """,
+)
+def daily_new_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """New users per day (first-ever appearance) — the increments whose
+    running total is `cumulative_distinct_users_daily`; together they
+    are the standard acquisition readout. One (user_id) MIN aggregate
+    (partial min below the Exchange — only one date per user crosses
+    the wire) and one tiny (day) count; no window, no join, no rescan.
+    Unlike the cumulative form this IS computable incrementally at
+    100 TB: yesterday's first_seen table plus today's partition gives
+    today's row via an anti join (`incremental_dedup_new_docs` shows
+    that shape)."""
+    events = load_table(spark, sf_dir, "events")
+    first_seen = events.groupBy("user_id").agg(
+        F.min(F.col("ts").cast("date")).alias("day")
+    )
+    return first_seen.groupBy("day").agg(
+        F.count(F.lit(1)).cast("long").alias("new_users")
+    ).select(F.date_format("day", "yyyy-MM-dd").alias("day"), "new_users")
