@@ -1562,3 +1562,75 @@ def daily_new_users(spark: SparkSession, sf_dir: str) -> DataFrame:
     return first_seen.groupBy("day").agg(
         F.count(F.lit(1)).cast("long").alias("new_users")
     ).select(F.date_format("day", "yyyy-MM-dd").alias("day"), "new_users")
+
+
+@register(
+    "order_total_reconciliation",
+    oracle="""
+    WITH line_sums AS (
+        SELECT l_orderkey,
+               SUM(CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * 100 AS BIGINT)
+                   ) AS line_cents
+        FROM lineitem GROUP BY l_orderkey
+    ),
+    cmp AS (
+        SELECT o.o_orderkey,
+               CAST(CAST(o.o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT)
+                   AS hdr_cents,
+               COALESCE(l.line_cents, 0) AS line_cents
+        FROM orders o LEFT JOIN line_sums l ON l.l_orderkey = o.o_orderkey
+    )
+    SELECT CASE WHEN hdr_cents = line_cents THEN 'exact'
+                WHEN line_cents = 0 THEN 'no_lines'
+                WHEN hdr_cents > line_cents THEN 'header_higher'
+                ELSE 'lines_higher' END AS status,
+           CAST(COUNT(*) AS BIGINT) AS n_orders,
+           CAST(SUM(ABS(hdr_cents - line_cents)) / 100.0 AS DOUBLE)
+               AS total_abs_gap
+    FROM cmp GROUP BY 1
+    """,
+)
+def order_total_reconciliation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Header-vs-detail reconciliation: does each order's
+    ``o_totalprice`` equal the sum of its line items' extended prices?
+    The financial-close audit of the governance family
+    (`referential_integrity_audit` checks keys, this checks AMOUNTS) —
+    the report buckets orders into exact / no-lines / header-higher /
+    lines-higher with the absolute gap, integer-cent exact end to end
+    (money never touches a float until the final display division).
+    On this synthetic data the header is NOT the line sum — the audit's
+    non-zero gaps are the finding, not a bug.
+
+    Plan: one (orderkey) partial-agg on the fact side, a co-partitioned
+    LEFT join (both sides shuffle on the same key; AQE handles the
+    broadcast decision), and a 4-row bucket aggregate."""
+    li = load_table(spark, sf_dir, "lineitem")
+    orders = load_table(spark, sf_dir, "orders")
+    line_sums = li.groupBy("l_orderkey").agg(
+        F.sum(
+            (F.col("l_extendedprice").cast("decimal(18,2)") * 100).cast("long")
+        ).alias("line_cents")
+    )
+    cmp = orders.join(
+        line_sums, orders.o_orderkey == line_sums.l_orderkey, "left"
+    ).select(
+        (F.col("o_totalprice").cast("decimal(18,2)") * 100)
+        .cast("long")
+        .alias("hdr_cents"),
+        F.coalesce(F.col("line_cents"), F.lit(0)).alias("line_cents"),
+    )
+    status = (
+        F.when(F.col("hdr_cents") == F.col("line_cents"), "exact")
+        .when(F.col("line_cents") == 0, "no_lines")
+        .when(F.col("hdr_cents") > F.col("line_cents"), "header_higher")
+        .otherwise("lines_higher")
+    )
+    return (
+        cmp.groupBy(status.alias("status"))
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_orders"),
+            (F.sum(F.abs(F.col("hdr_cents") - F.col("line_cents"))) / 100.0)
+            .cast("double")
+            .alias("total_abs_gap"),
+        )
+    )
