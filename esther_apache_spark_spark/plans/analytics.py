@@ -1634,3 +1634,76 @@ def order_total_reconciliation(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("total_abs_gap"),
         )
     )
+
+
+@register(
+    "pareto_revenue_customers",
+    oracle="""
+    WITH rev AS (
+        SELECT o_custkey AS custkey,
+               SUM(CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT))
+                   AS cents
+        FROM orders GROUP BY o_custkey
+    ),
+    ranked AS (
+        SELECT custkey, cents,
+               SUM(cents) OVER (ORDER BY cents DESC, custkey
+                                ROWS BETWEEN UNBOUNDED PRECEDING
+                                         AND CURRENT ROW) AS cum_cents,
+               SUM(cents) OVER () AS total_cents,
+               row_number() OVER (ORDER BY cents DESC, custkey) AS rnk
+        FROM rev
+    )
+    SELECT CAST(rnk AS BIGINT) AS rank,
+           custkey,
+           CAST(cents / 100.0 AS DOUBLE) AS revenue,
+           ROUND(CAST(cum_cents AS DOUBLE) / CAST(total_cents AS DOUBLE), 6)
+               AS cum_share
+    FROM ranked
+    WHERE cum_cents - cents < total_cents * 0.8
+    """,
+)
+def pareto_revenue_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pareto / 80-20 concentration: the minimal best-first customer
+    prefix covering 80% of total order revenue (a customer is in the
+    cohort iff the budget is not exhausted BEFORE it — the same
+    greedy-prefix semantics as `cap_chars_per_lang_by_quality`, so
+    exactly the first overshooting customer is still admitted). The
+    concentration readout behind key-account analysis AND skew
+    diagnosis — a heavily concentrated key is the salting candidate.
+    Integer-cent money end to end; (cents DESC, custkey) is a total
+    order so the prefix is engine-independent; the 80% threshold
+    compares integers against integer·0.8 (one exact IEEE multiply).
+
+    Plan: one (custkey) hash aggregate, then windows over the
+    AGGREGATED frame (#customers rows, not orders); the unpartitioned
+    window is the documented single-partition boundary — at 100 TB
+    cohort selection runs on the aggregate, which is the small frame."""
+    orders = load_table(spark, sf_dir, "orders")
+    rev = orders.groupBy(F.col("o_custkey").alias("custkey")).agg(
+        F.sum(
+            (F.col("o_totalprice").cast("decimal(18,2)") * 100).cast("long")
+        ).alias("cents")
+    )
+    w_order = Window.orderBy(F.col("cents").desc(), "custkey")
+    w_cum = w_order.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    w_all = Window.partitionBy()
+    ranked = rev.select(
+        "custkey",
+        "cents",
+        F.sum("cents").over(w_cum).alias("cum_cents"),
+        F.sum("cents").over(w_all).alias("total_cents"),
+        F.row_number().over(w_order).alias("rank"),
+    )
+    return ranked.filter(
+        (F.col("cum_cents") - F.col("cents"))
+        < F.col("total_cents") * F.lit(0.8)
+    ).select(
+        F.col("rank").cast("long").alias("rank"),
+        "custkey",
+        (F.col("cents") / 100.0).cast("double").alias("revenue"),
+        F.round(
+            F.col("cum_cents").cast("double") / F.col("total_cents").cast("double"),
+            6,
+        ).alias("cum_share"),
+    )
