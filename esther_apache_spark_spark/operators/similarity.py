@@ -780,8 +780,18 @@ def pq_topk(
         cb = np.asarray(codebook, dtype="float64")
         m_sub, ksub, d_sub = cb.shape
     else:
+        # Codebook = the ksub lowest-id VALID vectors from the WHOLE corpus
+        # (valid = nonzero quantized norm ⟺ any nonzero element, since
+        # is_valid_vector already excluded NULLs). The predicate is pushed
+        # into the scan BEFORE the limit so a prefix of zero vectors can't
+        # starve the codebook — matching the oracle's
+        # `SELECT ... FROM valid ORDER BY vec_id LIMIT ksub` exactly.
         cb_rows = (
-            corpus.select(id_col, vec_col).orderBy(id_col).limit(ksub * 4).collect()
+            corpus.select(id_col, vec_col)
+            .filter(F.exists(F.col(vec_col), lambda x: x != 0))
+            .orderBy(id_col)
+            .limit(ksub)
+            .collect()
         )
         if not cb_rows:
             return corpus.sparkSession.createDataFrame(
@@ -790,8 +800,6 @@ def pq_topk(
         cb_all = _quantize_rows(
             np.array([r[vec_col] for r in cb_rows], dtype="float64")
         )
-        # valid = nonzero code norm; keep the first ksub
-        cb_all = cb_all[(cb_all * cb_all).sum(axis=1) > 0][:ksub]
         if len(cb_all) < ksub:
             raise ValueError(f"corpus has fewer than {ksub} valid vectors")
         dim = cb_all.shape[1]

@@ -1073,7 +1073,11 @@ def _bpe_learn(
     out: list[tuple[int, str, str, int]] = []
     for k in range(1, _BPE_ITERS + 1):
         sy = F.split(F.trim("s"), " ")
-        pairs = cur.select(
+        # A fully-merged word collapses to one symbol; size(sy)-1 == 0 would
+        # make F.sequence default to a DESCENDING [1, 0] and element_at(sy, 0)
+        # throw. Filter to >=2 symbols — identical to the oracle's empty
+        # range(1, len) contribution for single-symbol words.
+        pairs = cur.filter(F.size(sy) >= 2).select(
             "cnt",
             F.explode(
                 F.transform(
@@ -1085,6 +1089,8 @@ def _bpe_learn(
             ).alias("pair"),
         ).groupBy("pair").agg(F.sum("cnt").alias("c"))
         best = pairs.orderBy(F.desc("c"), F.asc("pair")).first()
+        if best is None:  # corpus fully merged before _BPE_ITERS rounds
+            break
         a, b = best["pair"].split(" ")
         out.append((k, a, b, best["c"]))
         cur = cur.withColumn(

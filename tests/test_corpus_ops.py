@@ -219,3 +219,38 @@ def test_uniqueness_rule_ignores_null_keys(spark):
         if r["rule"] == "u"
     ]
     assert row["violations"] == 1 and not bool(row["passed"])
+
+
+def test_bpe_learn_survives_fully_merged_word(spark, tmp_path):
+    """Regression (ADVICE r3): a word that collapses to ONE symbol
+    mid-training used to make F.sequence(1, size-1) emit the
+    DESCENDING [1, 0] (Spark defaults step to -1) and element_at(sy, 0)
+    throw. The dominant two-char word here fully merges in 2 rounds;
+    the remaining 4 rounds must proceed on the other words, matching
+    the oracle's empty range(1, len) contribution for 1-symbol words."""
+    from esther_apache_spark_spark.plans.corpus_ops import _bpe_learn
+
+    text = " ".join(["aa"] * 50 + ["bcde", "bcdf", "bcdg", "bcdh", "bcdi"] * 3)
+    docs = spark.createDataFrame(
+        [(1, text, "en", "t", len(text))],
+        "doc_id long, text string, lang string, source string, n_chars long",
+    )
+    docs.coalesce(1).write.parquet(str(tmp_path / "documents.parquet"))
+    merges, base, final = _bpe_learn(spark, str(tmp_path))
+    base.unpersist()
+    # 'a </w>' (ASC tiebreak) then 'a a</w>' win the first two rounds,
+    # collapsing "aa" to the single symbol 'aa</w>'
+    assert (merges[0][1], merges[0][2]) == ("a", "</w>")
+    assert (merges[1][1], merges[1][2]) == ("a", "a</w>")
+    assert len(merges) == 6  # later rounds proceeded without crashing
+    syms = {
+        r["sym"]
+        for r in final.select(
+            __import__("pyspark.sql.functions", fromlist=["F"]).explode(
+                __import__("pyspark.sql.functions", fromlist=["F"]).split(
+                    __import__("pyspark.sql.functions", fromlist=["F"]).trim("s"), " "
+                )
+            ).alias("sym")
+        ).collect()
+    }
+    assert "aa</w>" in syms

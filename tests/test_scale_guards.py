@@ -556,3 +556,28 @@ def test_pq_trained_codebook_recall_and_reproducibility(spark, sf_dir):
     a = sorted(map(tuple, pq_topk(emb, queries, k=10, codebook=cb).collect()))
     b = sorted(map(tuple, pq_topk(emb, queries, k=10, codebook=cb2).collect()))
     assert a == b
+
+
+def test_pq_codebook_skips_zero_vector_prefix(spark):
+    """Regression (ADVICE r3): the degenerate PQ codebook used to
+    collect only the ksub*4 lowest-id rows and then filter validity —
+    a corpus whose first 64+ ids are all-zero vectors crashed with
+    ValueError while the SQL oracle (ksub lowest-id VALID vectors from
+    the whole corpus) succeeded. The validity predicate is now pushed
+    into the scan before the limit."""
+    import numpy as np
+
+    from esther_apache_spark_spark.operators.similarity import pq_topk
+
+    rng = np.random.RandomState(7)
+    rows = [(i, [0.0] * 64) for i in range(80)] + [
+        (i, rng.randn(64).tolist()) for i in range(80, 100)
+    ]
+    corpus = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    queries = corpus.filter("vec_id >= 80 and vec_id < 83").selectExpr(
+        "vec_id as query_id", "embedding"
+    )
+    out = pq_topk(corpus, queries, k=5).collect()
+    assert len(out) == 15  # 3 queries × k, no ValueError
+    # zero vectors can never be neighbors (their code norm is 0)
+    assert all(r["neighbor_id"] >= 80 for r in out)

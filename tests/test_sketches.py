@@ -233,3 +233,9 @@ def test_cms_empty_keys_and_unseen_key(spark, events):
     ghost = spark.createDataFrame([(999_999_999,)], "user_id long")
     [row] = S.cms_estimate(pages, ghost, "user_id").collect()
     assert row["cms_count"] >= 0
+    # the promised upper bound: collision noise stays within the
+    # standard CMS guarantee ceil(e * N / width), same bound as
+    # test_cms_overestimates_and_bounds_error
+    import math
+
+    assert row["cms_count"] <= math.ceil(math.e * events.count() / 2048)

@@ -355,4 +355,4 @@ def test_zorder_code_never_negative_with_many_columns(spark, tmp_path):
     # max row must still map to the largest code (order preserved at
     # the extremes even after the resolution clamp)
     top = df.select(z.alias("z")).agg(F.max("z")).first()[0]
-    assert top == rows[-1]["z"] or top >= 0
+    assert rows[-1]["z"] == top
