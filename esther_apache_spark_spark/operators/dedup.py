@@ -248,8 +248,40 @@ def minhash_signature(
     )
 
 
+def md5_long(col: Column, salt: str = "", hexlen: int = 15) -> Column:
+    """Seeded positive ``4·hexlen``-bit hash via md5 — bit-identical in
+    Spark and DuckDB (``CAST(CONCAT('0x', substr(md5(x), 1, hexlen)) AS
+    BIGINT)``), the same construction as ``sampling.hash_bucket`` /
+    ``sketches.cms_slot`` widened to 60 bits. This is the hash family
+    that makes the LSH operators SQL-replayable end-to-end; xxhash64
+    stays available as the cheaper non-replayable default."""
+    s = F.concat(F.lit(salt), col) if salt else col
+    return F.conv(F.substring(F.md5(s), 1, hexlen), 16, 10).cast("long")
+
+
+def minhash_perm_constants(
+    num_perm: int, seed: int = 7, a_bits: int = 64
+) -> tuple["np.ndarray", "np.ndarray"]:
+    """The (a_i, b_i) multiply-shift permutation constants shared by the
+    vectorized signature fold and (for the md5 family) the DuckDB oracle
+    literals. ``a_bits=64`` reproduces the legacy xxhash64-era family
+    byte-for-byte; ``a_bits=62`` keeps a_i < 2^62 so a_i·x with a 60-bit
+    md5 base hash stays < 2^122 — exactly representable in DuckDB's
+    HUGEINT, making ``(a·x + b) mod 2^63`` replayable in SQL."""
+    rng = np.random.default_rng(seed)
+    if a_bits >= 64:
+        a = (rng.integers(0, 2**63, num_perm, dtype=np.uint64) << np.uint64(1)) | np.uint64(1)
+    else:
+        a = (
+            rng.integers(0, 2 ** (a_bits - 1), num_perm, dtype=np.uint64)
+            << np.uint64(1)
+        ) | np.uint64(1)
+    b = rng.integers(0, 2**63, num_perm, dtype=np.uint64)
+    return a, b
+
+
 def minhash_signature_vec(
-    base_hashes: Column, num_perm: int = 32, seed: int = 7
+    base_hashes: Column, num_perm: int = 32, seed: int = 7, mask_bits: int | None = None
 ) -> Column:
     """Vectorized fast path for ``minhash_signature``: takes the
     JVM-computed base hashes (``array<bigint>``, e.g. ``shingle_hashes``)
@@ -262,11 +294,24 @@ def minhash_signature_vec(
     the estimator property (P[sig_i(A)=sig_i(B)] = Jaccard(A,B)) is the
     same and is what the property tests assert. Interpreted HOF folds
     cost O(num_perm·|set|) per row; the GEMM-ish batch form is ~4×
-    faster end-to-end at sf0.1."""
-    rng = np.random.default_rng(seed)
-    a = (rng.integers(0, 2**63, num_perm, dtype=np.uint64) << np.uint64(1)) | np.uint64(1)
-    b = rng.integers(0, 2**63, num_perm, dtype=np.uint64)
-    empty = np.full(num_perm, _LONG_MAX, dtype=np.int64)
+    faster end-to-end at sf0.1.
+
+    ``mask_bits=63`` switches to the SQL-replayable md5 family:
+    constants from ``minhash_perm_constants(a_bits=62)`` and the fold
+    masked to the low 63 bits — (a·x + b) mod 2^63, which DuckDB
+    replays exactly in HUGEINT because mod 2^63 of the uint64-wrapped
+    product equals mod 2^63 of the true product (2^63 | 2^64). Values
+    stay non-negative, so signed BIGINT min agrees with the unsigned
+    min on both engines."""
+    a, b = minhash_perm_constants(
+        num_perm, seed, a_bits=62 if mask_bits is not None else 64
+    )
+    if mask_bits is not None:
+        mask = np.uint64(2**mask_bits - 1)
+        empty = np.full(num_perm, 2**mask_bits - 1, dtype=np.int64)
+    else:
+        mask = None
+        empty = np.full(num_perm, _LONG_MAX, dtype=np.int64)
 
     @F.pandas_udf("array<long>")
     def _sig(s: pd.Series) -> pd.Series:
@@ -280,19 +325,27 @@ def minhash_signature_vec(
                 out.append(empty)
                 continue
             v = x[None, :] * a[:, None] + b[:, None]  # uint64 wraparound
+            if mask is not None:
+                v &= mask
             out.append(v.min(axis=1).view(np.int64))
         return pd.Series(out, dtype=object)
 
     return _sig(base_hashes)
 
 
-def simhash_vec(token_hashes: Column) -> Column:
+def simhash_vec(token_hashes: Column, bits: int = 64) -> Column:
     """Vectorized twin of ``simhash``: takes JVM-computed 64-bit token
     hashes (``transform(tokens, xxhash64)``) and does the 64-bit-position
     vote accumulation in NumPy. Bit rule is identical (bit set iff vote
     sum >= 0, bit 63 wraps like Java shiftleft), so fingerprints are
-    byte-identical to the expression form — asserted in tests."""
-    shifts = np.arange(64, dtype=np.uint64)
+    byte-identical to the expression form — asserted in tests.
+
+    ``bits=60`` is the SQL-replayable md5 family: token hashes from
+    ``md5_long`` carry 60 informative bits, and the 60-bit fingerprint
+    stays non-negative — no Java sign wrap, so DuckDB can rebuild it
+    with plain ``<<``/``>>``/``&`` BIGINT arithmetic."""
+    shifts = np.arange(bits, dtype=np.uint64)
+    all_set = -1 if bits == 64 else (1 << bits) - 1
 
     @F.pandas_udf("long")
     def _fp(s: pd.Series) -> pd.Series:
@@ -303,7 +356,7 @@ def simhash_vec(token_hashes: Column) -> Column:
                 continue
             x = np.asarray(arr, dtype=np.int64).view(np.uint64)
             if len(x) == 0:
-                out.append(-1)  # zero votes at every bit -> all bits set
+                out.append(all_set)  # zero votes at every bit -> all bits set
                 continue
             bits = ((x[:, None] >> shifts[None, :]) & np.uint64(1)).astype(np.int64)
             votes = (2 * bits - 1).sum(axis=0)
@@ -443,6 +496,7 @@ def minhash_lsh_candidates(
     shingle_n: int = 3,
     max_bucket: int | None = 4096,
     collapse_exact: bool = False,
+    hash_family: str = "xxhash64",
 ) -> DataFrame:
     """Near-duplicate candidate pairs via MinHash + LSH banding.
 
@@ -455,7 +509,16 @@ def minhash_lsh_candidates(
     ``max_bucket`` bounds the self-join fan-out on hot buckets (see
     module docstring): buckets above the cap are sharded, so a 100 TB
     boilerplate cluster costs O(shards·max_bucket²) pairs instead of
-    O(cluster²)."""
+    O(cluster²).
+
+    ``hash_family="md5"`` swaps every hash site (shingle base hash,
+    permutation fold, band hash, shard salt) to the md5-hex→BIGINT
+    scheme so the WHOLE pipeline — signature → bands → pairs →
+    sig_agreement — replays bit-for-bit in DuckDB SQL (see
+    ``plans/extensions.py`` ``dedup_minhash_lsh``'s oracle). The
+    xxhash64 default stays the cheaper non-replayable fast path."""
+    if hash_family not in ("xxhash64", "md5"):
+        raise ValueError(f"unknown hash_family: {hash_family!r}")
     rows_per_band = num_perm // bands
     if rows_per_band * bands != num_perm:
         raise ValueError("num_perm must be divisible by bands")
@@ -471,6 +534,7 @@ def minhash_lsh_candidates(
             shingle_n=shingle_n,
             max_bucket=max_bucket,
             collapse_exact=False,
+            hash_family=hash_family,
         )
         # identical texts: every signature position matches
         return _expand_collapsed_pairs(
@@ -491,7 +555,30 @@ def minhash_lsh_candidates(
     # fails with INTERNAL_ERROR), while an attribute-based expression
     # extracts cleanly — and CollapseProject keeps the stage split
     # because `_th` is non-cheap and referenced n+2 times.
-    if shingle_n:
+    if hash_family == "md5":
+        # SQL-replayable base: shingle STRINGS (array_join over token
+        # slices) hashed once with md5_long — distinct over the 60-bit
+        # values is computed on IDENTICAL numbers in both engines, so
+        # even a collision cannot diverge Spark from the oracle.
+        if shingle_n:
+            base_df = df.select(
+                F.col(id_col).alias("_id"),
+                F.array_distinct(
+                    F.transform(
+                        word_shingles(tokenize(F.col(text_col)), shingle_n),
+                        lambda g: md5_long(g),
+                    )
+                ).alias("_base"),
+            )
+        else:
+            base_df = df.select(
+                F.col(id_col).alias("_id"),
+                F.transform(
+                    F.array_distinct(tokenize(F.col(text_col))),
+                    lambda e: md5_long(e),
+                ).alias("_base"),
+            )
+    elif shingle_n:
         th = df.select(
             F.col(id_col).alias("_id"),
             F.transform(tokenize(F.col(text_col)), lambda t: F.xxhash64(t)).alias("_th"),
@@ -523,16 +610,29 @@ def minhash_lsh_candidates(
     # generator (Python UDFs cannot run inside Generate), and it is the
     # relation both sides of the self-join reuse (reference C1).
     def band_hash(sig, b: int) -> Column:
-        return F.xxhash64(
-            F.concat_ws(",", *[
-                F.element_at(sig, b * rows_per_band + r + 1).cast("string")
-                for r in range(rows_per_band)
-            ])
-        )
+        joined = F.concat_ws(",", *[
+            F.element_at(sig, b * rows_per_band + r + 1).cast("string")
+            for r in range(rows_per_band)
+        ])
+        if hash_family == "md5":
+            return md5_long(joined)
+        return F.xxhash64(joined)
+
+    def shard_hash(idc: Column, band: Column) -> Column:
+        if hash_family == "md5":
+            return md5_long(
+                F.concat_ws(":", idc.cast("string"), band.cast("string")),
+                salt="shard:",
+            )
+        return F.xxhash64(idc, band)
 
     sig = _cache(base_df.select(
         "_id",
-        minhash_signature_vec(F.col("_base"), num_perm).alias("_sig"),
+        minhash_signature_vec(
+            F.col("_base"),
+            num_perm,
+            mask_bits=63 if hash_family == "md5" else None,
+        ).alias("_sig"),
     ).select(
         "_id", "_sig", F.array(*[band_hash("_sig", b) for b in range(bands)]).alias("_bh")
     ))
@@ -546,9 +646,15 @@ def minhash_lsh_candidates(
         .select("_id", "_sig", "_bh", "_nsh_arr", F.posexplode("_bh").alias("_band", "_bucket"))
         .withColumn(
             "_shard",
-            F.pmod(
-                F.xxhash64("_id", "_band"),
-                F.element_at("_nsh_arr", F.col("_band") + 1),
+            # skip the shard hash entirely on the all-ones modulus
+            F.when(
+                F.element_at("_nsh_arr", F.col("_band") + 1) == 1,
+                F.lit(0).cast("long"),
+            ).otherwise(
+                F.pmod(
+                    shard_hash(F.col("_id"), F.col("_band")),
+                    F.element_at("_nsh_arr", F.col("_band") + 1),
+                )
             ),
         )
     )
@@ -582,12 +688,29 @@ def minhash_lsh_candidates(
     # that keeps mega-clusters connected. The emitted pair set is
     # byte-identical to the dropDuplicates form; only the duplication
     # (and its shuffle) is gone.
+    # Shard equality short-circuits on the all-ones modulus (no hot
+    # bucket at this band — the overwhelmingly common case): Spark's Or
+    # skips the right operand when the left is true, so the per-pair
+    # shard hashes are never evaluated unless a hot bucket actually
+    # sharded. Semantics identical (mod 1 is always 0 = 0).
     meets = F.array(
         *[
             (F.element_at("bh_a", b + 1) == F.element_at("bh_b", b + 1))
             & (
-                F.pmod(F.xxhash64("id_a", F.lit(b)), F.element_at("nsh_a", b + 1))
-                == F.pmod(F.xxhash64("id_b", F.lit(b)), F.element_at("nsh_b", b + 1))
+                (
+                    (F.element_at("nsh_a", b + 1) == 1)
+                    & (F.element_at("nsh_b", b + 1) == 1)
+                )
+                | (
+                    F.pmod(
+                        shard_hash(F.col("id_a"), F.lit(b)),
+                        F.element_at("nsh_a", b + 1),
+                    )
+                    == F.pmod(
+                        shard_hash(F.col("id_b"), F.lit(b)),
+                        F.element_at("nsh_b", b + 1),
+                    )
+                )
             )
             for b in range(bands)
         ]
@@ -725,15 +848,29 @@ def simhash_candidates(
     band_bits: int = 16,
     max_bucket: int | None = 4096,
     collapse_exact: bool = False,
+    bits: int = 64,
+    hash_family: str = "xxhash64",
 ) -> DataFrame:
-    """Near-dup candidates by SimHash banding: split the 64-bit
-    fingerprint into 64/band_bits bands; docs sharing any band are
+    """Near-dup candidates by SimHash banding: split the ``bits``-wide
+    fingerprint into bits/band_bits bands; docs sharing any band are
     candidates (Hamming-distance blocking). Returns (id_a, id_b,
     hamming) pairs. ``max_bucket`` shards hot buckets to bound the
     self-join fan-out (see module docstring); ``collapse_exact``
     additionally collapses byte-identical texts to one representative
     first (identical fingerprints — pair set preserved exactly, clone
-    clusters stop inflating buckets; see _collapse_identical_text)."""
+    clusters stop inflating buckets; see _collapse_identical_text).
+
+    ``hash_family="md5"`` (pair with ``bits=60``, ``band_bits=15``)
+    hashes tokens with the md5-hex→BIGINT scheme: 60 informative bits,
+    non-negative fingerprint (no Java sign wrap), so fingerprints,
+    bands, pairs AND hamming distances replay exactly in DuckDB SQL —
+    see ``plans/extensions.py`` ``dedup_simhash``'s oracle."""
+    if hash_family not in ("xxhash64", "md5"):
+        raise ValueError(f"unknown hash_family: {hash_family!r}")
+    if hash_family == "xxhash64" and bits != 64:
+        raise ValueError("xxhash64 family supports bits=64 only")
+    if bits % band_bits:
+        raise ValueError("bits must be divisible by band_bits")
     df = _non_null_text(df, text_col)
     if collapse_exact:
         groups, members = _collapse_identical_text(df, id_col, text_col)
@@ -744,6 +881,8 @@ def simhash_candidates(
             band_bits=band_bits,
             max_bucket=max_bucket,
             collapse_exact=False,
+            bits=bits,
+            hash_family=hash_family,
         )
         # identical texts: identical fingerprints, Hamming distance 0
         return _expand_collapsed_pairs(
@@ -754,14 +893,29 @@ def simhash_candidates(
             {"hamming": F.bit_count(F.lit(0))},
             cap=max_bucket,
         )
-    nbands = 64 // band_bits
+    nbands = bits // band_bits
+    if hash_family == "md5":
+        token_hashes = F.transform(
+            tokenize(F.col(text_col)), lambda t: md5_long(t)
+        )
+    else:
+        token_hashes = F.transform(
+            tokenize(F.col(text_col)), lambda t: F.xxhash64(t)
+        )
+
+    def shard_hash(idc: Column, band: Column) -> Column:
+        if hash_family == "md5":
+            return md5_long(
+                F.concat_ws(":", idc.cast("string"), band.cast("string")),
+                salt="shard:",
+            )
+        return F.xxhash64(idc, band)
+
     # cache = reuse across both join sides AND a plan barrier keeping the
     # Arrow UDF out of the posexplode generator (see minhash note)
     fp = _cache(df.select(  # df already NULL-text-filtered at entry
         F.col(id_col).alias("_id"),
-        simhash_vec(
-            F.transform(tokenize(F.col(text_col)), lambda t: F.xxhash64(t))
-        ).alias("_fp"),
+        simhash_vec(token_hashes, bits=bits).alias("_fp"),
     ))
     mask = (1 << band_bits) - 1
 
@@ -779,9 +933,15 @@ def simhash_candidates(
         .select("_id", "_fp", "_nsh_arr", F.posexplode(band_arr).alias("_band", "_bucket"))
         .withColumn(
             "_shard",
-            F.pmod(
-                F.xxhash64("_id", "_band"),
-                F.element_at("_nsh_arr", F.col("_band") + 1),
+            # skip the shard hash entirely on the all-ones modulus
+            F.when(
+                F.element_at("_nsh_arr", F.col("_band") + 1) == 1,
+                F.lit(0).cast("long"),
+            ).otherwise(
+                F.pmod(
+                    shard_hash(F.col("_id"), F.col("_band")),
+                    F.element_at("_nsh_arr", F.col("_band") + 1),
+                )
             ),
         )
     )
@@ -799,13 +959,20 @@ def simhash_candidates(
         *[
             (band_val(F.col("a._fp"), b) == band_val(F.col("b._fp"), b))
             & (
-                F.pmod(
-                    F.xxhash64(F.col("a._id"), F.lit(b)),
-                    F.element_at(F.col("a._nsh_arr"), b + 1),
+                # all-ones shard modulus short-circuit — see minhash note
+                (
+                    (F.element_at(F.col("a._nsh_arr"), b + 1) == 1)
+                    & (F.element_at(F.col("b._nsh_arr"), b + 1) == 1)
                 )
-                == F.pmod(
-                    F.xxhash64(F.col("b._id"), F.lit(b)),
-                    F.element_at(F.col("b._nsh_arr"), b + 1),
+                | (
+                    F.pmod(
+                        shard_hash(F.col("a._id"), F.lit(b)),
+                        F.element_at(F.col("a._nsh_arr"), b + 1),
+                    )
+                    == F.pmod(
+                        shard_hash(F.col("b._id"), F.lit(b)),
+                        F.element_at(F.col("b._nsh_arr"), b + 1),
+                    )
                 )
             )
             for b in range(nbands)

@@ -256,20 +256,132 @@ def dedup_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     return docs.select("doc_id", TS.fingerprint(F.col("text")).alias("fingerprint"))
 
 
-@register("dedup_minhash_lsh", oracle=None)
+# The md5-family LSH oracles replay the ENTIRE pipeline in DuckDB —
+# signature → band hashes → bucket join → first-meet-band emission —
+# using the same md5-hex→BIGINT hashing proven on CMS/SRP-LSH and the
+# multiply-shift permutation constants embedded as literals (mod 2^63 of
+# the uint64-wrapped product equals mod 2^63 of the true HUGEINT product
+# because 2^63 | 2^64). Precondition: hot-bucket sharding must be inert
+# (no (band, bucket) group over max_bucket=4096) — true by orders of
+# magnitude at every test SF (500–5 000 distinct docs); the sharded path
+# is covered separately by tests/test_scale_guards.py.
+_MINHASH_A, _MINHASH_B = D.minhash_perm_constants(32, 7, a_bits=62)
+_MINHASH_PERMS = (
+    "CAST([" + ",".join(str(int(x)) for x in _MINHASH_A) + "] AS HUGEINT[]) AS A, "
+    "CAST([" + ",".join(str(int(x)) for x in _MINHASH_B) + "] AS HUGEINT[]) AS B"
+)
+
+_TOKS_CTE = """
+    SELECT doc_id,
+           list_filter(regexp_split_to_array(trim(regexp_replace(lower(text), '[^\\w\\s]', '', 'g')), '\\s+'), x -> x <> '') AS t
+    FROM documents WHERE text IS NOT NULL
+"""
+
+
+@register(
+    "dedup_minhash_lsh",
+    oracle=f"""
+    WITH consts AS (SELECT {_MINHASH_PERMS}),
+    toks AS ({_TOKS_CTE}),
+    base AS (
+        SELECT doc_id,
+               list_distinct(
+                   CASE WHEN len(t) >= 3
+                        THEN list_transform(range(1, len(t) - 1),
+                             i -> CAST(CONCAT('0x', substr(md5(t[i] || ' ' || t[i+1] || ' ' || t[i+2]), 1, 15)) AS BIGINT))
+                        ELSE CAST([] AS BIGINT[]) END
+               ) AS bh
+        FROM toks
+    ),
+    sigs AS (
+        SELECT doc_id,
+               list_transform(range(32), p ->
+                   CASE WHEN len(bh) = 0 THEN CAST(9223372036854775807 AS BIGINT)
+                        ELSE list_min(list_transform(bh, x ->
+                            CAST((A[p+1] * x + B[p+1]) % 9223372036854775808 AS BIGINT)))
+                   END) AS sig
+        FROM base CROSS JOIN consts
+    ),
+    banded AS (
+        SELECT doc_id, sig,
+               list_transform(range(8), k ->
+                   CAST(CONCAT('0x', substr(md5(
+                       CAST(sig[4*k+1] AS VARCHAR) || ',' || CAST(sig[4*k+2] AS VARCHAR) || ',' ||
+                       CAST(sig[4*k+3] AS VARCHAR) || ',' || CAST(sig[4*k+4] AS VARCHAR)), 1, 15)) AS BIGINT)) AS bands
+        FROM sigs
+    ),
+    expl AS (
+        SELECT doc_id, sig, bands, CAST(r.b AS INTEGER) AS band, bands[r.b + 1] AS bucket
+        FROM banded CROSS JOIN (SELECT unnest(range(8)) AS b) r
+    )
+    SELECT id_a, id_b, ROUND(agree / 32.0, 4) + 0.0 AS sig_agreement FROM (
+        SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+               len(list_filter(range(32), i -> a.sig[i+1] = b.sig[i+1])) AS agree
+        FROM expl a JOIN expl b
+          ON a.band = b.band AND a.bucket = b.bucket AND a.doc_id < b.doc_id
+        WHERE list_position(list_transform(range(8), j -> a.bands[j+1] = b.bands[j+1]), true) = a.band + 1
+    )
+    """,
+)
 def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MinHash+LSH near-dup candidate pairs (shingle→minhash→band→
-    bucket-join). Probabilistic blocking → rows-only check; exactness is
-    property-tested against brute-force Jaccard in tests/test_dedup.py."""
+    bucket-join), md5 hash family — fully SQL-replayed: the oracle
+    re-derives signatures, band hashes, the bucket self-join and the
+    first-meet-band emission bit-for-bit. Estimator exactness is
+    additionally property-tested against brute-force Jaccard in
+    tests/test_dedup.py."""
     docs = load_table(spark, sf_dir, "documents")
-    return D.minhash_lsh_candidates(docs, num_perm=32, bands=8, shingle_n=3)
+    return D.minhash_lsh_candidates(
+        docs, num_perm=32, bands=8, shingle_n=3, hash_family="md5"
+    )
 
 
-@register("dedup_simhash", oracle=None)
+@register(
+    "dedup_simhash",
+    oracle=f"""
+    WITH toks AS ({_TOKS_CTE}),
+    th AS (
+        SELECT doc_id,
+               list_transform(t, x -> CAST(CONCAT('0x', substr(md5(x), 1, 15)) AS BIGINT)) AS h
+        FROM toks
+    ),
+    fps AS (
+        SELECT doc_id,
+               CASE WHEN len(h) = 0 THEN CAST(1152921504606846975 AS BIGINT)
+                    ELSE list_sum(list_transform(range(60), j ->
+                        CASE WHEN list_sum(list_transform(h, x ->
+                                 CASE WHEN (x >> j) & 1 = 1 THEN 1 ELSE -1 END)) >= 0
+                             THEN (CAST(1 AS BIGINT) << j) ELSE CAST(0 AS BIGINT) END))
+               END AS fp
+        FROM th
+    ),
+    banded AS (
+        SELECT doc_id, fp,
+               list_transform(range(4), b -> (fp >> (b * 15)) & 32767) AS bd
+        FROM fps
+    ),
+    expl AS (
+        SELECT doc_id, fp, bd, CAST(r.b AS INTEGER) AS band, bd[r.b + 1] AS bucket
+        FROM banded CROSS JOIN (SELECT unnest(range(4)) AS b) r
+    )
+    SELECT id_a, id_b, hamming FROM (
+        SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+               CAST(bit_count(xor(a.fp, b.fp)) AS INTEGER) AS hamming
+        FROM expl a JOIN expl b
+          ON a.band = b.band AND a.bucket = b.bucket AND a.doc_id < b.doc_id
+        WHERE list_position(list_transform(range(4), j -> a.bd[j+1] = b.bd[j+1]), true) = a.band + 1
+    ) WHERE hamming <= 8
+    """,
+)
 def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """SimHash near-dup candidates (Hamming blocking over 16-bit bands)."""
+    """SimHash near-dup candidates (Hamming blocking over 15-bit bands
+    of a 60-bit md5-family fingerprint) — fully SQL-replayed: the
+    oracle rebuilds per-token 60-bit hashes, bit votes, fingerprints,
+    bands and the first-meet-band pair emission exactly."""
     docs = load_table(spark, sf_dir, "documents")
-    return D.simhash_candidates(docs, band_bits=16).filter(F.col("hamming") <= 8)
+    return D.simhash_candidates(
+        docs, band_bits=15, bits=60, hash_family="md5"
+    ).filter(F.col("hamming") <= 8)
 
 
 @register(
