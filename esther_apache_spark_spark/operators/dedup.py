@@ -1285,3 +1285,76 @@ def corpus_line_dedup(
             F.coalesce("text_hash", F.md5(F.lit("").cast("binary"))).alias("text_hash"),
         )
     )
+
+
+def substring_dup_spans(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k: int = 8,
+    min_doc_freq: int = 2,
+) -> DataFrame:
+    """Exact substring-level duplicate spans (the deduplicate-text-
+    datasets operator of Lee et al. 2022, k-gram approximation): find,
+    per document, the maximal token spans of length >= ``k`` whose every
+    k-token window also occurs in at least ``min_doc_freq`` distinct
+    documents. Returns (id, span_start, span_len) with 0-based token
+    offsets and lengths in tokens.
+
+    Construction — LINEAR, no pair join anywhere:
+      1. k-token windows per doc (``word_shingles``), md5-hashed
+         (``md5_long``) so the shuffle carries 8-byte keys, never text;
+      2. the duplicated-window set = windows whose distinct-doc count
+         reaches ``min_doc_freq`` (two hash aggregates, both map-side
+         combinable) — a semi-join marks each position, no doc pairs
+         are ever materialized, so a boilerplate passage shared by a
+         MILLION docs costs O(occurrences), not O(docs²);
+      3. runs of consecutive duplicated positions merge into maximal
+         spans with the islands trick (pos - row_number), one window
+         partitioned by doc id.
+
+    Exactness caveat (inherent to the k-gram approximation, shared with
+    the published suffix-array formulation only up to merging): a
+    merged run guarantees every k-window inside it is duplicated
+    somewhere, not that the whole span is contiguous in one partner
+    document. For exact duplicated passages (the target workload) the
+    two coincide.
+
+    SQL-replayable end-to-end: window hashing is the md5-hex→BIGINT
+    scheme and every later step is relational — see
+    ``dedup_substring_spans``'s DuckDB oracle in plans/extensions.py."""
+    if k < 2:
+        raise ValueError("k must be >= 2")
+    pos_h = (
+        _non_null_text(df, text_col)
+        .select(
+            F.col(id_col).alias("_id"),
+            F.posexplode(word_shingles(tokenize(F.col(text_col)), k)).alias(
+                "_pos", "_gram"
+            ),
+        )
+        .select("_id", "_pos", md5_long(F.col("_gram")).alias("_h"))
+    )
+    dup_h = (
+        pos_h.select("_h", "_id")
+        .distinct()
+        .groupBy("_h")
+        .agg(F.count(F.lit(1)).alias("_docs"))
+        .filter(F.col("_docs") >= min_doc_freq)
+        .select("_h")
+    )
+    dup_pos = pos_h.join(dup_h, "_h", "left_semi")
+    w = Window.partitionBy("_id").orderBy("_pos")
+    runs = dup_pos.withColumn("_grp", F.col("_pos") - F.row_number().over(w))
+    return (
+        runs.groupBy("_id", "_grp")
+        .agg(
+            F.min("_pos").alias("span_start"),
+            (F.max("_pos") - F.min("_pos") + F.lit(k)).alias("span_len"),
+        )
+        .select(
+            F.col("_id").alias(id_col),
+            F.col("span_start").cast("int").alias("span_start"),
+            F.col("span_len").cast("int").alias("span_len"),
+        )
+    )

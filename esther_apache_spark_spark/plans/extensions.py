@@ -422,6 +422,48 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "dedup_substring_spans",
+    oracle=f"""
+    WITH toks AS ({_TOKS_CTE}),
+    expl AS (
+        SELECT doc_id, t, unnest(range(len(t) - 7)) AS i
+        FROM toks WHERE len(t) >= 8
+    ),
+    pos_h AS (
+        SELECT doc_id, CAST(i AS INTEGER) AS pos,
+               CAST(CONCAT('0x', substr(md5(array_to_string(t[i+1:i+8], ' ')), 1, 15)) AS BIGINT) AS h
+        FROM expl
+    ),
+    dup_h AS (
+        SELECT h FROM (SELECT DISTINCT h, doc_id FROM pos_h)
+        GROUP BY h HAVING COUNT(*) >= 2
+    ),
+    dup_pos AS (
+        SELECT p.doc_id, p.pos FROM pos_h p JOIN dup_h USING (h)
+    ),
+    runs AS (
+        SELECT doc_id, pos,
+               pos - row_number() OVER (PARTITION BY doc_id ORDER BY pos) AS grp
+        FROM dup_pos
+    )
+    SELECT doc_id, CAST(MIN(pos) AS INTEGER) AS span_start,
+           CAST(MAX(pos) - MIN(pos) + 8 AS INTEGER) AS span_len
+    FROM runs GROUP BY doc_id, grp
+    """,
+)
+def dedup_substring_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact substring-level duplicate spans (Lee et al. 2022 k-gram
+    form, k=8 tokens): per document, the maximal token spans whose
+    every 8-token window occurs in >= 2 distinct documents. Linear
+    construction — two hash aggregates + a semi-join + one islands
+    window; no doc-pair join exists anywhere in the plan, so shared
+    boilerplate costs O(occurrences) not O(docs²). Fully SQL-replayed
+    (md5 window hashes)."""
+    docs = load_table(spark, sf_dir, "documents")
+    return D.substring_dup_spans(docs, k=8, min_doc_freq=2)
+
+
+@register(
     "dedup_embedding_cosine",
     oracle="""
     WITH v AS (SELECT vec_id AS _id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),

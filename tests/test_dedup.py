@@ -414,3 +414,53 @@ def test_cache_scope_nests_and_default_unscoped_behavior_unchanged(spark):
     simhash_candidates(docs).count()
     assert _n_persistent(spark) > base
     spark.catalog.clearCache()
+
+
+def test_substring_dup_spans_finds_planted_passage(spark):
+    """A shared 10-token passage planted mid-document in otherwise
+    unique docs is reported as one maximal span per doc, with exact
+    token offsets: windows at positions p..p+2 (k=8 over 10 tokens)
+    merge into (start=p, len=10)."""
+    from esther_apache_spark_spark.operators.dedup import substring_dup_spans
+
+    passage = " ".join(f"shared{i}" for i in range(10))
+    rows = [
+        (1, f"u1a u1b u1c {passage} u1d u1e"),          # passage at pos 3
+        (2, f"{passage} v2a v2b v2c v2d"),               # passage at pos 0
+        (3, "w1 w2 w3 w4 w5 w6 w7 w8 w9 w10 w11 w12"),   # no dup
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = sorted(map(tuple, substring_dup_spans(df, k=8).collect()))
+    assert got == [(1, 3, 10), (2, 0, 10)]
+
+
+def test_substring_dup_spans_within_doc_repeat_not_duplicated(spark):
+    """A passage repeated INSIDE one document but present in no other
+    doc is not a cross-doc duplicate (distinct-doc frequency gate)."""
+    from esther_apache_spark_spark.operators.dedup import substring_dup_spans
+
+    passage = " ".join(f"rep{i}" for i in range(8))
+    df = spark.createDataFrame(
+        [(1, f"{passage} mid1 mid2 {passage}"), (2, "x1 x2 x3 x4 x5 x6 x7 x8 x9")],
+        "doc_id long, text string",
+    )
+    assert substring_dup_spans(df, k=8).count() == 0
+
+
+def test_substring_dup_spans_boilerplate_scale_guard(spark):
+    """Scale guard: a boilerplate passage shared by 1000 docs must cost
+    O(occurrences), not O(docs²) — the result is one span per doc
+    (1000 rows, not ~500k pair rows) and the physical plan contains no
+    cartesian/nested-loop join."""
+    from esther_apache_spark_spark.operators.dedup import substring_dup_spans
+
+    passage = " ".join(f"boiler{i}" for i in range(12))
+    rows = [(i, f"unique{i}a unique{i}b {passage} unique{i}c") for i in range(1000)]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    res = substring_dup_spans(df, k=8)
+    plan = res._jdf.queryExecution().executedPlan().toString()
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    out = res.collect()
+    assert len(out) == 1000
+    assert all(r["span_start"] == 2 and r["span_len"] == 12 for r in out)
