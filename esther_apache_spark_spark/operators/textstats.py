@@ -146,3 +146,88 @@ def duplicate_fraction(arr: Column) -> Column:
     return F.when(
         n > 0, (n - F.size(F.array_distinct(arr))) / n
     ).otherwise(F.lit(0.0))
+
+
+def quality_classifier_weights(
+    spark, n_buckets: int = 4096, seed_salt: str = "qcw:"
+):
+    """Deterministic fasttext-style weight table: one row per token-hash
+    bucket, weight an EXACT dyadic rational in [-1, 1]
+    (``(md5_bucket_hash mod 2049 − 1024) / 1024`` — denominator a power
+    of two, so every weight, partial sum and mean is bit-identical
+    across engines and summation orders). In production this frame is
+    the trained model's quantized embedding/weight table loaded from a
+    store; the interface is identical — (bucket, weight)."""
+    from esther_apache_spark_spark.operators.dedup import md5_long
+
+    return spark.range(n_buckets).select(
+        F.col("id").alias("bucket"),
+        (
+            (
+                F.pmod(
+                    md5_long(F.col("id").cast("string"), salt=seed_salt),
+                    F.lit(2049),
+                )
+                - 1024
+            )
+            / F.lit(1024.0)
+        ).alias("weight"),
+    )
+
+
+def quality_classifier_score(
+    df: DataFrame,
+    weights: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n_buckets: int = 4096,
+    bias: float = 0.0,
+) -> DataFrame:
+    """Model-based quality filter (the CCNet/fasttext linear-classifier
+    step of an LLM data pipeline): token → md5 hash bucket → broadcast
+    weight lookup → per-doc mean + bias → rational squash
+    ``z / (1 + |z|)`` (every op an exactly-specified IEEE operation —
+    no ``exp``, whose libm implementations differ across engines).
+    Returns (id, n_tokens, score, quality, keep) with keep = score > 0.
+
+    Scale shape: explode is linear in corpus tokens, the weight join is
+    a broadcast hash join against a table bounded by ``n_buckets`` (a
+    model constant, not data), and the per-doc aggregate is map-side
+    combinable. Zero-token docs are preserved by the left join back to
+    the doc base (score = bias). Pure expressions throughout — no UDF.
+
+    Exact by construction: weights are multiples of 1/1024 with |w| ≤ 1,
+    so group sums stay exact dyadic rationals regardless of reduction
+    order, and the single divisions (mean, squash) are deterministic
+    IEEE ops — the DuckDB oracle matches bit-for-bit with NO rounding."""
+    from esther_apache_spark_spark.operators.dedup import md5_long
+
+    base = df.filter(F.col(text_col).isNotNull()).select(
+        F.col(id_col).alias("_id"), F.col(text_col).alias("_t")
+    )
+    tok = base.select("_id", F.explode(tokenize(F.col("_t"))).alias("_tok"))
+    bucketed = tok.select(
+        "_id",
+        F.pmod(md5_long(F.col("_tok"), salt="qc:"), F.lit(n_buckets)).alias(
+            "bucket"
+        ),
+    )
+    # bounded by n_buckets (model constant) -> broadcast is safe at any sf
+    scored = bucketed.join(F.broadcast(weights), "bucket", "left").select(
+        "_id", F.coalesce("weight", F.lit(0.0)).alias("weight")
+    )
+    agg = scored.groupBy("_id").agg(
+        F.sum("weight").alias("_sw"), F.count(F.lit(1)).alias("_n")
+    )
+    z = F.coalesce(F.col("_sw") / F.col("_n"), F.lit(0.0)) + F.lit(bias)
+    return (
+        base.select("_id")
+        .join(agg, "_id", "left")
+        .select(
+            F.col("_id").alias(id_col),
+            F.coalesce("_n", F.lit(0).cast("long")).alias("n_tokens"),
+            z.alias("score"),
+            (z / (F.lit(1.0) + F.abs(z))).alias("quality"),
+            (z > 0).alias("keep"),
+        )
+    )

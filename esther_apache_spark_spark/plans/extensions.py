@@ -1412,6 +1412,98 @@ def training_corpus_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_QC_SCORE_CTES = """
+    tok AS (SELECT doc_id, unnest(t) AS tok FROM toks),
+    b AS (SELECT doc_id,
+                 CAST(CONCAT('0x', substr(md5('qc:' || tok), 1, 15)) AS BIGINT) % 4096 AS bucket
+          FROM tok),
+    w AS (SELECT doc_id,
+                 ((CAST(CONCAT('0x', substr(md5('qcw:' || CAST(bucket AS VARCHAR)), 1, 15)) AS BIGINT) % 2049) - 1024) / 1024.0 AS weight
+          FROM b),
+    agg AS (SELECT doc_id, SUM(weight) AS sw, CAST(COUNT(*) AS BIGINT) AS n
+            FROM w GROUP BY doc_id)
+"""
+
+
+@register(
+    "quality_classifier_score_docs",
+    oracle=f"""
+    WITH toks AS ({_TOKS_CTE}),
+    {_QC_SCORE_CTES},
+    base AS (SELECT doc_id FROM documents WHERE text IS NOT NULL)
+    SELECT b.doc_id, COALESCE(n, 0) AS n_tokens,
+           COALESCE(sw / n, 0.0) AS score,
+           COALESCE(sw / n, 0.0) / (1 + abs(COALESCE(sw / n, 0.0))) AS quality,
+           COALESCE(sw / n, 0.0) > 0 AS keep
+    FROM base b LEFT JOIN agg USING (doc_id)
+    """,
+)
+def quality_classifier_score_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Model-based quality filter (fasttext/CCNet-style linear scorer):
+    token → md5 hash bucket → broadcast weight table (bounded by the
+    n_buckets model constant) → per-doc mean → rational squash
+    z/(1+|z|). Weights are exact dyadic rationals (k/1024), so sums are
+    reduction-order-independent and the oracle matches with NO rounding
+    — the whole model inference replays bit-for-bit in SQL."""
+    docs = load_table(spark, sf_dir, "documents")
+    w = TS.quality_classifier_weights(spark)
+    return TS.quality_classifier_score(docs, w)
+
+
+@register(
+    "training_corpus_pipeline_gated",
+    oracle=f"""
+    WITH toks AS ({_TOKS_CTE}),
+    {_QC_SCORE_CTES},
+    qc AS (SELECT doc_id FROM agg WHERE sw / n > 0),
+    kept AS (
+        SELECT d.doc_id, d.lang, d.n_chars, d.text,
+               row_number() OVER (PARTITION BY d.text ORDER BY d.doc_id) AS rn
+        FROM documents d JOIN qc USING (doc_id)
+        WHERE d.n_chars >= 100 AND d.lang IN ('en', 'fr', 'de')
+    )
+    SELECT k.doc_id, k.lang, CAST(k.n_chars AS BIGINT) AS n_chars,
+           CAST(ROUND(sqrt(list_sum(list_transform(e.embedding,
+                                                   x -> CAST(x AS DOUBLE) * x))), 4)
+               AS DOUBLE) AS l2_norm
+    FROM kept k JOIN embeddings e ON k.doc_id = e.vec_id
+    WHERE k.rn = 1
+    """,
+)
+def training_corpus_pipeline_gated(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """``training_corpus_pipeline`` with the model-based quality gate
+    composed in front (the optional classifier stage of the corpus
+    pipeline): docs failing the linear classifier (score ≤ 0) never
+    reach the dedup/join stages. The gate is a semi-join against the
+    classifier's keep set — at 100 TB the broadcast weight lookup and
+    the mean are linear, and everything downstream operates on the
+    filtered minority."""
+    docs = load_table(spark, sf_dir, "documents")
+    w = TS.quality_classifier_weights(spark)
+    keep = (
+        TS.quality_classifier_score(docs, w)
+        .filter(F.col("keep"))
+        .select("doc_id")
+    )
+    gated = docs.join(keep, "doc_id", "left_semi").filter(
+        (F.col("n_chars") >= 100) & F.col("lang").isin("en", "fr", "de")
+    )
+    kept = keep_first(
+        gated.withColumn("_h", F.md5(F.col("text").cast("binary"))),
+        ["_h"],
+        [F.col("doc_id")],
+    )
+    emb = load_table(spark, sf_dir, "embeddings")
+    v = F.col("embedding").cast("array<double>")
+    norm = F.sqrt(F.aggregate(v, F.lit(0.0), lambda acc, x: acc + x * x))
+    return kept.join(emb, kept.doc_id == emb.vec_id).select(
+        "doc_id",
+        "lang",
+        F.col("n_chars").cast("long").alias("n_chars"),
+        F.round(norm, 4).alias("l2_norm"),
+    )
+
+
 @register(
     "stream_dedup_events",
     oracle="""

@@ -54,6 +54,9 @@ ALLOWED: dict[tuple[str, str], str] = {
     ("operators/similarity.py", "lsh_bucket"): "bucketed QUERY side (same small-by-contract query matrix)",
     # caller-gated opt-in (default off)
     ("operators/rangejoin.py", "ib"): "behind broadcast_intervals flag, caller asserts boundedness",
+    # classifier weight table: one row per token-hash bucket, bounded by
+    # the n_buckets MODEL constant (4096 default) — independent of sf
+    ("operators/textstats.py", "weights"): "weight table, n_buckets rows (model constant)",
     # FreshKart dims are fixed-size reference data (VERDICT r2: harmless)
     ("freshkart/pipeline.py", "customers_clean"): "fixed-size reference dim",
     ("freshkart/pipeline.py", "refunds_sum"): "per-order pre-agg of the fixed refunds feed",

@@ -254,3 +254,29 @@ def test_bpe_learn_survives_fully_merged_word(spark, tmp_path):
         ).collect()
     }
     assert "aa</w>" in syms
+
+
+def test_quality_classifier_exact_and_edge_cases(spark):
+    """The linear classifier is exact by construction (dyadic weights):
+    scores are reduction-order independent, zero-token docs survive with
+    score = bias, and keep == (score > 0)."""
+    from esther_apache_spark_spark.operators import textstats as TS
+
+    df = spark.createDataFrame(
+        [(1, "the quick brown fox"), (2, "...!!!"), (3, None), (4, "a a a a")],
+        "doc_id long, text string",
+    )
+    w = TS.quality_classifier_weights(spark)
+    out = {r["doc_id"]: r for r in TS.quality_classifier_score(df, w).collect()}
+    assert 3 not in out  # NULL text excluded
+    assert out[2]["n_tokens"] == 0 and out[2]["score"] == 0.0
+    assert not out[2]["keep"]
+    for r in out.values():
+        assert r["keep"] == (r["score"] > 0)
+        assert abs(r["quality"]) <= 1.0
+    # repartition-invariance of the float score (exact dyadic sums)
+    out2 = {
+        r["doc_id"]: r["score"]
+        for r in TS.quality_classifier_score(df.repartition(7), w).collect()
+    }
+    assert {k: v["score"] for k, v in out.items()} == out2
