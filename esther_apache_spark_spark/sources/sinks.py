@@ -337,3 +337,202 @@ def write_sized_shards(
         writer.json(path)
     else:
         raise ValueError(f"unsupported shard format: {fmt!r}")
+
+
+# ---------------------------------------------------------------------------
+# Atomic publish: manifest-commit protocol for batch sinks.
+# ---------------------------------------------------------------------------
+
+_MANIFEST = "_MANIFEST.json"
+
+
+def _crash_hook(stage: str) -> None:
+    """Crash-injection point for the publish protocol tests: when
+    $SPARK_GRAFT_CRASH_AT names this stage, die like a killed executor
+    (no cleanup, no atexit). Inert in production (env var unset)."""
+    import os as _os
+
+    if _os.environ.get("SPARK_GRAFT_CRASH_AT") == stage:
+        _os._exit(137)
+
+
+def _fsync_path(p: str) -> None:
+    import os as _os
+
+    fd = _os.open(p, _os.O_RDONLY)
+    try:
+        _os.fsync(fd)
+    finally:
+        _os.close(fd)
+
+
+def _write_manifest(version_dir: str) -> None:
+    """Enumerate the staged dataset and fsync a manifest beside it: the
+    manifest's presence + file/size agreement is the commit record — a
+    version directory without a valid manifest is garbage by definition."""
+    import json as _json
+    import os as _os
+
+    files = {}
+    for root, _dirs, names in _os.walk(version_dir):
+        for name in sorted(names):
+            if name == _MANIFEST or name.startswith("."):
+                continue
+            full = _os.path.join(root, name)
+            files[_os.path.relpath(full, version_dir)] = _os.path.getsize(full)
+    mpath = _os.path.join(version_dir, _MANIFEST)
+    tmp = mpath + ".tmp"
+    with open(tmp, "w") as f:
+        _json.dump({"files": files}, f, sort_keys=True)
+        f.flush()
+        _os.fsync(f.fileno())
+    _os.replace(tmp, mpath)
+    _fsync_path(version_dir)  # persist the directory entry itself
+
+
+def manifest_valid(version_dir: str) -> bool:
+    """True iff the manifest exists and every listed file exists with
+    the recorded size (a torn copy or partial write fails the check)."""
+    import json as _json
+    import os as _os
+
+    mpath = _os.path.join(version_dir, _MANIFEST)
+    if not _os.path.isfile(mpath):
+        return False
+    try:
+        with open(mpath) as f:
+            manifest = _json.load(f)
+    except (OSError, ValueError):
+        return False
+    for rel, size in manifest.get("files", {}).items():
+        full = _os.path.join(version_dir, rel)
+        if not _os.path.isfile(full) or _os.path.getsize(full) != size:
+            return False
+    return True
+
+
+def publish_parquet_atomic(df: DataFrame, path: str) -> str:
+    """Atomic-publish parquet sink (manifest-commit protocol,
+    generalizing ``compact_parquet``'s rename-aside): at EVERY instant,
+    a reader of ``path`` sees either the previous complete dataset or
+    the new complete dataset — never a half-written directory, even if
+    the writer is SIGKILLed at any point (crash-injection tested).
+
+    Protocol (local/POSIX implementation):
+      1. stage:   write the dataset into ``<path>.versions/v<N>``
+                  (invisible to readers);
+      2. commit:  fsync a ``_MANIFEST.json`` (file list + sizes) inside
+                  the version dir — a version without a valid manifest
+                  is garbage by definition, never eligible for reads;
+      3. publish: atomically repoint ``path`` (a symlink) at the new
+                  version via symlink + rename(2) — POSIX guarantees
+                  rename atomicity, so no reader can observe an absent
+                  or partial canonical path;
+      4. prune:   drop all versions except the new one and its
+                  predecessor (kept for rollback/in-flight readers).
+
+    On an object store the same protocol holds with the symlink replaced
+    by a pointer object (small JSON naming the current version prefix)
+    — step 3 becomes one PUT, which S3/GCS make atomic per-key. Returns
+    the published version directory."""
+    import os as _os
+
+    versions_root = path.rstrip("/") + ".versions"
+    _os.makedirs(versions_root, exist_ok=True)
+    existing = sorted(
+        int(d[1:]) for d in _os.listdir(versions_root)
+        if d.startswith("v") and d[1:].isdigit()
+    )
+    n = (existing[-1] + 1) if existing else 1
+    version_dir = _os.path.join(versions_root, f"v{n:06d}")
+
+    # 1. stage
+    df.write.mode("overwrite").parquet(version_dir)
+    _crash_hook("after_stage")
+
+    # 2. commit (manifest + fsync)
+    _write_manifest(version_dir)
+    _crash_hook("after_manifest")
+
+    # 3. publish (atomic pointer swap)
+    if _os.path.isdir(path) and not _os.path.islink(path):
+        raise ValueError(
+            f"{path} exists as a real directory — migrate it into the "
+            f"versioned layout first (move it to {versions_root}/v000001 "
+            "with a manifest), then publish"
+        )
+    tmp_link = _os.path.join(versions_root, f".link-v{n:06d}")
+    if _os.path.lexists(tmp_link):
+        _os.unlink(tmp_link)
+    _os.symlink(_os.path.abspath(version_dir), tmp_link)
+    _crash_hook("before_swap")
+    _os.replace(tmp_link, path)  # rename(2): atomic
+    _fsync_path(_os.path.dirname(_os.path.abspath(path)) or ".")
+    _crash_hook("after_swap")
+
+    # 4. prune (keep the predecessor for rollback / in-flight readers)
+    import shutil as _shutil
+
+    for old_n in existing[:-1]:
+        _shutil.rmtree(
+            _os.path.join(versions_root, f"v{old_n:06d}"), ignore_errors=True
+        )
+    return version_dir
+
+
+def read_published(spark: SparkSession, path: str) -> DataFrame:
+    """Read the currently published version, refusing torn data: the
+    canonical pointer must resolve to a version whose manifest
+    validates. (A crashed publish can never make this fail — the
+    pointer swap is atomic and only ever targets a committed version.)"""
+    import os as _os
+
+    target = _os.path.realpath(path)
+    if not manifest_valid(target):
+        raise FileNotFoundError(
+            f"{path} does not point at a manifest-valid dataset"
+        )
+    return spark.read.parquet(target)
+
+
+def recover_publish(path: str) -> str | None:
+    """Crash recovery / GC for the publish protocol: delete version
+    directories whose manifest does not validate (torn stage writes),
+    UNLESS currently published; if the canonical pointer is missing or
+    dangling but a committed version exists, repoint it at the newest
+    one. Returns the published version dir (None when nothing is
+    publishable). Idempotent."""
+    import os as _os
+    import shutil as _shutil
+
+    versions_root = path.rstrip("/") + ".versions"
+    if not _os.path.isdir(versions_root):
+        return None
+    current = _os.path.realpath(path) if _os.path.lexists(path) else None
+    valid: list[str] = []
+    for d in sorted(_os.listdir(versions_root)):
+        if not (d.startswith("v") and d[1:].isdigit()):
+            if d.startswith(".link-"):  # orphaned pre-swap symlink
+                _os.unlink(_os.path.join(versions_root, d))
+            continue
+        vdir = _os.path.join(versions_root, d)
+        if manifest_valid(vdir):
+            valid.append(vdir)
+        elif _os.path.realpath(vdir) != current:
+            _shutil.rmtree(vdir, ignore_errors=True)
+    if not valid:
+        return None
+    newest = valid[-1]
+    pointer_ok = (
+        _os.path.lexists(path)
+        and _os.path.isdir(_os.path.realpath(path))
+        and manifest_valid(_os.path.realpath(path))
+    )
+    if not pointer_ok:
+        tmp_link = _os.path.join(versions_root, ".link-recover")
+        if _os.path.lexists(tmp_link):
+            _os.unlink(tmp_link)
+        _os.symlink(_os.path.abspath(newest), tmp_link)
+        _os.replace(tmp_link, path)
+        return newest
+    return _os.path.realpath(path)
