@@ -843,6 +843,81 @@ def _q_date_funcs(r: random.Random, stats: ColumnStats) -> str:
     return f"SELECT {', '.join(items)} FROM {t.name} WHERE {pred}"
 
 
+def _q_rank_ties(r: random.Random, stats: ColumnStats) -> str:
+    """Rank-family functions under DELIBERATE ties: ORDER BY a
+    low-cardinality key only (category or small-domain int), so ties are
+    dense. RANK / DENSE_RANK / PERCENT_RANK / CUME_DIST are functions of
+    the ORDER-KEY VALUES, not physical row order, so the result is
+    deterministic WITHOUT a total order — the tie axis ``_q_window``
+    cannot exercise (its ROWS frames force the full tiebreak order).
+    PERCENT_RANK and CUME_DIST are single IEEE divisions of integers —
+    bit-identical across engines, compared under repr() exactness."""
+    t = TABLES[r.choice(["lineitem", "orders", "customer", "events", "nullish"])]
+    part = r.choice(t.cats) if t.cats and r.random() < 0.6 else None
+    okey_pool = [c for c in (t.cats + t.ints) if c != part] or list(t.ints)
+    okey = r.choice(okey_pool)
+    direction = r.choice(["ASC", "DESC"])
+    over = (
+        (f"PARTITION BY {part} " if part else "")
+        + f"ORDER BY {okey} {direction} NULLS LAST"
+    )
+    pred = _predicate(r, stats, t, n_max=2)
+    proj = list(dict.fromkeys(list(t.unique) + ([part] if part else []) + [okey]))
+    return (
+        f"SELECT {', '.join(proj)}, "
+        f"CAST(RANK() OVER ({over}) AS BIGINT) AS rnk, "
+        f"CAST(DENSE_RANK() OVER ({over}) AS BIGINT) AS drnk, "
+        f"PERCENT_RANK() OVER ({over}) AS prnk, "
+        f"CUME_DIST() OVER ({over}) AS cd "
+        f"FROM {t.name} WHERE {pred}"
+    )
+
+
+def _q_outer_join(r: random.Random, stats: ColumnStats) -> str:
+    """Outer-join NULL semantics: LEFT / RIGHT / FULL against a
+    FILTERED inner side (so unmatched rows actually occur), COALESCE
+    over null-extended columns, an IS NULL unmatched probe, and
+    (sometimes) an extra non-equi predicate kept in the ON clause —
+    where it preserves outer-ness, unlike a WHERE, which both engines
+    must convert to an effective inner join identically."""
+    edge = r.choice(JOIN_EDGES)
+    lt, rt = TABLES[edge[0]], TABLES[edge[1]]
+    kind = r.choice(["LEFT", "RIGHT", "FULL"])
+    rpred = _predicate(r, stats, rt, n_max=2)
+    on = f"{lt.name}.{edge[2]} = rsub.{edge[3]}"
+    if lt.ints and r.random() < 0.5:
+        c = r.choice(lt.ints)
+        on += f" AND {lt.name}.{c} > {_int_lit(r, stats, lt.name, c)}"
+    rval = rt.doubles[0] if rt.doubles else rt.ints[-1]
+    rcat = rt.cats[0] if rt.cats else rt.unique[0]
+    proj = [f"{lt.name}.{c}" for c in lt.unique]
+    if kind == "FULL":
+        # preserved columns from BOTH sides + a coalesced key
+        proj = [
+            f"COALESCE({lt.name}.{edge[2]}, rsub.{edge[3]}) AS jk",
+            f"{lt.name}.{lt.unique[0]} AS lu",
+        ]
+    proj += [
+        f"rsub.{rt.unique[0]} AS ru",
+        f"rsub.{rval} AS rv",
+        f"COALESCE(CAST(rsub.{rcat} AS VARCHAR), 'NONE') AS rc",
+        f"rsub.{edge[3]} IS NULL AS unmatched",
+    ]
+    sql = (
+        f"SELECT {', '.join(proj)} FROM {lt.name} {kind} JOIN "
+        f"(SELECT * FROM {rt.name} WHERE {rpred}) rsub ON {on}"
+    )
+    if kind == "LEFT":
+        # WHERE on the PRESERVED side keeps outer-ness; occasionally
+        # probe the null side instead (anti-join shape) — identical
+        # three-valued logic required of both engines
+        if r.random() < 0.3:
+            sql += f" WHERE rsub.{edge[3]} IS NULL"
+        else:
+            sql += f" WHERE {_predicate(r, stats, lt, n_max=2)}"
+    return sql
+
+
 _TEMPLATES = [
     (_q_filter_project, 3),
     (_q_groupby, 4),
@@ -860,6 +935,8 @@ _TEMPLATES = [
     (_q_derived_table, 2),
     (_q_scalar_subquery, 2),
     (_q_date_funcs, 2),
+    (_q_rank_ties, 2),
+    (_q_outer_join, 3),
 ]
 
 

@@ -1293,6 +1293,7 @@ def substring_dup_spans(
     text_col: str = "text",
     k: int = 8,
     min_doc_freq: int = 2,
+    scope: str = "cross_doc",
 ) -> DataFrame:
     """Exact substring-level duplicate spans (the deduplicate-text-
     datasets operator of Lee et al. 2022, k-gram approximation): find,
@@ -1300,6 +1301,12 @@ def substring_dup_spans(
     k-token window also occurs in at least ``min_doc_freq`` distinct
     documents. Returns (id, span_start, span_len) with 0-based token
     offsets and lengths in tokens.
+
+    ``scope="any"`` counts total OCCURRENCES instead of distinct
+    documents, so a window repeated ``min_doc_freq`` times inside ONE
+    document also qualifies — the within-doc repetition-trimming
+    variant (the span-level sibling of the Gopher duplicate-n-gram
+    fraction in ``textstats``).
 
     Construction — LINEAR, no pair join anywhere:
       1. k-token windows per doc (``word_shingles``), md5-hashed
@@ -1325,6 +1332,8 @@ def substring_dup_spans(
     ``dedup_substring_spans``'s DuckDB oracle in plans/extensions.py."""
     if k < 2:
         raise ValueError("k must be >= 2")
+    if scope not in ("cross_doc", "any"):
+        raise ValueError(f"unknown scope: {scope!r}")
     pos_h = (
         _non_null_text(df, text_col)
         .select(
@@ -1335,10 +1344,11 @@ def substring_dup_spans(
         )
         .select("_id", "_pos", md5_long(F.col("_gram")).alias("_h"))
     )
+    occurrences = pos_h.select("_h", "_id")
+    if scope == "cross_doc":
+        occurrences = occurrences.distinct()
     dup_h = (
-        pos_h.select("_h", "_id")
-        .distinct()
-        .groupBy("_h")
+        occurrences.groupBy("_h")
         .agg(F.count(F.lit(1)).alias("_docs"))
         .filter(F.col("_docs") >= min_doc_freq)
         .select("_h")

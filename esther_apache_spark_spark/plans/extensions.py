@@ -464,6 +464,45 @@ def dedup_substring_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "repeat_spans_within_docs",
+    oracle=f"""
+    WITH toks AS ({_TOKS_CTE}),
+    expl AS (
+        SELECT doc_id, t, unnest(range(len(t) - 4)) AS i
+        FROM toks WHERE len(t) >= 5
+    ),
+    pos_h AS (
+        SELECT doc_id, CAST(i AS INTEGER) AS pos,
+               CAST(CONCAT('0x', substr(md5(array_to_string(t[i+1:i+5], ' ')), 1, 15)) AS BIGINT) AS h
+        FROM expl
+    ),
+    dup_h AS (
+        SELECT h FROM pos_h GROUP BY h HAVING COUNT(*) >= 2
+    ),
+    dup_pos AS (
+        SELECT p.doc_id, p.pos FROM pos_h p JOIN dup_h USING (h)
+    ),
+    runs AS (
+        SELECT doc_id, pos,
+               pos - row_number() OVER (PARTITION BY doc_id ORDER BY pos) AS grp
+        FROM dup_pos
+    )
+    SELECT doc_id, CAST(MIN(pos) AS INTEGER) AS span_start,
+           CAST(MAX(pos) - MIN(pos) + 5 AS INTEGER) AS span_len
+    FROM runs GROUP BY doc_id, grp
+    """,
+)
+def repeat_spans_within_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Repetition spans at ANY scope (k=5, occurrences >= 2 — including
+    repeats inside one document): the span-level sibling of the Gopher
+    duplicate-n-gram fraction, marking exactly WHERE the repeated
+    content sits so a trimming pass can cut it. Same linear shape as
+    ``dedup_substring_spans``."""
+    docs = load_table(spark, sf_dir, "documents")
+    return D.substring_dup_spans(docs, k=5, min_doc_freq=2, scope="any")
+
+
+@register(
     "dedup_embedding_cosine",
     oracle="""
     WITH v AS (SELECT vec_id AS _id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),

@@ -464,3 +464,20 @@ def test_substring_dup_spans_boilerplate_scale_guard(spark):
     out = res.collect()
     assert len(out) == 1000
     assert all(r["span_start"] == 2 and r["span_len"] == 12 for r in out)
+
+
+def test_substring_spans_any_scope_catches_within_doc_repeat(spark):
+    """scope='any': a passage repeated inside ONE document qualifies
+    (total occurrences, not distinct docs) — the within-doc trimming
+    variant; cross_doc scope stays blind to it."""
+    from esther_apache_spark_spark.operators.dedup import substring_dup_spans
+
+    passage = " ".join(f"rep{i}" for i in range(8))
+    df = spark.createDataFrame(
+        [(1, f"{passage} mid1 mid2 {passage}"), (2, "x1 x2 x3 x4 x5 x6 x7 x8 x9")],
+        "doc_id long, text string",
+    )
+    got = sorted(map(tuple, substring_dup_spans(df, k=8, scope="any").collect()))
+    # both copies of the 8-token passage are flagged in doc 1
+    assert got == [(1, 0, 8), (1, 10, 8)]
+    assert substring_dup_spans(df, k=8, scope="cross_doc").count() == 0

@@ -258,3 +258,25 @@ def test_dynamic_partition_pruning_on_partitioned_fact(spark, sf_dir, tmp_path):
         for r in events.filter(F.col("day").isin(pick)).groupBy("day").count().collect()
     }
     assert got == expected
+
+
+def test_quality_classifier_broadcasts_weight_table(spark, sf_dir):
+    """The model weight lookup must be a broadcast hash join (the table
+    is bounded by the n_buckets model constant, never by sf) and the
+    whole inference is UDF-free."""
+    plan = _plan(spark, sf_dir, "quality_classifier_score_docs")
+    assert "BroadcastHashJoin" in plan, plan
+    assert "BatchEvalPython" not in plan
+    assert "ArrowEvalPython" not in plan
+
+
+def test_substring_spans_no_pair_join_and_pruned_scan(spark, sf_dir):
+    """Substring-span dedup is linear by construction: semi-join + hash
+    aggregates + one window, never a cartesian/NLJ pair join; the scan
+    reads only (doc_id, text)."""
+    plan = _plan(spark, sf_dir, "dedup_substring_spans")
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "BatchEvalPython" not in plan
+    read_schema = [l for l in plan.splitlines() if "ReadSchema" in l][0]
+    assert "lang" not in read_schema and "source" not in read_schema
