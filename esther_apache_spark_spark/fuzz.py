@@ -852,7 +852,10 @@ def _q_rank_ties(r: random.Random, stats: ColumnStats) -> str:
     cannot exercise (its ROWS frames force the full tiebreak order).
     PERCENT_RANK and CUME_DIST are single IEEE divisions of integers —
     bit-identical across engines, compared under repr() exactness."""
-    t = TABLES[r.choice(["lineitem", "orders", "customer", "events", "nullish"])]
+    t = r.choice(
+        [TABLES["lineitem"], TABLES["orders"], TABLES["customer"],
+         TABLES["events"], NULLISH]
+    )
     part = r.choice(t.cats) if t.cats and r.random() < 0.6 else None
     okey_pool = [c for c in (t.cats + t.ints) if c != part] or list(t.ints)
     okey = r.choice(okey_pool)
@@ -861,7 +864,9 @@ def _q_rank_ties(r: random.Random, stats: ColumnStats) -> str:
         (f"PARTITION BY {part} " if part else "")
         + f"ORDER BY {okey} {direction} NULLS LAST"
     )
-    pred = _predicate(r, stats, t, n_max=2)
+    # the nullish fixture has no stats-sampled literal pools — its
+    # dedicated predicate generator covers the NULL shapes instead
+    pred = _null_pred(r, n_max=2) if t.name == "nullish" else _predicate(r, stats, t, n_max=2)
     proj = list(dict.fromkeys(list(t.unique) + ([part] if part else []) + [okey]))
     return (
         f"SELECT {', '.join(proj)}, "
@@ -889,7 +894,6 @@ def _q_outer_join(r: random.Random, stats: ColumnStats) -> str:
         c = r.choice(lt.ints)
         on += f" AND {lt.name}.{c} > {_int_lit(r, stats, lt.name, c)}"
     rval = rt.doubles[0] if rt.doubles else rt.ints[-1]
-    rcat = rt.cats[0] if rt.cats else rt.unique[0]
     proj = [f"{lt.name}.{c}" for c in lt.unique]
     if kind == "FULL":
         # preserved columns from BOTH sides + a coalesced key
@@ -900,7 +904,13 @@ def _q_outer_join(r: random.Random, stats: ColumnStats) -> str:
     proj += [
         f"rsub.{rt.unique[0]} AS ru",
         f"rsub.{rval} AS rv",
-        f"COALESCE(CAST(rsub.{rcat} AS VARCHAR), 'NONE') AS rc",
+        # null-extension probes: a string COALESCE when the side has a
+        # categorical, a numeric sentinel otherwise
+        (
+            f"COALESCE(rsub.{rt.cats[0]}, 'NONE') AS rc"
+            if rt.cats
+            else f"COALESCE(rsub.{rt.unique[0]}, -1) AS rc"
+        ),
         f"rsub.{edge[3]} IS NULL AS unmatched",
     ]
     sql = (

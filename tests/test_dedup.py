@@ -56,17 +56,29 @@ DISJOINT = (
 )
 
 
-def test_minhash_identical_docs_full_agreement(spark):
+import pytest as _pytest
+
+
+@_pytest.mark.parametrize("fam", ["xxhash64", "md5"])
+def test_minhash_identical_docs_full_agreement(spark, fam):
     df = _docs_df(spark, [BASE, BASE, DISJOINT])
-    pairs = D.minhash_lsh_candidates(df, num_perm=32, bands=8, shingle_n=3).collect()
+    pairs = D.minhash_lsh_candidates(
+        df, num_perm=32, bands=8, shingle_n=3, hash_family=fam
+    ).collect()
     got = {(r["id_a"], r["id_b"]): r["sig_agreement"] for r in pairs}
     assert got.get((0, 1)) == 1.0  # identical docs: every signature position agrees
 
 
-def test_minhash_agreement_estimates_jaccard(spark):
+@_pytest.mark.parametrize("fam", ["xxhash64", "md5"])
+def test_minhash_agreement_estimates_jaccard(spark, fam):
+    """The estimator property holds for BOTH hash families — the md5
+    family changes the hash construction (60-bit base, mod-2^63 fold),
+    not the MinHash estimator guarantee."""
     texts = [BASE, VARIANT, DISJOINT]
     df = _docs_df(spark, texts)
-    pairs = D.minhash_lsh_candidates(df, num_perm=64, bands=32, shingle_n=3).collect()
+    pairs = D.minhash_lsh_candidates(
+        df, num_perm=64, bands=32, shingle_n=3, hash_family=fam
+    ).collect()
     got = {(r["id_a"], r["id_b"]): r["sig_agreement"] for r in pairs}
     true_j = _jaccard(_py_shingles(BASE), _py_shingles(VARIANT))
     assert true_j > 0.5  # the variant is a genuine near-dup
@@ -94,11 +106,14 @@ def test_ngram_jaccard_is_exact(spark):
                 assert (a, b) in got
 
 
-def test_simhash_identical_zero_hamming(spark):
+@_pytest.mark.parametrize(
+    "kw", [{"band_bits": 16}, {"band_bits": 15, "bits": 60, "hash_family": "md5"}]
+)
+def test_simhash_identical_zero_hamming(spark, kw):
     df = _docs_df(spark, [BASE, BASE, DISJOINT])
     got = {
         (r["id_a"], r["id_b"]): r["hamming"]
-        for r in D.simhash_candidates(df, band_bits=16).collect()
+        for r in D.simhash_candidates(df, **kw).collect()
     }
     assert got.get((0, 1)) == 0
     if (0, 2) in got:  # if blocked at all, disjoint text is far away
