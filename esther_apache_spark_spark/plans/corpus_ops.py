@@ -1269,3 +1269,142 @@ def weekly_from_daily_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.sum("cents") / 100.0).cast("double").alias("total_value"),
         )
     )
+
+
+@register(
+    "pack_training_sequences",
+    oracle="""
+    WITH toks AS (
+        SELECT doc_id,
+               len(list_filter(regexp_split_to_array(trim(regexp_replace(lower(text), '[^\\w\\s]', '', 'g')), '\\s+'), x -> x <> '')) AS tok_len
+        FROM documents
+    ),
+    off AS (
+        SELECT doc_id, CAST(tok_len AS BIGINT) AS tok_len,
+               CAST(COALESCE(SUM(tok_len) OVER (
+                   ORDER BY doc_id
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+               ), 0) AS BIGINT) AS start_off
+        FROM toks
+    ),
+    frag AS (
+        SELECT doc_id, tok_len, start_off,
+               UNNEST(range(start_off // 128, (start_off + tok_len - 1) // 128 + 1)) AS seq_id
+        FROM off WHERE tok_len > 0
+    )
+    SELECT CAST(seq_id AS BIGINT) AS seq_id, doc_id,
+           CAST(GREATEST(0, seq_id * 128 - start_off) AS BIGINT) AS slice_start,
+           CAST(LEAST(start_off + tok_len, (seq_id + 1) * 128)
+                - GREATEST(start_off, seq_id * 128) AS BIGINT) AS slice_len,
+           CAST(GREATEST(start_off, seq_id * 128) - seq_id * 128 AS BIGINT) AS seq_pos
+    FROM frag
+    """,
+)
+def pack_training_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Concat-and-split sequence packing (the GPT-style pretraining
+    exporter step): documents laid end-to-end in doc_id order, the token
+    stream cut every 128 tokens, one row per (sequence, doc fragment).
+    A training exporter groups by ``seq_id`` to materialize fixed-length
+    windows; ``slice_start``/``slice_len`` address the tokens inside
+    each document, ``seq_pos`` places the fragment inside its sequence.
+
+    Scale shape: the only global coordination is an exclusive prefix
+    sum of ONE number per document, done with the two-pass
+    range-partition + driver-prefix-sum-of-partition-totals machinery
+    (``operators/packing.py``) — no single-partition window, nothing
+    data-sized on the driver. The fragment explode and slice arithmetic
+    are pure expressions. The oracle replays the prefix sum as a window
+    cumsum (fine at test scale) and the fragment math verbatim."""
+    from esther_apache_spark_spark.functions.text import tokenize
+    from esther_apache_spark_spark.operators.packing import pack_sequences
+
+    docs = load_table(spark, sf_dir, "documents")
+    toklen = docs.select(
+        "doc_id", F.size(tokenize(F.col("text"))).cast("long").alias("tok_len")
+    )
+    packed = pack_sequences(toklen, [F.col("doc_id")], "tok_len", seq_len=128)
+    return packed.select("seq_id", "doc_id", "slice_start", "slice_len", "seq_pos")
+
+
+@register(
+    "leakage_safe_split",
+    oracle="""
+    WITH RECURSIVE toks AS (
+        SELECT doc_id,
+               list_filter(regexp_split_to_array(trim(regexp_replace(lower(text), '[^\\w\\s]', '', 'g')), '\\s+'), x -> x <> '') AS t
+        FROM documents
+    ),
+    sh AS (
+        SELECT doc_id,
+               list_distinct(
+                   CASE WHEN len(t) >= 3
+                        THEN list_transform(range(1, len(t) - 1),
+                                            i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2])
+                        ELSE CAST([] AS VARCHAR[]) END
+               ) AS s
+        FROM toks
+    ),
+    pairs AS (
+        SELECT id_a, id_b FROM (
+            SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+                   len(list_intersect(a.s, b.s))
+                       / (len(a.s) + len(b.s) - len(list_intersect(a.s, b.s))) AS jaccard
+            FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+        ) WHERE jaccard >= 0.5
+    ),
+    und AS (
+        SELECT id_a AS src, id_b AS dst FROM pairs
+        UNION SELECT id_b, id_a FROM pairs
+    ),
+    walk(node, comp) AS (
+        SELECT src, src FROM und
+        UNION
+        SELECT u.dst, w.comp FROM walk w JOIN und u ON u.src = w.node
+    ),
+    lab AS (SELECT node, MIN(comp) AS comp FROM walk GROUP BY node)
+    SELECT d.doc_id,
+           CAST(COALESCE(l.comp, d.doc_id) AS BIGINT) AS cluster_rep,
+           CASE WHEN CAST(CONCAT('0x', substr(md5('lsplit' ||
+                         CAST(COALESCE(l.comp, d.doc_id) AS VARCHAR)), 1, 8)) AS BIGINT)
+                     < 429496730
+                THEN 'test' ELSE 'train' END AS split
+    FROM documents d LEFT JOIN lab l ON l.node = d.doc_id
+    """,
+)
+def leakage_safe_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Leakage-safe train/test split: near-duplicate documents must land
+    on the SAME side, or the test set silently measures memorization of
+    training text. Naive per-doc hash splits violate this for every
+    near-dup cluster; this operator splits at CLUSTER granularity —
+    lexical 3-gram-Jaccard ≥ 0.5 pairs (`dedup_ngram_jaccard`'s
+    df-pruned inverted-index join) → connected components → each doc
+    labeled by its cluster representative (itself when unique) → the
+    ~10% test gate is the deterministic md5 bucket of the REP, so every
+    member of a cluster shares one coin flip.
+
+    Fully oracled: the pair + reachability stages replay as the same
+    recursive CTE `lexical_dedup_survivors` uses, and the hash gate is
+    the engine's standard md5-hex→BIGINT bucket (bit-identical in
+    DuckDB). Scale shape: candidate generation is the capped equi-join,
+    components iterate over the PAIR set only, and the final gate is a
+    pushdown-able filter — identical posture to the survivor queries."""
+    from esther_apache_spark_spark.operators import dedup as D
+    from esther_apache_spark_spark.operators.components import connected_components
+    from esther_apache_spark_spark.operators.sampling import hash_bucket
+
+    docs = load_table(spark, sf_dir, "documents")
+    pairs = D.ngram_jaccard_pairs(docs, shingle_n=3, threshold=0.5)
+    edges = pairs.select(F.col("id_a").alias("src"), F.col("id_b").alias("dst"))
+    lab = connected_components(edges)
+    rep = F.coalesce(F.col("comp"), F.col("doc_id"))
+    return (
+        docs.select("doc_id")
+        .join(lab, F.col("doc_id") == F.col("node"), "left")
+        .select(
+            "doc_id",
+            rep.cast("long").alias("cluster_rep"),
+            F.when(hash_bucket(rep, "lsplit") < 429496730, "test")
+            .otherwise("train")
+            .alias("split"),
+        )
+    )
