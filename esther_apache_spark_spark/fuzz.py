@@ -706,6 +706,51 @@ def _q_range_window(r: random.Random, stats: ColumnStats) -> str:
     )
 
 
+def _q_multi_distinct(r: random.Random, stats: ColumnStats) -> str:
+    """Several DISTINCT aggregates over DIFFERENT columns in one query —
+    the shape Spark plans with an Expand ×(n_distinct+1) rewrite while
+    DuckDB aggregates natively, so any slip in the rewrite (double
+    counting, NULL handling, FILTER interaction) diverges immediately.
+    Mixes COUNT(DISTINCT)/SUM(DISTINCT) with plain aggregates, optional
+    FILTER clauses on the non-distinct ones, and a nullish variant where
+    whole groups have only-NULL distinct inputs."""
+    if r.random() < 0.3:
+        key = r.choice(["cat", "k"])
+        return (
+            f"SELECT {key} AS k0, "
+            f"CAST(COUNT(DISTINCT k) AS BIGINT) AS nd_k, "
+            f"CAST(COUNT(DISTINCT s) AS BIGINT) AS nd_s, "
+            f"CAST(SUM(DISTINCT k) AS BIGINT) AS sd_k, "
+            f"CAST(COUNT(*) FILTER (WHERE v IS NOT NULL) AS BIGINT) AS cnt_v "
+            f"FROM nullish WHERE {_null_pred(r)} GROUP BY {key}"
+        )
+    t = TABLES[r.choice(["lineitem", "orders", "events", "customer", "documents"])]
+    dcols: list[str] = []
+    pool = list(t.ints) + list(t.cats)
+    r.shuffle(pool)
+    dcols = pool[: r.randint(2, min(3, len(pool)))]
+    items = ["CAST(COUNT(*) AS BIGINT) AS cnt"]
+    for i, c in enumerate(dcols):
+        items.append(f"CAST(COUNT(DISTINCT {c}) AS BIGINT) AS nd{i}")
+    if t.ints and r.random() < 0.6:
+        items.append(f"CAST(SUM(DISTINCT {r.choice(t.ints)}) AS BIGINT) AS sdist")
+    if t.doubles and r.random() < 0.5:
+        v = r.choice(t.doubles)
+        fpred = _predicate(r, stats, t, n_max=1)
+        items.append(
+            f"CAST(ROUND(SUM(CAST({v} AS DECIMAL(18,2))) "
+            f"FILTER (WHERE {fpred}), 2) AS DOUBLE) AS fsum"
+        )
+    pred = _predicate(r, stats, t, n_max=2)
+    if t.cats and r.random() < 0.6:
+        key = r.choice(t.cats)
+        return (
+            f"SELECT {key} AS k0, {', '.join(items)} FROM {t.name} "
+            f"WHERE {pred} GROUP BY {key}"
+        )
+    return f"SELECT {', '.join(items)} FROM {t.name} WHERE {pred}"
+
+
 def _q_nullish(r: random.Random, stats: ColumnStats) -> str:
     """One of several NULL-semantics shapes over the nullish fixture."""
     shape = r.choice(["groupby", "filter", "selfjoin", "distinct", "setop"])
@@ -947,6 +992,7 @@ _TEMPLATES = [
     (_q_date_funcs, 2),
     (_q_rank_ties, 2),
     (_q_outer_join, 3),
+    (_q_multi_distinct, 2),
 ]
 
 
