@@ -487,6 +487,127 @@ def _expand_collapsed_pairs(
     return cross.unionByName(intra)
 
 
+def _mh_shard_hash_fn(hash_family: str):
+    """Per-(id, band) shard hash for hot-bucket sharding, in the given
+    hash family (md5 = SQL-replayable, xxhash64 = fast path)."""
+
+    def shard_hash(idc: Column, band: Column) -> Column:
+        if hash_family == "md5":
+            return md5_long(
+                F.concat_ws(":", idc.cast("string"), band.cast("string")),
+                salt="shard:",
+            )
+        return F.xxhash64(idc, band)
+
+    return shard_hash
+
+
+def minhash_band_frame(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    num_perm: int = 32,
+    bands: int = 8,
+    shingle_n: int = 3,
+    hash_family: str = "xxhash64",
+) -> DataFrame:
+    """Cached MinHash signature frame ``(_id, _sig, _bh)`` — the
+    signature array plus its ``bands`` band hashes — shared by the
+    within-corpus candidate self-join (``minhash_lsh_candidates``) and
+    the cross-corpus matcher (``minhash_cross_matches``). One narrow
+    pass over the text; the caller joins on exploded ``_bh``."""
+    if hash_family not in ("xxhash64", "md5"):
+        raise ValueError(f"unknown hash_family: {hash_family!r}")
+    rows_per_band = num_perm // bands
+    if rows_per_band * bands != num_perm:
+        raise ValueError("num_perm must be divisible by bands")
+    df = _non_null_text(df, text_col)
+
+    # JVM computes the shingle hashes; the permutation fold runs
+    # vectorized in one Arrow batch (see *_vec docstring). Staged
+    # projections (token hashes as a multi-referenced attribute) instead
+    # of the let-binding combinator used by ``shingle_hashes``: the
+    # let's `aggregate([], …)` form defeats Catalyst's Python-UDF
+    # extraction (the UDF lands inside an interpreted projection and
+    # fails with INTERNAL_ERROR), while an attribute-based expression
+    # extracts cleanly — and CollapseProject keeps the stage split
+    # because `_th` is non-cheap and referenced n+2 times.
+    if hash_family == "md5":
+        # SQL-replayable base: shingle STRINGS (array_join over token
+        # slices) hashed once with md5_long — distinct over the 60-bit
+        # values is computed on IDENTICAL numbers in both engines, so
+        # even a collision cannot diverge Spark from the oracle.
+        if shingle_n:
+            base_df = df.select(
+                F.col(id_col).alias("_id"),
+                F.array_distinct(
+                    F.transform(
+                        word_shingles(tokenize(F.col(text_col)), shingle_n),
+                        lambda g: md5_long(g),
+                    )
+                ).alias("_base"),
+            )
+        else:
+            base_df = df.select(
+                F.col(id_col).alias("_id"),
+                F.transform(
+                    F.array_distinct(tokenize(F.col(text_col))),
+                    lambda e: md5_long(e),
+                ).alias("_base"),
+            )
+    elif shingle_n:
+        th = df.select(
+            F.col(id_col).alias("_id"),
+            F.transform(tokenize(F.col(text_col)), lambda t: F.xxhash64(t)).alias("_th"),
+        )
+        starts = F.sequence(F.lit(0), F.size("_th") - shingle_n)
+        grams = F.transform(
+            starts,
+            lambda i: F.xxhash64(*[F.get("_th", i + F.lit(j)) for j in range(shingle_n)]),
+        )
+        base_df = th.select(
+            "_id",
+            F.array_distinct(
+                F.when(F.size("_th") >= shingle_n, grams).otherwise(
+                    F.array().cast("array<bigint>")
+                )
+            ).alias("_base"),
+        )
+    else:
+        base_df = df.select(
+            F.col(id_col).alias("_id"),
+            F.transform(
+                F.array_distinct(tokenize(F.col(text_col))), lambda e: F.xxhash64(e)
+            ).alias("_base"),
+        )
+
+    # Cache the signatures (and their band hashes — computed once here,
+    # consumed by the hot-bucket stats pass, the banded explode AND the
+    # pair filter), not the banded exploded form: the cache is also a
+    # plan barrier that keeps the Arrow-batched UDF out of the posexplode
+    # generator (Python UDFs cannot run inside Generate), and it is the
+    # relation both sides of the join reuse (reference C1).
+    def band_hash(sig, b: int) -> Column:
+        joined = F.concat_ws(",", *[
+            F.element_at(sig, b * rows_per_band + r + 1).cast("string")
+            for r in range(rows_per_band)
+        ])
+        if hash_family == "md5":
+            return md5_long(joined)
+        return F.xxhash64(joined)
+
+    return _cache(base_df.select(
+        "_id",
+        minhash_signature_vec(
+            F.col("_base"),
+            num_perm,
+            mask_bits=63 if hash_family == "md5" else None,
+        ).alias("_sig"),
+    ).select(
+        "_id", "_sig", F.array(*[band_hash("_sig", b) for b in range(bands)]).alias("_bh")
+    ))
+
+
 def minhash_lsh_candidates(
     df: DataFrame,
     id_col: str = "doc_id",
@@ -546,96 +667,16 @@ def minhash_lsh_candidates(
             cap=max_bucket,
         )
 
-    # JVM computes the shingle hashes; the permutation fold runs
-    # vectorized in one Arrow batch (see *_vec docstring). Staged
-    # projections (token hashes as a multi-referenced attribute) instead
-    # of the let-binding combinator used by ``shingle_hashes``: the
-    # let's `aggregate([], …)` form defeats Catalyst's Python-UDF
-    # extraction (the UDF lands inside an interpreted projection and
-    # fails with INTERNAL_ERROR), while an attribute-based expression
-    # extracts cleanly — and CollapseProject keeps the stage split
-    # because `_th` is non-cheap and referenced n+2 times.
-    if hash_family == "md5":
-        # SQL-replayable base: shingle STRINGS (array_join over token
-        # slices) hashed once with md5_long — distinct over the 60-bit
-        # values is computed on IDENTICAL numbers in both engines, so
-        # even a collision cannot diverge Spark from the oracle.
-        if shingle_n:
-            base_df = df.select(
-                F.col(id_col).alias("_id"),
-                F.array_distinct(
-                    F.transform(
-                        word_shingles(tokenize(F.col(text_col)), shingle_n),
-                        lambda g: md5_long(g),
-                    )
-                ).alias("_base"),
-            )
-        else:
-            base_df = df.select(
-                F.col(id_col).alias("_id"),
-                F.transform(
-                    F.array_distinct(tokenize(F.col(text_col))),
-                    lambda e: md5_long(e),
-                ).alias("_base"),
-            )
-    elif shingle_n:
-        th = df.select(
-            F.col(id_col).alias("_id"),
-            F.transform(tokenize(F.col(text_col)), lambda t: F.xxhash64(t)).alias("_th"),
-        )
-        starts = F.sequence(F.lit(0), F.size("_th") - shingle_n)
-        grams = F.transform(
-            starts,
-            lambda i: F.xxhash64(*[F.get("_th", i + F.lit(j)) for j in range(shingle_n)]),
-        )
-        base_df = th.select(
-            "_id",
-            F.array_distinct(
-                F.when(F.size("_th") >= shingle_n, grams).otherwise(
-                    F.array().cast("array<bigint>")
-                )
-            ).alias("_base"),
-        )
-    else:
-        base_df = df.select(
-            F.col(id_col).alias("_id"),
-            F.transform(
-                F.array_distinct(tokenize(F.col(text_col))), lambda e: F.xxhash64(e)
-            ).alias("_base"),
-        )
-    # Cache the signatures (and their 8 band hashes — computed once here,
-    # consumed by the hot-bucket stats pass, the banded explode AND the
-    # pair filter), not the banded exploded form: the cache is also a
-    # plan barrier that keeps the Arrow-batched UDF out of the posexplode
-    # generator (Python UDFs cannot run inside Generate), and it is the
-    # relation both sides of the self-join reuse (reference C1).
-    def band_hash(sig, b: int) -> Column:
-        joined = F.concat_ws(",", *[
-            F.element_at(sig, b * rows_per_band + r + 1).cast("string")
-            for r in range(rows_per_band)
-        ])
-        if hash_family == "md5":
-            return md5_long(joined)
-        return F.xxhash64(joined)
-
-    def shard_hash(idc: Column, band: Column) -> Column:
-        if hash_family == "md5":
-            return md5_long(
-                F.concat_ws(":", idc.cast("string"), band.cast("string")),
-                salt="shard:",
-            )
-        return F.xxhash64(idc, band)
-
-    sig = _cache(base_df.select(
-        "_id",
-        minhash_signature_vec(
-            F.col("_base"),
-            num_perm,
-            mask_bits=63 if hash_family == "md5" else None,
-        ).alias("_sig"),
-    ).select(
-        "_id", "_sig", F.array(*[band_hash("_sig", b) for b in range(bands)]).alias("_bh")
-    ))
+    shard_hash = _mh_shard_hash_fn(hash_family)
+    sig = minhash_band_frame(
+        df,
+        id_col=id_col,
+        text_col=text_col,
+        num_perm=num_perm,
+        bands=bands,
+        shingle_n=shingle_n,
+        hash_family=hash_family,
+    )
     if max_bucket is not None:
         narrow = sig.select("_id", F.posexplode("_bh").alias("_band", "_bucket"))
         nsh = _hot_nsh_arr(narrow, "_id", "_band", "_bucket", bands, max_bucket)
@@ -727,6 +768,73 @@ def minhash_lsh_candidates(
     )
     return pairs.select(
         "id_a", "id_b", F.round(agree, 4).alias("sig_agreement")
+    )
+
+
+def minhash_cross_matches(
+    corpus: DataFrame,
+    probes: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    num_perm: int = 32,
+    bands: int = 8,
+    shingle_n: int = 3,
+    min_agree: int = 16,
+    hash_family: str = "xxhash64",
+) -> DataFrame:
+    """Cross-corpus MinHash matches: ``(id_a, id_b, n_agree,
+    sig_agreement)`` where ``id_a`` is a corpus doc, ``id_b`` a probe
+    doc, the two meet in at least one LSH band, and at least
+    ``min_agree`` of ``num_perm`` signature positions agree (an integer
+    threshold — exact in both engines, no float compare). The
+    decontamination shape: probes = the eval set, corpus = training
+    docs; any returned ``id_a`` is near-dup-contaminated.
+
+    Scale: two narrow signature passes (``minhash_band_frame``), one
+    equi-join on (band, bucket) — never corpus×probes. The probe side
+    is a held-out fraction, so AQE broadcasts it while it fits and
+    falls back to a shuffled join beyond (no forced hint — probes grow
+    with sf). Candidate fan-out is |corpus bucket|·|probe bucket| per
+    (band, bucket); hot buckets are spread by AQE skew-join rather
+    than the self-join path's sharding (sharding cannot shrink a cross
+    product, only spread it — and here one side is usually tiny).
+    Multi-band meets emit once via the same first-meet-band filter as
+    ``minhash_lsh_candidates`` (no dropDuplicates shuffle)."""
+    if not 0 <= min_agree <= num_perm:
+        raise ValueError("min_agree must be in [0, num_perm]")
+    ca = minhash_band_frame(
+        corpus, id_col=id_col, text_col=text_col, num_perm=num_perm,
+        bands=bands, shingle_n=shingle_n, hash_family=hash_family,
+    )
+    pb = minhash_band_frame(
+        probes, id_col=id_col, text_col=text_col, num_perm=num_perm,
+        bands=bands, shingle_n=shingle_n, hash_family=hash_family,
+    )
+    left = ca.select(
+        F.col("_id").alias("id_a"), F.col("_sig").alias("sig_a"),
+        F.col("_bh").alias("bh_a"), F.posexplode("_bh").alias("_band", "_bucket"),
+    )
+    right = pb.select(
+        F.col("_id").alias("id_b"), F.col("_sig").alias("sig_b"),
+        F.col("_bh").alias("bh_b"), F.posexplode("_bh").alias("_band", "_bucket"),
+    )
+    meets = F.array(
+        *[
+            F.element_at("bh_a", b + 1) == F.element_at("bh_b", b + 1)
+            for b in range(bands)
+        ]
+    )
+    n_agree = F.size(
+        F.filter(F.zip_with("sig_a", "sig_b", lambda a, b: a == b), lambda x: x)
+    )
+    return (
+        left.join(right, ["_band", "_bucket"])
+        .filter(F.array_position(meets, F.lit(True)) == F.col("_band") + 1)
+        .select("id_a", "id_b", n_agree.alias("n_agree"))
+        .filter(F.col("n_agree") >= min_agree)
+        .withColumn(
+            "sig_agreement", F.round(F.col("n_agree") / F.lit(float(num_perm)), 4)
+        )
     )
 
 

@@ -1408,3 +1408,206 @@ def leakage_safe_split(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("split"),
         )
     )
+
+
+def _minhash_perm_literals() -> str:
+    """The engine's 32×(a,b) multiply-shift constants as DuckDB HUGEINT
+    array literals (same derivation as the ``dedup_minhash_lsh`` oracle
+    in ``plans/extensions.py`` — mod 2^63 of the uint64-wrapped product
+    equals mod 2^63 of the true HUGEINT product because 2^63 | 2^64)."""
+    from esther_apache_spark_spark.operators import dedup as D
+
+    a, b = D.minhash_perm_constants(32, 7, a_bits=62)
+    return (
+        "CAST([" + ",".join(str(int(x)) for x in a) + "] AS HUGEINT[]) AS A, "
+        "CAST([" + ",".join(str(int(x)) for x in b) + "] AS HUGEINT[]) AS B"
+    )
+
+
+@register(
+    "decontaminate_minhash_train_docs",
+    oracle=f"""
+    WITH consts AS (SELECT {{perms}}),
+    toks AS (
+        SELECT doc_id,
+               list_filter(regexp_split_to_array(trim(regexp_replace(lower(text), '[^\\w\\s]', '', 'g')), '\\s+'), x -> x <> '') AS t
+        FROM documents WHERE text IS NOT NULL
+    ),
+    base AS (
+        SELECT doc_id,
+               list_distinct(
+                   CASE WHEN len(t) >= 3
+                        THEN list_transform(range(1, len(t) - 1),
+                             i -> CAST(CONCAT('0x', substr(md5(t[i] || ' ' || t[i+1] || ' ' || t[i+2]), 1, 15)) AS BIGINT))
+                        ELSE CAST([] AS BIGINT[]) END
+               ) AS bh
+        FROM toks
+    ),
+    sigs AS (
+        SELECT doc_id,
+               list_transform(range(32), p ->
+                   CASE WHEN len(bh) = 0 THEN CAST(9223372036854775807 AS BIGINT)
+                        ELSE list_min(list_transform(bh, x ->
+                            CAST((A[p+1] * x + B[p+1]) % 9223372036854775808 AS BIGINT)))
+                   END) AS sig
+        FROM base CROSS JOIN consts
+    ),
+    banded AS (
+        SELECT doc_id, sig,
+               list_transform(range(8), k ->
+                   CAST(CONCAT('0x', substr(md5(
+                       CAST(sig[4*k+1] AS VARCHAR) || ',' || CAST(sig[4*k+2] AS VARCHAR) || ',' ||
+                       CAST(sig[4*k+3] AS VARCHAR) || ',' || CAST(sig[4*k+4] AS VARCHAR)), 1, 15)) AS BIGINT)) AS bands
+        FROM sigs
+    ),
+    expl AS (
+        SELECT doc_id, sig, bands, CAST(r.b AS INTEGER) AS band, bands[r.b + 1] AS bucket,
+               CAST(CONCAT('0x', substr(md5('decon' || CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT)
+                   < 429496729 AS is_eval
+        FROM banded CROSS JOIN (SELECT unnest(range(8)) AS b) r
+    )
+    SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_eval_matches,
+           ROUND(MAX(agree) / 32.0, 4) + 0.0 AS max_agreement
+    FROM (
+        SELECT a.doc_id,
+               len(list_filter(range(32), i -> a.sig[i+1] = b.sig[i+1])) AS agree
+        FROM expl a JOIN expl b
+          ON a.band = b.band AND a.bucket = b.bucket
+        WHERE NOT a.is_eval AND b.is_eval
+          AND list_position(list_transform(range(8), j -> a.bands[j+1] = b.bands[j+1]), true) = a.band + 1
+    ) WHERE agree >= 16
+    GROUP BY doc_id
+    """.replace("{perms}", _minhash_perm_literals()),
+)
+def decontaminate_minhash_train_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-duplicate eval-contamination report via cross-corpus MinHash:
+    training docs whose signature agrees with some held-out eval doc on
+    ≥ 16/32 positions (Jaccard ≈ 0.5) in at least one shared LSH band.
+    Completes the decontamination triple: exact fingerprint
+    (`decontaminate_train_docs`) < n-gram overlap
+    (`decontaminate_ngram_train_docs`) < near-dup MinHash (this) —
+    paraphrased or lightly-edited eval leakage that survives both
+    stricter checks is caught here. Same hash-gated split (salt
+    'decon'), so all three agree on the eval set.
+
+    Fully SQL-replayed (md5 hash family): the oracle re-derives both
+    sides' signatures, the (band, bucket) cross join, first-meet-band
+    emission and the integer agreement threshold bit-for-bit. Scale:
+    two narrow signature passes + one equi-join — never train×eval;
+    the eval side is the AQE-broadcastable small side (no forced
+    hint; it grows with sf)."""
+    from esther_apache_spark_spark.operators import dedup as D
+    from esther_apache_spark_spark.operators.sampling import hash_bucket
+
+    docs = load_table(spark, sf_dir, "documents")
+    is_eval = hash_bucket(F.col("doc_id"), salt="decon") < int(0.1 * (1 << 32))
+    matches = D.minhash_cross_matches(
+        docs.filter(~is_eval),
+        docs.filter(is_eval),
+        num_perm=32,
+        bands=8,
+        shingle_n=3,
+        min_agree=16,
+        hash_family="md5",
+    )
+    return matches.groupBy(F.col("id_a").alias("doc_id")).agg(
+        F.count(F.lit(1)).alias("n_eval_matches"),
+        F.round(F.max("n_agree") / 32.0, 4).alias("max_agreement"),
+    )
+
+
+@register(
+    "source_mix_report",
+    oracle="""
+    WITH base AS (
+        SELECT source, doc_id, text,
+               list_filter(regexp_split_to_array(trim(regexp_replace(lower(text), '[^\\w\\s]', '', 'g')), '\\s+'), x -> x <> '') AS toks,
+               CASE WHEN length(text) > 0
+                    THEN (length(text) - length(regexp_replace(text, '[^\\w\\s]', '', 'g'))) / length(text)
+                    ELSE 0.0 END AS punct,
+               md5(text) AS h
+        FROM documents
+    ), scored AS (
+        SELECT source, doc_id, h, len(toks) AS ntok,
+               CASE WHEN len(toks) > 0
+                    THEN len(list_filter(toks, t -> t IN ('the','a','an','and','or','of','to','in','is','it','for','on','with','as','at','by','this','that'))) / len(toks)
+                    ELSE 0.0 END AS stop,
+               punct
+        FROM base
+    ), q AS (
+        SELECT source, doc_id, h, ntok,
+               CAST(FLOOR(ROUND((least(ntok / 100.0, 1.0)
+                      + greatest(1.0 - abs(stop - 0.4) / 0.4, 0.0)
+                      + (1.0 - least(punct * 5, 1.0))) / 3, 4) * 10000 + 0.5) AS BIGINT) AS q4
+        FROM scored
+    ), dc AS (SELECT h, COUNT(*) AS hc FROM base GROUP BY h),
+    agg AS (
+        SELECT source,
+               COUNT(*) AS n_docs,
+               SUM(ntok) AS n_tokens,
+               SUM(q4) AS qsum,
+               SUM(CASE WHEN dc.hc >= 2 THEN 1 ELSE 0 END) AS dup_docs
+        FROM q LEFT JOIN dc USING (h) GROUP BY source
+    )
+    SELECT source,
+           CAST(n_docs AS BIGINT) AS n_docs,
+           ROUND(n_docs / SUM(n_docs) OVER (), 4) + 0.0 AS doc_share,
+           CAST(n_tokens AS BIGINT) AS n_tokens,
+           ROUND(n_tokens / SUM(n_tokens) OVER (), 4) + 0.0 AS token_share,
+           ROUND(qsum / (10000.0 * n_docs), 4) + 0.0 AS mean_quality,
+           CAST(dup_docs AS BIGINT) AS dup_docs,
+           ROUND(dup_docs / n_docs, 4) + 0.0 AS dup_rate
+    FROM agg
+    """,
+)
+def source_mix_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source corpus composition report — the daily readout a
+    crawl-mix pipeline drives reweighting decisions with: document and
+    token share, mean heuristic quality, and the exact-duplicate rate
+    (share of the source's docs whose full text appears ≥ 2 times
+    ANYWHERE in the corpus — cross-source boilerplate counts against
+    both sources).
+
+    Determinism: the quality mean sums per-doc scores as exact
+    integers (4-dp score × 10⁴ via floor(x·10⁴+0.5) — the engine's
+    half-up idiom) so float summation order can't diverge the engines;
+    shares divide BIGINTs once at the end. Scale: one narrow projection
+    (16-byte text hash, token count, score), one hash-count aggregate +
+    hash equi-join for the dup flag, then a #sources-row aggregate; the
+    share windows run over that bounded frame, never the corpus."""
+    from esther_apache_spark_spark.functions.text import tokenize
+    from esther_apache_spark_spark.operators.textstats import quality_score
+
+    docs = load_table(spark, sf_dir, "documents")
+    per = docs.select(
+        "source",
+        F.size(tokenize(F.col("text"))).cast("long").alias("ntok"),
+        F.floor(quality_score(F.col("text")) * 10000 + F.lit(0.5))
+        .cast("long")
+        .alias("q4"),
+        F.md5(F.col("text")).alias("h"),
+    )
+    dupcnt = per.groupBy("h").agg(F.count(F.lit(1)).alias("hc"))
+    agg = (
+        per.join(dupcnt, "h", "left")
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("ntok").alias("n_tokens"),
+            F.sum("q4").alias("qsum"),
+            F.sum(F.when(F.col("hc") >= 2, 1).otherwise(0)).alias("dup_docs"),
+        )
+    )
+    w = Window.partitionBy()  # #sources rows — bounded aggregate frame
+    return agg.select(
+        "source",
+        "n_docs",
+        F.round(F.col("n_docs") / F.sum("n_docs").over(w), 4).alias("doc_share"),
+        "n_tokens",
+        F.round(F.col("n_tokens") / F.sum("n_tokens").over(w), 4).alias("token_share"),
+        F.round(F.col("qsum") / (F.lit(10000.0) * F.col("n_docs")), 4).alias(
+            "mean_quality"
+        ),
+        F.col("dup_docs").cast("long").alias("dup_docs"),
+        F.round(F.col("dup_docs") / F.col("n_docs"), 4).alias("dup_rate"),
+    )

@@ -496,3 +496,43 @@ def test_substring_spans_any_scope_catches_within_doc_repeat(spark):
     # both copies of the 8-token passage are flagged in doc 1
     assert got == [(1, 0, 8), (1, 10, 8)]
     assert substring_dup_spans(df, k=8, scope="cross_doc").count() == 0
+
+
+def test_minhash_cross_matches_planted_contamination(spark):
+    """Cross-corpus matcher: an exact copy of a probe doc in the corpus
+    matches at full signature agreement; an edited near-copy matches
+    above the threshold; unrelated docs never pair. Both hash families
+    agree on the (id_a, id_b) match set."""
+    from esther_apache_spark_spark.operators.dedup import minhash_cross_matches
+
+    eval_text = " ".join(f"evalword{i}" for i in range(30))
+    # one edited word → 3 of 28 shingles differ (Jaccard ≈ 0.81), far
+    # enough above the 0.5 threshold that both hash families' signatures
+    # land a band meet and ≥16/32 agreement deterministically
+    near = " ".join(f"evalword{i}" if i != 15 else "edited15" for i in range(30))
+    other = " ".join(f"unrelated{i}" for i in range(30))
+    corpus = spark.createDataFrame(
+        [(1, eval_text), (2, near), (3, other)], "doc_id long, text string"
+    )
+    probes = spark.createDataFrame([(100, eval_text)], "doc_id long, text string")
+    for fam in ("xxhash64", "md5"):
+        got = {
+            r["id_a"]: (r["id_b"], r["n_agree"])
+            for r in minhash_cross_matches(
+                corpus, probes, num_perm=32, bands=8, shingle_n=3,
+                min_agree=16, hash_family=fam,
+            ).collect()
+        }
+        assert got[1] == (100, 32), fam  # identical text: all positions agree
+        assert 2 in got and got[2][1] >= 16, fam  # near-copy above threshold
+        assert 3 not in got, fam  # unrelated never pairs
+
+
+def test_minhash_cross_matches_rejects_bad_threshold(spark):
+    from esther_apache_spark_spark.operators.dedup import minhash_cross_matches
+
+    df = spark.createDataFrame([(1, "a b c")], "doc_id long, text string")
+    import pytest as _pt
+
+    with _pt.raises(ValueError):
+        minhash_cross_matches(df, df, num_perm=32, min_agree=33)
