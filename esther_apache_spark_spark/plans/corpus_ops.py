@@ -1611,3 +1611,68 @@ def source_mix_report(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("dup_docs").cast("long").alias("dup_docs"),
         F.round(F.col("dup_docs") / F.col("n_docs"), 4).alias("dup_rate"),
     )
+
+
+@register(
+    "training_corpus_pipeline_packed",
+    oracle="""
+    WITH kept AS (
+        SELECT doc_id, text,
+               row_number() OVER (PARTITION BY text ORDER BY doc_id) AS rn
+        FROM documents
+        WHERE n_chars >= 100 AND lang IN ('en', 'fr', 'de')
+    ),
+    toklen AS (
+        SELECT doc_id,
+               CAST(len(list_filter(regexp_split_to_array(trim(regexp_replace(lower(text), '[^\\w\\s]', '', 'g')), '\\s+'), x -> x <> '')) AS BIGINT) AS tok_len
+        FROM kept WHERE rn = 1
+    ),
+    off AS (
+        SELECT doc_id, tok_len,
+               CAST(COALESCE(SUM(tok_len) OVER (
+                   ORDER BY doc_id
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+               ), 0) AS BIGINT) AS start_off
+        FROM toklen
+    ),
+    frag AS (
+        SELECT doc_id, tok_len, start_off,
+               UNNEST(range(start_off // 128, (start_off + tok_len - 1) // 128 + 1)) AS seq_id
+        FROM off WHERE tok_len > 0
+    )
+    SELECT CAST(seq_id AS BIGINT) AS seq_id, doc_id,
+           CAST(GREATEST(0, seq_id * 128 - start_off) AS BIGINT) AS slice_start,
+           CAST(LEAST(start_off + tok_len, (seq_id + 1) * 128)
+                - GREATEST(start_off, seq_id * 128) AS BIGINT) AS slice_len,
+           CAST(GREATEST(start_off, seq_id * 128) - seq_id * 128 AS BIGINT) AS seq_pos
+    FROM frag
+    """,
+)
+def training_corpus_pipeline_packed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end training-export path: language/length quality gate →
+    exact content dedup keep-first (md5, 16-byte shuffle keys) →
+    concat-and-split sequence packing of the survivors (128-token
+    sequences in doc_id order). The final shape a pretraining exporter
+    materializes; `pack_training_sequences` is the packing stage alone
+    on the raw corpus, this entry proves the stages compose.
+
+    Scale: filter pushes to the scan, dedup shuffles hashes, packing's
+    global coordination is the O(partitions) prefix-sum handshake —
+    nothing data-sized on the driver at any stage."""
+    from esther_apache_spark_spark.functions.text import tokenize
+    from esther_apache_spark_spark.operators.packing import pack_sequences
+    from esther_apache_spark_spark.operators.windows import keep_first
+
+    docs = load_table(spark, sf_dir, "documents").filter(
+        (F.col("n_chars") >= 100) & F.col("lang").isin("en", "fr", "de")
+    )
+    kept = keep_first(
+        docs.withColumn("_h", F.md5(F.col("text").cast("binary"))),
+        ["_h"],
+        [F.col("doc_id")],
+    )
+    toklen = kept.select(
+        "doc_id", F.size(tokenize(F.col("text"))).cast("long").alias("tok_len")
+    )
+    packed = pack_sequences(toklen, [F.col("doc_id")], "tok_len", seq_len=128)
+    return packed.select("seq_id", "doc_id", "slice_start", "slice_len", "seq_pos")
