@@ -581,3 +581,61 @@ def test_pq_codebook_skips_zero_vector_prefix(spark):
     assert len(out) == 15  # 3 queries × k, no ValueError
     # zero vectors can never be neighbors (their code norm is 0)
     assert all(r["neighbor_id"] >= 80 for r in out)
+
+
+def test_pack_sequences_exact_beyond_32bit_offsets(spark):
+    """100 TB arithmetic guard: a corpus whose token stream passes 2^40
+    must produce EXACT long offsets (float math would corrupt slice
+    boundaries above 2^53; 32-bit math far earlier). 1000 docs × ~2^31
+    tokens each → offsets up to ~2^41; every fragment boundary must
+    tile both its doc and its sequence exactly."""
+    from pyspark.sql import functions as F
+
+    from esther_apache_spark_spark.operators.packing import pack_sequences
+
+    big = (1 << 31) + 17  # odd, not a multiple of seq_len
+    rows = [(i, big + (i % 7)) for i in range(1000)]
+    df = spark.createDataFrame(rows, "doc_id long, tok_len long")
+    seq_len = 1 << 20
+    got = pack_sequences(df, [F.col("doc_id")], "tok_len", seq_len=seq_len)
+    # spot-check exactness against pure-Python big-int arithmetic
+    agg = got.groupBy("doc_id").agg(
+        F.sum("slice_len").alias("tot"),
+        F.min("slice_start").alias("mn"),
+        F.count(F.lit(1)).alias("nfrag"),
+    ).collect()
+    lens = dict(rows)
+    offs, acc = {}, 0
+    for i in sorted(lens):
+        offs[i] = acc
+        acc += lens[i]
+    for r in agg:
+        assert r["tot"] == lens[r["doc_id"]]  # fragments tile the doc exactly
+        assert r["mn"] == 0
+        expect_frags = (offs[r["doc_id"]] + lens[r["doc_id"]] - 1) // seq_len - offs[r["doc_id"]] // seq_len + 1
+        assert r["nfrag"] == expect_frags
+    total = sum(lens.values())
+    n_seq = got.agg(F.countDistinct("seq_id")).collect()[0][0]
+    assert n_seq == (total + seq_len - 1) // seq_len
+
+
+def test_minhash_cross_matches_boilerplate_linear_not_quadratic(spark):
+    """Cross-corpus matcher guard: 500 distinct train docs sharing a
+    boilerplate passage with ONE eval doc must emit ≤ one match row per
+    (train, eval) pair — multi-band meets collapse via first-meet-band,
+    so the candidate row count is linear in the train cluster, never
+    bands× it — and the plan carries no cartesian/nested-loop join."""
+    from esther_apache_spark_spark.operators.dedup import minhash_cross_matches
+
+    passage = " ".join(f"boiler{i}" for i in range(40))
+    train = spark.createDataFrame(
+        [(i, passage) for i in range(500)], "doc_id long, text string"
+    )
+    evald = spark.createDataFrame([(10_000, passage)], "doc_id long, text string")
+    m = minhash_cross_matches(train, evald, min_agree=16, hash_family="xxhash64")
+    plan = m._jdf.queryExecution().executedPlan().toString()
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    rows = m.collect()
+    assert len(rows) == 500  # exactly one row per train doc, not bands×500
+    assert all(r["n_agree"] == 32 for r in rows)
