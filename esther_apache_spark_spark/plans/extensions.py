@@ -283,15 +283,22 @@ _TOKS_CTE = """
     oracle=f"""
     WITH consts AS (SELECT {_MINHASH_PERMS}),
     toks AS ({_TOKS_CTE}),
+    th AS (
+        SELECT doc_id,
+               list_transform(t, x -> CAST(CONCAT('0x', substr(md5(x), 1, 15)) AS BIGINT)) AS h
+        FROM toks
+    ),
     base AS (
         SELECT doc_id,
                list_distinct(
-                   CASE WHEN len(t) >= 3
-                        THEN list_transform(range(1, len(t) - 1),
-                             i -> CAST(CONCAT('0x', substr(md5(t[i] || ' ' || t[i+1] || ' ' || t[i+2]), 1, 15)) AS BIGINT))
+                   CASE WHEN len(h) >= 3
+                        THEN list_transform(range(1, len(h) - 1), i ->
+                               (h[i]   & 1073741823) * 536870909 + (h[i]   >> 30) * 536870923
+                             + (h[i+1] & 1073741823) * 536870951 + (h[i+1] >> 30) * 536870969
+                             + (h[i+2] & 1073741823) * 536871001 + (h[i+2] >> 30) * 536871017)
                         ELSE CAST([] AS BIGINT[]) END
                ) AS bh
-        FROM toks
+        FROM th
     ),
     sigs AS (
         SELECT doc_id,

@@ -506,10 +506,10 @@ def test_minhash_cross_matches_planted_contamination(spark):
     from esther_apache_spark_spark.operators.dedup import minhash_cross_matches
 
     eval_text = " ".join(f"evalword{i}" for i in range(30))
-    # one edited word → 3 of 28 shingles differ (Jaccard ≈ 0.81), far
-    # enough above the 0.5 threshold that both hash families' signatures
-    # land a band meet and ≥16/32 agreement deterministically
-    near = " ".join(f"evalword{i}" if i != 15 else "edited15" for i in range(30))
+    # one edited LAST word → only 1 of 28 shingles differs (Jaccard
+    # ≈ 0.93), far enough above the 0.5 threshold that both hash
+    # families' signatures land a band meet and ≥16/32 agreement
+    near = " ".join(f"evalword{i}" if i != 29 else "edited29" for i in range(30))
     other = " ".join(f"unrelated{i}" for i in range(30))
     corpus = spark.createDataFrame(
         [(1, eval_text), (2, near), (3, other)], "doc_id long, text string"
