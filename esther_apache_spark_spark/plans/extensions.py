@@ -428,25 +428,44 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     return D.ngram_jaccard_pairs(docs, shingle_n=3, threshold=0.5)
 
 
+def _span_combine_sql(k: int) -> str:
+    """The SPAN_COMBINE weighted-sum window hash over the token-hash
+    array ``h`` starting at 1-based position ``i+1`` — byte-identical to
+    the Spark operator's arithmetic (every term < 2^58, plain BIGINT)."""
+    terms = []
+    for j in range(k):
+        terms.append(f"(h[i+{j + 1}] & 1073741823) * {D.SPAN_COMBINE[2 * j]}")
+        terms.append(f"(h[i+{j + 1}] >> 30) * {D.SPAN_COMBINE[2 * j + 1]}")
+    return " + ".join(terms)
+
+
+_TOKEN_HASH_CTE = """
+        SELECT doc_id,
+               list_transform(t, x -> CAST(CONCAT('0x', substr(md5(x), 1, 15)) AS BIGINT)) AS h
+        FROM toks
+"""
+
+
 @register(
     "dedup_substring_spans",
     oracle=f"""
     WITH toks AS ({_TOKS_CTE}),
+    th AS ({_TOKEN_HASH_CTE}),
     expl AS (
-        SELECT doc_id, t, unnest(range(len(t) - 7)) AS i
-        FROM toks WHERE len(t) >= 8
+        SELECT doc_id, h, unnest(range(len(h) - 7)) AS i
+        FROM th WHERE len(h) >= 8
     ),
     pos_h AS (
         SELECT doc_id, CAST(i AS INTEGER) AS pos,
-               CAST(CONCAT('0x', substr(md5(array_to_string(t[i+1:i+8], ' ')), 1, 15)) AS BIGINT) AS h
+               {_span_combine_sql(8)} AS wh
         FROM expl
     ),
     dup_h AS (
-        SELECT h FROM (SELECT DISTINCT h, doc_id FROM pos_h)
-        GROUP BY h HAVING COUNT(*) >= 2
+        SELECT wh FROM (SELECT DISTINCT wh, doc_id FROM pos_h)
+        GROUP BY wh HAVING COUNT(*) >= 2
     ),
     dup_pos AS (
-        SELECT p.doc_id, p.pos FROM pos_h p JOIN dup_h USING (h)
+        SELECT p.doc_id, p.pos FROM pos_h p JOIN dup_h USING (wh)
     ),
     runs AS (
         SELECT doc_id, pos,
@@ -474,20 +493,21 @@ def dedup_substring_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
     "repeat_spans_within_docs",
     oracle=f"""
     WITH toks AS ({_TOKS_CTE}),
+    th AS ({_TOKEN_HASH_CTE}),
     expl AS (
-        SELECT doc_id, t, unnest(range(len(t) - 4)) AS i
-        FROM toks WHERE len(t) >= 5
+        SELECT doc_id, h, unnest(range(len(h) - 4)) AS i
+        FROM th WHERE len(h) >= 5
     ),
     pos_h AS (
         SELECT doc_id, CAST(i AS INTEGER) AS pos,
-               CAST(CONCAT('0x', substr(md5(array_to_string(t[i+1:i+5], ' ')), 1, 15)) AS BIGINT) AS h
+               {_span_combine_sql(5)} AS wh
         FROM expl
     ),
     dup_h AS (
-        SELECT h FROM pos_h GROUP BY h HAVING COUNT(*) >= 2
+        SELECT wh FROM pos_h GROUP BY wh HAVING COUNT(*) >= 2
     ),
     dup_pos AS (
-        SELECT p.doc_id, p.pos FROM pos_h p JOIN dup_h USING (h)
+        SELECT p.doc_id, p.pos FROM pos_h p JOIN dup_h USING (wh)
     ),
     runs AS (
         SELECT doc_id, pos,
