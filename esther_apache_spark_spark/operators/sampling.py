@@ -113,3 +113,44 @@ def temperature_sample(
         .filter(hash_bucket(F.col(key_col), salt) < thr)
         .drop("_rate")
     )
+
+
+def weighted_sample(
+    df: DataFrame,
+    key_col: str,
+    weight: Column,
+    k: int,
+    salt: str = "wsample",
+) -> DataFrame:
+    """Weighted sampling WITHOUT replacement (Efraimidis-Spirakis A-ES):
+    each row draws a deterministic uniform u from the md5 bucket of its
+    key and ranks by ln(u)/w descending — the top ``k`` rows are an
+    exact weighted sample without replacement. Deterministic: same
+    (keys, weights, salt) → same sample on any cluster or partitioning;
+    vary the salt to redraw.
+
+    Rows with non-positive or NULL weight are excluded (they have zero
+    inclusion probability). The returned frame adds ``_wkey`` (the
+    rounded rank key, kept so oracles and audits can replay the order).
+
+    Scale: one narrow projection + TakeOrderedAndProject — no shuffle
+    beyond the top-k tree aggregation, no window. The ln/÷ arithmetic
+    is rounded to 9 decimals before ranking (ties broken by key) so the
+    order is reproducible across engines to the documented precision."""
+    if k <= 0:
+        raise ValueError("k must be positive")
+    u = (md5_long_u60(F.col(key_col), salt) + F.lit(1)) / F.lit(float(1 << 60))
+    wkey = F.round(F.log(u) / weight, 9)
+    return (
+        df.filter(weight > 0)
+        .withColumn("_wkey", wkey)
+        .orderBy(F.col("_wkey").desc(), F.col(key_col))
+        .limit(k)
+    )
+
+
+def md5_long_u60(key: Column, salt: str = "") -> Column:
+    """60-bit non-negative md5 hash of ``salt ‖ key`` (the
+    ``dedup.md5_long`` construction, local to avoid a circular import)."""
+    h = F.md5(F.concat(F.lit(salt), key.cast("string")))
+    return F.conv(F.substring(h, 1, 15), 16, 10).cast("long")

@@ -1683,3 +1683,33 @@ def training_corpus_pipeline_packed(spark: SparkSession, sf_dir: str) -> DataFra
     )
     packed = pack_sequences(toklen, [F.col("doc_id")], "tok_len", seq_len=128)
     return packed.select("seq_id", "doc_id", "slice_start", "slice_len", "seq_pos")
+
+
+@register(
+    "weighted_sample_docs",
+    oracle="""
+    SELECT doc_id, lang, CAST(n_chars AS BIGINT) AS n_chars,
+           ROUND(ln((CAST(CONCAT('0x', substr(md5('wsample' || CAST(doc_id AS VARCHAR)), 1, 15)) AS BIGINT) + 1)
+                    / 1152921504606846976.0) / n_chars, 9) AS _wkey
+    FROM documents
+    WHERE n_chars > 0
+    ORDER BY _wkey DESC, doc_id
+    LIMIT 64
+    """,
+)
+def weighted_sample_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weighted sample without replacement (Efraimidis-Spirakis A-ES),
+    64 docs with inclusion probability ∝ n_chars — the standard
+    'subsample the corpus proportional to quality/length' step, exact
+    and reproducible (md5-derived uniforms, no RNG state). The rank key
+    ln(u)/w is rounded to 9 decimals with a doc_id tiebreak, so the
+    selected set replays bit-for-bit in DuckDB. Plan shape:
+    TakeOrderedAndProject over a narrow projection — no window, no
+    shuffle beyond the top-k tree merge."""
+    from esther_apache_spark_spark.operators.sampling import weighted_sample
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "lang", "n_chars")
+    out = weighted_sample(docs, "doc_id", F.col("n_chars"), k=64)
+    return out.select(
+        "doc_id", "lang", F.col("n_chars").cast("long").alias("n_chars"), "_wkey"
+    )

@@ -70,3 +70,31 @@ def test_temperature_sample_upweights_tail_strata(spark, sf_dir):
     assert sorted(r["doc_id"] for r in got.select("doc_id").collect()) == sorted(
         r["doc_id"] for r in again.select("doc_id").collect()
     )
+
+
+def test_weighted_sample_deterministic_and_weight_biased(spark):
+    from esther_apache_spark_spark.operators.sampling import weighted_sample
+
+    rows = [(i, 100 if i < 50 else 1) for i in range(500)]
+    df = spark.createDataFrame(rows, "doc_id long, w long")
+    a = [r["doc_id"] for r in weighted_sample(df, "doc_id", F.col("w"), k=50).collect()]
+    b = [r["doc_id"] for r in weighted_sample(df.repartition(7), "doc_id", F.col("w"), k=50).collect()]
+    assert a == b  # identical ordered sample under any partitioning
+    # heavy rows (w=100, 10% of population) must dominate the sample
+    heavy = sum(1 for d in a if d < 50)
+    assert heavy > 25
+    # redraw with a different salt gives a different sample
+    c = [r["doc_id"] for r in weighted_sample(df, "doc_id", F.col("w"), k=50, salt="other").collect()]
+    assert a != c
+    # zero/negative weights are never sampled
+    dfz = spark.createDataFrame([(1, 0), (2, -5), (3, 10)], "doc_id long, w long")
+    got = {r["doc_id"] for r in weighted_sample(dfz, "doc_id", F.col("w"), k=3).collect()}
+    assert got == {3}
+
+
+def test_weighted_sample_topk_plan_shape(spark):
+    from esther_apache_spark_spark.operators.sampling import weighted_sample
+
+    df = spark.createDataFrame([(i, i + 1) for i in range(100)], "doc_id long, w long")
+    plan = weighted_sample(df, "doc_id", F.col("w"), k=5)._jdf.queryExecution().executedPlan().toString()
+    assert "TakeOrderedAndProject" in plan  # top-k, never a global sort
