@@ -280,3 +280,22 @@ def test_substring_spans_no_pair_join_and_pruned_scan(spark, sf_dir):
     assert "BatchEvalPython" not in plan
     read_schema = [l for l in plan.splitlines() if "ReadSchema" in l][0]
     assert "lang" not in read_schema and "source" not in read_schema
+
+
+def test_rank_filter_plans_window_group_limit(spark, sf_dir):
+    """Per-group top-k (rank_in_nation): the rank<=5 predicate must
+    optimize into WindowGroupLimit with a PARTIAL pass before the
+    exchange — each map task forwards at most 5 rows per nation instead
+    of shuffling whole groups, which is what makes windowed per-group
+    top-k survive skewed groups at 100 TB."""
+    from esther_apache_spark_spark import plans
+
+    plan = (
+        plans.QUERIES["rank_in_nation"]
+        .fn(spark, sf_dir)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "WindowGroupLimit" in plan
+    assert "Partial" in plan  # map-side group limit before the shuffle
