@@ -248,3 +248,85 @@ def cms_estimate(
         joined.groupBy(key_col)
         .agg(F.min(F.coalesce(F.col("cms_cnt"), F.lit(0))).alias("cms_count"))
     )
+
+
+# ---------------------------------------------------------------------------
+# Bloom filter — mergeable set-membership sketch.
+# ---------------------------------------------------------------------------
+
+def bloom_words(
+    df: DataFrame,
+    key_col: str,
+    m_bits: int = 131072,
+    k_hashes: int = 7,
+    salt: str = "bloom",
+) -> DataFrame:
+    """Build a Bloom filter over ``key_col`` as sparse 60-bit words:
+    one row per (word_idx, word) — the set-MEMBERSHIP member of the
+    mergeable-sketch family (HLL=distinct, theta=overlap,
+    KLL=quantiles, bitmap=exact distinct, CMS=counts, Bloom=contains).
+    Positions are the ``cms_slot`` md5 construction (independent hash
+    per ``salt‖i:`` prefix), words pack 60 bits so every shift stays in
+    non-negative signed-64 territory — bit-identical in Spark and
+    DuckDB BIGINT, making membership (INCLUDING the deterministic
+    false-positive set) fully SQL-replayable. Filters over the same
+    (m_bits, k_hashes, salt) merge by per-word ``bit_or``.
+
+    State is ≤ ceil(m_bits/60) rows regardless of key count — a
+    CONSTANT of the model, so the words frame is broadcastable by
+    contract. FP rate ≈ (1 - e^(-k·n/m))^k; size m for the expected
+    distinct n (m/n = 18.7 bits/key at the defaults → ~0.1%)."""
+    if m_bits <= 0 or k_hashes <= 0:
+        raise ValueError("m_bits and k_hashes must be positive")
+    pos = F.explode(
+        F.array(*[cms_slot(F.col(key_col), i, m_bits, salt) for i in range(k_hashes)])
+    ).alias("_pos")
+    return (
+        df.select(pos)
+        .select(
+            F.expr("_pos DIV 60").alias("word_idx"),
+            F.expr("shiftleft(CAST(1 AS BIGINT), CAST(pmod(_pos, 60) AS INT))").alias("_m"),
+        )
+        .groupBy("word_idx")
+        .agg(F.bit_or("_m").alias("word"))
+    )
+
+
+def bloom_might_contain(
+    df: DataFrame,
+    key_col: str,
+    words: DataFrame,
+    m_bits: int = 131072,
+    k_hashes: int = 7,
+    salt: str = "bloom",
+    flag_col: str = "might_contain",
+) -> DataFrame:
+    """Append ``flag_col``: true iff ALL ``k_hashes`` of the key's bits
+    are set in the filter (no false negatives; false positives at the
+    sized rate, deterministically — the same keys flag on every engine
+    and run). The words frame is bounded by the m_bits model constant →
+    broadcast join; each probe key explodes into k (word_idx, mask)
+    lookups and re-groups, so the probe side never shuffles its
+    payload, only (key, word_idx) pairs."""
+    probes = df.select(F.col(key_col).alias("_k")).distinct()
+    expl = probes.select(
+        "_k",
+        F.explode(
+            F.array(*[cms_slot(F.col("_k"), i, m_bits, salt) for i in range(k_hashes)])
+        ).alias("_pos"),
+    ).select(
+        "_k",
+        F.expr("_pos DIV 60").alias("word_idx"),
+        F.expr("shiftleft(CAST(1 AS BIGINT), CAST(pmod(_pos, 60) AS INT))").alias("_m"),
+    )
+    # bounded by the model constant ceil(m_bits/60) — broadcast contract
+    hit = expl.join(F.broadcast(words), "word_idx", "left").select(
+        "_k",
+        (F.col("word").isNotNull() & (F.col("word").bitwiseAND(F.col("_m")) != 0)).alias("_hit"),
+    )
+    flags = hit.groupBy("_k").agg(
+        (F.count(F.lit(1)) == F.sum(F.when(F.col("_hit"), 1).otherwise(0))).alias(flag_col)
+    )
+    return df.join(
+        flags, df[key_col] == flags["_k"], "left"
+    ).drop("_k").fillna({flag_col: False})

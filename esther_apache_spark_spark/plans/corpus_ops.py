@@ -1713,3 +1713,75 @@ def weighted_sample_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select(
         "doc_id", "lang", F.col("n_chars").cast("long").alias("n_chars"), "_wkey"
     )
+
+
+@register(
+    "decontaminate_bloom_train_docs",
+    oracle="""
+    WITH fp AS (
+        SELECT doc_id, lang, md5(lower(text)) AS f,
+               CAST(CONCAT('0x', substr(md5('decon' || CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT)
+                   < 429496729 AS is_eval
+        FROM documents
+    ),
+    epos AS (
+        SELECT CAST(CONCAT('0x', substr(md5('bloomdecon' || CAST(r.i AS VARCHAR) || ':' || e.f), 1, 8)) AS BIGINT) % 131072 AS p
+        FROM (SELECT DISTINCT f FROM fp WHERE is_eval) e
+        CROSS JOIN (SELECT unnest(range(7)) AS i) r
+    ),
+    words AS (
+        SELECT p // 60 AS widx,
+               bit_or(CAST(1 AS BIGINT) << CAST(p % 60 AS INTEGER)) AS w
+        FROM epos GROUP BY 1
+    ),
+    tpos AS (
+        SELECT t.doc_id, t.lang,
+               CAST(CONCAT('0x', substr(md5('bloomdecon' || CAST(r.i AS VARCHAR) || ':' || t.f), 1, 8)) AS BIGINT) % 131072 AS p
+        FROM fp t CROSS JOIN (SELECT unnest(range(7)) AS i) r
+        WHERE NOT t.is_eval
+    ),
+    hits AS (
+        SELECT doc_id, lang,
+               bool_and(w IS NOT NULL
+                        AND (w & (CAST(1 AS BIGINT) << CAST(p % 60 AS INTEGER))) != 0) AS flagged
+        FROM tpos LEFT JOIN words ON words.widx = tpos.p // 60
+        GROUP BY doc_id, lang
+    )
+    SELECT doc_id, lang FROM hits WHERE NOT flagged
+    """,
+)
+def decontaminate_bloom_train_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bloom-accelerated exact-fingerprint decontamination: the eval
+    split's fingerprints build a ~2.7 KB-per-131072-bits Bloom filter
+    (`sketches.bloom_words` — the set-membership member of the
+    mergeable-sketch family), and training docs are dropped when ALL 7
+    of their fingerprint's bits are set. Same split and fingerprint as
+    `decontaminate_train_docs`; the answer differs ONLY by the filter's
+    deterministic false positives (~0.1% at these sizes) — the at-scale
+    trade: membership against a compact broadcast bitset instead of an
+    anti-join against the full eval fingerprint set, and per-day eval
+    filters merge by bit_or without re-reading anything.
+
+    Fully SQL-replayed INCLUDING the false-positive set: positions are
+    the md5 cms_slot construction, words pack 60 bits (non-negative
+    shifts, exact BIGINT both engines)."""
+    from esther_apache_spark_spark.operators import sketches as SK
+    from esther_apache_spark_spark.operators.sampling import hash_bucket
+
+    docs = load_table(spark, sf_dir, "documents").withColumn(
+        "fingerprint", F.md5(F.lower(F.col("text")))
+    )
+    is_eval = hash_bucket(F.col("doc_id"), salt="decon") < int(0.1 * (1 << 32))
+    words = SK.bloom_words(
+        docs.filter(is_eval), "fingerprint", m_bits=131072, k_hashes=7, salt="bloomdecon"
+    )
+    flagged = SK.bloom_might_contain(
+        docs.filter(~is_eval),
+        "fingerprint",
+        words,
+        m_bits=131072,
+        k_hashes=7,
+        salt="bloomdecon",
+        flag_col="_flag",
+    )
+    return flagged.filter(~F.col("_flag")).select("doc_id", "lang")

@@ -57,6 +57,9 @@ ALLOWED: dict[tuple[str, str], str] = {
     # classifier weight table: one row per token-hash bucket, bounded by
     # the n_buckets MODEL constant (4096 default) — independent of sf
     ("operators/textstats.py", "weights"): "weight table, n_buckets rows (model constant)",
+    # Bloom filter words: ≤ ceil(m_bits/60) rows — a model constant
+    # independent of how many keys were inserted
+    ("operators/sketches.py", "words"): "Bloom words frame, ceil(m_bits/60) rows (model constant)",
     # FreshKart dims are fixed-size reference data (VERDICT r2: harmless)
     ("freshkart/pipeline.py", "customers_clean"): "fixed-size reference dim",
     ("freshkart/pipeline.py", "refunds_sum"): "per-order pre-agg of the fixed refunds feed",

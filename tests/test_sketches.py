@@ -239,3 +239,49 @@ def test_cms_empty_keys_and_unseen_key(spark, events):
     import math
 
     assert row["cms_count"] <= math.ceil(math.e * events.count() / 2048)
+
+
+def test_bloom_no_false_negatives_and_bounded_fp(spark):
+    from esther_apache_spark_spark.operators.sketches import (
+        bloom_might_contain,
+        bloom_words,
+    )
+    from pyspark.sql import functions as F
+
+    members = spark.createDataFrame([(f"key{i}",) for i in range(500)], "k string")
+    others = spark.createDataFrame([(f"other{i}",) for i in range(2000)], "k string")
+    words = bloom_words(members, "k", m_bits=16384, k_hashes=7)
+    # every inserted key flags (no false negatives — the Bloom contract)
+    got = bloom_might_contain(members, "k", words, m_bits=16384, k_hashes=7)
+    assert got.filter(~F.col("might_contain")).count() == 0
+    # false positives exist at a bounded, DETERMINISTIC rate
+    fp = bloom_might_contain(others, "k", words, m_bits=16384, k_hashes=7)
+    n_fp = fp.filter(F.col("might_contain")).count()
+    assert n_fp < 2000 * 0.05  # m/n=32.8 bits/key, k=7 -> well under 5%
+    n_fp2 = bloom_might_contain(
+        others.repartition(5), "k", words, m_bits=16384, k_hashes=7
+    ).filter(F.col("might_contain")).count()
+    assert n_fp == n_fp2  # same FP set under any partitioning
+
+
+def test_bloom_words_merge_by_bit_or(spark):
+    """Filters built on disjoint batches merge into exactly the filter
+    of the union — the persist-daily/merge-on-read sketch contract."""
+    from pyspark.sql import functions as F
+
+    from esther_apache_spark_spark.operators.sketches import bloom_words
+
+    a = spark.createDataFrame([(f"key{i}",) for i in range(250)], "k string")
+    b = spark.createDataFrame([(f"key{i}",) for i in range(250, 500)], "k string")
+    union_words = {
+        r["word_idx"]: r["word"]
+        for r in bloom_words(a.union(b), "k", m_bits=4096, k_hashes=5).collect()
+    }
+    merged = (
+        bloom_words(a, "k", m_bits=4096, k_hashes=5)
+        .union(bloom_words(b, "k", m_bits=4096, k_hashes=5))
+        .groupBy("word_idx")
+        .agg(F.bit_or("word").alias("word"))
+    )
+    got = {r["word_idx"]: r["word"] for r in merged.collect()}
+    assert got == union_words
