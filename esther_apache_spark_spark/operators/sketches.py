@@ -330,3 +330,45 @@ def bloom_might_contain(
     return df.join(
         flags, df[key_col] == flags["_k"], "left"
     ).drop("_k").fillna({flag_col: False})
+
+
+def bloom_words_dense(words: DataFrame, m_bits: int) -> list[int]:
+    """Collect a ``bloom_words`` frame into a dense Python word list
+    (missing indices = 0). Driver-side by CONTRACT: the list length is
+    ``ceil(m_bits/60)`` — a model constant independent of how many keys
+    were inserted — the same boundedness argument as broadcasting the
+    frame, needed when the filter must be an inline EXPRESSION (e.g.
+    a streaming filter, where a join-per-probe is unavailable)."""
+    n = (m_bits + 59) // 60
+    dense = [0] * n
+    for r in words.collect():
+        dense[int(r["word_idx"])] = int(r["word"])
+    return dense
+
+
+_BLOOM_BIT_MASKS = None
+
+
+def bloom_contains_expr(
+    key: Column,
+    dense_words: list[int],
+    m_bits: int,
+    k_hashes: int = 7,
+    salt: str = "bloom",
+) -> Column:
+    """Membership test as a PURE column expression against a dense word
+    list literal — no join, no state; usable in streaming filters. True
+    iff all ``k_hashes`` bits are set (same bit layout and md5 position
+    construction as ``bloom_words``, so SQL oracles replay it exactly,
+    false positives included)."""
+    words_arr = F.array(*[F.lit(int(w)) for w in dense_words])
+    masks_arr = F.array(*[F.lit(1 << b) for b in range(60)])
+    cond = None
+    for i in range(k_hashes):
+        p = cms_slot(key, i, m_bits, salt)
+        widx = F.floor(p / F.lit(60)).cast("int")
+        mask = F.element_at(masks_arr, F.pmod(p, 60).cast("int") + F.lit(1))
+        word = F.element_at(words_arr, widx + F.lit(1))
+        c = word.bitwiseAND(mask) != 0
+        cond = c if cond is None else cond & c
+    return cond

@@ -2767,3 +2767,50 @@ def streaming_user_freq_cms(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     return run_streaming_user_freq_cms(spark, sf_dir)
+
+
+@register(
+    "streaming_bloom_novelty_events",
+    oracle="""
+    WITH hist AS (
+        SELECT event_id FROM events
+        WHERE CAST(CONCAT('0x', substr(md5('hist' || CAST(event_id AS VARCHAR)), 1, 8)) AS BIGINT)
+              < CAST(0.5 * 4294967296 AS BIGINT)
+    ),
+    hpos AS (
+        SELECT CAST(CONCAT('0x', substr(md5('sbloom' || CAST(r.i AS VARCHAR) || ':' || CAST(h.event_id AS VARCHAR)), 1, 8)) AS BIGINT) % 131072 AS p
+        FROM hist h CROSS JOIN (SELECT unnest(range(7)) AS i) r
+    ),
+    words AS (
+        SELECT p // 60 AS widx,
+               bit_or(CAST(1 AS BIGINT) << CAST(p % 60 AS INTEGER)) AS w
+        FROM hpos GROUP BY 1
+    ),
+    probe AS (
+        SELECT e.event_id, e.user_id, e.event_type,
+               CAST(CONCAT('0x', substr(md5('sbloom' || CAST(r.i AS VARCHAR) || ':' || CAST(e.event_id AS VARCHAR)), 1, 8)) AS BIGINT) % 131072 AS p
+        FROM events e CROSS JOIN (SELECT unnest(range(7)) AS i) r
+    ),
+    flags AS (
+        SELECT event_id, min(user_id) AS user_id, min(event_type) AS event_type,
+               bool_and(w IS NOT NULL
+                        AND (w & (CAST(1 AS BIGINT) << CAST(p % 60 AS INTEGER))) != 0) AS hit
+        FROM probe LEFT JOIN words ON words.widx = probe.p // 60
+        GROUP BY event_id
+    )
+    SELECT event_id, user_id, event_type FROM flags WHERE NOT hit
+    """,
+)
+def streaming_bloom_novelty_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Structured-Streaming novelty gate vs a history Bloom filter —
+    dedup-vs-history with ZERO streaming state: the filter is a pure
+    expression over a dense word-list literal (constant size by the
+    m_bits model knob), so nothing grows with stream length and the
+    deterministic false-drop rate is the sized Bloom FP rate. FULLY
+    oracled: DuckDB rebuilds the history filter bit-for-bit and
+    replays the 7-bit membership test on every event — the streamed
+    result hash-matches it exactly (event_id is unique, so no
+    aggregation ambiguity)."""
+    from esther_apache_spark_spark.streaming.events import run_stream_bloom_novelty
+
+    return run_stream_bloom_novelty(spark, sf_dir)

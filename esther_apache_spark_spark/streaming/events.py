@@ -680,3 +680,50 @@ def run_streaming_user_freq_cms(spark: SparkSession, sf_dir: str) -> DataFrame:
     finally:
         q.stop()
     return spark.table(name)
+
+
+def run_stream_bloom_novelty(
+    spark: SparkSession, sf_dir: str, m_bits: int = 131072, k_hashes: int = 7
+) -> DataFrame:
+    """Streaming novelty gate against a HISTORY Bloom filter: events
+    whose event_id hits all k bits of the filter built over the
+    'historical' half (hash gate, salt 'hist') are dropped in-flight;
+    everything else streams through. The filter is an inline EXPRESSION
+    over a dense word-list literal (``sketches.bloom_contains_expr``) —
+    ZERO streaming state, no stream-side join — which is the 100 TB/day
+    posture for dedup-vs-history: exact per-key state grows with the
+    corpus, the Bloom gate is a constant-size broadcastable literal
+    with a sized, deterministic false-drop rate. Returns the streamed
+    (batch) result table."""
+    import uuid as _uuid
+
+    from esther_apache_spark_spark.operators import sketches as SK
+    from esther_apache_spark_spark.operators.sampling import hash_bucket
+    from esther_apache_spark_spark.schemas import load_table
+
+    hist = load_table(spark, sf_dir, "events").filter(
+        hash_bucket(F.col("event_id"), salt="hist") < int(0.5 * (1 << 32))
+    )
+    dense = SK.bloom_words_dense(
+        SK.bloom_words(hist, "event_id", m_bits=m_bits, k_hashes=k_hashes, salt="sbloom"),
+        m_bits,
+    )
+    name = f"stream_bloom_{_uuid.uuid4().hex[:8]}"
+    q = (
+        streaming_events_source(spark, sf_dir)
+        .filter(
+            ~SK.bloom_contains_expr(
+                F.col("event_id"), dense, m_bits, k_hashes, salt="sbloom"
+            )
+        )
+        .select("event_id", "user_id", "event_type")
+        .writeStream.outputMode("append")
+        .format("memory")
+        .queryName(name)
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    return spark.table(name)

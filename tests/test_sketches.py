@@ -285,3 +285,34 @@ def test_bloom_words_merge_by_bit_or(spark):
     )
     got = {r["word_idx"]: r["word"] for r in merged.collect()}
     assert got == union_words
+
+
+def test_bloom_contains_expr_matches_join_form(spark):
+    """The inline-expression membership (streaming form) must agree with
+    the join-based bloom_might_contain on every key — same bit layout,
+    same md5 positions, byte-for-byte."""
+    from pyspark.sql import functions as F
+
+    from esther_apache_spark_spark.operators.sketches import (
+        bloom_contains_expr,
+        bloom_might_contain,
+        bloom_words,
+        bloom_words_dense,
+    )
+
+    members = spark.createDataFrame([(f"k{i}",) for i in range(300)], "k string")
+    probes = spark.createDataFrame([(f"k{i}",) for i in range(0, 900, 2)], "k string")
+    words = bloom_words(members, "k", m_bits=8192, k_hashes=5)
+    dense = bloom_words_dense(words, 8192)
+    via_join = {
+        r["k"]: r["might_contain"]
+        for r in bloom_might_contain(probes, "k", words, m_bits=8192, k_hashes=5).collect()
+    }
+    via_expr = {
+        r["k"]: r["f"]
+        for r in probes.select(
+            "k", bloom_contains_expr(F.col("k"), dense, 8192, k_hashes=5).alias("f")
+        ).collect()
+    }
+    assert via_join == via_expr
+    assert all(via_expr[f"k{i}"] for i in range(0, 300, 2))  # no false negatives
