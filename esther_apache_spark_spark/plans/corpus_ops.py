@@ -1785,3 +1785,44 @@ def decontaminate_bloom_train_docs(spark: SparkSession, sf_dir: str) -> DataFram
         flag_col="_flag",
     )
     return flagged.filter(~F.col("_flag")).select("doc_id", "lang")
+
+
+@register(
+    "weighted_sample_per_lang",
+    oracle="""
+    SELECT doc_id, lang, _wkey FROM (
+        SELECT doc_id, lang,
+               ROUND(ln((CAST(CONCAT('0x', substr(md5('wlang' || CAST(doc_id AS VARCHAR)), 1, 15)) AS BIGINT) + 1)
+                        / 1152921504606846976.0) / n_chars, 9) AS _wkey,
+               row_number() OVER (
+                   PARTITION BY lang
+                   ORDER BY ROUND(ln((CAST(CONCAT('0x', substr(md5('wlang' || CAST(doc_id AS VARCHAR)), 1, 15)) AS BIGINT) + 1)
+                                     / 1152921504606846976.0) / n_chars, 9) DESC,
+                            doc_id
+               ) AS rn
+        FROM documents WHERE n_chars > 0
+    ) WHERE rn <= 8
+    """,
+)
+def weighted_sample_per_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-stratum weighted sampling without replacement: the A-ES
+    exponential rank key (`weighted_sample_docs`), ranked WITHIN each
+    language — 8 docs per lang with inclusion probability ∝ n_chars.
+    The per-language subsample step of a mixture-balanced corpus build.
+
+    Plan shape: the rank<=8 predicate optimizes into a PARTIAL
+    WindowGroupLimit before the exchange (asserted for the rank family
+    in tests/test_plan_shapes.py), so each map task forwards at most 8
+    rows per language — skew-proof per-group top-k."""
+    from esther_apache_spark_spark.operators.sampling import md5_long_u60
+
+    docs = load_table(spark, sf_dir, "documents").filter(F.col("n_chars") > 0)
+    u = (md5_long_u60(F.col("doc_id"), "wlang") + F.lit(1)) / F.lit(float(1 << 60))
+    wkey = F.round(F.log(u) / F.col("n_chars"), 9)
+    w = Window.partitionBy("lang").orderBy(F.col("_wkey").desc(), F.col("doc_id"))
+    return (
+        docs.withColumn("_wkey", wkey)
+        .withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") <= 8)
+        .select("doc_id", "lang", "_wkey")
+    )
