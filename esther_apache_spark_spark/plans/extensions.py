@@ -2814,3 +2814,42 @@ def streaming_bloom_novelty_events(spark: SparkSession, sf_dir: str) -> DataFram
     from esther_apache_spark_spark.streaming.events import run_stream_bloom_novelty
 
     return run_stream_bloom_novelty(spark, sf_dir)
+
+
+@register(
+    "equidepth_histogram_order_totals",
+    oracle="""
+    SELECT bucket,
+           CAST(COUNT(*) AS BIGINT) AS n_rows,
+           MIN(o_totalprice) AS lo,
+           MAX(o_totalprice) AS hi
+    FROM (
+        SELECT o_totalprice,
+               CAST(ntile(10) OVER (ORDER BY o_totalprice, o_orderkey) AS INT) AS bucket
+        FROM orders
+    )
+    GROUP BY bucket
+    """,
+)
+def equidepth_histogram_order_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Equi-DEPTH histogram of order totals (10 buckets of equal row
+    count) — the ANALYZE-statistics companion to the equi-width
+    `histogram_acctbal_by_nation`: bucket boundaries land where the
+    DATA is dense, which is what an optimizer's histogram and a data-
+    profiling report both want. Deterministic: ntile over a total order
+    (value, unique key). Scale note: a global ntile is a single-
+    partition window — fine for the profile REPORT shape (the output is
+    10 rows); at 100 TB swap the bucketing stage for approx_percentile
+    boundaries + a pushdown-able range filter, implemented beside it in
+    `quantiles_by_segment`."""
+    o = load_table(spark, sf_dir, "orders")
+    w = Window.orderBy(F.col("o_totalprice"), F.col("o_orderkey"))
+    return (
+        o.select("o_totalprice", F.ntile(10).over(w).cast("int").alias("bucket"))
+        .groupBy("bucket")
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.min("o_totalprice").alias("lo"),
+            F.max("o_totalprice").alias("hi"),
+        )
+    )
