@@ -1826,3 +1826,97 @@ def weighted_sample_per_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("_rn") <= 8)
         .select("doc_id", "lang", "_wkey")
     )
+
+
+@register(
+    "contamination_overlap_report",
+    oracle="""
+    WITH toks AS (
+        SELECT doc_id,
+               list_filter(regexp_split_to_array(trim(text), '\\s+'),
+                           x -> x <> '') AS t,
+               CAST(CONCAT('0x', substr(md5('decon' || CAST(doc_id AS VARCHAR)),
+                                        1, 8)) AS BIGINT)
+                   < CAST(0.1 * 4294967296 AS BIGINT) AS is_eval
+        FROM documents
+    ),
+    grams AS (
+        SELECT doc_id, is_eval, array_to_string(t[i:i+4], ' ') AS gram
+        FROM toks, UNNEST(range(1, len(t) - 3)) AS r(i)
+        WHERE len(t) >= 5
+    ),
+    eg AS (SELECT DISTINCT gram FROM grams WHERE is_eval),
+    per AS (
+        SELECT g.doc_id,
+               COUNT(*) AS n_grams,
+               SUM(CASE WHEN eg.gram IS NOT NULL THEN 1 ELSE 0 END) AS n_hit
+        FROM grams g LEFT JOIN eg ON eg.gram = g.gram
+        WHERE NOT g.is_eval
+        GROUP BY g.doc_id
+    )
+    SELECT doc_id,
+           CAST(n_grams AS BIGINT) AS n_grams,
+           CAST(n_hit AS BIGINT) AS n_contaminated,
+           ROUND(n_hit / n_grams, 4) + 0.0 AS overlap_frac
+    FROM per WHERE n_hit > 0
+    """,
+)
+def contamination_overlap_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GRADED eval-contamination report: for each training doc that
+    shares at least one 5-gram with the eval split, the FRACTION of its
+    5-grams found in the eval set — the signal practitioners tune the
+    drop-threshold with, where the binary `decontaminate_ngram_train_docs`
+    can only answer any/none. Same split (salt 'decon'), same raw
+    whitespace 5-grams, so the two queries agree on what counts as a
+    hit.
+
+    Scale shape identical to the binary variant: the distinct eval-gram
+    set is the AQE-broadcastable small side of a LEFT join over the
+    exploded train grams (positions counted, not distinct — repetition
+    of a contaminated passage raises the fraction, deliberately); one
+    partial-aggregable per-doc count; integer division only at the
+    end."""
+    from esther_apache_spark_spark.operators.sampling import hash_bucket
+
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.filter(F.split(F.trim(F.col("text")), r"\s+"), lambda x: x != "").alias("t"),
+        (hash_bucket(F.col("doc_id"), salt="decon") < int(0.1 * (1 << 32))).alias(
+            "is_eval"
+        ),
+    )
+    grams = (
+        docs.filter(F.size("t") >= 5)
+        .select(
+            "doc_id",
+            "is_eval",
+            F.explode(
+                F.transform(
+                    F.sequence(F.lit(0), F.size("t") - 5),
+                    lambda i: F.concat_ws(
+                        " ", *[F.get("t", i + F.lit(j)) for j in range(5)]
+                    ),
+                )
+            ).alias("gram"),
+        )
+    )
+    eg = grams.filter(F.col("is_eval")).select("gram").distinct()
+    hit = grams.filter(~F.col("is_eval")).join(
+        eg.withColumn("_hit", F.lit(1)), "gram", "left"
+    )
+    return (
+        hit.groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_grams"),
+            F.sum(F.coalesce(F.col("_hit"), F.lit(0))).alias("n_contaminated"),
+        )
+        .filter(F.col("n_contaminated") > 0)
+        .select(
+            "doc_id",
+            "n_grams",
+            F.col("n_contaminated").cast("long").alias("n_contaminated"),
+            F.round(F.col("n_contaminated") / F.col("n_grams"), 4).alias(
+                "overlap_frac"
+            ),
+        )
+    )
