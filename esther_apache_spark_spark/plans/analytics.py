@@ -1707,3 +1707,95 @@ def pareto_revenue_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
             6,
         ).alias("cum_share"),
     )
+
+
+@register(
+    "hybrid_search_rrf",
+    oracle=f"""
+    WITH d AS (SELECT doc_id, string_split(lower(text), ' ') AS toks FROM documents),
+    dd AS (SELECT doc_id, len(toks) AS dl FROM d),
+    sc AS (SELECT count(*) AS n, avg(dl) AS avgdl FROM dd),
+    w AS (SELECT doc_id, unnest(toks) AS term FROM d),
+    tf AS (SELECT doc_id, term, count(*) AS tf FROM w
+           WHERE term IN ('spark','window','hash') GROUP BY 1, 2),
+    dft AS (SELECT term, count(*) AS dfreq FROM tf GROUP BY 1),
+    scored AS (
+        SELECT tf.doc_id,
+               SUM( ((sc.n - dft.dfreq + 0.5) / (dft.dfreq + 0.5))
+                    * (tf.tf * ({_K1} + 1.0))
+                    / (tf.tf + {_K1} * (1.0 - {_B} + {_B} * dd.dl / sc.avgdl)) ) AS s
+        FROM tf JOIN dft USING (term) JOIN dd USING (doc_id) CROSS JOIN sc
+        GROUP BY 1
+    ),
+    b20 AS (SELECT doc_id, ROUND(s, 4) AS score FROM scored
+            ORDER BY ROUND(s, 4) DESC, doc_id LIMIT 20),
+    br AS (SELECT doc_id,
+                  CAST(row_number() OVER (ORDER BY score DESC, doc_id) AS INT) AS bm25_rank
+           FROM b20),
+    q AS (SELECT CAST(embedding AS DOUBLE[]) AS qv FROM embeddings WHERE vec_id = 0),
+    c20 AS (SELECT e.vec_id AS doc_id,
+                   ROUND(list_cosine_similarity(CAST(e.embedding AS DOUBLE[]), q.qv), 6) + 0.0 AS cosine
+            FROM embeddings e CROSS JOIN q WHERE e.vec_id <> 0
+            ORDER BY cosine DESC, e.vec_id LIMIT 20),
+    cr AS (SELECT doc_id,
+                  CAST(row_number() OVER (ORDER BY cosine DESC, doc_id) AS INT) AS cos_rank
+           FROM c20),
+    f AS (SELECT COALESCE(br.doc_id, cr.doc_id) AS doc_id, br.bm25_rank, cr.cos_rank,
+                 ROUND(COALESCE(1.0 / (60 + br.bm25_rank), 0)
+                       + COALESCE(1.0 / (60 + cr.cos_rank), 0), 6) AS rrf_score
+          FROM br FULL OUTER JOIN cr ON br.doc_id = cr.doc_id)
+    SELECT doc_id, bm25_rank, cos_rank, rrf_score
+    FROM f ORDER BY rrf_score DESC, doc_id LIMIT 10
+    """,
+)
+def hybrid_search_rrf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hybrid retrieval with reciprocal-rank fusion (the RAG-era
+    retrieval shape): lexical BM25 top-20 and dense cosine top-20 (query
+    vector = embedding 0, self excluded), fused by
+    RRF(d) = Σ 1/(60 + rank_list(d)) over the lists containing d, top-10
+    out. Pure composition of two already-oracled engine pieces — BM25's
+    exact pipeline and `brute_force_topk`'s JVM cosine fold — plus
+    integer-rank fusion, so the whole thing replays in SQL exactly
+    (ranks are integers; the two fused divisions happen in one fixed
+    expression, no order-dependent float sum).
+
+    Scale: the two candidate lists are top-k trees (TakeOrderedAndProject
+    / broadcast-query GEMM), the fusion joins two ≤20-row frames — the
+    expensive parts are exactly the already-audited retrieval queries."""
+    from esther_apache_spark_spark.operators import similarity as S
+
+    b20 = bm25_top_docs(spark, sf_dir)
+    br = b20.select(
+        "doc_id",
+        F.row_number()
+        .over(Window.orderBy(F.desc("score"), "doc_id"))
+        .cast("int")
+        .alias("bm25_rank"),
+    )
+    emb = load_table(spark, sf_dir, "embeddings")
+    qv = emb.filter(F.col("vec_id") == 0).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    nn = (
+        S.brute_force_topk(emb, qv, k=21)
+        .filter(F.col("neighbor_id") != 0)
+        .select(F.col("neighbor_id").alias("doc_id"), "cosine")
+    )
+    cr = nn.select(
+        "doc_id",
+        F.row_number()
+        .over(Window.orderBy(F.desc("cosine"), "doc_id"))
+        .cast("int")
+        .alias("cos_rank"),
+    )
+    rrf = F.round(
+        F.coalesce(1.0 / (F.col("bm25_rank") + 60), F.lit(0.0))
+        + F.coalesce(1.0 / (F.col("cos_rank") + 60), F.lit(0.0)),
+        6,
+    )
+    return (
+        br.join(cr, "doc_id", "full_outer")
+        .select("doc_id", "bm25_rank", "cos_rank", rrf.alias("rrf_score"))
+        .orderBy(F.desc("rrf_score"), "doc_id")
+        .limit(10)
+    )

@@ -75,6 +75,10 @@ def test_catalog_plans_free_of_scale_antipatterns(spark, sf_dir):
         "unigram_nll_score_docs",    # 1-row token-total + vocab-size scalars
         "temperature_sample_by_lang",  # 1-row global max-rate scalar
         "similarity_topk_bruteforce",  # fenced all-pairs oracle
+        # dense candidate list scores the corpus against ONE query
+        # vector (brute_force_topk's broadcast query matrix, 1 row by
+        # construction) + the BM25 1-row count/avgdl scalars
+        "hybrid_search_rrf",
         # inequality pair join over the PER-SEGMENT sketch frame — its
         # size is the segment vocabulary (|types|² pairs of few-KB
         # sketches), independent of data volume; the raw keys never
