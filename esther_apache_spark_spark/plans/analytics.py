@@ -1799,3 +1799,74 @@ def hybrid_search_rrf(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("rrf_score"), "doc_id")
         .limit(10)
     )
+
+
+@register(
+    "time_weighted_avg_user_value",
+    oracle="""
+    WITH e AS (
+        SELECT user_id, epoch_us(ts) AS us, CAST(value AS DECIMAL(12,2)) AS v,
+               event_id
+        FROM events
+    ),
+    seg AS (
+        SELECT user_id, v,
+               lead(us) OVER (PARTITION BY user_id ORDER BY us, event_id) - us AS span_us,
+               us
+        FROM e
+    ),
+    agg AS (
+        SELECT user_id,
+               SUM(v * span_us) AS wsum,
+               CAST(MAX(us) - MIN(us) AS BIGINT) AS total_us,
+               COUNT(*) AS n
+        FROM seg GROUP BY user_id
+    )
+    SELECT user_id,
+           CAST(n AS BIGINT) AS n_events,
+           total_us,
+           ROUND(CAST(wsum AS DOUBLE) / total_us, 6) + 0.0 AS twa_value
+    FROM agg WHERE n >= 2 AND total_us > 0
+    """,
+)
+def time_weighted_avg_user_value(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-weighted average of each user's value (TWAP — the
+    hypertable-rollup staple the plain AVG gets wrong whenever
+    observations are unevenly spaced): each value is held until the
+    user's next event and weighted by that interval in microseconds;
+    users need ≥ 2 events and a positive span. Exact cross-engine: the
+    per-segment weight is a DECIMAL(12,2) value × BIGINT micros product
+    summed decimally (order-independent), divided once at the end.
+
+    Scale: one shuffle on user_id for the lead() window (single pass,
+    spill-aware), then a partial-aggregable per-user sum — the same
+    cost envelope as `lag_event_gaps`. The interval semantics are
+    last-observation-carried-forward; the final observation carries no
+    weight (its holding interval is unobserved)."""
+    e = load_table(spark, sf_dir, "events").select(
+        "user_id",
+        F.unix_micros("ts").alias("us"),
+        F.col("value").cast("decimal(12,2)").alias("v"),
+        "event_id",
+    )
+    w = Window.partitionBy("user_id").orderBy("us", "event_id")
+    seg = e.select(
+        "user_id", "v", "us", (F.lead("us").over(w) - F.col("us")).alias("span_us")
+    )
+    return (
+        seg.groupBy("user_id")
+        .agg(
+            F.sum(F.col("v") * F.col("span_us")).alias("wsum"),
+            (F.max("us") - F.min("us")).cast("long").alias("total_us"),
+            F.count(F.lit(1)).alias("n_events"),
+        )
+        .filter((F.col("n_events") >= 2) & (F.col("total_us") > 0))
+        .select(
+            "user_id",
+            "n_events",
+            "total_us",
+            F.round(F.col("wsum").cast("double") / F.col("total_us"), 6).alias(
+                "twa_value"
+            ),
+        )
+    )
