@@ -1870,3 +1870,67 @@ def time_weighted_avg_user_value(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         )
     )
+
+
+@register(
+    "ohlc_hourly_bars",
+    oracle="""
+    WITH e AS (
+        SELECT date_trunc('hour', ts) AS bar, event_type, value, ts, event_id,
+               row_number() OVER (
+                   PARTITION BY date_trunc('hour', ts), event_type
+                   ORDER BY ts, event_id
+               ) AS rn_a,
+               row_number() OVER (
+                   PARTITION BY date_trunc('hour', ts), event_type
+                   ORDER BY ts DESC, event_id DESC
+               ) AS rn_d
+        FROM events
+    )
+    SELECT strftime(bar, '%Y-%m-%d %H:%M:%S') AS bar_start, event_type,
+           CAST(COUNT(*) AS BIGINT) AS n_events,
+           MIN(CASE WHEN rn_a = 1 THEN value END) AS open,
+           MAX(value) AS high,
+           MIN(value) AS low,
+           MIN(CASE WHEN rn_d = 1 THEN value END) AS close
+    FROM e GROUP BY bar, event_type
+    """,
+)
+def ohlc_hourly_bars(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hourly OHLC bars per event type (open/high/low/close — the
+    candlestick/telemetry downsample every time-series store ships):
+    open and close are the first/last values under the (ts, event_id)
+    TOTAL order inside each bar, high/low plain extremes. No raw-value
+    float arithmetic at all (selection only), so the result is exact on
+    any engine; first/last are taken as rank-1 rows of the asc/desc
+    windows — deterministic where min_by/arg_min tiebreaks are not.
+    One shuffle on (bar, event_type) shared by both windows and the
+    aggregate."""
+    e = load_table(spark, sf_dir, "events").select(
+        F.date_trunc("hour", "ts").alias("bar"), "event_type", "value", "ts", "event_id"
+    )
+    wa = Window.partitionBy("bar", "event_type").orderBy("ts", "event_id")
+    wd = Window.partitionBy("bar", "event_type").orderBy(
+        F.desc("ts"), F.desc("event_id")
+    )
+    return (
+        e.withColumn("rn_a", F.row_number().over(wa))
+        .withColumn("rn_d", F.row_number().over(wd))
+        .groupBy("bar", "event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.min(F.when(F.col("rn_a") == 1, F.col("value"))).alias("open"),
+            F.max("value").alias("high"),
+            F.min("value").alias("low"),
+            F.min(F.when(F.col("rn_d") == 1, F.col("value"))).alias("close"),
+        )
+        .select(
+            F.date_format("bar", "yyyy-MM-dd HH:mm:ss").alias("bar_start"),
+            "event_type",
+            "n_events",
+            "open",
+            "high",
+            "low",
+            "close",
+        )
+    )
