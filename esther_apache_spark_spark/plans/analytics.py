@@ -1934,3 +1934,47 @@ def ohlc_hourly_bars(spark: SparkSession, sf_dir: str) -> DataFrame:
             "close",
         )
     )
+
+
+@register(
+    "counter_increase_per_user",
+    oracle="""
+    WITH e AS (
+        SELECT user_id, CAST(value AS DECIMAL(12,2)) AS v, ts, event_id
+        FROM events
+    ),
+    d AS (
+        SELECT user_id,
+               v - lag(v) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS delta
+        FROM e
+    )
+    SELECT user_id,
+           CAST(COUNT(delta) AS BIGINT) AS n_deltas,
+           CAST(SUM(CASE WHEN delta > 0 THEN delta ELSE 0 END) AS DOUBLE) AS total_increase,
+           CAST(SUM(CASE WHEN delta < 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_resets
+    FROM d GROUP BY user_id
+    """,
+)
+def counter_increase_per_user(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Reset-aware counter increase (the Prometheus ``increase()``
+    semantics): per user, the sum of POSITIVE deltas between
+    consecutive readings under the (ts, event_id) total order — a
+    counter reset (negative delta) contributes nothing and is counted
+    separately. A plain max-min misreads any series with one reset.
+    Deltas are DECIMAL(12,2) differences summed decimally, so the
+    aggregate is order-independent and exact on both engines. One
+    shuffle on user_id shared by the lag window and the aggregate."""
+    e = load_table(spark, sf_dir, "events").select(
+        "user_id", F.col("value").cast("decimal(12,2)").alias("v"), "ts", "event_id"
+    )
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    d = e.select("user_id", (F.col("v") - F.lag("v").over(w)).alias("delta"))
+    return d.groupBy("user_id").agg(
+        F.count("delta").alias("n_deltas"),
+        F.sum(F.when(F.col("delta") > 0, F.col("delta")).otherwise(F.lit(0)))
+        .cast("double")
+        .alias("total_increase"),
+        F.sum(F.when(F.col("delta") < 0, 1).otherwise(0))
+        .cast("long")
+        .alias("n_resets"),
+    )
