@@ -1978,3 +1978,78 @@ def counter_increase_per_user(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("long")
         .alias("n_resets"),
     )
+
+
+@register(
+    "attribution_last_touch",
+    oracle="""
+    WITH p AS (
+        SELECT event_id AS pid, user_id, epoch_us(ts) AS pus,
+               CAST(round(value * 100) AS BIGINT) AS cents
+        FROM events WHERE event_type = 'purchase'
+    ),
+    t AS (
+        SELECT event_id AS tid, user_id, event_type, epoch_us(ts) AS tus
+        FROM events WHERE event_type IN ('view', 'click')
+    ),
+    ranked AS (
+        SELECT p.pid, p.cents, t.event_type,
+               row_number() OVER (
+                   PARTITION BY p.pid ORDER BY t.tus DESC, t.tid DESC
+               ) AS rn
+        FROM p JOIN t
+          ON p.user_id = t.user_id
+         AND t.tus < p.pus AND t.tus >= p.pus - 3600000000
+    )
+    SELECT event_type AS touch_type,
+           CAST(COUNT(*) AS BIGINT) AS n_purchases,
+           CAST(ROUND(SUM(cents) / 100.0, 2) AS DOUBLE) AS attributed_value
+    FROM ranked WHERE rn = 1
+    GROUP BY event_type
+    """,
+)
+def attribution_last_touch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Last-touch marketing attribution: each purchase's full value is
+    credited to the LAST view/click by the same user in the preceding
+    hour (strictly before the purchase, (ts, event_id) total-order
+    tiebreak), then rolled up per touch type. Last/first-touch models
+    stay integer-cent EXACT where fractional models (linear/U-shaped)
+    would split cents; purchases with no preceding touch attribute
+    nothing.
+
+    Scale shape: the touch↔purchase pairing is an equi-join on user_id
+    with the hour window as a post-join range predicate — the same
+    banded-interval pattern as `interval_join_view_purchase`
+    (operators/rangejoin.py holds the bucketed variant when per-user
+    streams are long); the per-purchase rank-1 window optimizes into a
+    partial WindowGroupLimit."""
+    us = F.unix_micros(F.col("ts"))
+    ev = load_table(spark, sf_dir, "events")
+    p = ev.filter(F.col("event_type") == "purchase").select(
+        F.col("event_id").alias("pid"),
+        F.col("user_id").alias("puser"),
+        us.alias("pus"),
+        F.round(F.col("value") * 100).cast("long").alias("cents"),
+    )
+    t = ev.filter(F.col("event_type").isin("view", "click")).select(
+        F.col("event_id").alias("tid"), "user_id", "event_type", us.alias("tus")
+    )
+    ranked = (
+        p.join(
+            t,
+            (p.puser == t.user_id)
+            & (t.tus < p.pus)
+            & (t.tus >= p.pus - F.lit(3_600_000_000)),
+        )
+        .withColumn(
+            "rn",
+            F.row_number().over(
+                Window.partitionBy("pid").orderBy(F.desc("tus"), F.desc("tid"))
+            ),
+        )
+        .filter(F.col("rn") == 1)
+    )
+    return ranked.groupBy(F.col("event_type").alias("touch_type")).agg(
+        F.count(F.lit(1)).alias("n_purchases"),
+        F.round(F.sum("cents") / 100.0, 2).cast("double").alias("attributed_value"),
+    )
