@@ -861,6 +861,39 @@ def _q_scalar_subquery(r: random.Random, stats: ColumnStats) -> str:
     )
 
 
+def _q_correlated_select(r: random.Random, stats: ColumnStats) -> str:
+    """CORRELATED scalar subquery in the SELECT list — the decorrelation
+    stress shape: Spark rewrites it into an outer-join aggregate while
+    DuckDB executes its own plan, so count-bug regressions (missing
+    groups turning 0 into NULL or vice versa) diverge immediately.
+    COUNT(*) correlations are the classic case: a no-match outer row
+    must read 0, not NULL; MIN/MAX must read NULL."""
+    outer, inner, ok, ik = r.choice(
+        [
+            ("orders", "lineitem", "o_orderkey", "l_orderkey"),
+            ("customer", "orders", "c_custkey", "o_custkey"),
+            ("part", "lineitem", "p_partkey", "l_partkey"),
+        ]
+    )
+    ot, it = TABLES[outer], TABLES[inner]
+    ipred = _predicate(r, stats, it, n_max=1)
+    opred = _predicate(r, stats, ot, n_max=2)
+    if r.random() < 0.5:
+        sub = (
+            f"CAST((SELECT COUNT(*) FROM {inner} "
+            f"WHERE {inner}.{ik} = {outer}.{ok} AND {ipred}) AS BIGINT) AS sub_cnt"
+        )
+    else:
+        v = r.choice(it.ints)
+        fn = r.choice(["MIN", "MAX"])
+        sub = (
+            f"CAST((SELECT {fn}({v}) FROM {inner} "
+            f"WHERE {inner}.{ik} = {outer}.{ok} AND {ipred}) AS BIGINT) AS sub_agg"
+        )
+    cols = [f"{outer}.{c}" for c in ot.unique]
+    return f"SELECT {', '.join(cols)}, {sub} FROM {outer} WHERE {opred}"
+
+
 def _q_date_funcs(r: random.Random, stats: ColumnStats) -> str:
     """Date/time projection shapes over the agreement subset: EXTRACT
     units, epoch-aligned date_trunc (cast to DATE so both engines emit
@@ -993,6 +1026,7 @@ _TEMPLATES = [
     (_q_rank_ties, 2),
     (_q_outer_join, 3),
     (_q_multi_distinct, 2),
+    (_q_correlated_select, 2),
 ]
 
 
