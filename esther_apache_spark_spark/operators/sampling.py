@@ -135,12 +135,14 @@ def weighted_sample(
 
     Scale: one narrow projection + TakeOrderedAndProject — no shuffle
     beyond the top-k tree aggregation, no window. The ln/÷ arithmetic
-    is rounded to 9 decimals before ranking (ties broken by key) so the
-    order is reproducible across engines to the documented precision."""
+    is rounded to 6 decimals before ranking (ties broken by key): libm
+    log() differs across engines only in the last ulp (~1e-16 rel.), so
+    a 1e-6 grid makes a boundary-crossing disagreement ~1e-9 per row —
+    the same coarse-log-rounding doctrine as the unigram-LM scores."""
     if k <= 0:
         raise ValueError("k must be positive")
     u = (md5_long_u60(F.col(key_col), salt) + F.lit(1)) / F.lit(float(1 << 60))
-    wkey = F.round(F.log(u) / weight, 9)
+    wkey = F.round(F.log(u) / weight, 6)
     return (
         df.filter(weight > 0)
         .withColumn("_wkey", wkey)

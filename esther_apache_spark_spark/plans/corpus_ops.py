@@ -1690,7 +1690,7 @@ def training_corpus_pipeline_packed(spark: SparkSession, sf_dir: str) -> DataFra
     oracle="""
     SELECT doc_id, lang, CAST(n_chars AS BIGINT) AS n_chars,
            ROUND(ln((CAST(CONCAT('0x', substr(md5('wsample' || CAST(doc_id AS VARCHAR)), 1, 15)) AS BIGINT) + 1)
-                    / 1152921504606846976.0) / n_chars, 9) AS _wkey
+                    / 1152921504606846976.0) / n_chars, 6) AS _wkey
     FROM documents
     WHERE n_chars > 0
     ORDER BY _wkey DESC, doc_id
@@ -1793,11 +1793,11 @@ def decontaminate_bloom_train_docs(spark: SparkSession, sf_dir: str) -> DataFram
     SELECT doc_id, lang, _wkey FROM (
         SELECT doc_id, lang,
                ROUND(ln((CAST(CONCAT('0x', substr(md5('wlang' || CAST(doc_id AS VARCHAR)), 1, 15)) AS BIGINT) + 1)
-                        / 1152921504606846976.0) / n_chars, 9) AS _wkey,
+                        / 1152921504606846976.0) / n_chars, 6) AS _wkey,
                row_number() OVER (
                    PARTITION BY lang
                    ORDER BY ROUND(ln((CAST(CONCAT('0x', substr(md5('wlang' || CAST(doc_id AS VARCHAR)), 1, 15)) AS BIGINT) + 1)
-                                     / 1152921504606846976.0) / n_chars, 9) DESC,
+                                     / 1152921504606846976.0) / n_chars, 6) DESC,
                             doc_id
                ) AS rn
         FROM documents WHERE n_chars > 0
@@ -1818,7 +1818,7 @@ def weighted_sample_per_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = load_table(spark, sf_dir, "documents").filter(F.col("n_chars") > 0)
     u = (md5_long_u60(F.col("doc_id"), "wlang") + F.lit(1)) / F.lit(float(1 << 60))
-    wkey = F.round(F.log(u) / F.col("n_chars"), 9)
+    wkey = F.round(F.log(u) / F.col("n_chars"), 6)
     w = Window.partitionBy("lang").orderBy(F.col("_wkey").desc(), F.col("doc_id"))
     return (
         docs.withColumn("_wkey", wkey)
