@@ -79,7 +79,11 @@ def exclusive_prefix_sum(
                 yield pdf.assign(**{out_col: []})
                 continue
             base = offsets[int(pdf["_pid"].iloc[0])]
-            w = pdf[weight_col].to_numpy()
+            # NULL weights contribute 0 to every later offset (their own
+            # offset is the running prefix) — the same semantics as the
+            # SQL window SUM, which skips NULLs; a raw cumsum would
+            # instead poison every later offset with NaN.
+            w = pdf[weight_col].fillna(0).to_numpy(dtype="int64")
             cum = w.cumsum()
             pdf = pdf.copy()
             pdf[out_col] = base + run + (cum - w)  # exclusive: before this row

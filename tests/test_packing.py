@@ -127,3 +127,20 @@ def test_leakage_safe_split_keeps_neardup_pairs_together(spark, sf_dir):
         assert split[p["id_a"]] == split[p["id_b"]]
     sides = set(split.values())
     assert sides <= {"train", "test"} and "train" in sides
+
+
+def test_exclusive_prefix_sum_null_weights_contribute_zero(spark):
+    """NULL weights must behave like the SQL window SUM (skipped): the
+    NULL row keeps the running prefix as its own offset and adds
+    nothing to later rows — a raw cumsum would turn every later offset
+    into NaN."""
+    d = spark.createDataFrame(
+        [(1, 10), (2, None), (3, 5), (4, None), (5, 7)], "doc_id long, w long"
+    )
+    got = {
+        r["doc_id"]: r["off"]
+        for r in exclusive_prefix_sum(
+            d, [F.col("doc_id")], "w", out_col="off", num_partitions=3
+        ).collect()
+    }
+    assert got == {1: 0, 2: 10, 3: 10, 4: 15, 5: 15}
