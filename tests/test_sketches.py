@@ -316,3 +316,49 @@ def test_bloom_contains_expr_matches_join_form(spark):
     }
     assert via_join == via_expr
     assert all(via_expr[f"k{i}"] for i in range(0, 300, 2))  # no false negatives
+
+
+def test_streaming_bloom_novelty_is_stateless(spark, sf_dir):
+    """The novelty gate's whole point: membership is an inline
+    expression, so the streaming query must run with ZERO stateful
+    operators (nothing grows with stream length) and must equal the
+    batch replay of the same filter."""
+    import uuid
+
+    from pyspark.sql import functions as F
+
+    from esther_apache_spark_spark.operators import sketches as SK
+    from esther_apache_spark_spark.operators.sampling import hash_bucket
+    from esther_apache_spark_spark.schemas import load_table
+    from esther_apache_spark_spark.streaming.events import streaming_events_source
+
+    hist = load_table(spark, sf_dir, "events").filter(
+        hash_bucket(F.col("event_id"), salt="hist") < int(0.5 * (1 << 32))
+    )
+    dense = SK.bloom_words_dense(
+        SK.bloom_words(hist, "event_id", m_bits=131072, k_hashes=7, salt="sbloom"),
+        131072,
+    )
+    flt = ~SK.bloom_contains_expr(F.col("event_id"), dense, 131072, 7, salt="sbloom")
+    name = f"bloom_stateless_{uuid.uuid4().hex[:8]}"
+    q = (
+        streaming_events_source(spark, sf_dir)
+        .filter(flt)
+        .select("event_id")
+        .writeStream.outputMode("append")
+        .format("memory")
+        .queryName(name)
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+        progress = q.lastProgress
+    finally:
+        q.stop()
+    assert progress is not None and not progress["stateOperators"]  # zero state
+    streamed = {r["event_id"] for r in spark.table(name).collect()}
+    batch = {
+        r["event_id"]
+        for r in load_table(spark, sf_dir, "events").filter(flt).select("event_id").collect()
+    }
+    assert streamed == batch
