@@ -180,21 +180,28 @@ def run_freshkart_pipeline(
 
 
 def write_freshkart_outputs(
-    dfs: dict[str, DataFrame], output_dir: str, db_path: str
+    dfs: dict[str, DataFrame],
+    output_dir: str,
+    db_path: str,
+    sep: str = ";",
+    float_format_decimals: int = 2,
 ) -> None:
     """Reference export shape (:186-222) on distributed sinks: per-date
-    CSV layout via ``partitionBy`` (K2) with the ``;`` + ``%.2f`` dialect
-    (K1), sqlite as the small-result boundary (K3), rejects side channel
-    (K4)."""
+    CSV layout via ``partitionBy`` (K2) with the configured dialect —
+    defaults are the reference's ``;`` + ``%.2f`` (``settings.yaml:6-9``)
+    — sqlite as the small-result boundary (K3), rejects side channel
+    (K4). ``settings.run_freshkart_from_settings`` wires a reference
+    settings file straight through to these parameters."""
     write_csv_dialect(
         dfs["daily_city_sales"],
         f"{output_dir}/daily_city_sales_csv",
-        sep=";",
+        sep=sep,
         float_cols=["items_sold", "gross_revenue_eur", "refunds_eur", "net_revenue_eur"],
+        float_format_decimals=float_format_decimals,
         partition_by="date",
     )
     write_csv_dialect(
-        dfs["rejects"], f"{output_dir}/rejects_items_csv", sep=";", single_file=True
+        dfs["rejects"], f"{output_dir}/rejects_items_csv", sep=sep, single_file=True
     )
     write_sqlite(dfs["orders_clean"], db_path, "orders_clean")
     write_sqlite(dfs["daily_city_sales"], db_path, "daily_city_sales")
