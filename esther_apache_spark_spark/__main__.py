@@ -36,6 +36,11 @@ def main(argv: list[str] | None = None) -> int:
 
     fk = sub.add_parser("freshkart", help="replay the reference pipeline on the seeded fixture")
     fk.add_argument("--out", default="/tmp/freshkart_out")
+    fk.add_argument(
+        "--settings",
+        default=None,
+        help="reference-shaped settings.yaml: paths + CSV dialect drive the run",
+    )
 
     fz = sub.add_parser(
         "fuzz", help="differential fuzz sweep: generated SQL, Spark vs DuckDB"
@@ -101,6 +106,12 @@ def main(argv: list[str] | None = None) -> int:
         return 1 if failures else 0
 
     if args.cmd == "freshkart":
+        if args.settings:
+            from esther_apache_spark_spark.settings import run_freshkart_from_settings
+
+            res = run_freshkart_from_settings(spark, args.settings)
+            print(f"FreshKart outputs written under {res['config']['output_dir']}")
+            return 0
         from esther_apache_spark_spark.freshkart.fixture import ensure_fixture
         from esther_apache_spark_spark.freshkart.pipeline import (
             run_freshkart_pipeline,
