@@ -2053,3 +2053,107 @@ def attribution_last_touch(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n_purchases"),
         F.round(F.sum("cents") / 100.0, 2).cast("double").alias("attributed_value"),
     )
+
+
+def _mmr_oracle(rounds: int = 5, lam: float = 0.7) -> str:
+    """Unrolled greedy MMR: one CTE pair (scores, argmax) per round —
+    the same unrolled-iteration oracle pattern as BPE learning."""
+    base = """
+    WITH q AS (SELECT CAST(embedding AS DOUBLE[]) AS qv FROM embeddings WHERE vec_id = 0),
+    cand AS (
+        SELECT doc_id, rel, e FROM (
+            SELECT e.vec_id AS doc_id,
+                   ROUND(list_cosine_similarity(CAST(e.embedding AS DOUBLE[]), q.qv), 6) AS rel,
+                   CAST(e.embedding AS DOUBLE[]) AS e,
+                   row_number() OVER (
+                       ORDER BY ROUND(list_cosine_similarity(CAST(e.embedding AS DOUBLE[]), q.qv), 6) DESC,
+                                e.vec_id
+                   ) AS rn
+            FROM embeddings e CROSS JOIN q WHERE e.vec_id <> 0
+        ) WHERE rn <= 20
+    ),
+    sim AS (
+        SELECT a.doc_id AS ia, b.doc_id AS ib,
+               ROUND(list_cosine_similarity(a.e, b.e), 6) AS s
+        FROM cand a JOIN cand b ON a.doc_id <> b.doc_id
+    ),
+    s1 AS (SELECT doc_id FROM cand ORDER BY rel DESC, doc_id LIMIT 1)"""
+    picks = ["SELECT doc_id, 1 AS mmr_rank FROM s1"]
+    prev_sets = "SELECT doc_id FROM s1"
+    for t in range(2, rounds + 1):
+        base += f""",
+    p{t} AS (
+        SELECT c.doc_id,
+               ROUND({lam} * c.rel - {round(1 - lam, 10)} * MAX(s.s), 6) AS score
+        FROM cand c JOIN sim s
+          ON s.ia = c.doc_id AND s.ib IN ({prev_sets})
+        WHERE c.doc_id NOT IN ({prev_sets})
+        GROUP BY c.doc_id, c.rel
+    ),
+    s{t} AS (SELECT doc_id FROM p{t} ORDER BY score DESC, doc_id LIMIT 1)"""
+        picks.append(f"SELECT doc_id, {t} AS mmr_rank FROM s{t}")
+        prev_sets += f" UNION ALL SELECT doc_id FROM s{t}"
+    return base + "\n    " + "\n    UNION ALL ".join(picks)
+
+
+@register("mmr_rerank_topk", oracle=_mmr_oracle())
+def mmr_rerank_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Maximal-marginal-relevance re-ranking of the dense top-20
+    (query vector 0): 5 greedy rounds of
+    argmax(0.7·relevance − 0.3·max-similarity-to-selected) — the
+    diversification pass a retrieval stack runs after ANN so near-
+    duplicate hits don't crowd the result list. Greedy argmaxes are
+    LIMIT-1 frames chained lazily (the BPE unrolled-iteration pattern,
+    no driver-side state); every frame is bounded by the BY-CONTRACT
+    candidate count (20 rows, 20×19 sim pairs), so the nested-loop
+    joins below are fenced the same way the ANN query matrices are.
+    Fully oracled: the DuckDB twin unrolls the identical 5 rounds."""
+    from esther_apache_spark_spark.operators import similarity as S
+
+    lam = 0.7
+    emb = load_table(spark, sf_dir, "embeddings")
+    qv = emb.filter(F.col("vec_id") == 0).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    cand = (
+        S.brute_force_topk(emb, qv, k=21)
+        .filter(F.col("neighbor_id") != 0)
+        .select(F.col("neighbor_id").alias("doc_id"), F.col("cosine").alias("rel"))
+        .join(emb.select(F.col("vec_id").alias("doc_id"), "embedding"), "doc_id")
+        .select("doc_id", "rel", F.col("embedding").cast("array<double>").alias("e"))
+    )
+    a = cand.select(F.col("doc_id").alias("ia"), F.col("e").alias("ea"))
+    b = cand.select(F.col("doc_id").alias("ib"), F.col("e").alias("eb"))
+    sim = (
+        a.join(F.broadcast(b), F.col("ia") != F.col("ib"))
+        .select("ia", "ib", F.round(V.cosine_similarity("ea", "eb"), 6).alias("s"))
+    )
+    picks = []
+    selected = (
+        cand.orderBy(F.desc("rel"), "doc_id").limit(1).select("doc_id")
+    )
+    picks.append(selected.withColumn("mmr_rank", F.lit(1)))
+    for t in range(2, 6):
+        sel_ids = selected.select(F.col("doc_id").alias("sid"))
+        maxsim = (
+            sim.join(F.broadcast(sel_ids), sim.ib == F.col("sid"))
+            .groupBy("ia")
+            .agg(F.max("s").alias("ms"))
+        )
+        scored = (
+            cand.join(sel_ids, cand.doc_id == F.col("sid"), "left_anti")
+            .join(maxsim, cand.doc_id == maxsim.ia)
+            .select(
+                "doc_id",
+                F.round(F.lit(lam) * F.col("rel") - F.lit(round(1 - lam, 10)) * F.col("ms"), 6).alias(
+                    "score"
+                ),
+            )
+        )
+        nxt = scored.orderBy(F.desc("score"), "doc_id").limit(1).select("doc_id")
+        picks.append(nxt.withColumn("mmr_rank", F.lit(t)))
+        selected = selected.union(nxt)
+    out = picks[0]
+    for pdf in picks[1:]:
+        out = out.union(pdf)
+    return out.select("doc_id", F.col("mmr_rank").cast("int").alias("mmr_rank"))

@@ -57,6 +57,10 @@ ALLOWED: dict[tuple[str, str], str] = {
     # classifier weight table: one row per token-hash bucket, bounded by
     # the n_buckets MODEL constant (4096 default) — independent of sf
     ("operators/textstats.py", "weights"): "weight table, n_buckets rows (model constant)",
+    # MMR rerank: both frames are slices of the BY-CONTRACT candidate
+    # list (≤20 rows) / the ≤k selected ids
+    ("plans/analytics.py", "b"): "MMR candidate list, ≤20 rows by contract",
+    ("plans/analytics.py", "sel_ids"): "MMR selected set, ≤5 rows",
     # Bloom filter words: ≤ ceil(m_bits/60) rows — a model constant
     # independent of how many keys were inserted
     ("operators/sketches.py", "words"): "Bloom words frame, ceil(m_bits/60) rows (model constant)",

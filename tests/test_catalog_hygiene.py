@@ -79,6 +79,9 @@ def test_catalog_plans_free_of_scale_antipatterns(spark, sf_dir):
         # vector (brute_force_topk's broadcast query matrix, 1 row by
         # construction) + the BM25 1-row count/avgdl scalars
         "hybrid_search_rrf",
+        # greedy MMR over the by-contract top-20 candidate list: the
+        # 20×19 sim matrix + per-round ≤5-row selected-set joins
+        "mmr_rerank_topk",
         # inequality pair join over the PER-SEGMENT sketch frame — its
         # size is the segment vocabulary (|types|² pairs of few-KB
         # sketches), independent of data volume; the raw keys never
