@@ -2853,3 +2853,104 @@ def equidepth_histogram_order_totals(spark: SparkSession, sf_dir: str) -> DataFr
             F.max("o_totalprice").alias("hi"),
         )
     )
+
+
+@register(
+    "lexical_dedup_survivors_by_quality",
+    oracle=f"""
+    WITH RECURSIVE toks AS (
+        SELECT doc_id,
+               list_filter(regexp_split_to_array(trim(regexp_replace(lower(text), '[^\\w\\s]', '', 'g')), '\\s+'), x -> x <> '') AS t
+        FROM documents
+    ),
+    sh AS (
+        SELECT doc_id,
+               list_distinct(
+                   CASE WHEN len(t) >= 3
+                        THEN list_transform(range(1, len(t) - 1),
+                                            i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2])
+                        ELSE CAST([] AS VARCHAR[]) END
+               ) AS s
+        FROM toks
+    ),
+    pairs AS (
+        SELECT id_a, id_b FROM (
+            SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+                   len(list_intersect(a.s, b.s))
+                       / (len(a.s) + len(b.s) - len(list_intersect(a.s, b.s))) AS jaccard
+            FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+        ) WHERE jaccard >= 0.5
+    ),
+    und AS (
+        SELECT id_a AS src, id_b AS dst FROM pairs
+        UNION SELECT id_b, id_a FROM pairs
+    ),
+    walk(node, comp) AS (
+        SELECT src, src FROM und
+        UNION
+        SELECT u.dst, w.comp FROM walk w JOIN und u ON u.src = w.node
+    ),
+    lab AS (SELECT node, MIN(comp) AS comp FROM walk GROUP BY node),
+    qual AS (
+        SELECT b.doc_id,
+               ROUND((least(len(b.toks) / 100.0, 1.0)
+                      + greatest(1.0 - abs(CASE WHEN len(b.toks) > 0
+                                                THEN len(list_filter(b.toks, x -> x IN {_STOPS})) / len(b.toks)
+                                                ELSE 0.0 END - 0.4) / 0.4, 0.0)
+                      + (1.0 - least(CASE WHEN length(b.text) > 0
+                                          THEN (length(b.text) - length(regexp_replace(b.text, '[^\\w\\s]', '', 'g'))) / length(b.text)
+                                          ELSE 0.0 END * 5, 1.0))) / 3, 4) AS quality
+        FROM (SELECT d.doc_id, d.text, t.t AS toks
+              FROM documents d JOIN toks t USING (doc_id)) b
+    ),
+    memb AS (
+        SELECT d.doc_id, COALESCE(l.comp, d.doc_id) AS cluster
+        FROM documents d LEFT JOIN lab l ON l.node = d.doc_id
+    ),
+    ranked AS (
+        SELECT m.doc_id, m.cluster, q.quality,
+               row_number() OVER (
+                   PARTITION BY m.cluster ORDER BY q.quality DESC, m.doc_id
+               ) AS rn,
+               COUNT(*) OVER (PARTITION BY m.cluster) AS sz
+        FROM memb m JOIN qual q USING (doc_id)
+    )
+    SELECT doc_id, quality, CAST(sz AS BIGINT) AS cluster_size
+    FROM ranked WHERE rn = 1
+    """,
+)
+def lexical_dedup_survivors_by_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quality-aware survivor selection — what a production dedup
+    actually keeps: within each lexical near-dup cluster (3-gram
+    Jaccard ≥ 0.5 → connected components, same machinery as
+    `lexical_dedup_survivors`) the surviving document is the HIGHEST
+    heuristic-quality member (doc_id tiebreak), not the lowest id —
+    boilerplate-heavy or truncated variants lose to the clean copy.
+    Scale shape identical to the min-id twin plus one quality
+    projection and a per-cluster keep-first window (partial
+    WindowGroupLimit via the rank-1 filter)."""
+    from esther_apache_spark_spark.operators import dedup as D
+    from esther_apache_spark_spark.operators.components import connected_components
+    from esther_apache_spark_spark.operators.textstats import quality_score
+
+    docs = load_table(spark, sf_dir, "documents")
+    pairs = D.ngram_jaccard_pairs(docs, shingle_n=3, threshold=0.5)
+    lab = connected_components(
+        pairs.select(F.col("id_a").alias("src"), F.col("id_b").alias("dst"))
+    )
+    memb = (
+        docs.select("doc_id", quality_score(F.col("text")).alias("quality"))
+        .join(lab, F.col("doc_id") == F.col("node"), "left")
+        .select(
+            "doc_id",
+            "quality",
+            F.coalesce(F.col("comp"), F.col("doc_id")).alias("cluster"),
+        )
+    )
+    w = Window.partitionBy("cluster").orderBy(F.desc("quality"), "doc_id")
+    return (
+        memb.withColumn("rn", F.row_number().over(w))
+        .withColumn("cluster_size", F.count(F.lit(1)).over(Window.partitionBy("cluster")))
+        .filter(F.col("rn") == 1)
+        .select("doc_id", "quality", F.col("cluster_size").cast("long").alias("cluster_size"))
+    )
