@@ -536,3 +536,15 @@ def test_minhash_cross_matches_rejects_bad_threshold(spark):
 
     with _pt.raises(ValueError):
         minhash_cross_matches(df, df, num_perm=32, min_agree=33)
+
+
+def test_minhash_cross_matches_empty_probe_side(spark):
+    """No probes → no matches, and the plan still executes (empty build
+    side must not error the band join)."""
+    from esther_apache_spark_spark.operators.dedup import minhash_cross_matches
+
+    corpus = spark.createDataFrame(
+        [(1, "alpha beta gamma delta epsilon")], "doc_id long, text string"
+    )
+    probes = spark.createDataFrame([], "doc_id long, text string")
+    assert minhash_cross_matches(corpus, probes, min_agree=16).count() == 0

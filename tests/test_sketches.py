@@ -362,3 +362,23 @@ def test_streaming_bloom_novelty_is_stateless(spark, sf_dir):
         for r in load_table(spark, sf_dir, "events").filter(flt).select("event_id").collect()
     }
     assert streamed == batch
+
+
+def test_bloom_probe_null_keys_never_flag(spark):
+    """A NULL probe key has NULL positions → no word matches → flag
+    false (it cannot be a member), and the row still comes back."""
+    from pyspark.sql import functions as F
+
+    from esther_apache_spark_spark.operators.sketches import (
+        bloom_might_contain,
+        bloom_words,
+    )
+
+    members = spark.createDataFrame([("a",), ("b",)], "k string")
+    words = bloom_words(members, "k", m_bits=4096, k_hashes=5)
+    probes = spark.createDataFrame([("a",), (None,)], "k string")
+    got = {
+        r["k"]: r["might_contain"]
+        for r in bloom_might_contain(probes, "k", words, m_bits=4096, k_hashes=5).collect()
+    }
+    assert got == {"a": True, None: False}
