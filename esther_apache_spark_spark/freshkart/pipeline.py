@@ -185,6 +185,7 @@ def write_freshkart_outputs(
     db_path: str,
     sep: str = ";",
     float_format_decimals: int = 2,
+    encoding: str = "utf-8",
 ) -> None:
     """Reference export shape (:186-222) on distributed sinks: per-date
     CSV layout via ``partitionBy`` (K2) with the configured dialect —
@@ -199,9 +200,11 @@ def write_freshkart_outputs(
         float_cols=["items_sold", "gross_revenue_eur", "refunds_eur", "net_revenue_eur"],
         float_format_decimals=float_format_decimals,
         partition_by="date",
+        encoding=encoding,
     )
     write_csv_dialect(
-        dfs["rejects"], f"{output_dir}/rejects_items_csv", sep=sep, single_file=True
+        dfs["rejects"], f"{output_dir}/rejects_items_csv", sep=sep,
+        single_file=True, encoding=encoding,
     )
     write_sqlite(dfs["orders_clean"], db_path, "orders_clean")
     write_sqlite(dfs["daily_city_sales"], db_path, "daily_city_sales")

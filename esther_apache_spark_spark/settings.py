@@ -82,5 +82,6 @@ def run_freshkart_from_settings(
         cfg["db_path"],
         sep=str(cfg["csv_sep"]),
         float_format_decimals=decimals,
+        encoding=str(cfg["csv_encoding"]),
     )
     return {"config": cfg, **dfs}

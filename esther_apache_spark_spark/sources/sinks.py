@@ -25,6 +25,7 @@ def write_csv_dialect(
     header: bool = True,
     partition_by: str | None = None,
     single_file: bool = False,
+    encoding: str = "utf-8",
 ) -> None:
     """K1/K2 — CSV export with dialect control.
 
@@ -45,7 +46,12 @@ def write_csv_dialect(
             ),
         )
     writer = out.coalesce(1).write if single_file else out.write
-    writer = writer.mode("overwrite").option("header", str(header).lower()).option("sep", sep)
+    writer = (
+        writer.mode("overwrite")
+        .option("header", str(header).lower())
+        .option("sep", sep)
+        .option("encoding", encoding)
+    )
     if partition_by:
         writer = writer.partitionBy(partition_by)
     writer.csv(path)
