@@ -1920,3 +1920,83 @@ def contamination_overlap_report(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         )
     )
+
+
+@register(
+    "quality_normalized_by_source",
+    oracle="""
+    WITH base AS (
+        SELECT source, doc_id, text,
+               list_filter(regexp_split_to_array(trim(regexp_replace(lower(text), '[^\\w\\s]', '', 'g')), '\\s+'), x -> x <> '') AS toks,
+               CASE WHEN length(text) > 0
+                    THEN (length(text) - length(regexp_replace(text, '[^\\w\\s]', '', 'g'))) / length(text)
+                    ELSE 0.0 END AS punct
+        FROM documents
+    ), scored AS (
+        SELECT source, doc_id, len(toks) AS ntok,
+               CASE WHEN len(toks) > 0
+                    THEN len(list_filter(toks, t -> t IN ('the','a','an','and','or','of','to','in','is','it','for','on','with','as','at','by','this','that'))) / len(toks)
+                    ELSE 0.0 END AS stop,
+               punct
+        FROM base
+    ), q AS (
+        SELECT source, doc_id,
+               CAST(FLOOR(ROUND((least(ntok / 100.0, 1.0)
+                      + greatest(1.0 - abs(stop - 0.4) / 0.4, 0.0)
+                      + (1.0 - least(punct * 5, 1.0))) / 3, 4) * 10000 + 0.5) AS BIGINT) AS q4
+        FROM scored
+    ), mom AS (
+        SELECT source, COUNT(*) AS n, SUM(q4) AS s1, SUM(q4 * q4) AS s2
+        FROM q GROUP BY source
+    )
+    SELECT q.doc_id, q.source,
+           ROUND(q.q4 / 10000.0, 4) AS quality,
+           CASE WHEN mom.n * mom.s2 - mom.s1 * mom.s1 > 0
+                THEN ROUND((q.q4 * mom.n - mom.s1)
+                           / (sqrt(CAST(mom.n * mom.s2 - mom.s1 * mom.s1 AS DOUBLE)) * sqrt(CAST(mom.n AS DOUBLE))), 4) + 0.0
+                ELSE 0.0 END AS quality_z
+    FROM q JOIN mom USING (source)
+    """,
+)
+def quality_normalized_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source quality calibration: each doc's heuristic quality
+    z-normalized WITHIN its source — the step that makes a global
+    quality threshold fair when sources have different score baselines
+    (a mid-quality doc from a clean source shouldn't outrank a top doc
+    from a noisy one). Exact cross-engine: per-doc scores become 4-dp
+    integers, per-source moments are INTEGER sums (n, Σq, Σq²), and
+    z = (q·n − Σq) / (√(n·Σq² − (Σq)²)·√n) — algebraically (q−μ)/σ·…
+    computed from integers with exactly two float ops (sqrt, divide)
+    before the final rounding. Degenerate sources (zero variance) read
+    z = 0. Scale: one narrow projection + a #sources-row aggregate
+    joined back (AQE-broadcastable)."""
+    from esther_apache_spark_spark.operators.textstats import quality_score
+
+    docs = load_table(spark, sf_dir, "documents")
+    q = docs.select(
+        "doc_id",
+        "source",
+        F.floor(quality_score(F.col("text")) * 10000 + F.lit(0.5))
+        .cast("long")
+        .alias("q4"),
+    )
+    mom = q.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("q4").alias("s1"),
+        F.sum(F.col("q4") * F.col("q4")).alias("s2"),
+    )
+    var_num = F.col("n") * F.col("s2") - F.col("s1") * F.col("s1")
+    z = F.round(
+        (F.col("q4") * F.col("n") - F.col("s1"))
+        / (F.sqrt(var_num.cast("double")) * F.sqrt(F.col("n").cast("double"))),
+        4,
+    )
+    return (
+        q.join(mom, "source")
+        .select(
+            "doc_id",
+            "source",
+            F.round(F.col("q4") / 10000.0, 4).alias("quality"),
+            F.when(var_num > 0, z).otherwise(F.lit(0.0)).alias("quality_z"),
+        )
+    )
