@@ -2000,3 +2000,99 @@ def quality_normalized_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.when(var_num > 0, z).otherwise(F.lit(0.0)).alias("quality_z"),
         )
     )
+
+
+@register(
+    "corpus_pipeline_funnel",
+    oracle="""
+    WITH raw AS (SELECT doc_id, lang, n_chars, text FROM documents),
+    gated AS (
+        SELECT * FROM raw WHERE n_chars >= 100 AND lang IN ('en', 'fr', 'de')
+    ),
+    kept AS (
+        SELECT doc_id, text FROM (
+            SELECT doc_id, text,
+                   row_number() OVER (PARTITION BY text ORDER BY doc_id) AS rn
+            FROM gated
+        ) WHERE rn = 1
+    ),
+    toklen AS (
+        SELECT doc_id,
+               len(list_filter(regexp_split_to_array(trim(regexp_replace(lower(text), '[^\\w\\s]', '', 'g')), '\\s+'), x -> x <> '')) AS tok
+        FROM kept
+    )
+    SELECT stage, n_docs, n_tokens FROM (
+        SELECT 1 AS ord, 'raw' AS stage,
+               (SELECT CAST(COUNT(*) AS BIGINT) FROM raw) AS n_docs,
+               CAST(NULL AS BIGINT) AS n_tokens
+        UNION ALL
+        SELECT 2, 'quality_gate',
+               (SELECT CAST(COUNT(*) AS BIGINT) FROM gated), CAST(NULL AS BIGINT)
+        UNION ALL
+        SELECT 3, 'exact_dedup',
+               (SELECT CAST(COUNT(*) AS BIGINT) FROM kept),
+               (SELECT CAST(SUM(tok) AS BIGINT) FROM toklen)
+        UNION ALL
+        SELECT 4, 'packed_sequences',
+               (SELECT CAST(CAST((SUM(tok) + 127) // 128 AS BIGINT) AS BIGINT) FROM toklen),
+               (SELECT CAST(SUM(tok) AS BIGINT) FROM toklen)
+    )
+    """,
+)
+def corpus_pipeline_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pipeline funnel accounting — the daily observability readout for
+    the packed training-export path: docs surviving each stage (raw →
+    language/length gate → exact dedup) and the token totals the packer
+    will cut, with the final row counting the 128-token sequences the
+    export materializes. Every number is a COUNT/SUM — the report a
+    data-ops dashboard alerts on when a stage's survival rate moves.
+
+    Plan shape: the stages share one scan lineage; each funnel row is a
+    1-row aggregate (the packed-sequence count is pure arithmetic on
+    the token total — ceil division — no packing job needed for the
+    COUNT). Exact cross-engine: counts and integer token sums only."""
+    from esther_apache_spark_spark.functions.text import tokenize
+    from esther_apache_spark_spark.operators.windows import keep_first
+
+    docs = load_table(spark, sf_dir, "documents")
+    gated = docs.filter(
+        (F.col("n_chars") >= 100) & F.col("lang").isin("en", "fr", "de")
+    )
+    kept = keep_first(
+        gated.withColumn("_h", F.md5(F.col("text").cast("binary"))),
+        ["_h"],
+        [F.col("doc_id")],
+    )
+    toklen = kept.select(F.size(tokenize(F.col("text"))).cast("long").alias("tok"))
+    n_raw = docs.agg(F.count(F.lit(1)).cast("long").alias("n"))
+    n_gated = gated.agg(F.count(F.lit(1)).cast("long").alias("n"))
+    tok_agg = toklen.agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum("tok").cast("long").alias("toks"),
+    )
+    rows = [
+        n_raw.select(
+            F.lit("raw").alias("stage"),
+            F.col("n").alias("n_docs"),
+            F.lit(None).cast("long").alias("n_tokens"),
+        ),
+        n_gated.select(
+            F.lit("quality_gate").alias("stage"),
+            F.col("n").alias("n_docs"),
+            F.lit(None).cast("long").alias("n_tokens"),
+        ),
+        tok_agg.select(
+            F.lit("exact_dedup").alias("stage"),
+            F.col("n").alias("n_docs"),
+            F.col("toks").alias("n_tokens"),
+        ),
+        tok_agg.select(
+            F.lit("packed_sequences").alias("stage"),
+            F.expr("(toks + 127) DIV 128").cast("long").alias("n_docs"),
+            F.col("toks").alias("n_tokens"),
+        ),
+    ]
+    out = rows[0]
+    for rdf in rows[1:]:
+        out = out.union(rdf)
+    return out
