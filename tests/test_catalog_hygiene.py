@@ -119,3 +119,26 @@ def test_bench_headline_names_exist_in_catalog():
 
     for name in bench.HEADLINE:
         assert name in plans.QUERIES, f"bench headline {name!r} not in catalog"
+
+
+def test_doc_counts_match_registry():
+    """README's capability header and CATALOG.md's summary line must
+    state the real registry counts — stale counts read as either
+    padding or missing coverage to a reviewer."""
+    import re
+    from pathlib import Path
+
+    root = Path(__file__).resolve().parent.parent
+    n_q = len(plans.QUERIES)
+    n_o = len(plans.oracle_sql())
+    readme = (root / "README.md").read_text()
+    m = re.search(r"Capability surface \((\d+) catalog queries, (\d+) DuckDB-oracled\)", readme)
+    assert m, "README capability header missing"
+    assert (int(m.group(1)), int(m.group(2))) == (n_q, n_o), (
+        f"README says {m.groups()}, registry has ({n_q}, {n_o})"
+    )
+    catalog = (root / "CATALOG.md").read_text()
+    m2 = re.search(r"\*\*(\d+) queries, (\d+) oracled", catalog)
+    assert m2 and (int(m2.group(1)), int(m2.group(2))) == (n_q, n_o), (
+        f"CATALOG.md says {m2.groups() if m2 else None}, registry has ({n_q}, {n_o})"
+    )
