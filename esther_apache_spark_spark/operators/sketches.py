@@ -372,3 +372,78 @@ def bloom_contains_expr(
         c = word.bitwiseAND(mask) != 0
         cond = c if cond is None else cond & c
     return cond
+
+
+# ---------------------------------------------------------------------------
+# Deterministic (SQL-replayable) HyperLogLog — the oracle-able twin of
+# the DataSketches HLL above.
+# ---------------------------------------------------------------------------
+
+def hll_det_estimate(
+    df: DataFrame,
+    key_col: str,
+    group_cols: list[str],
+    p: int = 9,
+    salt: str = "hll1|",
+    out_col: str = "approx_distinct",
+) -> DataFrame:
+    """Classic Flajolet HLL with every source of nondeterminism removed,
+    so a DuckDB oracle replays it bit-for-bit (unlike
+    ``hll_bucket_sketches``, whose xxhash-based DataSketches registers
+    are JVM-internal):
+
+    - the item hash is the md5-hex→BIGINT family (``dedup.md5_long``
+      construction, 60 bits) — identical in both engines;
+    - register index = ``h & (m-1)``, rank input = ``h >> p`` (51 bits
+      at p=9), rho = ``(60-p+1) - length(trim(LEADING '0' FROM
+      bin(w)))`` — pure integer/string ops;
+    - the register-sum ``Σ 2^-M_j`` is kept EXACT by scaling to
+      ``Σ 2^(maxrho - M_j)`` in BIGINT (≤ m·2^52 = 2^61 at p=9, no
+      float ordering anywhere);
+    - the only float math is one literal-driven multiply/divide for the
+      raw estimate and ``m·ln(m/V)`` linear counting (V = empty
+      registers, an exact integer), rounded to a BIGINT count.
+
+    Scale shape: one partial-aggregable shuffle on (group, register) —
+    m·|groups| keys — then an m-row-per-group fold; the raw keys never
+    cross the wire twice. Register-max construction makes the result
+    insertion-order- and partition-count-invariant by algebra, and the
+    exact-integer state makes it cross-engine reproducible, so the
+    estimate can sit in an oracled catalog query instead of a rows-only
+    one. Relative std error ≈ 1.04/sqrt(m) (~4.6% at p=9)."""
+    m = 1 << p
+    maxrho = 60 - p + 1
+    from esther_apache_spark_spark.operators.dedup import md5_long
+
+    h = md5_long(F.col(key_col).cast("string"), salt=salt)
+    hashed = df.select(*group_cols, h.alias("h_"))
+    regs = hashed.select(
+        *group_cols,
+        F.col("h_").bitwiseAND(m - 1).alias("idx"),
+        (
+            F.lit(maxrho)
+            - F.length(F.expr(f"trim(LEADING '0' FROM bin(shiftright(h_, {p})))"))
+        ).alias("rho"),
+    )
+    regmax = regs.groupBy(*group_cols, "idx").agg(F.max("rho").alias("mx"))
+    grid = (
+        df.select(*group_cols)
+        .distinct()
+        .withColumn("idx", F.explode(F.sequence(F.lit(0), F.lit(m - 1))))
+    )
+    filled = grid.join(regmax, on=[*group_cols, "idx"], how="left").select(
+        *group_cols, F.coalesce(F.col("mx"), F.lit(0)).alias("mx")
+    )
+    alpha = F.lit(0.7213) / (F.lit(1.0) + F.lit(1.079) / F.lit(float(m)))
+    agg = filled.groupBy(*group_cols).agg(
+        F.sum(F.expr(f"shiftleft(1L, {maxrho} - mx)")).alias("s"),
+        F.sum(F.when(F.col("mx") == 0, 1).otherwise(0)).alias("v"),
+    )
+    raw = alpha * F.lit(float(m * m)) * F.lit(float(1 << maxrho)) / F.col("s").cast("double")
+    est = F.when(
+        (raw <= F.lit(2.5 * m)) & (F.col("v") > 0),
+        F.lit(float(m)) * F.log(F.lit(float(m)) / F.col("v").cast("double")),
+    ).otherwise(raw)
+    return agg.select(
+        *group_cols, F.floor(est + F.lit(0.5)).cast("long").alias(out_col)
+    )

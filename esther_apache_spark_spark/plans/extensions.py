@@ -82,15 +82,68 @@ def cube_status_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register("approx_distinct_by_priority", oracle=None)
+@register(
+    "approx_distinct_by_priority",
+    oracle="""
+    WITH h AS (
+        SELECT o_orderpriority,
+               CAST(CONCAT('0x', substr(md5(CONCAT('hll1|',
+                    CAST(o_custkey AS VARCHAR))), 1, 15)) AS BIGINT) AS h_
+        FROM orders
+    ),
+    regs AS (
+        SELECT o_orderpriority, h_ & 511 AS idx,
+               52 - length(ltrim(bin(h_ >> 9), '0')) AS rho
+        FROM h
+    ),
+    regmax AS (
+        SELECT o_orderpriority, idx, MAX(rho) AS mx
+        FROM regs GROUP BY o_orderpriority, idx
+    ),
+    grid AS (
+        SELECT g.o_orderpriority, r.range AS idx
+        FROM (SELECT DISTINCT o_orderpriority FROM orders) g
+        CROSS JOIN range(512) r
+    ),
+    filled AS (
+        SELECT grid.o_orderpriority, COALESCE(regmax.mx, 0) AS mx
+        FROM grid LEFT JOIN regmax
+          ON grid.o_orderpriority = regmax.o_orderpriority
+         AND grid.idx = regmax.idx
+    ),
+    agg AS (
+        SELECT o_orderpriority,
+               CAST(SUM(1::BIGINT << (52 - mx)) AS BIGINT) AS s,
+               CAST(SUM(CASE WHEN mx = 0 THEN 1 ELSE 0 END) AS BIGINT) AS v
+        FROM filled GROUP BY o_orderpriority
+    )
+    SELECT o_orderpriority,
+           CAST(FLOOR(CASE WHEN (0.7213 / (1.0 + 1.079 / 512.0)) * 262144.0
+                                * 4503599627370496.0 / CAST(s AS DOUBLE) <= 1280.0
+                            AND v > 0
+                      THEN 512.0 * ln(512.0 / CAST(v AS DOUBLE))
+                      ELSE (0.7213 / (1.0 + 1.079 / 512.0)) * 262144.0
+                           * 4503599627370496.0 / CAST(s AS DOUBLE)
+                      END + 0.5) AS BIGINT) AS approx_customers
+    FROM agg
+    """,
+)
 def approx_distinct_by_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """A3 at-scale variant: HyperLogLog++ approx_count_distinct (opt-in
-    replacement for exact countDistinct at 100 TB). Approximate →
-    rows-only check."""
-    return (
-        load_table(spark, sf_dir, "orders")
-        .groupBy("o_orderpriority")
-        .agg(F.approx_count_distinct("o_custkey", 0.02).alias("approx_customers"))
+    """A3 at-scale variant: approximate distinct customers per priority
+    via the deterministic SQL-replayable HLL (`sketches.hll_det_estimate`
+    — md5-hex→BIGINT item hash, exact-integer register sums), so the
+    estimate itself is oracled bit-for-bit instead of rows-only. The
+    DataSketches `approx_count_distinct`/`hll_sketch_agg` family stays
+    available (`distinct_users_hll_rollup`) for when mergeable binary
+    state matters more than cross-engine replay."""
+    from esther_apache_spark_spark.operators.sketches import hll_det_estimate
+
+    return hll_det_estimate(
+        load_table(spark, sf_dir, "orders"),
+        "o_custkey",
+        ["o_orderpriority"],
+        p=9,
+        out_col="approx_customers",
     )
 
 
