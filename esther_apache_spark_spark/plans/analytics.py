@@ -2157,3 +2157,79 @@ def mmr_rerank_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     for pdf in picks[1:]:
         out = out.union(pdf)
     return out.select("doc_id", F.col("mmr_rank").cast("int").alias("mmr_rank"))
+
+
+# ---------------------------------------------------------------------------
+# Distributed k-means (Lloyd) — full-corpus clustering, exact-integer
+# arithmetic, unrolled rounds (operators/clustering.py).
+# ---------------------------------------------------------------------------
+
+def _kmeans_oracle(k: int = 8, iters: int = 3, dim: int = 64) -> str:
+    """Unrolled-CTE DuckDB replay of ``kmeans_lloyd_summary`` — same
+    quantization, same (dist, cid) tie-break, same floor(sum/count+0.5)
+    centroid rounding, iteration by iteration."""
+    parts = [
+        f"""dims AS (
+        SELECT e.vec_id, r.range AS dim,
+               CAST(FLOOR(CAST(e.embedding[CAST(r.range AS INT)] AS DOUBLE)
+                          * 1000000.0 + 0.5) AS BIGINT) AS qv
+        FROM embeddings e CROSS JOIN range(1, {dim + 1}) r
+    )""",
+        f"""cent0 AS (
+        SELECT vec_id AS cid, dim, qv AS cv FROM dims WHERE vec_id < {k}
+    )""",
+    ]
+    for i in range(1, iters + 1):
+        parts.append(f"""d{i} AS (
+        SELECT d.vec_id, c.cid, SUM((d.qv - c.cv) * (d.qv - c.cv)) AS dist
+        FROM dims d JOIN cent{i - 1} c ON d.dim = c.dim
+        GROUP BY d.vec_id, c.cid
+    )""")
+        parts.append(f"""a{i} AS (
+        SELECT vec_id, cid, dist FROM (
+            SELECT vec_id, cid, dist,
+                   row_number() OVER (PARTITION BY vec_id
+                                      ORDER BY dist, cid) AS rn
+            FROM d{i}
+        ) ranked{i} WHERE rn = 1
+    )""")
+        parts.append(f"""cent{i} AS (
+        SELECT a.cid, d.dim,
+               CAST(FLOOR(CAST(SUM(d.qv) AS DOUBLE)
+                          / CAST(COUNT(*) AS DOUBLE) + 0.5) AS BIGINT) AS cv
+        FROM a{i} a JOIN dims d ON a.vec_id = d.vec_id
+        GROUP BY a.cid, d.dim
+    )""")
+    return f"""
+    WITH {','.join(parts)},
+    sizes AS (
+        SELECT cid AS cluster_id, CAST(COUNT(*) AS BIGINT) AS n_vecs,
+               CAST(SUM(dist) AS BIGINT) AS inertia
+        FROM a{iters} GROUP BY cid
+    ),
+    l1 AS (
+        SELECT cid AS cluster_id, CAST(SUM(ABS(cv)) AS BIGINT) AS centroid_l1
+        FROM cent{iters} GROUP BY cid
+    )
+    SELECT s.cluster_id, s.n_vecs, s.inertia, l.centroid_l1
+    FROM sizes s JOIN l1 l ON s.cluster_id = l.cluster_id
+    """
+
+
+@register("kmeans_lloyd_clusters", oracle=_kmeans_oracle())
+def kmeans_lloyd_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Full-corpus k-means (k=8, 3 unrolled Lloyd rounds) over the
+    embeddings table, reported per cluster: size, exact integer inertia,
+    and the L1 fingerprint of the trained centroid. Every round is DataFrame algebra — the centroid
+    state is a 1-row k-struct array broadcast onto the vectors (k is a
+    model constant; the data side never collapses), the update shuffle
+    carries only (cluster, dim) partial sums. Unlike the bounded-sample
+    quantizer training in `similarity_topk_ivf_kmeans`, this clusters
+    EVERY vector, and unlike any float k-means it is bit-replayable in
+    SQL (exact-integer distances, deterministic tie-breaks) — the
+    trained model itself is hash-compared against the DuckDB oracle."""
+    from esther_apache_spark_spark.operators.clustering import kmeans_lloyd_summary
+
+    return kmeans_lloyd_summary(
+        load_table(spark, sf_dir, "embeddings"), k=8, iters=3
+    )

@@ -61,6 +61,10 @@ ALLOWED: dict[tuple[str, str], str] = {
     # list (≤20 rows) / the ≤k selected ids
     ("plans/analytics.py", "b"): "MMR candidate list, ≤20 rows by contract",
     ("plans/analytics.py", "sel_ids"): "MMR selected set, ≤5 rows",
+    # k-means centroid state: ONE row of k structs by construction
+    # (collect_list over the k-row centroid frame; k is a model
+    # constant independent of sf)
+    ("operators/clustering.py", "cents1"): "collapsed centroid list, 1 row (k structs, model constant)",
     # Bloom filter words: ≤ ceil(m_bits/60) rows — a model constant
     # independent of how many keys were inserted
     ("operators/sketches.py", "words"): "Bloom words frame, ceil(m_bits/60) rows (model constant)",

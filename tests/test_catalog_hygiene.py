@@ -75,6 +75,9 @@ def test_catalog_plans_free_of_scale_antipatterns(spark, sf_dir):
         "unigram_nll_score_docs",    # 1-row token-total + vocab-size scalars
         "temperature_sample_by_lang",  # 1-row global max-rate scalar
         "similarity_topk_bruteforce",  # fenced all-pairs oracle
+        # 1-row collapsed centroid array (k structs, model constant)
+        # broadcast onto the vectors, once per unrolled Lloyd round
+        "kmeans_lloyd_clusters",
         # dense candidate list scores the corpus against ONE query
         # vector (brute_force_topk's broadcast query matrix, 1 row by
         # construction) + the BM25 1-row count/avgdl scalars
