@@ -3007,3 +3007,89 @@ def lexical_dedup_survivors_by_quality(spark: SparkSession, sf_dir: str) -> Data
         .filter(F.col("rn") == 1)
         .select("doc_id", "quality", F.col("cluster_size").cast("long").alias("cluster_size"))
     )
+
+
+def _bfs_iter_sql(prev: str, out: str) -> str:
+    return (
+        f"{out} AS (SELECT v, MIN(hop) AS hop FROM ("
+        f"SELECT v, hop FROM {prev} "
+        f"UNION ALL "
+        f"SELECT e.dst AS v, r.hop + 1 AS hop FROM bedges e JOIN {prev} r ON e.src = r.v"
+        f") u{out} GROUP BY v)"
+    )
+
+
+@register(
+    "bfs_hops_brands",
+    oracle=f"""
+    WITH ob AS (
+        SELECT DISTINCT l.l_orderkey AS k, p.p_brand AS b
+        FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+    ),
+    pairs AS (
+        SELECT a.b AS src, c.b AS dst, CAST(COUNT(*) AS BIGINT) AS cnt
+        FROM ob a JOIN ob c USING (k) WHERE a.b <> c.b
+        GROUP BY a.b, c.b
+    ),
+    bedges AS (
+        SELECT src, dst FROM (
+            SELECT src, dst,
+                   row_number() OVER (PARTITION BY src
+                                      ORDER BY cnt DESC, dst) AS rn
+            FROM pairs
+        ) tk WHERE rn <= 3
+    ),
+    seed AS (SELECT MIN(src) AS v FROM bedges),
+    r0 AS (SELECT v, 0 AS hop FROM seed),
+    {_bfs_iter_sql("r0", "r1")},
+    {_bfs_iter_sql("r1", "r2")},
+    {_bfs_iter_sql("r2", "r3")}
+    SELECT v AS brand, CAST(hop AS INT) AS hops FROM r3
+    """,
+)
+def bfs_hops_brands(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Min-hop BFS (3 unrolled frontier expansions) from the
+    lexicographically-first brand over the SPARSIFIED co-purchase
+    graph: each brand keeps only its 3 strongest co-purchase partners
+    (count desc, partner asc — a per-group top-k the optimizer turns
+    into WindowGroupLimit), so hop distances stay meaningful at any
+    scale factor instead of the dense graph collapsing to diameter 1.
+    Each expansion is an equi-join edges ⋈ frontier plus a min-hop
+    aggregate — partial-aggregable, shuffles bounded by the frontier,
+    never all-pairs; the same statically-unrolled doctrine as
+    `pagerank_brands` (checkpoint every few rounds for deep graphs).
+    Purely integer/string ops — no float anywhere — so the oracle
+    replay is exact by construction."""
+    li = load_table(spark, sf_dir, "lineitem")
+    part = load_table(spark, sf_dir, "part")
+    ob = (
+        li.join(part, li.l_partkey == part.p_partkey)
+        .select(F.col("l_orderkey").alias("k"), F.col("p_brand").alias("b"))
+        .distinct()
+    )
+    a = ob.select("k", F.col("b").alias("src"))
+    c = ob.select("k", F.col("b").alias("dst"))
+    pairs = (
+        a.join(c, "k")
+        .filter(F.col("src") != F.col("dst"))
+        .groupBy("src", "dst")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    w = Window.partitionBy("src").orderBy(F.desc("cnt"), F.asc("dst"))
+    edges = (
+        pairs.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 3)
+        .select("src", "dst")
+    )
+    reach = edges.agg(F.min("src").alias("v")).select("v", F.lit(0).alias("hop"))
+    for _ in range(3):
+        expanded = edges.join(reach, edges.src == reach.v).select(
+            F.col("dst").alias("v"), (F.col("hop") + 1).alias("hop")
+        )
+        reach = (
+            reach.select("v", "hop")
+            .unionByName(expanded)
+            .groupBy("v")
+            .agg(F.min("hop").alias("hop"))
+        )
+    return reach.select(F.col("v").alias("brand"), F.col("hop").cast("int").alias("hops"))
