@@ -2096,3 +2096,249 @@ def corpus_pipeline_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
     for rdf in rows[1:]:
         out = out.union(rdf)
     return out
+
+
+# ---------------------------------------------------------------------------
+# Dataset-version diff — what changed between two corpus snapshots.
+# ---------------------------------------------------------------------------
+@register(
+    "corpus_diff_versions",
+    oracle="""
+    WITH v1 AS (
+        SELECT doc_id, source, md5(text) AS h FROM documents WHERE doc_id % 10 <> 0
+    ),
+    v2 AS (
+        SELECT doc_id, source,
+               md5(CASE WHEN doc_id % 7 = 0 THEN text || ' [rev2]' ELSE text END) AS h
+        FROM documents
+    ),
+    diff AS (
+        SELECT COALESCE(v2.source, v1.source) AS source,
+               CASE WHEN v1.doc_id IS NULL THEN 'added'
+                    WHEN v2.doc_id IS NULL THEN 'removed'
+                    WHEN v1.h <> v2.h THEN 'changed'
+                    ELSE 'unchanged' END AS status
+        FROM v1 FULL JOIN v2 ON v1.doc_id = v2.doc_id
+    )
+    SELECT source, status, CAST(COUNT(*) AS BIGINT) AS n_docs
+    FROM diff GROUP BY source, status
+    """,
+)
+def corpus_diff_versions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Snapshot-to-snapshot corpus diff — the dataset-versioning readout
+    a training pipeline publishes with every release (added / removed /
+    changed / unchanged per source). Contract: join the two snapshots
+    full-outer on the stable doc key and compare CONTENT HASHES, never
+    the text — the shuffle then carries (key, 16-byte md5) instead of
+    documents, so the diff costs two narrow scans + one join keyed on
+    doc_id at any corpus size (same hash-not-payload doctrine as
+    `dedup_exact_docs` and `incremental_dedup_new_docs`, which handles
+    the new-batch-vs-history special case of this general diff). The
+    two snapshots here are derived deterministically from the one test
+    table (v1 drops every 10th doc; v2 revises every 7th), so the
+    oracle replays the exact same diff."""
+    docs = load_table(spark, sf_dir, "documents")
+    v1 = docs.filter(F.col("doc_id") % 10 != 0).select(
+        "doc_id", "source", F.md5(F.col("text").cast("binary")).alias("h")
+    )
+    v2 = docs.select(
+        "doc_id",
+        "source",
+        F.md5(
+            F.when(
+                F.col("doc_id") % 7 == 0, F.concat(F.col("text"), F.lit(" [rev2]"))
+            )
+            .otherwise(F.col("text"))
+            .cast("binary")
+        ).alias("h"),
+    )
+    j = v1.alias("a").join(
+        v2.alias("b"), F.col("a.doc_id") == F.col("b.doc_id"), "full_outer"
+    )
+    diff = j.select(
+        F.coalesce(F.col("b.source"), F.col("a.source")).alias("source"),
+        F.when(F.col("a.doc_id").isNull(), F.lit("added"))
+        .when(F.col("b.doc_id").isNull(), F.lit("removed"))
+        .when(F.col("a.h") != F.col("b.h"), F.lit("changed"))
+        .otherwise(F.lit("unchanged"))
+        .alias("status"),
+    )
+    return diff.groupBy("source", "status").agg(F.count(F.lit(1)).alias("n_docs"))
+
+
+# ---------------------------------------------------------------------------
+# Length-bucketed padded batching — the fixed-shape-batch alternative
+# to sequence packing.
+# ---------------------------------------------------------------------------
+@register(
+    "length_bucket_batches",
+    oracle="""
+    WITH tok AS (
+        SELECT doc_id,
+               len(list_filter(regexp_split_to_array(trim(text), '\\s+'),
+                               x -> x <> '')) AS n_tok
+        FROM documents
+    ),
+    bucketed AS (
+        SELECT doc_id, n_tok,
+               CASE WHEN n_tok <= 1 THEN 1
+                    ELSE 1::BIGINT << length(ltrim(bin(n_tok - 1), '0')) END AS bucket
+        FROM tok
+    )
+    SELECT bucket,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(n_tok) AS BIGINT) AS total_tokens,
+           CAST((COUNT(*) + (4096 // bucket) - 1) // (4096 // bucket) AS BIGINT)
+               AS n_batches,
+           CAST(ROUND(CAST(SUM(n_tok) AS DOUBLE)
+                      / CAST(COUNT(*) * bucket AS DOUBLE), 6) AS DOUBLE)
+               AS padding_efficiency
+    FROM bucketed GROUP BY bucket
+    """,
+)
+def length_bucket_batches(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Length-bucketed PADDED batching plan — the fixed-shape-batch
+    twin of `pack_training_sequences` (packing concatenates into a
+    stream; bucketing pads every doc in a bucket to the bucket length,
+    the right shape for models that want aligned batches). Buckets are
+    power-of-two ceilings of the whitespace token count, computed with
+    pure integer/bit ops (``1 << bits(n-1)`` — no log2 float); batch
+    counts per bucket fall out of arithmetic alone
+    (``ceil(n_docs / floor(4096/bucket))``), so the whole plan is one
+    partial-aggregable groupBy on the bucket key — no window, no skewed
+    per-bucket row_number (contrast the two-pass contiguous-position
+    export in `shuffled_export_order` when explicit batch MEMBERSHIP
+    must be materialized). padding_efficiency = real tokens / padded
+    tokens is the readout that tells you which buckets waste compute —
+    the number a pipeline owner tunes bucket boundaries against."""
+    from esther_apache_spark_spark.operators.textstats import token_count
+
+    docs = load_table(spark, sf_dir, "documents")
+    tok = docs.select(
+        "doc_id", token_count(F.col("text"), mode="ws").cast("long").alias("n_tok")
+    )
+    bucketed = tok.select(
+        "n_tok",
+        F.when(F.col("n_tok") <= 1, F.lit(1).cast("long"))
+        .otherwise(
+            F.expr("shiftleft(1L, length(ltrim('0', bin(n_tok - 1))))")
+        )
+        .alias("bucket"),
+    )
+    cap = F.floor(F.lit(4096) / F.col("bucket")).cast("long")
+    return bucketed.groupBy("bucket").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_tok").alias("total_tokens"),
+    ).select(
+        "bucket",
+        "n_docs",
+        "total_tokens",
+        F.floor((F.col("n_docs") + cap - 1) / cap).cast("long").alias("n_batches"),
+        F.round(
+            F.col("total_tokens").cast("double")
+            / (F.col("n_docs") * F.col("bucket")).cast("double"),
+            6,
+        ).alias("padding_efficiency"),
+    )
+
+
+@register(
+    "decode_token_ids_roundtrip",
+    oracle=f"""
+    WITH {_TOKENS_CTE},
+    counts AS (SELECT word, COUNT(*) AS cnt FROM tokens GROUP BY word),
+    vocab AS (
+        SELECT word,
+               ROW_NUMBER() OVER (ORDER BY cnt DESC, word ASC) AS token_id
+        FROM counts
+        ORDER BY token_id LIMIT 1000
+    ),
+    pos_tokens AS (
+        SELECT doc_id, generate_subscripts(toks, 1) AS pos, unnest(toks) AS word
+        FROM (
+            SELECT doc_id,
+                   list_filter(
+                       regexp_split_to_array(
+                           trim(regexp_replace(lower(text), '[^\\w\\s]', '', 'g')),
+                           '\\s+'),
+                       w -> w <> '') AS toks
+            FROM documents
+        )
+    ),
+    encoded AS (
+        SELECT p.doc_id, p.pos, p.word,
+               COALESCE(v.token_id, 0) AS token_id
+        FROM pos_tokens p LEFT JOIN vocab v ON p.word = v.word
+    ),
+    decoded AS (
+        SELECT e.doc_id, e.pos, e.word AS orig_word,
+               COALESCE(v2.word, '<unk>') AS dec_word
+        FROM encoded e LEFT JOIN vocab v2 ON e.token_id = v2.token_id
+    )
+    SELECT doc_id,
+           CAST(COUNT(*) AS BIGINT) AS n_tokens,
+           CAST(SUM(CASE WHEN dec_word = '<unk>' THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_oov,
+           (array_to_string(list(dec_word ORDER BY pos), ' ')
+            = array_to_string(list(orig_word ORDER BY pos), ' ')) AS roundtrip_ok
+    FROM decoded GROUP BY doc_id
+    """,
+)
+def decode_token_ids_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The tokenizer DECODE pass, closing the encode round trip: id
+    sequences (encode_documents_to_ids' ids against the same
+    frequency-ranked vocab) are joined BACK through the id→word table
+    (id 0 → '<unk>') and reassembled in token order; `roundtrip_ok`
+    certifies decode(encode(text)) == normalized(text) exactly for
+    fully in-vocabulary docs, and `n_oov` counts the tokens where the
+    round trip is lossy by construction. Both directions broadcast the
+    1000-row vocab (limit-capped); the only data-sized shuffle is the
+    per-doc regroup, with ordered reassembly via
+    array_sort(collect_list(struct(pos, word))) — arrival-order-proof.
+    This is the validation query a pipeline runs after retraining a
+    tokenizer, before re-encoding a corpus with it."""
+    from esther_apache_spark_spark.functions.text import tokenize
+
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.select(
+        "doc_id", F.posexplode(tokenize(F.col("text"))).alias("pos", "word")
+    )
+    counts = toks.groupBy("word").agg(F.count(F.lit(1)).alias("cnt"))
+    ww = Window.orderBy(F.col("cnt").desc(), F.col("word").asc())
+    vocab = (
+        counts.orderBy(F.col("cnt").desc(), F.col("word").asc())
+        .limit(1000)
+        .select("word", F.row_number().over(ww).alias("token_id"))
+    )
+    encoded = toks.join(F.broadcast(vocab), "word", "left").select(
+        "doc_id",
+        "pos",
+        F.col("word").alias("orig_word"),
+        F.coalesce(F.col("token_id"), F.lit(0)).alias("token_id"),
+    )
+    dec_vocab = vocab.select(
+        F.col("token_id").alias("dec_id"), F.col("word").alias("dec_word")
+    )
+    decoded = encoded.join(
+        F.broadcast(dec_vocab), encoded.token_id == dec_vocab.dec_id, "left"
+    ).select(
+        "doc_id",
+        "pos",
+        "orig_word",
+        F.coalesce(F.col("dec_word"), F.lit("<unk>")).alias("dec_word"),
+    )
+
+    def _joined(col: str):
+        return F.array_join(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("pos", col))),
+                lambda s: s[col],
+            ),
+            " ",
+        )
+
+    return decoded.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_tokens"),
+        F.sum(F.when(F.col("dec_word") == "<unk>", 1).otherwise(0)).alias("n_oov"),
+        (_joined("dec_word") == _joined("orig_word")).alias("roundtrip_ok"),
+    )

@@ -3093,3 +3093,147 @@ def bfs_hops_brands(spark: SparkSession, sf_dir: str) -> DataFrame:
             .agg(F.min("hop").alias("hop"))
         )
     return reach.select(F.col("v").alias("brand"), F.col("hop").cast("int").alias("hops"))
+
+
+# ---------------------------------------------------------------------------
+# Incremental rollup maintenance — merge partial aggregates, never
+# rescan the base.
+# ---------------------------------------------------------------------------
+@register(
+    "incremental_rollup_merge",
+    oracle="""
+    SELECT strftime(CAST(ts AS DATE), '%Y-%m-%d') AS day, event_type,
+           CAST(COUNT(*) AS BIGINT) AS n_events,
+           CAST(ROUND(SUM(CAST(value AS DECIMAL(12,2))), 2) AS DOUBLE) AS total_value,
+           CAST(MIN(CAST(value AS DECIMAL(12,2))) AS DOUBLE) AS min_value,
+           CAST(MAX(CAST(value AS DECIMAL(12,2))) AS DOUBLE) AS max_value
+    FROM events GROUP BY strftime(CAST(ts AS DATE), '%Y-%m-%d'), event_type
+    """,
+)
+def incremental_rollup_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental materialized-rollup maintenance: the daily
+    (day, event_type) rollup is kept fresh by MERGING the persisted
+    history partials with the new batch's partials — count/sum/min/max
+    are all algebraically mergeable, so updating the rollup costs one
+    aggregate over the delta plus a merge keyed on the (tiny) rollup
+    frame, never a rescan of the base table. Here the two sides are
+    split at 2024-01-15 to prove the algebra: the oracle aggregates the
+    whole table in one pass and the hashes must agree exactly (decimal
+    money arithmetic on both paths — merge order cannot perturb cents).
+    At 100 TB the history side is the persisted rollup parquet
+    (`sources/incremental.py` manifests decide which day partitions are
+    new); this query is the merge kernel that makes that loop sound.
+    Same doctrine as `weekly_from_daily_rollup` (re-aggregation) and
+    the mergeable sketches (`operators/sketches.py`) for the
+    non-algebraic metrics."""
+    ev = load_table(spark, sf_dir, "events")
+    split = F.lit("2024-01-15").cast("date")
+
+    def partials(df: DataFrame) -> DataFrame:
+        return df.groupBy(
+            F.date_format(F.col("ts").cast("date"), "yyyy-MM-dd").alias("day"),
+            "event_type",
+        ).agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum(dec2("value")).alias("sum_v"),
+            F.min(dec2("value")).alias("min_v"),
+            F.max(dec2("value")).alias("max_v"),
+        )
+
+    history = partials(ev.filter(F.col("ts").cast("date") < split))
+    delta = partials(ev.filter(F.col("ts").cast("date") >= split))
+    return (
+        history.unionByName(delta)
+        .groupBy("day", "event_type")
+        .agg(
+            F.sum("n_events").alias("n_events"),
+            F.round(F.sum("sum_v"), 2).cast("double").alias("total_value"),
+            F.min("min_v").cast("double").alias("min_value"),
+            F.max("max_v").cast("double").alias("max_value"),
+        )
+    )
+
+
+@register(
+    "embedding_outlier_prune",
+    oracle="""
+    WITH dims AS (
+        SELECT e.vec_id, e.label, r.range AS dim,
+               CAST(FLOOR(CAST(e.embedding[CAST(r.range AS INT)] AS DOUBLE)
+                          * 1000000.0 + 0.5) AS BIGINT) AS qv
+        FROM embeddings e CROSS JOIN range(1, 65) r
+    ),
+    cent AS (
+        SELECT label, dim,
+               CAST(FLOOR(CAST(SUM(qv) AS DOUBLE)
+                          / CAST(COUNT(*) AS DOUBLE) + 0.5) AS BIGINT) AS cv
+        FROM dims GROUP BY label, dim
+    ),
+    dist AS (
+        SELECT d.vec_id, d.label,
+               CAST(SUM((d.qv - c.cv) * (d.qv - c.cv)) AS BIGINT) AS dist
+        FROM dims d JOIN cent c ON d.label = c.label AND d.dim = c.dim
+        GROUP BY d.vec_id, d.label
+    ),
+    ranked AS (
+        SELECT label, dist,
+               row_number() OVER (PARTITION BY label ORDER BY dist, vec_id) AS rn,
+               COUNT(*) OVER (PARTITION BY label) AS n
+        FROM dist
+    )
+    SELECT label,
+           CAST(COUNT(*) AS BIGINT) AS n_total,
+           CAST(SUM(CASE WHEN rn > (9 * n) // 10 THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_pruned,
+           CAST(MAX(CASE WHEN rn <= (9 * n) // 10 THEN dist END) AS BIGINT)
+               AS max_kept_dist
+    FROM ranked GROUP BY label
+    """,
+)
+def embedding_outlier_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-class embedding outlier pruning — drop the 10% of vectors
+    farthest from their label centroid, the standard mislabeled/noisy-
+    sample filter before contrastive or classifier training. Exact
+    integer arithmetic end to end: vectors quantized once
+    (`clustering.quantize_vectors`), centroids are rounded integer
+    means ((label, dim) partial-sum aggregate — dim× inflation but a
+    perfectly spread shuffle key), distances are BIGINT folds, and the
+    10% gate is a rank comparison (`rn > 9n//10`), so the whole prune
+    decision replays bit-for-bit in SQL. The rank window partitions by
+    label — fine while classes stay countable; at extreme per-class
+    cardinality swap the exact gate for the KLL-sketch quantile
+    (`sketches.kll_group_quantiles`) and keep everything else. Reports
+    per label: total, pruned, and the largest surviving distance (the
+    effective radius of the kept class ball)."""
+    from esther_apache_spark_spark.operators.clustering import quantize_vectors
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    dims = quantize_vectors(emb).join(
+        emb.select("vec_id", "label"), "vec_id"
+    ).select("vec_id", "label", F.posexplode("qv").alias("dim", "qv"))
+    cent = dims.groupBy("label", "dim").agg(
+        F.floor(
+            F.sum("qv").cast("double") / F.count(F.lit(1)).cast("double") + F.lit(0.5)
+        )
+        .cast("long")
+        .alias("cv")
+    )
+    dist = (
+        dims.join(cent, ["label", "dim"])
+        .groupBy("vec_id", "label")
+        .agg(F.sum((F.col("qv") - F.col("cv")) * (F.col("qv") - F.col("cv"))).alias("dist"))
+    )
+    w = Window.partitionBy("label").orderBy(F.asc("dist"), F.asc("vec_id"))
+    wn = Window.partitionBy("label")
+    ranked = dist.select(
+        "label",
+        "dist",
+        F.row_number().over(w).alias("rn"),
+        F.count(F.lit(1)).over(wn).alias("n"),
+    )
+    cut = F.floor(F.col("n") * 9 / 10)
+    return ranked.groupBy("label").agg(
+        F.count(F.lit(1)).alias("n_total"),
+        F.sum(F.when(F.col("rn") > cut, 1).otherwise(0)).alias("n_pruned"),
+        F.max(F.when(F.col("rn") <= cut, F.col("dist"))).alias("max_kept_dist"),
+    )

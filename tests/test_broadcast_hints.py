@@ -47,6 +47,7 @@ ALLOWED: dict[tuple[str, str], str] = {
     ("operators/sampling.py", "rates"): "one row per stratum value (#langs), bounded by the categorical domain",
     # explicitly capped frames
     ("plans/corpus_ops.py", "vocab"): "limit(1000) upstream",
+    ("plans/corpus_ops.py", "dec_vocab"): "id->word projection of the limit(1000) vocab",
     ("operators/dedup.py", "hot"): "df-pruned stop-shingle set, capped by max_df selectivity on distinct shingles",
     # fixed-size query matrices (ANN query side is user-provided, small
     # by contract and collected to the driver anyway)
