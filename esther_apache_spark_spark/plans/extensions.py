@@ -3080,6 +3080,11 @@ def bfs_hops_brands(spark: SparkSession, sf_dir: str) -> DataFrame:
         pairs.withColumn("rn", F.row_number().over(w))
         .filter(F.col("rn") <= 3)
         .select("src", "dst")
+        # the sparsified edge list is referenced by every unrolled
+        # expansion; materialize it once (components.py doctrine) so
+        # the lineitem⋈part co-purchase subtree is not re-evaluated
+        # per hop — it is brand²-bounded, tiny at any sf
+        .localCheckpoint()
     )
     reach = edges.agg(F.min("src").alias("v")).select("v", F.lit(0).alias("hop"))
     for _ in range(3):
