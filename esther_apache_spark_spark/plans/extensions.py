@@ -3242,3 +3242,241 @@ def embedding_outlier_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(F.when(F.col("rn") > cut, 1).otherwise(0)).alias("n_pruned"),
         F.max(F.when(F.col("rn") <= cut, F.col("dist"))).alias("max_kept_dist"),
     )
+
+
+@register(
+    "interpolate_daily_user_value",
+    oracle="""
+    WITH daily AS (
+        SELECT user_id, CAST(ts AS DATE) AS day,
+               CAST(ROUND(SUM(CAST(value AS DECIMAL(12,2))), 2) AS DOUBLE) AS dv
+        FROM events GROUP BY 1, 2
+    ),
+    spans AS (SELECT user_id, MIN(day) AS lo, MAX(day) AS hi FROM daily GROUP BY 1),
+    cal AS (
+        SELECT user_id,
+               CAST(unnest(generate_series(lo::TIMESTAMP, hi::TIMESTAMP,
+                                           INTERVAL 1 DAY)) AS DATE) AS day
+        FROM spans
+    ),
+    g AS (
+        SELECT c.user_id, c.day, d.dv,
+               last_value(d.dv IGNORE NULLS) OVER (
+                   PARTITION BY c.user_id ORDER BY c.day
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS pv,
+               last_value(CASE WHEN d.dv IS NOT NULL THEN c.day END IGNORE NULLS)
+                   OVER (PARTITION BY c.user_id ORDER BY c.day
+                         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS pd,
+               first_value(d.dv IGNORE NULLS) OVER (
+                   PARTITION BY c.user_id ORDER BY c.day
+                   ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS nv,
+               first_value(CASE WHEN d.dv IS NOT NULL THEN c.day END IGNORE NULLS)
+                   OVER (PARTITION BY c.user_id ORDER BY c.day
+                         ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS nd
+        FROM cal c LEFT JOIN daily d ON c.user_id = d.user_id AND c.day = d.day
+    )
+    SELECT user_id, strftime(day, '%Y-%m-%d') AS day,
+           CAST(CASE WHEN dv IS NOT NULL THEN dv
+                ELSE ROUND(pv + (nv - pv)
+                           * (CAST(date_diff('day', pd, day) AS DOUBLE)
+                              / CAST(date_diff('day', pd, nd) AS DOUBLE)), 6)
+                END AS DOUBLE) AS day_value,
+           CAST(dv IS NULL AS BOOLEAN) AS interpolated
+    FROM g
+    """,
+)
+def interpolate_daily_user_value(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user daily resample with LINEAR interpolation across gaps —
+    the smooth-fill twin of `gapfill_daily_user_value` (forward fill):
+    a missing day gets pv + (nv−pv)·Δt/T between its neighboring
+    observations. Same no-cartesian scale shape (calendar exploded from
+    each user's own span; one per-user window pass computes all four
+    neighbor frames), and the span endpoints are observations by
+    construction, so both neighbors always exist — no edge NULLs.
+    Determinism: the interpolation fraction is a ratio of exact integer
+    day-diffs, one IEEE multiply-add rounded to 6 — bit-identical in
+    both engines."""
+    events = load_table(spark, sf_dir, "events")
+    daily = events.groupBy("user_id", F.to_date("ts").alias("day")).agg(
+        F.round(F.sum(F.col("value").cast("decimal(12,2)")), 2)
+        .cast("double")
+        .alias("dv")
+    )
+    cal = (
+        daily.groupBy("user_id")
+        .agg(F.min("day").alias("lo"), F.max("day").alias("hi"))
+        .select("user_id", F.explode(F.sequence("lo", "hi")).alias("day"))
+    )
+    wb = (
+        Window.partitionBy("user_id")
+        .orderBy("day")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    wf = (
+        Window.partitionBy("user_id")
+        .orderBy("day")
+        .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+    )
+    obs_day = F.when(F.col("dv").isNotNull(), F.col("day"))
+    g = (
+        cal.join(daily, ["user_id", "day"], "left")
+        .select(
+            "user_id",
+            "day",
+            "dv",
+            F.last("dv", ignorenulls=True).over(wb).alias("pv"),
+            F.last(obs_day, ignorenulls=True).over(wb).alias("pd"),
+            F.first("dv", ignorenulls=True).over(wf).alias("nv"),
+            F.first(obs_day, ignorenulls=True).over(wf).alias("nd"),
+        )
+    )
+    frac = F.datediff(F.col("day"), F.col("pd")).cast("double") / F.datediff(
+        F.col("nd"), F.col("pd")
+    ).cast("double")
+    return g.select(
+        "user_id",
+        F.date_format("day", "yyyy-MM-dd").alias("day"),
+        F.when(F.col("dv").isNotNull(), F.col("dv"))
+        .otherwise(F.round(F.col("pv") + (F.col("nv") - F.col("pv")) * frac, 6))
+        .cast("double")
+        .alias("day_value"),
+        F.col("dv").isNull().alias("interpolated"),
+    )
+
+
+@register(
+    "event_transition_matrix",
+    oracle="""
+    WITH seq AS (
+        SELECT user_id, event_type,
+               lead(event_type) OVER (PARTITION BY user_id
+                                      ORDER BY ts, event_id) AS next_type
+        FROM events
+    ),
+    pairs AS (
+        SELECT event_type AS from_type, next_type AS to_type,
+               CAST(COUNT(*) AS BIGINT) AS n
+        FROM seq WHERE next_type IS NOT NULL
+        GROUP BY event_type, next_type
+    ),
+    totals AS (
+        SELECT from_type, SUM(n) AS tot FROM pairs GROUP BY from_type
+    )
+    SELECT p.from_type, p.to_type, p.n,
+           CAST(ROUND(CAST(p.n AS DOUBLE) / CAST(t.tot AS DOUBLE), 6) AS DOUBLE)
+               AS prob
+    FROM pairs p JOIN totals t ON p.from_type = t.from_type
+    """,
+)
+def event_transition_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First-order Markov transition matrix of user event types — the
+    behavioral-sequence readout (what follows what, with conditional
+    probabilities) that feeds next-event prediction features and
+    anomaly baselines. One lead() window per user ordered by (ts,
+    event_id) — the total tiebreak makes simultaneous events
+    deterministic — then a (from, to) count whose key space is
+    |event_types|² (bounded categorical, perfect shuffle key). The
+    probability is one exact-integer ratio rounded to 6; the per-from
+    totals frame is |event_types| rows, broadcast by size statistics.
+    Same windowed-sequence family as `top_session_paths` (which
+    concatenates paths) and `lag_event_gaps` (which measures time);
+    this one measures structure."""
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    seq = ev.select(
+        "event_type", F.lead("event_type").over(w).alias("next_type")
+    ).filter(F.col("next_type").isNotNull())
+    pairs = seq.groupBy(
+        F.col("event_type").alias("from_type"),
+        F.col("next_type").alias("to_type"),
+    ).agg(F.count(F.lit(1)).alias("n"))
+    totals = pairs.groupBy("from_type").agg(F.sum("n").alias("tot"))
+    return pairs.join(totals, "from_type").select(
+        "from_type",
+        "to_type",
+        "n",
+        F.round(F.col("n").cast("double") / F.col("tot").cast("double"), 6).alias(
+            "prob"
+        ),
+    )
+
+
+@register(
+    "key_skew_report",
+    oracle="""
+    WITH freq AS (
+        SELECT l_partkey AS key, CAST(COUNT(*) AS BIGINT) AS n
+        FROM lineitem GROUP BY l_partkey
+    ),
+    fof AS (SELECT n, CAST(COUNT(*) AS BIGINT) AS cnt FROM freq GROUP BY n),
+    cum AS (
+        SELECT n, cnt,
+               COALESCE(SUM(cnt) OVER (ORDER BY n
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS c
+        FROM fof
+    ),
+    gini AS (
+        SELECT SUM(n * cnt * (2 * c + cnt)) AS wsum,
+               SUM(n * cnt) AS s, SUM(cnt) AS k, MAX(n) AS max_n
+        FROM cum
+    )
+    SELECT CAST(k AS BIGINT) AS n_keys,
+           CAST(s AS BIGINT) AS n_rows,
+           CAST(max_n AS BIGINT) AS max_key_rows,
+           CAST(ROUND(CAST(max_n AS DOUBLE) / CAST(s AS DOUBLE), 6) AS DOUBLE)
+               AS max_share,
+           CAST(ROUND(CAST(wsum AS DOUBLE)
+                      / (CAST(k AS DOUBLE) * CAST(s AS DOUBLE))
+                      - (CAST(k AS DOUBLE) + 1.0) / CAST(k AS DOUBLE), 6)
+                AS DOUBLE) AS gini
+    FROM gini
+    """,
+)
+def key_skew_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Join/shuffle-key skew diagnostics for lineitem.l_partkey — the
+    pre-flight report that decides whether a key needs the salted-join
+    path (`operators/skew.py`) or AQE skew splitting: distinct keys,
+    total rows, the heaviest key's row count and share, and the Gini
+    coefficient of the key-frequency distribution (0 = uniform,
+    →1 = one hot key) via the exact rank formula
+    G = Σ(2i−1)·n_i / (k·Σn) − (k+1)/k. The rank sum is computed WITHOUT
+    ranking any key: keys sharing a frequency occupy a contiguous rank
+    range, and Σ(2i−1)·n over that range collapses to
+    n·cnt·(2·c + cnt) (c = keys with smaller frequency) — so after the
+    data-sized frequency aggregate, the only window runs over the
+    frequency-OF-frequency frame (distinct count values — dozens, not
+    keys), and ties need no break at all. Everything after is 1-row
+    scalar algebra — exact integers until two final rounded
+    divisions. Feeds the same decision the AQE skew-join threshold
+    makes at runtime, but as an inspectable artifact."""
+    li = load_table(spark, sf_dir, "lineitem")
+    freq = li.groupBy(F.col("l_partkey").alias("key")).agg(
+        F.count(F.lit(1)).alias("n")
+    )
+    fof = freq.groupBy("n").agg(F.count(F.lit(1)).alias("cnt"))
+    wc = Window.orderBy("n").rowsBetween(Window.unboundedPreceding, -1)
+    cum = fof.select(
+        "n", "cnt", F.coalesce(F.sum("cnt").over(wc), F.lit(0)).alias("c")
+    )
+    scalars = cum.agg(
+        F.sum(F.col("n") * F.col("cnt") * (2 * F.col("c") + F.col("cnt"))).alias(
+            "wsum"
+        ),
+        F.sum(F.col("n") * F.col("cnt")).alias("s"),
+        F.sum("cnt").alias("k"),
+        F.max("n").alias("max_n"),
+    )
+    return scalars.select(
+        F.col("k").alias("n_keys"),
+        F.col("s").alias("n_rows"),
+        F.col("max_n").alias("max_key_rows"),
+        F.round(F.col("max_n").cast("double") / F.col("s").cast("double"), 6).alias(
+            "max_share"
+        ),
+        F.round(
+            F.col("wsum").cast("double")
+            / (F.col("k").cast("double") * F.col("s").cast("double"))
+            - (F.col("k").cast("double") + F.lit(1.0)) / F.col("k").cast("double"),
+            6,
+        ).alias("gini"),
+    )
