@@ -3480,3 +3480,152 @@ def key_skew_report(spark: SparkSession, sf_dir: str) -> DataFrame:
             6,
         ).alias("gini"),
     )
+
+
+@register(
+    "cusum_changepoint_events",
+    oracle="""
+    WITH daily AS (
+        SELECT user_id, CAST(ts AS DATE) AS day,
+               CAST(SUM(CAST(CAST(value AS DECIMAL(12,2)) * 100 AS BIGINT))
+                    AS BIGINT) AS cents
+        FROM events
+        GROUP BY user_id, CAST(ts AS DATE)
+    ),
+    idx AS (
+        SELECT user_id, day, cents,
+               row_number() OVER (PARTITION BY user_id ORDER BY day) AS i,
+               SUM(cents) OVER (PARTITION BY user_id ORDER BY day
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS prefix,
+               SUM(cents) OVER (PARTITION BY user_id) AS t,
+               COUNT(*) OVER (PARTITION BY user_id) AS n
+        FROM daily
+    ),
+    cusum AS (
+        SELECT user_id, day, n,
+               CAST(n * prefix - i * t AS BIGINT) AS cu,
+               row_number() OVER (PARTITION BY user_id
+                   ORDER BY ABS(n * prefix - i * t) DESC, i ASC) AS rk
+        FROM idx
+    )
+    SELECT user_id, strftime(day, '%Y-%m-%d') AS change_day,
+           CAST(n AS BIGINT) AS n_days,
+           CAST(ROUND(CAST(cu AS DOUBLE) / (CAST(n AS DOUBLE) * 100.0), 6)
+                AS DOUBLE) AS cusum_value
+    FROM cusum WHERE rk = 1
+    """,
+)
+def cusum_changepoint_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUSUM changepoint per user: the day where the cumulative
+    deviation of daily spend from the user's own mean peaks — the
+    standard level-shift detector for telemetry/fraud series. The
+    classic statistic Σ(x_j − mean) needs the rational mean; scaling
+    by n makes it EXACT integer algebra: n·prefix_i − i·T (prefix and
+    total in integer cents), so the argmax day — tie-broken earliest —
+    is bit-deterministic in both engines, and only the final report
+    divides back to value units. One per-user window pass (cumsum +
+    count + total share the frame), one rank to pick the peak; no
+    global window anywhere. At extreme scale the (n·prefix) product
+    bounds BIGINT at ~10¹⁴ user-cents over a year — three orders of
+    headroom."""
+    ev = load_table(spark, sf_dir, "events")
+    daily = ev.groupBy(
+        "user_id", F.col("ts").cast("date").alias("day")
+    ).agg(
+        F.sum((dec2("value") * 100).cast("long")).alias("cents")
+    )
+    wo = Window.partitionBy("user_id").orderBy("day")
+    wcum = wo.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    wall = Window.partitionBy("user_id")
+    idx = daily.select(
+        "user_id",
+        "day",
+        F.row_number().over(wo).alias("i"),
+        F.sum("cents").over(wcum).alias("prefix"),
+        F.sum("cents").over(wall).alias("t"),
+        F.count(F.lit(1)).over(wall).alias("n"),
+    )
+    cu = F.col("n") * F.col("prefix") - F.col("i") * F.col("t")
+    wrk = Window.partitionBy("user_id").orderBy(F.abs(cu).desc(), F.asc("i"))
+    ranked = idx.select(
+        "user_id",
+        "day",
+        "n",
+        cu.alias("cu"),
+        F.row_number().over(wrk).alias("rk"),
+    )
+    return ranked.filter(F.col("rk") == 1).select(
+        "user_id",
+        F.date_format("day", "yyyy-MM-dd").alias("change_day"),
+        F.col("n").alias("n_days"),
+        F.round(
+            F.col("cu").cast("double") / (F.col("n").cast("double") * F.lit(100.0)), 6
+        ).alias("cusum_value"),
+    )
+
+
+@register(
+    "label_centroid_separation",
+    oracle="""
+    WITH dims AS (
+        SELECT e.label, r.range AS dim,
+               CAST(FLOOR(CAST(e.embedding[CAST(r.range AS INT)] AS DOUBLE)
+                          * 1000000.0 + 0.5) AS BIGINT) AS qv
+        FROM embeddings e CROSS JOIN range(1, 65) r
+    ),
+    cent AS (
+        SELECT label, dim,
+               CAST(FLOOR(CAST(SUM(qv) AS DOUBLE)
+                          / CAST(COUNT(*) AS DOUBLE) + 0.5) AS BIGINT) AS cv
+        FROM dims GROUP BY label, dim
+    )
+    SELECT a.label AS label_a, b.label AS label_b,
+           CAST(SUM((a.cv - b.cv) * (a.cv - b.cv)) AS BIGINT) AS sq_dist
+    FROM cent a JOIN cent b ON a.dim = b.dim AND a.label < b.label
+    GROUP BY a.label, b.label
+    """,
+)
+def label_centroid_separation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Inter-class separation matrix: exact integer squared distance
+    between every pair of label centroids — the readout that tells you
+    which classes an embedding space confuses BEFORE training a probe
+    (small sq_dist rows are merge candidates; compare against
+    `embedding_outlier_prune`'s max_kept_dist per-class radii to see
+    which pairs actually overlap). The data-sized work is one
+    (label, dim) partial-sum aggregate (same kernel as
+    `embedding_outlier_prune`'s centroids); the pair join runs over the
+    CENTROID frame — |labels|·dim rows, bounded by the categorical
+    domain, never by corpus size — so the |labels|² expansion is free
+    at any sf. Rounded-integer centroids keep the whole matrix
+    bit-replayable in SQL."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    from esther_apache_spark_spark.operators.clustering import quantize_vectors
+
+    dims = (
+        quantize_vectors(emb)
+        .join(emb.select("vec_id", "label"), "vec_id")
+        .select("label", F.posexplode("qv").alias("dim", "qv"))
+    )
+    cent = dims.groupBy("label", "dim").agg(
+        F.floor(
+            F.sum("qv").cast("double") / F.count(F.lit(1)).cast("double") + F.lit(0.5)
+        )
+        .cast("long")
+        .alias("cv")
+    )
+    a = cent.select(
+        F.col("label").alias("label_a"), "dim", F.col("cv").alias("cv_a")
+    )
+    b = cent.select(
+        F.col("label").alias("label_b"), "dim", F.col("cv").alias("cv_b")
+    )
+    return (
+        a.join(b, "dim")
+        .filter(F.col("label_a") < F.col("label_b"))
+        .groupBy("label_a", "label_b")
+        .agg(
+            F.sum((F.col("cv_a") - F.col("cv_b")) * (F.col("cv_a") - F.col("cv_b"))).alias(
+                "sq_dist"
+            )
+        )
+    )
