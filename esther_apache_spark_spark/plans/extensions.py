@@ -3629,3 +3629,47 @@ def label_centroid_separation(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         )
     )
+
+
+@register(
+    "salted_join_event_totals",
+    oracle="""
+    SELECT e.event_type,
+           CAST(COUNT(*) AS BIGINT) AS n_events,
+           CAST(ROUND(SUM(CAST(e.value AS DECIMAL(12,2))), 2) AS DOUBLE)
+               AS total_value
+    FROM events e JOIN (SELECT DISTINCT user_id FROM events
+                        WHERE event_type = 'purchase') p
+      ON e.user_id = p.user_id
+    GROUP BY e.event_type
+    """,
+)
+def salted_join_event_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The salted-join path in the graded catalog: events (the side a
+    hot user would skew) joined to the purchase-user id list through
+    `skew.salted_join` — the left's rows spread over n_salts reducers
+    via a DETERMINISTIC salt (hash of identifying columns, never
+    rand(): task retries must re-derive the same salt or the join
+    double-counts), the right replicated n_salts ways. Semantics are
+    identical to the plain join BY CONSTRUCTION, which is exactly what
+    the oracle states (plain SQL join) — the salt must change the
+    schedule, never the answer. On this uniform test corpus the salt
+    is pure overhead (~n_salts× the id-list rows); it earns its keep
+    when one user owns a reducer-sized share — the `key_skew_report`
+    max_share reading is the trigger. AQE skew-join handles the
+    post-shuffle-partition case automatically; this operator covers
+    the broadcast-ineligible build side AQE can't split."""
+    from esther_apache_spark_spark.operators.skew import salted_join
+
+    ev = load_table(spark, sf_dir, "events")
+    purchasers = (
+        ev.filter(F.col("event_type") == "purchase").select("user_id").distinct()
+    )
+    joined = salted_join(
+        ev, purchasers, "user_id", n_salts=8, how="inner",
+        left_id_cols=["event_id"],
+    )
+    return joined.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        money_sum(dec2("value"), "total_value"),
+    )
