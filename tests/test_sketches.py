@@ -382,3 +382,39 @@ def test_bloom_probe_null_keys_never_flag(spark):
         for r in bloom_might_contain(probes, "k", words, m_bits=4096, k_hashes=5).collect()
     }
     assert got == {"a": True, None: False}
+
+
+def test_hll_det_accuracy_and_salt_independence(spark, sf_dir):
+    """hll_det_estimate: estimates track exact distinct counts within a
+    generous multiple of the p=9 standard error (1.04/sqrt(512) ≈ 4.6%)
+    across different salts (each salt is an independent hash family),
+    and repartitioning never moves a single estimate (register-max
+    algebra)."""
+    from pyspark.sql import functions as F
+
+    from esther_apache_spark_spark.operators.sketches import hll_det_estimate
+    from esther_apache_spark_spark.schemas import load_table
+
+    orders = load_table(spark, sf_dir, "orders")
+    exact = {
+        r[0]: r[1]
+        for r in orders.groupBy("o_orderpriority")
+        .agg(F.countDistinct("o_custkey").alias("c"))
+        .collect()
+    }
+    for salt in ("hll1|", "hll2|", "hll3|"):
+        est = {
+            r[0]: r[1]
+            for r in hll_det_estimate(
+                orders, "o_custkey", ["o_orderpriority"], p=9, salt=salt
+            ).collect()
+        }
+        for k, ex in exact.items():
+            assert abs(est[k] - ex) <= max(5, 5 * 0.046 * ex), (salt, k, est[k], ex)
+        est2 = {
+            r[0]: r[1]
+            for r in hll_det_estimate(
+                orders.repartition(5), "o_custkey", ["o_orderpriority"], p=9, salt=salt
+            ).collect()
+        }
+        assert est == est2
