@@ -3673,3 +3673,32 @@ def salted_join_event_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n_events"),
         money_sum(dec2("value"), "total_value"),
     )
+
+
+@register(
+    "streaming_event_transitions",
+    oracle="""
+    WITH seq AS (
+        SELECT user_id, event_type,
+               lead(event_type) OVER (PARTITION BY user_id
+                                      ORDER BY ts, event_id) AS next_type
+        FROM events
+    )
+    SELECT event_type AS from_type, next_type AS to_type,
+           CAST(COUNT(*) AS BIGINT) AS n
+    FROM seq WHERE next_type IS NOT NULL
+    GROUP BY event_type, next_type
+    """,
+)
+def streaming_event_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming twin of `event_transition_matrix`'s pair counts:
+    per-user last-event state (O(1) per user) bridges micro-batches,
+    each batch folds its own rows in (ts, event_id) order — see
+    `streaming.events.event_transitions_stream` for the order contract.
+    The oracle is the batch lead()-window pair count, which the
+    streaming fold must reproduce exactly under in-order replay — the
+    same oracle-against-batch-twin doctrine as every other streaming
+    entry."""
+    from esther_apache_spark_spark.streaming.events import event_transitions_stream
+
+    return event_transitions_stream(spark, sf_dir)

@@ -727,3 +727,70 @@ def run_stream_bloom_novelty(
     finally:
         q.stop()
     return spark.table(name)
+
+
+def event_transitions_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stateful streaming event-transition counter — the streaming twin
+    of the batch `event_transition_matrix` pair counts:
+    ``applyInPandasWithState`` keeps each user's LAST (ts, event_id,
+    event_type) across micro-batches, sorts each batch's rows by
+    (ts, event_id) — the same total order the batch lead() window uses —
+    emits that batch's (from, to) transition counts including the bridge
+    from the saved state, and saves the new last event. State is O(1)
+    per user (one struct), not the event history.
+
+    Order contract (documented, standard for order-sensitive stateful
+    ops): across micro-batches the count equals the batch twin when
+    arrival respects event time per user — the file source replays one
+    file per trigger in order, and a production deployment either
+    partitions the bus by user with in-order delivery or buffers within
+    a watermark before folding. The driver-facing result aggregates the
+    per-batch emissions, so emission slicing never changes totals."""
+    import pandas as pd
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    def update(key, pdfs, state: GroupState):
+        pdf = pd.concat(list(pdfs), ignore_index=True)
+        pdf = pdf.sort_values(["ts", "event_id"], kind="mergesort")
+        types = pdf["event_type"].tolist()
+        if state.exists:
+            (last_type,) = state.get
+            types = [last_type] + types
+        if types:
+            state.update((types[-1],))
+        pairs: dict[tuple[str, str], int] = {}
+        for a, b in zip(types, types[1:]):
+            pairs[(a, b)] = pairs.get((a, b), 0) + 1
+        if pairs:
+            yield pd.DataFrame(
+                {
+                    "from_type": [k[0] for k in pairs],
+                    "to_type": [k[1] for k in pairs],
+                    "n": list(pairs.values()),
+                }
+            )
+
+    stream = streaming_events_source(spark, sf_dir)
+    updates = stream.groupBy("user_id").applyInPandasWithState(
+        update,
+        outputStructType="from_type string, to_type string, n long",
+        stateStructType="last_type string",
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+    name = f"transitions_{uuid.uuid4().hex[:8]}"
+    q = (
+        updates.writeStream.outputMode("append")
+        .format("memory")
+        .queryName(name)
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    return (
+        spark.table(name)
+        .groupBy("from_type", "to_type")
+        .agg(F.sum("n").alias("n"))
+    )
