@@ -32,3 +32,40 @@ def test_all_vectors_assigned(spark, sf_dir):
     emb = load_table(spark, sf_dir, "embeddings")
     out = kmeans_lloyd_summary(emb, k=8, iters=2)
     assert int(out.agg(F.sum("n_vecs").alias("n")).collect()[0]["n"]) == emb.count()
+
+
+def test_kmeans_fewer_vectors_than_k(spark):
+    """n < k: every vector seeds its own cluster; assignment is
+    identity, inertia 0, no crash, no empty-cluster artifacts."""
+    import pyspark.sql.functions as F
+
+    rows = [(i, [float(i), float(-i)]) for i in range(5)]
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    out = kmeans_lloyd_summary(emb, k=8, iters=2).collect()
+    assert len(out) == 5
+    assert all(r["n_vecs"] == 1 and r["inertia"] == 0 for r in out)
+
+
+def test_kmeans_empty_input(spark):
+    emb = spark.createDataFrame([], "vec_id long, embedding array<float>")
+    assert kmeans_lloyd_summary(emb, k=4, iters=1).count() == 0
+
+
+def test_hll_det_empty_input(spark):
+    from esther_apache_spark_spark.operators.sketches import hll_det_estimate
+
+    df = spark.createDataFrame([], "k long, g string")
+    assert hll_det_estimate(df, "k", ["g"]).count() == 0
+
+
+def test_kmeans_identical_vectors_single_cluster(spark):
+    """All-identical vectors: k seeds collapse to the same centroid;
+    ties break to the lowest cluster id, so exactly ONE cluster
+    survives with everything in it and zero inertia."""
+    rows = [(i, [1.5, -2.5]) for i in range(20)]
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    out = kmeans_lloyd_summary(emb, k=4, iters=2).collect()
+    assert len(out) == 1
+    assert out[0]["cluster_id"] == 0
+    assert out[0]["n_vecs"] == 20
+    assert out[0]["inertia"] == 0
