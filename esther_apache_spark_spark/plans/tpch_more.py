@@ -1327,3 +1327,95 @@ def copurchase_brand_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("n_orders"), F.asc("brand_a"), F.asc("brand_b"))
         .limit(10)
     )
+
+
+@register(
+    "revenue_share_of_parent",
+    oracle="""
+    WITH nat AS (
+        SELECT r.r_name AS region, n.n_name AS nation,
+               CAST(SUM(CAST(o.o_totalprice AS DECIMAL(14,2))) AS DECIMAL(20,2))
+                   AS rev
+        FROM orders o
+        JOIN customer c ON o.o_custkey = c.c_custkey
+        JOIN nation n ON c.c_nationkey = n.n_nationkey
+        JOIN region r ON n.n_regionkey = r.r_regionkey
+        GROUP BY r.r_name, n.n_name
+    )
+    SELECT region, nation,
+           CAST(rev AS DOUBLE) AS revenue,
+           CAST(ROUND(CAST(rev AS DOUBLE)
+                      / CAST(SUM(rev) OVER (PARTITION BY region) AS DOUBLE), 6)
+                AS DOUBLE) AS share_of_region
+    FROM nat
+    """,
+)
+def revenue_share_of_parent(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Share-of-parent OLAP report: each nation's revenue as a fraction
+    of its region's total — the nested-ratio shape every BI rollup
+    needs. The share window runs over the AGGREGATED nation frame
+    (≤ |nations| rows), never the facts — the same bounded-frame window
+    doctrine as `weekly_from_daily_rollup`; revenue is summed in
+    decimal (exact, order-free) and only the final share divides in
+    double, rounded to 6."""
+    o = load_table(spark, sf_dir, "orders")
+    c = load_table(spark, sf_dir, "customer")
+    nation = load_table(spark, sf_dir, "nation")
+    region = load_table(spark, sf_dir, "region")
+    nat = (
+        o.join(c, o.o_custkey == c.c_custkey)
+        .join(F.broadcast(nation), c.c_nationkey == F.col("n_nationkey"))
+        .join(F.broadcast(region), F.col("n_regionkey") == F.col("r_regionkey"))
+        .groupBy(F.col("r_name").alias("region"), F.col("n_name").alias("nation"))
+        .agg(F.sum(dec2("o_totalprice", "decimal(14,2)")).alias("rev"))
+    )
+    w = Window.partitionBy("region")
+    return nat.select(
+        "region",
+        "nation",
+        F.col("rev").cast("double").alias("revenue"),
+        F.round(
+            F.col("rev").cast("double") / F.sum("rev").over(w).cast("double"), 6
+        ).alias("share_of_region"),
+    )
+
+
+@register(
+    "wow_growth_by_event_type",
+    oracle="""
+    WITH weekly AS (
+        SELECT event_type, date_trunc('week', CAST(ts AS DATE)) AS week,
+               CAST(SUM(CAST(value AS DECIMAL(12,2))) AS DECIMAL(20,2)) AS wv
+        FROM events GROUP BY event_type, date_trunc('week', CAST(ts AS DATE))
+    )
+    SELECT event_type, strftime(week, '%Y-%m-%d') AS week_start,
+           CAST(wv AS DOUBLE) AS week_value,
+           CAST(ROUND(CAST(wv AS DOUBLE)
+                      / CAST(lag(wv) OVER (PARTITION BY event_type
+                                           ORDER BY week) AS DOUBLE) - 1.0, 6)
+                AS DOUBLE) AS wow_growth
+    FROM weekly
+    """,
+)
+def wow_growth_by_event_type(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Week-over-week growth per event type — the lag-ratio reporting
+    shape (this week / last week − 1). The lag window runs over the
+    weekly AGGREGATE frame (|types| × |weeks| rows); the first week's
+    growth is NULL by definition (no prior), which both engines state
+    identically. Weekly sums are decimal-exact; one rounded double
+    ratio at the end. Monday week-truncation matches between Spark's
+    date_trunc('week') and DuckDB's."""
+    ev = load_table(spark, sf_dir, "events")
+    weekly = ev.groupBy(
+        "event_type",
+        F.date_trunc("week", F.col("ts").cast("date")).cast("date").alias("week"),
+    ).agg(F.sum(dec2("value")).alias("wv"))
+    w = Window.partitionBy("event_type").orderBy("week")
+    return weekly.select(
+        "event_type",
+        F.date_format("week", "yyyy-MM-dd").alias("week_start"),
+        F.col("wv").cast("double").alias("week_value"),
+        F.round(
+            F.col("wv").cast("double") / F.lag("wv").over(w).cast("double") - 1.0, 6
+        ).alias("wow_growth"),
+    )
