@@ -120,6 +120,7 @@ def kmeans_lloyd_summary(
     scale: int = 1_000_000,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    assign_via: str = "expr",
 ) -> DataFrame:
     """``iters`` unrolled Lloyd rounds over the WHOLE corpus; returns
     one row per surviving cluster: (cluster_id, n_vecs, inertia — Σ
@@ -132,14 +133,24 @@ def kmeans_lloyd_summary(
     embeddings; for corpora beyond that, drop ``scale`` to 10⁴ (the
     bound grows 10⁴×; assignment quality for unit vectors is
     unchanged) — determinism and the oracle replay are scale-setting-
-    independent."""
+    independent.
+
+    ``assign_via``: ``"expr"`` (default) keeps assignment a pure lazy
+    column expression — right for small k and for SQL-replay parity;
+    ``"arrow"`` swaps in the int64-GEMM ``mapInArrow`` kernel
+    (``_assign_arrow``) — bit-identical results (equivalence-tested),
+    the right tier once k reaches codebook sizes where the expression
+    fold interprets k·dim ops per row."""
+    if assign_via not in ("expr", "arrow"):
+        raise ValueError(f"unknown assign_via: {assign_via}")
+    assign = _assign if assign_via == "expr" else _assign_arrow
     q = quantize_vectors(emb, id_col=id_col, vec_col=vec_col, scale=scale)
     cent = q.filter(F.col("vec_id") < k).select(
         F.col("vec_id").alias("cid"), F.col("qv").alias("cv")
     )
     assigned = None
     for _ in range(iters):
-        assigned = _assign(q, cent)
+        assigned = assign(q, cent)
         cent = _update(assigned)
     sizes = assigned.groupBy(F.col("best.cid").alias("cluster_id")).agg(
         F.count(F.lit(1)).alias("n_vecs"),
@@ -152,3 +163,62 @@ def kmeans_lloyd_summary(
         ).alias("centroid_l1"),
     )
     return sizes.join(l1, on="cluster_id", how="inner")
+
+
+def _assign_arrow(q: DataFrame, cent: DataFrame) -> DataFrame:
+    """Arrow GEMM assignment kernel — bit-identical to ``_assign`` but
+    O(k·dim) work per vector runs as one int64 matrix product instead
+    of an interpreted higher-order-function fold. The expression path
+    wins at small k (stays lazy, SQL-replayable plan); this one wins
+    once k reaches the dozens-to-thousands range (codebook-sized),
+    where the fold interprets k·dim ops per row. Exactness is
+    preserved: the distance identity ‖x‖² + ‖c‖² − 2x·c runs entirely
+    in int64 (max |term| ≈ dim·scale² ≈ 2^46 — no float anywhere), and
+    np.argmin's first-minimum rule equals the (dist, cid) lexicographic
+    tie-break because centroids are sorted by cid. Trade-off: the
+    centroid table (k·dim ints — model constants) is collected eagerly
+    per round, so the unrolled plan is no longer one lazy tree."""
+    import numpy as np
+    import pyarrow as pa
+
+    rows = sorted(cent.collect(), key=lambda r: r["cid"])
+    if not rows:
+        return q.select(
+            "vec_id",
+            "qv",
+            F.struct(
+                F.lit(None).cast("long").alias("dist"),
+                F.lit(None).cast("long").alias("cid"),
+            ).alias("best"),
+        ).filter(F.lit(False))
+    cids = np.array([r["cid"] for r in rows], dtype="int64")
+    C = np.array([r["cv"] for r in rows], dtype="int64")
+    c_sq = (C * C).sum(axis=1)
+
+    def scan(batches):
+        for batch in batches:
+            ids = batch.column(0).to_numpy()
+            varr = batch.column(1)
+            if len(ids) == 0:
+                continue
+            X = np.asarray(
+                varr.flatten().to_numpy(zero_copy_only=False), dtype="int64"
+            ).reshape(len(ids), C.shape[1])
+            d = (X * X).sum(axis=1)[:, None] + c_sq[None, :] - 2 * (X @ C.T)
+            j = np.argmin(d, axis=1)  # first min == lowest cid (sorted)
+            yield pa.RecordBatch.from_arrays(
+                [
+                    batch.column(0),
+                    batch.column(1),
+                    pa.array(d[np.arange(len(ids)), j], pa.int64()),
+                    pa.array(cids[j], pa.int64()),
+                ],
+                names=["vec_id", "qv", "dist", "cid"],
+            )
+
+    flat = q.select("vec_id", "qv").mapInArrow(
+        scan, "vec_id long, qv array<long>, dist long, cid long"
+    )
+    return flat.select(
+        "vec_id", "qv", F.struct(F.col("dist"), F.col("cid")).alias("best")
+    )

@@ -69,3 +69,18 @@ def test_kmeans_identical_vectors_single_cluster(spark):
     assert out[0]["cluster_id"] == 0
     assert out[0]["n_vecs"] == 20
     assert out[0]["inertia"] == 0
+
+
+def test_arrow_assignment_matches_expression_path(spark, sf_dir):
+    """assign_via='arrow' (int64-GEMM mapInArrow kernel) must be
+    bit-identical to the expression fold — same distances, same
+    (dist, cid) tie-break, same trained model."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    a = sorted(map(tuple, kmeans_lloyd_summary(emb, k=8, iters=2).collect()))
+    b = sorted(
+        map(
+            tuple,
+            kmeans_lloyd_summary(emb, k=8, iters=2, assign_via="arrow").collect(),
+        )
+    )
+    assert a == b
