@@ -2342,3 +2342,72 @@ def decode_token_ids_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(F.when(F.col("dec_word") == "<unk>", 1).otherwise(0)).alias("n_oov"),
         (_joined("dec_word") == _joined("orig_word")).alias("roundtrip_ok"),
     )
+
+
+@register(
+    "corpus_dataset_card",
+    oracle="""
+    WITH base AS (
+        SELECT doc_id, lang, source, n_chars,
+               len(list_filter(regexp_split_to_array(trim(text), '\\s+'),
+                               x -> x <> '')) AS n_tok,
+               md5(text) AS h
+        FROM documents
+    )
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(n_tok) AS BIGINT) AS total_tokens,
+           CAST(SUM(n_chars) AS BIGINT) AS total_chars,
+           CAST(COUNT(DISTINCT lang) AS BIGINT) AS n_langs,
+           CAST(COUNT(DISTINCT source) AS BIGINT) AS n_sources,
+           CAST(MIN(n_tok) AS BIGINT) AS min_tokens,
+           CAST(MAX(n_tok) AS BIGINT) AS max_tokens,
+           CAST(ROUND(CAST(SUM(n_tok) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE), 6)
+                AS DOUBLE) AS mean_tokens,
+           CAST(COUNT(*) - COUNT(DISTINCT h) AS BIGINT) AS n_exact_dups,
+           CAST(ROUND(1.0 - CAST(COUNT(DISTINCT h) AS DOUBLE)
+                            / CAST(COUNT(*) AS DOUBLE), 6) AS DOUBLE)
+               AS exact_dup_rate
+    FROM base
+    """,
+)
+def corpus_dataset_card(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The dataset card in one row — the stats manifest a pipeline
+    publishes beside every corpus release (and the numbers a consumer
+    checks before training): doc/token/char volume, language and source
+    breadth, token-length envelope, and the exact-duplicate rate
+    (1 − distinct content hashes / docs — the md5 never leaves the
+    aggregate, so the shuffle carries 16-byte hashes). One scan, one
+    aggregate: the count-distincts share a single Expand the same way
+    `column_stats_lineitem` documents; per-source and per-lang slices
+    of the same readout live in `source_mix_report` /
+    `cap_docs_per_lang`, and the near-dup rate (this one is EXACT dups
+    only) comes from the LSH family. Mean tokens is one rounded ratio
+    of exact integers."""
+    from esther_apache_spark_spark.operators.textstats import token_count
+
+    docs = load_table(spark, sf_dir, "documents")
+    base = docs.select(
+        "lang",
+        "source",
+        "n_chars",
+        token_count(F.col("text"), mode="ws").cast("long").alias("n_tok"),
+        F.md5(F.col("text").cast("binary")).alias("h"),
+    )
+    return base.agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_tok").alias("total_tokens"),
+        F.sum("n_chars").alias("total_chars"),
+        F.countDistinct("lang").alias("n_langs"),
+        F.countDistinct("source").alias("n_sources"),
+        F.min("n_tok").alias("min_tokens"),
+        F.max("n_tok").alias("max_tokens"),
+        F.round(
+            F.sum("n_tok").cast("double") / F.count(F.lit(1)).cast("double"), 6
+        ).alias("mean_tokens"),
+        (F.count(F.lit(1)) - F.countDistinct("h")).alias("n_exact_dups"),
+        F.round(
+            F.lit(1.0)
+            - F.countDistinct("h").cast("double") / F.count(F.lit(1)).cast("double"),
+            6,
+        ).alias("exact_dup_rate"),
+    )
