@@ -2411,3 +2411,45 @@ def corpus_dataset_card(spark: SparkSession, sf_dir: str) -> DataFrame:
             6,
         ).alias("exact_dup_rate"),
     )
+
+
+@register(
+    "source_lang_purity",
+    oracle="""
+    WITH counts AS (
+        SELECT source, lang, CAST(COUNT(*) AS BIGINT) AS n
+        FROM documents GROUP BY source, lang
+    )
+    SELECT source,
+           CAST(SUM(n) AS BIGINT) AS n_docs,
+           CAST(COUNT(*) AS BIGINT) AS n_langs,
+           CAST(ROUND(1.0 - CAST(SUM(n * n) AS DOUBLE)
+                            / (CAST(SUM(n) AS DOUBLE) * CAST(SUM(n) AS DOUBLE)),
+                      6) AS DOUBLE) AS lang_impurity
+    FROM counts GROUP BY source
+    """,
+)
+def source_lang_purity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source language purity — the mixture-health readout a corpus
+    curator checks per ingest feed (a crawl source whose language mix
+    suddenly broadens usually changed its extraction, not its
+    audience). Impurity is the Gini/Simpson index 1 − Σ(nᵢ/N)², kept
+    EXACT until the end: Σnᵢ² and N are BIGINT sums over the bounded
+    (source, lang) count frame, so no per-term float ever enters —
+    deliberately the no-transcendental alternative to Shannon entropy
+    (whose per-term log ulps differ between libm and the JVM; the
+    repo-wide doctrine is rational forms wherever the metric allows,
+    same as BM25's rational idf). Two partial-aggregable groupBys on
+    bounded categorical keys; one rounded division per source."""
+    docs = load_table(spark, sf_dir, "documents")
+    counts = docs.groupBy("source", "lang").agg(F.count(F.lit(1)).alias("n"))
+    return counts.groupBy("source").agg(
+        F.sum("n").alias("n_docs"),
+        F.count(F.lit(1)).alias("n_langs"),
+        F.round(
+            F.lit(1.0)
+            - F.sum(F.col("n") * F.col("n")).cast("double")
+            / (F.sum("n").cast("double") * F.sum("n").cast("double")),
+            6,
+        ).alias("lang_impurity"),
+    )
