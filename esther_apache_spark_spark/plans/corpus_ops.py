@@ -2453,3 +2453,83 @@ def source_lang_purity(spark: SparkSession, sf_dir: str) -> DataFrame:
             6,
         ).alias("lang_impurity"),
     )
+
+
+@register(
+    "kfold_assignment_balance",
+    oracle="""
+    WITH folds AS (
+        SELECT doc_id, lang,
+               CAST(CONCAT('0x', substr(md5(CONCAT('fold1|',
+                    CAST(doc_id AS VARCHAR))), 1, 8)) AS BIGINT) % 5 AS fold
+        FROM documents
+    )
+    SELECT fold, lang, CAST(COUNT(*) AS BIGINT) AS n_docs
+    FROM folds GROUP BY fold, lang
+    """,
+)
+def kfold_assignment_balance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic 5-fold cross-validation assignment + its balance
+    audit: fold = md5-bucket(doc_id) mod 5 — the same salted
+    md5-hex→BIGINT gate as `deterministic_sample_docs`, so folds are
+    identical on any engine/partitioning and STABLE under corpus
+    growth (a doc never changes folds when others are added — the
+    property random shuffles lack), and fold ∩ fold' = ∅ by
+    construction. The report is the per-(fold, lang) count matrix a
+    practitioner eyeballs for stratification balance before trusting
+    CV numbers; the assignment itself is the WHERE-clause filter
+    (fold <> i to train, fold = i to validate) that pushes down to the
+    scan. For leakage-safe folds on near-duplicated corpora, compose
+    with the cluster-granular gate of `leakage_safe_split` (assign the
+    CLUSTER representative's fold to every member)."""
+    from esther_apache_spark_spark.operators.sampling import hash_bucket
+
+    docs = load_table(spark, sf_dir, "documents")
+    folds = docs.select(
+        "lang", (hash_bucket(F.col("doc_id"), salt="fold1|") % 5).alias("fold")
+    )
+    return folds.groupBy("fold", "lang").agg(F.count(F.lit(1)).alias("n_docs"))
+
+
+@register(
+    "class_balance_weights",
+    oracle="""
+    WITH counts AS (
+        SELECT label, CAST(COUNT(*) AS BIGINT) AS n FROM embeddings GROUP BY label
+    ),
+    tot AS (SELECT CAST(SUM(n) AS BIGINT) AS total,
+                   CAST(COUNT(*) AS BIGINT) AS k FROM counts)
+    SELECT c.label, c.n,
+           CAST(ROUND(CAST(t.total AS DOUBLE)
+                      / (CAST(t.k AS DOUBLE) * CAST(c.n AS DOUBLE)), 6)
+                AS DOUBLE) AS weight
+    FROM counts c CROSS JOIN tot t
+    """,
+)
+def class_balance_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Inverse-frequency class weights — N/(k·n_c) per label, the
+    standard loss-reweighting table for imbalanced classification
+    (weights average to 1 over the dataset by construction). One
+    bounded-key aggregate; the (total, k) scalars are a 1-row frame
+    the |labels|-row count table cross-joins (Catalyst folds it to the
+    pinned 1-row broadcast shape). Exact integers until one rounded
+    division; the weight table is what `weighted_sample_docs`-style
+    A-ES sampling or a training loss consumes downstream."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    counts = emb.groupBy("label").agg(F.count(F.lit(1)).alias("n"))
+    tot = counts.agg(
+        F.sum("n").alias("total"), F.count(F.lit(1)).alias("k")
+    ).withColumn("_k", F.lit(1))
+    return (
+        counts.withColumn("_k", F.lit(1))
+        .join(F.broadcast(tot), "_k")
+        .select(
+            "label",
+            "n",
+            F.round(
+                F.col("total").cast("double")
+                / (F.col("k").cast("double") * F.col("n").cast("double")),
+                6,
+            ).alias("weight"),
+        )
+    )
