@@ -548,30 +548,24 @@ def _mh_shard_hash_fn(hash_family: str):
     return shard_hash
 
 
-def minhash_band_frame(
+def shingle_base_frame(
     df: DataFrame,
     id_col: str = "doc_id",
     text_col: str = "text",
-    num_perm: int = 32,
-    bands: int = 8,
-    shingle_n: int = 3,
+    shingle_n: int | None = 3,
     hash_family: str = "xxhash64",
 ) -> DataFrame:
-    """Cached MinHash signature frame ``(_id, _sig, _bh)`` — the
-    signature array plus its ``bands`` band hashes — shared by the
-    within-corpus candidate self-join (``minhash_lsh_candidates``) and
-    the cross-corpus matcher (``minhash_cross_matches``). One narrow
-    pass over the text; the caller joins on exploded ``_bh``."""
-    if hash_family not in ("xxhash64", "md5"):
-        raise ValueError(f"unknown hash_family: {hash_family!r}")
-    rows_per_band = num_perm // bands
-    if rows_per_band * bands != num_perm:
-        raise ValueError("num_perm must be divisible by bands")
-    df = _non_null_text(df, text_col)
+    """Per-doc distinct shingle-hash set ``(_id, _base)`` — the shared
+    base of every MinHash consumer (``minhash_band_frame``) and of
+    exact-Jaccard auditing (``lsh_pair_audit``): exact Jaccard over
+    ``_base`` IS the n-gram Jaccard the MinHash signature estimates,
+    in the same hash family, so estimator and truth are comparable
+    pointwise (and, for the md5 family, SQL-replayable).
 
-    # JVM computes the shingle hashes; the permutation fold runs
-    # vectorized in one Arrow batch (see *_vec docstring). Staged
-    # projections (token hashes as a multi-referenced attribute) instead
+    Implementation notes (moved verbatim from ``minhash_band_frame``):
+    JVM computes the shingle hashes; the permutation fold downstream
+    runs vectorized in one Arrow batch (see *_vec docstring)."""
+    # Staged projections (token hashes as a multi-referenced attribute) instead
     # of the let-binding combinator used by ``shingle_hashes``: the
     # let's `aggregate([], …)` form defeats Catalyst's Python-UDF
     # extraction (the UDF lands inside an interpreted projection and
@@ -656,6 +650,35 @@ def minhash_band_frame(
                 F.array_distinct(tokenize(F.col(text_col))), lambda e: F.xxhash64(e)
             ).alias("_base"),
         )
+
+    return base_df
+
+
+def minhash_band_frame(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    num_perm: int = 32,
+    bands: int = 8,
+    shingle_n: int = 3,
+    hash_family: str = "xxhash64",
+) -> DataFrame:
+    """Cached MinHash signature frame ``(_id, _sig, _bh)`` — the
+    signature array plus its ``bands`` band hashes — shared by the
+    within-corpus candidate self-join (``minhash_lsh_candidates``) and
+    the cross-corpus matcher (``minhash_cross_matches``). One narrow
+    pass over the text; the caller joins on exploded ``_bh``."""
+    if hash_family not in ("xxhash64", "md5"):
+        raise ValueError(f"unknown hash_family: {hash_family!r}")
+    rows_per_band = num_perm // bands
+    if rows_per_band * bands != num_perm:
+        raise ValueError("num_perm must be divisible by bands")
+    df = _non_null_text(df, text_col)
+
+    base_df = shingle_base_frame(
+        df, id_col=id_col, text_col=text_col,
+        shingle_n=shingle_n, hash_family=hash_family,
+    )
 
     # Cache the signatures (and their band hashes — computed once here,
     # consumed by the hot-bucket stats pass, the banded explode AND the

@@ -2533,3 +2533,53 @@ def class_balance_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("weight"),
         )
     )
+
+
+@register(
+    "dup_cluster_size_histogram",
+    oracle="""
+    WITH corpus AS (
+        SELECT text FROM documents
+        UNION ALL SELECT text FROM documents WHERE doc_id % 7 = 0
+        UNION ALL SELECT text FROM documents WHERE doc_id % 21 = 0
+    ),
+    clusters AS (
+        SELECT md5(text) AS h, CAST(COUNT(*) AS BIGINT) AS size
+        FROM corpus GROUP BY md5(text)
+    )
+    SELECT size,
+           CAST(COUNT(*) AS BIGINT) AS n_clusters,
+           CAST(size * COUNT(*) AS BIGINT) AS n_docs
+    FROM clusters GROUP BY size
+    """,
+)
+def dup_cluster_size_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact-duplicate cluster-size histogram — the dedup
+    observability readout that tells you WHAT KIND of duplication a
+    corpus carries before you pick a strategy: a fat size=2 band is
+    organic near-reposts (plain keep-first handles it), a long tail of
+    deep clusters is template/boilerplate mass (turn on
+    `collapse_exact` so LSH work doesn't grow quadratically in clone
+    depth — the measured r2 lesson), and n_docs per band quantifies
+    exactly how many documents each policy would drop. Two
+    partial-aggregable hash aggregates (content md5 → size,
+    size → cluster count); text never shuffles, and the second
+    aggregate runs over the frequency-of-frequency frame — the same
+    collapse as `key_skew_report`'s Gini. The test corpus carries no
+    exact dups, so the histogram's input plants deterministic reposts
+    (every 7th doc twice, every 21st three times) — the same
+    derived-snapshot trick as `corpus_diff_versions` — so all three
+    bands (1, 2, 3) are exercised and oracled."""
+    docs = load_table(spark, sf_dir, "documents")
+    corpus = (
+        docs.select("text")
+        .unionByName(docs.filter(F.col("doc_id") % 7 == 0).select("text"))
+        .unionByName(docs.filter(F.col("doc_id") % 21 == 0).select("text"))
+    )
+    clusters = corpus.groupBy(F.md5(F.col("text").cast("binary")).alias("h")).agg(
+        F.count(F.lit(1)).alias("size")
+    )
+    return clusters.groupBy("size").agg(
+        F.count(F.lit(1)).alias("n_clusters"),
+        (F.col("size") * F.count(F.lit(1))).alias("n_docs"),
+    )

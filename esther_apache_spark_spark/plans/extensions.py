@@ -3702,3 +3702,127 @@ def streaming_event_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
     from esther_apache_spark_spark.streaming.events import event_transitions_stream
 
     return event_transitions_stream(spark, sf_dir)
+
+
+@register(
+    "lsh_pair_audit",
+    oracle=f"""
+    WITH consts AS (SELECT {_MINHASH_PERMS}),
+    toks AS ({_TOKS_CTE}),
+    th AS (
+        SELECT doc_id,
+               list_transform(t, x -> CAST(CONCAT('0x', substr(md5(x), 1, 15)) AS BIGINT)) AS h
+        FROM toks
+    ),
+    base AS (
+        SELECT doc_id,
+               list_distinct(
+                   CASE WHEN len(h) >= 3
+                        THEN list_transform(range(1, len(h) - 1), i ->
+                               (h[i]   & 1073741823) * 536870909 + (h[i]   >> 30) * 536870923
+                             + (h[i+1] & 1073741823) * 536870951 + (h[i+1] >> 30) * 536870969
+                             + (h[i+2] & 1073741823) * 536871001 + (h[i+2] >> 30) * 536871017)
+                        ELSE CAST([] AS BIGINT[]) END
+               ) AS bh
+        FROM th
+    ),
+    sigs AS (
+        SELECT doc_id,
+               list_transform(range(32), p ->
+                   CASE WHEN len(bh) = 0 THEN CAST(9223372036854775807 AS BIGINT)
+                        ELSE list_min(list_transform(bh, x ->
+                            CAST((A[p+1] * x + B[p+1]) % 9223372036854775808 AS BIGINT)))
+                   END) AS sig
+        FROM base CROSS JOIN consts
+    ),
+    banded AS (
+        SELECT doc_id, sig,
+               list_transform(range(8), k ->
+                   CAST(CONCAT('0x', substr(md5(
+                       CAST(sig[4*k+1] AS VARCHAR) || ',' || CAST(sig[4*k+2] AS VARCHAR) || ',' ||
+                       CAST(sig[4*k+3] AS VARCHAR) || ',' || CAST(sig[4*k+4] AS VARCHAR)), 1, 15)) AS BIGINT)) AS bands
+        FROM sigs
+    ),
+    expl AS (
+        SELECT doc_id, sig, bands, CAST(r.b AS INTEGER) AS band, bands[r.b + 1] AS bucket
+        FROM banded CROSS JOIN (SELECT unnest(range(8)) AS b) r
+    ),
+    pairs AS (
+        SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+               len(list_filter(range(32), i -> a.sig[i+1] = b.sig[i+1])) AS agree
+        FROM expl a JOIN expl b
+          ON a.band = b.band AND a.bucket = b.bucket AND a.doc_id < b.doc_id
+        WHERE list_position(list_transform(range(8), j -> a.bands[j+1] = b.bands[j+1]), true) = a.band + 1
+    ),
+    jac AS (
+        SELECT p.id_a, p.id_b, p.agree,
+               len(list_intersect(x.bh, y.bh)) AS inter,
+               len(x.bh) + len(y.bh) - len(list_intersect(x.bh, y.bh)) AS uni
+        FROM pairs p
+        JOIN base x ON p.id_a = x.doc_id
+        JOIN base y ON p.id_b = y.doc_id
+    )
+    SELECT CAST(CASE WHEN uni = 0 THEN 10 ELSE (10 * inter) // uni END AS INT)
+               AS jaccard_band,
+           CAST(COUNT(*) AS BIGINT) AS n_pairs,
+           CAST(SUM(inter) AS BIGINT) AS total_intersection,
+           CAST(SUM(uni) AS BIGINT) AS total_union,
+           CAST(SUM(agree) AS BIGINT) AS total_sig_agree
+    FROM jac GROUP BY 1
+    """,
+)
+def lsh_pair_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Precision audit of the MinHash-LSH candidate pairs — the
+    threshold-tuning loop every approximate dedup deployment runs:
+    join each candidate pair back to its EXACT shingle-set Jaccard
+    (same md5 hash family, `dedup.shingle_base_frame` — so estimator
+    and truth are measured over the identical shingle universe) and
+    histogram pairs into Jaccard decile bands with exact-integer
+    totals (Σ|∩|, Σ|∪|, Σ matching signature positions — no float
+    means, so the whole audit replays bit-for-bit in SQL on top of the
+    `dedup_minhash_lsh` pair replay). Reading: mass in low bands means
+    the band/row configuration is too permissive — raise rows-per-band
+    or post-filter on sig_agreement; the per-band agree/32 vs
+    (10·band)% comparison calibrates the estimator itself. Cost: the
+    pair join re-uses the cached signature frame; the truth join is
+    two hash joins on doc_id carrying the distinct-shingle arrays —
+    audit-sized, run on a corpus sample at 100 TB (compose with
+    `deterministic_sample_docs`' hash gate)."""
+    docs = load_table(spark, sf_dir, "documents")
+    pairs = D.minhash_lsh_candidates(
+        docs, num_perm=32, bands=8, shingle_n=3, hash_family="md5"
+    )
+    base = D.shingle_base_frame(docs, shingle_n=3, hash_family="md5")
+    a = base.select(F.col("_id").alias("id_a"), F.col("_base").alias("bh_a"))
+    b = base.select(F.col("_id").alias("id_b"), F.col("_base").alias("bh_b"))
+    jac = (
+        pairs.join(a, "id_a")
+        .join(b, "id_b")
+        .select(
+            F.floor(F.col("sig_agreement") * 32 + F.lit(0.5))
+            .cast("long")
+            .alias("agree"),
+            F.size(F.array_intersect("bh_a", "bh_b")).cast("long").alias("inter"),
+            (
+                F.size("bh_a") + F.size("bh_b")
+                - F.size(F.array_intersect("bh_a", "bh_b"))
+            )
+            .cast("long")
+            .alias("uni"),
+        )
+    )
+    banded = jac.select(
+        "agree",
+        "inter",
+        "uni",
+        F.when(F.col("uni") == 0, F.lit(10))
+        .otherwise(F.expr("(10 * inter) div uni"))
+        .cast("int")
+        .alias("jaccard_band"),
+    )
+    return banded.groupBy("jaccard_band").agg(
+        F.count(F.lit(1)).alias("n_pairs"),
+        F.sum("inter").alias("total_intersection"),
+        F.sum("uni").alias("total_union"),
+        F.sum("agree").alias("total_sig_agree"),
+    )
