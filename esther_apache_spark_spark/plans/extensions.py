@@ -3826,3 +3826,238 @@ def lsh_pair_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("uni").alias("total_union"),
         F.sum("agree").alias("total_sig_agree"),
     )
+
+
+@register(
+    "ngram_novelty_score",
+    oracle=f"""
+    WITH toks AS ({_TOKS_CTE}),
+    th AS (
+        SELECT doc_id,
+               list_transform(t, x -> CAST(CONCAT('0x', substr(md5(x), 1, 15)) AS BIGINT)) AS h
+        FROM toks
+    ),
+    base AS (
+        SELECT doc_id,
+               list_distinct(
+                   CASE WHEN len(h) >= 3
+                        THEN list_transform(range(1, len(h) - 1), i ->
+                               (h[i]   & 1073741823) * 536870909 + (h[i]   >> 30) * 536870923
+                             + (h[i+1] & 1073741823) * 536870951 + (h[i+1] >> 30) * 536870969
+                             + (h[i+2] & 1073741823) * 536871001 + (h[i+2] >> 30) * 536871017)
+                        ELSE CAST([] AS BIGINT[]) END
+               ) AS bh
+        FROM th
+    ),
+    sh AS (SELECT doc_id, unnest(bh) AS s FROM base),
+    firsts AS (SELECT s, MIN(doc_id) AS first_doc FROM sh GROUP BY s)
+    SELECT sh.doc_id,
+           CAST(COUNT(*) AS BIGINT) AS n_shingles,
+           CAST(SUM(CASE WHEN f.first_doc = sh.doc_id THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_novel,
+           CAST(ROUND(CAST(SUM(CASE WHEN f.first_doc = sh.doc_id THEN 1 ELSE 0 END)
+                           AS DOUBLE) / CAST(COUNT(*) AS DOUBLE), 6) AS DOUBLE)
+               AS novelty
+    FROM sh JOIN firsts f ON sh.s = f.s
+    GROUP BY sh.doc_id
+    """,
+)
+def ngram_novelty_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-doc n-gram novelty: the fraction of a document's distinct
+    3-gram shingles that THIS doc introduces to the corpus (it owns the
+    minimum doc_id for the shingle) — the contribution-vs-rehash signal
+    a curator ranks docs by when trimming a crawl to a token budget
+    (novelty ≈ 0 means the doc is assembled from already-seen content
+    even when no single pair-level duplicate fires; the exact
+    complement of the pairwise view in `dedup_ngram_jaccard` /
+    `dedup_substring_spans`). Shingles come from the shared md5-family
+    base (`dedup.shingle_base_frame`), so the score is SQL-replayable
+    and comparable with the LSH family's universe. Cost: one shingle
+    explode + a (shingle → min doc_id) partial-agg shuffle + one join
+    back — the same cost family as the substring-span index; docs
+    shorter than the shingle width have no shingles and drop out
+    (inner join), matching the oracle."""
+    docs = load_table(spark, sf_dir, "documents")
+    base = D.shingle_base_frame(docs, shingle_n=3, hash_family="md5")
+    sh = base.select(F.col("_id").alias("doc_id"), F.explode("_base").alias("s"))
+    firsts = sh.groupBy("s").agg(F.min("doc_id").alias("first_doc"))
+    joined = sh.join(firsts, "s")
+    novel = F.when(F.col("first_doc") == F.col("doc_id"), 1).otherwise(0)
+    return joined.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_shingles"),
+        F.sum(novel).alias("n_novel"),
+        F.round(
+            F.sum(novel).cast("double") / F.count(F.lit(1)).cast("double"), 6
+        ).alias("novelty"),
+    )
+
+
+@register(
+    "autocorr_lag1_daily_by_type",
+    oracle="""
+    WITH daily AS (
+        SELECT event_type, CAST(ts AS DATE) AS day,
+               CAST(SUM(CAST(CAST(value AS DECIMAL(12,2)) * 100 AS BIGINT))
+                    AS BIGINT) AS cents
+        FROM events GROUP BY event_type, CAST(ts AS DATE)
+    ),
+    lagged AS (
+        SELECT event_type, cents AS y,
+               lag(cents) OVER (PARTITION BY event_type ORDER BY day) AS x
+        FROM daily
+    ),
+    sums AS (
+        SELECT event_type,
+               CAST(COUNT(*) AS BIGINT) AS n,
+               CAST(SUM(x) AS BIGINT) AS sx, CAST(SUM(y) AS BIGINT) AS sy,
+               CAST(SUM(x * y) AS BIGINT) AS sxy,
+               CAST(SUM(x * x) AS BIGINT) AS sxx,
+               CAST(SUM(y * y) AS BIGINT) AS syy
+        FROM lagged WHERE x IS NOT NULL GROUP BY event_type
+    )
+    SELECT event_type, n AS n_pairs,
+           CAST(ROUND((CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE)
+                       - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+                      / sqrt((CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
+                              - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
+                             * (CAST(n AS DOUBLE) * CAST(syy AS DOUBLE)
+                                - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE))),
+                      6) AS DOUBLE) AS autocorr_lag1
+    FROM sums
+    """,
+)
+def autocorr_lag1_daily_by_type(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Lag-1 autocorrelation of the daily value series per event type —
+    the is-today-predicted-by-yesterday readout that separates trending
+    metrics from noise before anyone fits a forecaster. Pearson r over
+    (yesterday, today) pairs in the textbook five-sums form, with every
+    sum an EXACT BIGINT in integer cents (Σx² stays below 2^63 while
+    daily per-type totals stay under ~$10M; past that, move the five
+    sums to DECIMAL(38,0) — same bound discipline as
+    `cusum_changepoint_events`), so the
+    only floats are the final ratio and one IEEE-correctly-rounded
+    sqrt — deterministic in both engines. The lag window runs over the
+    daily AGGREGATE frame (|types| × |days| rows), never the events."""
+    ev = load_table(spark, sf_dir, "events")
+    daily = ev.groupBy(
+        "event_type", F.col("ts").cast("date").alias("day")
+    ).agg(F.sum((dec2("value") * 100).cast("long")).alias("cents"))
+    w = Window.partitionBy("event_type").orderBy("day")
+    lagged = daily.select(
+        "event_type",
+        F.col("cents").alias("y"),
+        F.lag("cents").over(w).alias("x"),
+    ).filter(F.col("x").isNotNull())
+    sums = lagged.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("x").alias("sx"),
+        F.sum("y").alias("sy"),
+        F.sum(F.col("x") * F.col("y")).alias("sxy"),
+        F.sum(F.col("x") * F.col("x")).alias("sxx"),
+        F.sum(F.col("y") * F.col("y")).alias("syy"),
+    )
+    nd = F.col("n").cast("double")
+    num = nd * F.col("sxy").cast("double") - F.col("sx").cast("double") * F.col(
+        "sy"
+    ).cast("double")
+    den = F.sqrt(
+        (nd * F.col("sxx").cast("double") - F.col("sx").cast("double") * F.col("sx").cast("double"))
+        * (nd * F.col("syy").cast("double") - F.col("sy").cast("double") * F.col("sy").cast("double"))
+    )
+    return sums.select(
+        "event_type",
+        F.col("n").alias("n_pairs"),
+        F.round(num / den, 6).alias("autocorr_lag1"),
+    )
+
+
+@register(
+    "bigram_lift_top_pairs",
+    oracle=f"""
+    WITH toks AS ({_TOKS_CTE}),
+    uni AS (
+        SELECT x AS w, CAST(COUNT(*) AS BIGINT) AS cnt
+        FROM (SELECT unnest(t) AS x FROM toks) GROUP BY x
+    ),
+    tot AS (SELECT CAST(SUM(cnt) AS BIGINT) AS n_tokens FROM uni),
+    big AS (
+        SELECT bg, CAST(COUNT(*) AS BIGINT) AS n_co FROM (
+            SELECT unnest(CASE WHEN len(t) >= 2
+                THEN list_transform(range(1, len(t)), i -> t[i] || ' ' || t[i+1])
+                ELSE CAST([] AS VARCHAR[]) END) AS bg
+            FROM toks
+        ) GROUP BY bg HAVING COUNT(*) >= 3
+    ),
+    sp AS (
+        SELECT split_part(bg, ' ', 1) AS w1, split_part(bg, ' ', 2) AS w2, n_co
+        FROM big
+    )
+    SELECT sp.w1, sp.w2, sp.n_co,
+           CAST(ROUND(CAST(t.n_tokens AS DOUBLE) * CAST(sp.n_co AS DOUBLE)
+                      / (CAST(u1.cnt AS DOUBLE) * CAST(u2.cnt AS DOUBLE)),
+                      6) AS DOUBLE) AS lift
+    FROM sp
+    JOIN uni u1 ON sp.w1 = u1.w
+    JOIN uni u2 ON sp.w2 = u2.w
+    CROSS JOIN tot t
+    ORDER BY lift DESC, w1 ASC, w2 ASC LIMIT 30
+    """,
+)
+def bigram_lift_top_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Collocation mining: the corpus's top token bigrams ranked by
+    lift N*c(ab)/(c(a)*c(b)) — PMI's monotone rational core without the
+    log, so both engines compute it from exact integer counts with one
+    IEEE multiply/divide (the same no-transcendental doctrine as
+    `source_lang_purity`'s Simpson form). High-lift pairs are the
+    multiword expressions ("new york") a tokenizer or stopword list
+    should treat as units; a min-support gate (c(ab) >= 3) kills the
+    hapax noise that dominates raw lift. Bigrams reuse
+    `functions.text.word_shingles(n=2)` over the house tokenizer, so
+    the universe matches the shingle/LSH family. Cost: two counting
+    shuffles (unigrams, bigrams) + a vocab-keyed join back; the 1-row
+    total-token scalar is cross-joined (constant broadcast, hygiene
+    allowlisted) and the top-30 is TakeOrderedAndProject — no global
+    sort of the pair frame."""
+    from esther_apache_spark_spark.functions.text import tokenize, word_shingles
+
+    docs = load_table(spark, sf_dir, "documents")
+    toksdf = docs.filter(F.col("text").isNotNull()).select(
+        tokenize(F.col("text")).alias("t")
+    )
+    uni = (
+        toksdf.select(F.explode("t").alias("w"))
+        .groupBy("w")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    total = uni.agg(F.sum("cnt").alias("n_tokens"))
+    big = (
+        toksdf.select(F.explode(word_shingles(F.col("t"), 2)).alias("bg"))
+        .groupBy("bg")
+        .agg(F.count(F.lit(1)).alias("n_co"))
+        .filter(F.col("n_co") >= 3)
+    )
+    sp = big.select(
+        F.split("bg", " ").getItem(0).alias("w1"),
+        F.split("bg", " ").getItem(1).alias("w2"),
+        "n_co",
+    )
+    u1 = uni.select(F.col("w").alias("w1"), F.col("cnt").alias("c1"))
+    u2 = uni.select(F.col("w").alias("w2"), F.col("cnt").alias("c2"))
+    return (
+        sp.join(u1, "w1")
+        .join(u2, "w2")
+        .crossJoin(total)
+        .select(
+            "w1",
+            "w2",
+            "n_co",
+            F.round(
+                F.col("n_tokens").cast("double")
+                * F.col("n_co").cast("double")
+                / (F.col("c1").cast("double") * F.col("c2").cast("double")),
+                6,
+            ).alias("lift"),
+        )
+        .orderBy(F.desc("lift"), F.asc("w1"), F.asc("w2"))
+        .limit(30)
+    )

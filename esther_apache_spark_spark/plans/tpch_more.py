@@ -1419,3 +1419,141 @@ def wow_growth_by_event_type(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("wv").cast("double") / F.lag("wv").over(w).cast("double") - 1.0, 6
         ).alias("wow_growth"),
     )
+
+
+@register(
+    "item_item_cosine_brands",
+    oracle="""
+    WITH ob AS (
+        SELECT DISTINCT l.l_orderkey, p.p_brand
+        FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+    ),
+    nb AS (
+        SELECT p_brand, CAST(COUNT(*) AS BIGINT) AS n
+        FROM ob GROUP BY p_brand
+    ),
+    co AS (
+        SELECT a.p_brand AS brand_a, b.p_brand AS brand_b,
+               CAST(COUNT(*) AS BIGINT) AS n_co
+        FROM ob a JOIN ob b
+          ON a.l_orderkey = b.l_orderkey AND a.p_brand <> b.p_brand
+        GROUP BY 1, 2
+    ),
+    sc AS (
+        SELECT co.brand_a, co.brand_b, co.n_co,
+               CAST(ROUND(CAST(co.n_co AS DOUBLE)
+                          / sqrt(CAST(na.n AS DOUBLE) * CAST(nbb.n AS DOUBLE)),
+                          6) AS DOUBLE) AS cosine
+        FROM co
+        JOIN nb na ON co.brand_a = na.p_brand
+        JOIN nb nbb ON co.brand_b = nbb.p_brand
+    )
+    SELECT brand_a, brand_b, n_co, cosine FROM (
+        SELECT *, ROW_NUMBER() OVER (
+            PARTITION BY brand_a ORDER BY cosine DESC, brand_b ASC) AS rn
+        FROM sc
+    ) WHERE rn <= 3
+    """,
+)
+def item_item_cosine_brands(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Item-item collaborative filtering over the co-purchase signal:
+    cosine-normalized brand affinity n_co(a,b)/sqrt(n(a)*n(b)) with the
+    top-3 neighbors per brand — the normalization step that turns the
+    raw co-occurrence counts of `copurchase_brand_pairs` into a
+    recommender neighbor list (raw counts just rank popular items
+    everywhere; cosine divides that popularity back out). Same scale
+    discipline as the raw-count query: DISTINCT (order, brand) BEFORE
+    the self-join bounds fan-out at C(brands-in-order, 2), and both
+    sides shuffle on the same orderkey so the self-join is
+    co-partitioned. All counts are exact BIGINTs; the only float is
+    the final cosine (one IEEE sqrt + divide, rounded to 6, identical
+    expression shape in both engines). The neighbor-rank window runs
+    over the AGGREGATED pair frame (<= |brands|^2 rows), never the
+    line items."""
+    li = load_table(spark, sf_dir, "lineitem")
+    part = load_table(spark, sf_dir, "part")
+    ob = (
+        li.join(part, li.l_partkey == part.p_partkey)
+        .select("l_orderkey", "p_brand")
+        .distinct()
+    )
+    nb = ob.groupBy("p_brand").agg(F.count(F.lit(1)).alias("n"))
+    a = ob.select(F.col("l_orderkey").alias("k"), F.col("p_brand").alias("brand_a"))
+    b = ob.select(F.col("l_orderkey").alias("k"), F.col("p_brand").alias("brand_b"))
+    co = (
+        a.join(b, "k")
+        .filter(F.col("brand_a") != F.col("brand_b"))
+        .groupBy("brand_a", "brand_b")
+        .agg(F.count(F.lit(1)).alias("n_co"))
+    )
+    na = nb.select(F.col("p_brand").alias("brand_a"), F.col("n").alias("na"))
+    nbb = nb.select(F.col("p_brand").alias("brand_b"), F.col("n").alias("nb"))
+    sc = (
+        co.join(na, "brand_a")
+        .join(nbb, "brand_b")
+        .select(
+            "brand_a",
+            "brand_b",
+            "n_co",
+            F.round(
+                F.col("n_co").cast("double")
+                / F.sqrt(F.col("na").cast("double") * F.col("nb").cast("double")),
+                6,
+            ).alias("cosine"),
+        )
+    )
+    w = Window.partitionBy("brand_a").orderBy(
+        F.desc("cosine"), F.asc("brand_b")
+    )
+    return (
+        sc.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 3)
+        .drop("rn")
+    )
+
+
+@register(
+    "dow_seasonality_by_type",
+    oracle="""
+    WITH d AS (
+        SELECT event_type,
+               CAST(isodow(CAST(ts AS DATE)) AS INT) AS dow,
+               CAST(SUM(CAST(CAST(value AS DECIMAL(12,2)) * 100 AS BIGINT))
+                    AS BIGINT) AS cents
+        FROM events GROUP BY 1, 2
+    )
+    SELECT event_type, dow, cents,
+           CAST(ROUND(7.0 * CAST(cents AS DOUBLE)
+                      / CAST(SUM(cents) OVER (PARTITION BY event_type)
+                             AS DOUBLE), 6) AS DOUBLE) AS dow_index
+    FROM d
+    """,
+)
+def dow_seasonality_by_type(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Day-of-week seasonality index per event type: each ISO weekday's
+    share of the type's total value, scaled by 7 so 1.0 = flat (a
+    Monday index of 1.4 means Mondays run 40% hot) — the calendar
+    profile a capacity planner or anomaly detector baselines against
+    before calling a spike anomalous (`zscore_anomaly_events` flags
+    residuals; this is the expected-shape numerator). Value sums are
+    exact integer cents per (type, ISO dow); the share window runs over
+    the AGGREGATED frame (<= 7 x |types| rows). ISO weekday alignment
+    is pinned cross-engine: Spark weekday() is 0=Monday, DuckDB isodow
+    is 1=Monday, so Spark emits weekday()+1."""
+    ev = load_table(spark, sf_dir, "events")
+    d = ev.groupBy(
+        "event_type",
+        (F.expr("weekday(ts)") + F.lit(1)).cast("int").alias("dow"),
+    ).agg(F.sum((dec2("value") * 100).cast("long")).alias("cents"))
+    w = Window.partitionBy("event_type")
+    return d.select(
+        "event_type",
+        "dow",
+        "cents",
+        F.round(
+            F.lit(7.0)
+            * F.col("cents").cast("double")
+            / F.sum("cents").over(w).cast("double"),
+            6,
+        ).alias("dow_index"),
+    )

@@ -78,6 +78,12 @@ def test_catalog_plans_free_of_scale_antipatterns(spark, sf_dir):
         # 1-row collapsed centroid array (k structs, model constant)
         # broadcast onto the vectors, once per unrolled Lloyd round
         "kmeans_lloyd_clusters",
+        # 1-row (total, k) scalar aggregate joined back onto the
+        # |labels|-row count frame
+        "class_balance_weights",
+        # 1-row corpus token-total scalar cross-joined onto the
+        # min-support-gated bigram frame
+        "bigram_lift_top_pairs",
         # dense candidate list scores the corpus against ONE query
         # vector (brute_force_topk's broadcast query matrix, 1 row by
         # construction) + the BM25 1-row count/avgdl scalars
