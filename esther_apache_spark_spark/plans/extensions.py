@@ -4061,3 +4061,87 @@ def bigram_lift_top_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("lift"), F.asc("w1"), F.asc("w2"))
         .limit(30)
     )
+
+
+@register(
+    "ann_recall_audit",
+    oracle=f"""
+    WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
+    tb AS (
+        {_LSH_MT_TABLES}
+    ),
+    cb AS (SELECT vec_id AS neighbor_id, e AS cv, _table, _bucket FROM tb),
+    qb AS (SELECT vec_id AS query_id, e AS qv, _table, _bucket FROM tb WHERE vec_id < 5),
+    cand AS (
+        SELECT DISTINCT query_id, neighbor_id,
+               ROUND(list_cosine_similarity(qv, cv), 6) + 0.0 AS cosine
+        FROM cb JOIN qb USING (_table, _bucket)
+    ),
+    lsh AS (
+        SELECT query_id, neighbor_id FROM (
+            SELECT query_id, neighbor_id,
+                   row_number() OVER (PARTITION BY query_id
+                                      ORDER BY cosine DESC, neighbor_id ASC) AS rn
+            FROM cand
+        ) WHERE rn <= 10
+    ),
+    bf AS (
+        SELECT query_id, neighbor_id FROM (
+            SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+                   row_number() OVER (
+                       PARTITION BY q.vec_id
+                       ORDER BY ROUND({_COS}, 6) DESC, c.vec_id ASC
+                   ) AS rn
+            FROM embeddings c, (SELECT * FROM embeddings WHERE vec_id < 5) q
+        ) WHERE rn <= 10
+    )
+    SELECT b.query_id,
+           CAST(COUNT(*) AS BIGINT) AS k,
+           CAST(SUM(CASE WHEN l.neighbor_id IS NOT NULL THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_hits,
+           CAST(ROUND(CAST(SUM(CASE WHEN l.neighbor_id IS NOT NULL
+                                    THEN 1 ELSE 0 END) AS DOUBLE)
+                      / CAST(COUNT(*) AS DOUBLE), 6) AS DOUBLE) AS recall_at_10
+    FROM bf b LEFT JOIN lsh l
+      ON b.query_id = l.query_id AND b.neighbor_id = l.neighbor_id
+    GROUP BY b.query_id
+    """,
+)
+def ann_recall_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recall@10 of the multi-table SRP-LSH ANN path against the exact
+    brute-force ground truth, per query — the eval harness that turns
+    "approximate" from a shrug into a number, and the check a pipeline
+    owner reruns after touching plane count, table count, or bucket
+    caps (DEPLOYMENT.md's stated recall knobs). Both sides are the
+    engine's own catalog paths (`similarity_topk_lsh_multi`,
+    `similarity_topk_bruteforce`), so the audit is an exact function of
+    its inputs and fully SQL-replayable: the oracle re-derives both
+    top-10 lists (24 seeded planes as literals) and counts the
+    intersection — no float tolerance anywhere, recall is a ratio of
+    integers. Scale: ground truth is only ever computed for the fixed
+    5-query panel (brute force over the corpus × 5, the audit's
+    irreducible cost), the LSH side stays the production bucket join,
+    and the intersection is a join over two ≤k·|queries|-row lists."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    bf = S.brute_force_topk(emb, queries, k=10, query_id_col="query_id").select(
+        "query_id", "neighbor_id"
+    )
+    lsh = S.ann_topk_lsh(
+        emb, queries, k=10, n_planes=6, n_tables=4, dim=64
+    ).select("query_id", "neighbor_id", F.lit(1).alias("hit"))
+    return (
+        bf.join(lsh, ["query_id", "neighbor_id"], "left")
+        .groupBy("query_id")
+        .agg(
+            F.count(F.lit(1)).alias("k"),
+            F.sum(F.coalesce(F.col("hit"), F.lit(0))).cast("long").alias("n_hits"),
+            F.round(
+                F.sum(F.coalesce(F.col("hit"), F.lit(0))).cast("double")
+                / F.count(F.lit(1)).cast("double"),
+                6,
+            ).alias("recall_at_10"),
+        )
+    )

@@ -1557,3 +1557,325 @@ def dow_seasonality_by_type(spark: SparkSession, sf_dir: str) -> DataFrame:
             6,
         ).alias("dow_index"),
     )
+
+
+_DAILY_CENTS_CTE = """
+        SELECT event_type, CAST(ts AS DATE) AS day,
+               CAST(SUM(CAST(CAST(value AS DECIMAL(12,2)) * 100 AS BIGINT))
+                    AS BIGINT) AS cents
+        FROM events GROUP BY event_type, CAST(ts AS DATE)
+"""
+
+
+def _daily_cents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shared (event_type, day, cents) daily aggregate — the bounded
+    frame (|types| x |days| rows) every trend/seasonality query runs
+    its second phase over, so the raw events are scanned exactly once
+    per query and never enter a pair join or window."""
+    ev = load_table(spark, sf_dir, "events")
+    return ev.groupBy(
+        "event_type", F.col("ts").cast("date").alias("day")
+    ).agg(F.sum((dec2("value") * 100).cast("long")).alias("cents"))
+
+
+@register(
+    "mannkendall_trend_by_type",
+    oracle=f"""
+    WITH daily AS ({_DAILY_CENTS_CTE}),
+    pairs AS (
+        SELECT a.event_type,
+               CASE WHEN b.cents > a.cents THEN 1
+                    WHEN b.cents < a.cents THEN -1 ELSE 0 END AS sgn
+        FROM daily a JOIN daily b
+          ON a.event_type = b.event_type AND a.day < b.day
+    ),
+    s AS (
+        SELECT event_type, CAST(SUM(sgn) AS BIGINT) AS s_stat
+        FROM pairs GROUP BY event_type
+    ),
+    n AS (
+        SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n_days
+        FROM daily GROUP BY event_type
+    ),
+    ties AS (
+        SELECT event_type,
+               CAST(COALESCE(SUM(t * (t - 1) * (2 * t + 5)), 0) AS BIGINT) AS tie18
+        FROM (
+            SELECT event_type, CAST(COUNT(*) AS BIGINT) AS t
+            FROM daily GROUP BY event_type, cents
+        ) GROUP BY event_type
+    )
+    SELECT s.event_type, n.n_days, s.s_stat,
+           CAST(n.n_days * (n.n_days - 1) * (2 * n.n_days + 5) - ties.tie18
+                AS BIGINT) AS var18,
+           CAST(ROUND(CASE
+               WHEN s.s_stat > 0 THEN (CAST(s.s_stat AS DOUBLE) - 1.0)
+                   / sqrt(CAST(n.n_days * (n.n_days - 1) * (2 * n.n_days + 5)
+                               - ties.tie18 AS DOUBLE) / 18.0)
+               WHEN s.s_stat < 0 THEN (CAST(s.s_stat AS DOUBLE) + 1.0)
+                   / sqrt(CAST(n.n_days * (n.n_days - 1) * (2 * n.n_days + 5)
+                               - ties.tie18 AS DOUBLE) / 18.0)
+               ELSE 0.0 END, 6) AS DOUBLE) AS z_stat
+    FROM s
+    JOIN n ON s.event_type = n.event_type
+    JOIN ties ON s.event_type = ties.event_type
+    """,
+)
+def mannkendall_trend_by_type(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mann-Kendall trend test per event type — the nonparametric
+    is-this-series-monotonically-drifting check an SRE or metrics owner
+    runs before trusting a dashboard's "flat" reading; unlike the OLS
+    slope it is rank-based, so one outlier day cannot fake a trend.
+    S = sum of sign(later - earlier) over all day pairs, the
+    tie-corrected variance 18*Var(S) = n(n-1)(2n+5) - sum t(t-1)(2t+5),
+    and the continuity-corrected z — S, n and var18 are EXACT BIGINTs
+    (sign arithmetic, never a float sum); the only floats are the final
+    /18, one IEEE sqrt and the rounded ratio, identical expression
+    shape in both engines. Scale: the day<day pair join runs over the
+    shared DAILY AGGREGATE frame — bounded by the calendar
+    (|types| x ~days^2/2 pairs, ~66k pairs per type-year), never the
+    raw events, and the equi-key on event_type keeps it a hash join."""
+    daily = _daily_cents(spark, sf_dir)
+    a = daily.select(
+        "event_type", F.col("day").alias("d1"), F.col("cents").alias("c1")
+    )
+    b = daily.select(
+        "event_type", F.col("day").alias("d2"), F.col("cents").alias("c2")
+    )
+    sgn = (
+        F.when(F.col("c2") > F.col("c1"), 1)
+        .when(F.col("c2") < F.col("c1"), -1)
+        .otherwise(0)
+    )
+    s = (
+        a.join(b, "event_type")
+        .filter(F.col("d1") < F.col("d2"))
+        .groupBy("event_type")
+        .agg(F.sum(sgn).cast("long").alias("s_stat"))
+    )
+    n = daily.groupBy("event_type").agg(F.count(F.lit(1)).alias("n_days"))
+    t = F.col("t")
+    ties = (
+        daily.groupBy("event_type", "cents")
+        .agg(F.count(F.lit(1)).alias("t"))
+        .groupBy("event_type")
+        .agg(
+            F.coalesce(F.sum(t * (t - 1) * (2 * t + 5)), F.lit(0))
+            .cast("long")
+            .alias("tie18")
+        )
+    )
+    nn = F.col("n_days")
+    var18 = (nn * (nn - 1) * (2 * nn + 5) - F.col("tie18")).cast("long")
+    sd = F.col("s_stat").cast("double")
+    denom = F.sqrt(F.col("var18").cast("double") / F.lit(18.0))
+    return (
+        s.join(n, "event_type")
+        .join(ties, "event_type")
+        .withColumn("var18", var18)
+        .select(
+            "event_type",
+            "n_days",
+            "s_stat",
+            "var18",
+            F.round(
+                F.when(F.col("s_stat") > 0, (sd - 1.0) / denom)
+                .when(F.col("s_stat") < 0, (sd + 1.0) / denom)
+                .otherwise(F.lit(0.0)),
+                6,
+            ).alias("z_stat"),
+        )
+    )
+
+
+@register(
+    "theilsen_slope_by_type",
+    oracle=f"""
+    WITH daily AS ({_DAILY_CENTS_CTE}),
+    slopes AS (
+        SELECT a.event_type,
+               CAST(b.cents - a.cents AS DOUBLE)
+                   / CAST(date_diff('day', a.day, b.day) AS DOUBLE) AS slope
+        FROM daily a JOIN daily b
+          ON a.event_type = b.event_type AND a.day < b.day
+    )
+    SELECT event_type,
+           CAST(COUNT(*) AS BIGINT) AS n_pairs,
+           CAST(ROUND(quantile_cont(slope, 0.5), 6) AS DOUBLE)
+               AS slope_cents_per_day
+    FROM slopes GROUP BY event_type
+    """,
+)
+def theilsen_slope_by_type(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Theil-Sen robust trend slope per event type: the MEDIAN of all
+    pairwise (value diff)/(day diff) slopes — the estimator that
+    tolerates ~29% contaminated days where OLS breaks, and the natural
+    magnitude companion to `mannkendall_trend_by_type`'s direction
+    test (same pair frame, same scale posture). Each slope is one IEEE
+    divide of two exact integers (cents diff, calendar-day diff); the
+    median is the exact interpolating percentile over the pair frame —
+    sort-based and order-insensitive, hence deterministic cross-engine
+    (Spark percentile() and DuckDB quantile_cont() share the
+    x_lo + frac*(x_hi - x_lo) definition). The pair join is bounded by
+    the calendar exactly as in Mann-Kendall; the raw events are
+    touched once, in the daily pre-aggregate."""
+    daily = _daily_cents(spark, sf_dir)
+    a = daily.select(
+        "event_type", F.col("day").alias("d1"), F.col("cents").alias("c1")
+    )
+    b = daily.select(
+        "event_type", F.col("day").alias("d2"), F.col("cents").alias("c2")
+    )
+    slope = (F.col("c2") - F.col("c1")).cast("double") / F.datediff(
+        F.col("d2"), F.col("d1")
+    ).cast("double")
+    return (
+        a.join(b, "event_type")
+        .filter(F.col("d1") < F.col("d2"))
+        .select("event_type", slope.alias("slope"))
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_pairs"),
+            F.round(F.expr("percentile(slope, 0.5)"), 6).alias(
+                "slope_cents_per_day"
+            ),
+        )
+    )
+
+
+@register(
+    "forecast_baseline_mae",
+    oracle=f"""
+    WITH daily AS ({_DAILY_CENTS_CTE}),
+    lagged AS (
+        SELECT event_type, cents,
+               lag(cents, 1) OVER (PARTITION BY event_type ORDER BY day) AS l1,
+               lag(cents, 7) OVER (PARTITION BY event_type ORDER BY day) AS l7
+        FROM daily
+    )
+    SELECT event_type,
+           CAST(COUNT(*) AS BIGINT) AS n_eval,
+           CAST(SUM(abs(cents - l1)) AS BIGINT) AS abs_err_naive_cents,
+           CAST(SUM(abs(cents - l7)) AS BIGINT) AS abs_err_seasonal_cents,
+           CAST(ROUND(CAST(SUM(abs(cents - l1)) AS DOUBLE)
+                      / CAST(COUNT(*) AS DOUBLE), 6) AS DOUBLE) AS mae_naive,
+           CAST(ROUND(CAST(SUM(abs(cents - l7)) AS DOUBLE)
+                      / CAST(COUNT(*) AS DOUBLE), 6) AS DOUBLE) AS mae_seasonal,
+           CASE WHEN SUM(abs(cents - l7)) < SUM(abs(cents - l1))
+                THEN 'seasonal_naive'
+                WHEN SUM(abs(cents - l7)) > SUM(abs(cents - l1))
+                THEN 'naive' ELSE 'tie' END AS better_baseline
+    FROM lagged WHERE l7 IS NOT NULL
+    GROUP BY event_type
+    """,
+)
+def forecast_baseline_mae(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Forecast-baseline backtest per event type: one-step-ahead MAE of
+    the naive (yesterday's value) vs the seasonal-naive (same weekday
+    last week, 7 observed days back) predictor — the two baselines any
+    proposed forecaster must beat, and the cheapest quantitative answer
+    to "is this series weekly-seasonal?" (seasonal-naive winning is the
+    operational signal; `dow_seasonality_by_type` shows the shape, this
+    scores it). Absolute errors are EXACT BIGINTs in integer cents
+    summed per type; the MAEs are one rounded divide each, and the
+    winner verdict compares the two integer sums directly — no float
+    enters the decision. Both lags run over the shared daily aggregate
+    frame in a single window pass; rows before the 7th observed day are
+    excluded from BOTH baselines so the comparison is paired on the
+    identical evaluation set."""
+    daily = _daily_cents(spark, sf_dir)
+    w = Window.partitionBy("event_type").orderBy("day")
+    lagged = daily.select(
+        "event_type",
+        "cents",
+        F.lag("cents", 1).over(w).alias("l1"),
+        F.lag("cents", 7).over(w).alias("l7"),
+    ).filter(F.col("l7").isNotNull())
+    e1 = F.abs(F.col("cents") - F.col("l1"))
+    e7 = F.abs(F.col("cents") - F.col("l7"))
+    return lagged.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n_eval"),
+        F.sum(e1).cast("long").alias("abs_err_naive_cents"),
+        F.sum(e7).cast("long").alias("abs_err_seasonal_cents"),
+        F.round(
+            F.sum(e1).cast("double") / F.count(F.lit(1)).cast("double"), 6
+        ).alias("mae_naive"),
+        F.round(
+            F.sum(e7).cast("double") / F.count(F.lit(1)).cast("double"), 6
+        ).alias("mae_seasonal"),
+        F.when(F.sum(e7) < F.sum(e1), F.lit("seasonal_naive"))
+        .when(F.sum(e7) > F.sum(e1), F.lit("naive"))
+        .otherwise(F.lit("tie"))
+        .alias("better_baseline"),
+    )
+
+
+@register(
+    "benford_first_digit_audit",
+    oracle="""
+    WITH d AS (
+        SELECT CAST(substr(CAST(CAST(floor(o_totalprice) AS BIGINT)
+                                AS VARCHAR), 1, 1) AS INT) AS digit,
+               CAST(COUNT(*) AS BIGINT) AS n_orders
+        FROM orders GROUP BY 1
+    ),
+    e AS (
+        SELECT digit, n_orders,
+               CASE digit WHEN 1 THEN 0.301030 WHEN 2 THEN 0.176091
+                          WHEN 3 THEN 0.124939 WHEN 4 THEN 0.096910
+                          WHEN 5 THEN 0.079181 WHEN 6 THEN 0.066947
+                          WHEN 7 THEN 0.057992 WHEN 8 THEN 0.051153
+                          WHEN 9 THEN 0.045757 END AS expected,
+               CAST(SUM(n_orders) OVER () AS BIGINT) AS total
+        FROM d
+    )
+    SELECT digit, n_orders,
+           CAST(ROUND(CAST(n_orders AS DOUBLE) / CAST(total AS DOUBLE), 6)
+                AS DOUBLE) AS observed_share,
+           CAST(expected AS DOUBLE) AS benford_share,
+           CAST(ROUND(abs(CAST(n_orders AS DOUBLE) / CAST(total AS DOUBLE)
+                          - CAST(expected AS DOUBLE)), 6) AS DOUBLE)
+               AS abs_deviation
+    FROM e
+    """,
+)
+def benford_first_digit_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benford's-law first-digit audit over order totals — the
+    classical fabricated-data screen (a synthetic or tampered amount
+    column shows a flat digit histogram where organic multiplicative
+    data leans 30% toward leading 1s), here doubling as a data-quality
+    fingerprint a pipeline can trend release-over-release next to
+    `dq_report_lineitem`. The expected Benford shares are pinned as
+    identical 6-dp literals in BOTH engines (log10(1+1/d) evaluated
+    once, offline — no runtime transcendental to differ in the last
+    ulp); digit counts are exact BIGINTs from one hash aggregate, and
+    the share window runs over the 9-row digit frame. Deviations are
+    reported per digit (max-abs is the usual alarm statistic; emitting
+    the full profile keeps the query a reusable report)."""
+    o = load_table(spark, sf_dir, "orders")
+    digit = F.substring(
+        F.floor(F.col("o_totalprice")).cast("long").cast("string"), 1, 1
+    ).cast("int")
+    d = o.groupBy(digit.alias("digit")).agg(F.count(F.lit(1)).alias("n_orders"))
+    expected = (
+        F.when(F.col("digit") == 1, 0.301030)
+        .when(F.col("digit") == 2, 0.176091)
+        .when(F.col("digit") == 3, 0.124939)
+        .when(F.col("digit") == 4, 0.096910)
+        .when(F.col("digit") == 5, 0.079181)
+        .when(F.col("digit") == 6, 0.066947)
+        .when(F.col("digit") == 7, 0.057992)
+        .when(F.col("digit") == 8, 0.051153)
+        .when(F.col("digit") == 9, 0.045757)
+    )
+    w = Window.partitionBy(F.lit(0))
+    share = F.col("n_orders").cast("double") / F.sum("n_orders").over(w).cast(
+        "double"
+    )
+    return d.select(
+        "digit",
+        "n_orders",
+        F.round(share, 6).alias("observed_share"),
+        expected.cast("double").alias("benford_share"),
+        F.round(F.abs(share - expected.cast("double")), 6).alias("abs_deviation"),
+    )

@@ -75,6 +75,9 @@ def test_catalog_plans_free_of_scale_antipatterns(spark, sf_dir):
         "unigram_nll_score_docs",    # 1-row token-total + vocab-size scalars
         "temperature_sample_by_lang",  # 1-row global max-rate scalar
         "similarity_topk_bruteforce",  # fenced all-pairs oracle
+        # ground-truth side is brute_force_topk's by-contract 5-row
+        # broadcast query matrix (same fence as the bruteforce entry)
+        "ann_recall_audit",
         # 1-row collapsed centroid array (k structs, model constant)
         # broadcast onto the vectors, once per unrolled Lloyd round
         "kmeans_lloyd_clusters",
