@@ -1,0 +1,498 @@
+"""Model-evaluation, data-layout and link-prediction queries.
+
+The round-5 closing ring: once a pipeline *trains or applies* models
+(the quality classifier, lang-ID, k-means, ANN indexes elsewhere in
+the catalog), production needs the EVALUATION side — threshold-free
+ranking quality (AUC), calibration, chance-corrected agreement — and
+the STORAGE side needs multi-dimensional layout (Z-order) so 100 TB of
+parquet prunes on more than one predicate column.
+
+Cross-engine determinism doctrine (same as ``analytics``/``corpus_ops``):
+classifier scores are exact dyadic rationals (see
+``textstats.quality_classifier_score``), so grouping by score value and
+bucketing by ``floor((score+1)*512)`` replay bit-for-bit in DuckDB; all
+rank statistics are kept as INTEGER numerators (``2·U`` instead of
+``U`` so tie-halves stay integral); per-term quantization
+(``floor(x·1e9+0.5)``) before any float sum; ROUND(…,9) only on final
+report columns.
+
+Reference parity note: the reference has no evaluation surface at all
+(its pipeline ends at ``daily_city_sales``,
+``src/pyspark/pipeline_pyspark.py:175-184``); these are engine
+extensions in the SURVEY.md §7 M4 spirit.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from esther_apache_spark_spark.operators import textstats as TS
+from esther_apache_spark_spark.operators.layout import (
+    zorder_index,
+    zorder_index_sql,
+)
+from esther_apache_spark_spark.plans.catalog import register
+from esther_apache_spark_spark.plans.extensions import (
+    _QC_SCORE_CTES,
+    _TOKS_CTE,
+)
+from esther_apache_spark_spark.schemas import load_table
+
+# ---------------------------------------------------------------------------
+# Z-order layout audit — the data-skipping case for Morton clustering.
+# ---------------------------------------------------------------------------
+
+# 8 bits per dimension: x = customer bucket, y = order-day bucket.
+_ZX = "((o_custkey % 256) + 256) % 256"
+_ZY = "((date_diff('day', DATE '1995-01-01', CAST(o_orderdate AS DATE)) % 256) + 256) % 256"
+
+_LAYOUT_SUMMARY = """
+    SELECT '{name}' AS layout,
+           CAST(COUNT(*) AS BIGINT) AS n_chunks,
+           CAST(SUM(n) AS BIGINT) AS rows_total,
+           CAST(SUM(CASE WHEN min_x <= 15 THEN 1 ELSE 0 END) AS BIGINT)
+               AS chunks_hit_x_stripe,
+           CAST(SUM(CASE WHEN min_y <= 15 THEN 1 ELSE 0 END) AS BIGINT)
+               AS chunks_hit_y_stripe,
+           CAST(SUM(CASE WHEN min_x <= 15 AND min_y <= 15 THEN 1 ELSE 0 END)
+                AS BIGINT) AS chunks_hit_point_box,
+           ROUND(CAST(SUM((max_x - min_x + 1) * (max_y - min_y + 1)) AS DOUBLE)
+                 / COUNT(*), 4) AS avg_bbox_area
+    FROM (
+        SELECT {chunk} AS chunk,
+               MIN(x) AS min_x, MAX(x) AS max_x,
+               MIN(y) AS min_y, MAX(y) AS max_y,
+               COUNT(*) AS n
+        FROM pts GROUP BY 1
+    )
+"""
+
+
+def _chunk_summary(pts: DataFrame, chunk: Column, name: str) -> DataFrame:
+    per_chunk = (
+        pts.groupBy(chunk.alias("chunk"))
+        .agg(
+            F.min("x").alias("min_x"),
+            F.max("x").alias("max_x"),
+            F.min("y").alias("min_y"),
+            F.max("y").alias("max_y"),
+            F.count(F.lit(1)).alias("n"),
+        )
+    )
+    return per_chunk.agg(
+        F.count(F.lit(1)).cast("long").alias("n_chunks"),
+        F.sum("n").cast("long").alias("rows_total"),
+        F.sum((F.col("min_x") <= 15).cast("long")).cast("long").alias("chunks_hit_x_stripe"),
+        F.sum((F.col("min_y") <= 15).cast("long")).cast("long").alias("chunks_hit_y_stripe"),
+        F.sum(((F.col("min_x") <= 15) & (F.col("min_y") <= 15)).cast("long"))
+        .cast("long")
+        .alias("chunks_hit_point_box"),
+        F.round(
+            F.sum((F.col("max_x") - F.col("min_x") + 1) * (F.col("max_y") - F.col("min_y") + 1))
+            .cast("double")
+            / F.count(F.lit(1)),
+            4,
+        ).alias("avg_bbox_area"),
+    ).select(
+        F.lit(name).alias("layout"),
+        "n_chunks",
+        "rows_total",
+        "chunks_hit_x_stripe",
+        "chunks_hit_y_stripe",
+        "chunks_hit_point_box",
+        "avg_bbox_area",
+    )
+
+
+@register(
+    "zorder_layout_audit",
+    oracle=f"""
+    WITH base AS (
+        SELECT {_ZX} AS x, {_ZY} AS y FROM orders
+    ),
+    pts AS (SELECT x, y, {zorder_index_sql('x', 'y', 8)} AS z, y * 256 + x AS lin
+            FROM base)
+    {_LAYOUT_SUMMARY.format(name='zorder', chunk='z // 256')}
+    UNION ALL
+    {_LAYOUT_SUMMARY.format(name='linear', chunk='lin // 256')}
+    """,
+)
+def zorder_layout_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quantifies the data-skipping benefit of Z-order clustering
+    (operators/layout.py) on orders bucketed by (customer, order-day):
+    chunk the 16-bit key space into 256 equal key-ranges under (a) the
+    Morton interleave and (b) the lexicographic (day, customer) order,
+    then report how many chunks' min/max bounding boxes a
+    single-dimension stripe predicate (x<16, y<16) or a point box would
+    have to read. Under the linear layout every x-stripe query touches
+    ~ALL chunks (each chunk spans the full customer range); under
+    Z-order it touches ~1/16 of them — the pruning a 100 TB table's
+    row-group stats deliver when the compaction job writes
+    ``write_zordered``. Pure integer arithmetic end-to-end (div/mod/mul
+    only), no window, two hash aggregates."""
+    orders = load_table(spark, sf_dir, "orders")
+    x = F.pmod(F.col("o_custkey"), F.lit(256))
+    y = F.pmod(
+        F.datediff(F.to_date("o_orderdate"), F.to_date(F.lit("1995-01-01"))),
+        F.lit(256),
+    )
+    pts = orders.select(x.alias("x"), y.alias("y")).select(
+        "x",
+        "y",
+        zorder_index(F.col("x"), F.col("y"), 8).alias("z"),
+        (F.col("y") * 256 + F.col("x")).alias("lin"),
+    )
+    zsum = _chunk_summary(pts, F.floor(F.col("z") / 256).cast("long"), "zorder")
+    lsum = _chunk_summary(pts, F.floor(F.col("lin") / 256).cast("long"), "linear")
+    return zsum.unionByName(lsum)
+
+
+# ---------------------------------------------------------------------------
+# Classifier evaluation: exact-integer AUC (Mann-Whitney rank form).
+# ---------------------------------------------------------------------------
+
+
+def _classifier_scored(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(doc_id, score, quality, pos) for the linear quality classifier,
+    positive class = labeled English. Scores are exact dyadic rationals
+    (k/1024 means + IEEE divisions) so value-equality grouping and
+    bucket assignment replay bit-for-bit in the oracle."""
+    docs = load_table(spark, sf_dir, "documents")
+    w = TS.quality_classifier_weights(spark)
+    scored = TS.quality_classifier_score(docs, w).select(
+        "doc_id", "score", "quality"
+    )
+    lab = docs.filter(F.col("text").isNotNull()).select(
+        "doc_id", (F.col("lang") == "en").cast("long").alias("pos")
+    )
+    return scored.join(lab, "doc_id")
+
+
+@register(
+    "quality_classifier_auc",
+    oracle=f"""
+    WITH toks AS ({_TOKS_CTE}),
+    {_QC_SCORE_CTES},
+    base AS (SELECT doc_id, lang FROM documents WHERE text IS NOT NULL),
+    sc AS (SELECT b.doc_id, COALESCE(sw / n, 0.0) AS score,
+                  CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS pos
+           FROM base b LEFT JOIN agg USING (doc_id)),
+    per AS (SELECT score, CAST(SUM(pos) AS BIGINT) AS np_s,
+                   CAST(COUNT(*) - SUM(pos) AS BIGINT) AS nn_s
+            FROM sc GROUP BY score),
+    cum AS (SELECT np_s, nn_s,
+                   CAST(COALESCE(SUM(nn_s) OVER (ORDER BY score
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+                       AS BIGINT) AS nn_lt
+            FROM per)
+    SELECT CAST(SUM(np_s) AS BIGINT) AS n_pos,
+           CAST(SUM(nn_s) AS BIGINT) AS n_neg,
+           CAST(SUM(np_s * (2 * nn_lt + nn_s)) AS BIGINT) AS u2,
+           ROUND(CAST(SUM(np_s * (2 * nn_lt + nn_s)) AS DOUBLE)
+                 / NULLIF(2.0 * SUM(np_s) * SUM(nn_s), 0), 9) AS auc
+    FROM cum
+    """,
+)
+def quality_classifier_auc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Threshold-free ranking quality of the linear classifier against
+    the English label: AUC in the Mann-Whitney rank-sum form,
+    ``AUC = (Σ_s n⁺(s)·(2·n⁻(<s) + n⁻(s))) / (2·n⁺·n⁻)`` — the
+    numerator ``2U`` is kept as an exact BIGINT (tie halves ×2 stay
+    integral), so the statistic is reproducible to the last bit and the
+    only float is the final division.
+
+    Scale shape — the distributed two-level rank: docs collapse to one
+    row per DISTINCT score (hash agg), each score lands in one of 1025
+    value-range buckets (``floor((score+1)·512)``, exact IEEE ops on
+    dyadic scores); cross-bucket negative counts come from a window
+    over the ≤1025-row bucket frame (model-constant bounded), and
+    within-bucket cumulative sums run partitioned per bucket — no
+    global single-partition window over a data-sized frame anywhere."""
+    j = _classifier_scored(spark, sf_dir)
+    per = j.groupBy("score").agg(
+        F.sum("pos").alias("np_s"),
+        (F.count(F.lit(1)) - F.sum("pos")).alias("nn_s"),
+    )
+    per = per.withColumn(
+        "bucket", F.floor((F.col("score") + F.lit(1.0)) * F.lit(512.0)).cast("int")
+    )
+    # ≤1025 rows (model constant): the bounded aggregated frame doctrine
+    wb = Window.orderBy("bucket").rowsBetween(Window.unboundedPreceding, 0)
+    bucket_offsets = (
+        per.groupBy("bucket")
+        .agg(F.sum("nn_s").alias("bnn"))
+        .withColumn("cum", F.sum("bnn").over(wb))
+        .select("bucket", (F.col("cum") - F.col("bnn")).alias("offset"))
+    )
+    wn = (
+        Window.partitionBy("bucket")
+        .orderBy("score")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    ranked = (
+        per.join(F.broadcast(bucket_offsets), "bucket")
+        .withColumn("cumin", F.sum("nn_s").over(wn))
+        .withColumn("nn_lt", F.col("offset") + F.col("cumin") - F.col("nn_s"))
+    )
+    return ranked.agg(
+        F.sum("np_s").cast("long").alias("n_pos"),
+        F.sum("nn_s").cast("long").alias("n_neg"),
+        F.sum(F.col("np_s") * (2 * F.col("nn_lt") + F.col("nn_s")))
+        .cast("long")
+        .alias("u2"),
+    ).select(
+        "n_pos",
+        "n_neg",
+        "u2",
+        F.round(
+            F.col("u2").cast("double")
+            / F.nullif(
+                F.lit(2.0) * F.col("n_pos") * F.col("n_neg"), F.lit(0.0)
+            ),
+            9,
+        ).alias("auc"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Classifier evaluation: reliability (calibration) bins.
+# ---------------------------------------------------------------------------
+@register(
+    "classifier_calibration_bins",
+    oracle=f"""
+    WITH toks AS ({_TOKS_CTE}),
+    {_QC_SCORE_CTES},
+    base AS (SELECT doc_id, lang FROM documents WHERE text IS NOT NULL),
+    sc AS (SELECT b.doc_id,
+                  COALESCE(sw / n, 0.0) /
+                      (1 + abs(COALESCE(sw / n, 0.0))) AS quality,
+                  CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS pos
+           FROM base b LEFT JOIN agg USING (doc_id)),
+    pr AS (SELECT CAST(LEAST(FLOOR(((quality + 1.0) / 2.0) * 20), 19) AS INT)
+                      AS bin,
+                  (quality + 1.0) / 2.0 AS p, pos
+           FROM sc)
+    SELECT bin,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(pos) AS BIGINT) AS n_pos,
+           ROUND(CAST(SUM(pos) AS DOUBLE) / COUNT(*), 9) AS pos_rate,
+           ROUND(CAST(SUM(CAST(FLOOR(p * 1e9 + 0.5) AS BIGINT)) AS DOUBLE)
+                 / 1e9 / COUNT(*), 9) AS mean_pred
+    FROM pr GROUP BY bin
+    """,
+)
+def classifier_calibration_bins(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Reliability diagram for the linear classifier: squashed score
+    mapped to a pseudo-probability ``p = (quality+1)/2``, docs grouped
+    into 20 equal-width p-bins, each bin reporting predicted-vs-actual
+    positive rate. A calibrated scorer has ``mean_pred ≈ pos_rate``
+    per bin — the audit run before using classifier scores as sampling
+    weights rather than a hard gate. Determinism: p is a chain of
+    exactly-specified IEEE ops on dyadic scores, bin assignment is
+    floor on exact products, and the float mean is per-term quantized
+    (``floor(p·1e9+0.5)`` → BIGINT sum) so reduction order can't leak
+    into the hash. One projection + one hash aggregate; 20-row result."""
+    j = _classifier_scored(spark, sf_dir)
+    p = (F.col("quality") + F.lit(1.0)) / F.lit(2.0)
+    binned = j.select(
+        F.least(F.floor(p * 20), F.lit(19)).cast("int").alias("bin"),
+        p.alias("p"),
+        "pos",
+    )
+    return (
+        binned.groupBy("bin")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_docs"),
+            F.sum("pos").cast("long").alias("n_pos"),
+            F.sum(F.floor(F.col("p") * 1e9 + 0.5).cast("long")).alias("_pq"),
+        )
+        .select(
+            "bin",
+            "n_docs",
+            "n_pos",
+            F.round(F.col("n_pos").cast("double") / F.col("n_docs"), 9).alias(
+                "pos_rate"
+            ),
+            F.round(
+                F.col("_pq").cast("double") / F.lit(1e9) / F.col("n_docs"), 9
+            ).alias("mean_pred"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Link prediction over the sparsified co-purchase graph.
+# ---------------------------------------------------------------------------
+
+_LP_EDGES_CTE = """
+    ob AS (
+        SELECT DISTINCT l.l_orderkey AS k, p.p_brand AS b
+        FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+    ),
+    pairs AS (
+        SELECT a.b AS src, c.b AS dst, CAST(COUNT(*) AS BIGINT) AS cnt
+        FROM ob a JOIN ob c USING (k) WHERE a.b <> c.b
+        GROUP BY a.b, c.b
+    ),
+    bedges AS (
+        SELECT src, dst FROM (
+            SELECT src, dst,
+                   row_number() OVER (PARTITION BY src
+                                      ORDER BY cnt DESC, dst) AS rn
+            FROM pairs
+        ) tk WHERE rn <= 3
+    ),
+    und AS (SELECT src, dst FROM bedges UNION SELECT dst, src FROM bedges),
+    deg AS (SELECT src AS v, CAST(COUNT(*) AS BIGINT) AS d
+            FROM und GROUP BY src),
+    mid AS (SELECT v FROM deg WHERE d <= 64)
+"""
+
+
+@register(
+    "link_prediction_brands",
+    oracle=f"""
+    WITH {_LP_EDGES_CTE},
+    cand AS (
+        SELECT e1.src AS u, e2.dst AS w, CAST(COUNT(*) AS BIGINT) AS cn
+        FROM und e1
+        JOIN mid m ON e1.dst = m.v
+        JOIN und e2 ON e1.dst = e2.src
+        WHERE e1.src < e2.dst
+        GROUP BY e1.src, e2.dst
+    ),
+    nonedge AS (
+        SELECT u, w, cn FROM cand c
+        WHERE NOT EXISTS (SELECT 1 FROM und x
+                          WHERE x.src = c.u AND x.dst = c.w)
+    )
+    SELECT u AS src, w AS dst, cn AS common_neighbors,
+           du.d AS deg_src, dw.d AS deg_dst,
+           ROUND(CAST(cn AS DOUBLE) / (du.d + dw.d - cn), 9) AS jaccard
+    FROM nonedge JOIN deg du ON u = du.v JOIN deg dw ON w = dw.v
+    """,
+)
+def link_prediction_brands(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Common-neighbor / Jaccard link prediction over the SPARSIFIED
+    brand co-purchase graph (same top-3-per-node edge construction as
+    ``bfs_hops_brands``): for every non-adjacent pair reachable in two
+    hops, score = shared-neighbor count and Jaccard of neighborhoods —
+    the similar-item candidate generator a recommender mines from the
+    link graph.
+
+    Scale shape: the two-hop expansion goes THROUGH a middle node, so
+    its cost is Σ_m deg(m)² — unbounded when hub nodes exist. The
+    ``mid`` gate (deg ≤ 64) caps every middle node's contribution at
+    64², making the join output linear in edges (the standard hub
+    exclusion of large-scale link prediction); existing edges are
+    removed by a left-anti equi-join, never a cartesian check. Pure
+    integer counts; the single float division is final and ROUNDed."""
+    li = load_table(spark, sf_dir, "lineitem")
+    part = load_table(spark, sf_dir, "part")
+    ob = (
+        li.join(part, li.l_partkey == part.p_partkey)
+        .select(F.col("l_orderkey").alias("k"), F.col("p_brand").alias("b"))
+        .distinct()
+    )
+    a = ob.select("k", F.col("b").alias("src"))
+    c = ob.select("k", F.col("b").alias("dst"))
+    pairs = (
+        a.join(c, "k")
+        .filter(F.col("src") != F.col("dst"))
+        .groupBy("src", "dst")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    w3 = Window.partitionBy("src").orderBy(F.desc("cnt"), F.asc("dst"))
+    bedges = (
+        pairs.withColumn("rn", F.row_number().over(w3))
+        .filter(F.col("rn") <= 3)
+        .select("src", "dst")
+    )
+    # symmetrized adjacency, referenced four times below -> materialize
+    # once (brand-vocabulary bounded at any sf; components.py doctrine)
+    und = (
+        bedges.unionByName(
+            bedges.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+        )
+        .distinct()
+        .localCheckpoint()
+    )
+    deg = und.groupBy("src").agg(F.count(F.lit(1)).alias("d")).withColumnRenamed("src", "v")
+    mid = deg.filter(F.col("d") <= 64).select("v")
+    e1 = und.select(F.col("src").alias("u"), F.col("dst").alias("m"))
+    e2 = und.select(F.col("src").alias("m"), F.col("dst").alias("w"))
+    cand = (
+        e1.join(mid.withColumnRenamed("v", "m"), "m")
+        .join(e2, "m")
+        .filter(F.col("u") < F.col("w"))
+        .groupBy("u", "w")
+        .agg(F.count(F.lit(1)).alias("cn"))
+    )
+    nonedge = cand.join(
+        und.select(F.col("src").alias("u"), F.col("dst").alias("w")),
+        ["u", "w"],
+        "left_anti",
+    )
+    du = deg.select(F.col("v").alias("u"), F.col("d").alias("deg_src"))
+    dw = deg.select(F.col("v").alias("w"), F.col("d").alias("deg_dst"))
+    return (
+        nonedge.join(du, "u")
+        .join(dw, "w")
+        .select(
+            F.col("u").alias("src"),
+            F.col("w").alias("dst"),
+            F.col("cn").cast("long").alias("common_neighbors"),
+            F.col("deg_src").cast("long"),
+            F.col("deg_dst").cast("long"),
+            F.round(
+                F.col("cn").cast("double")
+                / (F.col("deg_src") + F.col("deg_dst") - F.col("cn")),
+                9,
+            ).alias("jaccard"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Streaming sessionization — the native session_window run as a stream.
+# ---------------------------------------------------------------------------
+@register(
+    "streaming_session_agg",
+    oracle="""
+    WITH flagged AS (
+        SELECT user_id, ts, value,
+               CASE WHEN lag(ts) OVER w IS NULL
+                         OR epoch_us(ts) - epoch_us(lag(ts) OVER w) > 600000000
+                    THEN 1 ELSE 0 END AS new_session
+        FROM events
+        WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ), sessions AS (
+        SELECT user_id, ts, value,
+               SUM(new_session) OVER (PARTITION BY user_id ORDER BY ts
+                                      ROWS UNBOUNDED PRECEDING) AS sid
+        FROM flagged
+    )
+    SELECT user_id,
+           strftime(MIN(ts), '%Y-%m-%d %H:%M:%S') AS session_start,
+           CAST(COUNT(*) AS BIGINT) AS n_events,
+           CAST(ROUND(SUM(CAST(value AS DECIMAL(12,2))), 2) AS DOUBLE) AS total_value
+    FROM sessions GROUP BY user_id, sid
+    """,
+)
+def streaming_session_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """``session_window`` run as a Structured Streaming query (append
+    mode + watermark — the only modes session state supports) and
+    driven to EXACT batch equality: sentinel flush events written after
+    each ``processAllAvailable`` advance the watermark past every real
+    session's end, so state for all genuine sessions is evicted and
+    emitted before the query stops (the same oracle as the batch
+    ``session_window_agg`` — full equality, not the prefix-containment
+    contract of the streaming outer joins). State is keyed by (user,
+    session) and GC'd by the watermark, so memory is bounded by active
+    sessions × gap, not stream length."""
+    from esther_apache_spark_spark.streaming.events import (
+        run_streaming_session_agg,
+    )
+
+    return run_streaming_session_agg(spark, sf_dir)

@@ -1191,6 +1191,109 @@ def langid_confusion_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "langid_kappa_agreement",
+    oracle=f"""
+    WITH scored AS (
+        SELECT lang,
+               len(list_filter({_TOKS}, t -> t IN {_MARK['en']})) AS s_en,
+               len(list_filter({_TOKS}, t -> t IN {_MARK['fr']})) AS s_fr,
+               len(list_filter({_TOKS}, t -> t IN {_MARK['de']})) AS s_de,
+               len(list_filter({_TOKS}, t -> t IN {_MARK['es']})) AS s_es
+        FROM documents
+    ),
+    pred AS (
+        SELECT lang AS lt,
+               CASE WHEN greatest(s_en, s_fr, s_de, s_es) <= 0 THEN 'und'
+                    WHEN s_en = greatest(s_en, s_fr, s_de, s_es) THEN 'en'
+                    WHEN s_fr = greatest(s_en, s_fr, s_de, s_es) THEN 'fr'
+                    WHEN s_de = greatest(s_en, s_fr, s_de, s_es) THEN 'de'
+                    WHEN s_es = greatest(s_en, s_fr, s_de, s_es) THEN 'es'
+                    ELSE 'und' END AS lp
+        FROM scored
+    ),
+    cells AS (SELECT lt, lp, COUNT(*) AS n FROM pred GROUP BY 1, 2),
+    rows_t AS (SELECT lt AS cls, CAST(SUM(n) AS BIGINT) AS rt
+               FROM cells GROUP BY 1),
+    cols_t AS (SELECT lp AS cls, CAST(SUM(n) AS BIGINT) AS ct
+               FROM cells GROUP BY 1),
+    tot AS (SELECT CAST(SUM(n) AS BIGINT) AS n_docs,
+                   CAST(COALESCE(SUM(n) FILTER (WHERE lt = lp), 0) AS BIGINT)
+                       AS agree
+            FROM cells),
+    pe AS (SELECT CAST(SUM(COALESCE(rt, 0) * COALESCE(ct, 0)) AS BIGINT)
+                      AS pe_num
+           FROM rows_t FULL JOIN cols_t USING (cls))
+    SELECT n_docs, agree, pe_num,
+           ROUND(CAST(n_docs * agree - pe_num AS DOUBLE)
+                 / NULLIF(CAST(n_docs * n_docs - pe_num AS DOUBLE), 0), 9)
+               AS kappa
+    FROM tot CROSS JOIN pe
+    """,
+)
+def langid_kappa_agreement(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cohen's kappa between the heuristic lang-ID and the stored label
+    — chance-corrected agreement, the honest summary of the confusion
+    matrix when class priors are skewed (accuracy alone overstates a
+    classifier that just predicts the majority class).
+
+    Exact integer arithmetic end-to-end: with n = total docs,
+    agree = Σ diag cells, pe_num = Σ_class row_total·col_total,
+    ``kappa = (n·agree − pe_num) / (n² − pe_num)`` — both numerator and
+    denominator are emitted as BIGINTs (n² ≈ 3.6·10¹¹ at sf1, far
+    inside 2⁶³) and the single float division is final + ROUNDed.
+
+    Scale shape: one projection pass + a #langs²-cell aggregate; the
+    row/col marginals and the kappa combine are joins between frames
+    bounded by the language vocabulary (≤ 5 classes), so the 1-row
+    combine is the pinned scalar-join shape, never data-sized."""
+    docs = load_table(spark, sf_dir, "documents")
+    cells = (
+        docs.select(
+            F.col("lang").alias("lt"), TS.lang_id(F.col("text")).alias("lp")
+        )
+        .groupBy("lt", "lp")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    rows_t = cells.groupBy(F.col("lt").alias("cls")).agg(F.sum("n").alias("rt"))
+    cols_t = cells.groupBy(F.col("lp").alias("cls")).agg(F.sum("n").alias("ct"))
+    tot = cells.agg(
+        F.sum("n").cast("long").alias("n_docs"),
+        F.coalesce(
+            F.sum(F.when(F.col("lt") == F.col("lp"), F.col("n"))), F.lit(0)
+        )
+        .cast("long")
+        .alias("agree"),
+    )
+    pe = (
+        rows_t.join(cols_t, "cls", "full_outer")
+        .agg(
+            F.sum(
+                F.coalesce(F.col("rt"), F.lit(0))
+                * F.coalesce(F.col("ct"), F.lit(0))
+            )
+            .cast("long")
+            .alias("pe_num")
+        )
+    )
+    # 1-row × 1-row combine (pinned scalar-join shape)
+    return tot.crossJoin(pe).select(
+        "n_docs",
+        "agree",
+        "pe_num",
+        F.round(
+            (F.col("n_docs") * F.col("agree") - F.col("pe_num")).cast("double")
+            / F.nullif(
+                (F.col("n_docs") * F.col("n_docs") - F.col("pe_num")).cast(
+                    "double"
+                ),
+                F.lit(0.0),
+            ),
+            9,
+        ).alias("kappa"),
+    )
+
+
 # ---------------------------------------------------------------------------
 # Temporal operators: as-of join, sessionization, tumbling windows (M5).
 # ---------------------------------------------------------------------------

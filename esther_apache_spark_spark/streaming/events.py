@@ -794,3 +794,135 @@ def event_transitions_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("from_type", "to_type")
         .agg(F.sum("n").alias("n"))
     )
+
+
+def _write_sentinel_event(dst_dir: str, src_file: str, ts_us: int, event_id: int) -> None:
+    """Write a one-row parquet with the SAME arrow schema (incl. the
+    ts unit) as ``src_file``: a far-future sentinel event for a
+    negative user. Its only job is to advance the global watermark past
+    every real session so append-mode state flushes; the caller filters
+    ``user_id >= 0`` out of the result."""
+    import os
+    import time
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    sch = pa.schema(
+        [pa.field(f.name, f.type) for f in pq.ParquetFile(src_file).schema_arrow]
+    )
+    vals = {
+        "event_id": event_id,
+        "user_id": -1,
+        "event_type": "flush",
+        "value": 0.0,
+        "props": None,
+    }
+    cols = []
+    for f in sch:
+        if f.name == "ts":
+            unit = getattr(f.type, "unit", "us")
+            scale = {"s": 10**-6, "ms": 10**-3, "us": 1, "ns": 10**3}[unit]
+            cols.append(pa.array([int(ts_us * scale)], type=pa.int64()).cast(f.type))
+        else:
+            cols.append(pa.array([vals.get(f.name)], type=f.type))
+    path = os.path.join(dst_dir, f"zz_flush_{event_id & 0xFFFF:04x}.parquet")
+    pq.write_table(pa.table(cols, schema=sch), path)
+    now = time.time()
+    os.utime(path, (now, now))
+
+
+def run_streaming_session_agg(
+    spark: SparkSession,
+    sf_dir: str,
+    gap: str = "10 minutes",
+    watermark: str = "30 minutes",
+) -> DataFrame:
+    """Native ``session_window`` sessionization as a streaming query —
+    the streaming twin of the batch ``session_window_agg``, driven to
+    EXACT equality (not prefix containment).
+
+    Session aggregation streams only in append/update mode with a
+    watermark, and append emits a session only once the watermark
+    passes its end. A bounded file stream's watermark stalls at
+    ``max(ts) - delay``, which would strand every session ending in the
+    final delay horizon — so after draining the real file we write a
+    far-future SENTINEL event (user_id = -1) and drain again, twice:
+    the first sentinel batch advances the watermark past all real
+    sessions, the second forces one more micro-batch in which that
+    advanced watermark evicts + emits the remaining state (eviction
+    happens in the batch AFTER the watermark moves). The sentinel's own
+    session is filtered out by ``user_id >= 0``.
+
+    Scale shape: state is one struct per OPEN (user, session), GC'd by
+    the watermark — bounded by active users × gap, independent of
+    stream length; the shuffle is the same (user) hash exchange as the
+    batch groupBy."""
+    import os
+    import shutil
+    import tempfile
+    import time
+
+    from esther_apache_spark_spark.schemas import (
+        _EVENTS_RAW,
+        _events_ts_unit,
+        load_table,
+    )
+
+    tmp = tempfile.mkdtemp(prefix="stream_session_")
+    try:
+        src = f"{sf_dir}/events.parquet"
+        copy = os.path.join(tmp, "00_events.parquet")
+        shutil.copy(src, copy)
+        t0 = time.time() - 60
+        os.utime(copy, (t0, t0))
+
+        max_ts_us = (
+            load_table(spark, sf_dir, "events")
+            .agg(F.max(F.unix_micros("ts")).alias("m"))
+            .collect()[0]["m"]
+        )
+
+        if _events_ts_unit(copy) == "ns":
+            raw = spark.readStream.schema(_EVENTS_RAW).parquet(tmp)
+            stream = raw.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+        else:
+            stream = spark.readStream.schema(TESTDATA["events"]).parquet(tmp)
+
+        sessions = (
+            stream.withWatermark("ts", watermark)
+            .groupBy(F.session_window("ts", gap).alias("win"), "user_id")
+            .agg(
+                F.count(F.lit(1)).alias("n_events"),
+                F.round(F.sum(F.col("value").cast("decimal(12,2)")), 2)
+                .cast("double")
+                .alias("total_value"),
+            )
+            .select(
+                "user_id",
+                F.date_format("win.start", "yyyy-MM-dd HH:mm:ss").alias(
+                    "session_start"
+                ),
+                "n_events",
+                "total_value",
+            )
+        )
+        name = f"stream_session_{uuid.uuid4().hex[:8]}"
+        q = (
+            sessions.writeStream.outputMode("append")
+            .format("memory")
+            .queryName(name)
+            .start()
+        )
+        try:
+            q.processAllAvailable()
+            day_us = 86_400_000_000
+            _write_sentinel_event(tmp, copy, max_ts_us + 30 * day_us, -1)
+            q.processAllAvailable()
+            _write_sentinel_event(tmp, copy, max_ts_us + 60 * day_us, -2)
+            q.processAllAvailable()
+        finally:
+            q.stop()
+        return spark.table(name).filter(F.col("user_id") >= 0)
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)

@@ -73,6 +73,9 @@ ALLOWED: dict[tuple[str, str], str] = {
     # FreshKart dims are fixed-size reference data (VERDICT r2: harmless)
     ("freshkart/pipeline.py", "customers_clean"): "fixed-size reference dim",
     ("freshkart/pipeline.py", "refunds_sum"): "per-order pre-agg of the fixed refunds feed",
+    # AUC rank offsets: one row per score bucket, ≤1025 rows
+    # (floor((score+1)*512) on scores in [-1,1] — a model constant)
+    ("plans/evaluation.py", "bucket_offsets"): "score-bucket offsets, ≤1025 rows (model constant)",
 }
 
 # Identifiers that must NEVER be hinted anywhere: relations that grow
