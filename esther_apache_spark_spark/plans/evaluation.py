@@ -496,3 +496,242 @@ def streaming_session_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     return run_streaming_session_agg(spark, sf_dir)
+
+
+# ---------------------------------------------------------------------------
+# Frequent itemsets (a-priori) — market-basket triples beyond the pair
+# co-occurrence the recommender family already mines.
+# ---------------------------------------------------------------------------
+
+_FI_SUPPORT = 10
+
+
+@register(
+    "frequent_itemset_triples",
+    oracle=f"""
+    WITH ob AS (
+        SELECT DISTINCT l.l_orderkey AS k, p.p_brand AS b
+        FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+    ),
+    fi AS (SELECT b FROM (SELECT b, COUNT(*) AS n FROM ob GROUP BY b)
+           WHERE n >= {_FI_SUPPORT}),
+    obf AS (SELECT k, b FROM ob WHERE b IN (SELECT b FROM fi)),
+    pairs AS (
+        SELECT a.b AS b1, c.b AS b2, COUNT(*) AS n
+        FROM obf a JOIN obf c USING (k) WHERE a.b < c.b GROUP BY 1, 2
+    ),
+    fp AS (SELECT b1, b2 FROM pairs WHERE n >= {_FI_SUPPORT}),
+    tri AS (
+        SELECT a.b AS b1, c.b AS b2, d.b AS b3, COUNT(*) AS n
+        FROM obf a JOIN obf c USING (k) JOIN obf d USING (k)
+        WHERE a.b < c.b AND c.b < d.b
+          AND EXISTS (SELECT 1 FROM fp WHERE fp.b1 = a.b AND fp.b2 = c.b)
+          AND EXISTS (SELECT 1 FROM fp WHERE fp.b1 = a.b AND fp.b2 = d.b)
+          AND EXISTS (SELECT 1 FROM fp WHERE fp.b1 = c.b AND fp.b2 = d.b)
+        GROUP BY 1, 2, 3
+    )
+    SELECT b1 AS brand_a, b2 AS brand_b, b3 AS brand_c,
+           CAST(n AS BIGINT) AS support
+    FROM tri WHERE n >= {_FI_SUPPORT}
+    """,
+)
+def frequent_itemset_triples(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Frequent brand TRIPLES by the a-priori doctrine: every stage's
+    candidates are generated only from the previous stage's survivors
+    (frequent items gate the baskets, frequent pairs gate the pair
+    instances, and all three sub-pairs of a triple must be frequent
+    before it is counted). That anti-monotone pruning is what makes
+    itemset mining feasible at 100 TB — the triple join runs over the
+    support-pruned minority, not the raw baskets, and per-basket
+    fan-out is C(m,3) with m bounded by basket size (≤7 lineitems per
+    TPC-H order). All equi-joins on the basket key + hash aggregates;
+    pure integer counts, bit-exact oracle."""
+    li = load_table(spark, sf_dir, "lineitem")
+    part = load_table(spark, sf_dir, "part")
+    ob = (
+        li.join(part, li.l_partkey == part.p_partkey)
+        .select(F.col("l_orderkey").alias("k"), F.col("p_brand").alias("b"))
+        .distinct()
+    )
+    fi = (
+        ob.groupBy("b")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .filter(F.col("n") >= _FI_SUPPORT)
+        .select("b")
+    )
+    obf = ob.join(fi, "b", "left_semi")
+    t1 = obf.select("k", F.col("b").alias("b1"))
+    t2 = obf.select("k", F.col("b").alias("b2"))
+    t3 = obf.select("k", F.col("b").alias("b3"))
+    pair_inst = t1.join(t2, "k").filter(F.col("b1") < F.col("b2"))
+    fp = (
+        pair_inst.groupBy("b1", "b2")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .filter(F.col("n") >= _FI_SUPPORT)
+        .select("b1", "b2")
+    )
+    gated_pairs = pair_inst.join(fp, ["b1", "b2"], "left_semi")
+    fp13 = fp.select(F.col("b1"), F.col("b2").alias("b3"))
+    fp23 = fp.select(F.col("b1").alias("b2"), F.col("b2").alias("b3"))
+    return (
+        gated_pairs.join(t3, "k")
+        .filter(F.col("b3") > F.col("b2"))
+        .join(fp13, ["b1", "b3"], "left_semi")
+        .join(fp23, ["b2", "b3"], "left_semi")
+        .groupBy("b1", "b2", "b3")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .filter(F.col("n") >= _FI_SUPPORT)
+        .select(
+            F.col("b1").alias("brand_a"),
+            F.col("b2").alias("brand_b"),
+            F.col("b3").alias("brand_c"),
+            F.col("n").cast("long").alias("support"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Time-series downsampling — LTTB (largest-triangle-three-buckets),
+# fixed-anchor variant, exact integer/decimal geometry.
+# ---------------------------------------------------------------------------
+
+_LTTB_BUCKETS = 12
+# area terms as exact wide integers: DuckDB HUGEINT / Spark DECIMAL(38,0)
+_D = "DECIMAL(38,0)"
+
+
+@register(
+    "downsample_lttb_user_value",
+    oracle=f"""
+    WITH pts AS (
+        SELECT user_id, event_id, ts,
+               epoch_us(ts) // 1000000
+                   - MIN(epoch_us(ts) // 1000000)
+                         OVER (PARTITION BY user_id) AS x,
+               CAST(CAST(value AS DECIMAL(12,2)) * 100 AS BIGINT) AS y,
+               CAST(value AS DECIMAL(12,2)) AS v,
+               ntile({_LTTB_BUCKETS}) OVER (PARTITION BY user_id
+                                            ORDER BY ts, event_id) AS bucket
+        FROM events
+    ),
+    bsum AS (
+        SELECT user_id, bucket,
+               COUNT(*) AS nb, SUM(x) AS sx, SUM(y) AS sy
+        FROM pts GROUP BY 1, 2
+    ),
+    nbr AS (
+        SELECT user_id, bucket,
+               MAX(bucket) OVER (PARTITION BY user_id) AS lastb,
+               lag(nb) OVER w AS nl, lag(sx) OVER w AS sxl,
+               lag(sy) OVER w AS syl,
+               lead(nb) OVER w AS nr, lead(sx) OVER w AS sxr,
+               lead(sy) OVER w AS syr
+        FROM bsum
+        WINDOW w AS (PARTITION BY user_id ORDER BY bucket)
+    ),
+    scored AS (
+        SELECT p.user_id, p.event_id, p.ts, p.v, p.x, p.bucket,
+               CASE
+                 WHEN p.bucket = 1 THEN CAST(-p.x AS HUGEINT)
+                 WHEN p.bucket = n.lastb THEN CAST(p.x AS HUGEINT)
+                 ELSE ABS(
+                   (CAST(n.sxl AS HUGEINT) * n.nr - CAST(n.sxr AS HUGEINT) * n.nl)
+                     * (CAST(p.y AS HUGEINT) * n.nl - n.syl)
+                   - (CAST(n.sxl AS HUGEINT) - CAST(p.x AS HUGEINT) * n.nl)
+                     * (CAST(n.syr AS HUGEINT) * n.nl - CAST(n.syl AS HUGEINT) * n.nr)
+                 )
+               END AS score
+        FROM pts p JOIN nbr n USING (user_id, bucket)
+    ),
+    pick AS (
+        SELECT user_id, event_id, ts, v, bucket,
+               row_number() OVER (PARTITION BY user_id, bucket
+                                  ORDER BY score DESC, x, event_id) AS rn
+        FROM scored
+    )
+    SELECT user_id, CAST(bucket AS INT) AS bucket,
+           strftime(ts, '%Y-%m-%d %H:%M:%S') AS ts,
+           CAST(v AS DOUBLE) AS value
+    FROM pick WHERE rn = 1
+    """,
+)
+def downsample_lttb_user_value(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user time-series downsampling to {_LTTB_BUCKETS} visually
+    representative points — the largest-triangle-three-buckets family
+    (Steinarsson 2013), in its parallel FIXED-ANCHOR variant: each
+    middle bucket keeps the point with the largest triangle area
+    against the AVERAGE points of its neighbor buckets (classic LTTB
+    anchors on the previously-selected point, a sequential dependency;
+    anchoring on neighbor means is the standard parallel relaxation),
+    first/last buckets keep their first/last points.
+
+    Exact geometry, no floats: x in rebased epoch SECONDS, y in integer
+    CENTS, and the area comparison multiplied through by nl²·nr so
+    every term is an integer — DuckDB HUGEINT vs Spark DECIMAL(38,0),
+    both exact (magnitudes ≤ ~1e22 at any plausible per-user history,
+    far inside both ranges); ties break on (x, event_id).
+
+    Scale shape: one per-user sort window for ntile (the same exchange
+    as any per-key history op), bucket sums are a hash aggregate, and
+    the neighbor frame is ≤{_LTTB_BUCKETS} rows per user — lag/lead
+    over it is partitioned, never global."""
+    from pyspark.sql import Window as W
+
+    events = load_table(spark, sf_dir, "events")
+    sec = F.expr("unix_micros(ts) div 1000000")
+    wu = W.partitionBy("user_id")
+    pts = events.select(
+        "user_id",
+        "event_id",
+        "ts",
+        (sec - F.min(sec).over(wu)).alias("x"),
+        (F.col("value").cast("decimal(12,2)") * 100).cast("long").alias("y"),
+        F.col("value").cast("decimal(12,2)").alias("v"),
+        F.ntile(_LTTB_BUCKETS)
+        .over(wu.orderBy("ts", "event_id"))
+        .alias("bucket"),
+    )
+    bsum = pts.groupBy("user_id", "bucket").agg(
+        F.count(F.lit(1)).alias("nb"),
+        F.sum("x").alias("sx"),
+        F.sum("y").alias("sy"),
+    )
+    wb = W.partitionBy("user_id").orderBy("bucket")
+    nbr = bsum.select(
+        "user_id",
+        "bucket",
+        F.max("bucket").over(W.partitionBy("user_id")).alias("lastb"),
+        F.lag("nb").over(wb).alias("nl"),
+        F.lag("sx").over(wb).alias("sxl"),
+        F.lag("sy").over(wb).alias("syl"),
+        F.lead("nb").over(wb).alias("nr"),
+        F.lead("sx").over(wb).alias("sxr"),
+        F.lead("sy").over(wb).alias("syr"),
+    )
+    j = pts.join(nbr, ["user_id", "bucket"])
+    d = lambda c: F.col(c).cast(_D)  # noqa: E731
+    area = F.abs(
+        (d("sxl") * d("nr") - d("sxr") * d("nl"))
+        * (d("y") * d("nl") - d("syl"))
+        - (d("sxl") - d("x") * d("nl"))
+        * (d("syr") * d("nl") - d("syl") * d("nr"))
+    )
+    score = (
+        F.when(F.col("bucket") == 1, (-F.col("x")).cast(_D))
+        .when(F.col("bucket") == F.col("lastb"), F.col("x").cast(_D))
+        .otherwise(area)
+    )
+    wpick = W.partitionBy("user_id", "bucket").orderBy(
+        F.desc("score"), F.asc("x"), F.asc("event_id")
+    )
+    return (
+        j.withColumn("score", score)
+        .withColumn("rn", F.row_number().over(wpick))
+        .filter(F.col("rn") == 1)
+        .select(
+            "user_id",
+            F.col("bucket").cast("int").alias("bucket"),
+            F.date_format("ts", "yyyy-MM-dd HH:mm:ss").alias("ts"),
+            F.col("v").cast("double").alias("value"),
+        )
+    )
