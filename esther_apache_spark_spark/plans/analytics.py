@@ -1535,6 +1535,61 @@ def cumulative_distinct_users_daily(spark: SparkSession, sf_dir: str) -> DataFra
 
 
 @register(
+    "sliding_7d_distinct_users",
+    oracle="""
+    WITH days AS (SELECT DISTINCT CAST(ts AS DATE) AS day FROM events)
+    SELECT strftime(d.day, '%Y-%m-%d') AS day,
+           CAST(COUNT(DISTINCT e.user_id) AS BIGINT) AS distinct_users_7d
+    FROM days d JOIN events e
+      ON date_diff('day', CAST(e.ts AS DATE), d.day) BETWEEN 0 AND 6
+    GROUP BY 1
+    """,
+)
+def sliding_7d_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rolling 7-day exact distinct users per day (the WAU-style
+    engagement metric) answered from the SAME persisted per-day bitmap
+    pages as `cumulative_distinct_users_daily` — distinct counts are
+    not reaggregable from daily totals, but OR-merging the 7 relevant
+    days' bitmaps is exact and never rescans the fact table. The
+    day-range pairing is an inequality join over two calendar-bounded
+    tiny relations (#days × 7·pages), the documented NestedLoop
+    exception class; the merge is one (day, bitmap_bucket) hash
+    aggregate. At 100 TB the raw events are read once to build the
+    daily state; every window length after that is a bitmap-page
+    query."""
+    from esther_apache_spark_spark.operators.sketches import (
+        bitmap_bucket_sketches,
+    )
+
+    events = load_table(spark, sf_dir, "events").withColumn(
+        "day", F.col("ts").cast("date")
+    )
+    daily = bitmap_bucket_sketches(events, "user_id", ["day"])
+    asof = daily.select("day").distinct().select(F.col("day").alias("asof"))
+    merged = (
+        daily.join(
+            asof,
+            (daily.day <= F.col("asof"))
+            & (daily.day >= F.date_sub(F.col("asof"), 6)),
+        )
+        .groupBy("asof", "bitmap_bucket")
+        .agg(F.expr("bitmap_or_agg(bitmap)").alias("bitmap"))
+    )
+    return (
+        merged.groupBy("asof")
+        .agg(
+            F.sum(F.expr("bitmap_count(bitmap)"))
+            .cast("long")
+            .alias("distinct_users_7d")
+        )
+        .select(
+            F.date_format("asof", "yyyy-MM-dd").alias("day"),
+            "distinct_users_7d",
+        )
+    )
+
+
+@register(
     "daily_new_users",
     oracle="""
     WITH first_seen AS (

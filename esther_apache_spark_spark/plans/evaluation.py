@@ -735,3 +735,80 @@ def downsample_lttb_user_value(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("v").cast("double").alias("value"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Chi-square test of independence — categorical drift / association audit.
+# ---------------------------------------------------------------------------
+@register(
+    "chisq_event_type_dow",
+    oracle="""
+    WITH cells AS (
+        SELECT event_type, CAST(isodow(CAST(ts AS DATE)) AS INT) AS dow,
+               COUNT(*) AS o
+        FROM events GROUP BY 1, 2
+    ),
+    t AS (
+        SELECT event_type, dow, o,
+               SUM(o) OVER (PARTITION BY event_type) AS r,
+               SUM(o) OVER (PARTITION BY dow) AS c,
+               SUM(o) OVER () AS n
+        FROM cells
+    )
+    SELECT CAST(ROUND(SUM(ROUND(
+               CAST(o * n - r * c AS DOUBLE) * CAST(o * n - r * c AS DOUBLE)
+               / (CAST(n AS DOUBLE) * r * c), 9)), 6) AS DOUBLE) AS chi2,
+           CAST((COUNT(DISTINCT event_type) - 1)
+                * (COUNT(DISTINCT dow) - 1) AS BIGINT) AS dof,
+           CAST(MAX(n) AS BIGINT) AS n
+    FROM t
+    """,
+)
+def chisq_event_type_dow(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pearson chi-square test of independence between event type and
+    ISO day-of-week — the categorical drift/association audit a
+    pipeline runs to decide whether a dimension interacts with time
+    (feeding into stratification choices). Computed in the
+    integer-numerator form: per cell, ``(O·n − R·C)² / (n·R·C)`` where
+    O, R, C, n are exact BIGINT counts — the subtraction happens in
+    integers (≤ ~1e13, exactly representable as doubles), each term is
+    ROUNDed to 9 decimals before the ≤|types·7|-row sum (the per-term
+    quantization doctrine), and dof = (R−1)(C−1).
+
+    Scale shape: one hash aggregate over the fact table down to ≤35
+    cells; every window (row/col/grand totals) runs over that bounded
+    aggregated frame. Spark ``weekday()+1`` ≡ DuckDB ``isodow`` (the
+    `dow_seasonality_by_type` convention)."""
+    events = load_table(spark, sf_dir, "events")
+    cells = (
+        events.select(
+            "event_type",
+            (F.expr("weekday(ts)") + F.lit(1)).cast("int").alias("dow"),
+        )
+        .groupBy("event_type", "dow")
+        .agg(F.count(F.lit(1)).alias("o"))
+    )
+    t = cells.select(
+        "event_type",
+        "dow",
+        "o",
+        F.sum("o").over(Window.partitionBy("event_type")).alias("r"),
+        F.sum("o").over(Window.partitionBy("dow")).alias("c"),
+        F.sum("o").over(Window.partitionBy()).alias("n"),
+    )
+    dev = F.col("o") * F.col("n") - F.col("r") * F.col("c")
+    term = F.round(
+        dev.cast("double")
+        * dev.cast("double")
+        / (F.col("n").cast("double") * F.col("r") * F.col("c")),
+        9,
+    )
+    return t.agg(
+        F.round(F.sum(term), 6).cast("double").alias("chi2"),
+        (
+            (F.countDistinct("event_type") - 1) * (F.countDistinct("dow") - 1)
+        )
+        .cast("long")
+        .alias("dof"),
+        F.max("n").cast("long").alias("n"),
+    )

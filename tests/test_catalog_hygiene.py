@@ -103,6 +103,9 @@ def test_catalog_plans_free_of_scale_antipatterns(spark, sf_dir):
         # relations (#days × #days·bitmap-pages, KBs at any corpus
         # size) — raw keys/events never enter the join
         "cumulative_distinct_users_daily",
+        # same class: 7-day range pairing over the calendar-bounded
+        # day × bitmap-page relations
+        "sliding_7d_distinct_users",
         # 1-row (n, agree) × 1-row (pe_num) scalar combine
         "langid_kappa_agreement",
     }
