@@ -22,16 +22,22 @@ Cross-engine determinism (what makes a trained-model op oracle-able):
 - centroid updates round the integer-sum mean back to integers via
   ``floor(sum/count + 0.5)`` — a single correctly-rounded double
   division of exactly-representable integers (sums ≤ n·scale < 2^53);
-- per-cluster inertia is summed in DECIMAL(38,0) (DuckDB: HUGEINT), so
-  the report is overflow-free at any corpus size.
+- per-cluster inertia is an exact BIGINT sum — exact to ~10⁴ worst-case
+  vectors/cluster at scale=10⁶ and ~10⁹ at realistic unit-norm
+  embeddings; beyond that drop ``scale`` to 10⁴ (see
+  ``kmeans_lloyd_summary``'s docstring for the bound arithmetic —
+  determinism and the oracle replay don't depend on the setting).
 
 Scale shape per round: the centroid set collapses to ONE row of k
 structs (bounded by the model constant k, never by data) that
 broadcast-joins onto the vectors — assignment is a map, no shuffle.
 The update is a posexplode → partial-aggregable groupBy on
 (cluster, dim): the shuffle moves k·dim partial sums per partition,
-not vectors. Seeding is the k lowest vec_ids (deterministic and
-SQL-replayable; swap in k-means|| offline when quality matters more
+not vectors. Seeding is the k lowest vec_ids BY RANK (orderBy+limit —
+a TakeOrderedAndProject, k rows — with cids 0..k−1 assigned by
+row_number over that k-row frame), so any id domain — offset, sparse,
+filtered — yields exactly min(n, k) seeds; deterministic and
+SQL-replayable (swap in k-means|| offline when quality matters more
 than replay).
 """
 
@@ -145,8 +151,18 @@ def kmeans_lloyd_summary(
         raise ValueError(f"unknown assign_via: {assign_via}")
     assign = _assign if assign_via == "expr" else _assign_arrow
     q = quantize_vectors(emb, id_col=id_col, vec_col=vec_col, scale=scale)
-    cent = q.filter(F.col("vec_id") < k).select(
-        F.col("vec_id").alias("cid"), F.col("qv").alias("cv")
+    # Seed by RANK, not by value: orderBy+limit is a TakeOrderedAndProject
+    # (k rows, bounded by the model constant), and the row_number window
+    # runs over that k-row frame only — any id domain (offset, sparse,
+    # filtered) yields exactly min(n, k) seeds with cids 0..min(n,k)-1.
+    from pyspark.sql import Window
+
+    seeds = q.orderBy("vec_id").limit(k)
+    cent = seeds.select(
+        (F.row_number().over(Window.orderBy("vec_id")) - 1)
+        .cast("long")
+        .alias("cid"),
+        F.col("qv").alias("cv"),
     )
     assigned = None
     for _ in range(iters):

@@ -2230,8 +2230,15 @@ def _kmeans_oracle(k: int = 8, iters: int = 3, dim: int = 64) -> str:
                           * 1000000.0 + 0.5) AS BIGINT) AS qv
         FROM embeddings e CROSS JOIN range(1, {dim + 1}) r
     )""",
-        f"""cent0 AS (
-        SELECT vec_id AS cid, dim, qv AS cv FROM dims WHERE vec_id < {k}
+        f"""seed_ids AS (
+        SELECT vec_id,
+               CAST(row_number() OVER (ORDER BY vec_id) - 1 AS BIGINT) AS cid
+        FROM (SELECT DISTINCT vec_id FROM dims) dseed
+        ORDER BY vec_id LIMIT {k}
+    )""",
+        """cent0 AS (
+        SELECT s.cid, d.dim, d.qv AS cv
+        FROM seed_ids s JOIN dims d ON s.vec_id = d.vec_id
     )""",
     ]
     for i in range(1, iters + 1):

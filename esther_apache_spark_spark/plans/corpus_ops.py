@@ -2188,7 +2188,8 @@ def corpus_diff_versions(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT bucket,
            CAST(COUNT(*) AS BIGINT) AS n_docs,
            CAST(SUM(n_tok) AS BIGINT) AS total_tokens,
-           CAST((COUNT(*) + (4096 // bucket) - 1) // (4096 // bucket) AS BIGINT)
+           CAST((COUNT(*) + GREATEST(4096 // bucket, 1) - 1)
+                // GREATEST(4096 // bucket, 1) AS BIGINT)
                AS n_batches,
            CAST(ROUND(CAST(SUM(n_tok) AS DOUBLE)
                       / CAST(COUNT(*) * bucket AS DOUBLE), 6) AS DOUBLE)
@@ -2225,7 +2226,12 @@ def length_bucket_batches(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .alias("bucket"),
     )
-    cap = F.floor(F.lit(4096) / F.col("bucket")).cast("long")
+    # A doc longer than the 4096-token batch budget yields floor(4096/bucket)=0;
+    # clamp to 1 (one over-budget doc per batch) so the division can't hit
+    # ANSI DIVIDE_BY_ZERO. Oracle mirrors with GREATEST(4096 // bucket, 1).
+    cap = F.greatest(
+        F.floor(F.lit(4096) / F.col("bucket")).cast("long"), F.lit(1).cast("long")
+    )
     return bucketed.groupBy("bucket").agg(
         F.count(F.lit(1)).alias("n_docs"),
         F.sum("n_tok").alias("total_tokens"),

@@ -729,6 +729,48 @@ def run_stream_bloom_novelty(
     return spark.table(name)
 
 
+def _transitions_update(key, pdfs, state):
+    """The ``applyInPandasWithState`` fold for
+    ``event_transitions_stream`` — module-level so the cross-batch
+    bridge semantics are unit-testable against a fake GroupState.
+    State: the user's LAST event as (ts int64-ns, event_id, type)."""
+    import bisect
+
+    import pandas as pd
+
+    pdf = pd.concat(list(pdfs), ignore_index=True)
+    pdf = pdf.sort_values(["ts", "event_id"], kind="mergesort")
+    ts_ns = pd.to_datetime(pdf["ts"]).astype("int64").tolist()
+    eids = pdf["event_id"].astype("int64").tolist()
+    types = pdf["event_type"].tolist()
+    if state.exists:
+        last_ts, last_eid, last_type = state.get
+        # Merge the saved event into the batch's (ts, event_id) total
+        # order instead of assuming it precedes every row: in-order
+        # delivery inserts at 0 (the old prepend), while a late-arriving
+        # batch folds against the saved event at its true position —
+        # single-event history, so this is the best non-retractive fold;
+        # exact equality with the batch twin still requires per-user
+        # in-order arrival (see event_transitions_stream's docstring).
+        pos = bisect.bisect_right(list(zip(ts_ns, eids)), (last_ts, last_eid))
+        ts_ns.insert(pos, last_ts)
+        eids.insert(pos, last_eid)
+        types.insert(pos, last_type)
+    if types:
+        state.update((ts_ns[-1], eids[-1], types[-1]))
+    pairs: dict[tuple[str, str], int] = {}
+    for a, b in zip(types, types[1:]):
+        pairs[(a, b)] = pairs.get((a, b), 0) + 1
+    if pairs:
+        yield pd.DataFrame(
+            {
+                "from_type": [k[0] for k in pairs],
+                "to_type": [k[1] for k in pairs],
+                "n": list(pairs.values()),
+            }
+        )
+
+
 def event_transitions_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Stateful streaming event-transition counter — the streaming twin
     of the batch `event_transition_matrix` pair counts:
@@ -744,37 +786,21 @@ def event_transitions_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     arrival respects event time per user — the file source replays one
     file per trigger in order, and a production deployment either
     partitions the bus by user with in-order delivery or buffers within
-    a watermark before folding. The driver-facing result aggregates the
+    a watermark before folding. The saved event carries its (ts,
+    event_id), and each batch MERGES it into the batch's total order
+    (bisect insert) rather than blindly prepending — in-order delivery
+    reduces to the prepend, while a late batch folds against the saved
+    event at its true position (single-event history: the best
+    non-retractive behavior, and out-of-order arrival is now detectable
+    from state rather than silently miscounted). The driver-facing result aggregates the
     per-batch emissions, so emission slicing never changes totals."""
-    import pandas as pd
-    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
-
-    def update(key, pdfs, state: GroupState):
-        pdf = pd.concat(list(pdfs), ignore_index=True)
-        pdf = pdf.sort_values(["ts", "event_id"], kind="mergesort")
-        types = pdf["event_type"].tolist()
-        if state.exists:
-            (last_type,) = state.get
-            types = [last_type] + types
-        if types:
-            state.update((types[-1],))
-        pairs: dict[tuple[str, str], int] = {}
-        for a, b in zip(types, types[1:]):
-            pairs[(a, b)] = pairs.get((a, b), 0) + 1
-        if pairs:
-            yield pd.DataFrame(
-                {
-                    "from_type": [k[0] for k in pairs],
-                    "to_type": [k[1] for k in pairs],
-                    "n": list(pairs.values()),
-                }
-            )
+    from pyspark.sql.streaming.state import GroupStateTimeout
 
     stream = streaming_events_source(spark, sf_dir)
     updates = stream.groupBy("user_id").applyInPandasWithState(
-        update,
+        _transitions_update,
         outputStructType="from_type string, to_type string, n long",
-        stateStructType="last_type string",
+        stateStructType="last_ts long, last_event_id long, last_type string",
         outputMode="append",
         timeoutConf=GroupStateTimeout.NoTimeout,
     )

@@ -84,3 +84,36 @@ def test_arrow_assignment_matches_expression_path(spark, sf_dir):
         )
     )
     assert a == b
+
+
+def test_kmeans_offset_sparse_ids_seed_full_k(spark):
+    """Regression (ADVICE r5): seeding must be by RANK, not `vec_id < k`
+    — an offset/sparse id domain (e.g. a filtered or sampled corpus)
+    must still yield exactly min(n, k) seeds, assign every vector, and
+    produce no NULL clusters."""
+    rows = [(1000 + 7 * i, [float((i * 13) % 5), float((i * 31) % 7)]) for i in range(40)]
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    out = kmeans_lloyd_summary(emb, k=8, iters=2).collect()
+    assert all(r["cluster_id"] is not None for r in out)
+    assert sum(r["n_vecs"] for r in out) == 40
+    # cids are rank-based 0..k-1, regardless of the id domain
+    assert set(r["cluster_id"] for r in out) <= set(range(8))
+    assert len(out) >= 2  # the synthetic grid is not one point
+
+
+def test_kmeans_offset_ids_match_contiguous_relabel(spark):
+    """Shifting every vec_id by a constant changes nothing but labels:
+    the rank-based seeding must produce identical (n_vecs, inertia,
+    centroid_l1) multisets."""
+    rows = [(i, [float((i * 13) % 5), float((i * 31) % 7)]) for i in range(40)]
+    emb0 = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    emb1 = emb0.select((F.col("vec_id") + 10_000).alias("vec_id"), "embedding")
+    a = sorted(
+        (r["n_vecs"], r["inertia"], r["centroid_l1"])
+        for r in kmeans_lloyd_summary(emb0, k=4, iters=2).collect()
+    )
+    b = sorted(
+        (r["n_vecs"], r["inertia"], r["centroid_l1"])
+        for r in kmeans_lloyd_summary(emb1, k=4, iters=2).collect()
+    )
+    assert a == b

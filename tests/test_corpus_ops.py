@@ -280,3 +280,46 @@ def test_quality_classifier_exact_and_edge_cases(spark):
         for r in TS.quality_classifier_score(df.repartition(7), w).collect()
     }
     assert {k: v["score"] for k, v in out.items()} == out2
+
+
+def test_length_bucket_batches_over_budget_doc(spark, tmp_path):
+    """Regression (ADVICE r5, medium): a doc longer than the 4096-token
+    batch budget lands in a bucket >= 8192, where floor(4096/bucket)=0
+    used to divide by zero under ANSI mode. The clamp routes it as one
+    doc per batch — Spark and the oracle must agree on the guarded
+    arithmetic."""
+    import duckdb
+
+    from esther_apache_spark_spark import plans
+
+    docs = spark.createDataFrame(
+        [
+            (1, "w " * 5000, "en", "synth", 10000),  # 5000 ws tokens -> bucket 8192
+            (2, "a b c", "en", "synth", 5),
+            (3, "x " * 4097, "en", "synth", 8194),  # 4097 tokens -> bucket 8192
+        ],
+        "doc_id long, text string, lang string, source string, n_chars long",
+    )
+    d = str(tmp_path / "sf_overbudget")
+    import os
+
+    os.makedirs(d, exist_ok=True)
+    docs.coalesce(1).toPandas().to_parquet(f"{d}/documents.parquet", index=False)
+
+    spec = plans.QUERIES["length_bucket_batches"]
+    got = {
+        r["bucket"]: r for r in spec.fn(spark, d).collect()
+    }
+    assert got[8192]["n_docs"] == 2
+    assert got[8192]["n_batches"] == 2  # clamp: one over-budget doc per batch
+    assert got[4]["n_batches"] == 1
+
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW documents AS SELECT * FROM read_parquet('{d}/documents.parquet')"
+    )
+    want = {int(r[0]): r for r in con.execute(spec.oracle).fetchall()}
+    con.close()
+    for b, r in got.items():
+        assert int(want[b][1]) == r["n_docs"]
+        assert int(want[b][3]) == r["n_batches"]

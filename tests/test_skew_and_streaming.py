@@ -453,3 +453,82 @@ def test_streaming_full_interval_join_prefix_containment(spark, sf_dir):
 
     assert matched_batch <= streamed, "inner rows must all emit"
     assert streamed <= batch, "streamed rows must agree with the batch twin"
+
+
+class _FakeGroupState:
+    """Minimal stand-in for pyspark GroupState: exists/get/update."""
+
+    def __init__(self):
+        self._v = None
+
+    @property
+    def exists(self):
+        return self._v is not None
+
+    @property
+    def get(self):
+        return self._v
+
+    def update(self, v):
+        self._v = tuple(v)
+
+
+def _run_transition_batches(batches):
+    import pandas as pd
+
+    from esther_apache_spark_spark.streaming.events import _transitions_update
+
+    state = _FakeGroupState()
+    pairs = {}
+    for rows in batches:
+        pdf = pd.DataFrame(
+            rows, columns=["ts", "event_id", "event_type"]
+        ).astype({"ts": "datetime64[ns]"})
+        for out in _transitions_update(("u",), [pdf], state):
+            for _, r in out.iterrows():
+                k = (r["from_type"], r["to_type"])
+                pairs[k] = pairs.get(k, 0) + int(r["n"])
+    return pairs, state.get
+
+
+def test_transitions_state_keeps_full_last_event_in_order():
+    """Regression (ADVICE r5): state persists (ts, event_id, type), and
+    in-order batches reproduce the plain prepend-bridge fold."""
+    pairs, last = _run_transition_batches(
+        [
+            [("2024-01-01 00:00:10", 1, "view"), ("2024-01-01 00:00:20", 2, "cart")],
+            [("2024-01-01 00:00:30", 3, "buy")],
+        ]
+    )
+    assert pairs == {("view", "cart"): 1, ("cart", "buy"): 1}
+    assert last[2] == "buy" and last[1] == 3
+
+
+def test_transitions_bridge_merges_out_of_order_batch():
+    """A batch arriving entirely BEFORE the saved event (late data) used
+    to be folded as if it followed it; the merged fold places the saved
+    event at its true (ts, event_id) position."""
+    pairs, last = _run_transition_batches(
+        [
+            [("2024-01-01 00:00:50", 9, "buy")],
+            # late batch: both events precede the saved 'buy'
+            [("2024-01-01 00:00:10", 1, "view"), ("2024-01-01 00:00:20", 2, "cart")],
+        ]
+    )
+    # merged timeline: view -> cart -> buy; saved event stays the last
+    assert pairs == {("view", "cart"): 1, ("cart", "buy"): 1}
+    assert last[2] == "buy" and last[1] == 9
+    # the old prepend fold would have produced buy->view + view->cart
+    assert ("buy", "view") not in pairs
+
+
+def test_transitions_bridge_tiebreak_on_event_id():
+    """Equal timestamps order by event_id — the saved event with a lower
+    event_id at the same ts sorts before the batch row."""
+    pairs, _ = _run_transition_batches(
+        [
+            [("2024-01-01 00:00:10", 5, "view")],
+            [("2024-01-01 00:00:10", 7, "cart")],  # same ts, higher id
+        ]
+    )
+    assert pairs == {("view", "cart"): 1}
