@@ -16,5 +16,6 @@ from esther_apache_spark_spark.plans import tpch_more  # noqa: E402,F401
 from esther_apache_spark_spark.plans import corpus_ops  # noqa: E402,F401
 from esther_apache_spark_spark.plans import analytics  # noqa: E402,F401
 from esther_apache_spark_spark.plans import evaluation  # noqa: E402,F401
+from esther_apache_spark_spark.plans import warehouse  # noqa: E402,F401
 
 __all__ = ["QUERIES", "QuerySpec", "register", "queries", "oracle_sql"]

@@ -1,0 +1,701 @@
+"""Warehouse-pattern operators (round 6): gaps-and-islands interval
+algebra, SCD2 point-in-time lookup, exact distribution statistics from
+value-frequency frames, closed-form OLS regression, and boolean /
+conditional aggregation — each a named catalog query with a DuckDB
+oracle twin.
+
+The shared scale doctrine for the statistics here: NEVER sort or rank
+the raw rows. Every percentile/median in this module runs over the
+VALUE-FREQUENCY frame (group by the value, count, then one cumulative
+window over distinct values) — the same collapse `key_skew_report` uses
+for its Gini: the window's frame size is bounded by the value domain
+(price points, latency seconds), not the row count, so the plan shape
+survives a 100× scale-up where a `row_number` over the raw rows would
+funnel whole groups through single tasks.
+
+Cross-engine determinism: exact integer (cents / micros / quantized)
+arithmetic end-to-end; ceil-style ranks via integer `div`; DECIMAL(38,0)
+(DuckDB: HUGEINT) sums where BIGINT would overflow at corpus scale; the
+only floats are final single divisions of exact integers, rounded."""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from esther_apache_spark_spark.functions.money import dec2
+from esther_apache_spark_spark.plans.catalog import register
+from esther_apache_spark_spark.schemas import EMBEDDING_DIM, load_table
+
+# ---------------------------------------------------------------------------
+# Gaps and islands: interval union coverage.
+# ---------------------------------------------------------------------------
+
+_IVL_US = 300_000_000  # each event opens a 5-minute activity interval
+
+
+@register(
+    "interval_union_coverage",
+    oracle=f"""
+    WITH iv AS (
+        SELECT user_id, event_id,
+               epoch_us(ts) AS s, epoch_us(ts) + {_IVL_US} AS e
+        FROM events
+    ),
+    flagged AS (
+        SELECT user_id, s, e,
+               CASE WHEN MAX(e) OVER (PARTITION BY user_id ORDER BY s, event_id
+                        ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) IS NULL
+                      OR s > MAX(e) OVER (PARTITION BY user_id ORDER BY s, event_id
+                        ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+                    THEN 1 ELSE 0 END AS new_island,
+               event_id
+        FROM iv
+    ),
+    islands AS (
+        SELECT user_id, s, e,
+               SUM(new_island) OVER (PARTITION BY user_id ORDER BY s, event_id
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS island
+        FROM flagged
+    ),
+    per_island AS (
+        SELECT user_id, island,
+               CAST(MAX(e) - MIN(s) AS BIGINT) AS cov_us
+        FROM islands GROUP BY user_id, island
+    )
+    SELECT user_id,
+           CAST(COUNT(*) AS BIGINT) AS n_islands,
+           CAST(SUM(cov_us) AS BIGINT) AS covered_us,
+           CAST(MAX(cov_us) AS BIGINT) AS longest_us
+    FROM per_island GROUP BY user_id
+    """,
+)
+def interval_union_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gaps-and-islands interval UNION per user: every event opens a
+    5-minute activity interval [ts, ts+5m); overlapping/touching-by-
+    overlap intervals merge into islands, and the report is each user's
+    island count, total covered micros, and longest island — the
+    "actual active time" readout that a naive n_events × 5m sum
+    overstates wherever activity is bursty (the same algebra prices
+    machine-occupancy from job logs or on-screen time from heartbeats).
+
+    The classic SQL technique, expressed once per engine: an island
+    starts where the interval's start exceeds the running MAX of all
+    previous ends (cummax over the per-user (ts, event_id) order — NOT
+    lag(e), which misses the case where an earlier long interval
+    swallows its successors); island ids are the running sum of those
+    start flags; a merged island's coverage is exactly max(e) − min(s)
+    because by construction no internal gap exists.
+
+    Scale shape: both windows share ONE (user_id / s, event_id)
+    sort-partition — a single Exchange, frames bounded per user — then
+    two partial-aggregable groupBys. Exact integer micros end-to-end;
+    the unique event_id tiebreak makes the total order deterministic."""
+    ev = load_table(spark, sf_dir, "events")
+    iv = ev.select(
+        "user_id",
+        "event_id",
+        F.unix_micros("ts").alias("s"),
+        (F.unix_micros("ts") + F.lit(_IVL_US)).alias("e"),
+    )
+    w = Window.partitionBy("user_id").orderBy("s", "event_id")
+    wprev = w.rowsBetween(Window.unboundedPreceding, -1)
+    pmax = F.max("e").over(wprev)
+    flagged = iv.select(
+        "user_id",
+        "s",
+        "e",
+        "event_id",
+        F.when(pmax.isNull() | (F.col("s") > pmax), 1).otherwise(0).alias(
+            "new_island"
+        ),
+    )
+    islands = flagged.select(
+        "user_id",
+        "s",
+        "e",
+        F.sum("new_island")
+        .over(w.rowsBetween(Window.unboundedPreceding, 0))
+        .alias("island"),
+    )
+    per_island = islands.groupBy("user_id", "island").agg(
+        (F.max("e") - F.min("s")).cast("long").alias("cov_us")
+    )
+    return per_island.groupBy("user_id").agg(
+        F.count(F.lit(1)).alias("n_islands"),
+        F.sum("cov_us").cast("long").alias("covered_us"),
+        F.max("cov_us").alias("longest_us"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Exact winsorized mean via the value-frequency frame.
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "winsorized_mean_order_totals",
+    oracle="""
+    WITH base AS (
+        SELECT c.c_mktsegment AS segment,
+               CAST(CAST(o.o_totalprice AS DECIMAL(12,2)) * 100 AS BIGINT) AS cents
+        FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+    ),
+    freq AS (
+        SELECT segment, cents, CAST(COUNT(*) AS BIGINT) AS cnt
+        FROM base GROUP BY segment, cents
+    ),
+    cum AS (
+        SELECT segment, cents, cnt,
+               SUM(cnt) OVER (PARTITION BY segment ORDER BY cents
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS c,
+               SUM(cnt) OVER (PARTITION BY segment) AS n
+        FROM freq
+    ),
+    bounds AS (
+        SELECT segment, CAST(MAX(n) AS BIGINT) AS n,
+               MIN(CASE WHEN c >= (n * 5 + 99) // 100 THEN cents END) AS lo,
+               MIN(CASE WHEN c >= (n * 95 + 99) // 100 THEN cents END) AS hi
+        FROM cum GROUP BY segment
+    )
+    SELECT f.segment,
+           b.n AS n_orders,
+           CAST(ROUND(CAST(b.lo AS DOUBLE) / 100.0, 2) AS DOUBLE) AS p05,
+           CAST(ROUND(CAST(b.hi AS DOUBLE) / 100.0, 2) AS DOUBLE) AS p95,
+           CAST(ROUND(CAST(SUM(f.cnt * LEAST(GREATEST(f.cents, b.lo), b.hi))
+                           AS DOUBLE)
+                      / CAST(b.n AS DOUBLE) / 100.0, 4) AS DOUBLE)
+               AS winsorized_mean
+    FROM freq f JOIN bounds b ON f.segment = b.segment
+    GROUP BY f.segment, b.n, b.lo, b.hi
+    """,
+)
+def winsorized_mean_order_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Winsorized mean of order totals per market segment — the robust
+    central-tendency readout (clamp to the exact p05/p95, then average)
+    that a plain mean can't give when a few whale orders dominate.
+
+    EXACT percentiles without sorting rows: percentile_disc(p) is the
+    value at rank ceil(p·n), found on the VALUE-FREQUENCY frame — group
+    by (segment, cents), one cumulative window over distinct price
+    points per segment (domain-bounded frame), then a conditional MIN
+    for each rank threshold. The clamp-and-average then re-joins the
+    bounds onto the same frequency frame, so raw orders are scanned
+    once and never sorted. Integer cents end-to-end; ceil via integer
+    div; the mean is one double division of exact integers."""
+    orders = load_table(spark, sf_dir, "orders")
+    customer = load_table(spark, sf_dir, "customer")
+    base = orders.join(
+        customer, orders.o_custkey == customer.c_custkey, "inner"
+    ).select(
+        F.col("c_mktsegment").alias("segment"),
+        (dec2("o_totalprice") * 100).cast("long").alias("cents"),
+    )
+    freq = base.groupBy("segment", "cents").agg(F.count(F.lit(1)).alias("cnt"))
+    wseg = Window.partitionBy("segment")
+    wcum = wseg.orderBy("cents").rowsBetween(Window.unboundedPreceding, 0)
+    cum = freq.select(
+        "segment",
+        "cents",
+        "cnt",
+        F.sum("cnt").over(wcum).alias("c"),
+        F.sum("cnt").over(wseg).alias("n"),
+    )
+    bounds = cum.groupBy("segment").agg(
+        F.max("n").cast("long").alias("n"),
+        F.min(
+            F.when(F.col("c") >= F.expr("(n * 5 + 99) div 100"), F.col("cents"))
+        ).alias("lo"),
+        F.min(
+            F.when(F.col("c") >= F.expr("(n * 95 + 99) div 100"), F.col("cents"))
+        ).alias("hi"),
+    )
+    return (
+        freq.join(bounds, on="segment", how="inner")
+        .groupBy("segment", "n", "lo", "hi")
+        .agg(
+            F.sum(
+                F.col("cnt")
+                * F.least(F.greatest(F.col("cents"), F.col("lo")), F.col("hi"))
+            ).alias("wsum")
+        )
+        .select(
+            "segment",
+            F.col("n").alias("n_orders"),
+            F.round(F.col("lo").cast("double") / 100.0, 2).alias("p05"),
+            F.round(F.col("hi").cast("double") / 100.0, 2).alias("p95"),
+            F.round(
+                F.col("wsum").cast("double") / F.col("n").cast("double") / 100.0,
+                4,
+            ).alias("winsorized_mean"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Exact weighted median via the same value-frequency collapse.
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "weighted_median_extprice_by_flag",
+    oracle="""
+    WITH base AS (
+        SELECT l_returnflag AS flag,
+               CAST(CAST(l_extendedprice AS DECIMAL(12,2)) * 100 AS BIGINT)
+                   AS cents,
+               CAST(l_quantity AS BIGINT) AS w
+        FROM lineitem
+    ),
+    freq AS (
+        SELECT flag, cents, CAST(SUM(w) AS BIGINT) AS w
+        FROM base GROUP BY flag, cents
+    ),
+    cum AS (
+        SELECT flag, cents, w,
+               SUM(w) OVER (PARTITION BY flag ORDER BY cents
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS c,
+               SUM(w) OVER (PARTITION BY flag) AS tot
+        FROM freq
+    )
+    SELECT flag,
+           CAST(MAX(tot) AS BIGINT) AS total_weight,
+           CAST(ROUND(CAST(MIN(CASE WHEN 2 * c >= tot THEN cents END)
+                           AS DOUBLE) / 100.0, 2) AS DOUBLE)
+               AS weighted_median_price
+    FROM cum GROUP BY flag
+    """,
+)
+def weighted_median_extprice_by_flag(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quantity-weighted median of lineitem extended price per return
+    flag — "the price of the median UNIT shipped", which differs from
+    the row median whenever cheap items ship in bulk. Lower weighted
+    median: the smallest price whose cumulative weight reaches half the
+    total (2·cum ≥ total in integers — no /2 rounding question).
+
+    Same scale shape as the winsorized mean: weights (l_quantity is
+    integral by TPC-H construction — cast asserted exact BIGINT) are
+    pre-summed per (flag, cents) so the cumulative window runs over
+    distinct price points, not the 6M-rows-per-SF lineitem; one
+    Exchange on flag, frames bounded by the price domain."""
+    li = load_table(spark, sf_dir, "lineitem")
+    base = li.select(
+        F.col("l_returnflag").alias("flag"),
+        (dec2("l_extendedprice") * 100).cast("long").alias("cents"),
+        F.col("l_quantity").cast("long").alias("w"),
+    )
+    freq = base.groupBy("flag", "cents").agg(F.sum("w").cast("long").alias("w"))
+    wflag = Window.partitionBy("flag")
+    wcum = wflag.orderBy("cents").rowsBetween(Window.unboundedPreceding, 0)
+    cum = freq.select(
+        "flag",
+        "cents",
+        "w",
+        F.sum("w").over(wcum).alias("c"),
+        F.sum("w").over(wflag).alias("tot"),
+    )
+    return cum.groupBy("flag").agg(
+        F.max("tot").cast("long").alias("total_weight"),
+        F.round(
+            F.min(
+                F.when(2 * F.col("c") >= F.col("tot"), F.col("cents"))
+            ).cast("double")
+            / 100.0,
+            2,
+        ).alias("weighted_median_price"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Closed-form OLS daily trend (the parametric twin of theilsen_slope_by_type).
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "ols_daily_trend_by_type",
+    oracle="""
+    WITH daily AS (
+        SELECT event_type, CAST(ts AS DATE) AS day,
+               CAST(SUM(CAST(CAST(value AS DECIMAL(12,2)) * 100 AS BIGINT))
+                    AS BIGINT) AS cents
+        FROM events GROUP BY event_type, CAST(ts AS DATE)
+    ),
+    anchored AS (
+        SELECT d.event_type,
+               CAST(date_diff('day', m.d0, d.day) AS BIGINT) AS x,
+               d.cents AS y
+        FROM daily d
+        JOIN (SELECT event_type, MIN(day) AS d0 FROM daily GROUP BY event_type) m
+          ON d.event_type = m.event_type
+    ),
+    sums AS (
+        SELECT event_type,
+               CAST(COUNT(*) AS BIGINT) AS n,
+               SUM(CAST(x AS HUGEINT)) AS sx,
+               SUM(CAST(y AS HUGEINT)) AS sy,
+               SUM(CAST(x AS HUGEINT) * CAST(y AS HUGEINT)) AS sxy,
+               SUM(CAST(x AS HUGEINT) * CAST(x AS HUGEINT)) AS sxx
+        FROM anchored GROUP BY event_type
+    )
+    SELECT event_type, n AS n_days,
+           CAST(ROUND(CAST(n * sxy - sx * sy AS DOUBLE)
+                      / CAST(n * sxx - sx * sx AS DOUBLE), 6) AS DOUBLE)
+               AS slope_cents_per_day,
+           CAST(ROUND(CAST(sy AS DOUBLE) / CAST(n AS DOUBLE)
+                      - (CAST(n * sxy - sx * sy AS DOUBLE)
+                         / CAST(n * sxx - sx * sx AS DOUBLE))
+                        * (CAST(sx AS DOUBLE) / CAST(n AS DOUBLE)), 4)
+                AS DOUBLE) AS intercept_cents
+    FROM sums
+    WHERE n >= 2 AND n * sxx - sx * sx <> 0
+    """,
+)
+def ols_daily_trend_by_type(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Closed-form least-squares trend of daily revenue per event type —
+    the parametric partner of `theilsen_slope_by_type` and
+    `mannkendall_trend_by_type` (those are rank-robust; OLS is what the
+    dashboard's trendline actually draws). slope = (nΣxy − ΣxΣy) /
+    (nΣx² − (Σx)²), intercept = ȳ − slope·x̄, with x the day index
+    anchored at each type's first day.
+
+    Determinism/overflow doctrine: x is centered per type (≤ calendar
+    span, not an epoch offset) and all five sufficient statistics are
+    summed in DECIMAL(38,0) (DuckDB: HUGEINT) — Σxy at 100 TB daily
+    revenue (~10¹³ cents/day × 365² day-pairs) blows past BIGINT but
+    sits comfortably in 38 digits. The only floats are the final
+    divisions of exact integers, written as the SAME IEEE expression
+    tree in both engines, then rounded. Degenerate series (one day, or
+    zero x-variance) are filtered identically on both sides.
+
+    Scale: the regression runs on the bounded DAILY frame (|types| ×
+    |days|); raw events are touched once by the partial-aggregable
+    daily groupBy. The per-type anchor join is |types| rows."""
+    from esther_apache_spark_spark.plans.tpch_more import _daily_cents
+
+    daily = _daily_cents(spark, sf_dir)
+    m = daily.groupBy("event_type").agg(F.min("day").alias("d0"))
+    anchored = daily.join(m, on="event_type", how="inner").select(
+        "event_type",
+        F.datediff("day", "d0").cast("long").alias("x"),
+        F.col("cents").alias("y"),
+    )
+    d38 = "decimal(38,0)"
+    sums = anchored.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.col("x").cast(d38)).alias("sx"),
+        F.sum(F.col("y").cast(d38)).alias("sy"),
+        F.sum(F.col("x").cast(d38) * F.col("y").cast(d38)).alias("sxy"),
+        F.sum(F.col("x").cast(d38) * F.col("x").cast(d38)).alias("sxx"),
+    )
+    num = (F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")).cast("double")
+    den = (F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")).cast("double")
+    return sums.filter(
+        (F.col("n") >= 2)
+        & ((F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")) != 0)
+    ).select(
+        "event_type",
+        F.col("n").alias("n_days"),
+        F.round(num / den, 6).alias("slope_cents_per_day"),
+        F.round(
+            F.col("sy").cast("double") / F.col("n").cast("double")
+            - (num / den) * (F.col("sx").cast("double") / F.col("n").cast("double")),
+            4,
+        ).alias("intercept_cents"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# SCD2 point-in-time lookup (as-of against validity intervals).
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "scd2_state_asof_probe",
+    oracle="""
+    WITH ordered AS (
+        SELECT user_id, ts, event_id, event_type,
+               LAG(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+                   AS prev
+        FROM events
+    ),
+    scd2 AS (
+        SELECT user_id, event_type AS state, epoch_us(ts) AS valid_from_us
+        FROM ordered WHERE prev IS NULL OR prev <> event_type
+    ),
+    probes AS (
+        SELECT user_id,
+               MAX(epoch_us(ts)) - 1800000000 AS probe_us
+        FROM events GROUP BY user_id
+    ),
+    hits AS (
+        SELECT p.user_id, p.probe_us, s.state,
+               row_number() OVER (PARTITION BY p.user_id
+                                  ORDER BY s.valid_from_us DESC) AS rn
+        FROM probes p JOIN scd2 s
+          ON p.user_id = s.user_id AND s.valid_from_us <= p.probe_us
+    )
+    SELECT user_id, CAST(probe_us AS BIGINT) AS probe_us,
+           state AS state_at_probe
+    FROM hits WHERE rn = 1
+    """,
+)
+def scd2_state_asof_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Point-in-time lookup against the SCD2 history that
+    `scd2_user_state_history` builds: for each user, "what state were
+    they in 30 minutes before their last event?" — the snapshot-as-of
+    join every leakage-safe feature pipeline needs (train-time features
+    must reflect the state AT the label's timestamp, not the current
+    row).
+
+    Spark-first shape: NOT an inequality join. The probe frame (one row
+    per user) and the version frame (valid_from per change) feed the
+    sort-merge as-of operator (`operators/asof.as_of_join`): union both
+    sides, one (user / ts) window pass carries the last version forward
+    onto each probe — linear in versions + probes, no per-user
+    version × probe blow-up, no range-join bucketing needed because
+    validity intervals partition the timeline. The oracle states the
+    same semantics as the classic inequality-join + row_number pick.
+    Users whose probe precedes their first version (all activity inside
+    the last 30 min) drop out identically on both sides."""
+    from esther_apache_spark_spark.operators.asof import as_of_join
+    from esther_apache_spark_spark.plans.corpus_ops import scd2_user_state_history
+
+    hist = scd2_user_state_history(spark, sf_dir).select(
+        "user_id", "valid_from_us", "state"
+    )
+    ev = load_table(spark, sf_dir, "events")
+    probes = ev.groupBy("user_id").agg(
+        (F.max(F.unix_micros("ts")) - F.lit(1_800_000_000)).alias("probe_us")
+    )
+    joined = as_of_join(
+        probes,
+        hist,
+        on="user_id",
+        left_ts="probe_us",
+        right_ts="valid_from_us",
+        value_cols=["state"],
+    )
+    return joined.filter(F.col("state").isNotNull()).select(
+        "user_id", "probe_us", F.col("state").alias("state_at_probe")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Per-dimension embedding statistics (feature-normalization readout).
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "embedding_dim_stats",
+    oracle=f"""
+    WITH dims AS (
+        SELECT r.range AS dim,
+               CAST(FLOOR(CAST(e.embedding[CAST(r.range AS INT)] AS DOUBLE)
+                          * 10000.0 + 0.5) AS BIGINT) AS q
+        FROM embeddings e CROSS JOIN range(1, {EMBEDDING_DIM + 1}) r
+    )
+    SELECT dim,
+           CAST(COUNT(*) AS BIGINT) AS n_vecs,
+           CAST(MIN(q) AS BIGINT) AS min_q,
+           CAST(MAX(q) AS BIGINT) AS max_q,
+           CAST(ROUND(CAST(SUM(q) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE)
+                      / 10000.0, 6) AS DOUBLE) AS mean_val,
+           CAST(ROUND((CAST(SUM(q * q) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE)
+                       - (CAST(SUM(q) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE))
+                         * (CAST(SUM(q) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE)))
+                      / 100000000.0, 9) AS DOUBLE) AS var_val
+    FROM dims GROUP BY dim
+    """,
+)
+def embedding_dim_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-dimension statistics of the embedding corpus (n, min, max,
+    mean, population variance) — the readout that decides whether a
+    feature pipeline needs per-dim standardization before k-means/PQ
+    (a dominant dimension drowns squared-distance metrics) and that
+    catches silently-dead dims (var ≈ 0).
+
+    Determinism: floats quantize once to integers at scale 10⁴
+    (``floor(x·10⁴ + 0.5)``, exact on parquet-identical floats — the
+    `clustering.py` front at a coarser scale chosen so Σq² stays exact
+    BIGINT to ~10¹² vectors); mean and variance are then single double
+    divisions of exact integer sums, identical expression trees both
+    engines, rounded. Scale: posexplode fans out dim× rows but feeds a
+    partial-aggregable groupBy on 64 keys — the shuffle carries 64
+    partial-sum rows per partition, and no window or sort anywhere."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    dims = emb.select(
+        F.posexplode(
+            F.transform(
+                F.col("embedding"),
+                lambda x: F.floor(x.cast("double") * F.lit(10000.0) + F.lit(0.5))
+                .cast("long"),
+            )
+        ).alias("pos", "q")
+    ).select((F.col("pos") + 1).cast("long").alias("dim"), "q")
+    n = F.count(F.lit(1))
+    sq = F.sum("q")
+    sqq = F.sum(F.col("q") * F.col("q"))
+    return dims.groupBy("dim").agg(
+        n.alias("n_vecs"),
+        F.min("q").alias("min_q"),
+        F.max("q").alias("max_q"),
+        F.round(
+            sq.cast("double") / n.cast("double") / 10000.0, 6
+        ).alias("mean_val"),
+        F.round(
+            (
+                sqq.cast("double") / n.cast("double")
+                - (sq.cast("double") / n.cast("double"))
+                * (sq.cast("double") / n.cast("double"))
+            )
+            / 100000000.0,
+            9,
+        ).alias("var_val"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Boolean / conditional aggregation suite.
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "nation_balance_flags",
+    oracle="""
+    SELECT n.n_name AS nation,
+           CAST(COUNT(*) AS BIGINT) AS n_customers,
+           CAST(SUM(CASE WHEN CAST(c.c_acctbal AS DECIMAL(12,2)) < 0
+                         THEN 1 ELSE 0 END) AS BIGINT) AS n_negative,
+           (SUM(CASE WHEN CAST(c.c_acctbal AS DECIMAL(12,2)) < 0
+                     THEN 1 ELSE 0 END) > 0) AS any_negative,
+           (SUM(CASE WHEN CAST(c.c_acctbal AS DECIMAL(12,2)) <= 0
+                     THEN 1 ELSE 0 END) = 0) AS all_positive,
+           CAST(COUNT(DISTINCT CASE WHEN CAST(c.c_acctbal AS DECIMAL(12,2)) < 0
+                                    THEN c.c_mktsegment END) AS BIGINT)
+               AS n_segments_with_negative,
+           CAST(ROUND(CAST(SUM(CASE WHEN CAST(c.c_acctbal AS DECIMAL(12,2)) < 0
+                                    THEN 1 ELSE 0 END) AS DOUBLE)
+                      / CAST(COUNT(*) AS DOUBLE), 6) AS DOUBLE) AS pct_negative
+    FROM customer c JOIN nation n ON c.c_nationkey = n.n_nationkey
+    GROUP BY n.n_name
+    """,
+)
+def nation_balance_flags(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Conditional/boolean aggregation suite per nation: count-if,
+    ANY/EVERY-style existence flags, conditional COUNT(DISTINCT) (how
+    many market segments contain a debtor), and a share — the SQL
+    shapes a data-quality dashboard is made of, pinned as exact
+    sum-of-CASE arithmetic (identical semantics both engines, no
+    engine-specific bool_or/count_if builtins). The conditional
+    distinct's CASE yields NULL for non-matching rows, which both
+    engines exclude from COUNT(DISTINCT) — the standard trick, asserted
+    here. One partial-aggregable groupBy after a broadcast-size dim
+    join; nation is 25 rows by contract."""
+    customer = load_table(spark, sf_dir, "customer")
+    nation = load_table(spark, sf_dir, "nation")
+    neg = (dec2("c_acctbal") < 0).cast("int")
+    nonpos = (dec2("c_acctbal") <= 0).cast("int")
+    joined = customer.join(
+        nation, customer.c_nationkey == nation.n_nationkey, "inner"
+    )
+    return joined.groupBy(F.col("n_name").alias("nation")).agg(
+        F.count(F.lit(1)).alias("n_customers"),
+        F.sum(neg).cast("long").alias("n_negative"),
+        (F.sum(neg) > 0).alias("any_negative"),
+        (F.sum(nonpos) == 0).alias("all_positive"),
+        F.countDistinct(
+            F.when(dec2("c_acctbal") < 0, F.col("c_mktsegment"))
+        ).cast("long").alias("n_segments_with_negative"),
+        F.round(
+            F.sum(neg).cast("double") / F.count(F.lit(1)).cast("double"), 6
+        ).alias("pct_negative"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Conversion latency quantiles (funnel timing, frequency-frame exact).
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "conversion_latency_quantiles",
+    oracle="""
+    WITH firsts AS (
+        SELECT user_id,
+               MIN(CASE WHEN event_type = 'view' THEN epoch_us(ts) END) AS v,
+               MIN(CASE WHEN event_type = 'purchase' THEN epoch_us(ts) END) AS p
+        FROM events GROUP BY user_id
+    ),
+    lat AS (
+        SELECT (p - v) // 1000000 AS latency_s
+        FROM firsts WHERE v IS NOT NULL AND p IS NOT NULL AND p >= v
+    ),
+    freq AS (
+        SELECT latency_s, CAST(COUNT(*) AS BIGINT) AS cnt
+        FROM lat GROUP BY latency_s
+    ),
+    cum AS (
+        SELECT latency_s, cnt,
+               SUM(cnt) OVER (ORDER BY latency_s
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS c,
+               SUM(cnt) OVER () AS n
+        FROM freq
+    )
+    SELECT CAST(MAX(n) AS BIGINT) AS n_users,
+           CAST(MIN(CASE WHEN c >= (n * 25 + 99) // 100 THEN latency_s END)
+                AS BIGINT) AS p25_s,
+           CAST(MIN(CASE WHEN c >= (n * 50 + 99) // 100 THEN latency_s END)
+                AS BIGINT) AS p50_s,
+           CAST(MIN(CASE WHEN c >= (n * 75 + 99) // 100 THEN latency_s END)
+                AS BIGINT) AS p75_s
+    FROM cum
+    """,
+)
+def conversion_latency_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Funnel TIMING: quartiles of first-view → first-purchase latency
+    across converting users — `funnel_view_click_purchase` counts who
+    converts; this measures how long conversion takes, the number an
+    activation team actually tunes. Users with both events and
+    purchase ≥ view qualify (converted-before-ever-viewing rows are
+    attribution noise, excluded identically on both sides).
+
+    Exact quartiles by the module's frequency-frame doctrine: per-user
+    firsts are one conditional-min groupBy; latencies collapse to a
+    (latency_s, count) frame; ONE unpartitioned cumulative window runs
+    over that frame — safe because its size is bounded by distinct
+    latency SECONDS (the 30-day calendar caps it at ~2.6M rows even at
+    100 TB, and they're integers, not user rows), then quartiles are
+    conditional MINs at the ceil(p·n) ranks. Integer micros → integer
+    div seconds; no floats anywhere in the output."""
+    ev = load_table(spark, sf_dir, "events")
+    firsts = ev.groupBy("user_id").agg(
+        F.min(
+            F.when(F.col("event_type") == "view", F.unix_micros("ts"))
+        ).alias("v"),
+        F.min(
+            F.when(F.col("event_type") == "purchase", F.unix_micros("ts"))
+        ).alias("p"),
+    )
+    lat = firsts.filter(
+        F.col("v").isNotNull() & F.col("p").isNotNull() & (F.col("p") >= F.col("v"))
+    ).select(F.expr("(p - v) div 1000000").alias("latency_s"))
+    freq = lat.groupBy("latency_s").agg(F.count(F.lit(1)).alias("cnt"))
+    wcum = Window.orderBy("latency_s").rowsBetween(Window.unboundedPreceding, 0)
+    wall = Window.partitionBy()
+    cum = freq.select(
+        "latency_s",
+        F.sum("cnt").over(wcum).alias("c"),
+        F.sum("cnt").over(wall).alias("n"),
+    )
+    return cum.agg(
+        F.max("n").cast("long").alias("n_users"),
+        F.min(
+            F.when(F.col("c") >= F.expr("(n * 25 + 99) div 100"), F.col("latency_s"))
+        ).alias("p25_s"),
+        F.min(
+            F.when(F.col("c") >= F.expr("(n * 50 + 99) div 100"), F.col("latency_s"))
+        ).alias("p50_s"),
+        F.min(
+            F.when(F.col("c") >= F.expr("(n * 75 + 99) div 100"), F.col("latency_s"))
+        ).alias("p75_s"),
+    )
