@@ -699,3 +699,292 @@ def conversion_latency_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.when(F.col("c") >= F.expr("(n * 75 + 99) div 100"), F.col("latency_s"))
         ).alias("p75_s"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Distributed exact rank: range-partitioned prefix sum.
+# ---------------------------------------------------------------------------
+
+
+def _exact_cum(freq: DataFrame, value: str, cnt: str, ranges: int = 64) -> DataFrame:
+    """Exact cumulative counts over a distinct-value frequency frame,
+    with NO data-sized window: the textbook distributed prefix sum.
+    ``repartitionByRange`` splits the value domain into ``ranges``
+    contiguous slices (sampled boundaries — the RESULT is invariant to
+    where they land, because cum(v) = slice_offset + within-slice
+    cumsum holds for ANY contiguous range partitioning); within-slice
+    cumsums run under a per-slice window partition, slice offsets come
+    from a window over the ≤``ranges``-row slice-total frame. This is
+    the scale tier the module's value-frequency doctrine needs when the
+    value domain is NOT calendar/price-point bounded (e.g. per-customer
+    lifetime spend, whose distinct count approaches the customer
+    count). Returns (value, cnt, cum, n)."""
+    part = freq.repartitionByRange(ranges, F.col(value)).withColumn(
+        "_pid", F.spark_partition_id()
+    )
+    win_in = (
+        Window.partitionBy("_pid")
+        .orderBy(value)
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    within = part.withColumn("_wc", F.sum(cnt).over(win_in))
+    ptot = part.groupBy("_pid").agg(F.sum(cnt).alias("_pn"))
+    woff = Window.orderBy("_pid").rowsBetween(Window.unboundedPreceding, -1)
+    offs = ptot.select(
+        "_pid",
+        F.coalesce(F.sum("_pn").over(woff), F.lit(0)).alias("_off"),
+        F.sum("_pn").over(Window.partitionBy()).alias("_n"),
+    )
+    return within.join(offs, on="_pid", how="inner").select(
+        value,
+        cnt,
+        (F.col("_wc") + F.col("_off")).cast("long").alias("cum"),
+        F.col("_n").cast("long").alias("n"),
+    )
+
+
+def _quintile_map(freq: DataFrame, value: str) -> DataFrame:
+    """(value, q): map every distinct metric value to its exact
+    quintile 1..5 — q(v) = ceil(5·cum(v)/n), monotone, ties share a
+    quintile (value-based, so engine-neutral where row-based ntile is
+    not). Built on the distributed prefix sum above."""
+    cumdf = _exact_cum(freq, value, "cnt")
+    return cumdf.select(
+        value, F.expr("(5 * cum + n - 1) div n").cast("long").alias("q")
+    )
+
+
+_RFM_QUINTILE_SQL = """
+        SELECT {v} AS v,
+               (5 * SUM(cnt) OVER (ORDER BY {v}
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                + SUM(cnt) OVER () - 1) // SUM(cnt) OVER () AS q
+        FROM (SELECT {v}, CAST(COUNT(*) AS BIGINT) AS cnt
+              FROM rfm GROUP BY {v})
+"""
+
+
+@register(
+    "rfm_customer_segments",
+    oracle=f"""
+    WITH anchor AS (SELECT MAX(CAST(o_orderdate AS DATE)) AS d_max FROM orders),
+    rfm AS (
+        SELECT o.o_custkey AS custkey,
+               CAST(date_diff('day', MAX(CAST(o.o_orderdate AS DATE)), a.d_max)
+                    AS BIGINT) AS recency_days,
+               CAST(COUNT(*) AS BIGINT) AS frequency,
+               CAST(SUM(CAST(CAST(o.o_totalprice AS DECIMAL(12,2)) * 100
+                             AS BIGINT)) AS BIGINT) AS monetary_cents
+        FROM orders o CROSS JOIN anchor a
+        GROUP BY o.o_custkey, a.d_max
+    ),
+    qr AS ({_RFM_QUINTILE_SQL.format(v="recency_days")}),
+    qf AS ({_RFM_QUINTILE_SQL.format(v="frequency")}),
+    qm AS ({_RFM_QUINTILE_SQL.format(v="monetary_cents")})
+    SELECT r.custkey,
+           CAST(6 - qr.q AS BIGINT) AS r_score,
+           CAST(qf.q AS BIGINT) AS f_score,
+           CAST(qm.q AS BIGINT) AS m_score,
+           CAST(6 - qr.q AS VARCHAR) || CAST(qf.q AS VARCHAR)
+               || CAST(qm.q AS VARCHAR) AS rfm_code
+    FROM rfm r
+    JOIN qr ON r.recency_days = qr.v
+    JOIN qf ON r.frequency = qf.v
+    JOIN qm ON r.monetary_cents = qm.v
+    """,
+)
+def rfm_customer_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RFM segmentation — the classic CRM scoring: per customer,
+    exact quintiles of Recency (days since last order, lower is
+    better so the score flips), Frequency (order count) and Monetary
+    (lifetime cents), concatenated into the familiar '555'-style code.
+
+    Quintiles are VALUE-based (q(v) = ceil(5·cum/n); ties share a
+    score — deterministic where row-based ntile's tie-splitting is
+    engine-arbitrary) and computed by the distributed prefix-sum
+    helper: monetary's distinct-value count approaches the customer
+    count at scale, so a single cumulative window would funnel the
+    whole domain through one task — range partitioning + per-slice
+    cumsum + a ≤64-row offset frame keeps every window bounded. The
+    anchor date is a 1-row global aggregate broadcast onto the
+    per-customer frame; the three quintile maps hash-join back on the
+    metric value. All integers end-to-end."""
+    orders = load_table(spark, sf_dir, "orders")
+    anchor = orders.agg(F.max(F.col("o_orderdate").cast("date")).alias("d_max"))
+    rfm = (
+        orders.groupBy(F.col("o_custkey").alias("custkey"))
+        .agg(
+            F.max(F.col("o_orderdate").cast("date")).alias("last_day"),
+            F.count(F.lit(1)).alias("frequency"),
+            F.sum((dec2("o_totalprice") * 100).cast("long")).alias(
+                "monetary_cents"
+            ),
+        )
+        .crossJoin(F.broadcast(anchor))
+        .select(
+            "custkey",
+            F.datediff("d_max", "last_day").cast("long").alias("recency_days"),
+            "frequency",
+            "monetary_cents",
+        )
+    )
+    maps = {
+        m: _quintile_map(
+            rfm.groupBy(m).agg(F.count(F.lit(1)).alias("cnt")), m
+        ).withColumnRenamed("q", f"q_{m}")
+        for m in ("recency_days", "frequency", "monetary_cents")
+    }
+    out = (
+        rfm.join(maps["recency_days"], on="recency_days", how="inner")
+        .join(maps["frequency"], on="frequency", how="inner")
+        .join(maps["monetary_cents"], on="monetary_cents", how="inner")
+    )
+    r = (6 - F.col("q_recency_days")).cast("long")
+    return out.select(
+        "custkey",
+        r.alias("r_score"),
+        F.col("q_frequency").alias("f_score"),
+        F.col("q_monetary_cents").alias("m_score"),
+        F.concat(
+            r.cast("string"),
+            F.col("q_frequency").cast("string"),
+            F.col("q_monetary_cents").cast("string"),
+        ).alias("rfm_code"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# k-anonymity audit (privacy pre-flight).
+# ---------------------------------------------------------------------------
+
+_K_ANON = 10
+
+
+@register(
+    "k_anonymity_audit",
+    oracle=f"""
+    WITH groups AS (
+        SELECT c_nationkey, c_mktsegment, CAST(COUNT(*) AS BIGINT) AS sz
+        FROM customer GROUP BY c_nationkey, c_mktsegment
+    )
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_groups,
+           CAST(MIN(sz) AS BIGINT) AS min_group_size,
+           CAST(SUM(CASE WHEN sz < {_K_ANON} THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_groups_below_k,
+           CAST(SUM(CASE WHEN sz < {_K_ANON} THEN sz ELSE 0 END) AS BIGINT)
+               AS n_rows_below_k,
+           CAST(ROUND(CAST(SUM(CASE WHEN sz < {_K_ANON} THEN sz ELSE 0 END)
+                           AS DOUBLE)
+                      / CAST(SUM(sz) AS DOUBLE), 6) AS DOUBLE)
+               AS share_below_k
+    FROM groups
+    """,
+)
+def k_anonymity_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """k-anonymity audit over the quasi-identifier pair
+    (nation, market segment): group sizes, the smallest equivalence
+    class, and how many classes/rows fall below k=10 — the privacy
+    pre-flight a dataset release runs BEFORE publishing
+    "anonymized" records, since any row in a below-k class is
+    re-identifiable by its quasi-identifiers alone. Two
+    partial-aggregable groupBys (rows → QI classes → 1-row report);
+    the class frame is bounded by the QI domain product, never the
+    row count. Exact integers; one final rounded share."""
+    customer = load_table(spark, sf_dir, "customer")
+    groups = customer.groupBy("c_nationkey", "c_mktsegment").agg(
+        F.count(F.lit(1)).alias("sz")
+    )
+    below = F.when(F.col("sz") < _K_ANON, F.col("sz")).otherwise(0)
+    return groups.agg(
+        F.count(F.lit(1)).alias("n_groups"),
+        F.min("sz").alias("min_group_size"),
+        F.sum((F.col("sz") < _K_ANON).cast("int")).cast("long").alias(
+            "n_groups_below_k"
+        ),
+        F.sum(below).cast("long").alias("n_rows_below_k"),
+        F.round(
+            F.sum(below).cast("double") / F.sum("sz").cast("double"), 6
+        ).alias("share_below_k"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Percentile-band anomaly days (frequency-frame exact p10/p90).
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "revenue_anomaly_days",
+    oracle="""
+    WITH daily AS (
+        SELECT event_type, CAST(ts AS DATE) AS day,
+               CAST(SUM(CAST(CAST(value AS DECIMAL(12,2)) * 100 AS BIGINT))
+                    AS BIGINT) AS cents
+        FROM events GROUP BY event_type, CAST(ts AS DATE)
+    ),
+    freq AS (
+        SELECT event_type, cents, CAST(COUNT(*) AS BIGINT) AS cnt
+        FROM daily GROUP BY event_type, cents
+    ),
+    cum AS (
+        SELECT event_type, cents, cnt,
+               SUM(cnt) OVER (PARTITION BY event_type ORDER BY cents
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS c,
+               SUM(cnt) OVER (PARTITION BY event_type) AS n
+        FROM freq
+    ),
+    bands AS (
+        SELECT event_type,
+               MIN(CASE WHEN c >= (n * 10 + 99) // 100 THEN cents END) AS p10,
+               MIN(CASE WHEN c >= (n * 90 + 99) // 100 THEN cents END) AS p90
+        FROM cum GROUP BY event_type
+    )
+    SELECT d.event_type, strftime(d.day, '%Y-%m-%d') AS day,
+           d.cents, b.p10, b.p90
+    FROM daily d JOIN bands b ON d.event_type = b.event_type
+    WHERE d.cents < b.p10 OR d.cents > b.p90
+    """,
+)
+def revenue_anomaly_days(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Percentile-band anomaly detection on daily revenue: per event
+    type, flag the days whose total falls outside the type's exact
+    [p10, p90] band — the "which days should an on-call look at"
+    readout, self-calibrating per type where a global threshold
+    would drown quiet types in loud ones. Bands use the module's
+    frequency-frame percentile_disc (cumulative window over distinct
+    DAILY TOTALS — calendar-bounded, ~days×types rows); the band
+    re-joins the daily frame on event_type. Integer cents; day
+    emitted as an ISO string (oracle doctrine)."""
+    from esther_apache_spark_spark.plans.tpch_more import _daily_cents
+
+    daily = _daily_cents(spark, sf_dir)
+    freq = daily.groupBy("event_type", "cents").agg(
+        F.count(F.lit(1)).alias("cnt")
+    )
+    wt = Window.partitionBy("event_type")
+    wcum = wt.orderBy("cents").rowsBetween(Window.unboundedPreceding, 0)
+    cum = freq.select(
+        "event_type",
+        "cents",
+        F.sum("cnt").over(wcum).alias("c"),
+        F.sum("cnt").over(wt).alias("n"),
+    )
+    bands = cum.groupBy("event_type").agg(
+        F.min(
+            F.when(F.col("c") >= F.expr("(n * 10 + 99) div 100"), F.col("cents"))
+        ).alias("p10"),
+        F.min(
+            F.when(F.col("c") >= F.expr("(n * 90 + 99) div 100"), F.col("cents"))
+        ).alias("p90"),
+    )
+    return (
+        daily.join(bands, on="event_type", how="inner")
+        .filter((F.col("cents") < F.col("p10")) | (F.col("cents") > F.col("p90")))
+        .select(
+            "event_type",
+            F.date_format("day", "yyyy-MM-dd").alias("day"),
+            "cents",
+            "p10",
+            "p90",
+        )
+    )

@@ -84,6 +84,9 @@ def test_catalog_plans_free_of_scale_antipatterns(spark, sf_dir):
         # 1-row (total, k) scalar aggregate joined back onto the
         # |labels|-row count frame
         "class_balance_weights",
+        # 1-row global max-orderdate anchor broadcast onto the
+        # per-customer RFM frame
+        "rfm_customer_segments",
         # 1-row corpus token-total scalar cross-joined onto the
         # min-support-gated bigram frame
         "bigram_lift_top_pairs",
