@@ -168,3 +168,43 @@ def read_json_lines_with_rejects(
     if isinstance(path, str):
         path = [path]
     return reader.json(list(path))
+
+
+def read_binary_files(
+    spark: SparkSession,
+    path: str | Sequence[str],
+    glob: str | None = None,
+    max_bytes: int | None = None,
+) -> DataFrame:
+    """Opaque-blob ingestion via Spark's built-in ``binaryFile`` source —
+    the front door of the multimodal pipeline (`operators/multimodal.py`
+    decodes the blobs): one row per file with (path, modificationTime,
+    length, content binary). The source is NOT splittable (a file is one
+    row), so parallelism comes from file COUNT — shard media into many
+    objects upstream, and keep `spark.sql.files.maxPartitionBytes` in
+    mind only for batching small files together. ``glob`` maps to
+    pathGlobFilter (server-side filename pruning); ``max_bytes`` guards
+    the executor heap by failing fast on any file larger than the given
+    bound instead of OOMing mid-scan (content is materialized per row)."""
+    reader = spark.read.format("binaryFile")
+    if glob is not None:
+        reader = reader.option("pathGlobFilter", glob)
+    if isinstance(path, str):
+        path = [path]
+    df = reader.load(list(path))
+    if max_bytes is not None:
+        from pyspark.sql import functions as F
+
+        oversize = F.col("length") > int(max_bytes)
+        df = df.withColumn(
+            "content",
+            F.when(
+                oversize,
+                F.raise_error(
+                    F.concat(
+                        F.lit("binary file exceeds max_bytes: "), F.col("path")
+                    )
+                ).cast("binary"),
+            ).otherwise(F.col("content")),
+        )
+    return df

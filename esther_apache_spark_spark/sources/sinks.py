@@ -542,3 +542,98 @@ def recover_publish(path: str) -> str | None:
         _os.replace(tmp_link, path)
         return newest
     return _os.path.realpath(path)
+
+
+def sqlite_upsert_batch(
+    db_path: str,
+    table: str,
+    key_cols: Sequence[str],
+    all_cols: Sequence[str],
+    rows: Sequence[Sequence],
+    batch_id: int,
+) -> bool:
+    """Idempotent per-micro-batch upsert into SQLite — the driver-side
+    half of `stream_upsert_sqlite`, module-level so the exactly-once
+    contract is directly testable. Returns False (no-op) when
+    ``batch_id`` was already applied to ``table``: foreachBatch gives
+    at-least-once delivery after a restart, and this ledger turns it
+    into exactly-once because the data upsert and the ledger insert
+    commit in ONE SQLite transaction — either both land or neither."""
+    con = sqlite3.connect(db_path)
+    try:
+        con.execute("BEGIN IMMEDIATE")
+        con.execute(
+            "CREATE TABLE IF NOT EXISTS _applied_batches("
+            "table_name TEXT NOT NULL, batch_id INTEGER NOT NULL, "
+            "PRIMARY KEY (table_name, batch_id))"
+        )
+        seen = con.execute(
+            "SELECT 1 FROM _applied_batches WHERE table_name=? AND batch_id=?",
+            (table, int(batch_id)),
+        ).fetchone()
+        if seen:
+            con.rollback()
+            return False
+        cols_sql = ", ".join(f'"{c}"' for c in all_cols)
+        pk_sql = ", ".join(f'"{c}"' for c in key_cols)
+        con.execute(
+            f'CREATE TABLE IF NOT EXISTS "{table}" ('
+            + ", ".join(f'"{c}"' for c in all_cols)
+            + f", PRIMARY KEY ({pk_sql}))"
+        )
+        upd = ", ".join(
+            f'"{c}"=excluded."{c}"' for c in all_cols if c not in key_cols
+        )
+        ph = ", ".join("?" for _ in all_cols)
+        con.executemany(
+            f'INSERT INTO "{table}" ({cols_sql}) VALUES ({ph}) '
+            f"ON CONFLICT ({pk_sql}) DO UPDATE SET {upd}",
+            [tuple(r) for r in rows],
+        )
+        con.execute(
+            "INSERT INTO _applied_batches (table_name, batch_id) VALUES (?, ?)",
+            (table, int(batch_id)),
+        )
+        con.commit()
+        return True
+    except BaseException:
+        con.rollback()
+        raise
+    finally:
+        con.close()
+
+
+def stream_upsert_sqlite(
+    df: DataFrame,
+    db_path: str,
+    table: str,
+    key_cols: Sequence[str],
+    checkpoint_dir: str,
+):
+    """Streaming → RDBMS upsert with an exactly-once contract:
+    ``foreachBatch`` keyed-merge into SQLite (K3's streaming twin).
+    Structured Streaming replays a micro-batch after a crash between
+    sink write and checkpoint commit — at-least-once at the sink — so
+    each batch's data lands in the SAME transaction as a
+    (table, batch_id) ledger row; the replay sees the ledger entry and
+    no-ops (`sqlite_upsert_batch`). Keyed upsert makes per-key updates
+    idempotent within the batch too (last write per key wins via the
+    update-mode aggregation upstream).
+
+    Small-result boundary, explicitly: each micro-batch is collected on
+    the driver (same contract as `write_sqlite`) — correct for the
+    keyed-aggregate states this sink is for; blob-scale streams should
+    land in partitioned parquet (`stream_to_partitioned_parquet`)."""
+    keys = list(key_cols)
+
+    def _apply(batch: DataFrame, batch_id: int) -> None:
+        cols = batch.columns
+        rows = [tuple(r) for r in batch.collect()]
+        sqlite_upsert_batch(db_path, table, keys, cols, rows, batch_id)
+
+    return (
+        df.writeStream.foreachBatch(_apply)
+        .outputMode("update")
+        .option("checkpointLocation", checkpoint_dir)
+        .start()
+    )

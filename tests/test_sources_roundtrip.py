@@ -356,3 +356,110 @@ def test_zorder_code_never_negative_with_many_columns(spark, tmp_path):
     # the extremes even after the resolution clamp)
     top = df.select(z.alias("z")).agg(F.max("z")).first()[0]
     assert rows[-1]["z"] == top
+
+
+def test_binary_file_source_reads_blobs(spark, tmp_path):
+    """binaryFile ingestion: one row per file, exact bytes, glob
+    filtering, and the max_bytes guard failing fast instead of OOMing."""
+    import pytest
+
+    from esther_apache_spark_spark.sources.readers import read_binary_files
+
+    blobs = {"a.bin": b"\x00\x01\x02mixed", "b.bin": b"B" * 1024, "skip.txt": b"x"}
+    for name, data in blobs.items():
+        (tmp_path / name).write_bytes(data)
+
+    df = read_binary_files(spark, str(tmp_path), glob="*.bin")
+    got = {r["path"].rsplit("/", 1)[-1]: bytes(r["content"]) for r in df.collect()}
+    assert got == {"a.bin": blobs["a.bin"], "b.bin": blobs["b.bin"]}
+    lens = {r["path"].rsplit("/", 1)[-1]: r["length"] for r in df.collect()}
+    assert lens == {"a.bin": 8, "b.bin": 1024}
+
+    guarded = read_binary_files(spark, str(tmp_path), glob="*.bin", max_bytes=100)
+    with pytest.raises(Exception, match="max_bytes"):
+        guarded.collect()
+    ok = read_binary_files(spark, str(tmp_path), glob="a.bin", max_bytes=100)
+    assert ok.count() == 1
+
+
+def test_sqlite_upsert_batch_exactly_once(tmp_path):
+    """The ledger contract: re-applying a batch_id is a no-op, upserts
+    are keyed, and data + ledger commit atomically."""
+    import sqlite3
+
+    from esther_apache_spark_spark.sources.sinks import sqlite_upsert_batch
+
+    db = str(tmp_path / "state.db")
+    cols = ["user_id", "total"]
+    assert sqlite_upsert_batch(db, "t", ["user_id"], cols, [(1, 10), (2, 5)], 0)
+    # replay of batch 0 with DIFFERENT (stale) data must be ignored
+    assert not sqlite_upsert_batch(db, "t", ["user_id"], cols, [(1, 999)], 0)
+    # batch 1 updates key 1, inserts key 3
+    assert sqlite_upsert_batch(db, "t", ["user_id"], cols, [(1, 20), (3, 7)], 1)
+    con = sqlite3.connect(db)
+    got = sorted(con.execute("SELECT user_id, total FROM t").fetchall())
+    ledger = sorted(
+        con.execute("SELECT batch_id FROM _applied_batches WHERE table_name='t'")
+    )
+    con.close()
+    assert got == [(1, 20), (2, 5), (3, 7)]
+    assert [b for (b,) in ledger] == [0, 1]
+
+
+def test_stream_upsert_sqlite_matches_batch_totals(spark, sf_dir, tmp_path):
+    """End-to-end: stream the events table through an update-mode keyed
+    aggregation into the exactly-once SQLite sink; the final table must
+    equal the batch groupBy, and a forced duplicate redelivery of the
+    last batch must change nothing."""
+    import sqlite3
+
+    from esther_apache_spark_spark.sources.sinks import (
+        sqlite_upsert_batch,
+        stream_upsert_sqlite,
+    )
+    from esther_apache_spark_spark.streaming.events import streaming_events_source
+
+    db = str(tmp_path / "totals.db")
+    ckpt = str(tmp_path / "ckpt")
+    stream = streaming_events_source(spark, sf_dir)
+    agg = stream.groupBy("user_id").agg(
+        F.sum((F.col("value").cast("decimal(12,2)") * 100).cast("long")).alias(
+            "cents"
+        )
+    )
+    q = stream_upsert_sqlite(agg, db, "user_totals", ["user_id"], ckpt)
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+
+    want = {
+        r["user_id"]: r["cents"]
+        for r in load_table(spark, sf_dir, "events")
+        .groupBy("user_id")
+        .agg(
+            F.sum(
+                (F.col("value").cast("decimal(12,2)") * 100).cast("long")
+            ).alias("cents")
+        )
+        .collect()
+    }
+    con = sqlite3.connect(db)
+    got = dict(con.execute("SELECT user_id, cents FROM user_totals").fetchall())
+    applied = [
+        b
+        for (b,) in con.execute(
+            "SELECT batch_id FROM _applied_batches WHERE table_name='user_totals'"
+        )
+    ]
+    con.close()
+    assert got == want
+    # redeliver the last applied batch with corrupt data: must no-op
+    assert not sqlite_upsert_batch(
+        db, "user_totals", ["user_id"], ["user_id", "cents"],
+        [(min(want), -1)], max(applied),
+    )
+    con = sqlite3.connect(db)
+    still = dict(con.execute("SELECT user_id, cents FROM user_totals").fetchall())
+    con.close()
+    assert still == want
