@@ -988,3 +988,191 @@ def revenue_anomaly_days(spark: SparkSession, sf_dir: str) -> DataFrame:
             "p90",
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Item-item recommendations per customer (end-to-end recommender read).
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "recommend_brands_per_customer",
+    oracle="""
+    WITH ob AS (
+        SELECT DISTINCT l.l_orderkey, p.p_brand
+        FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+    ),
+    nb AS (
+        SELECT p_brand, CAST(COUNT(*) AS BIGINT) AS n
+        FROM ob GROUP BY p_brand
+    ),
+    sim AS (
+        SELECT a.p_brand AS brand_a, b.p_brand AS brand_b,
+               CAST(FLOOR(CAST(COUNT(*) AS DOUBLE)
+                          / sqrt(CAST(na.n AS DOUBLE) * CAST(nbb.n AS DOUBLE))
+                          * 1000000.0 + 0.5) AS BIGINT) AS cos_q
+        FROM ob a
+        JOIN ob b ON a.l_orderkey = b.l_orderkey AND a.p_brand <> b.p_brand
+        JOIN nb na ON a.p_brand = na.p_brand
+        JOIN nb nbb ON b.p_brand = nbb.p_brand
+        GROUP BY a.p_brand, b.p_brand, na.n, nbb.n
+    ),
+    cb AS (
+        SELECT DISTINCT o.o_custkey AS custkey, p.p_brand AS brand
+        FROM orders o
+        JOIN lineitem l ON o.o_orderkey = l.l_orderkey
+        JOIN part p ON l.l_partkey = p.p_partkey
+    ),
+    scores AS (
+        SELECT cb.custkey, s.brand_b AS brand,
+               CAST(SUM(s.cos_q) AS BIGINT) AS score_q
+        FROM cb JOIN sim s ON cb.brand = s.brand_a
+        GROUP BY cb.custkey, s.brand_b
+    ),
+    cand AS (
+        SELECT sc.custkey, sc.brand, sc.score_q
+        FROM scores sc
+        LEFT JOIN cb ON sc.custkey = cb.custkey AND sc.brand = cb.brand
+        WHERE cb.custkey IS NULL
+    )
+    SELECT custkey, brand, score_q,
+           CAST(ROUND(CAST(score_q AS DOUBLE) / 1000000.0, 6) AS DOUBLE)
+               AS score
+    FROM (
+        SELECT *, ROW_NUMBER() OVER (PARTITION BY custkey
+                   ORDER BY score_q DESC, brand ASC) AS rn
+        FROM cand
+    ) ranked WHERE rn <= 3
+    """,
+)
+def recommend_brands_per_customer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end item-item recommender read: for each customer, the
+    top-3 brands they have NOT bought, scored by the summed
+    cosine-normalized co-purchase affinity between each candidate and
+    the customer's bought-brand set — the serving-side query that
+    `item_item_cosine_brands` (the neighbor-list build) exists to feed.
+
+    Determinism across engines despite float cosines: each pairwise
+    cosine quantizes per-term to an exact BIGINT
+    (``floor(n_co/sqrt(n_a·n_b)·10⁶ + 0.5)`` — one IEEE sqrt/divide on
+    exact integers, identical trees both engines), so the per-customer
+    SCORE is an order-independent integer sum — a raw float Σcosine
+    would vary with aggregation order. Already-bought brands drop via a
+    left-anti join; the top-3 window runs over the aggregated
+    (customer × candidate-brand) frame, bounded per customer by
+    |brands|, never by line items.
+
+    Scale: the similarity frame is |brands|²-bounded (distinct
+    (order, brand) before the self-join caps fan-out, both sides
+    co-partitioned on orderkey); scoring joins stream the bounded sim
+    frame onto the customer-brand frame on the brand key."""
+    li = load_table(spark, sf_dir, "lineitem")
+    part = load_table(spark, sf_dir, "part")
+    orders = load_table(spark, sf_dir, "orders")
+    ob = (
+        li.join(part, li.l_partkey == part.p_partkey)
+        .select("l_orderkey", "p_brand")
+        .distinct()
+    )
+    nb = ob.groupBy("p_brand").agg(F.count(F.lit(1)).alias("n"))
+    a = ob.select(F.col("l_orderkey").alias("k"), F.col("p_brand").alias("brand_a"))
+    b = ob.select(F.col("l_orderkey").alias("k"), F.col("p_brand").alias("brand_b"))
+    co = (
+        a.join(b, "k")
+        .filter(F.col("brand_a") != F.col("brand_b"))
+        .groupBy("brand_a", "brand_b")
+        .agg(F.count(F.lit(1)).alias("n_co"))
+    )
+    sim = (
+        co.join(nb.select(F.col("p_brand").alias("brand_a"), F.col("n").alias("na")), "brand_a")
+        .join(nb.select(F.col("p_brand").alias("brand_b"), F.col("n").alias("nbb")), "brand_b")
+        .select(
+            "brand_a",
+            "brand_b",
+            F.floor(
+                F.col("n_co").cast("double")
+                / F.sqrt(F.col("na").cast("double") * F.col("nbb").cast("double"))
+                * F.lit(1000000.0)
+                + F.lit(0.5)
+            )
+            .cast("long")
+            .alias("cos_q"),
+        )
+    )
+    cb = (
+        orders.join(li, orders.o_orderkey == li.l_orderkey)
+        .join(part, li.l_partkey == part.p_partkey)
+        .select(F.col("o_custkey").alias("custkey"), F.col("p_brand").alias("brand"))
+        .distinct()
+    )
+    scores = (
+        cb.join(sim, cb.brand == sim.brand_a)
+        .groupBy("custkey", F.col("brand_b").alias("rec_brand"))
+        .agg(F.sum("cos_q").cast("long").alias("score_q"))
+        .withColumnRenamed("rec_brand", "brand")
+    )
+    cand = scores.join(cb, on=["custkey", "brand"], how="left_anti")
+    w = Window.partitionBy("custkey").orderBy(F.desc("score_q"), F.asc("brand"))
+    return (
+        cand.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 3)
+        .select(
+            "custkey",
+            "brand",
+            "score_q",
+            F.round(F.col("score_q").cast("double") / 1000000.0, 6).alias("score"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Per-group top-k terms (aggregated-frame window, not raw tokens).
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "top_terms_per_lang",
+    oracle="""
+    WITH tokens AS (
+        SELECT lang,
+               unnest(list_filter(
+                   regexp_split_to_array(
+                       trim(regexp_replace(lower(text), '[^\\w\\s]', '', 'g')),
+                       '\\s+'),
+                   w -> w <> '')) AS word
+        FROM documents
+    ),
+    freq AS (
+        SELECT lang, word, CAST(COUNT(*) AS BIGINT) AS cnt
+        FROM tokens GROUP BY lang, word
+    )
+    SELECT lang, word, cnt, CAST(rn AS BIGINT) AS rank
+    FROM (
+        SELECT *, ROW_NUMBER() OVER (PARTITION BY lang
+                   ORDER BY cnt DESC, word ASC) AS rn
+        FROM freq
+    ) ranked WHERE rn <= 3
+    """,
+)
+def top_terms_per_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-3 tokens per language — the per-stratum twin of the global
+    `word_topk`: the corpus fingerprint a lang-ID audit eyeballs first
+    (a 'fr' stratum whose top terms are English stopwords is mislabeled
+    upstream). The ranking window runs over the AGGREGATED (lang, word)
+    frequency frame — vocabulary-bounded per language, never the raw
+    token stream, which is reduced by a partial-aggregable groupBy
+    first. Deterministic (cnt DESC, word ASC) tiebreak; exact counts."""
+    from esther_apache_spark_spark.functions.text import tokenize
+
+    docs = load_table(spark, sf_dir, "documents")
+    freq = (
+        docs.select("lang", F.explode(tokenize(F.col("text"))).alias("word"))
+        .groupBy("lang", "word")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    w = Window.partitionBy("lang").orderBy(F.desc("cnt"), F.asc("word"))
+    return (
+        freq.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 3)
+        .select("lang", "word", "cnt", F.col("rn").cast("long").alias("rank"))
+    )
