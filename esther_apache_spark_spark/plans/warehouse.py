@@ -1176,3 +1176,301 @@ def top_terms_per_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rn") <= 3)
         .select("lang", "word", "cnt", F.col("rn").cast("long").alias("rank"))
     )
+
+
+# ---------------------------------------------------------------------------
+# Additive seasonal decomposition (trend / seasonal / residual).
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "seasonal_decompose_daily",
+    oracle="""
+    WITH daily AS (
+        SELECT event_type, CAST(ts AS DATE) AS day,
+               CAST(isodow(CAST(ts AS DATE)) AS INT) AS dow,
+               CAST(SUM(CAST(CAST(value AS DECIMAL(12,2)) * 100 AS BIGINT))
+                    AS BIGINT) AS cents
+        FROM events GROUP BY event_type, CAST(ts AS DATE)
+    ),
+    win AS (
+        SELECT event_type, day, dow, cents,
+               SUM(cents) OVER (PARTITION BY event_type ORDER BY day
+                   ROWS BETWEEN 3 PRECEDING AND 3 FOLLOWING) AS trend7,
+               COUNT(*) OVER (PARTITION BY event_type ORDER BY day
+                   ROWS BETWEEN 3 PRECEDING AND 3 FOLLOWING) AS wn
+        FROM daily
+    ),
+    det AS (
+        SELECT event_type, day, dow, cents, trend7,
+               7 * cents - trend7 AS det7
+        FROM win WHERE wn = 7
+    ),
+    seas AS (
+        SELECT event_type, dow,
+               CAST(SUM(det7) AS BIGINT) AS s_num,
+               CAST(COUNT(*) AS BIGINT) AS s_cnt
+        FROM det GROUP BY event_type, dow
+    )
+    SELECT d.event_type, strftime(d.day, '%Y-%m-%d') AS day, d.cents,
+           CAST(ROUND(CAST(d.trend7 AS DOUBLE) / 7.0, 4) AS DOUBLE) AS trend,
+           CAST(ROUND(CAST(s.s_num AS DOUBLE)
+                      / (CAST(s.s_cnt AS DOUBLE) * 7.0), 4) AS DOUBLE)
+               AS seasonal,
+           CAST(ROUND(CAST(d.det7 AS DOUBLE) / 7.0
+                      - CAST(s.s_num AS DOUBLE)
+                        / (CAST(s.s_cnt AS DOUBLE) * 7.0), 4) AS DOUBLE)
+               AS residual
+    FROM det d JOIN seas s
+      ON d.event_type = s.event_type AND d.dow = s.dow
+    """,
+)
+def seasonal_decompose_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Additive seasonal decomposition of daily revenue per event type
+    (classical decompose / STL-lite): trend = centered 7-day moving
+    average (only full windows — edges drop, the textbook convention),
+    seasonal = per-ISO-weekday mean of the detrended series, residual =
+    the rest. The readout that separates "Mondays are always slow"
+    from "this Monday was genuinely anomalous" — the companion to
+    `revenue_anomaly_days`, which flags levels but can't tell seasonal
+    lows from outliers.
+
+    Exactness: the moving average stays INTEGER as trend7 = Σ of 7
+    daily cents, and the detrended series as det7 = 7·cents − trend7 —
+    scaling by 7 instead of dividing keeps every intermediate an exact
+    BIGINT (the `cusum` trick); the three emitted doubles are single
+    divisions of those integers with identical IEEE trees both engines.
+    Spark ``weekday()+1`` ≡ DuckDB ``isodow``. Scale: windows run per
+    event type ordered by day — calendar-bounded frames over the
+    pre-aggregated daily relation; the seasonal join is ≤ types×7 rows."""
+    from esther_apache_spark_spark.plans.tpch_more import _daily_cents
+
+    daily = _daily_cents(spark, sf_dir).withColumn(
+        "dow", (F.expr("weekday(day)") + F.lit(1)).cast("int")
+    )
+    w7 = (
+        Window.partitionBy("event_type").orderBy("day").rowsBetween(-3, 3)
+    )
+    det = (
+        daily.select(
+            "event_type",
+            "day",
+            "dow",
+            "cents",
+            F.sum("cents").over(w7).alias("trend7"),
+            F.count(F.lit(1)).over(w7).alias("wn"),
+        )
+        .filter(F.col("wn") == 7)
+        .withColumn("det7", 7 * F.col("cents") - F.col("trend7"))
+    )
+    seas = det.groupBy("event_type", "dow").agg(
+        F.sum("det7").cast("long").alias("s_num"),
+        F.count(F.lit(1)).alias("s_cnt"),
+    )
+    s_term = F.col("s_num").cast("double") / (
+        F.col("s_cnt").cast("double") * F.lit(7.0)
+    )
+    return det.join(seas, on=["event_type", "dow"], how="inner").select(
+        "event_type",
+        F.date_format("day", "yyyy-MM-dd").alias("day"),
+        "cents",
+        F.round(F.col("trend7").cast("double") / 7.0, 4).alias("trend"),
+        F.round(s_term, 4).alias("seasonal"),
+        F.round(
+            F.col("det7").cast("double") / 7.0 - s_term, 4
+        ).alias("residual"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Neyman allocation with largest-remainder apportionment.
+# ---------------------------------------------------------------------------
+
+_SAMPLE_BUDGET = 1000
+
+
+@register(
+    "neyman_allocation_plan",
+    oracle=f"""
+    WITH moments AS (
+        SELECT lang,
+               CAST(COUNT(*) AS BIGINT) AS n,
+               SUM(CAST(n_chars AS HUGEINT)) AS s1,
+               SUM(CAST(n_chars AS HUGEINT) * CAST(n_chars AS HUGEINT)) AS s2
+        FROM documents GROUP BY lang
+    ),
+    weights AS (
+        SELECT lang, n,
+               sqrt(CAST(n * s2 - s1 * s1 AS DOUBLE))
+                   / CAST(n AS DOUBLE) AS sd,
+               CAST(n AS DOUBLE)
+                   * (sqrt(CAST(n * s2 - s1 * s1 AS DOUBLE))
+                      / CAST(n AS DOUBLE)) AS w
+        FROM moments
+    ),
+    shares AS (
+        SELECT lang, n, sd, w,
+               {_SAMPLE_BUDGET}.0 * w / SUM(w) OVER () AS alloc_real
+        FROM weights
+    ),
+    base AS (
+        SELECT lang, n, sd, alloc_real,
+               CAST(FLOOR(alloc_real) AS BIGINT) AS base_alloc,
+               alloc_real - FLOOR(alloc_real) AS rem
+        FROM shares
+    ),
+    ranked AS (
+        SELECT *,
+               CAST({_SAMPLE_BUDGET} - SUM(base_alloc) OVER () AS BIGINT)
+                   AS leftover,
+               ROW_NUMBER() OVER (ORDER BY rem DESC, lang ASC) AS rk
+        FROM base
+    )
+    SELECT lang, n AS n_docs,
+           CAST(ROUND(sd, 6) AS DOUBLE) AS sd_chars,
+           CAST(base_alloc + CASE WHEN rk <= leftover THEN 1 ELSE 0 END
+                AS BIGINT) AS allocation
+    FROM ranked
+    """,
+)
+def neyman_allocation_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Neyman-optimal stratified sample allocation: split a
+    1000-doc labeling/eval budget across languages proportional to
+    nₕ·sₕ (stratum size × within-stratum std of doc length) — the
+    variance-minimizing allocation for a fixed budget, and the
+    principled answer to "how many docs per language do we audit"
+    (proportional allocation oversamples homogeneous strata).
+
+    The integer apportionment is LARGEST-REMAINDER (Hamilton): floor
+    every real allocation, then hand the leftover units to the largest
+    fractional remainders (lang tiebreak) — allocations sum to the
+    budget EXACTLY, which naive per-stratum rounding does not.
+    Exactness: per-stratum variance from integer moments (n·S2 − S1²
+    in DECIMAL(38,0) ≡ HUGEINT — char counts square past BIGINT at
+    corpus scale); one IEEE sqrt per stratum; every window
+    (share/leftover/remainder rank) runs over the ≤|langs| frame."""
+    docs = load_table(spark, sf_dir, "documents")
+    d38 = "decimal(38,0)"
+    moments = docs.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.col("n_chars").cast(d38)).alias("s1"),
+        F.sum(F.col("n_chars").cast(d38) * F.col("n_chars").cast(d38)).alias(
+            "s2"
+        ),
+    )
+    sd = (
+        F.sqrt(
+            (
+                F.col("n").cast(d38) * F.col("s2")
+                - F.col("s1") * F.col("s1")
+            ).cast("double")
+        )
+        / F.col("n").cast("double")
+    )
+    weights = moments.select(
+        "lang",
+        "n",
+        sd.alias("sd"),
+        (F.col("n").cast("double") * sd).alias("w"),
+    )
+    wall = Window.partitionBy()
+    shares = weights.select(
+        "lang",
+        "n",
+        "sd",
+        (F.lit(float(_SAMPLE_BUDGET)) * F.col("w") / F.sum("w").over(wall)).alias(
+            "alloc_real"
+        ),
+    )
+    base = shares.select(
+        "lang",
+        "n",
+        "sd",
+        F.floor("alloc_real").cast("long").alias("base_alloc"),
+        (F.col("alloc_real") - F.floor("alloc_real")).alias("rem"),
+    )
+    ranked = base.select(
+        "lang",
+        "n",
+        "sd",
+        "base_alloc",
+        (F.lit(_SAMPLE_BUDGET) - F.sum("base_alloc").over(wall))
+        .cast("long")
+        .alias("leftover"),
+        F.row_number()
+        .over(Window.orderBy(F.desc("rem"), F.asc("lang")))
+        .alias("rk"),
+    )
+    return ranked.select(
+        "lang",
+        F.col("n").alias("n_docs"),
+        F.round("sd", 6).alias("sd_chars"),
+        (
+            F.col("base_alloc")
+            + F.when(F.col("rk") <= F.col("leftover"), 1).otherwise(0)
+        )
+        .cast("long")
+        .alias("allocation"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Streaming twin of the interval union (session_window ≡ islands).
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "streaming_interval_coverage",
+    oracle=f"""
+    WITH iv AS (
+        SELECT user_id, event_id,
+               epoch_us(ts) AS s, epoch_us(ts) + {_IVL_US} AS e
+        FROM events
+    ),
+    flagged AS (
+        SELECT user_id, s, e,
+               CASE WHEN MAX(e) OVER (PARTITION BY user_id ORDER BY s, event_id
+                        ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) IS NULL
+                      OR s >= MAX(e) OVER (PARTITION BY user_id ORDER BY s, event_id
+                        ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+                    THEN 1 ELSE 0 END AS new_island,
+               event_id
+        FROM iv
+    ),
+    islands AS (
+        SELECT user_id, s, e,
+               SUM(new_island) OVER (PARTITION BY user_id ORDER BY s, event_id
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS island
+        FROM flagged
+    ),
+    per_island AS (
+        SELECT user_id, island,
+               CAST(MAX(e) - MIN(s) AS BIGINT) AS cov_us
+        FROM islands GROUP BY user_id, island
+    )
+    SELECT user_id,
+           CAST(COUNT(*) AS BIGINT) AS n_islands,
+           CAST(SUM(cov_us) AS BIGINT) AS covered_us,
+           CAST(MAX(cov_us) AS BIGINT) AS longest_us
+    FROM per_island GROUP BY user_id
+    """,
+)
+def streaming_interval_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming twin of `interval_union_coverage`, proving the
+    paradigm identity session_window(gap) ≡ interval-union islands:
+    the native streaming sessionizer produces, per user, the same
+    (n_islands, covered_us, longest_us) the batch windows compute —
+    covered micros fall out as win.end − win.start because a session's
+    end is last_ts + gap. The oracle states the one semantic difference
+    explicitly: session windows are half-open (an event exactly gap
+    after its predecessor starts a NEW island — ``s >= pmax`` in the
+    oracle, vs the batch op's touch-merging ``s > pmax``). Driven to
+    exact equality via the sentinel watermark-flush protocol of
+    `run_streaming_session_agg`; see
+    `streaming.events.run_streaming_interval_coverage` for state/GC
+    shape."""
+    from esther_apache_spark_spark.streaming.events import (
+        run_streaming_interval_coverage,
+    )
+
+    return run_streaming_interval_coverage(spark, sf_dir)

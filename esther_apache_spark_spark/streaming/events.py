@@ -952,3 +952,106 @@ def run_streaming_session_agg(
         return spark.table(name).filter(F.col("user_id") >= 0)
     finally:
         shutil.rmtree(tmp, ignore_errors=True)
+
+
+def run_streaming_interval_coverage(
+    spark: SparkSession,
+    sf_dir: str,
+    gap: str = "5 minutes",
+    watermark: str = "30 minutes",
+) -> DataFrame:
+    """Interval-union coverage as a STREAMING query — the paradigm-twin
+    proof that `session_window` IS the gaps-and-islands operator: an
+    island of 5-minute activity intervals is exactly a session with a
+    5-minute gap (win.end = last_ts + gap, so covered micros =
+    win.end − win.start ≡ the batch op's max(e) − min(s)). Per user it
+    emits (n_islands, covered_us, longest_us) from the session rows the
+    stream produced.
+
+    Boundary convention: session windows are HALF-OPEN — an event
+    arriving exactly gap after the previous one starts a NEW session
+    (merge requires ts < prev_end), where the batch
+    `interval_union_coverage` merges exact-touch intervals (s > pmax
+    starts an island). The oracle for this query states the strict
+    (>=) convention, so the two catalog entries pin both conventions
+    explicitly rather than papering over the edge case.
+
+    Same sentinel-flush drive as `run_streaming_session_agg` (append
+    mode emits a session only after the watermark passes its end; two
+    far-future sentinel events advance the watermark, then force the
+    eviction micro-batch). State is one struct per OPEN (user, session),
+    watermark-GC'd — bounded by active users, independent of stream
+    length."""
+    import os
+    import shutil
+    import tempfile
+    import time
+
+    from esther_apache_spark_spark.schemas import (
+        _EVENTS_RAW,
+        _events_ts_unit,
+        load_table,
+    )
+
+    tmp = tempfile.mkdtemp(prefix="stream_islands_")
+    try:
+        src = f"{sf_dir}/events.parquet"
+        copy = os.path.join(tmp, "00_events.parquet")
+        shutil.copy(src, copy)
+        t0 = time.time() - 60
+        os.utime(copy, (t0, t0))
+
+        max_ts_us = (
+            load_table(spark, sf_dir, "events")
+            .agg(F.max(F.unix_micros("ts")).alias("m"))
+            .collect()[0]["m"]
+        )
+
+        if _events_ts_unit(copy) == "ns":
+            raw = spark.readStream.schema(_EVENTS_RAW).parquet(tmp)
+            stream = raw.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+        else:
+            stream = spark.readStream.schema(TESTDATA["events"]).parquet(tmp)
+
+        sessions = (
+            stream.withWatermark("ts", watermark)
+            .groupBy(F.session_window("ts", gap).alias("win"), "user_id")
+            .agg(F.count(F.lit(1)).alias("n_events"))
+            .select(
+                "user_id",
+                F.unix_micros("win.start").alias("s_us"),
+                F.unix_micros("win.end").alias("e_us"),
+            )
+        )
+        name = f"stream_islands_{uuid.uuid4().hex[:8]}"
+        q = (
+            sessions.writeStream.outputMode("append")
+            .format("memory")
+            .queryName(name)
+            .start()
+        )
+        try:
+            q.processAllAvailable()
+            day_us = 86_400_000_000
+            _write_sentinel_event(tmp, copy, max_ts_us + 30 * day_us, -1)
+            q.processAllAvailable()
+            _write_sentinel_event(tmp, copy, max_ts_us + 60 * day_us, -2)
+            q.processAllAvailable()
+        finally:
+            q.stop()
+        return (
+            spark.table(name)
+            .filter(F.col("user_id") >= 0)
+            .groupBy("user_id")
+            .agg(
+                F.count(F.lit(1)).alias("n_islands"),
+                F.sum(F.col("e_us") - F.col("s_us")).cast("long").alias(
+                    "covered_us"
+                ),
+                F.max(F.col("e_us") - F.col("s_us")).cast("long").alias(
+                    "longest_us"
+                ),
+            )
+        )
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
