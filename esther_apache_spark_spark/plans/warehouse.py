@@ -1474,3 +1474,92 @@ def streaming_interval_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     return run_streaming_interval_coverage(spark, sf_dir)
+
+
+# ---------------------------------------------------------------------------
+# SQL-surface showcases: LATERAL join and recursive CTE (Spark 4 features).
+# ---------------------------------------------------------------------------
+
+_LATERAL_SQL = """
+    SELECT c.custkey, l.o_orderkey, l.cents
+    FROM (SELECT DISTINCT o_custkey AS custkey FROM {orders}) c
+    CROSS JOIN LATERAL (
+        SELECT o_orderkey,
+               CAST(CAST(o_totalprice AS DECIMAL(12,2)) * 100 AS BIGINT)
+                   AS cents
+        FROM {orders} o
+        WHERE o.o_custkey = c.custkey
+        ORDER BY cents DESC, o_orderkey ASC
+        LIMIT 2
+    ) l
+"""
+
+
+@register(
+    "lateral_top2_orders_per_customer",
+    oracle=_LATERAL_SQL.format(orders="orders"),
+)
+def lateral_top2_orders_per_customer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Correlated LATERAL subquery (SQL:1999, Spark since 3.2): each
+    customer's top-2 orders by value, written as the per-row subquery a
+    SQL author reaches for — and planned by Catalyst as a decorrelated
+    join + per-group limit, NOT an N-times re-executed subquery (the
+    same physical shape as the window top-k). One SQL text runs on both
+    engines; amounts in exact integer cents with the unique orderkey
+    tiebreak so the LIMIT 2 cut is deterministic."""
+    load_table(spark, sf_dir, "orders").createOrReplaceTempView("orders_lat")
+    return spark.sql(_LATERAL_SQL.format(orders="orders_lat"))
+
+
+_RECURSIVE_REACH_SQL = """
+    WITH RECURSIVE ob AS (
+        SELECT DISTINCT l.l_orderkey AS k, p.p_brand AS b
+        FROM {lineitem} l JOIN {part} p ON l.l_partkey = p.p_partkey
+    ),
+    pairs AS (
+        SELECT a.b AS src, c.b AS dst, CAST(COUNT(*) AS BIGINT) AS cnt
+        FROM ob a JOIN ob c ON a.k = c.k WHERE a.b <> c.b
+        GROUP BY a.b, c.b
+    ),
+    bedges AS (
+        SELECT src, dst FROM (
+            SELECT src, dst,
+                   row_number() OVER (PARTITION BY src
+                                      ORDER BY cnt DESC, dst) AS rn
+            FROM pairs
+        ) tk WHERE rn <= 3
+    ),
+    reach(v, hop) AS (
+        SELECT MIN(src), 0 FROM bedges
+        UNION ALL
+        SELECT e.dst, r.hop + 1
+        FROM reach r JOIN bedges e ON e.src = r.v
+        WHERE r.hop < 3
+    )
+    SELECT v AS brand, CAST(MIN(hop) AS INT) AS hops
+    FROM reach GROUP BY v
+"""
+
+
+@register(
+    "recursive_cte_brand_reach",
+    oracle=_RECURSIVE_REACH_SQL.format(lineitem="lineitem", part="part"),
+)
+def recursive_cte_brand_reach(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Min-hop reachability via WITH RECURSIVE (new in Spark 4.0) — the
+    declarative twin of the statically-unrolled `bfs_hops_brands`: same
+    sparsified top-3 co-purchase edges, same seed (lexicographically
+    first brand), same ≤3-hop horizon, but the iteration is expressed
+    as a recursive CTE and driven by the engine's own fixpoint executor
+    instead of a Python loop building the plan. The depth guard
+    (hop < 3) bounds the recursion on a CYCLIC graph — a plain
+    transitive closure would never terminate — and the final MIN(hop)
+    collapses re-visits to first discovery, making the recursive form
+    result-identical to the level-synchronous unrolled one. One SQL
+    text on both engines; pure integer/string ops, exact by
+    construction."""
+    load_table(spark, sf_dir, "lineitem").createOrReplaceTempView("lineitem_rec")
+    load_table(spark, sf_dir, "part").createOrReplaceTempView("part_rec")
+    return spark.sql(
+        _RECURSIVE_REACH_SQL.format(lineitem="lineitem_rec", part="part_rec")
+    )
