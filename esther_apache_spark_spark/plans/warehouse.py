@@ -1563,3 +1563,287 @@ def recursive_cte_brand_reach(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.sql(
         _RECURSIVE_REACH_SQL.format(lineitem="lineitem_rec", part="part_rec")
     )
+
+
+# ---------------------------------------------------------------------------
+# Round 6: drawdown curve, LOO target encoding, l-diversity, RLE audit.
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "max_drawdown_daily_revenue",
+    oracle="""
+    WITH daily AS (
+        SELECT strftime(CAST(o_orderdate AS DATE), '%Y-%m-%d') AS day,
+               CAST(SUM(CAST(CAST(o_totalprice AS DECIMAL(12,2)) * 100
+                             AS BIGINT)) AS BIGINT) AS cents
+        FROM orders GROUP BY 1
+    )
+    SELECT day, cents,
+           MAX(cents) OVER (ORDER BY day
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS peak_cents,
+           MAX(cents) OVER (ORDER BY day
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - cents
+               AS drawdown_cents
+    FROM daily
+    """,
+)
+def max_drawdown_daily_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Drawdown curve of daily order revenue: for each day, the running
+    peak of the daily-revenue series and how far below it that day sits
+    (the finance max-drawdown readout, applied to a revenue health
+    dashboard — a sustained-decline detector that, unlike the z-score
+    anomaly queries, is cumulative: it flags slow slides no single-day
+    threshold catches).
+
+    Scale doctrine: the window runs over the DAILY frame (≤ calendar
+    span rows — same bound as the OLS/seasonal queries), never the raw
+    orders; orders are touched once by a partial-aggregable groupBy.
+    Daily cents stay BIGINT (10^13 cents/day at 100 TB is 5 orders of
+    magnitude under the 2^63 line); the running MAX and the subtraction
+    are pure integer ops, exact on both engines."""
+    orders = load_table(spark, sf_dir, "orders")
+    daily = orders.groupBy(
+        F.date_format("o_orderdate", "yyyy-MM-dd").alias("day")
+    ).agg(
+        F.sum((dec2("o_totalprice") * 100).cast("long")).cast("long").alias("cents")
+    )
+    w = Window.orderBy("day").rowsBetween(Window.unboundedPreceding, 0)
+    return daily.select(
+        "day",
+        "cents",
+        F.max("cents").over(w).alias("peak_cents"),
+        (F.max("cents").over(w) - F.col("cents")).alias("drawdown_cents"),
+    )
+
+
+@register(
+    "target_encode_loo",
+    oracle="""
+    WITH oc AS (
+        SELECT o.o_orderkey, c.c_mktsegment AS segment,
+               CAST(CAST(o.o_totalprice AS DECIMAL(12,2)) * 100 AS BIGINT)
+                   AS cents
+        FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+    ),
+    seg AS (
+        SELECT segment, SUM(CAST(cents AS HUGEINT)) AS ssum,
+               CAST(COUNT(*) AS BIGINT) AS n
+        FROM oc GROUP BY segment
+    )
+    SELECT oc.o_orderkey, oc.segment,
+           CAST(ROUND(CAST(seg.ssum - oc.cents AS DOUBLE)
+                      / CAST(seg.n - 1 AS DOUBLE), 9) AS DOUBLE) AS loo_cents
+    FROM oc JOIN seg ON oc.segment = seg.segment
+    WHERE seg.n >= 2
+    """,
+)
+def target_encode_loo(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Leave-one-out target encoding of the customer market segment by
+    order value — the classic high-cardinality-categorical feature for
+    tabular models, in its leakage-safe form: each order's encoding is
+    the mean order value of its segment EXCLUDING the order itself
+    ((Σ − own)/(n − 1)), so the feature never contains the row's own
+    target (plain mean encoding leaks; LOO is the standard fix).
+
+    Scale doctrine: per-segment (Σcents, n) is a partial-aggregable
+    5-row groupBy; the join back onto orders broadcasts that
+    segment-domain-bounded frame (never the fact side), so the encode
+    costs one fact scan + one map-side join — no window over the data,
+    no per-row subquery. Sums in DECIMAL(38,0) ≡ HUGEINT (BIGINT cents
+    × 10^12 orders overflows 2^63 at extreme scale); the single final
+    division is the only float, rounded identically."""
+    orders = load_table(spark, sf_dir, "orders")
+    customer = load_table(spark, sf_dir, "customer")
+    oc = orders.join(
+        customer, orders.o_custkey == customer.c_custkey, "inner"
+    ).select(
+        "o_orderkey",
+        F.col("c_mktsegment").alias("segment"),
+        (dec2("o_totalprice") * 100).cast("long").alias("cents"),
+    )
+    seg_stats = oc.groupBy("segment").agg(
+        F.sum(F.col("cents").cast("decimal(38,0)")).alias("ssum"),
+        F.count(F.lit(1)).alias("n"),
+    )
+    return (
+        oc.join(F.broadcast(seg_stats), "segment")
+        .filter(F.col("n") >= 2)
+        .select(
+            "o_orderkey",
+            "segment",
+            F.round(
+                (F.col("ssum") - F.col("cents")).cast("double")
+                / (F.col("n") - 1).cast("double"),
+                9,
+            ).alias("loo_cents"),
+        )
+    )
+
+
+@register(
+    "l_diversity_audit",
+    oracle="""
+    WITH sens AS (
+        SELECT c_nationkey AS nationkey, c_mktsegment AS segment,
+               CAST(floor(CAST(c_acctbal AS DECIMAL(12,2)) / 1000)
+                    AS BIGINT) AS bal_band
+        FROM customer
+    )
+    SELECT nationkey, segment,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(COUNT(DISTINCT bal_band) AS BIGINT) AS l_distinct,
+           COUNT(DISTINCT bal_band) >= 3 AS meets_l3
+    FROM sens GROUP BY nationkey, segment
+    """,
+)
+def l_diversity_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distinct-l-diversity audit — the companion to `k_anonymity_audit`
+    (k-anonymity alone permits the homogeneity attack: a class of 50
+    identical sensitive values re-identifies everyone in it). Quasi-
+    identifiers are (nation, market segment); the sensitive attribute is
+    the account-balance band (floor(acctbal/1000) — the DECIMAL-domain
+    quantization keeps the band exact where a double divide could
+    straddle a boundary differently per engine). Each QI class reports
+    its size, its count of DISTINCT sensitive values (the l in
+    l-diversity), and whether it meets l ≥ 3.
+
+    Scale: one partial-aggregable two-level groupBy over the QI domain
+    (|nations| × |segments| classes); exact COUNT(DISTINCT) inside each
+    class is a hash agg on (class, band) first — no window, no sort."""
+    customer = load_table(spark, sf_dir, "customer")
+    sens = customer.select(
+        F.col("c_nationkey").alias("nationkey"),
+        F.col("c_mktsegment").alias("segment"),
+        F.floor(dec2("c_acctbal") / 1000).cast("long").alias("bal_band"),
+    )
+    return sens.groupBy("nationkey", "segment").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.countDistinct("bal_band").alias("l_distinct"),
+        (F.countDistinct("bal_band") >= 3).alias("meets_l3"),
+    )
+
+
+_RLE_COLS = [
+    # (label, DuckDB value expr) — values normalized to engine-neutral
+    # strings: integers via exact DECIMAL-domain casts (a raw DOUBLE or
+    # DECIMAL rendered to VARCHAR can format differently per engine).
+    ("l_returnflag", "l_returnflag"),
+    ("l_linestatus", "l_linestatus"),
+    ("l_quantity", "CAST(CAST(l_quantity AS BIGINT) AS VARCHAR)"),
+    ("l_tax", "CAST(CAST(CAST(l_tax AS DECIMAL(4,2)) * 100 AS BIGINT) AS VARCHAR)"),
+]
+
+
+def _rle_oracle() -> str:
+    flags = ",\n               ".join(
+        f"CASE WHEN coalesce(lag(v_{lbl}) OVER w = v_{lbl}, FALSE) "
+        f"THEN 0 ELSE 1 END AS start_{lbl}"
+        for lbl, _ in _RLE_COLS
+    )
+    vals = ",\n               ".join(f"{expr} AS v_{lbl}" for lbl, expr in _RLE_COLS)
+    order = ", ".join(f"v_{lbl}" for lbl, _ in _RLE_COLS)
+    branches = "\n    UNION ALL\n".join(
+        f"""    SELECT '{lbl}' AS column_name,
+           CAST(COUNT(*) AS BIGINT) AS n_rows,
+           CAST(COUNT(DISTINCT v_{lbl}) AS BIGINT) AS ndv,
+           CAST(SUM(start_{lbl}) AS BIGINT) AS runs,
+           CAST(ROUND(CAST(COUNT(DISTINCT v_{lbl}) AS DOUBLE) / COUNT(*), 9)
+                AS DOUBLE) AS ndv_ratio,
+           CAST(ROUND(CAST(COUNT(*) AS DOUBLE) / SUM(start_{lbl}), 9)
+                AS DOUBLE) AS avg_run_len
+    FROM flagged"""
+        for lbl, _ in _RLE_COLS
+    )
+    return f"""
+    WITH vals AS (
+        SELECT l_orderkey, l_linenumber,
+               {vals}
+        FROM lineitem
+    ),
+    flagged AS (
+        SELECT *,
+               {flags}
+        FROM vals
+        WINDOW w AS (PARTITION BY l_orderkey
+                     ORDER BY l_linenumber, {order})
+    )
+{branches}
+    """
+
+
+@register("column_compression_audit", oracle=_rle_oracle())
+def column_compression_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Storage-layout audit: for each low-cardinality lineitem column,
+    how dictionary- and run-length-encodable it is under the table's
+    natural (orderkey, linenumber) order — NDV ratio (dictionary
+    pressure) and within-order run statistics (RLE efficacy). This is
+    the readout that decides whether re-sorting before the parquet
+    write (cf. `zorder_layout_audit`) pays for itself at 100 TB: a
+    column with avg_run_len ≈ 1 gains nothing from RLE in this order;
+    one with long runs compresses ~n/runs ×.
+
+    Runs are counted WITHIN each order's line group (lag over a ≤7-row
+    frame partitioned by the natural key) — never a global-order window,
+    which would funnel the whole table through one task; cross-order
+    run continuations are deliberately excluded from the metric's
+    definition, making it partition-invariant and exact. Doubles are
+    normalized through exact DECIMAL-domain integer casts before the
+    string compare, so NULL-safe equality sees identical values on both
+    engines. One scan, one bounded window pass, four 1-row aggregates
+    stacked to long form."""
+    li = load_table(spark, sf_dir, "lineitem")
+    vals = {
+        "l_returnflag": F.col("l_returnflag"),
+        "l_linestatus": F.col("l_linestatus"),
+        "l_quantity": F.col("l_quantity").cast("long").cast("string"),
+        "l_tax": (F.col("l_tax").cast("decimal(4,2)") * 100)
+        .cast("long")
+        .cast("string"),
+    }
+    proj = li.select(
+        "l_orderkey",
+        "l_linenumber",
+        *[v.alias(f"v_{lbl}") for lbl, v in vals.items()],
+    )
+    # Duplicate (orderkey, linenumber) pairs exist in the synthetic data:
+    # appending every audited value to the ORDER BY makes run counts
+    # well-defined — rows still tied carry identical audited values, so
+    # any tie resolution yields the same value sequence.
+    w = Window.partitionBy("l_orderkey").orderBy(
+        "l_linenumber", *[f"v_{lbl}" for lbl in vals]
+    )
+    flagged = proj.select(
+        *[
+            F.when(
+                F.coalesce(
+                    F.lag(f"v_{lbl}").over(w) == F.col(f"v_{lbl}"), F.lit(False)
+                ),
+                0,
+            )
+            .otherwise(1)
+            .alias(f"start_{lbl}")
+            for lbl in vals
+        ],
+        *[F.col(f"v_{lbl}") for lbl in vals],
+    )
+    agg = flagged.agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        *[F.countDistinct(f"v_{lbl}").alias(f"ndv_{lbl}") for lbl in vals],
+        *[F.sum(f"start_{lbl}").alias(f"runs_{lbl}") for lbl in vals],
+    )
+    stack_args = ", ".join(
+        f"'{lbl}', ndv_{lbl}, runs_{lbl}" for lbl in vals
+    )
+    return agg.selectExpr(
+        "n_rows", f"stack({len(vals)}, {stack_args}) AS (column_name, ndv, runs)"
+    ).select(
+        "column_name",
+        F.col("n_rows").cast("long").alias("n_rows"),
+        F.col("ndv").cast("long").alias("ndv"),
+        F.col("runs").cast("long").alias("runs"),
+        F.round(F.col("ndv").cast("double") / F.col("n_rows"), 9).alias("ndv_ratio"),
+        F.round(F.col("n_rows").cast("double") / F.col("runs"), 9).alias(
+            "avg_run_len"
+        ),
+    )
