@@ -17,5 +17,6 @@ from esther_apache_spark_spark.plans import corpus_ops  # noqa: E402,F401
 from esther_apache_spark_spark.plans import analytics  # noqa: E402,F401
 from esther_apache_spark_spark.plans import evaluation  # noqa: E402,F401
 from esther_apache_spark_spark.plans import warehouse  # noqa: E402,F401
+from esther_apache_spark_spark.plans import mlprep  # noqa: E402,F401
 
 __all__ = ["QUERIES", "QuerySpec", "register", "queries", "oracle_sql"]

@@ -1,0 +1,392 @@
+"""ML-preprocessing and estimation-theory queries (round 6): Flesch
+readability scoring, the feature-hashing trick, lift/gain deciles for
+the linear quality classifier, and an AMS (tug-of-war) F2 sketch with
+its exact twin — each a named catalog query with a DuckDB oracle.
+
+Cross-engine determinism carries the module: md5-hex→BIGINT hashing for
+anything pseudo-random (signs, buckets), exact integer/DECIMAL(38,0)
+sums, divisions only as the final op and rounded, and the two-level
+bucketed rank pattern (never a data-sized global window) wherever a
+cumulative position over distinct values is needed."""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from esther_apache_spark_spark.functions.text import tokenize, normalize_text
+from esther_apache_spark_spark.plans.catalog import register
+from esther_apache_spark_spark.plans.extensions import _QC_SCORE_CTES, _TOKS_CTE
+from esther_apache_spark_spark.schemas import load_table
+
+# ---------------------------------------------------------------------------
+# Flesch reading ease — the classic readability heuristic as a corpus
+# quality feature (a standard column in LLM data-quality dashboards).
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "readability_flesch_docs",
+    oracle=r"""
+    WITH norm AS (
+        SELECT doc_id, text,
+               trim(regexp_replace(lower(text), '[^\w\s]', '', 'g')) AS nt
+        FROM documents WHERE text IS NOT NULL
+    ),
+    counts AS (
+        SELECT doc_id,
+               CAST(len(list_filter(regexp_split_to_array(nt, '\s+'),
+                                    x -> x <> '')) AS BIGINT) AS words,
+               CAST(greatest(len(regexp_extract_all(text, '[.!?]+')), 1)
+                    AS BIGINT) AS sentences,
+               CAST(len(regexp_extract_all(nt, '[aeiouy]+')) AS BIGINT)
+                   AS syllables
+        FROM norm
+    )
+    SELECT doc_id, words, sentences, syllables,
+           CAST(ROUND(206.835
+                      - 1.015 * (CAST(words AS DOUBLE) / sentences)
+                      - 84.6 * (CAST(syllables AS DOUBLE) / words), 9)
+                AS DOUBLE) AS flesch
+    FROM counts WHERE words > 0
+    """,
+)
+def readability_flesch_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Flesch reading-ease per document — the interpretable quality
+    feature beside the learned classifier score: 206.835 − 1.015·(W/S)
+    − 84.6·(Syl/W), with syllables approximated by vowel-group count
+    (the standard dependency-free estimator — exact syllabification
+    needs a pronunciation lexicon). Words and vowel groups are counted
+    on the SAME normalized text the corpus tokenizer produces (lower +
+    punctuation strip), sentences on the raw text's terminal-punctuation
+    runs (min 1), so the three counts share one definition with the
+    rest of the text stack.
+
+    Determinism: all three inputs are exact integers from identical
+    regex semantics (RE2-safe character classes); the formula is one
+    fixed double expression tree evaluated on those integers, identical
+    IEEE ops in both engines, rounded once. Scale: pure per-row
+    projection — no join, no window, no shuffle; Catalyst prunes the
+    scan to (doc_id, text)."""
+    docs = load_table(spark, sf_dir, "documents").filter(F.col("text").isNotNull())
+    nt = normalize_text(F.col("text"))
+    counts = docs.select(
+        "doc_id",
+        F.size(tokenize(F.col("text"))).cast("long").alias("words"),
+        F.greatest(
+            F.regexp_count(F.col("text"), F.lit(r"[.!?]+")), F.lit(1)
+        )
+        .cast("long")
+        .alias("sentences"),
+        F.regexp_count(nt, F.lit("[aeiouy]+")).cast("long").alias("syllables"),
+    )
+    return counts.filter(F.col("words") > 0).select(
+        "doc_id",
+        "words",
+        "sentences",
+        "syllables",
+        F.round(
+            F.lit(206.835)
+            - F.lit(1.015) * (F.col("words").cast("double") / F.col("sentences"))
+            - F.lit(84.6) * (F.col("syllables").cast("double") / F.col("words")),
+            9,
+        ).alias("flesch"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Feature hashing (the hashing trick) — fixed-width sparse features
+# without a vocabulary pass.
+# ---------------------------------------------------------------------------
+
+_FH_BUCKETS = 64
+
+
+@register(
+    "feature_hash_vectors",
+    oracle=f"""
+    WITH toks AS ({_TOKS_CTE}),
+    expl AS (
+        SELECT doc_id, unnest(t) AS tok FROM toks
+    ),
+    hashed AS (
+        SELECT doc_id,
+               CAST(CONCAT('0x', substr(md5('fh:' || tok), 1, 8)) AS BIGINT)
+                   AS h
+        FROM expl
+    )
+    SELECT doc_id,
+           CAST(h % {_FH_BUCKETS} AS BIGINT) AS bucket,
+           CAST(SUM(CASE WHEN ((h >> 6) & 1) = 0 THEN 1 ELSE -1 END)
+                AS BIGINT) AS feat
+    FROM hashed GROUP BY doc_id, h % {_FH_BUCKETS}
+    """,
+)
+def feature_hash_vectors(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The hashing trick (Weinberger et al.'s signed feature hashing):
+    each token lands in one of 64 buckets by hash, contributing ±1 by
+    an independent hash bit, and a document's feature vector is the
+    per-bucket signed sum — fixed-width features with NO vocabulary
+    pass over the corpus (the property that matters at 100 TB: a
+    vocabulary is a second full scan plus a giant dim table; hashing is
+    stateless). The signed sum makes collisions cancel in expectation —
+    the estimator the kernel-trick analysis of feature hashing relies
+    on — where unsigned counting would bias upward.
+
+    Emitted long-form (doc_id, bucket, feat≠0 rows implicit by
+    grouping); consumers needing dense vectors pivot the ≤64 buckets.
+    Scale: explode → partial-aggregable (doc, bucket) hash agg, no
+    window, no join. Determinism: the md5-hex→BIGINT family (same
+    construction the CMS/sampling gates replay), so bucket and sign are
+    bit-identical in DuckDB."""
+    docs = load_table(spark, sf_dir, "documents").filter(F.col("text").isNotNull())
+    toks = docs.select("doc_id", F.explode(tokenize(F.col("text"))).alias("tok"))
+    h = F.conv(
+        F.substring(F.md5(F.concat(F.lit("fh:"), F.col("tok"))), 1, 8), 16, 10
+    ).cast("long")
+    hashed = toks.select(
+        "doc_id",
+        (h % _FH_BUCKETS).cast("long").alias("bucket"),
+        F.when((F.shiftright(h, 6).bitwiseAND(F.lit(1))) == 0, 1)
+        .otherwise(-1)
+        .alias("sign"),
+    )
+    return hashed.groupBy("doc_id", "bucket").agg(
+        F.sum("sign").cast("long").alias("feat")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Lift / gains deciles for the linear quality classifier.
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "lift_gain_deciles",
+    oracle=f"""
+    WITH toks AS ({_TOKS_CTE}),
+    {_QC_SCORE_CTES},
+    base AS (SELECT doc_id, lang FROM documents WHERE text IS NOT NULL),
+    sc AS (SELECT b.doc_id, COALESCE(sw / n, 0.0) AS score,
+                  CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS pos
+           FROM base b LEFT JOIN agg USING (doc_id)),
+    per AS (SELECT score, CAST(COUNT(*) AS BIGINT) AS c,
+                   CAST(SUM(pos) AS BIGINT) AS p
+            FROM sc GROUP BY score),
+    cum AS (SELECT c, p,
+                   SUM(c) OVER (ORDER BY score DESC
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                       AS n_ge,
+                   SUM(c) OVER () AS n
+            FROM per),
+    dec AS (SELECT CAST((10 * n_ge + n - 1) // n AS INT) AS decile, c, p
+            FROM cum),
+    g AS (SELECT decile, SUM(c) AS nc, SUM(p) AS np
+          FROM dec GROUP BY decile)
+    SELECT decile,
+           CAST(nc AS BIGINT) AS n_docs,
+           CAST(np AS BIGINT) AS n_pos,
+           CAST(SUM(nc) OVER w AS BIGINT) AS cum_docs,
+           CAST(SUM(np) OVER w AS BIGINT) AS cum_pos,
+           CAST(ROUND(CAST(SUM(np) OVER w AS DOUBLE) / SUM(np) OVER (), 9)
+                AS DOUBLE) AS gain,
+           CAST(ROUND((CAST(SUM(np) OVER w AS DOUBLE) / SUM(nc) OVER w)
+                      / (CAST(SUM(np) OVER () AS DOUBLE) / SUM(nc) OVER ()), 9)
+                AS DOUBLE) AS lift
+    FROM g
+    WINDOW w AS (ORDER BY decile
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+    """,
+)
+def lift_gain_deciles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cumulative gains / lift table for the linear quality classifier
+    against the English label — the campaign-targeting readout beside
+    `quality_classifier_auc` (AUC summarizes ranking in one number;
+    gains answer "if I can only process the top-k%, how much of the
+    signal do I capture?"). Deciles are CUMULATIVE-POSITION deciles over
+    distinct scores: every doc at score s joins decile
+    ceil(10·n_ge(s)/n), so tied scores land together deterministically
+    (ntile would split ties engine-arbitrarily).
+
+    Scale shape — the same distributed two-level rank as the AUC query:
+    docs collapse to one row per distinct score (hash agg); each score
+    lands in one of ≤1025 value-range buckets (floor((score+1)·512),
+    exact IEEE on the classifier's dyadic scores); n_ge(s) = the
+    higher-buckets total (window over the ≤1025-row bucket frame) plus
+    a within-bucket cumulative — no data-sized global window. The final
+    lift/gain windows run over the ≤10-row decile frame."""
+    from esther_apache_spark_spark.plans.evaluation import _classifier_scored
+
+    sc = _classifier_scored(spark, sf_dir)
+    per = sc.groupBy("score").agg(
+        F.count(F.lit(1)).alias("c"), F.sum("pos").alias("p")
+    )
+    per = per.withColumn(
+        "bucket", F.floor((F.col("score") + F.lit(1.0)) * F.lit(512.0)).cast("int")
+    )
+    btot = per.groupBy("bucket").agg(F.sum("c").alias("bc"))
+    w_gt = (
+        Window.orderBy(F.col("bucket").desc())
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    offs = btot.select(
+        "bucket",
+        F.coalesce(F.sum("bc").over(w_gt), F.lit(0)).alias("gt_off"),
+        F.sum("bc").over(Window.partitionBy()).alias("n"),
+    )
+    w_in = (
+        Window.partitionBy("bucket")
+        .orderBy(F.col("score").desc())
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    cum = (
+        per.withColumn("cum_in", F.sum("c").over(w_in))
+        .join(offs, "bucket")
+        .select(
+            "c",
+            "p",
+            (F.col("gt_off") + F.col("cum_in")).alias("n_ge"),
+            "n",
+        )
+    )
+    # integer ceil-div: decile(s) = ceil(10 * n_ge / n)
+    dec = cum.selectExpr(
+        "CAST((10 * n_ge + n - 1) DIV n AS INT) AS decile", "c", "p"
+    )
+    g = dec.groupBy("decile").agg(F.sum("c").alias("nc"), F.sum("p").alias("np"))
+    w = Window.orderBy("decile").rowsBetween(Window.unboundedPreceding, 0)
+    w_all = Window.partitionBy()
+    return g.select(
+        "decile",
+        F.col("nc").cast("long").alias("n_docs"),
+        F.col("np").cast("long").alias("n_pos"),
+        F.sum("nc").over(w).cast("long").alias("cum_docs"),
+        F.sum("np").over(w).cast("long").alias("cum_pos"),
+        F.round(
+            F.sum("np").over(w).cast("double") / F.sum("np").over(w_all), 9
+        ).alias("gain"),
+        F.round(
+            (F.sum("np").over(w).cast("double") / F.sum("nc").over(w))
+            / (F.sum("np").over(w_all).cast("double") / F.sum("nc").over(w_all)),
+            9,
+        ).alias("lift"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# AMS (tug-of-war) F2 sketch — second frequency moment / self-join size.
+# ---------------------------------------------------------------------------
+
+_AMS_R = 16
+
+
+def _ams_sign_sql(r: int) -> str:
+    return (
+        f"CASE WHEN CAST(CONCAT('0x', substr(md5('ams{r}:' || "
+        f"CAST(user_id AS VARCHAR)), 1, 8)) AS BIGINT) % 2 = 0 "
+        f"THEN 1 ELSE -1 END"
+    )
+
+
+def _ams_oracle() -> str:
+    sums = ",\n               ".join(
+        f"SUM({_ams_sign_sql(r)}) AS s{r}" for r in range(_AMS_R)
+    )
+    ests = ", ".join(
+        f"CAST(s{r} AS HUGEINT) * CAST(s{r} AS HUGEINT)" for r in range(_AMS_R)
+    )
+    return f"""
+    WITH sk AS (
+        SELECT {sums}
+        FROM events
+    ),
+    med AS (
+        SELECT list_sort([{ests}]) AS l FROM sk
+    ),
+    est AS (
+        SELECT CAST(l[{_AMS_R // 2}] + l[{_AMS_R // 2 + 1}] AS BIGINT)
+               AS f2_est2
+        FROM med
+    ),
+    exact AS (
+        SELECT CAST(SUM(CAST(cnt AS HUGEINT) * CAST(cnt AS HUGEINT))
+                    AS BIGINT) AS f2_exact
+        FROM (SELECT COUNT(*) AS cnt FROM events GROUP BY user_id)
+    )
+    SELECT f2_exact, f2_est2,
+           CAST(ROUND((CAST(f2_est2 AS DOUBLE) / 2 - f2_exact)
+                      / f2_exact, 9) AS DOUBLE) AS rel_err
+    FROM exact, est
+    """
+
+
+@register("ams_f2_selfjoin_estimate", oracle=_ams_oracle())
+def ams_f2_selfjoin_estimate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """AMS "tug-of-war" sketch (Alon–Matias–Szegedy) for the second
+    frequency moment F2 = Σ_u cnt(u)² of the event-user stream —
+    the self-join size estimator a cost-based optimizer wants before
+    committing to a join order, and the classic one-pass streaming
+    moment sketch. 16 independent estimators: each hashes every row's
+    user to ±1 (md5 parity — fully SQL-replayable, unlike a seeded
+    PRNG) and keeps one running signed counter S_r; E[S_r²] = F2
+    exactly, and the median of the 16 squares concentrates. The median
+    is emitted DOUBLED (l[8]+l[9]) so it stays an exact integer —
+    halving would be the one lossy op in the pipeline.
+
+    The exact twin (Σcnt² via a per-user hash agg) rides along for the
+    relative-error readout — the operator's own accuracy audit, like
+    `ann_recall_audit` does for ANN. Scale: the sketch side is ONE
+    partial-aggregable pass (16 conditional sums, no shuffle beyond the
+    final 1-row combine); the exact side is a two-level hash agg.
+    Squares/sums ride in DECIMAL(38,0) ≡ HUGEINT (S_r ~ n at worst, so
+    S² blows BIGINT at ~10^10 rows); the 1-row × 1-row join is pinned
+    in the hygiene allowlist."""
+    ev = load_table(spark, sf_dir, "events")
+    d38 = "decimal(38,0)"
+
+    def sign(r: int):
+        h = F.conv(
+            F.substring(
+                F.md5(F.concat(F.lit(f"ams{r}:"), F.col("user_id").cast("string"))),
+                1,
+                8,
+            ),
+            16,
+            10,
+        ).cast("long")
+        return F.when(h % 2 == 0, 1).otherwise(-1)
+
+    sk = ev.agg(*[F.sum(sign(r)).alias(f"s{r}") for r in range(_AMS_R)])
+    ests = F.array_sort(
+        F.array(
+            *[
+                (F.col(f"s{r}").cast(d38) * F.col(f"s{r}").cast(d38))
+                for r in range(_AMS_R)
+            ]
+        )
+    )
+    est = sk.select(
+        (
+            F.element_at(ests, _AMS_R // 2) + F.element_at(ests, _AMS_R // 2 + 1)
+        )
+        .cast("long")
+        .alias("f2_est2")
+    )
+    exact = (
+        ev.groupBy("user_id")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .agg(
+            F.sum(F.col("cnt").cast(d38) * F.col("cnt").cast(d38))
+            .cast("long")
+            .alias("f2_exact")
+        )
+    )
+    return exact.crossJoin(est).select(
+        "f2_exact",
+        "f2_est2",
+        F.round(
+            (F.col("f2_est2").cast("double") / 2 - F.col("f2_exact"))
+            / F.col("f2_exact"),
+            9,
+        ).alias("rel_err"),
+    )

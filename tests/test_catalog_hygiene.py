@@ -75,6 +75,8 @@ def test_catalog_plans_free_of_scale_antipatterns(spark, sf_dir):
         "unigram_nll_score_docs",    # 1-row token-total + vocab-size scalars
         "temperature_sample_by_lang",  # 1-row global max-rate scalar
         "similarity_topk_bruteforce",  # fenced all-pairs oracle
+        # 1-row sketch aggregate x 1-row exact aggregate combine
+        "ams_f2_selfjoin_estimate",
         # ground-truth side is brute_force_topk's by-contract 5-row
         # broadcast query matrix (same fence as the bruteforce entry)
         "ann_recall_audit",
