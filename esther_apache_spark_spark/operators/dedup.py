@@ -1547,3 +1547,67 @@ def substring_dup_spans(
             F.col("span_len").cast("int").alias("span_len"),
         )
     )
+
+
+def ngram_containment_pairs(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    shingle_n: int = 3,
+    threshold: float = 0.8,
+    max_df: int | None = 100_000,
+) -> DataFrame:
+    """Directional n-gram CONTAINMENT pairs: C(src→dst) =
+    |shingles(src) ∩ shingles(dst)| / |shingles(src)| ≥ ``threshold``.
+
+    The asymmetric sibling of ``ngram_jaccard_pairs`` — Jaccard misses
+    the quote/subset case entirely (a 50-shingle doc fully embedded in
+    a 5000-shingle doc has Jaccard ≈ 0.01 but containment 1.0), and
+    containment is the standard detector for boilerplate inclusion,
+    quotations and partial mirrors in LLM corpus curation (the
+    "contained in" half of the decontamination literature's
+    overlap taxonomy). Emits BOTH directions independently when both
+    clear the threshold (src mostly-inside-dst and vice versa are
+    different facts).
+
+    Same scale architecture as the Jaccard op: inverted-index equi-join
+    on shingle hashes with document-frequency pruning (``max_df`` caps
+    any shingle's O(df²) candidate fan-out BEFORE the self-join;
+    pruning affects candidate recall only — the emitted containment is
+    recomputed exactly on the full shingle sets), candidate dedup, then
+    two array-intersect recount joins. Never all-pairs; empty-shingle
+    docs are excluded (containment undefined)."""
+    shingled = _cache(_non_null_text(df, text_col).select(
+        F.col(id_col).alias("_id"),
+        F.array_distinct(
+            shingle_hashes(tokenize(F.col(text_col)), shingle_n)
+        ).alias("_sh"),
+    ))
+    nonempty = shingled.filter(F.size("_sh") > 0)
+    inv = nonempty.select("_id", F.explode("_sh").alias("_g"))
+    if max_df is not None:
+        hot = (
+            inv.groupBy("_g")
+            .agg(F.count(F.lit(1)).alias("_df"))
+            .filter(F.col("_df") > max_df)
+            .select("_g")
+        )
+        inv = inv.join(F.broadcast(hot), "_g", "left_anti")
+    cand = (
+        inv.alias("a")
+        .join(inv.alias("b"), "_g")
+        .filter(F.col("a._id") != F.col("b._id"))
+        .select(F.col("a._id").alias("src_id"), F.col("b._id").alias("dst_id"))
+        .dropDuplicates(["src_id", "dst_id"])
+    )
+    sa = nonempty.select(F.col("_id").alias("src_id"), F.col("_sh").alias("_sha"))
+    sb = nonempty.select(F.col("_id").alias("dst_id"), F.col("_sh").alias("_shb"))
+    con = (
+        cand.join(sa, "src_id")
+        .join(sb, "dst_id")
+        .withColumn("_common", F.size(F.array_intersect("_sha", "_shb")))
+        .withColumn("containment", F.col("_common") / F.size("_sha"))
+    )
+    return con.filter(F.col("containment") >= threshold).select(
+        "src_id", "dst_id", "containment"
+    )

@@ -481,6 +481,46 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     return D.ngram_jaccard_pairs(docs, shingle_n=3, threshold=0.5)
 
 
+@register(
+    "containment_ngram_docs",
+    oracle="""
+    WITH toks AS (
+        SELECT doc_id,
+               list_filter(regexp_split_to_array(trim(regexp_replace(lower(text), '[^\\w\\s]', '', 'g')), '\\s+'), x -> x <> '') AS t
+        FROM documents
+    ),
+    sh AS (
+        SELECT doc_id,
+               list_distinct(
+                   CASE WHEN len(t) >= 3
+                        THEN list_transform(range(1, len(t) - 1),
+                                            i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2])
+                        ELSE CAST([] AS VARCHAR[]) END
+               ) AS s
+        FROM toks
+    )
+    SELECT src_id, dst_id, containment FROM (
+        SELECT a.doc_id AS src_id, b.doc_id AS dst_id,
+               len(list_intersect(a.s, b.s)) / len(a.s) AS containment
+        FROM sh a JOIN sh b ON a.doc_id <> b.doc_id
+        WHERE len(a.s) > 0
+    ) WHERE containment >= 0.8
+    """,
+)
+def containment_ngram_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Directional 3-gram CONTAINMENT pairs ≥ 0.8 — the quote/subset
+    detector Jaccard structurally misses (a short doc fully embedded in
+    a long one has near-zero Jaccard but containment 1.0); the standard
+    overlap axis for boilerplate-inclusion and partial-mirror detection
+    in corpus curation. Same inverted-index + df-pruning architecture
+    as `dedup_ngram_jaccard` (pruning is recall-only; emitted values
+    are exact recounts on full shingle sets), emitted per direction.
+    The containment value is an exact int/int double ratio, so the
+    DuckDB all-pairs oracle matches bit-for-bit."""
+    docs = load_table(spark, sf_dir, "documents")
+    return D.ngram_containment_pairs(docs, shingle_n=3, threshold=0.8)
+
+
 def _span_combine_sql(k: int) -> str:
     """The SPAN_COMBINE weighted-sum window hash over the token-hash
     array ``h`` starting at 1-based position ``i+1`` — byte-identical to

@@ -1847,3 +1847,106 @@ def column_compression_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
             "avg_run_len"
         ),
     )
+
+
+# ---------------------------------------------------------------------------
+# Capped running balance — the canonical NON-associative scan.
+# ---------------------------------------------------------------------------
+
+_BAL_CAP = 500_000  # clamp ceiling, integer cents
+
+
+@register(
+    "capped_running_balance",
+    oracle=f"""
+    WITH base AS (
+        SELECT user_id, ts, event_id,
+               CASE WHEN event_type IN ('purchase', 'signup')
+                    THEN CAST(CAST(value AS DECIMAL(12,2)) * 100 AS BIGINT)
+                    ELSE -CAST(CAST(value AS DECIMAL(12,2)) * 100 AS BIGINT)
+               END AS delta
+        FROM events
+    ),
+    seq AS (
+        SELECT user_id, delta,
+               row_number() OVER (PARTITION BY user_id
+                                  ORDER BY ts, event_id) AS rn
+        FROM base
+    ),
+    counts AS (SELECT user_id, CAST(COUNT(*) AS BIGINT) AS n
+               FROM seq GROUP BY user_id),
+    rec AS (
+        WITH RECURSIVE walk(user_id, rn, bal, nclamp) AS (
+            SELECT user_id, CAST(0 AS BIGINT), CAST(0 AS BIGINT),
+                   CAST(0 AS BIGINT)
+            FROM counts
+            UNION ALL
+            SELECT s.user_id, w.rn + 1,
+                   least(greatest(w.bal + s.delta, 0), {_BAL_CAP}),
+                   w.nclamp + CASE WHEN w.bal + s.delta < 0
+                                     OR w.bal + s.delta > {_BAL_CAP}
+                                   THEN 1 ELSE 0 END
+            FROM walk w JOIN seq s
+              ON s.user_id = w.user_id AND s.rn = w.rn + 1
+        )
+        SELECT * FROM walk
+    )
+    SELECT r.user_id, c.n AS n_events, r.bal AS final_cents,
+           r.nclamp AS n_clamped
+    FROM rec r JOIN counts c ON r.user_id = c.user_id AND r.rn = c.n
+    """,
+)
+def capped_running_balance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user clamped running balance — credits (purchase/signup
+    value) in, debits (view/click/error value) out, balance pinned to
+    [0, cap] at EVERY step (a prepaid wallet / inventory-with-shelf-cap
+    semantics). This is the canonical NON-associative scan: clamping
+    inside the fold means no window/prefix-sum decomposition exists
+    (the final balance depends on WHERE the path hit the bounds), so
+    the one honest distributed shape is a grouped ordered walk —
+    `applyInPandas` per user, one shuffle by user_id, linear work per
+    group, arbitrarily many groups in parallel. Deltas are computed
+    JVM-side in exact DECIMAL-domain cents BEFORE the Python boundary
+    (the pandas kernel only ever adds/clamps integers — no float
+    re-rounding can diverge from the oracle).
+
+    The oracle replays the walk with a per-user recursive CTE (depth =
+    max events/user), joined to per-user counts for the terminal row —
+    the declarative twin of the imperative fold, results identical by
+    construction. Output: final balance, event count, and how often the
+    path was clamped (the saturation diagnostic)."""
+    ev = load_table(spark, sf_dir, "events")
+    cents = (dec2("value") * 100).cast("long")
+    base = ev.select(
+        "user_id",
+        F.unix_micros("ts").alias("ts_us"),
+        "event_id",
+        F.when(F.col("event_type").isin("purchase", "signup"), cents)
+        .otherwise(-cents)
+        .alias("delta"),
+    )
+
+    import pandas as pd
+
+    def walk(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values(["ts_us", "event_id"])
+        bal = 0
+        nclamp = 0
+        for d in pdf["delta"].tolist():
+            raw = bal + int(d)
+            if raw < 0 or raw > _BAL_CAP:
+                nclamp += 1
+            bal = min(max(raw, 0), _BAL_CAP)
+        return pd.DataFrame(
+            {
+                "user_id": [int(pdf["user_id"].iloc[0])],
+                "n_events": [len(pdf)],
+                "final_cents": [bal],
+                "n_clamped": [nclamp],
+            }
+        )
+
+    return base.groupBy("user_id").applyInPandas(
+        walk,
+        schema="user_id long, n_events long, final_cents long, n_clamped long",
+    )

@@ -639,3 +639,93 @@ def test_minhash_cross_matches_boilerplate_linear_not_quadratic(spark):
     rows = m.collect()
     assert len(rows) == 500  # exactly one row per train doc, not bands×500
     assert all(r["n_agree"] == 32 for r in rows)
+
+
+def test_containment_directional_and_pruning_exact(spark):
+    # doc 0 is a short passage fully embedded in doc 1 (containment
+    # 0→1 is 1.0) while doc 1 is much longer (containment 1→0 small);
+    # every doc carries a stop-shingle to exercise df pruning.
+    stop = "common boilerplate footer"
+    quoted = "alpha beta gamma delta epsilon zeta"
+    docs = [
+        f"{quoted}",
+        f"{stop} intro words here {quoted} plus a very long tail "
+        + " ".join(f"tail{i}" for i in range(30)),
+    ] + [f"{stop} filler doc {i} about topic {i * 7}" for i in range(20)]
+    df = _docs_df(spark, docs)
+
+    full = {
+        (r["src_id"], r["dst_id"]): r["containment"]
+        for r in D.ngram_containment_pairs(df, threshold=0.0, max_df=None).collect()
+    }
+    # directional: the short doc is fully contained in the long one…
+    assert full[(0, 1)] == 1.0
+    # …but not vice versa
+    assert full[(1, 0)] < 0.3
+
+    pruned = {
+        (r["src_id"], r["dst_id"]): r["containment"]
+        for r in D.ngram_containment_pairs(df, threshold=0.0, max_df=5).collect()
+    }
+    # pruning drops candidates sharing ONLY hot shingles, keeps values exact
+    assert len(pruned) < len(full)
+    for p, c in pruned.items():
+        assert c == full[p], p
+    assert pruned[(0, 1)] == 1.0
+
+
+def test_capped_running_balance_clamps_and_matches_reference(spark):
+    import pandas as pd
+    from esther_apache_spark_spark.plans.warehouse import _BAL_CAP
+
+    rows = []
+    # user 1: hits the ceiling then drains below zero repeatedly
+    deltas1 = [400_000, 300_000, -900_000, 50_000]
+    # user 2: never clamps
+    deltas2 = [10_000, -5_000, 2_000]
+    for i, d in enumerate(deltas1):
+        rows.append((1, i, "purchase" if d > 0 else "view", abs(d) / 100.0))
+    for i, d in enumerate(deltas2):
+        rows.append((2, 100 + i, "purchase" if d > 0 else "view", abs(d) / 100.0))
+    ev = spark.createDataFrame(
+        [
+            (uid, f"2024-01-01 00:00:{i:02d}", eid, et, v)
+            for (uid, eid, et, v), i in zip(rows, range(len(rows)))
+        ],
+        "user_id long, ts_s string, event_id long, event_type string, value double",
+    ).selectExpr(
+        "user_id", "CAST(ts_s AS TIMESTAMP) AS ts", "event_id", "event_type", "value"
+    )
+
+    import esther_apache_spark_spark.plans.warehouse as W
+    import tempfile, os
+
+    with tempfile.TemporaryDirectory() as td:
+        # write ts as TIMESTAMP_MICROS (the INT96 default confuses the
+        # loader's nanosecond-footer sniff on synthetic fixtures)
+        prev = spark.conf.get("spark.sql.parquet.outputTimestampType", None)
+        spark.conf.set("spark.sql.parquet.outputTimestampType", "TIMESTAMP_MICROS")
+        try:
+            ev.write.parquet(os.path.join(td, "events.parquet"))
+        finally:
+            if prev:
+                spark.conf.set("spark.sql.parquet.outputTimestampType", prev)
+        out = {
+            r["user_id"]: r
+            for r in W.capped_running_balance(spark, td).collect()
+        }
+    # reference walk
+    def ref(ds):
+        bal, ncl = 0, 0
+        for d in ds:
+            raw = bal + d
+            if raw < 0 or raw > _BAL_CAP:
+                ncl += 1
+            bal = min(max(raw, 0), _BAL_CAP)
+        return bal, ncl
+
+    b1, c1 = ref(deltas1)
+    b2, c2 = ref(deltas2)
+    assert (out[1]["final_cents"], out[1]["n_clamped"]) == (b1, c1)
+    assert (out[2]["final_cents"], out[2]["n_clamped"]) == (b2, c2)
+    assert c1 >= 2 and c2 == 0
