@@ -14,6 +14,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
+from esther_apache_spark_spark.functions.money import dec2
 from esther_apache_spark_spark.functions.text import tokenize, normalize_text
 from esther_apache_spark_spark.plans.catalog import register
 from esther_apache_spark_spark.plans.extensions import _QC_SCORE_CTES, _TOKS_CTE
@@ -389,4 +390,151 @@ def ams_f2_selfjoin_estimate(spark: SparkSession, sf_dir: str) -> DataFrame:
             / F.col("f2_exact"),
             9,
         ).alias("rel_err"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Streaming late-data accounting.
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "streaming_late_data_audit",
+    oracle="""
+    WITH e AS (
+        SELECT event_id, ts, event_type,
+               CAST(CAST(value AS DECIMAL(12,2)) * 100 AS BIGINT) AS cents
+        FROM events
+    ),
+    b1 AS (SELECT * FROM e WHERE event_id % 7 <> 0),
+    b2 AS (SELECT * FROM e WHERE event_id % 7 = 0),
+    wm AS (SELECT MAX(ts) - INTERVAL 30 MINUTE AS w FROM b1),
+    kept AS (
+        SELECT ts, event_type, cents FROM b1
+        UNION ALL
+        SELECT b2.ts, b2.event_type, b2.cents
+        FROM b2, wm
+        WHERE date_trunc('hour', b2.ts) + INTERVAL 1 HOUR > wm.w
+    )
+    SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S')
+               AS window_start,
+           event_type,
+           CAST(COUNT(*) AS BIGINT) AS n_events,
+           CAST(SUM(cents) AS BIGINT) AS total_cents
+    FROM kept GROUP BY 1, 2
+    """,
+)
+def streaming_late_data_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming watermark drop semantics pinned by a batch oracle: an
+    on-time feed and a one-batch-delayed feed (event_id % 7) run
+    through a 1-hour tumbling aggregation with a 30-minute watermark;
+    delayed rows whose window closed before the on-time watermark are
+    dropped, rows for still-open windows absorbed. The oracle replays
+    the exact rule (kept iff window_end > max(on-time ts) − 30 min),
+    so the per-window accepted counts hash-match — the honesty check
+    that the engine's late-data behavior is the DOCUMENTED one, not an
+    accident of batch sizing. See
+    `streaming.events.run_streaming_late_data_audit` for the
+    deterministic drive mechanics."""
+    from esther_apache_spark_spark.streaming.events import (
+        run_streaming_late_data_audit,
+    )
+
+    return run_streaming_late_data_audit(spark, sf_dir)
+
+
+# ---------------------------------------------------------------------------
+# Audio codec roundtrip — multimodal plumbing proven in-plan.
+# ---------------------------------------------------------------------------
+
+_WAV_CAP = 256  # samples per user clip (first-N by time)
+
+
+@register(
+    "audio_wav_roundtrip_stats",
+    oracle=f"""
+    WITH e AS (
+        SELECT user_id, ts, event_id,
+               CAST(CAST(value AS DECIMAL(12,2)) * 100 AS BIGINT) AS cents
+        FROM events
+    ),
+    capped AS (
+        SELECT user_id, (cents % 65536) - 32768 AS s
+        FROM (
+            SELECT user_id, cents,
+                   row_number() OVER (PARTITION BY user_id
+                                      ORDER BY ts, event_id) AS rn
+            FROM e
+        ) WHERE rn <= {_WAV_CAP}
+    )
+    SELECT user_id,
+           CAST(COUNT(*) AS BIGINT) AS n_samples,
+           CAST(SUM(s * s) AS BIGINT) AS sum_sq,
+           CAST(MAX(abs(s)) AS BIGINT) AS peak
+    FROM capped GROUP BY user_id
+    """,
+)
+def audio_wav_roundtrip_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Audio-modality plumbing proven END-TO-END inside one plan: each
+    user's first 256 events (by time) synthesize an int16 PCM waveform
+    (cents → [-32768, 32767]), which the REAL dependency-free WAV codec
+    (`operators/multimodal.py` — RIFF chunk walk, 16-bit PCM) encodes
+    to bytes and decodes back inside an Arrow-batched `applyInPandas`
+    kernel; the kernel asserts bit-exact sample recovery and emits
+    per-clip stats (n, Σs², peak) FROM THE DECODED bytes. The oracle
+    computes the same stats straight from the source integers — so a
+    hash match certifies the encode→binary→decode path is lossless, the
+    same roundtrip discipline `decode_token_ids_roundtrip` applies to
+    the tokenizer.
+
+    Scale shape: the per-user cap bounds both the window frame tail and
+    the kernel's memory (≤256 samples/clip); one shuffle by user; the
+    binary payloads never leave the executor. int16 → float64/32768 →
+    round is exact by construction (float64 holds ±2^15 integers
+    exactly), so the roundtrip assertion is deterministic, not a
+    tolerance check."""
+    ev = load_table(spark, sf_dir, "events")
+    base = ev.select(
+        "user_id",
+        F.unix_micros("ts").alias("ts_us"),
+        "event_id",
+        (
+            F.pmod((dec2("value") * 100).cast("long"), F.lit(65536)) - 32768
+        ).alias("s"),
+    )
+    w = Window.partitionBy("user_id").orderBy("ts_us", "event_id")
+    capped = (
+        base.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= _WAV_CAP)
+        .select("user_id", "rn", "s")
+    )
+
+    import numpy as np
+    import pandas as pd
+
+    def clip_stats(pdf: pd.DataFrame) -> pd.DataFrame:
+        from esther_apache_spark_spark.operators.multimodal import (
+            decode_wav,
+            encode_wav,
+        )
+
+        pdf = pdf.sort_values("rn")
+        ints = pdf["s"].to_numpy(dtype=np.int64)
+        payload = encode_wav(ints.astype(np.float64) / 32768.0, 16_000)
+        decoded, rate = decode_wav(payload)
+        back = np.round(decoded[:, 0] * 32768.0).astype(np.int64)
+        if rate != 16_000 or len(back) != len(ints) or not (back == ints).all():
+            raise ValueError("WAV roundtrip diverged")  # loud, never silent
+        return pd.DataFrame(
+            {
+                "user_id": [int(pdf["user_id"].iloc[0])],
+                "n_samples": [len(back)],
+                "sum_sq": [int((back * back).sum())],
+                "peak": [int(np.abs(back).max())],
+            }
+        )
+
+    return capped.groupBy("user_id").applyInPandas(
+        clip_stats,
+        schema="user_id long, n_samples long, sum_sq long, peak long",
     )

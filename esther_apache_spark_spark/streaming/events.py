@@ -1055,3 +1055,117 @@ def run_streaming_interval_coverage(
         )
     finally:
         shutil.rmtree(tmp, ignore_errors=True)
+
+
+def run_streaming_late_data_audit(
+    spark: SparkSession,
+    sf_dir: str,
+    window: str = "1 hour",
+    watermark: str = "30 minutes",
+) -> DataFrame:
+    """Watermark LATE-DATA accounting, driven deterministically: the
+    events table is split into an on-time feed (event_id % 7 != 0) and
+    a delayed feed (% 7 == 0) arriving one micro-batch later — the
+    replayed-old-partition scenario. After the on-time batch the global
+    watermark stands at max(on-time ts) − delay, so delayed rows whose
+    tumbling window has already closed (window end ≤ watermark) are
+    DROPPED by the aggregation, and rows for still-open windows are
+    absorbed. The emitted per-(window, type) counts therefore encode
+    exactly which late rows survived — the oracle replays the rule in
+    SQL (b2 kept iff window_end > max(b1.ts) − delay), so the
+    engine's documented drop semantics are PINNED by a hash-equal
+    batch query rather than prose.
+
+    Drive mechanics: two ordered parquet feeds with batch boundaries
+    forced by ``processAllAvailable`` between file drops (watermark
+    updates at batch boundaries — the delayed batch is filtered by the
+    watermark the on-time batch established), then the standard
+    two-round far-future sentinel flush to evict append-mode state.
+    State is one row per open (window, type), watermark-GC'd."""
+    import os
+    import shutil
+    import tempfile
+    import time
+    import uuid
+
+    import pyarrow.compute as pc
+    import pyarrow.parquet as pq
+
+    from esther_apache_spark_spark.functions.money import dec2
+    from esther_apache_spark_spark.schemas import _EVENTS_RAW, _events_ts_unit
+
+    tmp = tempfile.mkdtemp(prefix="stream_late_")
+    try:
+        src = f"{sf_dir}/events.parquet"
+        tbl = pq.read_table(src)
+        rem = pc.cast(
+            pc.subtract(
+                tbl["event_id"], pc.multiply(pc.divide(tbl["event_id"], 7), 7)
+            ),
+            "int64",
+        )
+        ontime = tbl.filter(pc.not_equal(rem, 0))
+        delayed = tbl.filter(pc.equal(rem, 0))
+        f1 = os.path.join(tmp, "00_ontime.parquet")
+        pq.write_table(ontime, f1)
+        t0 = time.time() - 60
+        os.utime(f1, (t0, t0))
+
+        if _events_ts_unit(src) == "ns":
+            raw = spark.readStream.schema(_EVENTS_RAW).parquet(tmp)
+            stream = raw.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+        else:
+            stream = spark.readStream.schema(TESTDATA["events"]).parquet(tmp)
+
+        # NOTE: the flush sentinels must NOT be filtered before the
+        # aggregation — a pre-watermark filter gets pushed below the
+        # EventTimeWatermark node by Catalyst, and the sentinel then
+        # never advances the watermark. They group into their own
+        # far-future 'flush' window, removed post-agg instead.
+        agg = (
+            stream.withWatermark("ts", watermark)
+            .groupBy(F.window("ts", window).alias("win"), "event_type")
+            .agg(
+                F.count(F.lit(1)).alias("n_events"),
+                F.sum((dec2("value") * 100).cast("long"))
+                .cast("long")
+                .alias("total_cents"),
+            )
+            .select(
+                F.date_format("win.start", "yyyy-MM-dd HH:mm:ss").alias(
+                    "window_start"
+                ),
+                "event_type",
+                "n_events",
+                "total_cents",
+            )
+        )
+        name = f"stream_late_{uuid.uuid4().hex[:8]}"
+        q = (
+            agg.writeStream.outputMode("append")
+            .format("memory")
+            .queryName(name)
+            .start()
+        )
+        try:
+            q.processAllAvailable()
+            f2 = os.path.join(tmp, "01_delayed.parquet")
+            pq.write_table(delayed, f2)
+            now = time.time()
+            os.utime(f2, (now, now))
+            q.processAllAvailable()
+            max_ts_us = (
+                pc.max(pc.cast(tbl["ts"], "int64")).as_py()
+            )
+            if _events_ts_unit(src) == "ns":
+                max_ts_us //= 1000
+            day_us = 86_400_000_000
+            _write_sentinel_event(tmp, src, max_ts_us + 30 * day_us, -1)
+            q.processAllAvailable()
+            _write_sentinel_event(tmp, src, max_ts_us + 60 * day_us, -2)
+            q.processAllAvailable()
+        finally:
+            q.stop()
+        return spark.table(name).filter(F.col("event_type") != "flush")
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
