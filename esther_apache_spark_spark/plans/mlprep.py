@@ -538,3 +538,267 @@ def audio_wav_roundtrip_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         clip_stats,
         schema="user_id long, n_samples long, sum_sq long, peak long",
     )
+
+
+# ---------------------------------------------------------------------------
+# Kaplan-Meier survival curve — churn analysis with right-censoring.
+# ---------------------------------------------------------------------------
+
+_KM_SCALE = 1_000_000_000  # survival kept as an exact 1e9-scaled integer
+_KM_CHURN_HOURS = 12
+
+
+@register(
+    "survival_km_curve",
+    oracle=f"""
+    WITH per_user AS (
+        SELECT user_id, MIN(ts) AS first_ts, MAX(ts) AS last_ts
+        FROM events GROUP BY user_id
+    ),
+    horizon AS (SELECT MAX(ts) AS mx FROM events),
+    cohort AS (
+        SELECT CAST(date_diff('day', CAST(p.first_ts AS DATE),
+                              CAST(p.last_ts AS DATE)) AS BIGINT) AS dur,
+               CASE WHEN p.last_ts < h.mx - INTERVAL {_KM_CHURN_HOURS} HOUR
+                    THEN 1 ELSE 0 END AS churned
+        FROM per_user p, horizon h
+    ),
+    freq AS (
+        SELECT dur, CAST(COUNT(*) AS BIGINT) AS n_users,
+               CAST(SUM(churned) AS BIGINT) AS d
+        FROM cohort GROUP BY dur
+    ),
+    risk AS (
+        SELECT dur, d,
+               SUM(n_users) OVER (ORDER BY dur DESC
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                   AS n_risk
+        FROM freq
+    ),
+    ev AS (
+        SELECT dur, d, n_risk,
+               row_number() OVER (ORDER BY dur) AS rn
+        FROM risk WHERE d > 0
+    ),
+    walk AS (
+        WITH RECURSIVE km(rn, s) AS (
+            SELECT CAST(0 AS BIGINT), CAST({_KM_SCALE} AS BIGINT)
+            UNION ALL
+            SELECT e.rn,
+                   CAST(CAST(k.s AS HUGEINT) * (e.n_risk - e.d) // e.n_risk
+                        AS BIGINT)
+            FROM km k JOIN ev e ON e.rn = k.rn + 1
+        )
+        SELECT * FROM km WHERE rn > 0
+    )
+    SELECT e.dur AS t_days, e.n_risk, e.d AS d_events, w.s AS surv9
+    FROM ev e JOIN walk w ON e.rn = w.rn
+    """,
+)
+def survival_km_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Kaplan-Meier survival curve for user churn with right-censoring
+    — THE estimator for "how long do users stay active" when the study
+    window cuts observation short (naive retention curves silently
+    treat still-active users as churned; KM's risk-set construction is
+    the fix). Duration = days from a user's first to last event;
+    churned if the last event predates the horizon by > 12 hours, else
+    censored (still at risk when observation ended). S(t) =
+    Π_{{t_j ≤ t}} (n_j − d_j)/n_j over event times, n_j the at-risk
+    count (censored users leave the risk set without an event).
+
+    Determinism doctrine — NO float product: survival is carried as a
+    1e9-scaled integer with a floor division per step
+    (s ← s·(n−d) div n), every intermediate exact in HUGEINT ≡ the
+    Python kernel's arbitrary-precision ints, so the curve is
+    bit-reproducible where exp(Σln) would drift in the last ulp. The
+    fold is sequential BY NATURE (like `capped_running_balance`), but
+    runs over the CALENDAR-BOUNDED distinct-duration frame (≤ span
+    days — same bound as the OLS/seasonal family), never the raw
+    events: the distributed work is the per-user first/last agg and
+    the duration frequency frame; the ≤|days|-row walk is one tiny
+    single-group kernel. The oracle replays it as a recursive CTE."""
+    ev = load_table(spark, sf_dir, "events")
+    per_user = ev.groupBy("user_id").agg(
+        F.min("ts").alias("first_ts"), F.max("ts").alias("last_ts")
+    )
+    horizon = ev.agg(F.max("ts").alias("mx"))
+    cohort = per_user.crossJoin(F.broadcast(horizon)).select(
+        F.datediff(
+            F.col("last_ts").cast("date"), F.col("first_ts").cast("date")
+        )
+        .cast("long")
+        .alias("dur"),
+        F.when(
+            F.col("last_ts")
+            < F.col("mx") - F.expr(f"INTERVAL {_KM_CHURN_HOURS} HOUR"),
+            1,
+        )
+        .otherwise(0)
+        .alias("churned"),
+    )
+    freq = cohort.groupBy("dur").agg(
+        F.count(F.lit(1)).alias("n_users"), F.sum("churned").alias("d")
+    )
+    w_desc = Window.orderBy(F.col("dur").desc()).rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    risk = freq.select(
+        "dur", "d", F.sum("n_users").over(w_desc).alias("n_risk")
+    ).filter(F.col("d") > 0)
+
+    import pandas as pd
+
+    def km_walk(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values("dur")
+        s = _KM_SCALE
+        out = []
+        for dur, d, n in zip(pdf["dur"], pdf["d"], pdf["n_risk"]):
+            s = s * (int(n) - int(d)) // int(n)
+            out.append((int(dur), int(n), int(d), s))
+        return pd.DataFrame(
+            out, columns=["t_days", "n_risk", "d_events", "surv9"]
+        )
+
+    # single-group fold over the calendar-bounded event-time frame
+    return (
+        risk.withColumn("_g", F.lit(1))
+        .groupBy("_g")
+        .applyInPandas(
+            km_walk, schema="t_days long, n_risk long, d_events long, surv9 long"
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Poisson bootstrap — confidence intervals in ONE pass, no resample shuffles.
+# ---------------------------------------------------------------------------
+
+_PB_B = 64
+# cumulative Poisson(1) thresholds scaled by 2^32: floor(2^32 * Σ e⁻¹/k!)
+_PB_TH = (1580030168, 3160060337, 3950075421, 4213413783, 4279248373, 4292415291)
+
+
+def _pb_hash_sql(b: int) -> str:
+    return (
+        f"CAST(CONCAT('0x', substr(md5('pb{b}:' || "
+        f"CAST(o_orderkey AS VARCHAR)), 1, 8)) AS BIGINT)"
+    )
+
+
+def _pb_weight_sql(b: int) -> str:
+    h = _pb_hash_sql(b)
+    branches = " ".join(
+        f"WHEN {h} < {t} THEN {k}" for k, t in enumerate(_PB_TH)
+    )
+    return f"CASE {branches} ELSE 6 END"
+
+
+def _pb_oracle() -> str:
+    aggs = ",\n               ".join(
+        f"SUM({_pb_weight_sql(b)}) AS n{b}, "
+        f"SUM(CAST({_pb_weight_sql(b)} * cents AS HUGEINT)) AS s{b}"
+        for b in range(_PB_B)
+    )
+    means = ", ".join(
+        f"ROUND(CAST(s{b} AS DOUBLE) / n{b}, 9)" for b in range(_PB_B)
+    )
+    return f"""
+    WITH oc AS (
+        SELECT o.o_orderkey, c.c_mktsegment AS segment,
+               CAST(CAST(o.o_totalprice AS DECIMAL(12,2)) * 100 AS BIGINT)
+                   AS cents
+        FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+    ),
+    agg AS (
+        SELECT segment,
+               CAST(COUNT(*) AS BIGINT) AS n_orders,
+               SUM(CAST(cents AS HUGEINT)) AS tot,
+               {aggs}
+        FROM oc GROUP BY segment
+    ),
+    sorted_means AS (
+        SELECT segment, n_orders, tot, list_sort([{means}]) AS l FROM agg
+    )
+    SELECT segment, n_orders,
+           CAST(ROUND(CAST(tot AS DOUBLE) / n_orders, 9) AS DOUBLE)
+               AS mean_cents,
+           CAST(l[2] AS DOUBLE) AS ci_lo_cents,
+           CAST(l[{_PB_B - 1}] AS DOUBLE) AS ci_hi_cents
+    FROM sorted_means
+    """
+
+
+@register("bootstrap_ci_poisson", oracle=_pb_oracle())
+def bootstrap_ci_poisson(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Poisson bootstrap 95% CI for mean order value per segment — the
+    bootstrap that actually runs at 100 TB: instead of materializing B
+    resampled datasets (B full shuffles), every row carries B
+    independent Poisson(1) weights (the large-n limit of multinomial
+    resampling) and ALL 64 resample means come out of ONE partial-
+    aggregable pass — 128 conditional sums, zero extra shuffles, zero
+    row replication. The CI is the [2nd, 63rd] order statistic of the
+    64 sorted resample means (2.5/97.5 percentile indices at B=64).
+
+    Determinism: weights come from md5-hex→BIGINT uniforms cut at
+    precomputed integer thresholds floor(2^32·Σe⁻¹/k!) — a seeded,
+    SQL-replayable Poisson sampler, not a PRNG; weighted sums ride in
+    DECIMAL(38,0) ≡ HUGEINT; each resample mean is rounded once before
+    the order-statistic sort, so the sort key is bit-identical in both
+    engines. Output: per segment, full-sample n/mean plus the CI."""
+    orders = load_table(spark, sf_dir, "orders")
+    customer = load_table(spark, sf_dir, "customer")
+    oc = orders.join(
+        customer, orders.o_custkey == customer.c_custkey, "inner"
+    ).select(
+        "o_orderkey",
+        F.col("c_mktsegment").alias("segment"),
+        (dec2("o_totalprice") * 100).cast("long").alias("cents"),
+    )
+    d38 = "decimal(38,0)"
+
+    def weight(b: int):
+        h = F.conv(
+            F.substring(
+                F.md5(
+                    F.concat(
+                        F.lit(f"pb{b}:"), F.col("o_orderkey").cast("string")
+                    )
+                ),
+                1,
+                8,
+            ),
+            16,
+            10,
+        ).cast("long")
+        w = F.when(h < _PB_TH[0], 0)
+        for k, t in enumerate(_PB_TH[1:], start=1):
+            w = w.when(h < t, k)
+        return w.otherwise(6)
+
+    aggs = []
+    for b in range(_PB_B):
+        wb = weight(b)
+        aggs.append(F.sum(wb).alias(f"n{b}"))
+        aggs.append(F.sum((wb * F.col("cents")).cast(d38)).alias(f"s{b}"))
+    agg = oc.groupBy("segment").agg(
+        F.count(F.lit(1)).alias("n_orders"),
+        F.sum(F.col("cents").cast(d38)).alias("tot"),
+        *aggs,
+    )
+    means = F.array_sort(
+        F.array(
+            *[
+                F.round(F.col(f"s{b}").cast("double") / F.col(f"n{b}"), 9)
+                for b in range(_PB_B)
+            ]
+        )
+    )
+    return agg.select(
+        "segment",
+        F.col("n_orders").cast("long").alias("n_orders"),
+        F.round(F.col("tot").cast("double") / F.col("n_orders"), 9).alias(
+            "mean_cents"
+        ),
+        F.element_at(means, 2).alias("ci_lo_cents"),
+        F.element_at(means, _PB_B - 1).alias("ci_hi_cents"),
+    )

@@ -46,6 +46,7 @@ ALLOWED: dict[tuple[str, str], str] = {
     ("plans/corpus_ops.py", "tot"): "global (total, k) aggregate, 1 row",
     ("operators/sampling.py", "maxq"): "global max aggregate, 1 row",
     ("plans/warehouse.py", "anchor"): "global max-orderdate aggregate, 1 row",
+    ("plans/mlprep.py", "horizon"): "global max-ts aggregate, 1 row",
     ("plans/warehouse.py", "seg_stats"): "per-segment (sum, n) pre-agg, bounded by the 5-value mktsegment domain",
     ("operators/sampling.py", "rates"): "one row per stratum value (#langs), bounded by the categorical domain",
     # explicitly capped frames

@@ -77,6 +77,8 @@ def test_catalog_plans_free_of_scale_antipatterns(spark, sf_dir):
         "similarity_topk_bruteforce",  # fenced all-pairs oracle
         # 1-row sketch aggregate x 1-row exact aggregate combine
         "ams_f2_selfjoin_estimate",
+        # 1-row global max-ts horizon broadcast onto the per-user frame
+        "survival_km_curve",
         # ground-truth side is brute_force_topk's by-contract 5-row
         # broadcast query matrix (same fence as the bruteforce entry)
         "ann_recall_audit",
