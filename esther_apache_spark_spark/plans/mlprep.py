@@ -802,3 +802,260 @@ def bootstrap_ci_poisson(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.element_at(means, 2).alias("ci_lo_cents"),
         F.element_at(means, _PB_B - 1).alias("ci_hi_cents"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Chi-square keyness — corpus keyword extraction without logarithms.
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "keyword_keyness_chisq",
+    oracle=f"""
+    WITH toks AS ({_TOKS_CTE}),
+    expl AS (
+        SELECT d.lang, unnest(t.t) AS tok
+        FROM toks t JOIN documents d USING (doc_id)
+    ),
+    cells AS (
+        SELECT tok,
+               CAST(SUM(CASE WHEN lang = 'en' THEN 1 ELSE 0 END) AS BIGINT)
+                   AS a,
+               CAST(SUM(CASE WHEN lang = 'en' THEN 0 ELSE 1 END) AS BIGINT)
+                   AS b
+        FROM expl GROUP BY tok
+    ),
+    tot AS (
+        SELECT CAST(SUM(a) AS BIGINT) AS ta, CAST(SUM(b) AS BIGINT) AS tb
+        FROM cells
+    ),
+    scored AS (
+        SELECT tok, a, b,
+               CAST(ROUND(
+                   (CAST(ta AS DOUBLE) + tb)
+                   * (CAST(a AS DOUBLE) * (tb - b)
+                      - CAST(b AS DOUBLE) * (ta - a))
+                   * (CAST(a AS DOUBLE) * (tb - b)
+                      - CAST(b AS DOUBLE) * (ta - a))
+                   / ((CAST(a AS DOUBLE) + b) * ((ta - a) + (CAST(tb AS DOUBLE) - b))
+                      * ta * tb), 6) AS DOUBLE) AS chisq
+        FROM cells, tot
+        WHERE a + b >= 5 AND CAST(a AS DOUBLE) * tb > CAST(b AS DOUBLE) * ta
+    )
+    SELECT tok, a AS en_count, b AS rest_count, chisq
+    FROM (
+        SELECT *, row_number() OVER (ORDER BY chisq DESC, tok) AS rn
+        FROM scored
+    ) WHERE rn <= 20
+    """,
+)
+def keyword_keyness_chisq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus keyness: the top-20 English-enriched keywords by 2×2
+    chi-square against the rest-of-corpus background — the
+    log-likelihood (Dunning G²) keyword extractor's chi-square twin,
+    chosen deliberately because G² needs ln() while χ² =
+    N(ad−bc)²/((a+b)(c+d)(a+c)(b+d)) is pure arithmetic on exact
+    integer cells: both engines evaluate one identical IEEE expression
+    tree on identical BIGINTs, so the score is reproducible without
+    the cross-engine ln drift the module doctrine avoids. Enrichment
+    direction is pinned by the exact integer cross-product test
+    a·tb > b·ta (never a float ratio compare).
+
+    Scale: tokens reduce by partial-aggregable (token) hash agg to the
+    VOCABULARY frame; totals are a 1-row scalar joined back; the
+    top-20 rank runs over the vocabulary-bounded scored frame (same
+    doctrine as `top_terms_per_lang`). Min-count a+b ≥ 5 prunes
+    hapaxes before ranking."""
+    docs = load_table(spark, sf_dir, "documents").filter(F.col("text").isNotNull())
+    expl = docs.select("lang", F.explode(tokenize(F.col("text"))).alias("tok"))
+    cells = expl.groupBy("tok").agg(
+        F.sum(F.when(F.col("lang") == "en", 1).otherwise(0)).alias("a"),
+        F.sum(F.when(F.col("lang") == "en", 0).otherwise(1)).alias("b"),
+    )
+    tot = cells.agg(
+        F.sum("a").alias("ta"), F.sum("b").alias("tb")
+    )
+    j = cells.crossJoin(F.broadcast(tot)).filter(
+        (F.col("a") + F.col("b") >= 5)
+        & (
+            F.col("a").cast("double") * F.col("tb")
+            > F.col("b").cast("double") * F.col("ta")
+        )
+    )
+    num = (
+        F.col("a").cast("double") * (F.col("tb") - F.col("b"))
+        - F.col("b").cast("double") * (F.col("ta") - F.col("a"))
+    )
+    chisq = F.round(
+        (F.col("ta").cast("double") + F.col("tb"))
+        * num
+        * num
+        / (
+            (F.col("a").cast("double") + F.col("b"))
+            * (
+                (F.col("ta") - F.col("a"))
+                + (F.col("tb").cast("double") - F.col("b"))
+            )
+            * F.col("ta")
+            * F.col("tb")
+        ),
+        6,
+    )
+    scored = j.select("tok", "a", "b", chisq.alias("chisq"))
+    w = Window.orderBy(F.col("chisq").desc(), F.col("tok"))
+    return (
+        scored.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 20)
+        .select(
+            "tok",
+            F.col("a").alias("en_count"),
+            F.col("b").alias("rest_count"),
+            "chisq",
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Overdispersion index — count-model diagnostic per event type.
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "overdispersion_index_by_type",
+    oracle="""
+    WITH daily AS (
+        SELECT event_type, CAST(ts AS DATE) AS day,
+               CAST(COUNT(*) AS BIGINT) AS x
+        FROM events GROUP BY event_type, CAST(ts AS DATE)
+    ),
+    moments AS (
+        SELECT event_type,
+               CAST(COUNT(*) AS BIGINT) AS n,
+               SUM(CAST(x AS HUGEINT)) AS sx,
+               SUM(CAST(x AS HUGEINT) * CAST(x AS HUGEINT)) AS sxx
+        FROM daily GROUP BY event_type
+    )
+    SELECT event_type, n AS n_days,
+           CAST(ROUND(CAST(sx AS DOUBLE) / n, 9) AS DOUBLE) AS mean_daily,
+           CAST(ROUND(CAST(n * sxx - sx * sx AS DOUBLE)
+                      / (CAST(n AS DOUBLE) * sx), 9) AS DOUBLE)
+               AS dispersion_index,
+           n * sxx - sx * sx > n * sx AS overdispersed
+    FROM moments WHERE sx > 0
+    """,
+)
+def overdispersion_index_by_type(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Index of dispersion (variance-to-mean ratio) of DAILY event
+    counts per type — the diagnostic that decides whether a Poisson
+    count model is even admissible (Poisson ⇒ D = 1; D ≫ 1 means
+    burstiness/contagion and calls for negative-binomial): D =
+    (nΣx² − (Σx)²)/(n·Σx), population-variance form. The
+    `overdispersed` flag is an EXACT integer comparison
+    (nΣx² − (Σx)² > nΣx — i.e. D > 1 cleared of its denominator), so
+    the boundary verdict can never flip on float noise; the reported
+    D itself is the single final division, rounded.
+
+    Scale: daily counts are a partial-aggregable two-level groupBy;
+    moments ride in DECIMAL(38,0) ≡ HUGEINT (Σx² of 10^13-row days
+    overflows BIGINT); the moment frame is |types| × |days| bounded."""
+    ev = load_table(spark, sf_dir, "events")
+    daily = ev.groupBy(
+        "event_type", F.col("ts").cast("date").alias("day")
+    ).agg(F.count(F.lit(1)).alias("x"))
+    d38 = "decimal(38,0)"
+    m = daily.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.col("x").cast(d38)).alias("sx"),
+        F.sum(F.col("x").cast(d38) * F.col("x").cast(d38)).alias("sxx"),
+    )
+    return m.filter(F.col("sx") > 0).select(
+        "event_type",
+        F.col("n").alias("n_days"),
+        F.round(F.col("sx").cast("double") / F.col("n"), 9).alias("mean_daily"),
+        F.round(
+            (F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")).cast(
+                "double"
+            )
+            / (F.col("n").cast("double") * F.col("sx")),
+            9,
+        ).alias("dispersion_index"),
+        (
+            F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")
+            > F.col("n") * F.col("sx")
+        ).alias("overdispersed"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Heaps' law vocabulary-growth curve.
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "vocab_growth_heaps",
+    oracle=f"""
+    WITH toks AS ({_TOKS_CTE}),
+    expl AS (SELECT doc_id, unnest(t) AS tok FROM toks),
+    per_doc AS (
+        SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_toks
+        FROM expl GROUP BY doc_id
+    ),
+    firsts AS (
+        SELECT MIN(doc_id) AS first_doc FROM expl GROUP BY tok
+    ),
+    new_v AS (
+        SELECT first_doc AS doc_id, CAST(COUNT(*) AS BIGINT) AS nv
+        FROM firsts GROUP BY first_doc
+    ),
+    frame AS (
+        SELECT p.doc_id, p.n_toks, COALESCE(v.nv, 0) AS nv
+        FROM per_doc p LEFT JOIN new_v v USING (doc_id)
+    )
+    SELECT doc_id,
+           CAST(SUM(n_toks) OVER w AS BIGINT) AS cum_tokens,
+           CAST(SUM(nv) OVER w AS BIGINT) AS cum_vocab
+    FROM frame
+    WINDOW w AS (ORDER BY doc_id
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+    """,
+)
+def vocab_growth_heaps(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Heaps'-law vocabulary-growth curve: cumulative distinct-token
+    count against cumulative token count, in doc_id order — the
+    readout that says whether a corpus is still yielding new
+    vocabulary or has saturated (V ≈ K·nᵝ; a flattening curve is the
+    diminishing-returns signal corpus-expansion decisions read).
+    "Distinct so far" is decomposed shuffle-friendly: each token type
+    charges exactly its FIRST document (min(doc_id) per token — one
+    vocabulary-frame hash agg), so cumulative vocab is a plain prefix
+    SUM of per-doc first-occurrence counts — no running COUNT(DISTINCT)
+    state anywhere.
+
+    Scale: both cumulatives run through the range-partitioned
+    distributed prefix sum (`warehouse._exact_cum` — repartitionByRange
+    slices + per-slice window + ≤64-row offset frame), NOT a global
+    single-partition window: the curve frame is corpus-sized (one row
+    per doc), which is exactly the regime that helper exists for. The
+    oracle states the same curve as two ordinary window sums."""
+    from esther_apache_spark_spark.plans.warehouse import _exact_cum
+
+    docs = load_table(spark, sf_dir, "documents").filter(F.col("text").isNotNull())
+    expl = docs.select("doc_id", F.explode(tokenize(F.col("text"))).alias("tok"))
+    per_doc = expl.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_toks"))
+    new_v = (
+        expl.groupBy("tok")
+        .agg(F.min("doc_id").alias("doc_id"))
+        .groupBy("doc_id")
+        .agg(F.count(F.lit(1)).alias("nv"))
+    )
+    frame = per_doc.join(new_v, "doc_id", "left").select(
+        "doc_id",
+        "n_toks",
+        F.coalesce("nv", F.lit(0)).alias("nv"),
+    )
+    cum_t = _exact_cum(frame.select("doc_id", "n_toks"), "doc_id", "n_toks")
+    cum_v = _exact_cum(frame.select("doc_id", "nv"), "doc_id", "nv")
+    return (
+        cum_t.select("doc_id", F.col("cum").alias("cum_tokens"))
+        .join(cum_v.select("doc_id", F.col("cum").alias("cum_vocab")), "doc_id")
+    )

@@ -47,6 +47,7 @@ ALLOWED: dict[tuple[str, str], str] = {
     ("operators/sampling.py", "maxq"): "global max aggregate, 1 row",
     ("plans/warehouse.py", "anchor"): "global max-orderdate aggregate, 1 row",
     ("plans/mlprep.py", "horizon"): "global max-ts aggregate, 1 row",
+    ("plans/mlprep.py", "tot"): "global (ta, tb) token-total aggregate, 1 row",
     ("plans/warehouse.py", "seg_stats"): "per-segment (sum, n) pre-agg, bounded by the 5-value mktsegment domain",
     ("operators/sampling.py", "rates"): "one row per stratum value (#langs), bounded by the categorical domain",
     # explicitly capped frames

@@ -79,6 +79,8 @@ def test_catalog_plans_free_of_scale_antipatterns(spark, sf_dir):
         "ams_f2_selfjoin_estimate",
         # 1-row global max-ts horizon broadcast onto the per-user frame
         "survival_km_curve",
+        # 1-row (ta, tb) token-total scalar onto the vocabulary frame
+        "keyword_keyness_chisq",
         # ground-truth side is brute_force_topk's by-contract 5-row
         # broadcast query matrix (same fence as the bruteforce entry)
         "ann_recall_audit",
