@@ -1006,6 +1006,32 @@ def _q_outer_join(r: random.Random, stats: ColumnStats) -> str:
     return sql
 
 
+def _q_lateral(r: random.Random, stats: ColumnStats) -> str:
+    # Correlated LATERAL top-k per group (Spark >= 3.2 / SQL:1999):
+    # Catalyst decorrelates to a join + WindowGroupLimit, DuckDB runs
+    # the dependent join directly — same rows either way. Determinism:
+    # the inner LIMIT is totally ordered (sort col + full tiebreak,
+    # NULLS LAST); a NULL group key produces an empty lateral relation
+    # and drops out identically in both engines (CROSS JOIN semantics).
+    t = TABLES[r.choice(["lineitem", "orders", "events", "customer", "part"])]
+    key = r.choice(t.cats)
+    sort_col = r.choice(t.doubles or t.ints)
+    direction = r.choice(["ASC", "DESC"])
+    pred = _predicate(r, stats, t, n_max=2)
+    cols = list(dict.fromkeys(list(t.unique) + [sort_col]))
+    sel = ", ".join(f"l.{c}" for c in cols)
+    tiebreak = ", ".join(f"x.{c} NULLS LAST" for c in t.tiebreak)
+    return (
+        f"SELECT g.gkey, {sel} "
+        f"FROM (SELECT DISTINCT {key} AS gkey FROM {t.name}) g "
+        f"CROSS JOIN LATERAL ("
+        f"SELECT {', '.join(cols)} FROM {t.name} x "
+        f"WHERE x.{key} = g.gkey AND {pred} "
+        f"ORDER BY x.{sort_col} {direction} NULLS LAST, {tiebreak} "
+        f"LIMIT {r.choice([2, 3, 5])}) l"
+    )
+
+
 _TEMPLATES = [
     (_q_filter_project, 3),
     (_q_groupby, 4),
@@ -1027,6 +1053,7 @@ _TEMPLATES = [
     (_q_outer_join, 3),
     (_q_multi_distinct, 2),
     (_q_correlated_select, 2),
+    (_q_lateral, 2),
 ]
 
 

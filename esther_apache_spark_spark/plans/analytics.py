@@ -2295,3 +2295,90 @@ def kmeans_lloyd_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     return kmeans_lloyd_summary(
         load_table(spark, sf_dir, "embeddings"), k=8, iters=3
     )
+
+
+@register(
+    "clustering_coefficient_brands",
+    oracle="""
+    WITH ob AS (SELECT DISTINCT l.l_orderkey AS ok, p.p_brand AS b
+                FROM lineitem l JOIN part p ON p.p_partkey = l.l_partkey),
+    ec AS (SELECT a.b AS ba, b2.b AS bb, count(*) AS c
+           FROM ob a JOIN ob b2 ON a.ok = b2.ok AND a.b < b2.b GROUP BY 1, 2),
+    top AS (SELECT ba, bb FROM ec ORDER BY c DESC, ba, bb LIMIT 60),
+    deg AS (SELECT node, CAST(count(*) AS BIGINT) AS d
+            FROM (SELECT ba AS node FROM top
+                  UNION ALL SELECT bb AS node FROM top) GROUP BY node),
+    tri AS (SELECT e1.ba AS x, e1.bb AS y, e2.bb AS z
+            FROM top e1 JOIN top e2 ON e2.ba = e1.bb
+            JOIN top e3 ON e3.ba = e1.ba AND e3.bb = e2.bb),
+    tcnt AS (SELECT node, CAST(count(*) AS BIGINT) AS t
+             FROM (SELECT unnest([x, y, z]) AS node FROM tri) GROUP BY node)
+    SELECT d.node AS brand, d.d AS degree,
+           COALESCE(t.t, 0) AS triangles,
+           CAST(CASE WHEN d.d >= 2
+                     THEN ROUND(2.0 * COALESCE(t.t, 0) / (d.d * (d.d - 1)), 9)
+                     ELSE 0.0 END AS DOUBLE) AS clustering_coeff
+    FROM deg d LEFT JOIN tcnt t ON d.node = t.node
+    """,
+)
+def clustering_coefficient_brands(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Local clustering coefficient per brand on the same top-60
+    co-purchase graph as `triangle_count_brands` / `pagerank_brands`:
+    cc(v) = 2·T(v)/(d(v)·(d(v)−1)) — how close each brand's
+    neighborhood is to a clique, the standard community-tightness
+    readout next to raw triangle counts (a hub with many triangles can
+    still have LOW cc; this normalizes by the possible wedge count).
+    Zero-by-convention for degree < 2; exact integer T and d with one
+    final rounded division, so the oracle matches bit-for-bit.
+
+    Scale: inherits the triangle query's shape (total-order edge cut,
+    oriented wedge-closing joins); the added degree frame is one
+    union+groupBy over the bounded edge list."""
+    li = load_table(spark, sf_dir, "lineitem")
+    part = load_table(spark, sf_dir, "part")
+    ob = (
+        li.join(part, li.l_partkey == part.p_partkey)
+        .select(F.col("l_orderkey").alias("ok"), F.col("p_brand").alias("b"))
+        .distinct()
+    )
+    a = ob.select("ok", F.col("b").alias("ba"))
+    b2 = ob.select("ok", F.col("b").alias("bb"))
+    ec = (
+        a.join(b2, "ok")
+        .filter(F.col("ba") < F.col("bb"))
+        .groupBy("ba", "bb")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    top = ec.orderBy(F.desc("c"), "ba", "bb").limit(60).select("ba", "bb")
+    deg = (
+        top.select(F.col("ba").alias("node"))
+        .unionAll(top.select(F.col("bb").alias("node")))
+        .groupBy("node")
+        .agg(F.count(F.lit(1)).alias("d"))
+    )
+    e1 = top.select(F.col("ba").alias("x"), F.col("bb").alias("y"))
+    e2 = top.select(F.col("ba").alias("y"), F.col("bb").alias("z"))
+    e3 = top.select(F.col("ba").alias("x"), F.col("bb").alias("z"))
+    tri = e1.join(e2, "y").join(e3, ["x", "z"])
+    tcnt = (
+        tri.select(F.explode(F.array("x", "y", "z")).alias("node"))
+        .groupBy("node")
+        .agg(F.count(F.lit(1)).alias("t"))
+    )
+    j = deg.join(tcnt, "node", "left").select(
+        F.col("node").alias("brand"),
+        F.col("d").alias("degree"),
+        F.coalesce("t", F.lit(0)).alias("triangles"),
+        F.when(
+            F.col("d") >= 2,
+            F.round(
+                F.lit(2.0)
+                * F.coalesce("t", F.lit(0))
+                / (F.col("d") * (F.col("d") - 1)),
+                9,
+            ),
+        )
+        .otherwise(F.lit(0.0))
+        .alias("clustering_coeff"),
+    )
+    return j

@@ -1059,3 +1059,151 @@ def vocab_growth_heaps(spark: SparkSession, sf_dir: str) -> DataFrame:
         cum_t.select("doc_id", F.col("cum").alias("cum_tokens"))
         .join(cum_v.select("doc_id", F.col("cum").alias("cum_vocab")), "doc_id")
     )
+
+
+# ---------------------------------------------------------------------------
+# Positional phrase search — the inverted index with positions.
+# ---------------------------------------------------------------------------
+
+_PHRASE = ("hash", "value")
+
+
+@register(
+    "phrase_search_positional",
+    oracle=f"""
+    WITH toks AS ({_TOKS_CTE})
+    SELECT doc_id,
+           CAST(len(list_filter(range(1, len(t)),
+                    i -> t[i] = '{_PHRASE[0]}' AND t[i+1] = '{_PHRASE[1]}'))
+                AS BIGINT) AS n_matches
+    FROM toks
+    WHERE len(list_filter(range(1, len(t)),
+              i -> t[i] = '{_PHRASE[0]}' AND t[i+1] = '{_PHRASE[1]}')) > 0
+    """,
+)
+def phrase_search_positional(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact PHRASE search ("hash value") through a positional inverted
+    index — the search-engine primitive bag-of-words retrieval (TF-IDF
+    / BM25 entries) cannot express: posexplode yields (doc, token,
+    position) postings; the phrase is an equi-join of the two terms'
+    postings on doc AND consecutive positions (t2.pos = t1.pos + 1).
+    Each term's posting list is filtered BEFORE the join, so the join
+    touches only the two terms' postings — at corpus scale that is the
+    document-frequency of the rarer term, not the corpus (the same
+    asymmetry real inverted indexes exploit by intersecting shortest
+    lists first). The oracle states the phrase as a per-doc adjacent-
+    pair scan over the token array; counts are exact integers."""
+    docs = load_table(spark, sf_dir, "documents").filter(F.col("text").isNotNull())
+    postings = docs.select(
+        "doc_id", F.posexplode(tokenize(F.col("text"))).alias("pos", "tok")
+    )
+    t1 = postings.filter(F.col("tok") == _PHRASE[0]).select(
+        "doc_id", F.col("pos").alias("p1")
+    )
+    t2 = postings.filter(F.col("tok") == _PHRASE[1]).select(
+        "doc_id", F.col("pos").alias("p2")
+    )
+    return (
+        t1.join(t2, "doc_id")
+        .filter(F.col("p2") == F.col("p1") + 1)
+        .groupBy("doc_id")
+        .agg(F.count(F.lit(1)).alias("n_matches"))
+    )
+
+
+# ---------------------------------------------------------------------------
+# Linear multi-touch attribution — fractional credit, integer-exact.
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "attribution_linear_multitouch",
+    oracle="""
+    WITH p AS (
+        SELECT event_id AS pid, user_id, epoch_us(ts) AS pus,
+               CAST(round(value * 100) AS BIGINT) AS cents
+        FROM events WHERE event_type = 'purchase'
+    ),
+    t AS (
+        SELECT event_id AS tid, user_id, event_type, epoch_us(ts) AS tus
+        FROM events WHERE event_type IN ('view', 'click')
+    ),
+    paired AS (
+        SELECT p.pid, p.cents, t.event_type,
+               CAST(COUNT(*) OVER (PARTITION BY p.pid) AS BIGINT) AS n,
+               row_number() OVER (
+                   PARTITION BY p.pid ORDER BY t.tus DESC, t.tid DESC
+               ) AS rn
+        FROM p JOIN t
+          ON p.user_id = t.user_id
+         AND t.tus < p.pus AND t.tus >= p.pus - 3600000000
+    ),
+    credited AS (
+        SELECT event_type,
+               (cents * 1000000) // n
+               + CASE WHEN rn = 1
+                      THEN cents * 1000000 - n * ((cents * 1000000) // n)
+                      ELSE 0 END AS micro
+        FROM paired
+    )
+    SELECT event_type AS touch_type,
+           CAST(COUNT(*) AS BIGINT) AS n_touches,
+           CAST(SUM(CAST(micro AS HUGEINT)) AS BIGINT) AS credited_micro
+    FROM credited GROUP BY event_type
+    """,
+)
+def attribution_linear_multitouch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Linear (equal-split) multi-touch attribution — the fractional
+    model `attribution_last_touch`'s docstring defers: every view/click
+    in the hour before a purchase shares its value equally. The split
+    is INTEGER-EXACT by construction: credits are micro-cents
+    floor(cents·10⁶/n), with the division remainder assigned to the
+    LAST touch (largest-remainder apportionment under the same
+    (ts, event_id) total order the last-touch model uses) — so each
+    purchase's credits sum to exactly cents·10⁶ and the rollup is an
+    order-independent integer sum, where naive value/n doubles would
+    drift by aggregation order and leak fractional cents.
+
+    Scale shape: identical banded equi-join as last-touch; the added
+    per-purchase COUNT and rank windows run over the touches-per-
+    purchase-per-hour frame (bounded by user activity rate × window);
+    micro sums ride DECIMAL(38,0) ≡ HUGEINT."""
+    us = F.unix_micros(F.col("ts"))
+    ev = load_table(spark, sf_dir, "events")
+    p = ev.filter(F.col("event_type") == "purchase").select(
+        F.col("event_id").alias("pid"),
+        F.col("user_id").alias("puser"),
+        us.alias("pus"),
+        F.round(F.col("value") * 100).cast("long").alias("cents"),
+    )
+    t = ev.filter(F.col("event_type").isin("view", "click")).select(
+        F.col("event_id").alias("tid"), "user_id", "event_type", us.alias("tus")
+    )
+    paired = p.join(
+        t,
+        (F.col("puser") == F.col("user_id"))
+        & (F.col("tus") < F.col("pus"))
+        & (F.col("tus") >= F.col("pus") - 3_600_000_000),
+    )
+    w_n = Window.partitionBy("pid")
+    w_rn = Window.partitionBy("pid").orderBy(
+        F.col("tus").desc(), F.col("tid").desc()
+    )
+    base = F.col("cents") * 1_000_000
+    n = F.count(F.lit(1)).over(w_n)
+    credited = paired.select(
+        "event_type",
+        (
+            F.floor(base / n).cast("long")
+            + F.when(
+                F.row_number().over(w_rn) == 1,
+                base - n * F.floor(base / n).cast("long"),
+            ).otherwise(0)
+        ).alias("micro"),
+    )
+    return credited.groupBy(F.col("event_type").alias("touch_type")).agg(
+        F.count(F.lit(1)).alias("n_touches"),
+        F.sum(F.col("micro").cast("decimal(38,0)")).cast("long").alias(
+            "credited_micro"
+        ),
+    )

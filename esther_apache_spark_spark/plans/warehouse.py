@@ -1633,7 +1633,7 @@ def max_drawdown_daily_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     SELECT oc.o_orderkey, oc.segment,
            CAST(ROUND(CAST(seg.ssum - oc.cents AS DOUBLE)
-                      / CAST(seg.n - 1 AS DOUBLE), 9) AS DOUBLE) AS loo_cents
+                      / CAST(seg.n - 1 AS DOUBLE), 4) AS DOUBLE) AS loo_cents
     FROM oc JOIN seg ON oc.segment = seg.segment
     WHERE seg.n >= 2
     """,
@@ -1675,7 +1675,13 @@ def target_encode_loo(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(
                 (F.col("ssum") - F.col("cents")).cast("double")
                 / (F.col("n") - 1).cast("double"),
-                9,
+                # 4 decimals, NOT 9: loo is ~10^7 cents, and rounding a
+                # double to 17 significant digits is past the 53-bit
+                # mantissa — the two engines' last-bit behavior
+                # diverges there (seen at sf0.001). 4 decimals keeps
+                # the scaled value under 2^53, where both round
+                # identically.
+                4,
             ).alias("loo_cents"),
         )
     )
@@ -1950,3 +1956,140 @@ def capped_running_balance(spark: SparkSession, sf_dir: str) -> DataFrame:
         walk,
         schema="user_id long, n_events long, final_cents long, n_clamped long",
     )
+
+
+# ---------------------------------------------------------------------------
+# Right-to-erasure cascade audit.
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "erasure_cascade_audit",
+    oracle="""
+    WITH del_c AS (SELECT c_custkey FROM customer WHERE c_custkey % 97 = 0),
+    del_o AS (SELECT o_orderkey FROM orders o
+              JOIN del_c d ON o.o_custkey = d.c_custkey),
+    c AS (SELECT CAST(COUNT(*) AS BIGINT) AS total,
+                 CAST(SUM(CASE WHEN c_custkey % 97 = 0 THEN 1 ELSE 0 END)
+                      AS BIGINT) AS purged
+          FROM customer),
+    o AS (SELECT CAST(COUNT(*) AS BIGINT) AS total,
+                 CAST(COUNT(d.o_orderkey) AS BIGINT) AS purged
+          FROM orders ordr LEFT JOIN del_o d
+            ON ordr.o_orderkey = d.o_orderkey),
+    l AS (SELECT CAST(COUNT(*) AS BIGINT) AS total,
+                 CAST(COUNT(d.o_orderkey) AS BIGINT) AS purged
+          FROM lineitem li LEFT JOIN del_o d
+            ON li.l_orderkey = d.o_orderkey)
+    SELECT 'customer' AS tbl, total, purged,
+           CAST(ROUND(CAST(purged AS DOUBLE) / total, 9) AS DOUBLE) AS share
+    FROM c
+    UNION ALL
+    SELECT 'orders', total, purged,
+           CAST(ROUND(CAST(purged AS DOUBLE) / total, 9) AS DOUBLE) FROM o
+    UNION ALL
+    SELECT 'lineitem', total, purged,
+           CAST(ROUND(CAST(purged AS DOUBLE) / total, 9) AS DOUBLE) FROM l
+    """,
+)
+def erasure_cascade_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Right-to-erasure (GDPR art. 17) cascade sizing: given a deletion
+    list (here the deterministic c_custkey % 97 cohort), how many rows
+    each table in the FK chain customer → orders → lineitem must purge,
+    before any destructive write happens — the pre-flight every
+    compliant delete pipeline runs (the actual purge is these same
+    joins as anti-join writes; `sources/sinks.py`'s atomic-publish
+    protocol is the safe way to commit them).
+
+    Scale shape: the deletion list is a filter pushed into the customer
+    scan; orders membership is one FK equi-join; lineitem membership
+    joins on the ALREADY-RESOLVED order list (never a 3-way join
+    through customer) — each hop shuffles on its own key once. Counts
+    via left-join + COUNT(col) (NULL-skipping) so each table scans
+    once, no second anti-join pass."""
+    customer = load_table(spark, sf_dir, "customer")
+    orders = load_table(spark, sf_dir, "orders")
+    lineitem = load_table(spark, sf_dir, "lineitem")
+    del_c = customer.filter(F.col("c_custkey") % 97 == 0).select("c_custkey")
+    del_o = orders.join(
+        del_c, orders.o_custkey == del_c.c_custkey, "inner"
+    ).select("o_orderkey")
+    c = customer.agg(
+        F.count(F.lit(1)).alias("total"),
+        F.sum(
+            F.when(F.col("c_custkey") % 97 == 0, 1).otherwise(0)
+        ).alias("purged"),
+    )
+    o = (
+        orders.join(
+            del_o.withColumnRenamed("o_orderkey", "dok"),
+            orders.o_orderkey == F.col("dok"),
+            "left",
+        )
+        .agg(
+            F.count(F.lit(1)).alias("total"),
+            F.count("dok").alias("purged"),
+        )
+    )
+    li = (
+        lineitem.join(
+            del_o.withColumnRenamed("o_orderkey", "dok"),
+            lineitem.l_orderkey == F.col("dok"),
+            "left",
+        )
+        .agg(
+            F.count(F.lit(1)).alias("total"),
+            F.count("dok").alias("purged"),
+        )
+    )
+
+    def shaped(df: DataFrame, name: str) -> DataFrame:
+        return df.select(
+            F.lit(name).alias("tbl"),
+            F.col("total").cast("long").alias("total"),
+            F.col("purged").cast("long").alias("purged"),
+            F.round(
+                F.col("purged").cast("double") / F.col("total"), 9
+            ).alias("share"),
+        )
+
+    return (
+        shaped(c, "customer")
+        .unionAll(shaped(o, "orders"))
+        .unionAll(shaped(li, "lineitem"))
+    )
+
+
+_PIPE_ORACLE = """
+    SELECT event_type,
+           strftime(CAST(ts AS DATE), '%Y-%m-%d') AS day,
+           CAST(COUNT(*) AS BIGINT) AS n_events,
+           CAST(SUM(CAST(CAST(value AS DECIMAL(12,2)) * 100 AS BIGINT))
+                AS BIGINT) AS cents
+    FROM events
+    WHERE event_type IN ('purchase', 'signup')
+    GROUP BY event_type, strftime(CAST(ts AS DATE), '%Y-%m-%d')
+"""
+
+
+@register("pipe_syntax_daily_totals", oracle=_PIPE_ORACLE)
+def pipe_syntax_daily_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SQL pipe syntax (new in Spark 4.0 — the `|>` operator-chain
+    dialect from Google's 'SQL Has Problems' pipe-syntax proposal):
+    the same daily revenue rollup a nested SELECT states, written as a
+    linear dataflow FROM → WHERE → EXTEND → AGGREGATE. The catalog
+    pins that the dialect is pure surface: Catalyst plans it
+    identically to the classic form (partial-aggregable groupBy over a
+    pushed-down filtered scan), and the DuckDB oracle is the classic
+    ANSI statement — a hash match proves dialect-equivalence, the same
+    way `lateral_top2_orders_per_customer` pins decorrelation."""
+    load_table(spark, sf_dir, "events").createOrReplaceTempView("events_pipe")
+    return spark.sql("""
+        FROM events_pipe
+        |> WHERE event_type IN ('purchase', 'signup')
+        |> EXTEND date_format(ts, 'yyyy-MM-dd') AS day,
+                  CAST(CAST(value AS DECIMAL(12,2)) * 100 AS BIGINT) AS c
+        |> AGGREGATE CAST(COUNT(*) AS BIGINT) AS n_events,
+                     CAST(SUM(c) AS BIGINT) AS cents
+           GROUP BY event_type, day
+    """)
