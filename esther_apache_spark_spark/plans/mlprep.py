@@ -1207,3 +1207,115 @@ def attribution_linear_multitouch(spark: SparkSession, sf_dir: str) -> DataFrame
             "credited_micro"
         ),
     )
+
+
+# ---------------------------------------------------------------------------
+# Isotonic calibration (PAVA) — monotone probability calibration, pure SQL.
+# ---------------------------------------------------------------------------
+
+_ISO_TEMPLATE = """
+    WITH bk AS (
+        SELECT bucket,
+               CAST(SUM(c) AS BIGINT) AS n, CAST(SUM(p) AS BIGINT) AS pos
+        FROM per_bucket GROUP BY bucket
+    ),
+    idx AS (
+        SELECT bucket, n, pos,
+               row_number() OVER (ORDER BY bucket) AS i
+        FROM bk
+    ),
+    pre AS (
+        SELECT i, bucket, n, pos,
+               SUM(n) OVER (ORDER BY i
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cn,
+               SUM(pos) OVER (ORDER BY i
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cp,
+               COUNT(*) OVER () AS n_all
+        FROM idx
+    ),
+    pj AS (
+        SELECT i AS j, {GEN} AS k FROM pre
+    ),
+    pairs AS (
+        SELECT pj.j, pj.k,
+               CAST(kk.cp - jj.cp + jj.pos AS DOUBLE)
+                   / (kk.cn - jj.cn + jj.n) AS avgjk
+        FROM pj
+        JOIN pre jj ON jj.i = pj.j
+        JOIN pre kk ON kk.i = pj.k
+    ),
+    m AS (
+        SELECT j, k,
+               MIN(avgjk) OVER (PARTITION BY j ORDER BY k DESC
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS mjk
+        FROM pairs
+    ),
+    fit AS (
+        SELECT k AS i,
+               MAX(mjk) OVER (PARTITION BY k ORDER BY j
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS f,
+               j
+        FROM m
+    )
+    SELECT p.bucket, p.n, p.pos,
+           CAST(ROUND(f.f, 9) AS DOUBLE) AS fit
+    FROM fit f JOIN pre p ON f.i = p.i AND f.j = f.i
+"""
+
+# Pair expansion is a GENERATOR, not an inequality self-join: j <= k via
+# explode/unnest of the integer range — the inequality-join form plans
+# as a CartesianProduct, which the catalog hygiene gate rightly rejects
+# even on this bounded frame.
+_ISO_SPARK = _ISO_TEMPLATE.format(GEN="explode(sequence(i, n_all))")
+_ISO_DUCK = _ISO_TEMPLATE.format(GEN="unnest(range(i, n_all + 1))")
+
+
+@register(
+    "isotonic_calibration_pava",
+    oracle=(
+        f"""
+    WITH toks AS ({_TOKS_CTE}),
+    {_QC_SCORE_CTES},
+    base AS (SELECT doc_id, lang FROM documents WHERE text IS NOT NULL),
+    sc AS (SELECT b.doc_id, COALESCE(sw / n, 0.0) AS score,
+                  CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS pos
+           FROM base b LEFT JOIN agg USING (doc_id)),
+    per_bucket AS (
+        SELECT CAST(floor((score + 1) * 512) AS INT) AS bucket,
+               COUNT(*) AS c, SUM(pos) AS p
+        FROM sc GROUP BY 1
+    )"""
+        + _ISO_DUCK.replace("WITH bk AS", ", bk AS", 1)
+    ),
+)
+def isotonic_calibration_pava(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Isotonic (PAVA) calibration of the linear quality classifier
+    against the English label — the nonparametric monotone calibrator
+    beside the binned reliability diagram (`classifier_calibration_bins`
+    fixes bin edges; isotonic regression learns them). Computed NOT by
+    the sequential pool-adjacent-violators sweep but by its closed
+    minimax characterization iso(i) = max_{{j≤i}} min_{{k≥i}}
+    mean(y[j..k]) — which turns the fit into three bounded relational
+    passes: prefix sums over the score-bucket frame, the j≤k pair
+    frame with interval means from prefix differences, a reverse
+    running MIN per j, and a running MAX per k read on the diagonal.
+    Pure SQL on BOTH engines — no UDF, no iteration, no state.
+
+    Scale: every frame is bounded by the ≤1025-bucket model constant
+    (pairs ≤ 1025²/2 ≈ 525k rows — independent of corpus size); the
+    corpus appears only in the initial partial-aggregable bucket
+    groupBy. Interval means are exact-integer prefix differences
+    divided once; both engines compare identical doubles, so the
+    min/max lattice picks identical values; the fit is rounded once at
+    emission. Output is the monotone calibrated positive-rate per
+    bucket (verifiably non-decreasing — the property test asserts it)."""
+    from esther_apache_spark_spark.plans.evaluation import _classifier_scored
+
+    sc = _classifier_scored(spark, sf_dir)
+    per = sc.groupBy(
+        F.floor((F.col("score") + F.lit(1.0)) * F.lit(512.0))
+        .cast("int")
+        .alias("bucket")
+    ).agg(F.count(F.lit(1)).alias("c"), F.sum("pos").alias("p"))
+    per.createOrReplaceTempView("per_bucket")
+    return spark.sql(_ISO_SPARK)

@@ -2093,3 +2093,165 @@ def pipe_syntax_daily_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
                      CAST(SUM(c) AS BIGINT) AS cents
            GROUP BY event_type, day
     """)
+
+
+# ---------------------------------------------------------------------------
+# Incremental view maintenance across a JOIN (delta propagation).
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "incremental_join_rollup_delta",
+    oracle="""
+    SELECT strftime(CAST(o.o_orderdate AS DATE), '%Y-%m-%d') AS day,
+           c.c_mktsegment AS segment,
+           CAST(COUNT(*) AS BIGINT) AS n_orders,
+           CAST(SUM(CAST(CAST(o.o_totalprice AS DECIMAL(12,2)) * 100
+                         AS BIGINT)) AS BIGINT) AS cents
+    FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+    GROUP BY 1, 2
+    """,
+)
+def incremental_join_rollup_delta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental maintenance of a JOIN + rollup view under an insert
+    delta — the algebra `incremental_rollup_merge` proves for plain
+    aggregates, extended across a join: with customer unchanged and
+    ΔO the new orders, Δ(O ⋈ C grouped) = (ΔO ⋈ C) grouped, merged
+    into the base rollup by key-wise addition. The query SPLITS orders
+    deterministically (o_orderkey % 50 = 0 plays the newly-arrived
+    batch), computes base and delta rollups separately, and merges —
+    while the ORACLE is the full recompute over all orders: the hash
+    match is the correctness proof of the delta-propagation identity,
+    not of one engine against the other.
+
+    Scale: this is the pattern that turns a daily 100 TB re-aggregation
+    into touching only the day's arrivals — the delta join shuffles
+    |ΔO|, the merge shuffles only rollup keys (|days|×|segments|);
+    counts/cents merge because SUM/COUNT are abelian (MIN/MAX would
+    need re-aggregation only for deletes, not inserts)."""
+    orders = load_table(spark, sf_dir, "orders")
+    customer = load_table(spark, sf_dir, "customer")
+
+    def rollup(o: DataFrame) -> DataFrame:
+        return (
+            o.join(customer, o.o_custkey == customer.c_custkey, "inner")
+            .groupBy(
+                F.date_format("o_orderdate", "yyyy-MM-dd").alias("day"),
+                F.col("c_mktsegment").alias("segment"),
+            )
+            .agg(
+                F.count(F.lit(1)).alias("n_orders"),
+                F.sum((dec2("o_totalprice") * 100).cast("long"))
+                .cast("long")
+                .alias("cents"),
+            )
+        )
+
+    base = rollup(orders.filter(F.col("o_orderkey") % 50 != 0))
+    delta = rollup(orders.filter(F.col("o_orderkey") % 50 == 0))
+    return (
+        base.unionAll(delta)
+        .groupBy("day", "segment")
+        .agg(
+            F.sum("n_orders").cast("long").alias("n_orders"),
+            F.sum("cents").cast("long").alias("cents"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Differentially-private counts — seeded discrete Laplace (geometric).
+# ---------------------------------------------------------------------------
+
+_DP_SCALE = 3 * 2**21  # threshold denominator: exact dyadic thirds
+
+
+def _dp_ladder() -> list[tuple[int, int]]:
+    """Cumulative integer thresholds of the two-sided geometric with
+    p = 1/2 (discrete Laplace, eps = ln 2), scaled by 3·2^21 so every
+    mass is an exact integer: P(0) = 1/3 → 2^21, P(±k) = (1/3)2^-|k|
+    → 2^(21-|k|), residual tail mass (4/S) pinned to k = ±21."""
+    ws = {}
+    for k in range(-21, 22):
+        if k == 0:
+            ws[k] = 2**21
+        elif abs(k) <= 20:
+            ws[k] = 2 ** (21 - abs(k))
+        else:
+            ws[k] = 2
+    cum, out = 0, []
+    for k in range(-21, 22):
+        cum += ws[k]
+        out.append((k, cum))
+    assert cum == _DP_SCALE
+    return out
+
+
+def _dp_noise_sql(useed: str) -> str:
+    h = (
+        f"CAST(CONCAT('0x', substr(md5('dp:' || {useed}), 1, 8)) AS BIGINT)"
+        f" % {_DP_SCALE}"
+    )
+    branches = " ".join(
+        f"WHEN {h} < {c} THEN {k}" for k, c in _dp_ladder()[:-1]
+    )
+    return f"CASE {branches} ELSE 21 END"
+
+
+@register(
+    "dp_noisy_counts_geometric",
+    oracle=f"""
+    WITH cls AS (
+        SELECT c_nationkey AS nationkey, c_mktsegment AS segment,
+               CAST(COUNT(*) AS BIGINT) AS n_true
+        FROM customer GROUP BY 1, 2
+    )
+    SELECT nationkey, segment, n_true,
+           CAST(n_true + {_dp_noise_sql(
+               "CAST(nationkey AS VARCHAR) || ':' || segment"
+           )} AS BIGINT) AS n_noisy
+    FROM cls
+    """,
+)
+def dp_noisy_counts_geometric(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Differentially-private release of the (nation, segment) customer
+    histogram via the DISCRETE Laplace (two-sided geometric) mechanism
+    at eps = ln 2 — the count-release companion to the k-anonymity /
+    l-diversity audits (those say whether raw release is safe; this is
+    what you publish when it is not). p = 1/2 is chosen so every
+    probability mass is an exact dyadic third: the sampler is a CASE
+    ladder over integer thresholds scaled by 3·2^21, driven by the
+    md5-hex→BIGINT uniform of the CLASS KEY — seeded, replayable, and
+    identical in both engines (a float inverse-CDF with ln() would
+    drift; the modulo bias at 2^32/(3·2^21) is ~0.2% and affects both
+    engines identically). Tail clamped to ±21 (mass 2^-20).
+
+    NOTE on semantics: a keyed-hash "noise" is pseudo-random, not
+    random — real DP requires fresh randomness per release; this
+    catalog entry fixes the coin flips so the MECHANISM (sensitivity-1
+    counts + geometric noise, post-processing-safe integer output) is
+    testable end-to-end. Scale: one partial-aggregable groupBy plus a
+    per-row expression."""
+    customer = load_table(spark, sf_dir, "customer")
+    cls = customer.groupBy(
+        F.col("c_nationkey").alias("nationkey"),
+        F.col("c_mktsegment").alias("segment"),
+    ).agg(F.count(F.lit(1)).alias("n_true"))
+    useed = F.concat(
+        F.col("nationkey").cast("string"), F.lit(":"), F.col("segment")
+    )
+    h = (
+        F.conv(
+            F.substring(F.md5(F.concat(F.lit("dp:"), useed)), 1, 8), 16, 10
+        ).cast("long")
+        % _DP_SCALE
+    )
+    noise = F.lit(21)
+    for k, c in reversed(_dp_ladder()[:-1]):
+        noise = F.when(h < c, k).otherwise(noise)
+    return cls.select(
+        "nationkey",
+        "segment",
+        F.col("n_true").cast("long").alias("n_true"),
+        (F.col("n_true") + noise).cast("long").alias("n_noisy"),
+    )

@@ -1,0 +1,80 @@
+"""Property tests for the round-6 statistical operators: isotonic
+calibration (monotonicity, mass preservation, reference-PAVA match),
+AMS F2 accuracy, bootstrap CI bracketing, and KM curve monotonicity."""
+
+from __future__ import annotations
+
+import pytest
+
+from esther_apache_spark_spark.plans.catalog import QUERIES
+
+
+def test_isotonic_fit_is_valid_pava(spark, sf_dir):
+    rows = sorted(
+        QUERIES["isotonic_calibration_pava"].fn(spark, sf_dir).collect(),
+        key=lambda r: r["bucket"],
+    )
+    assert rows, "empty isotonic fit"
+    fits = [r["fit"] for r in rows]
+    # monotone non-decreasing — the defining isotonic property
+    assert all(a <= b + 1e-12 for a, b in zip(fits, fits[1:])), fits
+    # weighted mass preservation: sum n_i * fit_i == sum pos_i
+    tot_fit = sum(r["n"] * r["fit"] for r in rows)
+    tot_pos = sum(r["pos"] for r in rows)
+    assert abs(tot_fit - tot_pos) < 1e-4 * max(tot_pos, 1), (tot_fit, tot_pos)
+
+    # reference PAVA (sequential pool-adjacent-violators) on the same frame
+    blocks = [[r["pos"], r["n"]] for r in rows]  # [sum_y, weight]
+    stack: list[list[float]] = []
+    for b in blocks:
+        stack.append(list(b))
+        while len(stack) >= 2 and (
+            stack[-2][0] * stack[-1][1] > stack[-1][0] * stack[-2][1]
+        ):  # prev mean > cur mean -> pool (exact rational compare)
+            y2, w2 = stack.pop()
+            stack[-1][0] += y2
+            stack[-1][1] += w2
+    ref: list[float] = []
+    for y, w in stack:
+        ref.extend([y / w] * 1)  # one value per block; expand below
+    # expand block means back to per-row fits
+    ref_fits = []
+    i = 0
+    for y, w in stack:
+        # w is a sum of integer n's; walk rows until weights consumed
+        acc = 0
+        while acc < w:
+            acc += rows[i]["n"]
+            ref_fits.append(y / w)
+            i += 1
+    assert len(ref_fits) == len(fits)
+    for got, want in zip(fits, ref_fits):
+        assert abs(got - want) < 1e-9, (got, want)
+
+
+def test_ams_f2_estimator_is_in_range(spark, sf_dir):
+    row = QUERIES["ams_f2_selfjoin_estimate"].fn(spark, sf_dir).collect()[0]
+    est = row["f2_est2"] / 2
+    assert row["f2_exact"] > 0
+    # median-of-16 concentrates within a small constant factor of F2
+    assert 0.2 * row["f2_exact"] <= est <= 5 * row["f2_exact"], row
+
+
+def test_bootstrap_ci_brackets_mean(spark, sf_dir):
+    for r in QUERIES["bootstrap_ci_poisson"].fn(spark, sf_dir).collect():
+        assert r["ci_lo_cents"] <= r["mean_cents"] <= r["ci_hi_cents"], r
+        assert r["ci_lo_cents"] < r["ci_hi_cents"]
+
+
+def test_km_curve_is_monotone_decreasing(spark, sf_dir):
+    rows = sorted(
+        QUERIES["survival_km_curve"].fn(spark, sf_dir).collect(),
+        key=lambda r: r["t_days"],
+    )
+    if not rows:
+        pytest.skip("no churn events at this sf")
+    last = 10**9
+    for r in rows:
+        assert 0 <= r["surv9"] <= last, rows
+        last = r["surv9"]
+        assert r["d_events"] >= 1 and r["n_risk"] >= r["d_events"]
