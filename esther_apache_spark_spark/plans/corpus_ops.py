@@ -2589,3 +2589,110 @@ def dup_cluster_size_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n_clusters"),
         (F.col("size") * F.count(F.lit(1))).alias("n_docs"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Mutual information lang ↔ source — the Shannon complement of
+# source_lang_purity's Gini impurity.
+# ---------------------------------------------------------------------------
+@register(
+    "mi_lang_source_docs",
+    oracle="""
+    WITH joint AS (
+        SELECT lang, source, CAST(COUNT(*) AS BIGINT) AS c
+        FROM documents GROUP BY 1, 2
+    ),
+    marg AS (
+        SELECT lang, source, c,
+               SUM(c) OVER (PARTITION BY lang) AS cx,
+               SUM(c) OVER (PARTITION BY source) AS cy,
+               SUM(c) OVER () AS n
+        FROM joint
+    ),
+    mi AS (
+        SELECT ROUND(SUM(ROUND((CAST(c AS DOUBLE) / n)
+                     * LN(CAST(c AS DOUBLE) * n
+                          / (CAST(cx AS DOUBLE) * cy)), 9)), 6) AS mi_nats
+        FROM marg
+    ),
+    hx AS (
+        SELECT ROUND(SUM(ROUND(-(CAST(cx AS DOUBLE) / n)
+                               * LN(CAST(cx AS DOUBLE) / n), 9)), 6) AS h_lang
+        FROM (SELECT DISTINCT lang, cx, n FROM marg)
+    ),
+    hy AS (
+        SELECT ROUND(SUM(ROUND(-(CAST(cy AS DOUBLE) / n)
+                               * LN(CAST(cy AS DOUBLE) / n), 9)), 6) AS h_source
+        FROM (SELECT DISTINCT source, cy, n FROM marg)
+    )
+    SELECT mi_nats, h_lang, h_source,
+           ROUND(mi_nats / LEAST(h_lang, h_source), 6) AS nmi
+    FROM mi, hx, hy
+    """,
+)
+def mi_lang_source_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mutual information between a corpus's two categorical axes
+    (lang × source) — the Shannon-side complement of
+    `source_lang_purity`'s Gini/Simpson impurity: MI says how much
+    knowing the ingest feed tells you about the language (near 0 =
+    feeds share one mix; near min(H) = each feed is language-pure),
+    and NMI = MI/min(H_lang, H_source) normalizes it to [0,1] for
+    dataset cards that compare corpora of different sizes. The
+    uncertainty-coefficient family every profiler (pandas-profiling,
+    Sweetviz) reports, done distributed.
+
+    Determinism discipline (same as `token_entropy_score_docs`):
+    counts stay exact BIGINT through the (lang, source) contingency
+    frame; each transcendental term — p(x,y)·ln(p(x,y)/(p(x)p(y))) and
+    the −p·ln p entropy terms — is rounded once to 9 dp, summed, and
+    the three statistics rounded to 6 dp before the final NMI ratio of
+    already-rounded values.
+
+    Scale shape: ONE hash aggregate over the corpus (partial map-side
+    combine to the |langs|×|sources| contingency frame); everything
+    after runs on that bounded model-constant frame, where the
+    marginal/total window sums and the 1-row combine are free. The
+    document text column never leaves the scan."""
+    docs = load_table(spark, sf_dir, "documents")
+    joint = docs.groupBy("lang", "source").agg(
+        F.count(F.lit(1)).alias("c")
+    )
+    marg = joint.select(
+        "lang",
+        "source",
+        "c",
+        F.sum("c").over(Window.partitionBy("lang")).alias("cx"),
+        F.sum("c").over(Window.partitionBy("source")).alias("cy"),
+        F.sum("c").over(Window.partitionBy()).alias("n"),
+    )
+    cd, nd = F.col("c").cast("double"), F.col("n").cast("double")
+    mi_term = F.round(
+        (cd / nd)
+        * F.log(cd * nd / (F.col("cx").cast("double") * F.col("cy"))),
+        9,
+    )
+    mi = marg.agg(F.round(F.sum(mi_term), 6).alias("mi_nats"))
+    px = F.col("cx").cast("double") / nd
+    hx = (
+        marg.select("lang", "cx", "n")
+        .distinct()
+        .agg(F.round(F.sum(F.round(-px * F.log(px), 9)), 6).alias("h_lang"))
+    )
+    py = F.col("cy").cast("double") / nd
+    hy = (
+        marg.select("source", "cy", "n")
+        .distinct()
+        .agg(F.round(F.sum(F.round(-py * F.log(py), 9)), 6).alias("h_source"))
+    )
+    return (
+        mi.crossJoin(hx)
+        .crossJoin(hy)
+        .select(
+            "mi_nats",
+            "h_lang",
+            "h_source",
+            F.round(
+                F.col("mi_nats") / F.least("h_lang", "h_source"), 6
+            ).alias("nmi"),
+        )
+    )

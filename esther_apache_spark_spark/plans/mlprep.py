@@ -1319,3 +1319,122 @@ def isotonic_calibration_pava(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).agg(F.count(F.lit(1)).alias("c"), F.sum("pos").alias("p"))
     per.createOrReplaceTempView("per_bucket")
     return spark.sql(_ISO_SPARK)
+
+
+# ---------------------------------------------------------------------------
+# CMS inner-product join-size estimation — the optimizer's cardinality
+# sketch, audited against the exact join size.
+# ---------------------------------------------------------------------------
+
+_CJ_W, _CJ_D = 1024, 4
+
+
+def _cms_pages_sql(table: str, key: str, alias: str) -> str:
+    rows = " UNION ALL ".join(
+        f"SELECT CAST({r} AS INT) AS cms_row, "
+        f"CAST(CAST(CONCAT('0x', substr(md5('cms{r}:' || "
+        f"CAST({key} AS VARCHAR)), 1, 8)) AS BIGINT) % {_CJ_W} AS BIGINT) "
+        f"AS cms_slot FROM {table}"
+        for r in range(_CJ_D)
+    )
+    return (
+        f"{alias} AS (SELECT cms_row, cms_slot, "
+        f"CAST(COUNT(*) AS BIGINT) AS cnt FROM ({rows}) "
+        f"GROUP BY cms_row, cms_slot)"
+    )
+
+
+@register(
+    "cms_join_size_estimate",
+    oracle=f"""
+    WITH {_cms_pages_sql("orders", "o_custkey", "pa")},
+    {_cms_pages_sql("events", "user_id", "pb")},
+    dots AS (
+        SELECT a.cms_row,
+               SUM(CAST(a.cnt AS HUGEINT) * b.cnt) AS dot
+        FROM pa a JOIN pb b
+          ON a.cms_row = b.cms_row AND a.cms_slot = b.cms_slot
+        GROUP BY a.cms_row
+    ),
+    est AS (SELECT CAST(MIN(dot) AS BIGINT) AS join_est FROM dots),
+    exact AS (
+        SELECT CAST(SUM(CAST(oc.c AS HUGEINT) * ec.c) AS BIGINT)
+               AS join_exact
+        FROM (SELECT o_custkey AS k, COUNT(*) AS c FROM orders GROUP BY 1) oc
+        JOIN (SELECT user_id AS k, COUNT(*) AS c FROM events GROUP BY 1) ec
+          ON oc.k = ec.k
+    )
+    SELECT join_exact, join_est,
+           CAST(ROUND((CAST(join_est AS DOUBLE) - join_exact)
+                      / join_exact, 9) AS DOUBLE) AS rel_err
+    FROM exact, est
+    """,
+)
+def cms_join_size_estimate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Join-cardinality estimation from count-min sketches — the
+    cost-based-optimizer primitive: |A ⋈ B on k| = Σ_k c_A(k)·c_B(k),
+    estimated WITHOUT touching the keys jointly as min_r Σ_j
+    cms_A[r][j]·cms_B[r][j] (the classic CMS inner-product bound — an
+    OVERestimate whose error is bounded by ‖A‖₁‖B‖₁/width per row, with
+    min-over-rows tightening it). Each side sketches independently in
+    one partial-aggregable pass — exactly how an engine estimates a
+    join between tables profiled at different times — and the sketch
+    dot-product is a (row, slot) equi-join on 4×1024 counters,
+    independent of data size. The exact Σ c_A·c_B twin rides along for
+    the relative-error readout, like `ams_f2_selfjoin_estimate` and
+    `ann_recall_audit` do for their estimators.
+
+    Determinism: the repo's standard md5 CMS construction
+    (`operators/sketches.cms_slot` — same salt scheme), integer
+    counters, HUGEINT ≡ DECIMAL(38,0) products; rel_err is the single
+    final float. The estimate is sound (≥ exact) by construction —
+    the property test asserts it."""
+    from esther_apache_spark_spark.operators import sketches as SK
+
+    orders = load_table(spark, sf_dir, "orders")
+    events = load_table(spark, sf_dir, "events")
+    d38 = "decimal(38,0)"
+    pa = SK.cms_bucket_pages(
+        orders, "o_custkey", [], width=_CJ_W, depth=_CJ_D, salt="cms"
+    )
+    pb = SK.cms_bucket_pages(
+        events, "user_id", [], width=_CJ_W, depth=_CJ_D, salt="cms"
+    )
+    dots = (
+        pa.alias("a")
+        .join(
+            pb.alias("b"),
+            (F.col("a.cms_row") == F.col("b.cms_row"))
+            & (F.col("a.cms_slot") == F.col("b.cms_slot")),
+        )
+        .groupBy("a.cms_row")
+        .agg(
+            F.sum(
+                F.col("a.cms_cnt").cast(d38) * F.col("b.cms_cnt").cast(d38)
+            ).alias("dot")
+        )
+    )
+    est = dots.agg(F.min("dot").cast("long").alias("join_est"))
+    oc = orders.groupBy(F.col("o_custkey").alias("k")).agg(
+        F.count(F.lit(1)).alias("ca")
+    )
+    ec = events.groupBy(F.col("user_id").alias("k")).agg(
+        F.count(F.lit(1)).alias("cb")
+    )
+    exact = (
+        oc.join(ec, "k")
+        .agg(
+            F.sum(F.col("ca").cast(d38) * F.col("cb").cast(d38))
+            .cast("long")
+            .alias("join_exact")
+        )
+    )
+    return exact.crossJoin(est).select(
+        "join_exact",
+        "join_est",
+        F.round(
+            (F.col("join_est").cast("double") - F.col("join_exact"))
+            / F.col("join_exact"),
+            9,
+        ).alias("rel_err"),
+    )

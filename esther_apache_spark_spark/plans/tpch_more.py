@@ -25,7 +25,12 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-from esther_apache_spark_spark.functions.money import dec2, money_sum, one_minus
+from esther_apache_spark_spark.functions.money import (
+    dec2,
+    money_sum,
+    one_minus,
+    one_plus,
+)
 from esther_apache_spark_spark.plans.catalog import register
 from esther_apache_spark_spark.schemas import load_table
 
@@ -1878,4 +1883,81 @@ def benford_first_digit_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(share, 6).alias("observed_share"),
         expected.cast("double").alias("benford_share"),
         F.round(F.abs(share - expected.cast("double")), 6).alias("abs_deviation"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Q1 shape — the canonical pricing-summary scan aggregate.
+# ---------------------------------------------------------------------------
+_SQL_CHARGE = (
+    f"({SQL_DISC_PRICE})"
+    " * (CAST(1 AS DECIMAL(3,2)) + CAST(l_tax AS DECIMAL(3,2)))"
+)
+
+
+@register(
+    "q1_pricing_summary",
+    oracle=f"""
+    SELECT l_returnflag AS returnflag, l_linestatus AS linestatus,
+           CAST(ROUND(SUM(CAST(l_quantity AS DECIMAL(12,2))), 2) AS DOUBLE)
+               AS sum_qty,
+           CAST(ROUND(SUM(CAST(l_extendedprice AS DECIMAL(12,2))), 2) AS DOUBLE)
+               AS sum_base_price,
+           CAST(ROUND(SUM({SQL_DISC_PRICE}), 2) AS DOUBLE) AS sum_disc_price,
+           CAST(ROUND(SUM({_SQL_CHARGE}), 2) AS DOUBLE) AS sum_charge,
+           ROUND(CAST(SUM(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE)
+                 / COUNT(*), 4) AS avg_qty,
+           ROUND(CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2))) AS DOUBLE)
+                 / COUNT(*), 4) AS avg_price,
+           ROUND(CAST(SUM(CAST(l_discount AS DECIMAL(3,2))) AS DOUBLE)
+                 / COUNT(*), 4) AS avg_disc,
+           CAST(COUNT(*) AS BIGINT) AS count_order
+    FROM lineitem
+    WHERE l_shipdate <= TIMESTAMP '1998-09-02'
+    GROUP BY 1, 2
+    """,
+)
+def q1_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q1 — the canonical pricing-summary report, completing the
+    engine's TPC-H set (Q2-Q22 were already registered): one lineitem
+    scan under a single shipdate predicate, grouped by the 6-cell
+    (returnflag, linestatus) domain, emitting eight aggregates (four
+    decimal sums incl. the two-factor charge expression, three means,
+    a count).
+
+    Scale shape: THE map-side-combine benchmark — the group domain is 6
+    rows, so partial aggregation reduces each of the thousands of scan
+    partitions to ≤6 rows before the single tiny Exchange; the scan
+    reads 7 columns under a pushed range filter. All money arithmetic
+    in exact DECIMAL (functions/money.py) so every sum is
+    order-insensitive and bit-identical cross-engine; means divide the
+    exact decimal sum by the exact count in one double op."""
+    li = load_table(spark, sf_dir, "lineitem").filter(
+        F.col("l_shipdate") <= F.lit("1998-09-02").cast("timestamp")
+    )
+    disc_price = dec2("l_extendedprice") * one_minus("l_discount")
+    charge = disc_price * one_plus("l_tax")
+    return (
+        li.groupBy(
+            F.col("l_returnflag").alias("returnflag"),
+            F.col("l_linestatus").alias("linestatus"),
+        )
+        .agg(
+            money_sum(dec2("l_quantity"), "sum_qty"),
+            money_sum(dec2("l_extendedprice"), "sum_base_price"),
+            money_sum(disc_price, "sum_disc_price"),
+            money_sum(charge, "sum_charge"),
+            F.round(
+                F.sum(dec2("l_quantity")).cast("double") / F.count(F.lit(1)), 4
+            ).alias("avg_qty"),
+            F.round(
+                F.sum(dec2("l_extendedprice")).cast("double") / F.count(F.lit(1)), 4
+            ).alias("avg_price"),
+            F.round(
+                F.sum(dec2("l_discount", "decimal(3,2)")).cast("double")
+                / F.count(F.lit(1)),
+                4,
+            ).alias("avg_disc"),
+            F.count(F.lit(1)).cast("long").alias("count_order"),
+        )
     )

@@ -2255,3 +2255,93 @@ def dp_noisy_counts_geometric(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("n_true").cast("long").alias("n_true"),
         (F.col("n_true") + noise).cast("long").alias("n_noisy"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Peak concurrency — the sweep-line dual of interval_union_coverage.
+# ---------------------------------------------------------------------------
+@register(
+    "peak_concurrency_by_type",
+    oracle=f"""
+    WITH pts AS (
+        SELECT event_type, epoch_us(ts) AS t, 1 AS delta, event_id
+        FROM events
+        UNION ALL
+        SELECT event_type, epoch_us(ts) + {_IVL_US} AS t, -1 AS delta,
+               event_id
+        FROM events
+    ),
+    run AS (
+        SELECT event_type, t, delta,
+               SUM(delta) OVER (PARTITION BY event_type
+                                ORDER BY t, delta, event_id
+                                ROWS BETWEEN UNBOUNDED PRECEDING
+                                         AND CURRENT ROW) AS conc
+        FROM pts
+    ),
+    peak AS (SELECT event_type, MAX(conc) AS peak FROM run GROUP BY 1)
+    SELECT r.event_type,
+           CAST(p.peak AS BIGINT) AS peak_concurrency,
+           CAST(MIN(r.t) AS BIGINT) AS first_peak_us
+    FROM run r JOIN peak p
+      ON r.event_type = p.event_type AND r.conc = p.peak
+    GROUP BY r.event_type, p.peak
+    """,
+)
+def peak_concurrency_by_type(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Peak concurrency per event type — the sweep-line DUAL of
+    `interval_union_coverage`: that query answers "how long was at
+    least one interval open", this one answers "how many were open at
+    the worst moment (and when did it first happen)" — the
+    capacity-planning readout (max simultaneous sessions/connections/
+    jobs) behind autoscaler sizing. Each event opens the same 5-minute
+    interval [ts, ts+5m); every boundary becomes a ±1 point, a running
+    sum over the per-type (t, delta, event_id) order is the live
+    concurrency, and its max is the peak. Ordering delta ASCENDING puts
+    each −1 close before a same-instant +1 open, which is exactly the
+    half-open-interval rule (an interval ending at t does not overlap
+    one starting at t); the event_id tiebreak makes the running sum a
+    total order, so `conc` is deterministic row-by-row and the
+    first-peak timestamp is unique.
+
+    Scale shape: one Exchange partitioned by event_type carries the
+    2-row-per-event point stream; the window frame is a running sum
+    (O(1) per row). Parallelism equals the type cardinality — for a
+    high-volume type the standard split is per-(type, day) partial
+    sweeps seeded by the previous day's closing concurrency (the same
+    carry-in trick `capped_running_balance` documents); the join-back
+    against the 1-row-per-type peak frame is a broadcast. Exact integer
+    micros end-to-end."""
+    ev = load_table(spark, sf_dir, "events")
+    opens = ev.select(
+        "event_type",
+        F.unix_micros("ts").alias("t"),
+        F.lit(1).alias("delta"),
+        "event_id",
+    )
+    closes = ev.select(
+        "event_type",
+        (F.unix_micros("ts") + F.lit(_IVL_US)).alias("t"),
+        F.lit(-1).alias("delta"),
+        "event_id",
+    )
+    w = (
+        Window.partitionBy("event_type")
+        .orderBy("t", "delta", "event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    run = opens.unionAll(closes).select(
+        "event_type", "t", F.sum("delta").over(w).alias("conc")
+    )
+    peak = run.groupBy("event_type").agg(F.max("conc").alias("peak"))
+    return (
+        run.join(peak, "event_type")
+        .filter(F.col("conc") == F.col("peak"))
+        .groupBy("event_type", "peak")
+        .agg(F.min("t").cast("long").alias("first_peak_us"))
+        .select(
+            "event_type",
+            F.col("peak").cast("long").alias("peak_concurrency"),
+            "first_peak_us",
+        )
+    )

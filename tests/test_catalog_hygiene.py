@@ -81,6 +81,10 @@ def test_catalog_plans_free_of_scale_antipatterns(spark, sf_dir):
         "survival_km_curve",
         # 1-row (ta, tb) token-total scalar onto the vocabulary frame
         "keyword_keyness_chisq",
+        # 1-row exact-join-size aggregate x 1-row sketch-estimate combine
+        "cms_join_size_estimate",
+        # 1-row MI x 1-row H(lang) x 1-row H(source) scalar combine
+        "mi_lang_source_docs",
         # ground-truth side is brute_force_topk's by-contract 5-row
         # broadcast query matrix (same fence as the bruteforce entry)
         "ann_recall_audit",

@@ -78,3 +78,12 @@ def test_km_curve_is_monotone_decreasing(spark, sf_dir):
         assert 0 <= r["surv9"] <= last, rows
         last = r["surv9"]
         assert r["d_events"] >= 1 and r["n_risk"] >= r["d_events"]
+
+
+def test_cms_join_estimate_is_sound_overestimate(spark, sf_dir):
+    row = QUERIES["cms_join_size_estimate"].fn(spark, sf_dir).collect()[0]
+    assert row["join_exact"] > 0
+    # CMS inner product never underestimates (hash collisions only add)
+    assert row["join_est"] >= row["join_exact"], row
+    # and the 4x1024 sketch keeps the overshoot moderate at test scale
+    assert row["join_est"] <= 3 * row["join_exact"], row
