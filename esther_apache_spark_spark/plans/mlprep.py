@@ -1438,3 +1438,198 @@ def cms_join_size_estimate(spark: SparkSession, sf_dir: str) -> DataFrame:
             9,
         ).alias("rel_err"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Distribution-drift monitors: exact-integer KS statistic and PSI.
+# ---------------------------------------------------------------------------
+
+_DRIFT_SPLIT = "2024-01-16"
+
+
+@register(
+    "ks_value_drift_by_type",
+    oracle=f"""
+    WITH pts AS (
+        SELECT event_type, value,
+               CASE WHEN ts < TIMESTAMP '{_DRIFT_SPLIT}'
+                    THEN 1 ELSE 0 END AS e
+        FROM events
+    ),
+    cum AS (
+        SELECT event_type,
+               SUM(e) OVER (PARTITION BY event_type ORDER BY value
+                   RANGE BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS c1,
+               SUM(1 - e) OVER (PARTITION BY event_type ORDER BY value
+                   RANGE BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS c2,
+               SUM(e) OVER (PARTITION BY event_type) AS n1,
+               SUM(1 - e) OVER (PARTITION BY event_type) AS n2
+        FROM pts
+    )
+    SELECT event_type,
+           CAST(MAX(n1) AS BIGINT) AS n_early,
+           CAST(MAX(n2) AS BIGINT) AS n_late,
+           CAST(MAX(ABS(CAST(c1 AS HUGEINT) * n2
+                        - CAST(c2 AS HUGEINT) * n1)) AS BIGINT)
+               AS max_gap_scaled,
+           ROUND(CAST(MAX(ABS(CAST(c1 AS HUGEINT) * n2
+                              - CAST(c2 AS HUGEINT) * n1)) AS DOUBLE)
+                 / (CAST(MAX(n1) AS DOUBLE) * MAX(n2)), 9) AS ks_d
+    FROM cum GROUP BY event_type
+    """,
+)
+def ks_value_drift_by_type(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-sample Kolmogorov–Smirnov drift statistic per event type —
+    D = max_x |F_early(x) − F_late(x)| between the first and second half
+    of the month — the distribution-shift alarm a feature store runs on
+    every model input (PSI's rank-free sibling: KS needs no binning
+    choice and is sensitive anywhere in the CDF, not just where bins
+    land).
+
+    The whole statistic is EXACT INTEGER until one final division: both
+    empirical CDFs are cumulative counts over the per-type value order
+    (RANGE frame so ties collapse to the post-tie count on both sides
+    simultaneously — evaluating the gap only at distinct values, the
+    textbook definition), and |F1 − F2| is compared as the
+    cross-multiplied |c1·n2 − c2·n1| in DECIMAL(38,0)/HUGEINT, so the
+    max is order- and ulp-free; ks_d divides once at the end.
+
+    Scale shape: one Exchange partitioned by event_type, two running
+    sums over a shared sort, then a partial-aggregable max. Same
+    coarse-key caveat + per-day split-and-carry remedy as
+    `peak_concurrency_by_type`."""
+    ev = load_table(spark, sf_dir, "events")
+    pts = ev.select(
+        "event_type",
+        "value",
+        F.when(
+            F.col("ts") < F.lit(_DRIFT_SPLIT).cast("timestamp"), 1
+        ).otherwise(0).alias("e"),
+    )
+    wcum = (
+        Window.partitionBy("event_type")
+        .orderBy("value")
+        .rangeBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    wall = Window.partitionBy("event_type")
+    d38 = "decimal(38,0)"
+    cum = pts.select(
+        "event_type",
+        F.sum("e").over(wcum).alias("c1"),
+        F.sum(F.lit(1) - F.col("e")).over(wcum).alias("c2"),
+        F.sum("e").over(wall).alias("n1"),
+        F.sum(F.lit(1) - F.col("e")).over(wall).alias("n2"),
+    )
+    gap = F.abs(
+        F.col("c1").cast(d38) * F.col("n2") - F.col("c2").cast(d38) * F.col("n1")
+    )
+    return cum.groupBy("event_type").agg(
+        F.max("n1").cast("long").alias("n_early"),
+        F.max("n2").cast("long").alias("n_late"),
+        F.max(gap).cast("long").alias("max_gap_scaled"),
+        F.round(
+            F.max(gap).cast("double")
+            / (F.max("n1").cast("double") * F.max("n2")),
+            9,
+        ).alias("ks_d"),
+    )
+
+
+@register(
+    "psi_value_drift_by_type",
+    oracle=f"""
+    WITH base AS (
+        SELECT event_type,
+               LEAST(CAST(FLOOR(value / 50.0) AS INT), 9) AS bin,
+               CASE WHEN ts < TIMESTAMP '{_DRIFT_SPLIT}'
+                    THEN 1 ELSE 0 END AS e
+        FROM events
+    ),
+    cnt AS (
+        SELECT event_type, bin,
+               CAST(SUM(e) AS BIGINT) AS c1,
+               CAST(SUM(1 - e) AS BIGINT) AS c2
+        FROM base GROUP BY 1, 2
+    ),
+    grid AS (
+        SELECT event_type, UNNEST(range(10)) AS bin
+        FROM (SELECT DISTINCT event_type FROM cnt)
+    ),
+    filled AS (
+        SELECT g.event_type, g.bin,
+               COALESCE(c.c1, 0) AS c1, COALESCE(c.c2, 0) AS c2,
+               SUM(COALESCE(c.c1, 0)) OVER (PARTITION BY g.event_type) AS n1,
+               SUM(COALESCE(c.c2, 0)) OVER (PARTITION BY g.event_type) AS n2
+        FROM grid g LEFT JOIN cnt c
+          ON g.event_type = c.event_type AND g.bin = c.bin
+    )
+    SELECT event_type,
+           CAST(MAX(n1) AS BIGINT) AS n_early,
+           CAST(MAX(n2) AS BIGINT) AS n_late,
+           ROUND(SUM(ROUND(
+               ((CAST(c1 + 1 AS DOUBLE) / (n1 + 10))
+                - (CAST(c2 + 1 AS DOUBLE) / (n2 + 10)))
+               * LN((CAST(c1 + 1 AS DOUBLE) / (n1 + 10))
+                    / (CAST(c2 + 1 AS DOUBLE) / (n2 + 10))), 9)), 6) AS psi
+    FROM filled GROUP BY event_type
+    """,
+)
+def psi_value_drift_by_type(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Population Stability Index per event type over the same
+    early/late split as `ks_value_drift_by_type` — the risk-scorecard
+    drift metric (PSI < 0.1 stable, > 0.25 action): Σ (p_b − q_b)·
+    ln(p_b/q_b) over 10 FIXED value bins (50-wide, top-capped), with
+    add-one smoothing so empty bins contribute finitely, and the bin
+    grid generated explicitly so a bin absent on BOTH sides still
+    enters the smoothed sum in both engines identically.
+
+    Determinism: exact integer bin counts; each term's single ln is
+    rounded to 9 dp (the repo's transcendental discipline); bin edges
+    are fixed literals, not data-derived quantiles, so no circular
+    dependence on a sampled statistic. Scale shape: one map-side-
+    combinable hash aggregate to the |types|×10 frame; the grid
+    fill, window totals and term sum all run on that model-constant
+    frame."""
+    ev = load_table(spark, sf_dir, "events")
+    base = ev.select(
+        "event_type",
+        F.least(F.floor(F.col("value") / 50.0).cast("int"), F.lit(9)).alias(
+            "bin"
+        ),
+        F.when(
+            F.col("ts") < F.lit(_DRIFT_SPLIT).cast("timestamp"), 1
+        ).otherwise(0).alias("e"),
+    )
+    cnt = base.groupBy("event_type", "bin").agg(
+        F.sum("e").alias("c1"), F.sum(F.lit(1) - F.col("e")).alias("c2")
+    )
+    grid = (
+        cnt.select("event_type")
+        .distinct()
+        .select(
+            "event_type",
+            F.explode(F.sequence(F.lit(0), F.lit(9))).alias("bin"),
+        )
+    )
+    filled = grid.join(cnt, ["event_type", "bin"], "left").select(
+        "event_type",
+        "bin",
+        F.coalesce("c1", F.lit(0)).alias("c1"),
+        F.coalesce("c2", F.lit(0)).alias("c2"),
+    )
+    wall = Window.partitionBy("event_type")
+    filled = filled.select(
+        "event_type",
+        "c1",
+        "c2",
+        F.sum("c1").over(wall).alias("n1"),
+        F.sum("c2").over(wall).alias("n2"),
+    )
+    p = (F.col("c1") + 1).cast("double") / (F.col("n1") + 10)
+    q = (F.col("c2") + 1).cast("double") / (F.col("n2") + 10)
+    term = F.round((p - q) * F.log(p / q), 9)
+    return filled.groupBy("event_type").agg(
+        F.max("n1").cast("long").alias("n_early"),
+        F.max("n2").cast("long").alias("n_late"),
+        F.round(F.sum(term), 6).alias("psi"),
+    )

@@ -1961,3 +1961,121 @@ def q1_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count(F.lit(1)).cast("long").alias("count_order"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Association rules — support/confidence/lift on the co-purchase pairs.
+# ---------------------------------------------------------------------------
+@register(
+    "association_rules_brands",
+    oracle="""
+    WITH ob AS (
+        SELECT DISTINCT l.l_orderkey, p.p_brand
+        FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+    ),
+    n AS (SELECT CAST(COUNT(DISTINCT l_orderkey) AS BIGINT) AS nb FROM ob),
+    ic AS (SELECT p_brand, CAST(COUNT(*) AS BIGINT) AS c FROM ob GROUP BY 1),
+    pc AS (
+        SELECT a.p_brand AS ba, b.p_brand AS bb,
+               CAST(COUNT(*) AS BIGINT) AS cab
+        FROM ob a JOIN ob b
+          ON a.l_orderkey = b.l_orderkey AND a.p_brand < b.p_brand
+        GROUP BY 1, 2
+    ),
+    joined AS (
+        SELECT pc.ba, pc.bb, pc.cab, ia.c AS ca, ib.c AS cb
+        FROM pc JOIN ic ia ON pc.ba = ia.p_brand
+                JOIN ic ib ON pc.bb = ib.p_brand
+    ),
+    rules AS (
+        SELECT ba AS antecedent, bb AS consequent, cab, ca, cb FROM joined
+        UNION ALL
+        SELECT bb, ba, cab, cb, ca FROM joined
+    )
+    SELECT antecedent, consequent, cab AS n_both,
+           ROUND(CAST(cab AS DOUBLE) / nb, 6) AS support,
+           ROUND(CAST(cab AS DOUBLE) / ca, 6) AS confidence,
+           ROUND(CAST(cab * nb AS DOUBLE) / (ca * cb), 6) AS lift
+    FROM rules, n
+    ORDER BY ROUND(CAST(cab * nb AS DOUBLE) / (ca * cb), 6) DESC,
+             antecedent ASC, consequent ASC
+    LIMIT 20
+    """,
+)
+def association_rules_brands(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Association-rule mining over the co-purchase baskets — the
+    support/confidence/lift layer `copurchase_brand_pairs` stops short
+    of: each undirected pair count fans out into BOTH directed rules
+    a→b and b→a (same support and lift, different confidence — the
+    asymmetry that tells a merchandiser which item drives the other),
+    top-20 by lift with a full name tiebreak.
+
+    Determinism: counts exact BIGINT; support/confidence are single
+    double divisions; lift is computed as the exact integer products
+    cab·N and ca·cb divided once — no chained float arithmetic. The
+    ORDER BY uses the same rounded lift both engines emit.
+
+    Scale shape: inherits `copurchase_brand_pairs`' discipline (DISTINCT
+    before self-join bounds fan-out at C(brands-per-order, 2); distinct
+    and self-join share one orderkey Exchange). The item-count side is
+    the bounded brand vocabulary, the basket total is a 1-row scalar
+    broadcast, and the final TakeOrderedAndProject keeps only 20 rows on
+    the driver."""
+    li = load_table(spark, sf_dir, "lineitem")
+    part = load_table(spark, sf_dir, "part")
+    ob = (
+        li.join(part, li.l_partkey == part.p_partkey)
+        .select("l_orderkey", "p_brand")
+        .distinct()
+    )
+    nb = ob.agg(F.countDistinct("l_orderkey").alias("nb"))
+    ic = ob.groupBy("p_brand").agg(F.count(F.lit(1)).alias("c"))
+    a = ob.select(F.col("l_orderkey").alias("k"), F.col("p_brand").alias("ba"))
+    b = ob.select(F.col("l_orderkey").alias("k"), F.col("p_brand").alias("bb"))
+    pc = (
+        a.join(b, "k")
+        .filter(F.col("ba") < F.col("bb"))
+        .groupBy("ba", "bb")
+        .agg(F.count(F.lit(1)).alias("cab"))
+    )
+    joined = (
+        pc.join(ic.select(F.col("p_brand").alias("ba"), F.col("c").alias("ca")), "ba")
+        .join(ic.select(F.col("p_brand").alias("bb"), F.col("c").alias("cb")), "bb")
+    )
+    rules = joined.select(
+        F.col("ba").alias("antecedent"),
+        F.col("bb").alias("consequent"),
+        "cab",
+        "ca",
+        "cb",
+    ).unionAll(
+        joined.select(
+            F.col("bb").alias("antecedent"),
+            F.col("ba").alias("consequent"),
+            "cab",
+            F.col("cb").alias("ca"),
+            F.col("ca").alias("cb"),
+        )
+    )
+    lift = F.round(
+        (F.col("cab") * F.col("nb")).cast("double")
+        / (F.col("ca") * F.col("cb")),
+        6,
+    )
+    return (
+        rules.crossJoin(nb)
+        .select(
+            "antecedent",
+            "consequent",
+            F.col("cab").alias("n_both"),
+            F.round(F.col("cab").cast("double") / F.col("nb"), 6).alias(
+                "support"
+            ),
+            F.round(F.col("cab").cast("double") / F.col("ca"), 6).alias(
+                "confidence"
+            ),
+            lift.alias("lift"),
+        )
+        .orderBy(F.desc("lift"), F.asc("antecedent"), F.asc("consequent"))
+        .limit(20)
+    )

@@ -85,6 +85,8 @@ def test_catalog_plans_free_of_scale_antipatterns(spark, sf_dir):
         "cms_join_size_estimate",
         # 1-row MI x 1-row H(lang) x 1-row H(source) scalar combine
         "mi_lang_source_docs",
+        # 1-row basket-total scalar onto the bounded brand-pair frame
+        "association_rules_brands",
         # ground-truth side is brute_force_topk's by-contract 5-row
         # broadcast query matrix (same fence as the bruteforce entry)
         "ann_recall_audit",
