@@ -2696,3 +2696,184 @@ def mi_lang_source_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("nmi"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Multinomial naive Bayes language classifier — trained AND applied
+# fully relationally, with a real train/holdout split.
+# ---------------------------------------------------------------------------
+@register(
+    "naive_bayes_langid_docs",
+    oracle="""
+    WITH tok AS (
+        SELECT doc_id, lang, t AS term FROM (
+            SELECT doc_id, lang,
+                   unnest(string_split(lower(text), ' ')) AS t
+            FROM documents
+        ) WHERE t <> ''
+    ),
+    trtok AS (SELECT * FROM tok WHERE doc_id % 2 = 0),
+    vocab AS (SELECT CAST(COUNT(DISTINCT term) AS BIGINT) AS v FROM trtok),
+    lt AS (SELECT lang, CAST(COUNT(*) AS BIGINT) AS n_l
+           FROM trtok GROUP BY 1),
+    dlang AS (SELECT lang, CAST(COUNT(*) AS BIGINT) AS d_l
+              FROM documents WHERE doc_id % 2 = 0 GROUP BY 1),
+    dtot AS (SELECT CAST(COUNT(*) AS BIGINT) AS d
+             FROM documents WHERE doc_id % 2 = 0),
+    model AS (SELECT term, lang, CAST(COUNT(*) AS BIGINT) AS c
+              FROM trtok GROUP BY 1, 2),
+    w AS (
+        SELECT m.term, m.lang,
+               CAST(FLOOR(LN(CAST(m.c + 1 AS DOUBLE) / (lt.n_l + vocab.v))
+                          * 1000000.0 + 0.5) AS BIGINT) AS w
+        FROM model m JOIN lt ON m.lang = lt.lang, vocab
+    ),
+    defs AS (
+        SELECT lt.lang,
+               CAST(FLOOR(LN(1.0 / (lt.n_l + vocab.v))
+                          * 1000000.0 + 0.5) AS BIGINT) AS defw,
+               CAST(FLOOR(LN(CAST(dlang.d_l AS DOUBLE) / dtot.d)
+                          * 1000000.0 + 0.5) AS BIGINT) AS priorw
+        FROM lt JOIN dlang ON lt.lang = dlang.lang, vocab, dtot
+    ),
+    dtf AS (SELECT doc_id, term, CAST(COUNT(*) AS BIGINT) AS tf
+            FROM tok GROUP BY 1, 2),
+    dl AS (SELECT doc_id, lang AS actual, CAST(COUNT(*) AS BIGINT) AS len
+           FROM tok GROUP BY 1, 2),
+    mt AS (
+        SELECT dtf.doc_id, w.lang,
+               SUM(dtf.tf * w.w) AS sw, SUM(dtf.tf) AS m
+        FROM dtf JOIN w ON dtf.term = w.term GROUP BY 1, 2
+    ),
+    scored AS (
+        SELECT dl.doc_id, dl.actual, d.lang,
+               d.priorw + COALESCE(mt.sw, 0)
+                        + (dl.len - COALESCE(mt.m, 0)) * d.defw AS score
+        FROM dl CROSS JOIN defs d
+        LEFT JOIN mt ON mt.doc_id = dl.doc_id AND mt.lang = d.lang
+    ),
+    pick AS (
+        SELECT doc_id, actual, lang, score,
+               ROW_NUMBER() OVER (PARTITION BY doc_id
+                                  ORDER BY score DESC, lang ASC) AS rn
+        FROM scored
+    )
+    SELECT doc_id, actual AS lang, lang AS pred_lang,
+           CAST(score AS BIGINT) AS score_micro,
+           doc_id % 2 <> 0 AS is_holdout
+    FROM pick WHERE rn = 1
+    """,
+)
+def naive_bayes_langid_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multinomial naive Bayes language classifier, trained AND applied
+    entirely relationally — the model-based upgrade to the n-gram
+    heuristic behind `langid_confusion_matrix`: training is two hash
+    aggregates over the even-doc_id half (per-(term, lang) counts +
+    per-lang totals), the model IS a weight table, and scoring every
+    doc (holdout odd half included, flagged) is one join against that
+    table — the same broadcast-model shape as
+    `quality_classifier_score_docs`, generalized to multiclass
+    generative scoring with add-one smoothing.
+
+    The determinism trick that makes a log-likelihood ARGMAX
+    oracle-able: every log term — add-one token likelihood
+    ln((c+1)/(N_l+V)), unseen-token default ln(1/(N_l+V)), prior
+    ln(d_l/D) — is quantized ONCE to integer micro-nats
+    (floor(x·1e6 + 0.5)); a doc's score is then the exact BIGINT
+    Σ tf·w + (len−matched)·defw + prior, so the per-doc argmax (score
+    DESC, lang ASC) has no float comparison anywhere. Zero-token docs
+    drop out identically in both engines.
+
+    Scale: the weight table is vocab-bounded and the 5-row per-lang
+    default/prior frame is a model constant (allowlisted cross join);
+    the doc-side Σ tf·w aggregate is partial-aggregable; raw text never
+    shuffles past tokenization."""
+    docs = load_table(spark, sf_dir, "documents")
+    tok = (
+        docs.select(
+            "doc_id",
+            "lang",
+            F.explode(F.split(F.lower("text"), " ")).alias("term"),
+        ).filter(F.col("term") != "")
+    )
+    trtok = tok.filter(F.col("doc_id") % 2 == 0)
+    vocab = trtok.agg(F.countDistinct("term").alias("v"))
+    lt = trtok.groupBy("lang").agg(F.count(F.lit(1)).alias("n_l"))
+    dlang = (
+        docs.filter(F.col("doc_id") % 2 == 0)
+        .groupBy("lang")
+        .agg(F.count(F.lit(1)).alias("d_l"))
+    )
+    dtot = docs.filter(F.col("doc_id") % 2 == 0).agg(
+        F.count(F.lit(1)).alias("d")
+    )
+    model = trtok.groupBy("term", "lang").agg(F.count(F.lit(1)).alias("c"))
+    micro = lambda col: F.floor(col * 1000000.0 + 0.5).cast("long")  # noqa: E731
+    w = (
+        model.join(lt, "lang")
+        .crossJoin(vocab)
+        .select(
+            "term",
+            "lang",
+            micro(
+                F.log(
+                    (F.col("c") + 1).cast("double")
+                    / (F.col("n_l") + F.col("v"))
+                )
+            ).alias("w"),
+        )
+    )
+    defs = (
+        lt.join(dlang, "lang")
+        .crossJoin(vocab)
+        .crossJoin(dtot)
+        .select(
+            "lang",
+            micro(F.log(F.lit(1.0) / (F.col("n_l") + F.col("v")))).alias(
+                "defw"
+            ),
+            micro(
+                F.log(F.col("d_l").cast("double") / F.col("d"))
+            ).alias("priorw"),
+        )
+    )
+    dtf = tok.groupBy("doc_id", "term").agg(F.count(F.lit(1)).alias("tf"))
+    dl = tok.groupBy("doc_id", F.col("lang").alias("actual")).agg(
+        F.count(F.lit(1)).alias("len")
+    )
+    mt = (
+        dtf.join(w, "term")
+        .groupBy("doc_id", "lang")
+        .agg(
+            F.sum(F.col("tf") * F.col("w")).alias("sw"),
+            F.sum("tf").alias("m"),
+        )
+    )
+    scored = (
+        dl.crossJoin(defs)
+        .join(mt, ["doc_id", "lang"], "left")
+        .select(
+            "doc_id",
+            "actual",
+            "lang",
+            (
+                F.col("priorw")
+                + F.coalesce("sw", F.lit(0))
+                + (F.col("len") - F.coalesce("m", F.lit(0))) * F.col("defw")
+            ).alias("score"),
+        )
+    )
+    rn = F.row_number().over(
+        Window.partitionBy("doc_id").orderBy(F.desc("score"), F.asc("lang"))
+    )
+    return (
+        scored.withColumn("rn", rn)
+        .filter(F.col("rn") == 1)
+        .select(
+            "doc_id",
+            F.col("actual").alias("lang"),
+            F.col("lang").alias("pred_lang"),
+            F.col("score").cast("long").alias("score_micro"),
+            (F.col("doc_id") % 2 != 0).alias("is_holdout"),
+        )
+    )

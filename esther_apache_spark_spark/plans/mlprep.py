@@ -1633,3 +1633,225 @@ def psi_value_drift_by_type(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.max("n2").cast("long").alias("n_late"),
         F.round(F.sum(term), 6).alias("psi"),
     )
+
+
+# ---------------------------------------------------------------------------
+# PCA top component by power iteration — iterative linear algebra as
+# relational frames, exactly replayed.
+# ---------------------------------------------------------------------------
+
+_PCA_Q = 10000.0       # per-dim quantization (same as embedding_dim_stats)
+_PCA_VS = 1000000.0    # eigenvector iterate norm, micro-units
+_PCA_ITERS = 32
+
+
+def _pca_oracle() -> str:
+    dim = 64
+    head = f"""
+    WITH qd AS (
+        SELECT e.vec_id, CAST(r.range AS INT) AS j,
+               CAST(FLOOR(CAST(e.embedding[CAST(r.range AS INT)] AS DOUBLE)
+                          * {_PCA_Q} + 0.5) AS HUGEINT) AS q
+        FROM embeddings e CROSS JOIN range(1, {dim + 1}) r
+    ),
+    pr AS (
+        SELECT CAST(r1.range AS INT) AS j, CAST(r2.range AS INT) AS k,
+               CAST(FLOOR(CAST(e.embedding[CAST(r1.range AS INT)] AS DOUBLE)
+                          * {_PCA_Q} + 0.5) AS HUGEINT)
+             * CAST(FLOOR(CAST(e.embedding[CAST(r2.range AS INT)] AS DOUBLE)
+                          * {_PCA_Q} + 0.5) AS HUGEINT) AS prod
+        FROM embeddings e
+        CROSS JOIN range(1, {dim + 1}) r1
+        CROSS JOIN range(1, {dim + 1}) r2
+    ),
+    pp AS (SELECT j, k, SUM(prod) AS p FROM pr GROUP BY 1, 2),
+    ss AS MATERIALIZED (SELECT j, SUM(q) AS s, COUNT(*) AS nv
+                        FROM qd GROUP BY 1),
+    cov AS MATERIALIZED (
+        SELECT pp.j, pp.k, sa.nv * pp.p - sa.s * sb.s AS c
+        FROM pp JOIN ss sa ON pp.j = sa.j JOIN ss sb ON pp.k = sb.j
+    ),
+    v0 AS (SELECT CAST(r.range AS INT) AS j,
+                  CAST({int(_PCA_VS)} AS HUGEINT) AS v
+           FROM range(1, {dim + 1}) r)"""
+    its = []
+    for i in range(1, _PCA_ITERS + 1):
+        # AS MATERIALIZED is load-bearing: w{i} is referenced twice
+        # (s{i} and v{i}); inlined CTEs would re-expand the whole prior
+        # chain per reference — 2^iters blowup.
+        its.append(f""",
+    w{i} AS MATERIALIZED (SELECT cov.j, SUM(cov.c * v{i-1}.v) AS w
+             FROM cov JOIN v{i-1} ON cov.k = v{i-1}.j GROUP BY 1),
+    s{i} AS MATERIALIZED (SELECT SQRT(SUM(CAST(w AS DOUBLE)
+                                          * CAST(w AS DOUBLE))) AS s
+             FROM w{i}),
+    v{i} AS MATERIALIZED (SELECT j,
+                  CAST(FLOOR(CAST(w AS DOUBLE) / s * {_PCA_VS} + 0.5)
+                       AS HUGEINT) AS v
+             FROM w{i}, s{i})""")
+    n = _PCA_ITERS
+    tail = f""",
+    wf AS MATERIALIZED (SELECT cov.j, SUM(cov.c * v{n}.v) AS w
+           FROM cov JOIN v{n} ON cov.k = v{n}.j GROUP BY 1),
+    ray AS (SELECT SUM(CAST(v{n}.v AS DOUBLE) * CAST(wf.w AS DOUBLE)) AS num,
+                   SUM(CAST(v{n}.v AS DOUBLE) * CAST(v{n}.v AS DOUBLE)) AS den
+            FROM v{n} JOIN wf ON v{n}.j = wf.j),
+    tr AS (SELECT CAST(SUM(c) AS DOUBLE) AS trace_scat FROM cov WHERE j = k),
+    nn AS (SELECT CAST(MAX(nv) AS BIGINT) AS n_vectors FROM ss)
+    SELECT n_vectors,
+           ROUND(num / den / (CAST(n_vectors AS DOUBLE) * n_vectors)
+                 / {_PCA_Q * _PCA_Q}, 6) AS lambda1_var,
+           ROUND(trace_scat / (CAST(n_vectors AS DOUBLE) * n_vectors)
+                 / {_PCA_Q * _PCA_Q}, 6) AS trace_var,
+           ROUND(num / den / trace_scat, 6) AS explained_var_ratio
+    FROM ray, tr, nn"""
+    return head + "".join(its) + tail
+
+
+@register("embedding_pca_power_iter", oracle=_pca_oracle())
+def embedding_pca_power_iter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top principal component of the embedding corpus by POWER
+    ITERATION — iterative linear algebra run as relational frames, the
+    missing summary between `embedding_dim_stats` (per-dim variance)
+    and `kmeans_lloyd_clusters` (cluster structure): lambda1_var is the
+    variance along the dominant direction and explained_var_ratio =
+    lambda1/trace says how one-dimensional the corpus is (the
+    anisotropy/collapse alarm for an embedding pipeline — a ratio near
+    1 means the encoder collapsed).
+
+    Exactness discipline (`operators/clustering.py`'s, extended to an
+    eigen-solver): vectors quantize once to 1e4-unit integers; the
+    64x64 SCATTER matrix C = n.Sigma(xx^T) - ss^T accumulates as exact
+    DECIMAL(38,0)/HUGEINT — the double posexplode emits (j, k, q_j.q_k)
+    triples that partial-aggregate map-side, so the single data pass
+    shuffles at most 4096 partial rows per partition and raw vectors
+    never cross the wire. Each of the 6 unrolled iterations is an
+    exact integer matvec w = C.v over the 4096-row model-constant
+    frame (checkpointed once — the iterations never rescan data),
+    renormalized to 1e6-unit integers through one IEEE sqrt+divide
+    (correctly rounded in both engines) and re-quantized by
+    floor(x+0.5), so Spark and the DuckDB CTE replay walk bit-identical
+    iterates. The readout is the Rayleigh quotient v^T C v / v^T v —
+    quadratically insensitive to the +-1-unit quantization wobble —
+    divided once into variance units. It is a LOWER BOUND on lambda_1
+    that converges as (lambda_2/lambda_1)^(2k); the synthetic corpus is
+    deliberately near-isotropic (gap ~0.99), so 32 iterations land
+    within a few percent — exactly the regime the collapse alarm cares
+    about (a collapsed encoder has a huge gap and converges in 2-3
+    rounds). For tighter estimates square the operator (C^2 halves the
+    needed rounds; watch the DECIMAL(38,0) headroom) or hand off to a
+    driver-side eigensolver on the collected 4096-entry scatter — a
+    model constant, same boundary as kmeans' centroid collect.
+
+    Scale: one Exchange of bounded scatter partials; 6 iterations of
+    4096-row joins; 1-row normalization scalars (allowlisted). The
+    HUGEINT/DECIMAL(38,0) headroom holds past 1e10 vectors at |x|<=3."""
+    dim, q, vs = 64, _PCA_Q, _PCA_VS
+    d38 = "decimal(38,0)"
+    emb = load_table(spark, sf_dir, "embeddings")
+    e1 = emb.select(
+        F.col("embedding").alias("a"),
+        F.posexplode("embedding").alias("j0", "xj"),
+    )
+    e2 = e1.select("j0", "xj", F.posexplode("a").alias("k0", "xk"))
+    qj = F.floor(F.col("xj").cast("double") * q + 0.5).cast(d38)
+    qk = F.floor(F.col("xk").cast("double") * q + 0.5).cast(d38)
+    pp = (
+        e2.select(
+            (F.col("j0") + 1).alias("j"),
+            (F.col("k0") + 1).alias("k"),
+            (qj * qk).alias("prod"),
+        )
+        .groupBy("j", "k")
+        .agg(F.sum("prod").alias("p"))
+    )
+    qcol = F.floor(F.col("xj").cast("double") * q + 0.5).cast(d38)
+    ss = (
+        e1.select((F.col("j0") + 1).alias("j"), qcol.alias("q"))
+        .groupBy("j")
+        .agg(F.sum("q").alias("s"), F.count(F.lit(1)).alias("nv"))
+    )
+    sa = ss.select(
+        F.col("j").alias("sj"), F.col("s").alias("s_a"), F.col("nv").alias("nv")
+    )
+    sb = ss.select(F.col("j").alias("sk"), F.col("s").alias("s_b"))
+    cov = (
+        pp.join(sa, pp.j == sa.sj)
+        .join(sb, pp.k == sb.sk)
+        .select(
+            "j",
+            "k",
+            (
+                F.col("nv").cast(d38) * F.col("p")
+                - F.col("s_a") * F.col("s_b")
+            ).alias("c"),
+            "nv",
+        )
+        # one data pass; iterations reuse the 4096-row model-constant
+        # frame. repartition(1) first: every downstream iterate stage is
+        # then a single task instead of 32 near-empty ones.
+        .repartition(1)
+        .localCheckpoint()
+    )
+    v = spark.range(1, dim + 1).select(
+        F.col("id").cast("int").alias("vj"), F.lit(int(vs)).cast(d38).alias("v")
+    )
+    for i in range(_PCA_ITERS):
+        w = (
+            cov.join(v, cov.k == v.vj)
+            .groupBy("j")
+            .agg(F.sum(F.col("c") * F.col("v")).alias("w"))
+        )
+        s = w.agg(
+            F.sqrt(
+                F.sum(F.col("w").cast("double") * F.col("w").cast("double"))
+            ).alias("s")
+        )
+        v = w.crossJoin(s).select(
+            F.col("j").alias("vj"),
+            F.floor(F.col("w").cast("double") / F.col("s") * vs + 0.5)
+            .cast(d38)
+            .alias("v"),
+        )
+        if (i + 1) % 4 == 0 and i + 1 < _PCA_ITERS:
+            # 64-row iterate: truncating the lineage every few rounds
+            # keeps analysis cost linear in iterations (the pagerank /
+            # connected-components discipline, plans/extensions.py:3203)
+            v = v.repartition(1).localCheckpoint()
+    wf = (
+        cov.join(v, cov.k == v.vj)
+        .groupBy("j")
+        .agg(F.sum(F.col("c") * F.col("v")).alias("w"))
+    )
+    ray = (
+        v.join(wf, v.vj == wf.j)
+        .agg(
+            F.sum(F.col("v").cast("double") * F.col("w").cast("double")).alias(
+                "num"
+            ),
+            F.sum(F.col("v").cast("double") * F.col("v").cast("double")).alias(
+                "den"
+            ),
+        )
+    )
+    tr = cov.filter(F.col("j") == F.col("k")).agg(
+        F.sum("c").cast("double").alias("trace_scat")
+    )
+    nn = ss.agg(F.max("nv").cast("long").alias("n_vectors"))
+    nvd = F.col("n_vectors").cast("double")
+    return (
+        ray.crossJoin(tr)
+        .crossJoin(nn)
+        .select(
+            "n_vectors",
+            F.round(
+                F.col("num") / F.col("den") / (nvd * nvd) / (q * q), 6
+            ).alias("lambda1_var"),
+            F.round(F.col("trace_scat") / (nvd * nvd) / (q * q), 6).alias(
+                "trace_var"
+            ),
+            F.round(F.col("num") / F.col("den") / F.col("trace_scat"), 6).alias(
+                "explained_var_ratio"
+            ),
+        )
+    )

@@ -2345,3 +2345,106 @@ def peak_concurrency_by_type(spark: SparkSession, sf_dir: str) -> DataFrame:
             "first_peak_us",
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Holt linear-trend smoothing — the sequential fold family, continued.
+# ---------------------------------------------------------------------------
+@register(
+    "holt_linear_daily_by_type",
+    oracle="""
+    WITH daily AS (
+        SELECT event_type, CAST(ts AS DATE) AS day,
+               CAST(CAST(SUM(CAST(value AS DECIMAL(12,2))) * 1000 AS BIGINT)
+                    AS BIGINT) AS y
+        FROM events GROUP BY 1, 2
+    ),
+    seq AS (
+        SELECT event_type, y,
+               row_number() OVER (PARTITION BY event_type
+                                  ORDER BY day) AS rn
+        FROM daily
+    ),
+    counts AS (SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n
+               FROM seq GROUP BY event_type),
+    rec AS (
+        WITH RECURSIVE walk(event_type, rn, l, b) AS (
+            SELECT s.event_type, CAST(1 AS BIGINT), s.y, CAST(0 AS BIGINT)
+            FROM seq s WHERE s.rn = 1
+            UNION ALL
+            SELECT s.event_type, w.rn + 1,
+                   CAST(FLOOR(CAST(s.y + w.l + w.b AS DOUBLE) / 2)
+                        AS BIGINT),
+                   CAST(FLOOR((CAST(FLOOR(CAST(s.y + w.l + w.b AS DOUBLE)
+                                          / 2) AS DOUBLE)
+                               - w.l + w.b) / 2) AS BIGINT)
+            FROM walk w JOIN seq s
+              ON s.event_type = w.event_type AND s.rn = w.rn + 1
+        )
+        SELECT * FROM walk
+    )
+    SELECT r.event_type, c.n AS n_days,
+           r.l AS level_milli, r.b AS trend_milli,
+           r.l + 7 * r.b AS forecast_7d_milli
+    FROM rec r JOIN counts c
+      ON r.event_type = c.event_type AND r.rn = c.n
+    """,
+)
+def holt_linear_daily_by_type(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Holt double exponential smoothing (level + linear trend) over
+    each event type's daily revenue, with a 7-day-ahead forecast — the
+    trend-aware upgrade to `ewma_user_value` and the model-based
+    counterpart of `forecast_baseline_mae`'s naive carry-forward. At
+    alpha = beta = 1/2 every update is level' = (y + level + trend)/2,
+    trend' = (level' - level + trend)/2 — a sequential, NON-associative
+    fold (same family as `capped_running_balance`): the halving after
+    every step means no prefix-sum decomposition exists, so the honest
+    distributed shape is one shuffle by event_type and a linear
+    per-group walk (`applyInPandas`), series in parallel.
+
+    Determinism: daily revenue lands as exact DECIMAL-domain
+    milli-cents BEFORE the fold; each halving is floor(a/2) computed
+    via one exact double division (|a| < 2^53 by construction), so the
+    pandas kernel, the Spark plan and the oracle's per-type recursive
+    CTE walk identical integer states — the declarative twin proves
+    the fold, not an approximation of it. Observed days only (gap
+    semantics documented; `gapfill_daily_user_value` is the gap-fill
+    front if calendar-regular series are needed)."""
+    import math
+
+    import pandas as pd
+
+    ev = load_table(spark, sf_dir, "events")
+    daily = (
+        ev.groupBy(
+            "event_type", F.col("ts").cast("date").alias("day")
+        ).agg(
+            (F.sum(dec2("value")) * 1000).cast("long").alias("y")
+        )
+    )
+
+    def walk(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values("day")
+        ys = pdf["y"].tolist()
+        lvl, trd = int(ys[0]), 0
+        for y in ys[1:]:
+            nl = math.floor((int(y) + lvl + trd) / 2)
+            trd = math.floor((nl - lvl + trd) / 2)
+            lvl = nl
+        return pd.DataFrame(
+            {
+                "event_type": [pdf["event_type"].iloc[0]],
+                "n_days": [len(ys)],
+                "level_milli": [lvl],
+                "trend_milli": [trd],
+                "forecast_7d_milli": [lvl + 7 * trd],
+            }
+        )
+
+    return daily.groupBy("event_type").applyInPandas(
+        walk,
+        schema=(
+            "event_type string, n_days long, level_milli long, "
+            "trend_milli long, forecast_7d_milli long"
+        ),
+    )

@@ -29,7 +29,8 @@ def test_oracles_reference_only_driver_views():
         # strip CTE names defined in the statement itself
         ctes = set(
             re.findall(
-                r"(?:WITH(?:\s+RECURSIVE)?|,|\))\s*([a-zA-Z_]\w*)\s*(?:\([^)]*\))?\s+AS\s*\(",
+                r"(?:WITH(?:\s+RECURSIVE)?|,|\))\s*([a-zA-Z_]\w*)\s*(?:\([^)]*\))?"
+                r"\s+AS\s*(?:MATERIALIZED\s*)?\(",
                 sql,
             )
         )
@@ -87,6 +88,12 @@ def test_catalog_plans_free_of_scale_antipatterns(spark, sf_dir):
         "mi_lang_source_docs",
         # 1-row basket-total scalar onto the bounded brand-pair frame
         "association_rules_brands",
+        # 1-row normalization scalars / Rayleigh x trace x n combine over
+        # the checkpointed 4096-row scatter frame (model constant)
+        "embedding_pca_power_iter",
+        # 1-row vocab/doc-total scalars onto the vocab-bounded weight
+        # table + the bounded per-lang default/prior model frame
+        "naive_bayes_langid_docs",
         # ground-truth side is brute_force_topk's by-contract 5-row
         # broadcast query matrix (same fence as the bruteforce entry)
         "ann_recall_audit",

@@ -87,3 +87,24 @@ def test_cms_join_estimate_is_sound_overestimate(spark, sf_dir):
     assert row["join_est"] >= row["join_exact"], row
     # and the 4x1024 sketch keeps the overshoot moderate at test scale
     assert row["join_est"] <= 3 * row["join_exact"], row
+
+
+def test_pca_power_iter_matches_numpy_top_eig(spark, sf_dir):
+    import numpy as np
+    import pyarrow.parquet as pq
+
+    row = QUERIES["embedding_pca_power_iter"].fn(spark, sf_dir).collect()[0]
+    emb = pq.read_table(f"{sf_dir}/embeddings.parquet").to_pandas()
+    x = np.floor(np.stack(emb["embedding"].to_numpy()).astype("float64")
+                 * 10000.0 + 0.5)
+    n = x.shape[0]
+    scat = n * (x.T @ x) - np.outer(x.sum(0), x.sum(0))
+    eig = np.linalg.eigvalsh(scat / (n * n * 1e8))
+    lam_true, trace_true = eig[-1], eig.sum()
+    assert row["n_vectors"] == n
+    # Rayleigh quotient of any iterate never exceeds lambda_1
+    assert row["lambda1_var"] <= lam_true * (1 + 1e-9)
+    # 32 rounds against the corpus's deliberately tiny eigen-gap (~0.99):
+    # the Rayleigh lower bound lands within a few percent
+    assert row["lambda1_var"] >= lam_true * 0.95, (row, lam_true)
+    assert abs(row["trace_var"] - trace_true) <= 1e-4 * trace_true
