@@ -2877,3 +2877,96 @@ def naive_bayes_langid_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.col("doc_id") % 2 != 0).alias("is_holdout"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Jensen–Shannon divergence between corpus halves — the symmetric,
+# bounded drift measure for token distributions.
+# ---------------------------------------------------------------------------
+@register(
+    "js_divergence_corpus_halves",
+    oracle="""
+    WITH tok AS (
+        SELECT doc_id % 2 = 0 AS in_a, t AS term FROM (
+            SELECT doc_id, unnest(string_split(lower(text), ' ')) AS t
+            FROM documents
+        ) WHERE t <> ''
+    ),
+    cnt AS (
+        SELECT term,
+               CAST(SUM(CASE WHEN in_a THEN 1 ELSE 0 END) AS BIGINT) AS ca,
+               CAST(SUM(CASE WHEN in_a THEN 0 ELSE 1 END) AS BIGINT) AS cb
+        FROM tok GROUP BY 1
+    ),
+    nn AS (
+        SELECT CAST(SUM(ca) AS BIGINT) AS na, CAST(SUM(cb) AS BIGINT) AS nb
+        FROM cnt
+    ),
+    tot AS (SELECT term, ca, cb, na, nb FROM cnt, nn),
+    terms AS (
+        SELECT term, ca, cb,
+               CASE WHEN ca > 0 THEN ROUND(
+                   0.5 * (CAST(ca AS DOUBLE) / na)
+                   * LN((CAST(ca AS DOUBLE) / na)
+                        / (0.5 * (CAST(ca AS DOUBLE) / na)
+                           + 0.5 * (CAST(cb AS DOUBLE) / nb))), 9)
+                    ELSE 0.0 END
+             + CASE WHEN cb > 0 THEN ROUND(
+                   0.5 * (CAST(cb AS DOUBLE) / nb)
+                   * LN((CAST(cb AS DOUBLE) / nb)
+                        / (0.5 * (CAST(ca AS DOUBLE) / na)
+                           + 0.5 * (CAST(cb AS DOUBLE) / nb))), 9)
+                    ELSE 0.0 END AS j
+        FROM tot
+    )
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_terms,
+           ROUND(SUM(j), 6) AS jsd_nats,
+           ROUND(SUM(j) / LN(2.0), 6) AS jsd_bits
+    FROM terms
+    """,
+)
+def js_divergence_corpus_halves(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Jensen–Shannon divergence between the token distributions of the
+    even- and odd-doc_id corpus halves — the symmetric, always-finite
+    (≤ ln 2) drift measure for comparing corpus VERSIONS or shards
+    (`corpus_diff_versions` counts what changed; JSD weighs how much
+    the language itself moved — the standard dataset-shift readout
+    between crawl snapshots). The A/B split here is the deterministic
+    stand-in for "yesterday's corpus vs today's".
+
+    Determinism: exact integer (term, count_a, count_b) frame from one
+    hash aggregate; totals via window sums over that vocab frame; each
+    half's p·ln(p/m) contribution (mixture m = (p+q)/2) rounded once at
+    9 dp — zero-count sides contribute exactly 0 by the KL convention,
+    with no smoothing needed since m > 0 wherever either side is
+    present. Scale: one map-combinable aggregate over tokens; text
+    never shuffles; the vocab frame is the only shuffled relation, and
+    the grand totals ride a 1-row scalar broadcast (allowlisted) rather
+    than an empty-partition window — the vocab frame is data-sized, so
+    funneling it through one partition would be the bottleneck."""
+    docs = load_table(spark, sf_dir, "documents")
+    tok = (
+        docs.select(
+            (F.col("doc_id") % 2 == 0).alias("in_a"),
+            F.explode(F.split(F.lower("text"), " ")).alias("term"),
+        ).filter(F.col("term") != "")
+    )
+    cnt = tok.groupBy("term").agg(
+        F.sum(F.when(F.col("in_a"), 1).otherwise(0)).alias("ca"),
+        F.sum(F.when(F.col("in_a"), 0).otherwise(1)).alias("cb"),
+    )
+    nn = cnt.agg(F.sum("ca").alias("na"), F.sum("cb").alias("nb"))
+    tot = cnt.crossJoin(nn)
+    pa = F.col("ca").cast("double") / F.col("na")
+    pb = F.col("cb").cast("double") / F.col("nb")
+    m = 0.5 * pa + 0.5 * pb
+    j = F.when(
+        F.col("ca") > 0, F.round(0.5 * pa * F.log(pa / m), 9)
+    ).otherwise(F.lit(0.0)) + F.when(
+        F.col("cb") > 0, F.round(0.5 * pb * F.log(pb / m), 9)
+    ).otherwise(F.lit(0.0))
+    return tot.select(j.alias("j")).agg(
+        F.count(F.lit(1)).cast("long").alias("n_terms"),
+        F.round(F.sum("j"), 6).alias("jsd_nats"),
+        F.round(F.sum("j") / F.log(F.lit(2.0)), 6).alias("jsd_bits"),
+    )

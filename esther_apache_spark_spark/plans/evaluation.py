@@ -812,3 +812,138 @@ def chisq_event_type_dow(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("dof"),
         F.max("n").cast("long").alias("n"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Cramér's V association matrix — chi-square, normalized and swept
+# across the schema's categorical pairs.
+# ---------------------------------------------------------------------------
+
+def _cramers_pair_sql(label: str, table: str, xe: str, ye: str) -> str:
+    return f"""
+    SELECT '{label}' AS pair, chi2, dof, n,
+           ROUND(SQRT(chi2 / (CAST(n AS DOUBLE) * (LEAST(nr, nc) - 1))), 6)
+               AS cramers_v
+    FROM (
+        SELECT CAST(ROUND(SUM(ROUND(
+                   CAST(o * n - r * c AS DOUBLE)
+                   * CAST(o * n - r * c AS DOUBLE)
+                   / (CAST(n AS DOUBLE) * r * c), 9)), 6) AS DOUBLE) AS chi2,
+               CAST((COUNT(DISTINCT x) - 1)
+                    * (COUNT(DISTINCT y) - 1) AS BIGINT) AS dof,
+               CAST(MAX(n) AS BIGINT) AS n,
+               COUNT(DISTINCT x) AS nr, COUNT(DISTINCT y) AS nc
+        FROM (
+            SELECT x, y, o,
+                   SUM(o) OVER (PARTITION BY x) AS r,
+                   SUM(o) OVER (PARTITION BY y) AS c,
+                   SUM(o) OVER () AS n
+            FROM (SELECT {xe} AS x, {ye} AS y, COUNT(*) AS o
+                  FROM {table} GROUP BY 1, 2) cells
+        ) t
+    ) s"""
+
+
+@register(
+    "cramers_v_matrix",
+    oracle=" UNION ALL ".join(
+        [
+            _cramers_pair_sql(
+                "event_type_x_dow",
+                "events",
+                "event_type",
+                "CAST(isodow(CAST(ts AS DATE)) AS VARCHAR)",
+            ),
+            _cramers_pair_sql("lang_x_source", "documents", "lang", "source"),
+            _cramers_pair_sql(
+                "segment_x_nation",
+                "customer",
+                "c_mktsegment",
+                "CAST(c_nationkey AS VARCHAR)",
+            ),
+        ]
+    ),
+)
+def cramers_v_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cramér's V association sweep across the schema's categorical
+    pairs — `chisq_event_type_dow` generalized into the profiler view
+    (pandas-profiling's "associations" panel, distributed): chi-square
+    alone grows with n, V = sqrt(chi2 / (n·(min(r,c)−1))) normalizes it
+    to [0,1] so pairs of different sizes and cardinalities compare on
+    one scale — the readout that decides which dimensions need joint
+    (not independent) stratification in sampling and split design.
+
+    Same exactness discipline as the parent query: integer-numerator
+    (O·n − R·C)²/(n·R·C) per cell with one 9-dp round, marginals via
+    windows over the bounded contingency frames (≤ |x|·|y| cells each),
+    and V's sqrt applied to the identically-rounded chi2 in both
+    engines. Each pair costs one map-combinable hash aggregate over its
+    table; the union of three 1-row results is free."""
+    ev = load_table(spark, sf_dir, "events")
+    docs = load_table(spark, sf_dir, "documents")
+    cust = load_table(spark, sf_dir, "customer")
+
+    def pair(label: str, df: DataFrame, xc, yc) -> DataFrame:
+        cells = (
+            df.select(xc.cast("string").alias("x"), yc.cast("string").alias("y"))
+            .groupBy("x", "y")
+            .agg(F.count(F.lit(1)).alias("o"))
+        )
+        t = cells.select(
+            "x",
+            "y",
+            "o",
+            F.sum("o").over(Window.partitionBy("x")).alias("r"),
+            F.sum("o").over(Window.partitionBy("y")).alias("c"),
+            F.sum("o").over(Window.partitionBy()).alias("n"),
+        )
+        dev = (F.col("o") * F.col("n") - F.col("r") * F.col("c")).cast(
+            "double"
+        )
+        term = F.round(
+            dev * dev / (F.col("n").cast("double") * F.col("r") * F.col("c")),
+            9,
+        )
+        agg = t.agg(
+            F.round(F.sum(term), 6).alias("chi2"),
+            (
+                (F.countDistinct("x") - 1) * (F.countDistinct("y") - 1)
+            ).cast("long").alias("dof"),
+            F.max("n").cast("long").alias("n"),
+            F.countDistinct("x").alias("nr"),
+            F.countDistinct("y").alias("nc"),
+        )
+        return agg.select(
+            F.lit(label).alias("pair"),
+            "chi2",
+            "dof",
+            "n",
+            F.round(
+                F.sqrt(
+                    F.col("chi2")
+                    / (
+                        F.col("n").cast("double")
+                        * (F.least("nr", "nc") - 1)
+                    )
+                ),
+                6,
+            ).alias("cramers_v"),
+        )
+
+    return (
+        pair(
+            "event_type_x_dow",
+            ev,
+            F.col("event_type"),
+            (F.expr("weekday(ts)") + F.lit(1)).cast("int"),
+        )
+        .unionAll(pair("lang_x_source", docs, F.col("lang"), F.col("source")))
+        .unionAll(
+            pair(
+                "segment_x_nation",
+                cust,
+                F.col("c_mktsegment"),
+                F.col("c_nationkey"),
+            )
+        )
+    )

@@ -1535,9 +1535,7 @@ def ks_value_drift_by_type(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register(
-    "psi_value_drift_by_type",
-    oracle=f"""
+_PSI_ORACLE = f"""
     WITH base AS (
         SELECT event_type,
                LEAST(CAST(FLOOR(value / 50.0) AS INT), 9) AS bin,
@@ -1572,37 +1570,15 @@ def ks_value_drift_by_type(spark: SparkSession, sf_dir: str) -> DataFrame:
                * LN((CAST(c1 + 1 AS DOUBLE) / (n1 + 10))
                     / (CAST(c2 + 1 AS DOUBLE) / (n2 + 10))), 9)), 6) AS psi
     FROM filled GROUP BY event_type
-    """,
-)
-def psi_value_drift_by_type(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Population Stability Index per event type over the same
-    early/late split as `ks_value_drift_by_type` — the risk-scorecard
-    drift metric (PSI < 0.1 stable, > 0.25 action): Σ (p_b − q_b)·
-    ln(p_b/q_b) over 10 FIXED value bins (50-wide, top-capped), with
-    add-one smoothing so empty bins contribute finitely, and the bin
-    grid generated explicitly so a bin absent on BOTH sides still
-    enters the smoothed sum in both engines identically.
+    """
 
-    Determinism: exact integer bin counts; each term's single ln is
-    rounded to 9 dp (the repo's transcendental discipline); bin edges
-    are fixed literals, not data-derived quantiles, so no circular
-    dependence on a sampled statistic. Scale shape: one map-side-
-    combinable hash aggregate to the |types|×10 frame; the grid
-    fill, window totals and term sum all run on that model-constant
-    frame."""
-    ev = load_table(spark, sf_dir, "events")
-    base = ev.select(
-        "event_type",
-        F.least(F.floor(F.col("value") / 50.0).cast("int"), F.lit(9)).alias(
-            "bin"
-        ),
-        F.when(
-            F.col("ts") < F.lit(_DRIFT_SPLIT).cast("timestamp"), 1
-        ).otherwise(0).alias("e"),
-    )
-    cnt = base.groupBy("event_type", "bin").agg(
-        F.sum("e").alias("c1"), F.sum(F.lit(1) - F.col("e")).alias("c2")
-    )
+
+def psi_from_bin_counts(cnt: DataFrame) -> DataFrame:
+    """(event_type, bin, c1, c2) exact bin counts → per-type PSI: grid
+    fill over the fixed 10-bin domain, add-one smoothing, per-term
+    9-dp ln round. Shared by the batch query and its streaming twin —
+    the counts frame is the ONLY thing the two paths compute
+    differently."""
     grid = (
         cnt.select("event_type")
         .distinct()
@@ -1633,6 +1609,44 @@ def psi_value_drift_by_type(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.max("n2").cast("long").alias("n_late"),
         F.round(F.sum(term), 6).alias("psi"),
     )
+
+
+def psi_bin_expr():
+    """The fixed 10-bin (50-wide, top-capped) value binning and the
+    early/late split flag — shared with the streaming twin."""
+    return (
+        F.least(F.floor(F.col("value") / 50.0).cast("int"), F.lit(9)).alias(
+            "bin"
+        ),
+        F.when(
+            F.col("ts") < F.lit(_DRIFT_SPLIT).cast("timestamp"), 1
+        ).otherwise(0).alias("e"),
+    )
+
+
+@register("psi_value_drift_by_type", oracle=_PSI_ORACLE)
+def psi_value_drift_by_type(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Population Stability Index per event type over the same
+    early/late split as `ks_value_drift_by_type` — the risk-scorecard
+    drift metric (PSI < 0.1 stable, > 0.25 action): Σ (p_b − q_b)·
+    ln(p_b/q_b) over 10 FIXED value bins (50-wide, top-capped), with
+    add-one smoothing so empty bins contribute finitely, and the bin
+    grid generated explicitly so a bin absent on BOTH sides still
+    enters the smoothed sum in both engines identically.
+
+    Determinism: exact integer bin counts; each term's single ln is
+    rounded to 9 dp (the repo's transcendental discipline); bin edges
+    are fixed literals, not data-derived quantiles, so no circular
+    dependence on a sampled statistic. Scale shape: one map-side-
+    combinable hash aggregate to the |types|×10 frame; the grid
+    fill, window totals and term sum all run on that model-constant
+    frame."""
+    ev = load_table(spark, sf_dir, "events")
+    base = ev.select("event_type", *psi_bin_expr())
+    cnt = base.groupBy("event_type", "bin").agg(
+        F.sum("e").alias("c1"), F.sum(F.lit(1) - F.col("e")).alias("c2")
+    )
+    return psi_from_bin_counts(cnt)
 
 
 # ---------------------------------------------------------------------------
@@ -1855,3 +1869,165 @@ def embedding_pca_power_iter(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Split-conformal prediction interval — distribution-free coverage,
+# exact-integer residual ranks.
+# ---------------------------------------------------------------------------
+@register(
+    "conformal_interval_value_by_type",
+    oracle="""
+    WITH base AS (
+        SELECT event_type, event_id,
+               CAST(CAST(value AS DECIMAL(12,2)) * 100 AS BIGINT) AS cents,
+               event_id % 2 = 0 AS is_cal
+        FROM events
+    ),
+    cal AS (
+        SELECT event_type,
+               CAST(SUM(cents) AS BIGINT) AS s,
+               CAST(COUNT(*) AS BIGINT) AS n_cal
+        FROM base WHERE is_cal GROUP BY 1
+    ),
+    resid AS (
+        SELECT b.event_type,
+               ABS(CAST(b.cents AS HUGEINT) * c.n_cal - c.s) AS r,
+               b.event_id
+        FROM base b JOIN cal c ON b.event_type = c.event_type
+        WHERE b.is_cal
+    ),
+    ranked AS (
+        SELECT event_type, r,
+               ROW_NUMBER() OVER (PARTITION BY event_type
+                                  ORDER BY r, event_id) AS rn
+        FROM resid
+    ),
+    qhat AS (
+        SELECT rk.event_type, rk.r AS q_scaled, c.n_cal, c.s
+        FROM ranked rk JOIN cal c ON rk.event_type = c.event_type
+        WHERE rk.rn = CAST(CEIL((c.n_cal + 1) * 0.9) AS BIGINT)
+    ),
+    test AS (
+        SELECT b.event_type,
+               CAST(COUNT(*) AS BIGINT) AS n_test,
+               CAST(SUM(CASE WHEN ABS(CAST(b.cents AS HUGEINT) * q.n_cal
+                                      - q.s) <= q.q_scaled
+                             THEN 1 ELSE 0 END) AS BIGINT) AS covered
+        FROM base b JOIN qhat q ON b.event_type = q.event_type
+        WHERE NOT b.is_cal
+        GROUP BY 1
+    )
+    SELECT q.event_type, q.n_cal, t.n_test,
+           ROUND(CAST(q.q_scaled AS DOUBLE) / q.n_cal / 100.0, 4)
+               AS qhat_value,
+           ROUND(CAST(t.covered AS DOUBLE) / t.n_test, 6) AS coverage
+    FROM qhat q JOIN test t ON q.event_type = t.event_type
+    """,
+)
+def conformal_interval_value_by_type(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Split-conformal prediction interval per event type — the
+    distribution-free uncertainty wrapper every deployed predictor
+    should ship with: calibrate on the even-event_id half (point
+    predictor = per-type calibration mean), take the ceil((n+1)·0.9)-th
+    smallest absolute residual as the interval half-width q-hat, then
+    AUDIT the guaranteed >=90% marginal coverage on the held-out odd
+    half. The conformal guarantee is finite-sample and assumption-free
+    (Vovk; Angelopoulos & Bates 2021) — exactly what a 100 TB feature
+    store can promise without distributional modeling.
+
+    Exactness: the residual |y - mean| is kept as the cross-multiplied
+    integer |y·n_cal − Σy_cal| (the `ks_value_drift_by_type` trick), so
+    the rank statistic, the quantile pick (row_number with an event_id
+    tiebreak) and the coverage comparison are all exact integer
+    arithmetic — floats appear only in the two final readout divisions.
+
+    Scale: one Exchange by event_type for the residual rank (same
+    coarse-key caveat as the other per-type sequential ops), the
+    calibration aggregate is map-combinable, and the q-hat frame is one
+    row per type joined back broadcast-style."""
+    ev = load_table(spark, sf_dir, "events")
+    base = ev.select(
+        "event_type",
+        "event_id",
+        (dec2("value") * 100).cast("long").alias("cents"),
+        (F.col("event_id") % 2 == 0).alias("is_cal"),
+    )
+    cal = (
+        base.filter("is_cal")
+        .groupBy("event_type")
+        .agg(F.sum("cents").alias("s"), F.count(F.lit(1)).alias("n_cal"))
+    )
+    d38 = "decimal(38,0)"
+    resid = (
+        base.filter("is_cal")
+        .join(cal, "event_type")
+        .select(
+            "event_type",
+            "event_id",
+            F.abs(
+                F.col("cents").cast(d38) * F.col("n_cal") - F.col("s")
+            ).alias("r"),
+        )
+    )
+    rn = F.row_number().over(
+        Window.partitionBy("event_type").orderBy("r", "event_id")
+    )
+    qhat = (
+        resid.withColumn("rn", rn)
+        .join(cal, "event_type")
+        .filter(
+            F.col("rn")
+            == F.ceil((F.col("n_cal") + 1) * 0.9).cast("long")
+        )
+        .select("event_type", F.col("r").alias("q_scaled"), "n_cal", "s")
+    )
+    test = (
+        base.filter(~F.col("is_cal"))
+        .join(qhat, "event_type")
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_test"),
+            F.sum(
+                F.when(
+                    F.abs(
+                        F.col("cents").cast(d38) * F.col("n_cal")
+                        - F.col("s")
+                    )
+                    <= F.col("q_scaled"),
+                    1,
+                ).otherwise(0)
+            ).alias("covered"),
+        )
+    )
+    return qhat.join(test, "event_type").select(
+        "event_type",
+        "n_cal",
+        "n_test",
+        F.round(
+            F.col("q_scaled").cast("double") / F.col("n_cal") / 100.0, 4
+        ).alias("qhat_value"),
+        F.round(F.col("covered").cast("double") / F.col("n_test"), 6).alias(
+            "coverage"
+        ),
+    )
+
+
+@register("streaming_psi_drift", oracle=_PSI_ORACLE)
+def streaming_psi_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """`psi_value_drift_by_type` with its count state maintained by
+    Structured Streaming: the events file-stream feeds the binned
+    integer histogram (complete-mode agg — the state is one row per
+    (type, bin), bounded by the model constant), and the PSI readout
+    runs on the final counts. Matching the batch oracle bit-for-bit
+    proves the monitor can run continuously with no semantic drift
+    from its batch definition."""
+    from esther_apache_spark_spark.streaming.events import (
+        run_streaming_psi_bin_counts,
+    )
+
+    # localCheckpoint: the counts frame is <= |types|x10 rows, and the
+    # fresh lineage sidesteps the memory-sink self-reference conflict
+    # in the grid-fill left join
+    cnt = run_streaming_psi_bin_counts(spark, sf_dir).localCheckpoint()
+    return psi_from_bin_counts(cnt)

@@ -1169,3 +1169,41 @@ def run_streaming_late_data_audit(
         return spark.table(name).filter(F.col("event_type") != "flush")
     finally:
         shutil.rmtree(tmp, ignore_errors=True)
+
+
+def run_streaming_psi_bin_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream the events source through the PSI drift monitor's binned
+    count aggregation (fixed 10-bin value histogram × early/late flag,
+    exact integer counts), driven to completion via the memory sink in
+    complete mode. Returns the final (event_type, bin, c1, c2) counts
+    frame — the streaming half of `streaming_psi_drift`; the PSI math
+    itself runs batch-side on this bounded model-constant frame.
+
+    This is the standard production split for drift monitoring: the
+    streaming job maintains only mergeable integer bin counts (tiny
+    state, one row per (type, bin)), and the alarm computation reads
+    the state table — restarts and late data change nothing because
+    counts are associative."""
+    from esther_apache_spark_spark.plans.mlprep import psi_bin_expr
+
+    name = f"stream_psi_{uuid.uuid4().hex[:8]}"
+    src = streaming_events_source(spark, sf_dir)
+    cnt = (
+        src.select("event_type", *psi_bin_expr())
+        .groupBy("event_type", "bin")
+        .agg(
+            F.sum("e").alias("c1"),
+            F.sum(F.lit(1) - F.col("e")).alias("c2"),
+        )
+    )
+    q = (
+        cnt.writeStream.outputMode("complete")
+        .format("memory")
+        .queryName(name)
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    return spark.table(name)

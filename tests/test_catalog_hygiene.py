@@ -94,6 +94,9 @@ def test_catalog_plans_free_of_scale_antipatterns(spark, sf_dir):
         # 1-row vocab/doc-total scalars onto the vocab-bounded weight
         # table + the bounded per-lang default/prior model frame
         "naive_bayes_langid_docs",
+        # 1-row grand-total scalar onto the vocab frame (instead of an
+        # empty-partition window, which would single-thread the vocab)
+        "js_divergence_corpus_halves",
         # ground-truth side is brute_force_topk's by-contract 5-row
         # broadcast query matrix (same fence as the bruteforce entry)
         "ann_recall_audit",

@@ -108,3 +108,13 @@ def test_pca_power_iter_matches_numpy_top_eig(spark, sf_dir):
     # the Rayleigh lower bound lands within a few percent
     assert row["lambda1_var"] >= lam_true * 0.95, (row, lam_true)
     assert abs(row["trace_var"] - trace_true) <= 1e-4 * trace_true
+
+
+def test_conformal_coverage_near_nominal(spark, sf_dir):
+    rows = QUERIES["conformal_interval_value_by_type"].fn(spark, sf_dir).collect()
+    assert len(rows) >= 1
+    for r in rows:
+        # finite-sample conformal guarantee: >=90% in expectation;
+        # allow binomial noise on the per-type holdout
+        assert r["coverage"] >= 0.82, rows
+        assert r["qhat_value"] > 0
