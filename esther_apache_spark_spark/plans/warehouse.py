@@ -2448,3 +2448,185 @@ def holt_linear_daily_by_type(spark: SparkSession, sf_dir: str) -> DataFrame:
             "trend_milli long, forecast_7d_milli long"
         ),
     )
+
+
+# ---------------------------------------------------------------------------
+# One-way ANOVA F — exact integer sums of squares, one final division.
+# ---------------------------------------------------------------------------
+@register(
+    "anova_f_value_by_type",
+    oracle="""
+    WITH base AS (
+        SELECT event_type,
+               CAST(CAST(value AS DECIMAL(12,2)) * 100 AS BIGINT) AS cents
+        FROM events
+    ),
+    g AS (
+        SELECT event_type,
+               CAST(COUNT(*) AS BIGINT) AS n_g,
+               CAST(SUM(cents) AS HUGEINT) AS s_g,
+               CAST(SUM(CAST(cents AS HUGEINT) * cents) AS HUGEINT) AS ss_g
+        FROM base GROUP BY 1
+    ),
+    tot AS (
+        SELECT CAST(COUNT(*) AS BIGINT) AS k,
+               CAST(SUM(n_g) AS BIGINT) AS n,
+               CAST(SUM(s_g) AS HUGEINT) AS s,
+               CAST(SUM(ss_g) AS HUGEINT) AS ss,
+               SUM(CAST(ROUND(CAST(s_g AS DOUBLE) * CAST(s_g AS DOUBLE)
+                              / n_g, 9) AS DOUBLE)) AS sum_sq_over_n
+        FROM g
+    )
+    SELECT CAST(k AS BIGINT) AS k_groups, n AS n_rows,
+           ROUND((sum_sq_over_n - CAST(s AS DOUBLE) * CAST(s AS DOUBLE) / n)
+                 / 10000.0, 4) AS ss_between,
+           ROUND((CAST(ss AS DOUBLE) - sum_sq_over_n) / 10000.0, 4)
+               AS ss_within,
+           ROUND(((sum_sq_over_n - CAST(s AS DOUBLE) * CAST(s AS DOUBLE) / n)
+                  / (k - 1))
+                 / ((CAST(ss AS DOUBLE) - sum_sq_over_n) / (n - k)), 6)
+               AS f_stat
+    FROM tot
+    """,
+)
+def anova_f_value_by_type(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One-way ANOVA F statistic for `value` across event types — the
+    "does this categorical matter for this metric at all" gate that
+    precedes any per-type modeling (the numeric counterpart of
+    `chisq_event_type_dow`'s categorical×categorical test). F =
+    (SS_between/(k−1)) / (SS_within/(n−k)) with the sums of squares
+    assembled from per-group exact integers: n_g, Σy (HUGEINT/DECIMAL),
+    Σy² — the textbook one-pass decomposition SS_within = Σy² − Σ_g
+    (Σ_g y)²/n_g, so no second centered pass over the data. Each
+    group's (Σy)²/n_g — the single non-integer step — is rounded once
+    at 9 dp before the k-row sum (the transcendental doctrine applied
+    to a division); everything else is one final double expression on
+    identical inputs.
+
+    Scale: ONE map-combinable hash aggregate to k rows; the F assembly
+    runs on that bounded frame. Squared-cents sums hold exact to ~1e9
+    rows per group at 1e4-cent values in the 38-digit domain."""
+    ev = load_table(spark, sf_dir, "events")
+    d38 = "decimal(38,0)"
+    base = ev.select(
+        "event_type", (dec2("value") * 100).cast("long").alias("cents")
+    )
+    g = base.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n_g"),
+        F.sum(F.col("cents").cast(d38)).alias("s_g"),
+        F.sum(F.col("cents").cast(d38) * F.col("cents")).alias("ss_g"),
+    )
+    sq_over_n = F.round(
+        F.col("s_g").cast("double") * F.col("s_g").cast("double")
+        / F.col("n_g"),
+        9,
+    )
+    tot = g.agg(
+        F.count(F.lit(1)).alias("k"),
+        F.sum("n_g").alias("n"),
+        F.sum("s_g").alias("s"),
+        F.sum("ss_g").alias("ss"),
+        F.sum(sq_over_n).alias("sum_sq_over_n"),
+    )
+    sd, ssd = F.col("s").cast("double"), F.col("ss").cast("double")
+    ssb = F.col("sum_sq_over_n") - sd * sd / F.col("n")
+    ssw = ssd - F.col("sum_sq_over_n")
+    return tot.select(
+        F.col("k").cast("long").alias("k_groups"),
+        F.col("n").cast("long").alias("n_rows"),
+        F.round(ssb / 10000.0, 4).alias("ss_between"),
+        F.round(ssw / 10000.0, 4).alias("ss_within"),
+        F.round(
+            (ssb / (F.col("k") - 1)) / (ssw / (F.col("n") - F.col("k"))), 6
+        ).alias("f_stat"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Gini concentration coefficient — revenue inequality per nation.
+# ---------------------------------------------------------------------------
+@register(
+    "gini_revenue_by_nation",
+    oracle="""
+    WITH rev AS (
+        SELECT c.c_nationkey AS nationkey,
+               o.o_custkey AS custkey,
+               CAST(CAST(SUM(CAST(o.o_totalprice AS DECIMAL(14,2))) * 100
+                    AS BIGINT) AS BIGINT) AS cents
+        FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+        GROUP BY 1, 2
+    ),
+    ranked AS (
+        SELECT nationkey, cents,
+               ROW_NUMBER() OVER (PARTITION BY nationkey
+                                  ORDER BY cents, custkey) AS i
+        FROM rev
+    ),
+    agg AS (
+        SELECT nationkey,
+               CAST(COUNT(*) AS BIGINT) AS n,
+               CAST(SUM(cents) AS HUGEINT) AS s,
+               CAST(SUM(CAST(i AS HUGEINT) * cents) AS HUGEINT) AS si
+        FROM ranked GROUP BY 1
+    )
+    SELECT nationkey, n AS n_customers,
+           ROUND((2.0 * CAST(si AS DOUBLE) / (CAST(n AS DOUBLE) * CAST(s AS DOUBLE)))
+                 - (CAST(n AS DOUBLE) + 1) / n, 6) AS gini
+    FROM agg
+    WHERE s > 0
+    """,
+)
+def gini_revenue_by_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gini coefficient of customer-revenue concentration per nation —
+    the inequality summary behind `pareto_revenue_customers`' 80/20
+    readout, as a single [0,1] number a dashboard can track per market:
+    G = 2·Σ(i·yᵢ)/(n·Σy) − (n+1)/n over the per-nation revenue ranks.
+    Exactness: per-customer revenue in integer cents, ranks from a
+    deterministically tie-broken row_number (cents, custkey), and both
+    Σ(i·y) and Σy as exact HUGEINT/DECIMAL sums — the formula's two
+    divisions happen once, on identical exact inputs.
+
+    Scale: the rank is the one ordered pass, partitioned by nation
+    (plenty of key parallelism); the customer-revenue pre-aggregate
+    collapses orders before anything sorts. Zero-revenue nations are
+    excluded (G undefined), identically in both engines."""
+    orders = load_table(spark, sf_dir, "orders")
+    cust = load_table(spark, sf_dir, "customer")
+    d38 = "decimal(38,0)"
+    rev = (
+        orders.join(cust, orders.o_custkey == cust.c_custkey)
+        .groupBy(
+            F.col("c_nationkey").alias("nationkey"),
+            F.col("o_custkey").alias("custkey"),
+        )
+        .agg(
+            (F.sum(dec2("o_totalprice", "decimal(14,2)")) * 100)
+            .cast("long")
+            .alias("cents")
+        )
+    )
+    ranked = rev.select(
+        "nationkey",
+        "cents",
+        F.row_number()
+        .over(Window.partitionBy("nationkey").orderBy("cents", "custkey"))
+        .alias("i"),
+    )
+    agg = ranked.groupBy("nationkey").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.col("cents").cast(d38)).alias("s"),
+        F.sum(F.col("i").cast(d38) * F.col("cents")).alias("si"),
+    )
+    nd = F.col("n").cast("double")
+    return (
+        agg.filter(F.col("s") > 0)
+        .select(
+            "nationkey",
+            F.col("n").alias("n_customers"),
+            F.round(
+                2.0 * F.col("si").cast("double") / (nd * F.col("s").cast("double"))
+                - (nd + 1) / F.col("n"),
+                6,
+            ).alias("gini"),
+        )
+    )
