@@ -2138,3 +2138,312 @@ def cuped_variance_reduction(spark: SparkSession, sf_dir: str) -> DataFrame:
             100.0 * cov_num * cov_num / (varx_num * vary_num), 4
         ).alias("var_reduction_pct"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Rank statistics: Mann–Whitney U drift test and Spearman correlation,
+# both on exact doubled midranks.
+# ---------------------------------------------------------------------------
+@register(
+    "mann_whitney_value_drift",
+    oracle=f"""
+    WITH base AS (
+        SELECT event_type,
+               CAST(CAST(value AS DECIMAL(12,2)) * 100 AS BIGINT) AS cents,
+               CASE WHEN ts < TIMESTAMP '{_DRIFT_SPLIT}'
+                    THEN 1 ELSE 0 END AS e
+        FROM events
+    ),
+    r AS (
+        SELECT event_type, e,
+               2 * RANK() OVER (PARTITION BY event_type ORDER BY cents)
+               + COUNT(*) OVER (PARTITION BY event_type, cents) - 1
+                   AS mr2
+        FROM base
+    ),
+    agg AS (
+        SELECT event_type,
+               CAST(SUM(e) AS BIGINT) AS n1,
+               CAST(SUM(1 - e) AS BIGINT) AS n2,
+               CAST(SUM(CASE WHEN e = 1 THEN CAST(mr2 AS HUGEINT)
+                             ELSE 0 END) AS HUGEINT) AS r1_2
+        FROM r GROUP BY 1
+    )
+    SELECT event_type, n1 AS n_early, n2 AS n_late,
+           ROUND((CAST(r1_2 AS DOUBLE) - CAST(n1 AS DOUBLE) * (n1 + 1)) / 2.0
+                 / 100.0, 4) AS u_stat_h,
+           ROUND(((CAST(r1_2 AS DOUBLE) - CAST(n1 AS DOUBLE) * (n1 + 1)) / 2.0)
+                 / (CAST(n1 AS DOUBLE) * n2), 6) AS auc_effect
+    FROM agg
+    """,
+)
+def mann_whitney_value_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mann–Whitney U between the early and late halves of each event
+    type's value distribution — the NONPARAMETRIC drift test completing
+    the monitor family (`ks_value_drift_by_type` sees any CDF gap, PSI
+    sees binned mass moves; U/AUC answers the directional question "did
+    values stochastically INCREASE?"). The normalized U/(n1·n2) is
+    exactly P(early > late) + P(tie)/2 — the common-language AUC effect
+    size.
+
+    Tie handling is the textbook midrank, kept EXACT by doubling:
+    mr2 = 2·rank_min + tie_count − 1 is always an integer, so rank sums
+    are exact HUGEINT/DECIMAL and the single halving happens in the
+    final readout division. One partitioned ordered pass computes both
+    window quantities over a shared sort; the aggregate is
+    map-combinable. u_stat_h is reported in value units (÷100 cents)."""
+    ev = load_table(spark, sf_dir, "events")
+    d38 = "decimal(38,0)"
+    base = ev.select(
+        "event_type",
+        (dec2("value") * 100).cast("long").alias("cents"),
+        F.when(F.col("ts") < F.lit(_DRIFT_SPLIT).cast("timestamp"), 1)
+        .otherwise(0)
+        .alias("e"),
+    )
+    mr2 = (
+        2 * F.rank().over(Window.partitionBy("event_type").orderBy("cents"))
+        + F.count(F.lit(1)).over(Window.partitionBy("event_type", "cents"))
+        - 1
+    )
+    r = base.select("event_type", "e", mr2.alias("mr2"))
+    agg = r.groupBy("event_type").agg(
+        F.sum("e").alias("n1"),
+        F.sum(F.lit(1) - F.col("e")).alias("n2"),
+        F.sum(
+            F.when(F.col("e") == 1, F.col("mr2").cast(d38)).otherwise(
+                F.lit(0).cast(d38)
+            )
+        ).alias("r1_2"),
+    )
+    n1d, n2d = F.col("n1").cast("double"), F.col("n2").cast("double")
+    u2 = F.col("r1_2").cast("double") - n1d * (F.col("n1") + 1)
+    return agg.select(
+        "event_type",
+        F.col("n1").alias("n_early"),
+        F.col("n2").alias("n_late"),
+        F.round(u2 / 2.0 / 100.0, 4).alias("u_stat_h"),
+        F.round((u2 / 2.0) / (n1d * n2d), 6).alias("auc_effect"),
+    )
+
+
+@register(
+    "spearman_value_time_by_type",
+    oracle="""
+    WITH base AS (
+        SELECT event_type,
+               CAST(CAST(value AS DECIMAL(12,2)) * 100 AS BIGINT) AS cents,
+               epoch_us(ts) AS t
+        FROM events
+    ),
+    r AS (
+        SELECT event_type,
+               2 * RANK() OVER (PARTITION BY event_type ORDER BY cents)
+               + COUNT(*) OVER (PARTITION BY event_type, cents) - 1 AS rx,
+               2 * RANK() OVER (PARTITION BY event_type ORDER BY t)
+               + COUNT(*) OVER (PARTITION BY event_type, t) - 1 AS ry
+        FROM base
+    ),
+    s AS (
+        SELECT event_type,
+               CAST(COUNT(*) AS BIGINT) AS n,
+               CAST(SUM(CAST(rx AS HUGEINT)) AS HUGEINT) AS sx,
+               CAST(SUM(CAST(ry AS HUGEINT)) AS HUGEINT) AS sy,
+               CAST(SUM(CAST(rx AS HUGEINT) * rx) AS HUGEINT) AS sxx,
+               CAST(SUM(CAST(ry AS HUGEINT) * ry) AS HUGEINT) AS syy,
+               CAST(SUM(CAST(rx AS HUGEINT) * ry) AS HUGEINT) AS sxy
+        FROM r GROUP BY 1
+    )
+    SELECT event_type, n,
+           ROUND((n * CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+                 / (SQRT(n * CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
+                    * SQRT(n * CAST(syy AS DOUBLE) - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE))),
+                 6) AS spearman_rho
+    FROM s
+    """,
+)
+def spearman_value_time_by_type(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spearman rank correlation between value and time per event type
+    — the monotone-trend detector that complements `correlation`'s
+    Pearson (linear only) and `mannkendall_trend_by_type`'s sign test:
+    ρ_s is Pearson computed on midranks, so it sees ANY monotone drift
+    regardless of shape, robust to outliers.
+
+    Exactness: both variables' tie-midranks are the doubled-integer
+    mr2 = 2·rank_min + ties − 1 (no half ever materializes); the five
+    rank-moment sums are exact HUGEINT/DECIMAL; ρ is the single
+    cross-multiplied expression n·Σxy − ΣxΣy over the exact scalars
+    with two IEEE sqrts at the end — identical in both engines. The
+    doubling cancels algebraically in ρ, so no rescale is needed.
+
+    Scale: two rank windows sharing one per-type Exchange (value order
+    and time order each need their own sort of the same partition),
+    then a map-combinable six-scalar aggregate. Σr² ≤ 4n³ holds exact
+    past 1e9 rows/type in the 38-digit domain."""
+    ev = load_table(spark, sf_dir, "events")
+    d38 = "decimal(38,0)"
+    base = ev.select(
+        "event_type",
+        (dec2("value") * 100).cast("long").alias("cents"),
+        F.unix_micros("ts").alias("t"),
+    )
+    rx = (
+        2 * F.rank().over(Window.partitionBy("event_type").orderBy("cents"))
+        + F.count(F.lit(1)).over(Window.partitionBy("event_type", "cents"))
+        - 1
+    )
+    ry = (
+        2 * F.rank().over(Window.partitionBy("event_type").orderBy("t"))
+        + F.count(F.lit(1)).over(Window.partitionBy("event_type", "t"))
+        - 1
+    )
+    r = base.select("event_type", rx.alias("rx"), ry.alias("ry"))
+    s = r.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.col("rx").cast(d38)).alias("sx"),
+        F.sum(F.col("ry").cast(d38)).alias("sy"),
+        F.sum(F.col("rx").cast(d38) * F.col("rx")).alias("sxx"),
+        F.sum(F.col("ry").cast(d38) * F.col("ry")).alias("syy"),
+        F.sum(F.col("rx").cast(d38) * F.col("ry")).alias("sxy"),
+    )
+    n = F.col("n")
+    sx, sy = F.col("sx").cast("double"), F.col("sy").cast("double")
+    sxx, syy, sxy = (
+        F.col("sxx").cast("double"),
+        F.col("syy").cast("double"),
+        F.col("sxy").cast("double"),
+    )
+    rho = (n * sxy - sx * sy) / (
+        F.sqrt(n * sxx - sx * sx) * F.sqrt(n * syy - sy * sy)
+    )
+    return s.select("event_type", "n", F.round(rho, 6).alias("spearman_rho"))
+
+
+# ---------------------------------------------------------------------------
+# Ridge regression by exact normal equations — a trained multi-feature
+# linear model with no float until the three final divisions.
+# ---------------------------------------------------------------------------
+
+_RIDGE_LAMBDA = 100
+
+
+@register(
+    "ridge_daily_revenue_trend",
+    oracle=f"""
+    WITH daily AS (
+        SELECT CAST(date_diff('day', DATE '2024-01-01', CAST(ts AS DATE))
+                    AS BIGINT) AS i,
+               CASE WHEN isodow(CAST(ts AS DATE)) >= 6 THEN 1 ELSE 0 END AS w,
+               CAST(CAST(SUM(CAST(value AS DECIMAL(12,2))) * 100 AS BIGINT)
+                    AS BIGINT) AS y
+        FROM events GROUP BY 1, 2
+    ),
+    m AS (
+        SELECT CAST(COUNT(*) AS HUGEINT) AS a11,
+               CAST(SUM(i) AS HUGEINT) AS a12,
+               CAST(SUM(w) AS HUGEINT) AS a13,
+               CAST(SUM(i * i) + {_RIDGE_LAMBDA} AS HUGEINT) AS a22,
+               CAST(SUM(i * w) AS HUGEINT) AS a23,
+               CAST(SUM(w * w) + {_RIDGE_LAMBDA} AS HUGEINT) AS a33,
+               CAST(SUM(y) AS HUGEINT) AS b1,
+               CAST(SUM(i * y) AS HUGEINT) AS b2,
+               CAST(SUM(w * y) AS HUGEINT) AS b3
+        FROM daily
+    ),
+    d AS (
+        SELECT a11 * (a22 * a33 - a23 * a23)
+             - a12 * (a12 * a33 - a23 * a13)
+             + a13 * (a12 * a23 - a22 * a13) AS det,
+               b1 * (a22 * a33 - a23 * a23)
+             - a12 * (b2 * a33 - a23 * b3)
+             + a13 * (b2 * a23 - a22 * b3) AS det0,
+               a11 * (b2 * a33 - b3 * a23)
+             - b1 * (a12 * a33 - a23 * a13)
+             + a13 * (a12 * b3 - b2 * a13) AS det1,
+               a11 * (a22 * b3 - a23 * b2)
+             - a12 * (a12 * b3 - b2 * a13)
+             + b1 * (a12 * a23 - a22 * a13) AS det2,
+               a11
+        FROM m
+    )
+    SELECT CAST(a11 AS BIGINT) AS n_days,
+           CAST({_RIDGE_LAMBDA} AS BIGINT) AS lam,
+           ROUND(CAST(det0 AS DOUBLE) / CAST(det AS DOUBLE) / 100.0, 4)
+               AS intercept,
+           ROUND(CAST(det1 AS DOUBLE) / CAST(det AS DOUBLE) / 100.0, 4)
+               AS slope_per_day,
+           ROUND(CAST(det2 AS DOUBLE) / CAST(det AS DOUBLE) / 100.0, 4)
+               AS weekend_effect
+    FROM d
+    """,
+)
+def ridge_daily_revenue_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ridge regression of daily revenue on (day index, weekend flag) —
+    a multi-feature linear model TRAINED relationally with no float
+    anywhere in the fit: the 3×3 normal equations (XᵀX + λ·diag(0,1,1))
+    β = Xᵀy are assembled from exact integer moment sums (the intercept
+    is unpenalized, per the standard), and Cramer's rule expands the
+    four 3×3 determinants in exact HUGEINT/DECIMAL(38,0) — β materializes
+    as three single divisions of exact integers. Extends
+    `ols_daily_trend_by_type` (one regressor, λ=0) to the regularized
+    multi-feature case — the smallest honest example of the normal-
+    equation pattern that scales to any fixed feature set (the Gram
+    matrix is feature²-bounded, never data-sized).
+
+    Scale: one map-combinable aggregate to the day grain, one to nine
+    scalars — the time axis bounds the day frame at ANY corpus size,
+    and determinant products stay within 38 digits past ten years of
+    days at 1e9-cent daily revenue."""
+    ev = load_table(spark, sf_dir, "events")
+    d38 = "decimal(38,0)"
+    daily = (
+        ev.groupBy(
+            F.datediff(F.col("ts").cast("date"), F.lit("2024-01-01").cast("date"))
+            .cast("long")
+            .alias("i"),
+            F.when(F.expr("weekday(ts)") + 1 >= 6, 1).otherwise(0).alias("w"),
+        ).agg((F.sum(dec2("value")) * 100).cast("long").alias("y"))
+    )
+    c = lambda col: col.cast(d38)  # noqa: E731
+    m = daily.agg(
+        c(F.count(F.lit(1))).alias("a11"),
+        c(F.sum("i")).alias("a12"),
+        c(F.sum("w")).alias("a13"),
+        c(F.sum(F.col("i") * F.col("i")) + _RIDGE_LAMBDA).alias("a22"),
+        c(F.sum(F.col("i") * F.col("w"))).alias("a23"),
+        c(F.sum(F.col("w") * F.col("w")) + _RIDGE_LAMBDA).alias("a33"),
+        c(F.sum("y")).alias("b1"),
+        c(F.sum(F.col("i") * F.col("y"))).alias("b2"),
+        c(F.sum(F.col("w") * F.col("y"))).alias("b3"),
+    )
+    a11, a12, a13 = F.col("a11"), F.col("a12"), F.col("a13")
+    a22, a23, a33 = F.col("a22"), F.col("a23"), F.col("a33")
+    b1, b2, b3 = F.col("b1"), F.col("b2"), F.col("b3")
+    det = (
+        a11 * (a22 * a33 - a23 * a23)
+        - a12 * (a12 * a33 - a23 * a13)
+        + a13 * (a12 * a23 - a22 * a13)
+    )
+    det0 = (
+        b1 * (a22 * a33 - a23 * a23)
+        - a12 * (b2 * a33 - a23 * b3)
+        + a13 * (b2 * a23 - a22 * b3)
+    )
+    det1 = (
+        a11 * (b2 * a33 - b3 * a23)
+        - b1 * (a12 * a33 - a23 * a13)
+        + a13 * (a12 * b3 - b2 * a13)
+    )
+    det2 = (
+        a11 * (a22 * b3 - a23 * b2)
+        - a12 * (a12 * b3 - b2 * a13)
+        + b1 * (a12 * a23 - a22 * a13)
+    )
+    dd = det.cast("double")
+    return m.select(
+        a11.cast("long").alias("n_days"),
+        F.lit(_RIDGE_LAMBDA).cast("long").alias("lam"),
+        F.round(det0.cast("double") / dd / 100.0, 4).alias("intercept"),
+        F.round(det1.cast("double") / dd / 100.0, 4).alias("slope_per_day"),
+        F.round(det2.cast("double") / dd / 100.0, 4).alias("weekend_effect"),
+    )
