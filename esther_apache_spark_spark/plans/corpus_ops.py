@@ -2970,3 +2970,106 @@ def js_divergence_corpus_halves(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.sum("j"), 6).alias("jsd_nats"),
         F.round(F.sum("j") / F.log(F.lit(2.0)), 6).alias("jsd_bits"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Bigram LM fluency score — the conditional upgrade of the unigram NLL.
+# ---------------------------------------------------------------------------
+@register(
+    "bigram_nll_score_docs",
+    oracle="""
+    WITH arrs AS (
+        SELECT doc_id,
+               list_filter(string_split(lower(text), ' '),
+                           x -> x <> '') AS arr
+        FROM documents
+    ),
+    bg AS (
+        SELECT doc_id, z[1] AS prev, z[2] AS cur FROM (
+            SELECT doc_id, unnest(list_zip(arr, arr[2:])) AS z FROM arrs
+        ) WHERE z[2] IS NOT NULL
+    ),
+    vocab AS (
+        SELECT CAST(COUNT(DISTINCT t) AS BIGINT) AS v FROM (
+            SELECT unnest(arr) AS t FROM arrs
+        )
+    ),
+    ctx AS (SELECT prev, CAST(COUNT(*) AS BIGINT) AS cp FROM bg GROUP BY 1),
+    bc AS (SELECT prev, cur, CAST(COUNT(*) AS BIGINT) AS c
+           FROM bg GROUP BY 1, 2),
+    lp AS (
+        SELECT bc.prev, bc.cur,
+               ROUND(LN((CAST(bc.c AS DOUBLE) + 1.0)
+                        / (CAST(ctx.cp AS DOUBLE) + vocab.v)), 9) AS lp
+        FROM bc JOIN ctx ON bc.prev = ctx.prev, vocab
+    )
+    SELECT bg.doc_id, CAST(COUNT(*) AS BIGINT) AS n_bigrams,
+           ROUND(-SUM(lp.lp) / COUNT(*), 4) AS bigram_nll
+    FROM bg JOIN lp ON bg.prev = lp.prev AND bg.cur = lp.cur
+    GROUP BY bg.doc_id
+    """,
+)
+def bigram_nll_score_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bigram language-model fluency score per document — the
+    CONDITIONAL upgrade of `unigram_nll_score_docs`: P(cur|prev) with
+    add-one smoothing over the vocabulary, so word-order scrambles
+    (which the unigram model cannot see) score as disfluent — the same
+    reason CCNet-style pipelines use n-gram KenLM models rather than
+    frequency lexicons. Documents with <2 tokens drop out identically
+    in both engines (no transition to score).
+
+    Determinism (the unigram query's discipline, one conditioning level
+    up): the bigram and context-count tables are exact integers; the
+    single ln per DISTINCT (prev, cur) pair is rounded once at 9 dp in
+    the model table, not per occurrence; per-doc mean rounded at 4 dp.
+    Adjacency is defined on the EMPTY-FILTERED token array in both
+    engines — filtering after explode would disagree about double
+    spaces.
+
+    Scale: the model is a (vocab × observed-successor) table — data-
+    derived but vocabulary-bounded, like BM25's; the doc-side join is a
+    partial-aggregable sum over transitions; text leaves the scan only
+    as tokens."""
+    docs = load_table(spark, sf_dir, "documents")
+    arrs = docs.select(
+        "doc_id",
+        F.filter(
+            F.split(F.lower("text"), " "), lambda x: x != ""
+        ).alias("arr"),
+    )
+    e = arrs.select(
+        "doc_id", "arr", F.posexplode("arr").alias("pos", "prev")
+    )
+    bg = e.filter(F.col("pos") + 2 <= F.size("arr")).select(
+        "doc_id",
+        "prev",
+        F.element_at("arr", F.col("pos") + 2).alias("cur"),
+    )
+    vocab = arrs.select(F.explode("arr").alias("t")).agg(
+        F.countDistinct("t").alias("v")
+    )
+    ctx = bg.groupBy("prev").agg(F.count(F.lit(1)).alias("cp"))
+    bc = bg.groupBy("prev", "cur").agg(F.count(F.lit(1)).alias("c"))
+    lp = (
+        bc.join(ctx, "prev")
+        .crossJoin(vocab)
+        .select(
+            "prev",
+            "cur",
+            F.round(
+                F.log(
+                    (F.col("c").cast("double") + 1.0)
+                    / (F.col("cp").cast("double") + F.col("v"))
+                ),
+                9,
+            ).alias("lp"),
+        )
+    )
+    return (
+        bg.join(lp, ["prev", "cur"])
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_bigrams"),
+            F.round(-F.sum("lp") / F.count(F.lit(1)), 4).alias("bigram_nll"),
+        )
+    )

@@ -2447,3 +2447,247 @@ def ridge_daily_revenue_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(det1.cast("double") / dd / 100.0, 4).alias("slope_per_day"),
         F.round(det2.cast("double") / dd / 100.0, 4).alias("weekend_effect"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Difference-in-differences — the 2×2 experimentation estimator.
+# ---------------------------------------------------------------------------
+@register(
+    "did_estimator_value",
+    oracle=f"""
+    WITH cells AS (
+        SELECT user_id % 2 AS cohort,
+               CASE WHEN ts >= TIMESTAMP '{_DRIFT_SPLIT}'
+                    THEN 1 ELSE 0 END AS post,
+               CAST(CAST(value AS DECIMAL(12,2)) * 100 AS BIGINT) AS cents
+        FROM events
+    ),
+    agg AS (
+        SELECT cohort, post,
+               CAST(COUNT(*) AS BIGINT) AS n,
+               CAST(SUM(cents) AS HUGEINT) AS s
+        FROM cells GROUP BY 1, 2
+    ),
+    wide AS (
+        SELECT
+            MAX(CASE WHEN cohort = 0 AND post = 0 THEN CAST(s AS DOUBLE) / n END) AS a_pre,
+            MAX(CASE WHEN cohort = 0 AND post = 1 THEN CAST(s AS DOUBLE) / n END) AS a_post,
+            MAX(CASE WHEN cohort = 1 AND post = 0 THEN CAST(s AS DOUBLE) / n END) AS b_pre,
+            MAX(CASE WHEN cohort = 1 AND post = 1 THEN CAST(s AS DOUBLE) / n END) AS b_post,
+            CAST(SUM(n) AS BIGINT) AS n_events
+        FROM agg
+    )
+    SELECT n_events,
+           ROUND(a_pre / 100.0, 4) AS mean_a_pre,
+           ROUND(a_post / 100.0, 4) AS mean_a_post,
+           ROUND(b_pre / 100.0, 4) AS mean_b_pre,
+           ROUND(b_post / 100.0, 4) AS mean_b_post,
+           ROUND(((b_post - b_pre) - (a_post - a_pre)) / 100.0, 4) AS did
+    FROM wide
+    """,
+)
+def did_estimator_value(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Difference-in-differences over the 2×2 (cohort × pre/post) grid
+    — the quasi-experimental estimator for rollouts WITHOUT a clean
+    randomized holdout: the control cohort's pre→post movement nets out
+    the secular trend, DiD = (B_post − B_pre) − (A_post − A_pre). Pairs
+    with `cuped_variance_reduction` (randomized case) and
+    `ab_test_purchase_lift` (plain lift) to complete the
+    experimentation-readout family. Cohort = user_id % 2, period = the
+    standard drift split date.
+
+    Exactness: one conditional hash aggregate to four exact (n, Σcents)
+    cells; each cell mean is a single double division of exact
+    integers, and the DiD combination is one fixed expression on those
+    four identical doubles. Scale: entirely map-combinable — the only
+    shuffled relation is the 4-row cell frame."""
+    ev = load_table(spark, sf_dir, "events")
+    d38 = "decimal(38,0)"
+    cells = ev.select(
+        (F.col("user_id") % 2).alias("cohort"),
+        F.when(
+            F.col("ts") >= F.lit(_DRIFT_SPLIT).cast("timestamp"), 1
+        ).otherwise(0).alias("post"),
+        (dec2("value") * 100).cast("long").alias("cents"),
+    )
+    agg = cells.groupBy("cohort", "post").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.col("cents").cast(d38)).alias("s"),
+    )
+    mean = F.col("s").cast("double") / F.col("n")
+
+    def cell(c: int, p: int):
+        return F.max(
+            F.when((F.col("cohort") == c) & (F.col("post") == p), mean)
+        )
+
+    wide = agg.agg(
+        cell(0, 0).alias("a_pre"),
+        cell(0, 1).alias("a_post"),
+        cell(1, 0).alias("b_pre"),
+        cell(1, 1).alias("b_post"),
+        F.sum("n").cast("long").alias("n_events"),
+    )
+    return wide.select(
+        "n_events",
+        F.round(F.col("a_pre") / 100.0, 4).alias("mean_a_pre"),
+        F.round(F.col("a_post") / 100.0, 4).alias("mean_a_post"),
+        F.round(F.col("b_pre") / 100.0, 4).alias("mean_b_pre"),
+        F.round(F.col("b_post") / 100.0, 4).alias("mean_b_post"),
+        F.round(
+            (
+                (F.col("b_post") - F.col("b_pre"))
+                - (F.col("a_post") - F.col("a_pre"))
+            )
+            / 100.0,
+            4,
+        ).alias("did"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Log-rank test — two-cohort survival comparison on exact risk tables.
+# ---------------------------------------------------------------------------
+@register(
+    "logrank_churn_by_cohort",
+    oracle=f"""
+    WITH per_user AS (
+        SELECT user_id, MIN(ts) AS first_ts, MAX(ts) AS last_ts
+        FROM events GROUP BY user_id
+    ),
+    horizon AS (SELECT MAX(ts) AS mx FROM events),
+    cohort AS (
+        SELECT p.user_id % 2 AS g,
+               CAST(date_diff('day', CAST(p.first_ts AS DATE),
+                              CAST(p.last_ts AS DATE)) AS BIGINT) AS dur,
+               CASE WHEN p.last_ts < h.mx - INTERVAL {_KM_CHURN_HOURS} HOUR
+                    THEN 1 ELSE 0 END AS churned
+        FROM per_user p, horizon h
+    ),
+    freq AS (
+        SELECT dur,
+               CAST(SUM(CASE WHEN g = 0 THEN 1 ELSE 0 END) AS BIGINT) AS c1,
+               CAST(SUM(CASE WHEN g = 0 THEN churned ELSE 0 END) AS BIGINT) AS d1,
+               CAST(SUM(CASE WHEN g = 1 THEN 1 ELSE 0 END) AS BIGINT) AS c2,
+               CAST(SUM(CASE WHEN g = 1 THEN churned ELSE 0 END) AS BIGINT) AS d2
+        FROM cohort GROUP BY dur
+    ),
+    risk AS (
+        SELECT dur, d1, d2,
+               SUM(c1) OVER (ORDER BY dur DESC
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS n1,
+               SUM(c2) OVER (ORDER BY dur DESC
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS n2
+        FROM freq
+    ),
+    terms AS (
+        SELECT d1, d1 + d2 AS dt, n1, n2, n1 + n2 AS nt
+        FROM risk WHERE d1 + d2 > 0
+    ),
+    s AS (
+        SELECT CAST(SUM(d1) AS BIGINT) AS o1,
+               ROUND(SUM(ROUND(CAST(CAST(dt AS HUGEINT) * n1 AS DOUBLE)
+                               / nt, 9)), 6) AS e1,
+               ROUND(SUM(CASE WHEN nt > 1 THEN ROUND(
+                   CAST(CAST(dt AS HUGEINT) * n1 * n2 * (nt - dt) AS DOUBLE)
+                   / (CAST(nt AS DOUBLE) * nt * (nt - 1)), 9)
+                   ELSE 0.0 END), 6) AS v
+        FROM terms
+    )
+    SELECT o1 AS observed_g0, e1 AS expected_g0,
+           ROUND((o1 - e1) * (o1 - e1) / v, 6) AS chi2_logrank
+    FROM s
+    """,
+)
+def logrank_churn_by_cohort(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Log-rank test between the two user cohorts' churn survival
+    curves — the hypothesis test `survival_km_curve` (same duration and
+    12-hour-churn conventions) visualizes: at every event time the
+    observed cohort-0 events d1 are compared to the expectation
+    dt·n1/nt under the null of equal hazards, chi2 = (O−E)²/V with the
+    hypergeometric variance V = Σ dt·n1·n2·(nt−dt)/(nt²(nt−1)). The
+    standard A/B readout for retention experiments, where means lie
+    and censoring is the norm.
+
+    Exactness: risk-set sizes n1/n2 are exact descending cumulative
+    sums over the shared duration frame (zero-event durations included,
+    so the risk sets deplete identically in both engines); every E and
+    V term's integer numerator is formed in HUGEINT/DECIMAL before its
+    single division, rounded once at 9 dp; the nt=1 variance guard is
+    an explicit CASE, not an engine-specific 0/0 convention. Scale:
+    everything after the per-user aggregate runs on the duration frame
+    — calendar-bounded at any corpus size."""
+    ev = load_table(spark, sf_dir, "events")
+    d38 = "decimal(38,0)"
+    per_user = ev.groupBy("user_id").agg(
+        F.min("ts").alias("first_ts"), F.max("ts").alias("last_ts")
+    )
+    horizon = ev.agg(F.max("ts").alias("mx"))
+    cohort = per_user.crossJoin(horizon).select(
+        (F.col("user_id") % 2).alias("g"),
+        F.datediff(
+            F.col("last_ts").cast("date"), F.col("first_ts").cast("date")
+        ).cast("long").alias("dur"),
+        F.when(
+            F.col("last_ts")
+            < F.col("mx") - F.expr(f"INTERVAL {_KM_CHURN_HOURS} HOURS"),
+            1,
+        ).otherwise(0).alias("churned"),
+    )
+    freq = cohort.groupBy("dur").agg(
+        F.sum(F.when(F.col("g") == 0, 1).otherwise(0)).alias("c1"),
+        F.sum(F.when(F.col("g") == 0, F.col("churned")).otherwise(0)).alias("d1"),
+        F.sum(F.when(F.col("g") == 1, 1).otherwise(0)).alias("c2"),
+        F.sum(F.when(F.col("g") == 1, F.col("churned")).otherwise(0)).alias("d2"),
+    )
+    wdesc = Window.orderBy(F.desc("dur")).rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    risk = freq.select(
+        "dur",
+        "d1",
+        "d2",
+        F.sum("c1").over(wdesc).alias("n1"),
+        F.sum("c2").over(wdesc).alias("n2"),
+    )
+    terms = risk.filter(F.col("d1") + F.col("d2") > 0).select(
+        "d1",
+        (F.col("d1") + F.col("d2")).alias("dt"),
+        "n1",
+        "n2",
+        (F.col("n1") + F.col("n2")).alias("nt"),
+    )
+    e_term = F.round(
+        (F.col("dt").cast(d38) * F.col("n1")).cast("double") / F.col("nt"), 9
+    )
+    v_term = F.when(
+        F.col("nt") > 1,
+        F.round(
+            (
+                F.col("dt").cast(d38)
+                * F.col("n1")
+                * F.col("n2")
+                * (F.col("nt") - F.col("dt"))
+            ).cast("double")
+            / (
+                F.col("nt").cast("double")
+                * F.col("nt")
+                * (F.col("nt") - 1)
+            ),
+            9,
+        ),
+    ).otherwise(F.lit(0.0))
+    s = terms.agg(
+        F.sum("d1").cast("long").alias("o1"),
+        F.round(F.sum(e_term), 6).alias("e1"),
+        F.round(F.sum(v_term), 6).alias("v"),
+    )
+    return s.select(
+        F.col("o1").alias("observed_g0"),
+        F.col("e1").alias("expected_g0"),
+        F.round(
+            (F.col("o1") - F.col("e1")) * (F.col("o1") - F.col("e1"))
+            / F.col("v"),
+            6,
+        ).alias("chi2_logrank"),
+    )

@@ -74,12 +74,15 @@ def test_catalog_plans_free_of_scale_antipatterns(spark, sf_dir):
         "bm25_top_docs",             # 1-row corpus count + avgdl scalars
         "pagerank_brands",           # 1-row node count broadcast
         "unigram_nll_score_docs",    # 1-row token-total + vocab-size scalars
+        "bigram_nll_score_docs",     # same 1-row vocab scalar, bigram model
         "temperature_sample_by_lang",  # 1-row global max-rate scalar
         "similarity_topk_bruteforce",  # fenced all-pairs oracle
         # 1-row sketch aggregate x 1-row exact aggregate combine
         "ams_f2_selfjoin_estimate",
         # 1-row global max-ts horizon broadcast onto the per-user frame
         "survival_km_curve",
+        # same horizon scalar, for the two-cohort log-rank companion
+        "logrank_churn_by_cohort",
         # 1-row (ta, tb) token-total scalar onto the vocabulary frame
         "keyword_keyness_chisq",
         # 1-row exact-join-size aggregate x 1-row sketch-estimate combine
