@@ -3073,3 +3073,73 @@ def bigram_nll_score_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(-F.sum("lp") / F.count(F.lit(1)), 4).alias("bigram_nll"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Tokenizer fertility — subword cost per language.
+# ---------------------------------------------------------------------------
+@register(
+    "tokenizer_fertility_by_lang",
+    oracle="""
+    WITH base AS (
+        SELECT lang,
+               CAST(len(list_filter(regexp_split_to_array(trim(text), '\\s+'),
+                                    x -> x <> '')) AS BIGINT) AS n_ws,
+               CAST(len(regexp_extract_all(text,
+                        '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]')) AS BIGINT)
+                   AS n_bpe,
+               CAST(length(text) AS BIGINT) AS n_chars
+        FROM documents
+    )
+    SELECT lang,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(n_ws) AS BIGINT) AS total_words,
+           CAST(SUM(n_bpe) AS BIGINT) AS total_tokens,
+           ROUND(CAST(SUM(n_bpe) AS DOUBLE) / SUM(n_ws), 6) AS fertility,
+           ROUND(CAST(SUM(n_chars) AS DOUBLE) / SUM(n_bpe), 6)
+               AS chars_per_token
+    FROM base WHERE n_ws > 0
+    GROUP BY lang
+    """,
+)
+def tokenizer_fertility_by_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tokenizer fertility per language — subword tokens per whitespace
+    word (and chars per token), the budgeting metric behind multilingual
+    training-mix decisions: a language whose fertility is 2× pays twice
+    the sequence length for the same text, which shifts both its
+    effective epoch count and its serving cost. Uses the engine's
+    BPE-ish regex tokenizer (`operators/textstats.token_count`) against
+    the whitespace word count — swap in `bpe_learn_merges`' trained
+    merges for a corpus-specific vocabulary; the ratio algebra is
+    unchanged.
+
+    Exact integer token counts summed per lang (one map-combinable
+    aggregate); the two ratios are single double divisions of exact
+    totals. Zero-word docs are excluded identically in both engines."""
+    from esther_apache_spark_spark.functions.text import tokenize
+    from esther_apache_spark_spark.operators.textstats import token_count
+
+    docs = load_table(spark, sf_dir, "documents")
+    base = docs.select(
+        "lang",
+        F.size(tokenize(F.col("text"), normalize=False)).cast("long").alias(
+            "n_ws"
+        ),
+        token_count(F.col("text"), "bpe").cast("long").alias("n_bpe"),
+        F.length("text").cast("long").alias("n_chars"),
+    )
+    return (
+        base.filter(F.col("n_ws") > 0)
+        .groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_ws").alias("total_words"),
+            F.sum("n_bpe").alias("total_tokens"),
+            F.round(
+                F.sum("n_bpe").cast("double") / F.sum("n_ws"), 6
+            ).alias("fertility"),
+            F.round(
+                F.sum("n_chars").cast("double") / F.sum("n_bpe"), 6
+            ).alias("chars_per_token"),
+        )
+    )

@@ -2691,3 +2691,95 @@ def logrank_churn_by_cohort(spark: SparkSession, sf_dir: str) -> DataFrame:
             6,
         ).alias("chi2_logrank"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Markov entropy rate — how predictable is the behavioral sequence.
+# ---------------------------------------------------------------------------
+@register(
+    "markov_entropy_rate_events",
+    oracle="""
+    WITH seq AS (
+        SELECT user_id, event_type,
+               lead(event_type) OVER (PARTITION BY user_id
+                                      ORDER BY ts, event_id) AS next_type
+        FROM events
+    ),
+    pairs AS (
+        SELECT event_type AS from_type, next_type AS to_type,
+               CAST(COUNT(*) AS BIGINT) AS n
+        FROM seq WHERE next_type IS NOT NULL
+        GROUP BY 1, 2
+    ),
+    tot AS (
+        SELECT from_type, to_type, n,
+               SUM(n) OVER (PARTITION BY from_type) AS row_tot,
+               SUM(n) OVER () AS grand
+        FROM pairs
+    ),
+    terms AS (
+        SELECT ROUND(-(CAST(n AS DOUBLE) / grand)
+                     * LN(CAST(n AS DOUBLE) / row_tot), 9) AS h_cond,
+               ROUND(-(CAST(n AS DOUBLE) / grand)
+                     * LN(CAST(n AS DOUBLE) / grand), 9) AS h_joint
+        FROM tot
+    )
+    SELECT ROUND(SUM(h_cond), 6) AS entropy_rate_nats,
+           ROUND(SUM(h_cond) / LN(2.0), 6) AS entropy_rate_bits,
+           ROUND(SUM(h_joint), 6) AS joint_entropy_nats
+    FROM terms
+    """,
+)
+def markov_entropy_rate_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Entropy rate of the first-order event Markov chain — ONE number
+    for "how predictable is user behavior": H = −Σ_{ij} π̂_ij ln p(j|i),
+    with the stationary weights π̂ taken empirically from the observed
+    transition mass (exactly the plug-in estimator; the conditional
+    probabilities are `event_transition_matrix`'s). Low entropy = users
+    follow rails (view→click→purchase); high = noise — THE summary a
+    personalization team tracks per release to see whether a UI change
+    made behavior more or less deterministic. The joint entropy of the
+    pair distribution rides along (H_joint = H_rate + H(π) by the chain
+    rule — a cheap internal consistency probe for tests).
+
+    Determinism: the transition-count frame is exact integers (lead()
+    over the per-user (ts, event_id) total order); each −π ln p term is
+    rounded once at 9 dp over the |types|²-bounded frame. Scale: one
+    windowed pass per user partition, one hash aggregate to ≤|types|²
+    rows — everything downstream is model-constant."""
+    ev = load_table(spark, sf_dir, "events")
+    seq = ev.select(
+        "event_type",
+        F.lead("event_type")
+        .over(Window.partitionBy("user_id").orderBy("ts", "event_id"))
+        .alias("next_type"),
+    )
+    pairs = (
+        seq.filter(F.col("next_type").isNotNull())
+        .groupBy(
+            F.col("event_type").alias("from_type"),
+            F.col("next_type").alias("to_type"),
+        )
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    tot = pairs.select(
+        "n",
+        F.sum("n").over(Window.partitionBy("from_type")).alias("row_tot"),
+        F.sum("n").over(Window.partitionBy()).alias("grand"),
+    )
+    nd = F.col("n").cast("double")
+    h_cond = F.round(
+        -(nd / F.col("grand")) * F.log(nd / F.col("row_tot")), 9
+    )
+    h_joint = F.round(
+        -(nd / F.col("grand")) * F.log(nd / F.col("grand")), 9
+    )
+    return tot.select(
+        h_cond.alias("h_cond"), h_joint.alias("h_joint")
+    ).agg(
+        F.round(F.sum("h_cond"), 6).alias("entropy_rate_nats"),
+        F.round(F.sum("h_cond") / F.log(F.lit(2.0)), 6).alias(
+            "entropy_rate_bits"
+        ),
+        F.round(F.sum("h_joint"), 6).alias("joint_entropy_nats"),
+    )
