@@ -2783,3 +2783,170 @@ def markov_entropy_rate_events(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
         F.round(F.sum("h_joint"), 6).alias("joint_entropy_nats"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Welch's t and the MDE sample-size planner — the parametric side of
+# the experimentation toolkit.
+# ---------------------------------------------------------------------------
+@register(
+    "welch_t_value_by_cohort",
+    oracle="""
+    WITH cells AS (
+        SELECT user_id % 2 AS g,
+               CAST(CAST(value AS DECIMAL(12,2)) * 100 AS BIGINT) AS cents
+        FROM events
+    ),
+    m AS (
+        SELECT g,
+               CAST(COUNT(*) AS BIGINT) AS n,
+               CAST(SUM(cents) AS HUGEINT) AS s,
+               CAST(SUM(CAST(cents AS HUGEINT) * cents) AS HUGEINT) AS ss
+        FROM cells GROUP BY 1
+    ),
+    wide AS (
+        SELECT
+            MAX(CASE WHEN g = 0 THEN n END) AS n0,
+            MAX(CASE WHEN g = 0 THEN CAST(s AS DOUBLE) END) AS s0,
+            MAX(CASE WHEN g = 0 THEN CAST(ss AS DOUBLE) END) AS ss0,
+            MAX(CASE WHEN g = 1 THEN n END) AS n1,
+            MAX(CASE WHEN g = 1 THEN CAST(s AS DOUBLE) END) AS s1,
+            MAX(CASE WHEN g = 1 THEN CAST(ss AS DOUBLE) END) AS ss1
+        FROM m
+    ),
+    v AS (
+        SELECT n0, n1,
+               (s0 / n0 - s1 / n1) AS md,
+               (ss0 - s0 * s0 / n0) / (n0 - 1) / n0 AS se0,
+               (ss1 - s1 * s1 / n1) / (n1 - 1) / n1 AS se1
+        FROM wide
+    )
+    SELECT CAST(n0 AS BIGINT) AS n_g0, CAST(n1 AS BIGINT) AS n_g1,
+           ROUND(md / 100.0, 4) AS mean_diff,
+           ROUND(md / SQRT(se0 + se1), 6) AS t_welch,
+           ROUND((se0 + se1) * (se0 + se1)
+                 / (se0 * se0 / (n0 - 1) + se1 * se1 / (n1 - 1)), 4)
+               AS df_welch
+    FROM v
+    """,
+)
+def welch_t_value_by_cohort(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Welch's unequal-variance t statistic between the two user-hash
+    cohorts — the parametric counterpart of `mann_whitney_value_drift`
+    and the significance readout `did_estimator_value` stops short of,
+    with the Welch–Satterthwaite effective degrees of freedom (never
+    assume pooled variance on production metrics; revenue-style values
+    are heteroscedastic by construction).
+
+    Exactness: per-cohort (n, Σy, Σy²) are exact HUGEINT/DECIMAL sums
+    from one conditional aggregate; every derived quantity (mean diff,
+    the two squared standard errors, t, df) is a fixed closed-form
+    double expression over those six exact scalars — each division
+    appears once, identically in both engines. Scale: fully
+    map-combinable, 2-row intermediate."""
+    ev = load_table(spark, sf_dir, "events")
+    d38 = "decimal(38,0)"
+    cells = ev.select(
+        (F.col("user_id") % 2).alias("g"),
+        (dec2("value") * 100).cast("long").alias("cents"),
+    )
+    m = cells.groupBy("g").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.col("cents").cast(d38)).alias("s"),
+        F.sum(F.col("cents").cast(d38) * F.col("cents")).alias("ss"),
+    )
+
+    def cell(g: int, col: str, as_double: bool = True):
+        c = F.col(col).cast("double") if as_double else F.col(col)
+        return F.max(F.when(F.col("g") == g, c))
+
+    wide = m.agg(
+        cell(0, "n", False).alias("n0"),
+        cell(0, "s").alias("s0"),
+        cell(0, "ss").alias("ss0"),
+        cell(1, "n", False).alias("n1"),
+        cell(1, "s").alias("s1"),
+        cell(1, "ss").alias("ss1"),
+    )
+    n0, n1 = F.col("n0"), F.col("n1")
+    md = F.col("s0") / n0 - F.col("s1") / n1
+    se0 = (F.col("ss0") - F.col("s0") * F.col("s0") / n0) / (n0 - 1) / n0
+    se1 = (F.col("ss1") - F.col("s1") * F.col("s1") / n1) / (n1 - 1) / n1
+    return wide.select(
+        n0.cast("long").alias("n_g0"),
+        n1.cast("long").alias("n_g1"),
+        F.round(md / 100.0, 4).alias("mean_diff"),
+        F.round(md / F.sqrt(se0 + se1), 6).alias("t_welch"),
+        F.round(
+            (se0 + se1) * (se0 + se1)
+            / (se0 * se0 / (n0 - 1) + se1 * se1 / (n1 - 1)),
+            4,
+        ).alias("df_welch"),
+    )
+
+
+@register(
+    "mde_sample_size_plan",
+    oracle="""
+    WITH m AS (
+        SELECT event_type,
+               CAST(COUNT(*) AS BIGINT) AS n,
+               CAST(SUM(CAST(CAST(value AS DECIMAL(12,2)) * 100 AS BIGINT))
+                    AS HUGEINT) AS s,
+               CAST(SUM(CAST(CAST(CAST(value AS DECIMAL(12,2)) * 100
+                                  AS BIGINT) AS HUGEINT)
+                        * CAST(CAST(value AS DECIMAL(12,2)) * 100 AS BIGINT))
+                    AS HUGEINT) AS ss
+        FROM events GROUP BY 1
+    ),
+    v AS (
+        SELECT event_type, n,
+               CAST(s AS DOUBLE) / n AS mean_c,
+               (CAST(ss AS DOUBLE) - CAST(s AS DOUBLE) * CAST(s AS DOUBLE) / n)
+                   / (n - 1) AS var_c
+        FROM m
+    )
+    SELECT event_type, n AS n_observed,
+           ROUND(mean_c / 100.0, 4) AS mean_value,
+           ROUND(SQRT(var_c) / 100.0, 4) AS sd_value,
+           CAST(CEIL(2.0 * (1.959964 + 0.841621) * (1.959964 + 0.841621)
+                     * var_c / (0.05 * mean_c * 0.05 * mean_c))
+                AS BIGINT) AS n_per_arm_5pct_mde
+    FROM v
+    """,
+)
+def mde_sample_size_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Experiment sample-size planner per event type: the users-per-arm
+    needed to detect a 5% relative change in mean value at alpha = 0.05
+    / 80% power — n = 2(z_{0.975}+z_{0.8})² sigma²/delta², the
+    calculation every experimentation platform runs BEFORE an A/B test
+    to say how long it must collect (pairs with
+    `welch_t_value_by_cohort`, the test run after). The z quantiles are
+    fixed six-decimal literals (1.959964, 0.841621) — not computed — so
+    no inverse-normal ever executes in either engine.
+
+    Exactness: per-type (n, Σy, Σy²) exact; mean, sample variance and
+    the plan n are one fixed expression over them, ceil'd identically.
+    Scale: one map-combinable aggregate to |types| rows."""
+    ev = load_table(spark, sf_dir, "events")
+    d38 = "decimal(38,0)"
+    cents = (dec2("value") * 100).cast("long")
+    m = ev.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(cents.cast(d38)).alias("s"),
+        F.sum(cents.cast(d38) * cents).alias("ss"),
+    )
+    nd = F.col("n")
+    sd, ssd = F.col("s").cast("double"), F.col("ss").cast("double")
+    mean_c = sd / nd
+    var_c = (ssd - sd * sd / nd) / (nd - 1)
+    z2 = (1.959964 + 0.841621) * (1.959964 + 0.841621)
+    return m.select(
+        "event_type",
+        nd.alias("n_observed"),
+        F.round(mean_c / 100.0, 4).alias("mean_value"),
+        F.round(F.sqrt(var_c) / 100.0, 4).alias("sd_value"),
+        F.ceil(
+            2.0 * F.lit(z2) * var_c / (0.05 * mean_c * 0.05 * mean_c)
+        ).cast("long").alias("n_per_arm_5pct_mde"),
+    )
