@@ -1906,7 +1906,8 @@ def embedding_pca_power_iter(spark: SparkSession, sf_dir: str) -> DataFrame:
     qhat AS (
         SELECT rk.event_type, rk.r AS q_scaled, c.n_cal, c.s
         FROM ranked rk JOIN cal c ON rk.event_type = c.event_type
-        WHERE rk.rn = CAST(CEIL((c.n_cal + 1) * 0.9) AS BIGINT)
+        WHERE rk.rn = LEAST(CAST(CEIL((c.n_cal + 1) * 0.9) AS BIGINT),
+                            c.n_cal)
     ),
     test AS (
         SELECT b.event_type,
@@ -1930,7 +1931,10 @@ def conformal_interval_value_by_type(spark: SparkSession, sf_dir: str) -> DataFr
     distribution-free uncertainty wrapper every deployed predictor
     should ship with: calibrate on the even-event_id half (point
     predictor = per-type calibration mean), take the ceil((n+1)·0.9)-th
-    smallest absolute residual as the interval half-width q-hat, then
+    smallest absolute residual as the interval half-width q-hat
+    (clamped to the max residual when a calibration set is smaller than
+    9 — the finite-sample rank would otherwise exceed n and silently
+    drop the type), then
     AUDIT the guaranteed >=90% marginal coverage on the held-out odd
     half. The conformal guarantee is finite-sample and assumption-free
     (Vovk; Angelopoulos & Bates 2021) — exactly what a 100 TB feature
@@ -1978,7 +1982,10 @@ def conformal_interval_value_by_type(spark: SparkSession, sf_dir: str) -> DataFr
         .join(cal, "event_type")
         .filter(
             F.col("rn")
-            == F.ceil((F.col("n_cal") + 1) * 0.9).cast("long")
+            == F.least(
+                F.ceil((F.col("n_cal") + 1) * 0.9).cast("long"),
+                F.col("n_cal"),
+            )
         )
         .select("event_type", F.col("r").alias("q_scaled"), "n_cal", "s")
     )

@@ -299,3 +299,45 @@ def test_rank_filter_plans_window_group_limit(spark, sf_dir):
     )
     assert "WindowGroupLimit" in plan
     assert "Partial" in plan  # map-side group limit before the shuffle
+
+
+def test_q1_pushdown_partial_agg_small_group_domain(spark, sf_dir):
+    """TPC-H Q1: the shipdate predicate reaches the scan, partial
+    aggregation runs before the one Exchange (the 6-cell group domain
+    means each scan partition ships <=6 rows), and no Python worker
+    appears."""
+    plan = _plan(spark, sf_dir, "q1_pricing_summary")
+    assert "PushedFilters" in plan
+    assert "l_shipdate" in plan.split("PushedFilters")[1].split("\n")[0]
+    assert plan.count("HashAggregate") >= 2, plan
+    assert "partial_sum" in plan
+    assert "BatchEvalPython" not in plan
+    read_schema = [l for l in plan.splitlines() if "ReadSchema" in l][0]
+    assert "l_orderkey" not in read_schema  # pruned: 7 needed columns only
+
+
+def test_peak_concurrency_single_sort_partition_by_type(spark, sf_dir):
+    """The sweep line is ONE window sort partitioned by event_type; the
+    join back against the per-type peak is not a cartesian."""
+    plan = _plan(spark, sf_dir, "peak_concurrency_by_type")
+    assert "Window" in plan
+    assert "CartesianProduct" not in plan
+    assert "BatchEvalPython" not in plan
+
+
+def test_anova_map_combinable_no_shuffle_of_rows(spark, sf_dir):
+    """ANOVA's moment sums must partial-aggregate map-side: two
+    HashAggregate phases around each Exchange, never a raw-row sort."""
+    plan = _plan(spark, sf_dir, "anova_f_value_by_type")
+    assert plan.count("HashAggregate") >= 2
+    assert "partial_" in plan
+    assert "Window" not in plan  # pure aggregate path, no ordered pass
+
+
+def test_cuped_one_pass_no_join(spark, sf_dir):
+    """CUPED's pre/post covariates come from ONE conditional aggregate
+    — any Join in the plan would mean the pre/post split regressed to
+    a self-join."""
+    plan = _plan(spark, sf_dir, "cuped_variance_reduction")
+    assert "Join" not in plan, plan
+    assert plan.count("HashAggregate") >= 2
