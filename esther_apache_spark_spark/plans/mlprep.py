@@ -2957,3 +2957,79 @@ def mde_sample_size_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
             2.0 * F.lit(z2) * var_c / (0.05 * mean_c * 0.05 * mean_c)
         ).cast("long").alias("n_per_arm_5pct_mde"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Quantile treatment effect — where in the distribution the cohorts
+# differ, not just whether the means do.
+# ---------------------------------------------------------------------------
+@register(
+    "qte_deciles_by_cohort",
+    oracle="""
+    WITH base AS (
+        SELECT user_id % 2 AS g,
+               CAST(CAST(value AS DECIMAL(12,2)) * 100 AS BIGINT) AS cents,
+               event_id
+        FROM events
+    ),
+    ranked AS (
+        SELECT g, cents,
+               ROW_NUMBER() OVER (PARTITION BY g
+                                  ORDER BY cents, event_id) AS rn,
+               COUNT(*) OVER (PARTITION BY g) AS n
+        FROM base
+    ),
+    picks AS (
+        SELECT r.g, d.range AS decile, r.cents
+        FROM ranked r JOIN range(1, 10) d
+          ON r.rn = CAST(CEIL(d.range * r.n / 10.0) AS BIGINT)
+    )
+    SELECT CAST(decile AS INT) AS decile,
+           ROUND(MAX(CASE WHEN g = 0 THEN cents END) / 100.0, 2) AS v_g0,
+           ROUND(MAX(CASE WHEN g = 1 THEN cents END) / 100.0, 2) AS v_g1,
+           ROUND((MAX(CASE WHEN g = 1 THEN cents END)
+                  - MAX(CASE WHEN g = 0 THEN cents END)) / 100.0, 2) AS qte
+    FROM picks GROUP BY 1
+    """,
+)
+def qte_deciles_by_cohort(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quantile treatment effect at the deciles — WHERE in the value
+    distribution the two cohorts differ, which a mean comparison
+    (`welch_t_value_by_cohort`) averages away: a change that lifts the
+    p90 while hurting the p10 nets to zero in the mean but shows as a
+    signed QTE fan here (the standard heterogeneity readout before
+    shipping a pricing/ranking change). Quantiles are EXACT rank picks
+    (ceil(q·n/10)-th order statistic via row_number with the event_id
+    tiebreak) — no interpolation, no approx-percentile sketch — so the
+    oracle matches to the cent.
+
+    Scale: one ordered pass per cohort partition; the 9-decile target
+    join is against the per-row (rn, n) — an equi-condition on the
+    computed rank, no inequality join. The decile grid is a literal."""
+    ev = load_table(spark, sf_dir, "events")
+    base = ev.select(
+        (F.col("user_id") % 2).alias("g"),
+        (dec2("value") * 100).cast("long").alias("cents"),
+        "event_id",
+    )
+    ranked = base.select(
+        "g",
+        "cents",
+        F.row_number()
+        .over(Window.partitionBy("g").orderBy("cents", "event_id"))
+        .alias("rn"),
+        F.count(F.lit(1)).over(Window.partitionBy("g")).alias("n"),
+    )
+    deciles = spark.range(1, 10).select(F.col("id").alias("decile"))
+    picks = ranked.join(
+        deciles,
+        F.col("rn")
+        == F.ceil(F.col("decile") * F.col("n") / 10.0).cast("long"),
+    ).select("g", "decile", "cents")
+    g0 = F.max(F.when(F.col("g") == 0, F.col("cents")))
+    g1 = F.max(F.when(F.col("g") == 1, F.col("cents")))
+    return picks.groupBy(F.col("decile").cast("int").alias("decile")).agg(
+        F.round(g0 / 100.0, 2).alias("v_g0"),
+        F.round(g1 / 100.0, 2).alias("v_g1"),
+        F.round((g1 - g0) / 100.0, 2).alias("qte"),
+    )

@@ -83,6 +83,9 @@ def test_catalog_plans_free_of_scale_antipatterns(spark, sf_dir):
         "survival_km_curve",
         # same horizon scalar, for the two-cohort log-rank companion
         "logrank_churn_by_cohort",
+        # 9-row literal decile grid broadcast; the rank-pick equality
+        # references both sides so it can't be a hash-join key
+        "qte_deciles_by_cohort",
         # 1-row (ta, tb) token-total scalar onto the vocabulary frame
         "keyword_keyness_chisq",
         # 1-row exact-join-size aggregate x 1-row sketch-estimate combine
