@@ -947,3 +947,112 @@ def cramers_v_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Brier decomposition — calibration quality as three numbers.
+# ---------------------------------------------------------------------------
+@register(
+    "brier_decomposition_classifier",
+    oracle=f"""
+    WITH toks AS ({_TOKS_CTE}),
+    {_QC_SCORE_CTES},
+    base AS (SELECT doc_id, lang FROM documents WHERE text IS NOT NULL),
+    sc AS (SELECT b.doc_id,
+                  COALESCE(sw / n, 0.0) /
+                      (1 + abs(COALESCE(sw / n, 0.0))) AS quality,
+                  CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS pos
+           FROM base b LEFT JOIN agg USING (doc_id)),
+    pr AS (SELECT CAST(LEAST(FLOOR(((quality + 1.0) / 2.0) * 20), 19) AS INT)
+                      AS bin,
+                  (quality + 1.0) / 2.0 AS p, pos
+           FROM sc),
+    bb AS (
+        SELECT bin, CAST(COUNT(*) AS BIGINT) AS n_b,
+               CAST(SUM(pos) AS BIGINT) AS k_b,
+               CAST(SUM(CAST(FLOOR(p * 1e9 + 0.5) AS BIGINT)) AS BIGINT)
+                   AS sq,
+               SUM(ROUND((p - pos) * (p - pos), 9)) AS bsum
+        FROM pr GROUP BY bin
+    ),
+    tt AS (
+        SELECT bin, n_b, k_b, sq, bsum,
+               SUM(n_b) OVER () AS n, SUM(k_b) OVER () AS k
+        FROM bb
+    )
+    SELECT CAST(MAX(n) AS BIGINT) AS n_docs,
+           ROUND(CAST(MAX(k) AS DOUBLE) / MAX(n), 6) AS base_rate,
+           ROUND(SUM(bsum) / MAX(n), 6) AS brier,
+           ROUND(SUM(ROUND(n_b
+                 * (CAST(sq AS DOUBLE) / 1e9 / n_b
+                    - CAST(k_b AS DOUBLE) / n_b)
+                 * (CAST(sq AS DOUBLE) / 1e9 / n_b
+                    - CAST(k_b AS DOUBLE) / n_b), 9)) / MAX(n), 6)
+               AS reliability,
+           ROUND(SUM(ROUND(n_b
+                 * (CAST(k_b AS DOUBLE) / n_b - CAST(k AS DOUBLE) / n)
+                 * (CAST(k_b AS DOUBLE) / n_b - CAST(k AS DOUBLE) / n),
+                 9)) / MAX(n), 6) AS resolution,
+           ROUND((CAST(MAX(k) AS DOUBLE) / MAX(n))
+                 * (1.0 - CAST(MAX(k) AS DOUBLE) / MAX(n)), 6)
+               AS uncertainty
+    FROM tt
+    """,
+)
+def brier_decomposition_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Murphy decomposition of the quality classifier's Brier score —
+    BS = reliability − resolution + uncertainty (up to within-bin
+    variance): one number each for "are the probabilities honest"
+    (reliability, want 0), "do they separate the classes" (resolution,
+    want big) and the irreducible base-rate term —
+    `classifier_calibration_bins`' reliability DIAGRAM collapsed to the
+    scorecard a model registry tracks per version.
+
+    Determinism: same binned frame as the calibration query (dyadic p,
+    floor-quantized per-term mean); every per-bin squared-gap term is
+    a fixed expression over exact (n_b, k_b, Σ⌊p·1e9⌉) integers,
+    rounded once at 9 dp before the 20-row sum; grand totals via
+    windows over the 20-row model-constant bin frame."""
+    j = _classifier_scored(spark, sf_dir)
+    p = (F.col("quality") + F.lit(1.0)) / F.lit(2.0)
+    pr = j.select(
+        F.least(F.floor(p * 20), F.lit(19)).cast("int").alias("bin"),
+        p.alias("p"),
+        "pos",
+    )
+    b = pr.groupBy("bin").agg(
+        F.count(F.lit(1)).alias("n_b"),
+        F.sum("pos").alias("k_b"),
+        F.sum(F.floor(F.col("p") * 1e9 + 0.5).cast("long")).alias("sq"),
+        F.sum(
+            F.round(
+                (F.col("p") - F.col("pos")) * (F.col("p") - F.col("pos")), 9
+            )
+        ).alias("bsum"),
+    )
+    w = Window.partitionBy()
+    t = b.select(
+        "n_b",
+        "k_b",
+        "sq",
+        "bsum",
+        F.sum("n_b").over(w).alias("n"),
+        F.sum("k_b").over(w).alias("k"),
+    )
+    pb = F.col("sq").cast("double") / 1e9 / F.col("n_b")
+    yb = F.col("k_b").cast("double") / F.col("n_b")
+    ybar = F.col("k").cast("double") / F.col("n")
+    rel_t = F.round(F.col("n_b") * (pb - yb) * (pb - yb), 9)
+    res_t = F.round(F.col("n_b") * (yb - ybar) * (yb - ybar), 9)
+    return t.agg(
+        F.max("n").cast("long").alias("n_docs"),
+        F.round(F.max("k").cast("double") / F.max("n"), 6).alias("base_rate"),
+        F.round(F.sum("bsum") / F.max("n"), 6).alias("brier"),
+        F.round(F.sum(rel_t) / F.max("n"), 6).alias("reliability"),
+        F.round(F.sum(res_t) / F.max("n"), 6).alias("resolution"),
+        F.round(
+            (F.max("k").cast("double") / F.max("n"))
+            * (1.0 - F.max("k").cast("double") / F.max("n")),
+            6,
+        ).alias("uncertainty"),
+    )
