@@ -3033,3 +3033,98 @@ def qte_deciles_by_cohort(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(g1 / 100.0, 2).alias("v_g1"),
         F.round((g1 - g0) / 100.0, 2).alias("qte"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Empirical-Bayes rate shrinkage — the smoothed-CTR estimator.
+# ---------------------------------------------------------------------------
+@register(
+    "eb_shrunk_purchase_rate",
+    oracle="""
+    WITH per_user AS (
+        SELECT user_id,
+               CAST(COUNT(*) AS BIGINT) AS n,
+               CAST(SUM(CASE WHEN event_type = 'purchase'
+                             THEN 1 ELSE 0 END) AS BIGINT) AS k
+        FROM events GROUP BY 1
+    ),
+    mom AS (
+        SELECT CAST(COUNT(*) AS BIGINT) AS u,
+               SUM(ROUND(CAST(k AS DOUBLE) / n, 9)) AS sr,
+               SUM(ROUND((CAST(k AS DOUBLE) / n)
+                         * (CAST(k AS DOUBLE) / n), 9)) AS srr
+        FROM per_user
+    ),
+    prior AS (
+        SELECT u,
+               sr / u AS mu,
+               GREATEST(srr / u - (sr / u) * (sr / u), 1e-9) AS vr
+        FROM mom
+    ),
+    ab AS (
+        SELECT u, mu,
+               GREATEST(mu * (1 - mu) / vr - 1, 0.1) AS m
+        FROM prior
+    )
+    SELECT p.user_id, p.n AS n_events, p.k AS n_purchases,
+           ROUND(CAST(p.k AS DOUBLE) / p.n, 6) AS raw_rate,
+           ROUND((p.k + ab.mu * ab.m) / (p.n + ab.m), 6) AS shrunk_rate
+    FROM per_user p, ab
+    ORDER BY p.user_id
+    LIMIT 100
+    """,
+)
+def eb_shrunk_purchase_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Empirical-Bayes shrinkage of per-user purchase rate — the
+    smoothed-CTR estimator every ranking/recommendation feature store
+    uses instead of raw k/n (a 1/1 user is NOT a 100% purchaser): fit a
+    Beta prior by method of moments on the observed rate distribution
+    (prior mean mu, pseudo-count m = mu(1-mu)/var - 1, floored so a
+    degenerate variance can't flip the sign), then shrink each user to
+    (k + mu·m)/(n + m) — low-evidence users collapse to the prior,
+    high-evidence users keep their data. First 100 users by id for a
+    stable driver-sized result.
+
+    Determinism: per-user (n, k) exact; each rate and rate² moment term
+    rounded once at 9 dp before the user-level sum (the transcendental
+    doctrine applied to divisions); the prior scalars are single fixed
+    expressions; the final shrink is one expression over exact (k, n)
+    and those scalars. Scale: one map-combinable aggregate to users,
+    one to 3 scalars broadcast back (allowlisted 1-row join)."""
+    ev = load_table(spark, sf_dir, "events")
+    per_user = ev.groupBy("user_id").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(
+            F.when(F.col("event_type") == "purchase", 1).otherwise(0)
+        ).alias("k"),
+    )
+    r = F.col("k").cast("double") / F.col("n")
+    mom = per_user.agg(
+        F.count(F.lit(1)).alias("u"),
+        F.sum(F.round(r, 9)).alias("sr"),
+        F.sum(F.round(r * r, 9)).alias("srr"),
+    )
+    mu = F.col("sr") / F.col("u")
+    vr = F.greatest(
+        F.col("srr") / F.col("u") - mu * mu, F.lit(1e-9)
+    )
+    ab = mom.select(
+        mu.alias("mu"),
+        F.greatest(mu * (1 - mu) / vr - 1, F.lit(0.1)).alias("m"),
+    )
+    return (
+        per_user.crossJoin(ab)
+        .select(
+            "user_id",
+            F.col("n").alias("n_events"),
+            F.col("k").alias("n_purchases"),
+            F.round(r, 6).alias("raw_rate"),
+            F.round(
+                (F.col("k") + F.col("mu") * F.col("m"))
+                / (F.col("n") + F.col("m")),
+                6,
+            ).alias("shrunk_rate"),
+        )
+        .orderBy("user_id")
+        .limit(100)
+    )

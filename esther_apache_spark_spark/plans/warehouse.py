@@ -2630,3 +2630,75 @@ def gini_revenue_by_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("gini"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Herfindahl–Hirschman concentration — market-structure per region.
+# ---------------------------------------------------------------------------
+@register(
+    "hhi_brand_concentration_by_region",
+    oracle="""
+    WITH rev AS (
+        SELECT r.r_name AS region, p.p_brand AS brand,
+               CAST(CAST(SUM(CAST(l.l_extendedprice AS DECIMAL(12,2))) * 100
+                    AS BIGINT) AS BIGINT) AS cents
+        FROM lineitem l
+        JOIN part p ON l.l_partkey = p.p_partkey
+        JOIN orders o ON l.l_orderkey = o.o_orderkey
+        JOIN customer c ON o.o_custkey = c.c_custkey
+        JOIN nation n ON c.c_nationkey = n.n_nationkey
+        JOIN region r ON n.n_regionkey = r.r_regionkey
+        GROUP BY 1, 2
+    ),
+    tot AS (
+        SELECT region, brand, cents,
+               SUM(cents) OVER (PARTITION BY region) AS t
+        FROM rev
+    )
+    SELECT region,
+           CAST(COUNT(*) AS BIGINT) AS n_brands,
+           ROUND(SUM(ROUND(10000.0 * (CAST(cents AS DOUBLE) / t)
+                           * (CAST(cents AS DOUBLE) / t), 9)), 4) AS hhi
+    FROM tot GROUP BY region
+    """,
+)
+def hhi_brand_concentration_by_region(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Herfindahl–Hirschman index of brand revenue concentration per
+    region — the antitrust-grade market-structure number (0 =
+    atomistic, 10000 = monopoly; >2500 reads "highly concentrated")
+    that complements `gini_revenue_by_nation` (customer-side
+    inequality) with the supply-side view. HHI = 10000·Σ share².
+
+    Exactness: brand revenue in exact integer cents from decimal sums;
+    per-brand 10000·s² terms are single fixed expressions over (cents,
+    region-total) rounded once at 9 dp; the region totals are window
+    sums over the bounded (region × brand) frame. Scale: the 5-way
+    snowflake join pre-aggregates lineitem to its join keys before
+    anything wide, and the final math runs on the |regions|·|brands|
+    model-constant frame."""
+    li = load_table(spark, sf_dir, "lineitem")
+    part = load_table(spark, sf_dir, "part")
+    orders = load_table(spark, sf_dir, "orders")
+    cust = load_table(spark, sf_dir, "customer")
+    nation = load_table(spark, sf_dir, "nation")
+    region = load_table(spark, sf_dir, "region")
+    rev = (
+        li.join(part, li.l_partkey == part.p_partkey)
+        .join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(cust, orders.o_custkey == cust.c_custkey)
+        .join(F.broadcast(nation), cust.c_nationkey == nation.n_nationkey)
+        .join(F.broadcast(region), nation.n_regionkey == region.r_regionkey)
+        .groupBy(F.col("r_name").alias("region"), F.col("p_brand").alias("brand"))
+        .agg((F.sum(dec2("l_extendedprice")) * 100).cast("long").alias("cents"))
+    )
+    tot = rev.select(
+        "region",
+        "cents",
+        F.sum("cents").over(Window.partitionBy("region")).alias("t"),
+    )
+    share = F.col("cents").cast("double") / F.col("t")
+    term = F.round(10000.0 * share * share, 9)
+    return tot.groupBy("region").agg(
+        F.count(F.lit(1)).alias("n_brands"),
+        F.round(F.sum(term), 4).alias("hhi"),
+    )

@@ -46,6 +46,8 @@ ALLOWED: dict[tuple[str, str], str] = {
     ("plans/corpus_ops.py", "tot"): "global (total, k) aggregate, 1 row",
     ("operators/sampling.py", "maxq"): "global max aggregate, 1 row",
     ("plans/warehouse.py", "anchor"): "global max-orderdate aggregate, 1 row",
+    ("plans/warehouse.py", "nation"): "nation, 25 rows",
+    ("plans/warehouse.py", "region"): "region, 5 rows",
     ("plans/mlprep.py", "horizon"): "global max-ts aggregate, 1 row",
     ("plans/mlprep.py", "tot"): "global (ta, tb) token-total aggregate, 1 row",
     ("plans/warehouse.py", "seg_stats"): "per-segment (sum, n) pre-agg, bounded by the 5-value mktsegment domain",

@@ -86,6 +86,8 @@ def test_catalog_plans_free_of_scale_antipatterns(spark, sf_dir):
         # 9-row literal decile grid broadcast; the rank-pick equality
         # references both sides so it can't be a hash-join key
         "qte_deciles_by_cohort",
+        # 1-row Beta-prior (mu, m) scalar broadcast onto the user frame
+        "eb_shrunk_purchase_rate",
         # 1-row (ta, tb) token-total scalar onto the vocabulary frame
         "keyword_keyness_chisq",
         # 1-row exact-join-size aggregate x 1-row sketch-estimate combine
