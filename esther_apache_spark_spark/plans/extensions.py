@@ -4288,3 +4288,190 @@ def ann_recall_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("recall_at_10"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Dedup threshold calibration — how many pairs/docs each knob setting
+# would collapse.
+# ---------------------------------------------------------------------------
+@register(
+    "dedup_threshold_sweep",
+    oracle="""
+    WITH toks AS (
+        SELECT doc_id,
+               list_filter(regexp_split_to_array(trim(regexp_replace(lower(text), '[^\\w\\s]', '', 'g')), '\\s+'), x -> x <> '') AS t
+        FROM documents
+    ),
+    sh AS (
+        SELECT doc_id,
+               list_distinct(
+                   CASE WHEN len(t) >= 3
+                        THEN list_transform(range(1, len(t) - 1),
+                                            i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2])
+                        ELSE CAST([] AS VARCHAR[]) END
+               ) AS s
+        FROM toks
+    ),
+    pairs AS (
+        SELECT id_a, id_b, jaccard FROM (
+            SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+                   len(list_intersect(a.s, b.s))
+                       / (len(a.s) + len(b.s)
+                          - len(list_intersect(a.s, b.s))) AS jaccard
+            FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+        ) WHERE jaccard >= 0.1
+    ),
+    pb AS (
+        SELECT LEAST(CAST(FLOOR(jaccard * 10) AS INT), 9) AS bucket,
+               CAST(COUNT(*) AS BIGINT) AS np
+        FROM pairs GROUP BY 1
+    ),
+    docmax AS (
+        SELECT doc_id, MAX(jaccard) AS mj FROM (
+            SELECT id_a AS doc_id, jaccard FROM pairs
+            UNION ALL
+            SELECT id_b AS doc_id, jaccard FROM pairs
+        ) GROUP BY 1
+    ),
+    db AS (
+        SELECT LEAST(CAST(FLOOR(mj * 10) AS INT), 9) AS bucket,
+               CAST(COUNT(*) AS BIGINT) AS nd
+        FROM docmax GROUP BY 1
+    ),
+    grid AS (SELECT CAST(r.range AS INT) AS bucket FROM range(1, 10) r),
+    cum AS (
+        SELECT g.bucket,
+               SUM(COALESCE(p.np, 0)) OVER (ORDER BY g.bucket DESC
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS n_pairs,
+               SUM(COALESCE(d.nd, 0)) OVER (ORDER BY g.bucket DESC
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS n_docs
+        FROM grid g
+        LEFT JOIN pb p ON g.bucket = p.bucket
+        LEFT JOIN db d ON g.bucket = d.bucket
+    )
+    SELECT ROUND(bucket / 10.0, 1) AS threshold,
+           CAST(n_pairs AS BIGINT) AS n_pairs_ge,
+           CAST(n_docs AS BIGINT) AS n_docs_ge
+    FROM cum
+    """,
+)
+def dedup_threshold_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup threshold CALIBRATION curve — before running a dedup
+    pass at 100 TB, answer "what does each knob setting actually
+    collapse": for every Jaccard threshold 0.1..0.9, the number of
+    exact 3-gram pairs at-or-above it and the number of documents
+    touched (by their max pair similarity). The cliff in this curve is
+    where boilerplate ends and true duplication begins — the standard
+    way the 0.8-ish default in `dedup_ngram_jaccard`/`dedup_minhash_lsh`
+    gets justified per-corpus instead of cargo-culted.
+
+    Scale shape: pairs come from the SAME df-pruned inverted-index
+    equi-join as `dedup_ngram_jaccard` (floor threshold 0.1 — wider,
+    but identical machinery and caps); everything after is bucketing +
+    one descending cumulative window over the 9-row threshold grid — a
+    model constant, so no per-threshold rescan and NO join against the
+    grid. Jaccard is the exact int/int ratio, so bucket edges can't
+    disagree between engines."""
+    from esther_apache_spark_spark.operators import dedup as D
+
+    docs = load_table(spark, sf_dir, "documents")
+    pairs = D.ngram_jaccard_pairs(docs, shingle_n=3, threshold=0.1)
+    bucket = F.least(F.floor(F.col("jaccard") * 10).cast("int"), F.lit(9))
+    pb = pairs.groupBy(bucket.alias("bucket")).agg(
+        F.count(F.lit(1)).alias("np")
+    )
+    docmax = (
+        pairs.select(F.col("id_a").alias("doc_id"), "jaccard")
+        .unionAll(pairs.select(F.col("id_b").alias("doc_id"), "jaccard"))
+        .groupBy("doc_id")
+        .agg(F.max("jaccard").alias("mj"))
+    )
+    db = docmax.groupBy(
+        F.least(F.floor(F.col("mj") * 10).cast("int"), F.lit(9)).alias(
+            "bucket"
+        )
+    ).agg(F.count(F.lit(1)).alias("nd"))
+    grid = spark.range(1, 10).select(F.col("id").cast("int").alias("bucket"))
+    wcum = Window.orderBy(F.desc("bucket")).rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    cum = (
+        grid.join(pb, "bucket", "left")
+        .join(db, "bucket", "left")
+        .select(
+            "bucket",
+            F.sum(F.coalesce("np", F.lit(0))).over(wcum).alias("n_pairs"),
+            F.sum(F.coalesce("nd", F.lit(0))).over(wcum).alias("n_docs"),
+        )
+    )
+    return cum.select(
+        F.round(F.col("bucket") / 10.0, 1).alias("threshold"),
+        F.col("n_pairs").cast("long").alias("n_pairs_ge"),
+        F.col("n_docs").cast("long").alias("n_docs_ge"),
+    )
+
+
+@register(
+    "dup_mass_by_source",
+    oracle="""
+    WITH fp AS (
+        SELECT doc_id, source, CAST(n_chars AS BIGINT) AS n_chars,
+               md5(lower(text)) AS f
+        FROM documents
+    ),
+    canon AS (
+        SELECT doc_id, source, n_chars,
+               ROW_NUMBER() OVER (PARTITION BY f ORDER BY doc_id) AS rn
+        FROM fp
+    )
+    SELECT source,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(CASE WHEN rn > 1 THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_dup_docs,
+           CAST(SUM(n_chars) AS BIGINT) AS total_chars,
+           CAST(SUM(CASE WHEN rn > 1 THEN n_chars ELSE 0 END) AS BIGINT)
+               AS dup_chars,
+           ROUND(CAST(SUM(CASE WHEN rn > 1 THEN n_chars ELSE 0 END)
+                      AS DOUBLE) / SUM(n_chars), 6) AS dup_mass_share
+    FROM canon GROUP BY source
+    """,
+)
+def dup_mass_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Duplicate text MASS per ingest source — not how many docs are
+    dups (`source_mix_report`-adjacent counts) but how many CHARS of
+    non-canonical exact-duplicate text each feed contributes: the
+    curation readout that decides which source to fix upstream, since
+    a feed can have few dup docs but huge dup mass (mirrored long
+    pages) or the reverse (boilerplate stubs). Canonical = lowest
+    doc_id per lower(text) md5 fingerprint — the same keep-first rule
+    as `dedup_exact_docs`, so this report prices exactly what that
+    pass would delete.
+
+    Exact integer chars and counts; one fingerprint window (partitioned
+    by the hash — perfect shuffle key) + one per-source aggregate; the
+    text column never shuffles (only its md5 does)."""
+    docs = load_table(spark, sf_dir, "documents")
+    fp = docs.select(
+        "doc_id",
+        "source",
+        F.col("n_chars").cast("long").alias("n_chars"),
+        F.md5(F.lower("text")).alias("f"),
+    )
+    canon = fp.select(
+        "source",
+        "n_chars",
+        F.row_number()
+        .over(Window.partitionBy("f").orderBy("doc_id"))
+        .alias("rn"),
+    )
+    dup = F.when(F.col("rn") > 1, 1).otherwise(0)
+    dup_chars = F.when(F.col("rn") > 1, F.col("n_chars")).otherwise(0)
+    return canon.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum(dup).alias("n_dup_docs"),
+        F.sum("n_chars").alias("total_chars"),
+        F.sum(dup_chars).alias("dup_chars"),
+        F.round(
+            F.sum(dup_chars).cast("double") / F.sum("n_chars"), 6
+        ).alias("dup_mass_share"),
+    )
