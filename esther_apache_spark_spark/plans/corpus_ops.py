@@ -3143,3 +3143,94 @@ def tokenizer_fertility_by_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("chars_per_token"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Zipf tail index — the corpus frequency-law companion to Heaps growth.
+# ---------------------------------------------------------------------------
+@register(
+    "zipf_slope_vocab",
+    oracle="""
+    WITH tok AS (
+        SELECT t AS term FROM (
+            SELECT unnest(string_split(lower(text), ' ')) AS t FROM documents
+        ) WHERE t <> ''
+    ),
+    v AS (SELECT term, CAST(COUNT(*) AS BIGINT) AS cnt FROM tok GROUP BY 1),
+    ranked AS (
+        SELECT cnt,
+               ROW_NUMBER() OVER (ORDER BY cnt DESC, term ASC) AS rnk
+        FROM v
+    ),
+    top AS (
+        SELECT ROUND(LN(CAST(rnk AS DOUBLE)), 9) AS x,
+               ROUND(LN(CAST(cnt AS DOUBLE)), 9) AS y
+        FROM ranked WHERE rnk <= 1000
+    ),
+    s AS (
+        SELECT CAST(COUNT(*) AS BIGINT) AS n,
+               SUM(x) AS sx, SUM(y) AS sy,
+               SUM(x * y) AS sxy, SUM(x * x) AS sxx
+        FROM top
+    )
+    SELECT n AS n_terms,
+           ROUND((n * sxy - sx * sy) / (n * sxx - sx * sx), 6)
+               AS zipf_slope,
+           ROUND((sy - (n * sxy - sx * sy) / (n * sxx - sx * sx) * sx) / n,
+                 6) AS log_intercept
+    FROM s
+    """,
+)
+def zipf_slope_vocab(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Zipf tail index of the corpus vocabulary — the OLS slope of
+    ln(freq) on ln(rank) over the top-1000 terms (natural text sits
+    near −1; a corpus whose slope drifts flat is template/boilerplate-
+    heavy, one that steepens lost its long tail to over-aggressive
+    filtering). The frequency-LAW companion to `vocab_growth_heaps`
+    (which tracks vocabulary SIZE) — together they are the two
+    classical sanity checks a dataset card reports on token statistics.
+
+    Determinism: ranks from a (cnt DESC, term ASC) total order; both
+    logs rounded once at 9 dp per term (the transcendental doctrine);
+    the OLS slope/intercept are the standard cross-multiplied closed
+    form over four sums of those rounded values, divided once. Scale:
+    one token aggregate, one vocabulary rank (TakeOrderedAndProject-
+    style cap at 1000 rows), then arithmetic on a model-constant
+    frame."""
+    docs = load_table(spark, sf_dir, "documents")
+    tok = docs.select(
+        F.explode(F.split(F.lower("text"), " ")).alias("term")
+    ).filter(F.col("term") != "")
+    v = tok.groupBy("term").agg(F.count(F.lit(1)).alias("cnt"))
+    # distributed top-k FIRST (TakeOrderedAndProject), so the global
+    # rank window only ever sees the 1000-row model-constant frame —
+    # never a single-partition sort of the data-sized vocabulary
+    top1k = v.orderBy(F.desc("cnt"), F.asc("term")).limit(1000)
+    ranked = top1k.select(
+        "cnt",
+        F.row_number()
+        .over(Window.orderBy(F.desc("cnt"), F.asc("term")))
+        .alias("rnk"),
+    )
+    top = ranked.select(
+        F.round(F.log(F.col("rnk").cast("double")), 9).alias("x"),
+        F.round(F.log(F.col("cnt").cast("double")), 9).alias("y"),
+    )
+    s = top.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("x").alias("sx"),
+        F.sum("y").alias("sy"),
+        F.sum(F.col("x") * F.col("y")).alias("sxy"),
+        F.sum(F.col("x") * F.col("x")).alias("sxx"),
+    )
+    n = F.col("n")
+    slope = (n * F.col("sxy") - F.col("sx") * F.col("sy")) / (
+        n * F.col("sxx") - F.col("sx") * F.col("sx")
+    )
+    return s.select(
+        n.cast("long").alias("n_terms"),
+        F.round(slope, 6).alias("zipf_slope"),
+        F.round((F.col("sy") - slope * F.col("sx")) / n, 6).alias(
+            "log_intercept"
+        ),
+    )

@@ -3128,3 +3128,70 @@ def eb_shrunk_purchase_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy("user_id")
         .limit(100)
     )
+
+
+_MOMENTS_ORACLE = """
+    SELECT event_type,
+           CAST(COUNT(*) AS BIGINT) AS n_events,
+           ROUND(CAST(SUM(CAST(CAST(value AS DECIMAL(12,2)) * 100 AS BIGINT))
+                      AS DOUBLE) / COUNT(*) / 100.0, 4) AS mean_value,
+           ROUND((CAST(SUM(CAST(CAST(CAST(value AS DECIMAL(12,2)) * 100
+                                      AS BIGINT) AS HUGEINT)
+                           * CAST(CAST(value AS DECIMAL(12,2)) * 100
+                                  AS BIGINT)) AS DOUBLE)
+                  - CAST(SUM(CAST(CAST(value AS DECIMAL(12,2)) * 100
+                                  AS BIGINT)) AS DOUBLE)
+                    * CAST(SUM(CAST(CAST(value AS DECIMAL(12,2)) * 100
+                                    AS BIGINT)) AS DOUBLE) / COUNT(*))
+                 / (COUNT(*) - 1) / 10000.0, 4) AS var_value
+    FROM events GROUP BY 1
+"""
+
+
+def _moments_readout(m: DataFrame) -> DataFrame:
+    nd = F.col("n")
+    sd, ssd = F.col("s").cast("double"), F.col("ss").cast("double")
+    return m.select(
+        "event_type",
+        nd.cast("long").alias("n_events"),
+        F.round(sd / nd / 100.0, 4).alias("mean_value"),
+        F.round((ssd - sd * sd / nd) / (nd - 1) / 10000.0, 4).alias(
+            "var_value"
+        ),
+    )
+
+
+@register("moments_by_type", oracle=_MOMENTS_ORACLE)
+def moments_by_type(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-type exact moment state (n, Σcents, Σcents²) and its
+    mean/variance readout — the batch definition the streaming twin
+    (`streaming_moments_by_type`) must reproduce bit-for-bit. The state
+    is three associative integer sums, i.e. the minimal mergeable
+    summary from which mean/var/stddev/t-tests all derive — persist it
+    per partition/day and every coarser readout is a merge, never a
+    rescan (the same doctrine as the sketch rollups, with exactness
+    instead of approximation)."""
+    ev = load_table(spark, sf_dir, "events")
+    d38 = "decimal(38,0)"
+    cents = (dec2("value") * 100).cast("long")
+    m = ev.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(cents.cast(d38)).alias("s"),
+        F.sum(cents.cast(d38) * cents).alias("ss"),
+    )
+    return _moments_readout(m)
+
+
+@register("streaming_moments_by_type", oracle=_MOMENTS_ORACLE)
+def streaming_moments_by_type(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """`moments_by_type` with the integer moment state maintained by
+    Structured Streaming (complete-mode agg over the file stream) and
+    the mean/variance readout computed on the final state. Matching the
+    batch oracle proves the monitor's restart/merge-safety: the state
+    is three associative integer sums per type, so micro-batch
+    boundaries cannot leak into the answer."""
+    from esther_apache_spark_spark.streaming.events import (
+        run_streaming_moment_counts,
+    )
+
+    return _moments_readout(run_streaming_moment_counts(spark, sf_dir))

@@ -1207,3 +1207,38 @@ def run_streaming_psi_bin_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     finally:
         q.stop()
     return spark.table(name)
+
+
+def run_streaming_moment_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream the events source through an exact integer moment
+    aggregation — per type (n, Σcents, Σcents²) in complete mode — and
+    return the final state table. The streaming half of
+    `streaming_moments_by_type`: moments are associative integer sums
+    (DECIMAL(38,0) state), so restarts, reordering and late data cannot
+    change the final answer — the canonical mergeable-state shape every
+    streaming metrics pipeline should reduce to before deriving
+    mean/variance."""
+    name = f"stream_mom_{uuid.uuid4().hex[:8]}"
+    d38 = "decimal(38,0)"
+    src = streaming_events_source(spark, sf_dir)
+    cents = F.col("value").cast("decimal(12,2)") * 100
+    m = (
+        src.select("event_type", cents.cast("long").alias("cents"))
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.col("cents").cast(d38)).alias("s"),
+            F.sum(F.col("cents").cast(d38) * F.col("cents")).alias("ss"),
+        )
+    )
+    q = (
+        m.writeStream.outputMode("complete")
+        .format("memory")
+        .queryName(name)
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    return spark.table(name)
