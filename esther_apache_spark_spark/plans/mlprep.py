@@ -3195,3 +3195,92 @@ def streaming_moments_by_type(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     return _moments_readout(run_streaming_moment_counts(spark, sf_dir))
+
+
+# ---------------------------------------------------------------------------
+# Two-proportion z-test — conversion-rate significance between cohorts.
+# ---------------------------------------------------------------------------
+@register(
+    "two_proportion_ztest_conversion",
+    oracle="""
+    WITH per_user AS (
+        SELECT user_id % 2 AS g,
+               MAX(CASE WHEN event_type = 'purchase'
+                         AND ts < TIMESTAMP '2024-01-03'
+                        THEN 1 ELSE 0 END) AS converted
+        FROM events GROUP BY user_id
+    ),
+    cells AS (
+        SELECT g, CAST(COUNT(*) AS BIGINT) AS n,
+               CAST(SUM(converted) AS BIGINT) AS k
+        FROM per_user GROUP BY 1
+    ),
+    wide AS (
+        SELECT MAX(CASE WHEN g = 0 THEN n END) AS n0,
+               MAX(CASE WHEN g = 0 THEN k END) AS k0,
+               MAX(CASE WHEN g = 1 THEN n END) AS n1,
+               MAX(CASE WHEN g = 1 THEN k END) AS k1
+        FROM cells
+    )
+    SELECT CAST(n0 AS BIGINT) AS n_g0, CAST(n1 AS BIGINT) AS n_g1,
+           ROUND(CAST(k0 AS DOUBLE) / n0, 6) AS rate_g0,
+           ROUND(CAST(k1 AS DOUBLE) / n1, 6) AS rate_g1,
+           ROUND((CAST(k1 AS DOUBLE) / n1 - CAST(k0 AS DOUBLE) / n0)
+                 / SQRT((CAST(k0 + k1 AS DOUBLE) / (n0 + n1))
+                        * (1 - CAST(k0 + k1 AS DOUBLE) / (n0 + n1))
+                        * (1.0 / n0 + 1.0 / n1)), 6) AS z_stat
+    FROM wide
+    """,
+)
+def two_proportion_ztest_conversion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-proportion z-test on user-level ACTIVATION (did the user
+    purchase within the first two days) between the hash cohorts — the binary-metric
+    counterpart of `welch_t_value_by_cohort` and the significance layer
+    `funnel_view_click_purchase` and `ab_test_purchase_lift` stop short
+    of: pooled-proportion standard error, user-grain deduplication
+    FIRST (event-grain conversion rates double-count heavy users — the
+    classic A/B bug this query's shape avoids by construction).
+
+    Exactness: per-user conversion is an exact MAX over the user
+    partition; cohort (n, k) are exact counts; the z statistic is one
+    fixed closed-form expression over four exact integers. Scale: two
+    map-combinable aggregates (user grain, then 2 cells)."""
+    ev = load_table(spark, sf_dir, "events")
+    per_user = ev.groupBy("user_id").agg(
+        F.max(
+            F.when(
+                (F.col("event_type") == "purchase")
+                & (F.col("ts") < F.lit("2024-01-03").cast("timestamp")),
+                1,
+            ).otherwise(0)
+        ).alias("converted")
+    )
+    cells = per_user.groupBy(
+        (F.col("user_id") % 2).alias("g")
+    ).agg(
+        F.count(F.lit(1)).alias("n"), F.sum("converted").alias("k")
+    )
+
+    def cell(g: int, col: str):
+        return F.max(F.when(F.col("g") == g, F.col(col)))
+
+    wide = cells.agg(
+        cell(0, "n").alias("n0"),
+        cell(0, "k").alias("k0"),
+        cell(1, "n").alias("n1"),
+        cell(1, "k").alias("k1"),
+    )
+    n0, n1 = F.col("n0"), F.col("n1")
+    r0 = F.col("k0").cast("double") / n0
+    r1 = F.col("k1").cast("double") / n1
+    pool = (F.col("k0") + F.col("k1")).cast("double") / (n0 + n1)
+    z = (r1 - r0) / F.sqrt(
+        pool * (1 - pool) * (1.0 / n0 + 1.0 / n1)
+    )
+    return wide.select(
+        n0.cast("long").alias("n_g0"),
+        n1.cast("long").alias("n_g1"),
+        F.round(r0, 6).alias("rate_g0"),
+        F.round(r1, 6).alias("rate_g1"),
+        F.round(z, 6).alias("z_stat"),
+    )
