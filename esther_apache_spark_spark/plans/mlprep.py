@@ -3284,3 +3284,267 @@ def two_proportion_ztest_conversion(spark: SparkSession, sf_dir: str) -> DataFra
         F.round(r1, 6).alias("rate_g1"),
         F.round(z, 6).alias("z_stat"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Top-2 PCA by power iteration + exact integer deflation.
+# ---------------------------------------------------------------------------
+
+_PCA2_ITERS = 24
+
+
+def _pca2_oracle() -> str:
+    dim = 64
+    head = f"""
+    WITH qd AS (
+        SELECT e.vec_id, CAST(r.range AS INT) AS j,
+               CAST(FLOOR(CAST(e.embedding[CAST(r.range AS INT)] AS DOUBLE)
+                          * {_PCA_Q} + 0.5) AS HUGEINT) AS q
+        FROM embeddings e CROSS JOIN range(1, {dim + 1}) r
+    ),
+    pr AS (
+        SELECT CAST(r1.range AS INT) AS j, CAST(r2.range AS INT) AS k,
+               CAST(FLOOR(CAST(e.embedding[CAST(r1.range AS INT)] AS DOUBLE)
+                          * {_PCA_Q} + 0.5) AS HUGEINT)
+             * CAST(FLOOR(CAST(e.embedding[CAST(r2.range AS INT)] AS DOUBLE)
+                          * {_PCA_Q} + 0.5) AS HUGEINT) AS prod
+        FROM embeddings e
+        CROSS JOIN range(1, {dim + 1}) r1
+        CROSS JOIN range(1, {dim + 1}) r2
+    ),
+    pp AS (SELECT j, k, SUM(prod) AS p FROM pr GROUP BY 1, 2),
+    ss AS MATERIALIZED (SELECT j, SUM(q) AS s, COUNT(*) AS nv
+                        FROM qd GROUP BY 1),
+    cov AS MATERIALIZED (
+        SELECT pp.j, pp.k, sa.nv * pp.p - sa.s * sb.s AS c
+        FROM pp JOIN ss sa ON pp.j = sa.j JOIN ss sb ON pp.k = sb.j
+    ),
+    v0 AS (SELECT CAST(r.range AS INT) AS j,
+                  CAST({int(_PCA_VS)} AS HUGEINT) AS v
+           FROM range(1, {dim + 1}) r)"""
+    its = []
+    for i in range(1, _PCA2_ITERS + 1):
+        its.append(f""",
+    w{i} AS MATERIALIZED (SELECT cov.j, SUM(cov.c * v{i-1}.v) AS w
+             FROM cov JOIN v{i-1} ON cov.k = v{i-1}.j GROUP BY 1),
+    s{i} AS MATERIALIZED (SELECT SQRT(SUM(CAST(w AS DOUBLE)
+                                          * CAST(w AS DOUBLE))) AS s
+             FROM w{i}),
+    v{i} AS MATERIALIZED (SELECT j,
+                  CAST(FLOOR(CAST(w AS DOUBLE) / s * {_PCA_VS} + 0.5)
+                       AS HUGEINT) AS v
+             FROM w{i}, s{i})""")
+    n1 = _PCA2_ITERS
+    # PC1 Rayleigh + deflation constants
+    its.append(f""",
+    wf1 AS MATERIALIZED (SELECT cov.j, SUM(cov.c * v{n1}.v) AS w
+           FROM cov JOIN v{n1} ON cov.k = v{n1}.j GROUP BY 1),
+    ray1 AS (SELECT SUM(CAST(v{n1}.v AS DOUBLE) * CAST(wf1.w AS DOUBLE)) AS num,
+                    SUM(CAST(v{n1}.v AS DOUBLE) * CAST(v{n1}.v AS DOUBLE)) AS den
+             FROM v{n1} JOIN wf1 ON v{n1}.j = wf1.j),
+    vden AS MATERIALIZED (SELECT SUM(v * v) AS d FROM v{n1}),
+    u0 AS (SELECT CAST(r.range AS INT) AS j,
+                  CAST(CASE WHEN r.range % 2 = 0 THEN {int(_PCA_VS)}
+                            ELSE -{int(_PCA_VS)} END AS HUGEINT) AS v
+           FROM range(1, {dim + 1}) r)""")
+    for i in range(1, _PCA2_ITERS + 1):
+        its.append(f""",
+    x{i} AS MATERIALIZED (SELECT cov.j, SUM(cov.c * u{i-1 if i > 1 else 0}.v) AS w
+             FROM cov JOIN u{i-1 if i > 1 else 0}
+               ON cov.k = u{i-1 if i > 1 else 0}.j GROUP BY 1),
+    pn{i} AS MATERIALIZED (SELECT SUM(v{n1}.v * x{i}.w) AS num
+             FROM v{n1} JOIN x{i} ON v{n1}.j = x{i}.j),
+    o{i} AS MATERIALIZED (SELECT x{i}.j,
+                  x{i}.w * vden.d - pn{i}.num * v{n1}.v AS w
+             FROM x{i} JOIN v{n1} ON x{i}.j = v{n1}.j, vden, pn{i}),
+    t{i} AS MATERIALIZED (SELECT SQRT(SUM(CAST(w AS DOUBLE)
+                                          * CAST(w AS DOUBLE))) AS s
+             FROM o{i}),
+    u{i} AS MATERIALIZED (SELECT j,
+                  CAST(FLOOR(CAST(w AS DOUBLE) / s * {_PCA_VS} + 0.5)
+                       AS HUGEINT) AS v
+             FROM o{i}, t{i})""")
+    n2 = _PCA2_ITERS
+    tail = f""",
+    wf2 AS MATERIALIZED (SELECT cov.j, SUM(cov.c * u{n2}.v) AS w
+           FROM cov JOIN u{n2} ON cov.k = u{n2}.j GROUP BY 1),
+    ray2 AS (SELECT SUM(CAST(u{n2}.v AS DOUBLE) * CAST(wf2.w AS DOUBLE)) AS num,
+                    SUM(CAST(u{n2}.v AS DOUBLE) * CAST(u{n2}.v AS DOUBLE)) AS den
+             FROM u{n2} JOIN wf2 ON u{n2}.j = wf2.j),
+    tr AS (SELECT CAST(SUM(c) AS DOUBLE) AS trace_scat FROM cov WHERE j = k),
+    nn AS (SELECT CAST(MAX(nv) AS BIGINT) AS n_vectors FROM ss)
+    SELECT n_vectors,
+           ROUND(ray1.num / ray1.den
+                 / (CAST(n_vectors AS DOUBLE) * n_vectors)
+                 / {_PCA_Q * _PCA_Q}, 6) AS lambda1_var,
+           ROUND(ray2.num / ray2.den
+                 / (CAST(n_vectors AS DOUBLE) * n_vectors)
+                 / {_PCA_Q * _PCA_Q}, 6) AS lambda2_var,
+           ROUND((ray1.num / ray1.den + ray2.num / ray2.den)
+                 / trace_scat, 6) AS cum_explained_ratio
+    FROM ray1, ray2, tr, nn"""
+    return head + "".join(its) + tail
+
+
+@register("embedding_pca_top2", oracle=_pca2_oracle())
+def embedding_pca_top2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-TWO principal components by power iteration + DEFLATION —
+    extends `embedding_pca_power_iter` (same scatter matrix, same
+    exact-integer matvec/renormalize loop) with the orthogonalized
+    second iterate: each PC2 round computes w = C·u and then projects
+    v1 OUT as w' = w·(v1ᵀv1) − (v1ᵀw)·v1 — the common (v1ᵀv1) factor
+    is kept rather than divided away, so the deflation is EXACT integer
+    arithmetic with no rounding and no engine-specific division
+    semantics (the normalization absorbs the scale). The readout adds
+    lambda2 and the cumulative top-2 explained-variance ratio — the
+    first point of the scree curve, i.e. the difference between "the
+    encoder collapsed to a line" (lambda1 dominates) and "it collapsed
+    to a plane" (lambda1+lambda2 dominate).
+
+    The alternating-sign u0 avoids starting parallel to the all-ones
+    v0. Estimates are Rayleigh lower bounds with the documented
+    near-isotropic-gap caveat (24 rounds each). Deflation multiplies
+    magnitudes by v1ᵀv1 ≈ 64·1e12, which spends headroom: exact past
+    ~1e7 vectors rather than PC1's 1e10 — drop _PCA_Q one decade to
+    trade precision back for reach. Scale shape identical to the PC1
+    query: one data pass, then model-constant frames."""
+    dim, q, vs = 64, _PCA_Q, _PCA_VS
+    d38 = "decimal(38,0)"
+    emb = load_table(spark, sf_dir, "embeddings")
+    e1 = emb.select(
+        F.col("embedding").alias("a"),
+        F.posexplode("embedding").alias("j0", "xj"),
+    )
+    e2 = e1.select("j0", "xj", F.posexplode("a").alias("k0", "xk"))
+    qj = F.floor(F.col("xj").cast("double") * q + 0.5).cast(d38)
+    qk = F.floor(F.col("xk").cast("double") * q + 0.5).cast(d38)
+    pp = (
+        e2.select(
+            (F.col("j0") + 1).alias("j"),
+            (F.col("k0") + 1).alias("k"),
+            (qj * qk).alias("prod"),
+        )
+        .groupBy("j", "k")
+        .agg(F.sum("prod").alias("p"))
+    )
+    ss = (
+        e1.select((F.col("j0") + 1).alias("j"), qj.alias("q"))
+        .groupBy("j")
+        .agg(F.sum("q").alias("s"), F.count(F.lit(1)).alias("nv"))
+    )
+    sa = ss.select(
+        F.col("j").alias("sj"), F.col("s").alias("s_a"), F.col("nv").alias("nv")
+    )
+    sb = ss.select(F.col("j").alias("sk"), F.col("s").alias("s_b"))
+    cov = (
+        pp.join(sa, pp.j == sa.sj)
+        .join(sb, pp.k == sb.sk)
+        .select(
+            "j",
+            "k",
+            (F.col("nv").cast(d38) * F.col("p") - F.col("s_a") * F.col("s_b"))
+            .alias("c"),
+            "nv",
+        )
+        .repartition(1)
+        .localCheckpoint()
+    )
+
+    def matvec(vec):
+        return (
+            cov.join(vec, cov.k == vec.vj)
+            .groupBy("j")
+            .agg(F.sum(F.col("c") * F.col("v")).alias("w"))
+        )
+
+    def renorm(w):
+        s = w.agg(
+            F.sqrt(
+                F.sum(F.col("w").cast("double") * F.col("w").cast("double"))
+            ).alias("s")
+        )
+        return w.crossJoin(s).select(
+            F.col("j").alias("vj"),
+            F.floor(F.col("w").cast("double") / F.col("s") * vs + 0.5)
+            .cast(d38)
+            .alias("v"),
+        )
+
+    v = spark.range(1, dim + 1).select(
+        F.col("id").cast("int").alias("vj"), F.lit(int(vs)).cast(d38).alias("v")
+    )
+    for i in range(_PCA2_ITERS):
+        v = renorm(matvec(v))
+        if (i + 1) % 4 == 0:
+            v = v.repartition(1).localCheckpoint()
+    wf1 = matvec(v)
+    ray1 = v.join(wf1, v.vj == wf1.j).agg(
+        F.sum(F.col("v").cast("double") * F.col("w").cast("double")).alias(
+            "num1"
+        ),
+        F.sum(F.col("v").cast("double") * F.col("v").cast("double")).alias(
+            "den1"
+        ),
+    )
+    vden = v.agg(F.sum(F.col("v") * F.col("v")).alias("d")).localCheckpoint()
+    v1 = v.select(F.col("vj").alias("pj"), F.col("v").alias("pv"))
+
+    u = spark.range(1, dim + 1).select(
+        F.col("id").cast("int").alias("vj"),
+        F.when(F.col("id") % 2 == 0, F.lit(int(vs)))
+        .otherwise(F.lit(-int(vs)))
+        .cast(d38)
+        .alias("v"),
+    )
+    for i in range(_PCA2_ITERS):
+        x = matvec(u)
+        pn = x.join(v1, x.j == v1.pj).agg(
+            F.sum(F.col("pv") * F.col("w")).alias("num")
+        )
+        o = (
+            x.join(v1, x.j == v1.pj)
+            .crossJoin(vden)
+            .crossJoin(pn)
+            .select(
+                "j",
+                (F.col("w") * F.col("d") - F.col("num") * F.col("pv")).alias(
+                    "w"
+                ),
+            )
+        )
+        u = renorm(o)
+        if (i + 1) % 4 == 0:
+            u = u.repartition(1).localCheckpoint()
+    wf2 = matvec(u)
+    ray2 = u.join(wf2, u.vj == wf2.j).agg(
+        F.sum(F.col("v").cast("double") * F.col("w").cast("double")).alias(
+            "num2"
+        ),
+        F.sum(F.col("v").cast("double") * F.col("v").cast("double")).alias(
+            "den2"
+        ),
+    )
+    tr = cov.filter(F.col("j") == F.col("k")).agg(
+        F.sum("c").cast("double").alias("trace_scat")
+    )
+    nn = ss.agg(F.max("nv").cast("long").alias("n_vectors"))
+    nvd = F.col("n_vectors").cast("double")
+    return (
+        ray1.crossJoin(ray2)
+        .crossJoin(tr)
+        .crossJoin(nn)
+        .select(
+            "n_vectors",
+            F.round(
+                F.col("num1") / F.col("den1") / (nvd * nvd) / (q * q), 6
+            ).alias("lambda1_var"),
+            F.round(
+                F.col("num2") / F.col("den2") / (nvd * nvd) / (q * q), 6
+            ).alias("lambda2_var"),
+            F.round(
+                (F.col("num1") / F.col("den1") + F.col("num2") / F.col("den2"))
+                / F.col("trace_scat"),
+                6,
+            ).alias("cum_explained_ratio"),
+        )
+    )

@@ -99,6 +99,8 @@ def test_catalog_plans_free_of_scale_antipatterns(spark, sf_dir):
         # 1-row normalization scalars / Rayleigh x trace x n combine over
         # the checkpointed 4096-row scatter frame (model constant)
         "embedding_pca_power_iter",
+        # same frames + 1-row deflation scalars (v1'v1, v1'w) per round
+        "embedding_pca_top2",
         # 1-row vocab/doc-total scalars onto the vocab-bounded weight
         # table + the bounded per-lang default/prior model frame
         "naive_bayes_langid_docs",

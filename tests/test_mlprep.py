@@ -118,3 +118,25 @@ def test_conformal_coverage_near_nominal(spark, sf_dir):
         # allow binomial noise on the per-type holdout
         assert r["coverage"] >= 0.82, rows
         assert r["qhat_value"] > 0
+
+
+def test_pca_top2_against_numpy_spectrum(spark, sf_dir):
+    import numpy as np
+    import pyarrow.parquet as pq
+
+    row = QUERIES["embedding_pca_top2"].fn(spark, sf_dir).collect()[0]
+    emb = pq.read_table(f"{sf_dir}/embeddings.parquet").to_pandas()
+    x = np.floor(np.stack(emb["embedding"].to_numpy()).astype("float64")
+                 * 10000.0 + 0.5)
+    n = x.shape[0]
+    scat = n * (x.T @ x) - np.outer(x.sum(0), x.sum(0))
+    eig = np.linalg.eigvalsh(scat / (n * n * 1e8))
+    lam1, lam2 = eig[-1], eig[-2]
+    # both Rayleigh readouts are lower bounds on their targets; the
+    # deflated iterate can't exceed lambda_1 either
+    assert row["lambda1_var"] <= lam1 * (1 + 1e-9)
+    assert row["lambda2_var"] <= lam1 * (1 + 1e-9)
+    # with the corpus's tiny eigen-gap, 24 rounds still land in range
+    assert row["lambda1_var"] >= lam1 * 0.93, (row, lam1)
+    assert row["lambda2_var"] >= lam2 * 0.90, (row, lam2)
+    assert 0 < row["cum_explained_ratio"] < 1
