@@ -3234,3 +3234,56 @@ def zipf_slope_vocab(spark: SparkSession, sf_dir: str) -> DataFrame:
             "log_intercept"
         ),
     )
+
+
+# ---------------------------------------------------------------------------
+# Lexical diversity per source — type-token ratio family.
+# ---------------------------------------------------------------------------
+@register(
+    "lexical_diversity_by_source",
+    oracle="""
+    WITH tok AS (
+        SELECT source, t AS term FROM (
+            SELECT source, unnest(string_split(lower(text), ' ')) AS t
+            FROM documents
+        ) WHERE t <> ''
+    )
+    SELECT source,
+           CAST(COUNT(*) AS BIGINT) AS n_tokens,
+           CAST(COUNT(DISTINCT term) AS BIGINT) AS n_types,
+           ROUND(CAST(COUNT(DISTINCT term) AS DOUBLE) / COUNT(*), 6) AS ttr,
+           ROUND(CAST(COUNT(DISTINCT term) AS DOUBLE)
+                 / SQRT(CAST(COUNT(*) AS DOUBLE)), 6) AS root_ttr
+    FROM tok GROUP BY source
+    """,
+)
+def lexical_diversity_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Type-token ratio per ingest source — corpus-level lexical
+    diversity (the per-FEED counterpart of `token_entropy_score_docs`'
+    per-document signal): a feed whose TTR collapses is pumping
+    templates/boilerplate even when its per-doc quality scores look
+    fine, because repetition across documents is invisible to per-doc
+    metrics. Guiraud's root TTR (types/√tokens) rides along since raw
+    TTR shrinks mechanically with volume — compare feeds of different
+    sizes on root_ttr, same-size snapshots on ttr.
+
+    Exact integer counts (one aggregate with an exact COUNT DISTINCT —
+    the Expand-based plan documented at `column_stats_lineitem`; swap
+    in the HLL sketch variant at 100 TB if ±1% suffices); the two
+    ratios are single divisions with one IEEE sqrt."""
+    docs = load_table(spark, sf_dir, "documents")
+    tok = docs.select(
+        "source", F.explode(F.split(F.lower("text"), " ")).alias("term")
+    ).filter(F.col("term") != "")
+    return tok.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_tokens"),
+        F.countDistinct("term").alias("n_types"),
+        F.round(
+            F.countDistinct("term").cast("double") / F.count(F.lit(1)), 6
+        ).alias("ttr"),
+        F.round(
+            F.countDistinct("term").cast("double")
+            / F.sqrt(F.count(F.lit(1)).cast("double")),
+            6,
+        ).alias("root_ttr"),
+    )
