@@ -30,6 +30,45 @@ from esther_apache_spark_spark.functions.vector import (
 )
 from esther_apache_spark_spark.operators.windows import top_k_per_group
 
+#: Hard cap on the driver-collected "query panel" accepted by the
+#: GEMM-kernel top-k variants (``brute_force_topk_pandas`` / ``_arrow``,
+#: ``ann_topk_int8``, ``pq_topk``). Those kernels close the query matrix
+#: over every task — correct and fast for a bounded panel (10k × 768
+#: float64 ≈ 60 MB broadcast), but a data-sized "queries" frame would
+#: silently OOM the driver at 100× scale. The guard fails fast with
+#: guidance instead; the fully distributed paths (``brute_force_topk``,
+#: ``ann_topk_lsh``) have no such bound.
+MAX_QUERY_PANEL_ROWS = 10_000
+
+
+def _collect_query_panel(
+    queries: DataFrame,
+    query_id_col: str,
+    vec_col: str,
+    max_rows: int | None = None,
+) -> list:
+    """Collect the bounded query panel to the driver, failing fast when
+    it exceeds the cap.
+
+    The probe is ``limit(cap + 1).collect()`` — at most cap+1 rows ever
+    reach the driver, so an oversized panel raises a clear ``ValueError``
+    instead of exhausting driver memory mid-collect. Row order within
+    the panel is irrelevant downstream: every kernel scores queries
+    independently and the final ranking is a per-query total order.
+    """
+    cap = MAX_QUERY_PANEL_ROWS if max_rows is None else max_rows
+    rows = queries.select(query_id_col, vec_col).limit(cap + 1).collect()
+    if len(rows) > cap:
+        raise ValueError(
+            f"query panel exceeds {cap} rows; the GEMM-kernel top-k "
+            "variants collect the queries to the driver and are meant "
+            "for a bounded query panel. For a data-sized query set use "
+            "the fully distributed paths: brute_force_topk (broadcast "
+            "cross-score) or ann_topk_lsh (bucketed equi-join), or "
+            "raise max_rows explicitly if the panel is known to fit."
+        )
+    return rows
+
 
 def brute_force_topk(
     corpus: DataFrame,
@@ -78,6 +117,7 @@ def brute_force_topk_pandas(
     vec_col: str = "embedding",
     query_id_col: str = "query_id",
     max_cosine: float | None = None,
+    max_query_rows: int | None = None,
 ) -> DataFrame:
     """Exact cosine top-k via an Arrow-vectorized ``mapInPandas`` scan —
     the wide-embedding fast path (same results as ``brute_force_topk``,
@@ -102,7 +142,7 @@ def brute_force_topk_pandas(
     import numpy as np
     import pandas as pd
 
-    q_rows = queries.select(query_id_col, vec_col).collect()
+    q_rows = _collect_query_panel(queries, query_id_col, vec_col, max_query_rows)
     if not q_rows:
         # no queries after the validity filter → empty result, not an
         # AxisError on a 1-D array
@@ -481,6 +521,7 @@ def brute_force_topk_arrow(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     query_id_col: str = "query_id",
+    max_query_rows: int | None = None,
 ) -> DataFrame:
     """Exact cosine top-k via ``mapInArrow`` — the zero-copy sibling of
     ``brute_force_topk_pandas`` (same semantics, same oracle). Arrow
@@ -496,7 +537,7 @@ def brute_force_topk_arrow(
     import numpy as np
     import pyarrow as pa
 
-    q_rows = queries.select(query_id_col, vec_col).collect()
+    q_rows = _collect_query_panel(queries, query_id_col, vec_col, max_query_rows)
     if not q_rows:
         return corpus.sparkSession.createDataFrame(
             [], "query_id long, neighbor_id long, cosine double"
@@ -574,6 +615,7 @@ def ann_topk_int8(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     query_id_col: str = "query_id",
+    max_query_rows: int | None = None,
 ) -> DataFrame:
     """Approximate top-k on int8-QUANTIZED vectors — the 100-TB storage
     and shuffle format for ANN (8x narrower than float64, 4x narrower
@@ -597,7 +639,7 @@ def ann_topk_int8(
     queries = queries.filter(is_valid_vector(F.col(vec_col)))
     import pyarrow as pa
 
-    q_rows = queries.select(query_id_col, vec_col).collect()
+    q_rows = _collect_query_panel(queries, query_id_col, vec_col, max_query_rows)
     if not q_rows:
         # no queries (possibly all filtered as invalid) → empty top-k,
         # not an AxisError from a 1-D quantize input
@@ -737,6 +779,7 @@ def pq_topk(
     vec_col: str = "embedding",
     query_id_col: str = "query_id",
     codebook=None,
+    max_query_rows: int | None = None,
 ) -> DataFrame:
     """Product-quantization ANN top-k with ADC scoring — the memory
     endpoint of the compression family (float64 GEMM → int8 codes →
@@ -810,7 +853,7 @@ def pq_topk(
         cb = cb_all.reshape(ksub, m_sub, d_sub).transpose(1, 0, 2).copy()
     cb_n2 = (cb * cb).sum(axis=2)  # (m_sub, ksub) centroid norm² per subspace
 
-    q_rows = queries.select(query_id_col, vec_col).collect()
+    q_rows = _collect_query_panel(queries, query_id_col, vec_col, max_query_rows)
     if not q_rows:
         return corpus.sparkSession.createDataFrame(
             [], "query_id long, neighbor_id long, cosine double"
@@ -886,3 +929,252 @@ def pq_topk(
     return top_k_per_group(
         scored, "query_id", [F.col("cosine").desc(), F.col("neighbor_id").asc()], k
     )
+
+
+def kmeans_centroids_lloyd(
+    corpus: DataFrame,
+    nlist: int = 16,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    iters: int = 5,
+    scale: int = 1_000_000,
+) -> list[list[float]]:
+    """DISTRIBUTED spherical k-means for the IVF coarse quantizer —
+    the full-corpus upgrade of the driver-side ``kmeans_centroids``
+    sampler (VERDICT r06 #3): every vector votes in every Lloyd round,
+    so the quantizer reflects the true density, not a 4096-row sample.
+
+    Geometry: vectors are L2-normalized FIRST, then integer-quantized
+    (``clustering.quantize_vectors``); on unit vectors Euclidean argmin
+    equals dot-product argmax, so the exact-integer Euclidean machinery
+    of ``clustering`` (``_assign_arrow`` int64 GEMM assignment,
+    partial-aggregable ``_update`` means) trains the spherical model
+    with zero float accumulation — every shuffle carries exact BIGINTs,
+    making the result PARTITION-DETERMINISTIC (floating sums never meet
+    a shuffle order). The only driver-side data ever collected is the
+    nlist × dim centroid table (a model constant, same bounded-collect
+    doctrine as ``clustering._assign_arrow``). Returned centroids are
+    dequantized and re-normalized for ``ivf_topk``'s argmax-dot probe.
+
+    Cost: iters full scans + iters (cluster, dim)-grained shuffles of
+    k·dim partials per partition — the 100 TB shape; no window over a
+    data-sized frame, no driver sample."""
+    from esther_apache_spark_spark.operators.clustering import (
+        _assign_arrow,
+        _update,
+        quantize_vectors,
+    )
+    from esther_apache_spark_spark.functions.vector import l2_norm
+
+    valid = corpus.filter(is_valid_vector(F.col(vec_col)))
+    unit = valid.select(
+        F.col(id_col).alias("vec_id"),
+        F.transform(
+            F.col(vec_col).cast("array<double>"),
+            lambda x: x / F.greatest(l2_norm(F.col(vec_col).cast("array<double>")), F.lit(1e-12)),
+        ).alias("_uv"),
+    )
+    q = quantize_vectors(unit, id_col="vec_id", vec_col="_uv", scale=scale).cache()
+    from pyspark.sql import Window
+
+    seeds = q.orderBy("vec_id").limit(nlist)
+    cent = seeds.select(
+        (F.row_number().over(Window.orderBy("vec_id")) - 1).cast("long").alias("cid"),
+        F.col("qv").alias("cv"),
+    )
+    for _ in range(iters):
+        assigned = _assign_arrow(q, cent)
+        new = _update(assigned)
+        # an emptied cluster keeps its previous centroid (same rule as
+        # the driver-side trainer) — bounded k-row outer join
+        cent = (
+            cent.select("cid", F.col("cv").alias("_prev"))
+            .join(new, on="cid", how="left")
+            .select("cid", F.coalesce("cv", "_prev").alias("cv"))
+        )
+    rows = sorted(cent.collect(), key=lambda r: r["cid"])  # k rows: model constant
+    q.unpersist()
+    m = np.array([r["cv"] for r in rows], dtype="float64") / float(scale)
+    m /= np.maximum(np.linalg.norm(m, axis=1, keepdims=True), 1e-12)
+    return m.tolist()
+
+
+def pq_codebook_lloyd(
+    corpus: DataFrame,
+    m_sub: int = 8,
+    ksub: int = 16,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    iters: int = 5,
+    dim: int | None = None,
+):
+    """DISTRIBUTED per-subspace PQ codebook trainer — the full-corpus
+    upgrade of ``pq_codebook_kmeans``'s driver-side 4096-row sampler
+    (VERDICT r06 #3). All m_sub subspaces train in ONE frame: the int8
+    codes (``functions.vector.quantize_int8`` — the exact domain
+    ``pq_topk`` encodes in) slice into (vec_id, sub, subvector) rows,
+    and each Lloyd round is a broadcast of the (m_sub · ksub)-row
+    centroid table + one exact-integer distance argmin + one
+    (sub, cid, dim)-grained partial-aggregable update. Nothing
+    data-sized ever reaches the driver; the collect at the end is the
+    m_sub × ksub × d_sub codebook — a model constant.
+
+    PARTITION-DETERMINISTIC by construction: member sums (codes, code
+    norm²) are exact BIGINTs, so shuffle order cannot perturb a bit;
+    the real-valued centroid is derived per GROUP from those integers
+    (mean = s/n, one IEEE division per dim). The norm-preserving update
+    mirrors the driver trainer's intent with one deliberate change:
+    the mean direction is rescaled to the members' RMS norm
+    (sqrt(Σ‖x‖²/n) — exact-integer numerator) instead of the mean of
+    norms, whose float sum would be shuffle-order-dependent. RMS ≥
+    mean-norm with equality at concentrated norms, so reconstruction
+    magnitudes stay realistic and the ADC ranking geometry is the
+    same; recall parity is pinned in tests.
+
+    Returns an (m_sub, ksub, d_sub) float64 numpy codebook for
+    ``pq_topk(codebook=...)``. Seeds are the degenerate codebook (int8
+    subvectors of the ksub lowest-id valid vectors), so iters=0
+    reproduces the SQL-replayable baseline exactly."""
+    from esther_apache_spark_spark.functions.vector import quantize_int8
+
+    valid = corpus.filter(is_valid_vector(F.col(vec_col))).filter(
+        F.exists(F.col(vec_col), lambda x: x != 0)
+    )
+    if dim is None:
+        probe = valid.select(F.size(F.col(vec_col)).alias("d")).first()
+        if probe is None:
+            raise ValueError("no valid nonzero vectors to train on")
+        dim = int(probe["d"])
+    if dim % m_sub:
+        raise ValueError(f"dim {dim} not divisible by m_sub {m_sub}")
+    d_sub = dim // m_sub
+
+    v = F.col(vec_col).cast("array<double>")
+    maxabs = F.array_max(F.transform(v, F.abs))
+    codes = valid.select(
+        F.col(id_col).alias("vec_id"), quantize_int8(v, maxabs).alias("_q")
+    )
+    subs = codes.select(
+        "vec_id",
+        F.posexplode(
+            F.transform(
+                F.sequence(F.lit(0), F.lit(m_sub - 1)),
+                lambda s: F.slice(F.col("_q"), s * d_sub + 1, d_sub),
+            )
+        ).alias("sub", "x"),
+    ).select(
+        "vec_id",
+        "sub",
+        "x",
+        F.aggregate(
+            F.col("x"), F.lit(0).cast("long"), lambda acc, e: acc + e * e
+        ).alias("_n2"),
+    )
+    subs = subs.localCheckpoint()  # one materialization; iters reuse it
+
+    spark = corpus.sparkSession
+    from pyspark.sql import Window
+
+    # Seeds: the ksub lowest-id valid vectors' subvectors (the degenerate
+    # codebook). The window runs over a ksub-row TakeOrdered frame only.
+    seed_ids = (
+        valid.select(F.col(id_col).alias("vec_id")).orderBy("vec_id").limit(ksub)
+    )
+    seed_ids = seed_ids.select(
+        "vec_id",
+        (F.row_number().over(Window.orderBy("vec_id")) - 1)
+        .cast("long")
+        .alias("cid"),
+    )
+    n_seeds = seed_ids.count()
+    if n_seeds < ksub:
+        raise ValueError(f"corpus has fewer than {ksub} valid vectors")
+    cent = (
+        subs.join(F.broadcast(seed_ids), "vec_id")
+        .select("sub", "cid", F.transform("x", lambda e: e.cast("double")).alias("cv"))
+    )
+
+    def _assign_sub(cent_df):
+        by_sub = cent_df.groupBy("sub").agg(
+            F.array_sort(F.collect_list(F.struct("cid", "cv"))).alias("_cents")
+        )
+        return subs.join(F.broadcast(by_sub), "sub").select(
+            "sub",
+            "x",
+            "_n2",
+            F.array_min(
+                F.transform(
+                    F.col("_cents"),
+                    lambda c: F.struct(
+                        F.aggregate(
+                            F.zip_with(
+                                F.col("x"), c["cv"], lambda a, b: (a - b) * (a - b)
+                            ),
+                            F.lit(0.0),
+                            lambda acc, e: acc + e,
+                        ).alias("dist"),
+                        c["cid"].alias("cid"),
+                    ),
+                )
+            )["cid"].alias("cid"),
+        )
+
+    for _ in range(iters):
+        assigned = _assign_sub(cent)
+        per_dim = (
+            assigned.select("sub", "cid", "_n2", F.posexplode("x").alias("pos", "v"))
+            .groupBy("sub", "cid", "pos")
+            .agg(
+                F.sum("v").alias("s"),
+                F.count(F.lit(1)).alias("n"),
+                F.sum("_n2").alias("sn2"),
+            )
+        )
+        mu = per_dim.groupBy("sub", "cid").agg(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("pos", "s"))), lambda p: p["s"]
+            ).alias("_sv"),
+            F.first("n").alias("n"),
+            # sn2 was summed once per dim row; every dim row carries the
+            # same per-member Σ‖x‖², so divide by d_sub to undo
+            (F.first("sn2") / F.lit(d_sub)).alias("_sn2x"),
+        )
+        new = mu.select(
+            "sub",
+            "cid",
+            F.transform("_sv", lambda s: s.cast("double") / F.col("n")).alias("_mu"),
+            F.sqrt(F.col("_sn2x") / F.col("n")).alias("_rms"),
+        ).select(
+            "sub",
+            "cid",
+            F.when(
+                F.sqrt(
+                    F.aggregate(
+                        F.col("_mu"), F.lit(0.0), lambda acc, e: acc + e * e
+                    )
+                )
+                > 1e-12,
+                F.transform(
+                    F.col("_mu"),
+                    lambda e: e
+                    / F.sqrt(
+                        F.aggregate(
+                            F.col("_mu"), F.lit(0.0), lambda a, x: a + x * x
+                        )
+                    )
+                    * F.col("_rms"),
+                ),
+            ).alias("cv"),
+        )
+        cent = (
+            cent.select("sub", "cid", F.col("cv").alias("_prev"))
+            .join(new, on=["sub", "cid"], how="left")
+            .select("sub", "cid", F.coalesce("cv", "_prev").alias("cv"))
+        )
+        cent = cent.localCheckpoint()  # keep the unrolled tree shallow
+
+    rows = cent.collect()  # m_sub·ksub rows: model constant
+    cb = np.zeros((m_sub, ksub, d_sub), dtype="float64")
+    for r in rows:
+        cb[int(r["sub"]), int(r["cid"])] = r["cv"]
+    return cb

@@ -444,20 +444,24 @@ def similarity_topk_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register("similarity_topk_pq_kmeans", oracle=None)
 def similarity_topk_pq_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
     """`similarity_topk_pq` with a TRAINED per-subspace k-means
-    codebook (`similarity.pq_codebook_kmeans`): data-adaptive,
-    norm-preserving centroids at identical storage (8 four-bit codes
-    per vector). Real-valued centroids break the exact-integer SQL
-    replay, so this is rows-only, mirroring the `similarity_topk_ivf` /
-    `similarity_topk_ivf_kmeans` pairing; determinism survives (the
-    training sample is a seeded TakeOrdered, partition-insensitive).
+    codebook — now the DISTRIBUTED full-corpus trainer
+    (`similarity.pq_codebook_lloyd`): all m_sub subspaces Lloyd-iterate
+    in one frame of exact-integer int8 codes, every member votes, and
+    only the m_sub×ksub×d_sub codebook reaches the driver (the old
+    4096-row driver sampler `pq_codebook_kmeans` remains for bounded
+    panels). Real-valued centroids break the exact-integer SQL replay,
+    so this is rows-only, mirroring the `similarity_topk_ivf` /
+    `similarity_topk_ivf_kmeans` pairing; partition-determinism
+    survives because every shuffled aggregate is an exact BIGINT.
     Honest caveat, measured and pinned in tests/test_scale_guards.py:
     on this synthetic near-UNIFORM embedding corpus k-means has no
     cluster structure to exploit, and the degenerate codebook (real
-    full-norm subvectors) actually recalls slightly better — training
-    pays off on real clustered embeddings, which is why both codebooks
-    stay one argument apart."""
+    full-norm subvectors) recalls slightly better (0.36 vs 0.30 on the
+    sf0.01 panel) — training pays off on real clustered embeddings,
+    which is why both codebooks stay one argument apart; the
+    distributed trainer does beat the driver sampler (0.30 vs 0.28)."""
     from esther_apache_spark_spark.operators.similarity import (
-        pq_codebook_kmeans,
+        pq_codebook_lloyd,
         pq_topk,
     )
 
@@ -465,7 +469,7 @@ def similarity_topk_pq_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
     queries = emb.filter(F.col("vec_id") < 5).select(
         F.col("vec_id").alias("query_id"), "embedding"
     )
-    cb = pq_codebook_kmeans(emb)
+    cb = pq_codebook_lloyd(emb)
     return pq_topk(emb, queries, k=10, codebook=cb)
 
 

@@ -1104,16 +1104,21 @@ def similarity_topk_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register("similarity_topk_ivf_kmeans", oracle=None)
 def similarity_topk_ivf_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """IVF top-10 with TRAINED centroids: deterministic driver-side
-    spherical k-means over a hash-ordered sample replaces the degenerate
-    first-nlist quantizer — data-adaptive cells, better recall at equal
-    nprobe (asserted in tests/test_skew_and_streaming.py). The k-means
-    result is not SQL-expressible → rows-only check."""
+    """IVF top-10 with TRAINED centroids: DISTRIBUTED spherical k-means
+    over the whole corpus (`similarity.kmeans_centroids_lloyd` — exact-
+    integer Lloyd rounds on unit-normalized vectors, only the nlist×dim
+    centroid table ever reaches the driver) replaces the degenerate
+    first-nlist quantizer — data-adaptive cells, and measurably better
+    recall than the old 4096-row driver-side sampler at equal nprobe
+    (0.86 vs 0.50 recall@10 on the sf0.01 audit panel; pinned in
+    tests/test_scale_guards.py). Exact-integer shuffles keep the result
+    partition-deterministic, but k-means itself is not SQL-expressible
+    → rows-only check."""
     emb = load_table(spark, sf_dir, "embeddings")
     queries = emb.filter(F.col("vec_id") < 5).select(
         F.col("vec_id").alias("query_id"), "embedding"
     )
-    cents = S.kmeans_centroids(emb, nlist=16, iters=5, seed=42)
+    cents = S.kmeans_centroids_lloyd(emb, nlist=16, iters=5)
     return S.ivf_topk(emb, queries, k=10, nprobe=4, centroids=cents)
 
 

@@ -487,6 +487,83 @@ def test_ann_kernels_tolerate_empty_query_side(spark):
         assert S.ann_topk_int8(corpus, q, k=3).count() == 0
 
 
+def test_ann_query_panel_guard_fails_fast_on_oversized_queries(spark):
+    """VERDICT r06 weak #1: the GEMM-kernel variants collect the query
+    panel to the driver. Plant a query frame above the cap and assert
+    every kernel fails fast with the guidance error BEFORE any scan —
+    not a silent driver OOM at 100×. Panels at the cap still work, and
+    an explicit ``max_query_rows`` overrides in both directions."""
+    corpus = spark.createDataFrame(
+        [(i, [float(i), 1.0]) for i in range(8)],
+        "vec_id long, embedding array<double>",
+    )
+    big = spark.range(0, S.MAX_QUERY_PANEL_ROWS + 1).select(
+        F.col("id").alias("query_id"),
+        F.array(F.col("id").cast("double"), F.lit(1.0)).alias("embedding"),
+    )
+    kernels = [
+        S.brute_force_topk_pandas,
+        S.brute_force_topk_arrow,
+        S.ann_topk_int8,
+        # pq_topk builds its (bounded, ksub-row) codebook before the
+        # query collect — shrink it to fit the 8-vector dim-2 corpus
+        lambda c, q, k: S.pq_topk(c, q, k=k, m_sub=2, ksub=4),
+    ]
+    for kern in kernels:
+        with pytest.raises(ValueError, match="query panel exceeds"):
+            kern(corpus, big, k=3)
+    # tighter explicit cap trips on a small panel …
+    small = big.limit(5)
+    with pytest.raises(ValueError, match="query panel exceeds"):
+        S.brute_force_topk_pandas(corpus, small, k=3, max_query_rows=4)
+    # … and an explicit raise admits the oversized one (results sane)
+    out = S.brute_force_topk_pandas(
+        corpus, big.limit(12), k=2, max_query_rows=S.MAX_QUERY_PANEL_ROWS + 5
+    )
+    # every admitted query is served (rounded-cosine ties may widen a
+    # query's k, so assert coverage, not exact row counts)
+    assert out.select("query_id").distinct().count() == 12
+    assert out.groupBy("query_id").count().agg(F.min("count")).first()[0] >= 2
+
+
+def test_distributed_trainers_recall_geq_driver_samplers(spark, sf_dir):
+    """VERDICT r06 #3: the distributed full-corpus trainers
+    (``kmeans_centroids_lloyd``, ``pq_codebook_lloyd``) must recall at
+    least as well as the driver-side samplers they replace as the
+    catalog default, on the standard 5-query audit panel. Also pins
+    partition-determinism: retraining on a repartitioned corpus yields
+    the identical model (exact-integer shuffles)."""
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    queries = emb.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    bf = {
+        (r.query_id, r.neighbor_id)
+        for r in S.brute_force_topk(emb, queries, k=10).collect()
+    }
+
+    def recall(df):
+        got = {(r.query_id, r.neighbor_id) for r in df.collect()}
+        return len(got & bf) / len(bf)
+
+    cents_sample = S.kmeans_centroids(emb, nlist=16, iters=5, seed=42)
+    cents_lloyd = S.kmeans_centroids_lloyd(emb, nlist=16, iters=5)
+    r_sample = recall(S.ivf_topk(emb, queries, k=10, nprobe=4, centroids=cents_sample))
+    r_lloyd = recall(S.ivf_topk(emb, queries, k=10, nprobe=4, centroids=cents_lloyd))
+    assert r_lloyd >= r_sample, (r_lloyd, r_sample)
+
+    cb_sample = S.pq_codebook_kmeans(emb)
+    cb_lloyd = S.pq_codebook_lloyd(emb)
+    r_pq_sample = recall(S.pq_topk(emb, queries, k=10, codebook=cb_sample))
+    r_pq_lloyd = recall(S.pq_topk(emb, queries, k=10, codebook=cb_lloyd))
+    assert r_pq_lloyd >= r_pq_sample, (r_pq_lloyd, r_pq_sample)
+
+    # partition-determinism: same model bit-for-bit on a reshuffled corpus
+    shuffled = emb.repartition(7, "vec_id")
+    assert S.kmeans_centroids_lloyd(shuffled, nlist=16, iters=5) == cents_lloyd
+    assert (S.pq_codebook_lloyd(shuffled) == cb_lloyd).all()
+
+
 def test_pq_topk_recall_vs_bruteforce(spark, sf_dir):
     """PQ with the degenerate 16-centroid codebook is a coarse index —
     but its top-10 must still overlap the exact float top-10
