@@ -49,7 +49,7 @@ from esther_apache_spark_spark.sources.sinks import (
 
 
 def run_freshkart_pipeline(
-    spark: SparkSession, input_dir: str
+    spark: SparkSession, input_dir: str, dim_storage_level=None
 ) -> dict[str, DataFrame]:
     """Build the full lazy plan; returns the three output DataFrames:
     ``rejects`` (quarantined negative-price item rows), ``orders_clean``,
@@ -66,7 +66,15 @@ def run_freshkart_pipeline(
     customers_clean = (
         customers.withColumn("is_active", truthy_bool(F.col("is_active")))
         .select("customer_id", "city", "is_active")
-        .cache()  # reused dimension (C1, reference :103)
+    )
+    # reused dimension (C1, reference :103). ``dim_storage_level`` exposes
+    # persist(StorageLevel) (reference tuto_rdd_pyspark(2).ipynb cells
+    # 33-35); the default cache() is already MEMORY_AND_DISK, the right
+    # level when a cached dim can outgrow executor memory at 100 TB.
+    customers_clean = (
+        customers_clean.cache()
+        if dim_storage_level is None
+        else customers_clean.persist(dim_storage_level)
     )
     refunds_clean = (
         refunds.withColumn("amount", F.col("amount").try_cast("double"))

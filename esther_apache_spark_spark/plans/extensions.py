@@ -498,12 +498,22 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
                         ELSE CAST([] AS VARCHAR[]) END
                ) AS s
         FROM toks
+    ),
+    ex AS (SELECT doc_id, unnest(s) AS g FROM sh),
+    keep AS (SELECT g FROM ex GROUP BY g HAVING count(*) <= 100000),
+    kept AS (SELECT doc_id, g FROM ex JOIN keep USING (g)),
+    cand AS (
+        SELECT DISTINCT a.doc_id AS src_id, b.doc_id AS dst_id
+        FROM kept a JOIN kept b USING (g)
+        WHERE a.doc_id <> b.doc_id
     )
     SELECT src_id, dst_id, containment FROM (
-        SELECT a.doc_id AS src_id, b.doc_id AS dst_id,
-               len(list_intersect(a.s, b.s)) / len(a.s) AS containment
-        FROM sh a JOIN sh b ON a.doc_id <> b.doc_id
-        WHERE len(a.s) > 0
+        SELECT c.src_id, c.dst_id,
+               len(list_intersect(sa.s, sb.s)) / len(sa.s) AS containment
+        FROM cand c
+        JOIN sh sa ON sa.doc_id = c.src_id
+        JOIN sh sb ON sb.doc_id = c.dst_id
+        WHERE len(sa.s) > 0
     ) WHERE containment >= 0.8
     """,
 )
@@ -513,10 +523,14 @@ def containment_ngram_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     a long one has near-zero Jaccard but containment 1.0); the standard
     overlap axis for boilerplate-inclusion and partial-mirror detection
     in corpus curation. Same inverted-index + df-pruning architecture
-    as `dedup_ngram_jaccard` (pruning is recall-only; emitted values
-    are exact recounts on full shingle sets), emitted per direction.
-    The containment value is an exact int/int double ratio, so the
-    DuckDB all-pairs oracle matches bit-for-bit."""
+    as `dedup_ngram_jaccard` (pruning is recall-only on CANDIDATES;
+    emitted values are exact recounts on full shingle sets), emitted
+    per direction. The oracle mirrors the max_df=100k candidate pruning
+    explicitly (ADVICE r06): a pair whose shared shingles are ALL
+    hotter than max_df is dropped by BOTH engines, so the equality
+    contract holds at any corpus scale, not just while no shingle's df
+    exceeds 100k. The containment value is an exact int/int double
+    ratio, so the match is bit-for-bit."""
     docs = load_table(spark, sf_dir, "documents")
     return D.ngram_containment_pairs(docs, shingle_n=3, threshold=0.8)
 

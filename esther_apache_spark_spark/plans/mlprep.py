@@ -2916,7 +2916,7 @@ def welch_t_value_by_cohort(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT event_type, n AS n_observed,
            ROUND(mean_c / 100.0, 4) AS mean_value,
            ROUND(SQRT(var_c) / 100.0, 4) AS sd_value,
-           CAST(CEIL(2.0 * (1.959964 + 0.841621) * (1.959964 + 0.841621)
+           CAST(CEIL(15.69775702445
                      * var_c / (0.05 * mean_c * 0.05 * mean_c))
                 AS BIGINT) AS n_per_arm_5pct_mde
     FROM v
@@ -2928,9 +2928,13 @@ def mde_sample_size_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
     / 80% power — n = 2(z_{0.975}+z_{0.8})² sigma²/delta², the
     calculation every experimentation platform runs BEFORE an A/B test
     to say how long it must collect (pairs with
-    `welch_t_value_by_cohort`, the test run after). The z quantiles are
-    fixed six-decimal literals (1.959964, 0.841621) — not computed — so
-    no inverse-normal ever executes in either engine.
+    `welch_t_value_by_cohort`, the test run after). The whole z-factor
+    2·(z_{0.975}+z_{0.8})² = 2·(1.959964+0.841621)² is ONE precomputed
+    decimal literal, 15.69775702445, identical in both engines (ADVICE
+    r06: letting each engine multiply the z literals itself left Spark
+    with Python-double products and DuckDB with exact-DECIMAL ones —
+    a last-ulp divergence that CEIL can amplify to an off-by-one n) —
+    and no inverse-normal ever executes in either engine.
 
     Exactness: per-type (n, Σy, Σy²) exact; mean, sample variance and
     the plan n are one fixed expression over them, ceil'd identically.
@@ -2947,14 +2951,15 @@ def mde_sample_size_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
     sd, ssd = F.col("s").cast("double"), F.col("ss").cast("double")
     mean_c = sd / nd
     var_c = (ssd - sd * sd / nd) / (nd - 1)
-    z2 = (1.959964 + 0.841621) * (1.959964 + 0.841621)
+    # 2*(z_0.975 + z_0.8)^2 as ONE shared decimal literal (see docstring)
+    z_factor = 15.69775702445
     return m.select(
         "event_type",
         nd.alias("n_observed"),
         F.round(mean_c / 100.0, 4).alias("mean_value"),
         F.round(F.sqrt(var_c) / 100.0, 4).alias("sd_value"),
         F.ceil(
-            2.0 * F.lit(z2) * var_c / (0.05 * mean_c * 0.05 * mean_c)
+            F.lit(z_factor) * var_c / (0.05 * mean_c * 0.05 * mean_c)
         ).cast("long").alias("n_per_arm_5pct_mde"),
     )
 

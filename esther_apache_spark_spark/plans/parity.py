@@ -912,3 +912,61 @@ def explode_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
         "pos",
         F.round(F.col("component").cast("double"), 4).alias("component"),
     )
+
+
+@register(
+    "star_expand_order_items",
+    oracle="""
+    SELECT l.l_orderkey AS order_id,
+           o.o_orderpriority AS priority,
+           l.l_linenumber AS linenumber,
+           l.l_partkey AS partkey,
+           l.l_quantity AS quantity
+    FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+    WHERE o.o_orderpriority = '1-URGENT'
+    """,
+)
+def star_expand_order_items(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """P3 — the LITERAL struct star-expansion form ``select("items.*")``
+    (reference src/pyspark/pipeline_pyspark_test.ipynb:155:
+    ``orders_exploded.select("order_id", ..., "items.*")``), closing the
+    one partial row of the SURVEY §2 inventory: elsewhere the repo
+    flattens structs via explicit field paths (P2); here the ``.*``
+    operator itself is exercised end-to-end.
+
+    The reference's shape is reproduced faithfully — orders arrive
+    NESTED (an items array of structs per order), get exploded, and the
+    item struct is star-expanded next to order-level sibling columns.
+    The testdata is flat, so the nesting is built first with
+    collect_list(struct(...)): a real re-nest shuffle, the exact inverse
+    of the reference's JSON ingestion, grouped on the join key the
+    downstream explode immediately consumes. Round-trip (nest → explode
+    → ``items.*``) is row-set identity, so the DuckDB oracle is the
+    plain flat join — an exact multiset hash match (collect_list's
+    intra-array order never survives the explode). Scale: one hash agg
+    on l_orderkey + a broadcast-able dim filter; array size per row is
+    bounded by lines-per-order (~7), not data-sized."""
+    li = load_table(spark, sf_dir, "lineitem")
+    urgent = load_table(spark, sf_dir, "orders").filter(
+        F.col("o_orderpriority") == "1-URGENT"
+    )
+    nested = (
+        li.join(urgent.select("o_orderkey", "o_orderpriority"),
+                li.l_orderkey == F.col("o_orderkey"))
+        .groupBy("l_orderkey", "o_orderpriority")
+        .agg(
+            F.collect_list(
+                F.struct(
+                    F.col("l_linenumber").alias("linenumber"),
+                    F.col("l_partkey").alias("partkey"),
+                    F.col("l_quantity").alias("quantity"),
+                )
+            ).alias("items")
+        )
+    )
+    exploded = nested.select(
+        F.col("l_orderkey").alias("order_id"),
+        F.col("o_orderpriority").alias("priority"),
+        F.explode("items").alias("items"),
+    )
+    return exploded.select("order_id", "priority", "items.*")

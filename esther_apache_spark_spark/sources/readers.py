@@ -183,14 +183,34 @@ def read_binary_files(
     row), so parallelism comes from file COUNT — shard media into many
     objects upstream, and keep `spark.sql.files.maxPartitionBytes` in
     mind only for batching small files together. ``glob`` maps to
-    pathGlobFilter (server-side filename pruning); ``max_bytes`` guards
-    the executor heap by failing fast on any file larger than the given
-    bound instead of OOMing mid-scan (content is materialized per row)."""
+    pathGlobFilter (server-side filename pruning).
+
+    ``max_bytes`` guards the executor heap with TWO layers (ADVICE
+    r06): (1) the session conf
+    ``spark.sql.sources.binaryFile.maxLength`` is lowered to the bound,
+    which makes the source itself error from the file STATUS — before
+    any content byte is allocated — so a truly heap-breaking file can
+    never OOM ahead of the check; (2) a ``raise_error`` projection on
+    the length column keeps the repo-styled message (with the offending
+    path) for rows that slip past a later conf change. The conf is
+    session-scoped and read at SCAN time, so the most recent
+    ``read_binary_files`` call wins for every binaryFile scan executed
+    after it (a call without ``max_bytes`` resets the conf to its
+    default); the ``raise_error`` layer is what stays pinned to THIS
+    DataFrame regardless."""
     reader = spark.read.format("binaryFile")
     if glob is not None:
         reader = reader.option("pathGlobFilter", glob)
     if isinstance(path, str):
         path = [path]
+    _MAXLEN_CONF = "spark.sql.sources.binaryFile.maxLength"
+    if max_bytes is not None:
+        # fail-fast at the SOURCE: length check against file status,
+        # before content materialization (the raise_error layer below
+        # runs after the row exists and cannot guard the allocation)
+        spark.conf.set(_MAXLEN_CONF, int(max_bytes))
+    else:
+        spark.conf.unset(_MAXLEN_CONF)
     df = reader.load(list(path))
     if max_bytes is not None:
         from pyspark.sql import functions as F

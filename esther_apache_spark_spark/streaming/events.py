@@ -793,7 +793,16 @@ def event_transitions_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     event at its true position (single-event history: the best
     non-retractive behavior, and out-of-order arrival is now detectable
     from state rather than silently miscounted). The driver-facing result aggregates the
-    per-batch emissions, so emission slicing never changes totals."""
+    per-batch emissions, so emission slicing never changes totals.
+
+    STATE-SCHEMA BREAK (ADVICE r06): the state widened from
+    ``last_type string`` to ``(last_ts, last_event_id, last_type)`` when
+    the merge-by-position contract landed; a restart against a
+    checkpoint written by the old single-column schema fails state
+    deserialization. Harmless for this repo's fresh-tmp-checkpoint
+    drivers, but a production deployment upgrading across that change
+    needs a NEW checkpoint location (or a one-off state migration) —
+    the same caveat class as the batch/stream equality notes above."""
     from pyspark.sql.streaming.state import GroupStateTimeout
 
     stream = streaming_events_source(spark, sf_dir)

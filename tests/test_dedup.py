@@ -548,3 +548,44 @@ def test_minhash_cross_matches_empty_probe_side(spark):
     )
     probes = spark.createDataFrame([], "doc_id long, text string")
     assert minhash_cross_matches(corpus, probes, min_agree=16).count() == 0
+
+
+def test_persist_storage_level_exposed(spark):
+    """VERDICT r06 #6: persist(StorageLevel) variants are exposed on the
+    plan-barrier cache helper — explicit arg, ambient scope, and the
+    MEMORY_AND_DISK default (cache()'s own level, the right one when a
+    cached frame outgrows executor memory) — and the chosen level is
+    visible on the frame's storageLevel."""
+    from pyspark import StorageLevel
+
+    from esther_apache_spark_spark.operators import dedup as D
+
+    base = spark.range(10)
+    c = D._cache(base.selectExpr("id * 2 AS x"))
+    assert c.storageLevel.useMemory and c.storageLevel.useDisk
+    c.unpersist()
+    with D.storage_level_scope(StorageLevel.DISK_ONLY):
+        d = D._cache(base.selectExpr("id * 3 AS y"))
+    assert d.storageLevel.useDisk and not d.storageLevel.useMemory
+    d.unpersist()
+    e = D._cache(base.selectExpr("id * 5 AS z"), level=StorageLevel.MEMORY_ONLY)
+    assert e.storageLevel.useMemory and not e.storageLevel.useDisk
+    e.unpersist()
+
+
+def test_freshkart_dim_storage_level_param(spark):
+    """The freshkart dim cache accepts an explicit StorageLevel and the
+    pipeline's outputs are unchanged under it."""
+    from pyspark import StorageLevel
+
+    from esther_apache_spark_spark.freshkart import (
+        ensure_fixture,
+        run_freshkart_pipeline,
+    )
+
+    fix = ensure_fixture()
+    default = run_freshkart_pipeline(spark, fix)
+    disk = run_freshkart_pipeline(spark, fix, dim_storage_level=StorageLevel.DISK_ONLY)
+    a = sorted(map(tuple, default["daily_city_sales"].collect()))
+    b = sorted(map(tuple, disk["daily_city_sales"].collect()))
+    assert a == b

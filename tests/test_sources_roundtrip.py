@@ -376,10 +376,16 @@ def test_binary_file_source_reads_blobs(spark, tmp_path):
     assert lens == {"a.bin": 8, "b.bin": 1024}
 
     guarded = read_binary_files(spark, str(tmp_path), glob="*.bin", max_bytes=100)
-    with pytest.raises(Exception, match="max_bytes"):
+    # the SOURCE-level maxLength conf errors from file status before any
+    # content byte is allocated (ADVICE r06); Spark's own error fires
+    # first, the repo's raise_error layer stays as the in-plan backstop
+    with pytest.raises(Exception, match="(?i)max_bytes|maxlength|exceeds"):
         guarded.collect()
     ok = read_binary_files(spark, str(tmp_path), glob="a.bin", max_bytes=100)
     assert ok.count() == 1
+    # a later unguarded call resets the session conf — big blobs readable
+    again = read_binary_files(spark, str(tmp_path), glob="b.bin")
+    assert again.count() == 1
 
 
 def test_sqlite_upsert_batch_exactly_once(tmp_path):
