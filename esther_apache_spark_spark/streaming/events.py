@@ -831,12 +831,20 @@ def event_transitions_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _write_sentinel_event(dst_dir: str, src_file: str, ts_us: int, event_id: int) -> None:
+def _write_sentinel_event(
+    dst_dir: str,
+    src_file: str,
+    ts_us: int,
+    event_id: int,
+    event_type: str = "flush",
+) -> None:
     """Write a one-row parquet with the SAME arrow schema (incl. the
     ts unit) as ``src_file``: a far-future sentinel event for a
-    negative user. Its only job is to advance the global watermark past
-    every real session so append-mode state flushes; the caller filters
-    ``user_id >= 0`` out of the result."""
+    negative user. Its only job is to advance the global watermark (or,
+    for per-key stateful ops, to CLOSE the key's open unit — pass the
+    real ``event_type``) so state flushes; the caller filters
+    ``user_id >= 0`` / the sentinel's own never-closing unit out of the
+    result."""
     import os
     import time
 
@@ -849,7 +857,7 @@ def _write_sentinel_event(dst_dir: str, src_file: str, ts_us: int, event_id: int
     vals = {
         "event_id": event_id,
         "user_id": -1,
-        "event_type": "flush",
+        "event_type": event_type,
         "value": 0.0,
         "props": None,
     }
@@ -1251,3 +1259,140 @@ def run_streaming_moment_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     finally:
         q.stop()
     return spark.table(name)
+
+
+def _daily_anomaly_update(key, pdfs, state):
+    """Per-event_type state fold for the daily anomaly z-score stream
+    (`streaming_daily_anomaly_zscore`): state carries the OPEN day's
+    partial cents plus the exact running moments (n, Σ, Σ²) of every
+    COMPLETED day's total. A day closes when a later day arrives for
+    the key; closing emits (day, cents, prior n/Σ/Σ²) — the z-score is
+    derived from that tuple by the shared batch readout, so stream and
+    batch float arithmetic are literally the same expression.
+
+    Order contract (same doctrine as `event_transitions_stream`): days
+    are processed in sorted order WITHIN a batch; across batches the
+    fold assumes per-key day-ordered arrival (file-per-trigger replay,
+    or a day-partitioned bus). A day older than the open day is counted
+    into `late_days` state and excluded — visible, never silently
+    wrong. Moment bound: Σ² of daily cents is exact in int64 up to
+    ~3M-cent days × 10⁶ days; beyond that shard days per key upstream
+    (same documented bound class as kmeans_lloyd_summary's inertia)."""
+    import pandas as pd
+
+    if state.exists:
+        open_day, open_cents, nd, s, ss, late = state.get
+    else:
+        open_day, open_cents, nd, s, ss, late = None, 0, 0, 0, 0, 0
+    days: dict[str, int] = {}
+    for pdf in pdfs:
+        for d, c in zip(pdf["day"], pdf["cents"]):
+            days[d] = days.get(d, 0) + int(c)
+    out = []
+    for d in sorted(days):
+        if open_day is not None and d < open_day:
+            late += 1
+            continue
+        if open_day is None:
+            open_day, open_cents = d, 0
+        elif d > open_day:
+            out.append((key[0], open_day, open_cents, nd, s, ss))
+            nd += 1
+            s += open_cents
+            ss += open_cents * open_cents
+            open_day, open_cents = d, 0
+        open_cents += days[d]
+    state.update((open_day, open_cents, nd, s, ss, late))
+    if out:
+        yield pd.DataFrame(
+            out, columns=["event_type", "day", "cents", "pn", "ps", "pss"]
+        )
+
+
+def daily_anomaly_updates(stream: DataFrame) -> DataFrame:
+    """Wire the anomaly state machine onto any events-shaped frame
+    (streaming or not must be streaming for applyInPandasWithState):
+    projects (event_type, day, exact integer cents) and folds per key."""
+    from pyspark.sql.streaming.state import GroupStateTimeout
+
+    rows = stream.select(
+        "event_type",
+        F.date_format("ts", "yyyy-MM-dd").alias("day"),
+        (F.col("value").cast("decimal(12,2)") * 100).cast("long").alias("cents"),
+    )
+    return rows.groupBy("event_type").applyInPandasWithState(
+        _daily_anomaly_update,
+        outputStructType="event_type string, day string, cents long, "
+        "pn long, ps long, pss long",
+        stateStructType="open_day string, open_cents long, nd long, "
+        "s long, ss long, late_days long",
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+
+
+def daily_anomaly_state_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Drive the daily anomaly state machine over the events file
+    stream to EXACT batch equality: after draining the real file, one
+    far-future sentinel row PER REAL EVENT TYPE closes each key's last
+    open day (the sentinel's own day never closes, so it never emits —
+    no filtering needed). Returns the raw (day, cents, prior-moments)
+    emissions; `streaming_daily_anomaly_zscore` applies the shared
+    z-score readout."""
+    import os
+    import shutil
+    import tempfile
+    import time
+
+    from esther_apache_spark_spark.schemas import (
+        _EVENTS_RAW,
+        _events_ts_unit,
+        load_table,
+    )
+
+    tmp = tempfile.mkdtemp(prefix="stream_anom_")
+    try:
+        src = f"{sf_dir}/events.parquet"
+        copy = os.path.join(tmp, "00_events.parquet")
+        shutil.copy(src, copy)
+        t0 = time.time() - 60
+        os.utime(copy, (t0, t0))
+
+        batch_ev = load_table(spark, sf_dir, "events")
+        max_ts_us = batch_ev.agg(F.max(F.unix_micros("ts")).alias("m")).collect()[0][
+            "m"
+        ]
+        types = sorted(
+            r["event_type"] for r in batch_ev.select("event_type").distinct().collect()
+        )
+
+        if _events_ts_unit(copy) == "ns":
+            raw = spark.readStream.schema(_EVENTS_RAW).parquet(tmp)
+            stream = raw.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+        else:
+            stream = spark.readStream.schema(TESTDATA["events"]).parquet(tmp)
+
+        name = f"stream_anom_{uuid.uuid4().hex[:8]}"
+        q = (
+            daily_anomaly_updates(stream)
+            .writeStream.outputMode("update")
+            .format("memory")
+            .queryName(name)
+            .start()
+        )
+        try:
+            q.processAllAvailable()
+            day_us = 86_400_000_000
+            for i, t in enumerate(types):
+                _write_sentinel_event(
+                    tmp, copy, max_ts_us + 30 * day_us, -(i + 1), event_type=t
+                )
+            q.processAllAvailable()
+        finally:
+            q.stop()
+        # materialize: the memory sink's table dies with the next query
+        return spark.createDataFrame(
+            spark.table(name).collect(), spark.table(name).schema
+        )
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)

@@ -532,3 +532,76 @@ def test_transitions_bridge_tiebreak_on_event_id():
         ]
     )
     assert pairs == {("view", "cart"): 1}
+
+
+def test_daily_anomaly_stream_prefix_containment(spark, sf_dir, tmp_path):
+    """The daily anomaly state machine over a day-per-file stream
+    (no sentinels): every emission must equal the batch twin's row for
+    that day, and exactly the days that CLOSED (all but the last per
+    type) may emit — the prefix-containment contract of the stateful
+    family (VERDICT r06 #7)."""
+    import os
+    import time
+    import uuid
+
+    import duckdb
+
+    from esther_apache_spark_spark.plans.mlprep import (
+        _anomaly_readout,
+        daily_anomaly_zscore_by_type,
+    )
+    from esther_apache_spark_spark.schemas import TESTDATA
+    from esther_apache_spark_spark.streaming.events import daily_anomaly_updates
+
+    # split the first 10 days into one parquet per day, mtime-ordered
+    src = f"{sf_dir}/events.parquet"
+    con = duckdb.connect()
+    days = [
+        r[0]
+        for r in con.execute(
+            f"SELECT DISTINCT strftime(ts, '%Y-%m-%d') FROM read_parquet('{src}') "
+            "ORDER BY 1 LIMIT 10"
+        ).fetchall()
+    ]
+    stream_dir = tmp_path / "byday"
+    stream_dir.mkdir()
+    t0 = time.time() - 600
+    for i, d in enumerate(days):
+        p = str(stream_dir / f"{i:02d}_{d}.parquet")
+        con.execute(
+            f"COPY (SELECT * FROM read_parquet('{src}') "
+            f"WHERE strftime(ts, '%Y-%m-%d') = '{d}') TO '{p}' (FORMAT PARQUET)"
+        )
+        os.utime(p, (t0 + i, t0 + i))
+
+    stream = (
+        spark.readStream.schema(TESTDATA["events"])
+        .option("maxFilesPerTrigger", "1")
+        .parquet(str(stream_dir))
+    )
+    name = f"anom_prefix_{uuid.uuid4().hex[:8]}"
+    q = (
+        daily_anomaly_updates(stream)
+        .writeStream.outputMode("update")
+        .format("memory")
+        .queryName(name)
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    streamed = {
+        tuple(r) for r in _anomaly_readout(spark.table(name)).collect()
+    }
+
+    full_batch = {
+        tuple(r) for r in daily_anomaly_zscore_by_type(spark, sf_dir).collect()
+    }
+    # closed days within the prefix: strictly before the prefix's last day
+    expected = {r for r in full_batch if r[1] < days[-1] and r[1] in set(days)}
+    assert streamed == expected, (
+        len(streamed), len(expected), streamed ^ expected,
+    )
+    assert streamed <= full_batch
+    assert len(streamed) > 0
