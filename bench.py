@@ -29,6 +29,14 @@ each query runs ONCE with the OS page cache dropped first (sync +
 whether the drop succeeded as "cold"). sf1 wall-clock on a single box
 is page-cache-dominated (BASELINE.md r2: 43.3 s cold vs 17.1 s warm for
 one query), so only cold first-touch rows are comparable across rounds.
+``--sf10-cold`` is the same protocol at 100× sf0.1 (~60M lineitem).
+
+Both modes also run the second frozen set ``PIPELINE`` — the LLM-
+pipeline tier (dedup survivors, packing, leakage split, BPE) whose cost
+the 19-query headline never covered — reported as ``pipeline_total`` /
+``pipeline_queries`` (+ ``pipeline_first_runs`` warm); the primary
+``value`` stays headline-only for cross-round continuity. Pass
+``--no-pipeline`` to skip the set.
 """
 
 from __future__ import annotations
@@ -70,6 +78,23 @@ HEADLINE = [
     "freshkart_daily_city_sales",
 ]
 
+# Second frozen set (r7, VERDICT r06 #8): the LLM-pipeline tier — the
+# most expensive operators in the engine (CC-iteration survivors,
+# sequence packing, leakage-safe splitting, BPE merge rounds, substring
+# spans). Frozen like HEADLINE: names never change meaning across
+# rounds; the set reports its own subtotal so the headline `value`
+# stays comparable to every prior BENCH_r{N}.json.
+PIPELINE = [
+    "semantic_dedup_survivors",
+    "lexical_dedup_survivors",
+    "leakage_safe_split",
+    "pack_training_sequences",
+    "pack_documents_into_shards",
+    "bpe_learn_merges",
+    "dedup_substring_spans",
+    "training_corpus_pipeline_packed",
+]
+
 
 def _drop_caches() -> bool:
     """Best-effort OS page-cache drop; False when unprivileged."""
@@ -82,24 +107,30 @@ def _drop_caches() -> bool:
         return False
 
 
-def _ensure_sf1(sf1_dir: str) -> None:
-    if os.path.isdir(sf1_dir) and os.listdir(sf1_dir):
+def _ensure_scale(out_dir: str, k: int) -> None:
+    if os.path.isdir(out_dir) and os.listdir(out_dir):
         return
     import subprocess
 
     tool = os.path.join(os.path.dirname(os.path.abspath(__file__)), "tools", "make_scale_data.py")
     subprocess.run(
-        [sys.executable, tool, "10", "/root/testdata/sf0.1", sf1_dir],
+        [sys.executable, tool, str(k), "/root/testdata/sf0.1", out_dir],
         check=True,
     )
 
 
 def main() -> None:
     cold_sf1 = "--sf1-cold" in sys.argv
-    if cold_sf1:
+    cold_sf10 = "--sf10-cold" in sys.argv
+    if cold_sf10:
+        sf_dir = os.environ.get("SPARK_GRAFT_SF10_DIR", "/tmp/scale/sf10")
+        _ensure_scale(sf_dir, 100)
+        sf: object = 10.0
+        cold_sf1 = True  # same cold protocol, bigger data
+    elif cold_sf1:
         sf_dir = os.environ.get("SPARK_GRAFT_SF1_DIR", "/tmp/scale/sf1")
-        _ensure_sf1(sf_dir)
-        sf: object = 1.0
+        _ensure_scale(sf_dir, 10)
+        sf = 1.0
     else:
         sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
         s = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
@@ -147,38 +178,67 @@ def main() -> None:
             samples.append(time.perf_counter() - t0)
         return statistics.median(samples)
 
+    include_pipeline = "--no-pipeline" not in sys.argv
     probe_before = None if cold_sf1 else _probe()
-    for name in HEADLINE:
+    pipeline_timings: dict[str, float] = {}
+    pipeline_first: dict[str, float] = {}
+    errors: dict[str, str] = {}
+    for name in HEADLINE + (PIPELINE if include_pipeline else []):
+        print(f"[bench] {name}", file=sys.stderr, flush=True)
         spec = plans.QUERIES[name]
-        spec.fn(spark, warm_dir).count()  # warmup: codegen + classloading
-        if cold_sf1:
-            # data pages cold per query; codegen stays JIT-warm in the JVM
-            dropped = _drop_caches() and dropped
-        samples = []
-        for _ in range(runs):
-            t0 = time.perf_counter()
-            spec.fn(spark, sf_dir).count()
-            samples.append(time.perf_counter() - t0)
-        timings[name] = round(statistics.median(samples), 3)
+        try:
+            spec.fn(spark, warm_dir).count()  # warmup: codegen + classloading
+            if cold_sf1:
+                # data pages cold per query; codegen stays JIT-warm in the JVM
+                dropped = _drop_caches() and dropped
+            samples = []
+            # PIPELINE queries are single-pass even warm: their cost is
+            # checkpoint/CC materialization, which a warm median would hide
+            # (and 3 passes of the survivors family would dwarf the whole
+            # headline loop's budget)
+            for _ in range(1 if name in PIPELINE else runs):
+                t0 = time.perf_counter()
+                spec.fn(spark, sf_dir).count()
+                samples.append(time.perf_counter() - t0)
+        except Exception as exc:  # noqa: BLE001 — record, keep benching
+            errors[name] = str(exc).split("\n")[0][:200]
+            print(f"[bench] {name} FAILED: {errors[name]}", file=sys.stderr, flush=True)
+            continue
+        into_t = pipeline_timings if name in PIPELINE else timings
+        into_f = pipeline_first if name in PIPELINE else first_runs
+        into_t[name] = round(statistics.median(samples), 3)
+        print(f"[bench] {name} = {into_t[name]}s", file=sys.stderr, flush=True)
         # The first timed run evaluates with FRESH operator caches (the
         # in-scope signature/stats caches the later runs reuse), so it
         # prices cache-fronted stages the warm median structurally
         # cannot — the r4 md5-shingle regression hid exactly there.
-        first_runs[name] = round(samples[0], 3)
+        into_f[name] = round(samples[0], 3)
 
     total = round(sum(timings.values()), 3)
+    metric = "headline_queries_total"
+    if cold_sf10:
+        metric = "headline_queries_total_sf10_cold"
+    elif cold_sf1:
+        metric = "headline_queries_total_sf1_cold"
     out = {
-        "metric": "headline_queries_total_sf1_cold" if cold_sf1 else "headline_queries_total",
+        "metric": metric,
         "value": total,
         "unit": "sec",
         "queries": timings,
         "sf": sf,
     }
+    if include_pipeline:
+        out["pipeline_total"] = round(sum(pipeline_timings.values()), 3)
+        out["pipeline_queries"] = pipeline_timings
+    if errors:
+        out["errors"] = errors
     if cold_sf1:
         out["cold"] = dropped
     else:
         out["first_run_total"] = round(sum(first_runs.values()), 3)
         out["first_runs"] = first_runs
+        if include_pipeline:
+            out["pipeline_first_runs"] = pipeline_first
         probe_after = _probe()
         probe_median = statistics.median([probe_before, probe_after])
         load_factor = probe_median / CALIBRATION_REF

@@ -951,6 +951,8 @@ def ngram_jaccard_pairs(
     shingle_n: int = 3,
     threshold: float = 0.5,
     max_df: int | None = 100_000,
+    collapse_exact: bool = False,
+    expand_cap: int | None = None,
 ) -> DataFrame:
     """Exact n-gram Jaccard similarity for candidate pairs via an
     inverted-index join (explode shingles → join on shingle → exact
@@ -966,11 +968,56 @@ def ngram_jaccard_pairs(
     so any emitted pair carries its true Jaccard including hot shingles.
     A pair is missed only if ALL its shared shingles are hot — the
     default cap (100k docs) makes that astronomically unlikely for real
-    near-dups. ``max_df=None`` disables pruning (fully exact)."""
+    near-dups. ``max_df=None`` disables pruning (fully exact).
+
+    ``collapse_exact`` is the clone-heavy-corpus knob (same machinery
+    as the minhash/simhash/embedding paths): byte-identical texts
+    collapse to one representative before the inverted index, so a
+    d-deep verbatim clone cluster no longer multiplies every shingle's
+    document frequency by d — the r7 sf10 checkpoint measured the
+    DIRECT path OOMing a 48 GB heap on 100-deep planted clones, where
+    the collapsed path runs at the distinct-text corpus's cost. Exact:
+    cross-group pairs recompute Jaccard on the representative shingle
+    sets (identical texts ⇒ identical sets) and intra-group pairs are
+    Jaccard 1.0 by definition (empty-shingle texts excluded — the
+    direct path never pairs them). ``expand_cap`` bounds the intra
+    expansion via the cap/chunk contract of ``_expand_collapsed_pairs``
+    — set it when the consumer is connected components (cluster
+    structure preserved, pair COUNT linear); leave ``None`` for the
+    complete exact pair set."""
+    df = _non_null_text(df, text_col)
+    if collapse_exact:
+        groups, members = _collapse_identical_text(df, id_col, text_col)
+        rep_pairs = ngram_jaccard_pairs(
+            groups,
+            id_col=id_col,
+            text_col=text_col,
+            shingle_n=shingle_n,
+            threshold=threshold,
+            max_df=max_df,
+            collapse_exact=False,
+        )
+        nonempty = groups.filter(
+            F.size(
+                F.array_distinct(
+                    shingle_hashes(tokenize(F.col(text_col)), shingle_n)
+                )
+            )
+            > 0
+        ).select("_tkey")
+        return _expand_collapsed_pairs(
+            rep_pairs,
+            groups,
+            members,
+            id_col,
+            {"jaccard": F.lit(1.0)},
+            cap=expand_cap,
+            intra_members=members.join(nonempty, "_tkey", "semi"),
+        )
     # Shingles travel as 64-bit hashes, not strings: same distinct-set
     # cardinality w.h.p. (64-bit collisions negligible), far cheaper to
     # build, and the inverted-index join shuffles longs instead of text.
-    shingled = _cache(_non_null_text(df, text_col).select(
+    shingled = _cache(df.select(
         F.col(id_col).alias("_id"),
         F.array_distinct(shingle_hashes(tokenize(F.col(text_col)), shingle_n)).alias("_sh"),
     ))  # feeds the index join and the exact-recount joins

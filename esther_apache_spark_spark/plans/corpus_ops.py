@@ -1393,7 +1393,14 @@ def leakage_safe_split(spark: SparkSession, sf_dir: str) -> DataFrame:
     from esther_apache_spark_spark.operators.sampling import hash_bucket
 
     docs = load_table(spark, sf_dir, "documents")
-    pairs = D.ngram_jaccard_pairs(docs, shingle_n=3, threshold=0.5)
+    # collapse_exact + expand_cap: byte-identical clones collapse before
+    # the inverted index (the r7 sf10 checkpoint OOMed the direct path on
+    # 100-deep planted clones) and re-expand as capped cliques — the
+    # component structure, and therefore every cluster_rep and split
+    # label, is byte-identical to the direct path's (oracle unchanged)
+    pairs = D.ngram_jaccard_pairs(
+        docs, shingle_n=3, threshold=0.5, collapse_exact=True, expand_cap=256
+    )
     edges = pairs.select(F.col("id_a").alias("src"), F.col("id_b").alias("dst"))
     lab = connected_components(edges)
     rep = F.coalesce(F.col("comp"), F.col("doc_id"))
@@ -3286,4 +3293,242 @@ def lexical_diversity_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
             / F.sqrt(F.count(F.lit(1)).cast("double")),
             6,
         ).alias("root_ttr"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Fertility × quality cross report — where does the tokenizer pay, and
+# is it paying on text worth keeping?
+# ---------------------------------------------------------------------------
+@register(
+    "fertility_quality_cross_by_source",
+    oracle="""
+    WITH base AS (
+        SELECT source,
+               len(list_filter(regexp_split_to_array(trim(text), '\\s+'),
+                               x -> x <> '')) AS n_ws,
+               len(regexp_extract_all(text,
+                   '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]')) AS n_bpe,
+               list_filter(regexp_split_to_array(trim(regexp_replace(lower(text),
+                   '[^\\w\\s]', '', 'g')), '\\s+'), x -> x <> '') AS toks,
+               CASE WHEN length(text) > 0
+                    THEN (length(text) - length(regexp_replace(text,
+                         '[^\\w\\s]', '', 'g'))) / length(text)
+                    ELSE 0.0 END AS punct
+        FROM documents
+    ),
+    scored AS (
+        SELECT source, n_ws, n_bpe,
+               ROUND((least(len(toks) / 100.0, 1.0)
+                      + greatest(1.0 - abs((CASE WHEN len(toks) > 0
+                           THEN len(list_filter(toks, t -> t IN
+                                ('the','a','an','and','or','of','to','in','is','it','for','on','with','as','at','by','this','that')))
+                                / len(toks) ELSE 0.0 END) - 0.4) / 0.4, 0.0)
+                      + (1.0 - least(punct * 5, 1.0))) / 3, 4) AS q
+        FROM base
+    ),
+    banded AS (
+        SELECT source,
+               CASE WHEN q < 0.5 THEN 'low'
+                    WHEN q < 0.62 THEN 'mid'
+                    ELSE 'high' END AS quality_band,
+               n_ws, n_bpe,
+               CAST(FLOOR(q * 10000 + 0.5) AS BIGINT) AS q10k
+        FROM scored WHERE n_ws > 0
+    )
+    SELECT source, quality_band,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(n_ws) AS BIGINT) AS total_words,
+           ROUND(CAST(SUM(n_bpe) AS DOUBLE) / SUM(n_ws), 6) AS fertility,
+           ROUND(CAST(SUM(q10k) AS DOUBLE) / COUNT(*) / 10000.0, 4)
+               AS mean_quality
+    FROM banded GROUP BY 1, 2
+    """,
+)
+def fertility_quality_cross_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tokenizer fertility CROSSED with quality band per source — the
+    curation question neither marginal report answers alone: a feed
+    whose high-fertility (expensive-to-tokenize) documents are also its
+    LOW-quality ones is pure cost, while high fertility concentrated in
+    the high-quality band may be worth the tokens (code, non-Latin
+    scripts). Bands cut the composite quality heuristic
+    (`operators.textstats.quality_score`, the oracled text_stats
+    expression) at 0.5 / 0.62 — fixed breaks, not data quantiles, so
+    the contract is stable as the corpus grows.
+
+    Determinism: fertility is a ratio of exact BIGINT token counts;
+    mean quality is summed as exact integers (each doc's 4dp-rounded
+    score requantized to q·10⁴ before the group sum — a float sum of
+    rounded doubles would be shuffle-order-dependent) and divided once.
+    Scale: one projection pass + one hash agg to |sources|×3 rows; text
+    never shuffles."""
+    from esther_apache_spark_spark.operators.textstats import (
+        quality_score,
+        token_count,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    q = quality_score(F.col("text"))
+    base = docs.select(
+        "source",
+        token_count(F.col("text"), "ws").alias("n_ws"),
+        token_count(F.col("text"), "bpe").alias("n_bpe"),
+        F.when(q < 0.5, "low").when(q < 0.62, "mid").otherwise("high").alias(
+            "quality_band"
+        ),
+        F.floor(q * 10000 + F.lit(0.5)).cast("long").alias("q10k"),
+    ).filter(F.col("n_ws") > 0)
+    return base.groupBy("source", "quality_band").agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        F.sum("n_ws").cast("long").alias("total_words"),
+        F.round(
+            F.sum("n_bpe").cast("double") / F.sum("n_ws"), 6
+        ).alias("fertility"),
+        F.round(
+            F.sum("q10k").cast("double") / F.count(F.lit(1)) / 10000.0, 4
+        ).alias("mean_quality"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Stupid-backoff bigram LM on a held-out half — the generalization
+# upgrade of the in-corpus bigram NLL.
+# ---------------------------------------------------------------------------
+@register(
+    "bigram_backoff_nll_docs",
+    oracle="""
+    WITH arrs AS (
+        SELECT doc_id,
+               list_filter(string_split(lower(text), ' '),
+                           x -> x <> '') AS arr
+        FROM documents
+    ),
+    tr AS (SELECT * FROM arrs WHERE doc_id % 2 = 0),
+    te AS (SELECT * FROM arrs WHERE doc_id % 2 = 1),
+    bgt AS (
+        SELECT doc_id, z[1] AS prev, z[2] AS cur FROM (
+            SELECT doc_id, unnest(list_zip(arr, arr[2:])) AS z FROM tr
+        ) WHERE z[2] IS NOT NULL
+    ),
+    bge AS (
+        SELECT doc_id, z[1] AS prev, z[2] AS cur FROM (
+            SELECT doc_id, unnest(list_zip(arr, arr[2:])) AS z FROM te
+        ) WHERE z[2] IS NOT NULL
+    ),
+    uni AS (
+        SELECT t AS cur, CAST(COUNT(*) AS BIGINT) AS cu FROM (
+            SELECT unnest(arr) AS t FROM tr
+        ) GROUP BY 1
+    ),
+    consts AS (
+        SELECT CAST(SUM(cu) AS BIGINT) AS nn, CAST(COUNT(*) AS BIGINT) AS v
+        FROM uni
+    ),
+    ctx AS (SELECT prev, CAST(COUNT(*) AS BIGINT) AS cp FROM bgt GROUP BY 1),
+    bi AS (SELECT prev, cur, CAST(COUNT(*) AS BIGINT) AS c
+           FROM bgt GROUP BY 1, 2),
+    bil AS (
+        SELECT bi.prev, bi.cur,
+               ROUND(LN(CAST(c AS DOUBLE) / CAST(cp AS DOUBLE)), 9) AS lp_bi
+        FROM bi JOIN ctx USING (prev)
+    ),
+    unil AS (
+        SELECT cur,
+               ROUND(LN(0.4 * CAST(cu AS DOUBLE) / CAST(nn AS DOUBLE)), 9)
+                   AS lp_uni
+        FROM uni, consts
+    )
+    SELECT e.doc_id,
+           CAST(COUNT(*) AS BIGINT) AS n_bigrams,
+           ROUND(-SUM(COALESCE(lp_bi, lp_uni,
+                               ROUND(LN(0.4 / CAST(v AS DOUBLE)), 9)))
+                 / COUNT(*), 4) AS backoff_nll,
+           ROUND(SUM(CASE WHEN lp_bi IS NULL THEN 1 ELSE 0 END)
+                 / CAST(COUNT(*) AS DOUBLE), 6) AS backoff_rate
+    FROM bge e
+    LEFT JOIN bil USING (prev, cur)
+    LEFT JOIN unil USING (cur), consts
+    GROUP BY 1
+    """,
+)
+def bigram_backoff_nll_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stupid-backoff bigram fluency score on a HELD-OUT half: the model
+    (bigram MLE, 0.4-discounted unigram backoff, uniform 0.4/V floor —
+    Brants et al.'s web-LM recipe) trains on even doc_ids and scores odd
+    ones, so unseen transitions actually exercise the backoff chain —
+    `bigram_nll_score_docs` scores in-corpus where every bigram is seen
+    and smoothing never fires. `backoff_rate` (share of transitions that
+    fell back) is the domain-shift diagnostic: a feed whose rate spikes
+    against the corpus LM is out-of-distribution for the corpus.
+
+    Determinism: all counts exact BIGINT; exactly one ln per DISTINCT
+    model key, rounded at 9dp in the model table (never per
+    occurrence); the uniform floor is one rounded expression of the
+    exact vocab size. Scale: the model is vocabulary-bounded; the
+    doc-side is two broadcast-able LEFT joins and a partial-aggregable
+    per-doc sum; text leaves the scan only as tokens."""
+    docs = load_table(spark, sf_dir, "documents")
+    arrs = docs.select(
+        "doc_id",
+        F.filter(F.split(F.lower("text"), " "), lambda x: x != "").alias("arr"),
+    )
+    train = arrs.filter(F.col("doc_id") % 2 == 0)
+    test = arrs.filter(F.col("doc_id") % 2 == 1)
+
+    def bigrams(a: DataFrame) -> DataFrame:
+        e = a.select("doc_id", "arr", F.posexplode("arr").alias("pos", "prev"))
+        return e.filter(F.col("pos") + 2 <= F.size("arr")).select(
+            "doc_id", "prev", F.element_at("arr", F.col("pos") + 2).alias("cur")
+        )
+
+    bg_tr, bg_te = bigrams(train), bigrams(test)
+    uni = train.select(F.explode("arr").alias("cur")).groupBy("cur").agg(
+        F.count(F.lit(1)).alias("cu")
+    )
+    consts = uni.agg(
+        F.sum("cu").cast("long").alias("nn"),
+        F.count(F.lit(1)).cast("long").alias("v"),
+    )
+    ctx = bg_tr.groupBy("prev").agg(F.count(F.lit(1)).alias("cp"))
+    bil = (
+        bg_tr.groupBy("prev", "cur")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .join(ctx, "prev")
+        .select(
+            "prev",
+            "cur",
+            F.round(
+                F.log(F.col("c").cast("double") / F.col("cp").cast("double")), 9
+            ).alias("lp_bi"),
+        )
+    )
+    unil = uni.crossJoin(consts).select(
+        "cur",
+        F.round(
+            F.log(0.4 * F.col("cu").cast("double") / F.col("nn").cast("double")),
+            9,
+        ).alias("lp_uni"),
+    )
+    scored = (
+        bg_te.join(bil, ["prev", "cur"], "left")
+        .join(unil, "cur", "left")
+        .crossJoin(consts)
+        .select(
+            "doc_id",
+            "lp_bi",
+            F.coalesce(
+                "lp_bi",
+                "lp_uni",
+                F.round(F.log(0.4 / F.col("v").cast("double")), 9),
+            ).alias("lp"),
+        )
+    )
+    return scored.groupBy("doc_id").agg(
+        F.count(F.lit(1)).cast("long").alias("n_bigrams"),
+        F.round(-F.sum("lp") / F.count(F.lit(1)), 4).alias("backoff_nll"),
+        F.round(
+            F.sum(F.when(F.col("lp_bi").isNull(), 1).otherwise(0))
+            / F.count(F.lit(1)).cast("double"),
+            6,
+        ).alias("backoff_rate"),
     )

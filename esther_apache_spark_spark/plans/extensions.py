@@ -767,8 +767,18 @@ def semantic_dedup_survivors(spark: SparkSession, sf_dir: str) -> DataFrame:
     from esther_apache_spark_spark.operators.components import connected_components
 
     emb = load_table(spark, sf_dir, "embeddings")
+    # collapse_exact: byte-identical vectors collapse before the LSH
+    # tables and re-expand as cap-chunked cliques — components, and
+    # therefore survivors + cluster sizes, are byte-identical (oracle
+    # unchanged); the r7 sf10 checkpoint measured the direct pair stage
+    # at 18.5 min on 100-deep planted clones vs seconds collapsed
     pairs = D.embedding_cosine_dups(
-        emb, threshold=0.4, n_planes=4, n_tables=12, dim=EMBEDDING_DIM
+        emb,
+        threshold=0.4,
+        n_planes=4,
+        n_tables=12,
+        dim=EMBEDDING_DIM,
+        collapse_exact=True,
     )
     edges = pairs.select(F.col("id_a").alias("src"), F.col("id_b").alias("dst"))
     lab = connected_components(edges)
@@ -846,7 +856,12 @@ def lexical_dedup_survivors(spark: SparkSession, sf_dir: str) -> DataFrame:
     from esther_apache_spark_spark.operators.components import connected_components
 
     docs = load_table(spark, sf_dir, "documents")
-    pairs = D.ngram_jaccard_pairs(docs, shingle_n=3, threshold=0.5)
+    # collapsed front end (see ngram_jaccard_pairs): clone clusters cost
+    # O(distinct texts); capped clique expansion preserves components,
+    # so survivors and cluster sizes are byte-identical (oracle unchanged)
+    pairs = D.ngram_jaccard_pairs(
+        docs, shingle_n=3, threshold=0.5, collapse_exact=True, expand_cap=256
+    )
     edges = pairs.select(F.col("id_a").alias("src"), F.col("id_b").alias("dst"))
     lab = connected_components(edges)
     sizes = lab.groupBy("comp").agg(F.count(F.lit(1)).alias("sz")).select(
@@ -3149,7 +3164,9 @@ def lexical_dedup_survivors_by_quality(spark: SparkSession, sf_dir: str) -> Data
     from esther_apache_spark_spark.operators.textstats import quality_score
 
     docs = load_table(spark, sf_dir, "documents")
-    pairs = D.ngram_jaccard_pairs(docs, shingle_n=3, threshold=0.5)
+    pairs = D.ngram_jaccard_pairs(
+        docs, shingle_n=3, threshold=0.5, collapse_exact=True, expand_cap=256
+    )
     lab = connected_components(
         pairs.select(F.col("id_a").alias("src"), F.col("id_b").alias("dst"))
     )

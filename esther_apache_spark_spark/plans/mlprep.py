@@ -3675,3 +3675,238 @@ def streaming_daily_anomaly_zscore(spark: SparkSession, sf_dir: str) -> DataFram
     )
 
     return _anomaly_readout(daily_anomaly_state_stream(spark, sf_dir))
+
+
+# ---------------------------------------------------------------------------
+# Retention cohort triangle — the canonical product-analytics readout.
+# ---------------------------------------------------------------------------
+@register(
+    "retention_cohort_triangle",
+    oracle="""
+    WITH act AS (
+        SELECT DISTINCT user_id, CAST(ts AS DATE) AS day FROM events
+    ),
+    firsts AS (
+        SELECT user_id, MIN(day) AS cohort_day FROM act GROUP BY 1
+    ),
+    joined AS (
+        SELECT f.cohort_day, a.day - f.cohort_day AS day_offset, a.user_id
+        FROM act a JOIN firsts f USING (user_id)
+    ),
+    tri AS (
+        SELECT cohort_day, day_offset,
+               CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_active
+        FROM joined GROUP BY 1, 2
+    ),
+    sizes AS (
+        SELECT cohort_day, CAST(COUNT(*) AS BIGINT) AS n_cohort
+        FROM firsts GROUP BY 1
+    )
+    SELECT strftime(t.cohort_day, '%Y-%m-%d') AS cohort_day,
+           CAST(day_offset AS BIGINT) AS day_offset,
+           n_active, n_cohort,
+           ROUND(CAST(n_active AS DOUBLE) / n_cohort, 6) AS retention
+    FROM tri t JOIN sizes s USING (cohort_day)
+    """,
+)
+def retention_cohort_triangle(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Retention triangle: users cohorted by FIRST-activity day, each
+    cell = share of the cohort active again `day_offset` days later —
+    the readout behind every retention curve / DAU decomposition, and
+    the product-side complement of `logrank_churn_by_cohort` (which
+    tests survival differences; this reports the raw surface).
+
+    Exactness: activity is user-day distinct (exact), cohort assignment
+    an exact MIN, every cell a ratio of exact BIGINTs rounded once.
+    Scale: user-day dedup (one hash agg), a broadcast-able user→cohort
+    join (user-grain — at 100 TB this is the big shuffle, keyed and
+    partial-aggregable), then a triangle-sized (days × days / 2) agg;
+    no window over anything data-sized."""
+    ev = load_table(spark, sf_dir, "events")
+    act = ev.select(
+        "user_id", F.to_date("ts").alias("day")
+    ).distinct()
+    firsts = act.groupBy("user_id").agg(F.min("day").alias("cohort_day"))
+    joined = act.join(firsts, "user_id").select(
+        "cohort_day",
+        F.datediff("day", "cohort_day").alias("day_offset"),
+        "user_id",
+    )
+    tri = joined.groupBy("cohort_day", "day_offset").agg(
+        F.countDistinct("user_id").alias("n_active")
+    )
+    sizes = firsts.groupBy("cohort_day").agg(
+        F.count(F.lit(1)).alias("n_cohort")
+    )
+    return tri.join(sizes, "cohort_day").select(
+        F.date_format("cohort_day", "yyyy-MM-dd").alias("cohort_day"),
+        F.col("day_offset").cast("long").alias("day_offset"),
+        F.col("n_active").cast("long").alias("n_active"),
+        F.col("n_cohort").cast("long").alias("n_cohort"),
+        F.round(
+            F.col("n_active").cast("double") / F.col("n_cohort"), 6
+        ).alias("retention"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Group-sequential monitoring — the "peeking correctly" layer over the
+# two-arm z machinery.
+# ---------------------------------------------------------------------------
+@register(
+    "group_sequential_pocock_ztest",
+    oracle="""
+    WITH daily AS (
+        SELECT CAST(ts AS DATE) AS day, user_id % 2 AS g,
+               CAST(COUNT(*) AS BIGINT) AS n,
+               CAST(SUM(CAST(CAST(value AS DECIMAL(12,2)) * 100 AS BIGINT))
+                    AS BIGINT) AS s,
+               CAST(SUM(CAST(CAST(CAST(value AS DECIMAL(12,2)) * 100
+                                  AS BIGINT) AS HUGEINT)
+                        * CAST(CAST(value AS DECIMAL(12,2)) * 100 AS BIGINT))
+                    AS HUGEINT) AS ss
+        FROM events GROUP BY 1, 2
+    ),
+    ranked AS (
+        SELECT day, DENSE_RANK() OVER (ORDER BY day) AS r FROM daily
+        GROUP BY day
+    ),
+    nd AS (SELECT CAST(MAX(r) AS BIGINT) AS d FROM ranked),
+    looks AS (
+        SELECT day, r, CAST(CEIL(r * 5.0 / d) AS BIGINT) AS look
+        FROM ranked, nd
+    ),
+    cum AS (
+        SELECT l.look, l.day, l.r, d.g,
+               SUM(d.n) OVER w AS cn,
+               SUM(d.s) OVER w AS cs,
+               SUM(d.ss) OVER w AS css
+        FROM daily d JOIN looks l USING (day)
+        WINDOW w AS (PARTITION BY d.g ORDER BY d.day
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+    ),
+    cut AS (
+        SELECT look, MAX(r) AS rmax FROM looks GROUP BY 1
+    ),
+    at_cut AS (
+        SELECT c.look, c.day, c.g,
+               CAST(c.cn AS BIGINT) AS cn, CAST(c.cs AS BIGINT) AS cs,
+               CAST(c.css AS HUGEINT) AS css
+        FROM cum c JOIN cut t ON c.look = t.look AND c.r = t.rmax
+    ),
+    wide AS (
+        SELECT look, MAX(strftime(day, '%Y-%m-%d')) AS cutoff_day,
+               MAX(CASE WHEN g = 0 THEN cn END) AS n0,
+               MAX(CASE WHEN g = 0 THEN cs END) AS s0,
+               MAX(CASE WHEN g = 0 THEN css END) AS ss0,
+               MAX(CASE WHEN g = 1 THEN cn END) AS n1,
+               MAX(CASE WHEN g = 1 THEN cs END) AS s1,
+               MAX(CASE WHEN g = 1 THEN css END) AS ss1
+        FROM at_cut GROUP BY 1
+    )
+    SELECT CAST(look AS BIGINT) AS look, cutoff_day,
+           CAST(n0 + n1 AS BIGINT) AS n_total,
+           ROUND((CAST(s1 AS DOUBLE) / CAST(n1 AS DOUBLE)
+                  - CAST(s0 AS DOUBLE) / CAST(n0 AS DOUBLE))
+                 / SQRT(((CAST(ss0 AS DOUBLE)
+                          - CAST(s0 AS DOUBLE) * CAST(s0 AS DOUBLE)
+                            / CAST(n0 AS DOUBLE)) / (CAST(n0 AS DOUBLE) - 1))
+                        / CAST(n0 AS DOUBLE)
+                        + ((CAST(ss1 AS DOUBLE)
+                            - CAST(s1 AS DOUBLE) * CAST(s1 AS DOUBLE)
+                              / CAST(n1 AS DOUBLE)) / (CAST(n1 AS DOUBLE) - 1))
+                          / CAST(n1 AS DOUBLE)), 4) AS z_stat,
+           CAST(ABS(ROUND((CAST(s1 AS DOUBLE) / CAST(n1 AS DOUBLE)
+                  - CAST(s0 AS DOUBLE) / CAST(n0 AS DOUBLE))
+                 / SQRT(((CAST(ss0 AS DOUBLE)
+                          - CAST(s0 AS DOUBLE) * CAST(s0 AS DOUBLE)
+                            / CAST(n0 AS DOUBLE)) / (CAST(n0 AS DOUBLE) - 1))
+                        / CAST(n0 AS DOUBLE)
+                        + ((CAST(ss1 AS DOUBLE)
+                            - CAST(s1 AS DOUBLE) * CAST(s1 AS DOUBLE)
+                              / CAST(n1 AS DOUBLE)) / (CAST(n1 AS DOUBLE) - 1))
+                          / CAST(n1 AS DOUBLE)), 4)) >= 2.413 AS BOOLEAN)
+               AS crossed
+    FROM wide
+    """,
+)
+def group_sequential_pocock_ztest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Group-sequential two-arm monitoring: the Welch-style z statistic
+    evaluated at 5 equally-spaced interim LOOKS (calendar-day grid cut
+    into fifths by day rank), each compared against the Pocock K=5,
+    two-sided α=0.05 boundary 2.413 — a fixed published constant
+    (Pocock 1977, Table 2), embedded as ONE literal in both engines
+    (the `mde_sample_size_plan` doctrine: no boundary computation ever
+    executes). This is the "peeking correctly" layer the fixed-horizon
+    tests (`welch_t_value_by_cohort`) can't provide: five raw z>1.96
+    peeks inflate type-I error to ~14%; the Pocock boundary holds it at
+    5%.
+
+    Exactness: per-(day, arm) moments are exact integers; per-look
+    cumulative moments are exact window sums over the day-grain series
+    (calendar-bounded rows, never data-sized); z is one fixed float
+    expression over six exact integers, rounded once; the crossing flag
+    compares the ROUNDED z so both engines flip together. Scale: one
+    map-combinable daily aggregate, then windows over ≤ days×2 rows."""
+    ev = load_table(spark, sf_dir, "events")
+    d38 = "decimal(38,0)"
+    cents = (dec2("value") * 100).cast("long")
+    daily = ev.groupBy(
+        F.to_date("ts").alias("day"), (F.col("user_id") % 2).alias("g")
+    ).agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(cents).alias("s"),
+        F.sum(cents.cast(d38) * cents).alias("ss"),
+    )
+    days = daily.select("day").distinct()
+    ranked = days.select(
+        "day", F.dense_rank().over(Window.orderBy("day")).alias("r")
+    )
+    nd = ranked.agg(F.max("r").cast("long").alias("d"))
+    looks = ranked.crossJoin(F.broadcast(nd)).select(
+        "day", "r", F.ceil(F.col("r") * 5.0 / F.col("d")).cast("long").alias("look")
+    )
+    w = (
+        Window.partitionBy("g")
+        .orderBy("day")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    cum = daily.join(looks, "day").select(
+        "look",
+        "day",
+        "r",
+        "g",
+        F.sum("n").over(w).alias("cn"),
+        F.sum("s").over(w).alias("cs"),
+        F.sum("ss").over(w).alias("css"),
+    )
+    cut = looks.groupBy("look").agg(F.max("r").alias("rmax"))
+    at_cut = cum.join(
+        cut, (cum.look == cut.look) & (cum.r == cut.rmax)
+    ).select(cum.look, "day", "g", "cn", "cs", "css")
+
+    def cell(g: int, col: str):
+        return F.max(F.when(F.col("g") == g, F.col(col)))
+
+    wide = at_cut.groupBy("look").agg(
+        F.max(F.date_format("day", "yyyy-MM-dd")).alias("cutoff_day"),
+        cell(0, "cn").alias("n0"),
+        cell(0, "cs").alias("s0"),
+        cell(0, "css").alias("ss0"),
+        cell(1, "cn").alias("n1"),
+        cell(1, "cs").alias("s1"),
+        cell(1, "css").alias("ss1"),
+    )
+    n0d, n1d = F.col("n0").cast("double"), F.col("n1").cast("double")
+    s0d, s1d = F.col("s0").cast("double"), F.col("s1").cast("double")
+    ss0d, ss1d = F.col("ss0").cast("double"), F.col("ss1").cast("double")
+    v0 = (ss0d - s0d * s0d / n0d) / (n0d - 1)
+    v1 = (ss1d - s1d * s1d / n1d) / (n1d - 1)
+    z = (s1d / n1d - s0d / n0d) / F.sqrt(v0 / n0d + v1 / n1d)
+    return wide.select(
+        F.col("look").cast("long").alias("look"),
+        "cutoff_day",
+        (F.col("n0") + F.col("n1")).cast("long").alias("n_total"),
+        F.round(z, 4).alias("z_stat"),
+        (F.abs(F.round(z, 4)) >= 2.413).alias("crossed"),
+    )

@@ -66,6 +66,15 @@ def get_spark(
         # Files: default 128MB split size is right for big scans; keep
         # openCostInBytes small so many tiny test files still coalesce.
         .config("spark.sql.files.openCostInBytes", "1048576")
+        # Floor the SCAN parallelism at the core count: a mid-sized table
+        # (e.g. sf10's 0.6 GB documents.parquet) otherwise splits into
+        # ceil(size/128MB) ≈ 5 partitions, and every Python-kernel stage
+        # downstream (MinHash signatures, shingling, GEMM scans) runs 5-wide
+        # on a 32-core box — measured as the dominant cost of the sf10 cold
+        # checkpoint (r7). On a real cluster 100 TB yields orders of
+        # magnitude more splits than cores, so this floor is inert there;
+        # it only protects the medium-file regime.
+        .config("spark.sql.files.minPartitionNum", str(cores))
         .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEMORY", "8g"))
         .config("spark.ui.enabled", "false")
     )

@@ -122,6 +122,11 @@ def test_catalog_plans_free_of_scale_antipatterns(spark, sf_dir):
         # 1-row corpus token-total scalar cross-joined onto the
         # min-support-gated bigram frame
         "bigram_lift_top_pairs",
+        # 1-row (token-total, vocab-size) scalar onto the vocab-bounded
+        # backoff model + the per-doc transition frame
+        "bigram_backoff_nll_docs",
+        # 1-row day-count scalar onto the calendar-bounded day ranks
+        "group_sequential_pocock_ztest",
         # dense candidate list scores the corpus against ONE query
         # vector (brute_force_topk's broadcast query matrix, 1 row by
         # construction) + the BM25 1-row count/avgdl scalars

@@ -30,6 +30,16 @@ import duckdb
 
 OFFSET = 100_000_000  # far above any base key
 
+# Parquet can't split below row-group granularity: DuckDB's default
+# ~122k-row groups left sf10's 500k-row documents.parquet with FIVE
+# splittable units, capping every downstream Python-kernel stage
+# (MinHash signatures, shingling, GEMM) at parallelism 5 on a 32-core
+# box — measured as the dominant cost of the first r7 sf10 cold runs.
+# Tables whose per-ROW work is heavy get small row groups so scan
+# parallelism follows cores; the narrow fact tables keep the default
+# (they already produce hundreds of groups at scale).
+ROW_GROUP_ROWS = {"documents": 10_000, "embeddings": 10_000}
+
 # key columns to shift per table; every other column is copied verbatim
 SHIFT = {
     "customer": ["c_custkey"],
@@ -66,10 +76,13 @@ def main() -> None:
         proj = ", ".join(
             f"{c} + i * {OFFSET} AS {c}" if c in keys else c for c in cols
         )
+        rg = (
+            f", ROW_GROUP_SIZE {ROW_GROUP_ROWS[t]}" if t in ROW_GROUP_ROWS else ""
+        )
         con.execute(
             f"COPY (SELECT {proj} FROM read_parquet('{base}/{t}.parquet') "
             f"CROSS JOIN (SELECT unnest(range({k})) AS i)) "
-            f"TO '{out}/{t}.parquet' (FORMAT PARQUET)"
+            f"TO '{out}/{t}.parquet' (FORMAT PARQUET{rg})"
         )
         n = con.execute(
             f"SELECT count(*) FROM read_parquet('{out}/{t}.parquet')"
