@@ -73,6 +73,9 @@ ALLOWED: dict[tuple[str, str], str] = {
     # (collect_list over the k-row centroid frame; k is a model
     # constant independent of sf)
     ("operators/clustering.py", "cents1"): "collapsed centroid list, 1 row (k structs, model constant)",
+    ("operators/similarity.py", "seed_ids"): "PQ seed ids, ksub rows (model constant)",
+    ("operators/similarity.py", "by_sub"): "per-subspace centroid arrays, m_sub rows (model constant)",
+    ("plans/mlprep.py", "nd"): "1-row day-count scalar (group-sequential look grid)",
     # Bloom filter words: ≤ ceil(m_bits/60) rows — a model constant
     # independent of how many keys were inserted
     ("operators/sketches.py", "words"): "Bloom words frame, ceil(m_bits/60) rows (model constant)",
