@@ -3753,10 +3753,7 @@ def retention_cohort_triangle(spark: SparkSession, sf_dir: str) -> DataFrame:
 # Group-sequential monitoring — the "peeking correctly" layer over the
 # two-arm z machinery.
 # ---------------------------------------------------------------------------
-@register(
-    "group_sequential_pocock_ztest",
-    oracle="""
-    WITH daily AS (
+_GS_CTES = """WITH daily AS (
         SELECT CAST(ts AS DATE) AS day, user_id % 2 AS g,
                CAST(COUNT(*) AS BIGINT) AS n,
                CAST(SUM(CAST(CAST(value AS DECIMAL(12,2)) * 100 AS BIGINT))
@@ -3803,51 +3800,38 @@ def retention_cohort_triangle(spark: SparkSession, sf_dir: str) -> DataFrame:
                MAX(CASE WHEN g = 1 THEN cs END) AS s1,
                MAX(CASE WHEN g = 1 THEN css END) AS ss1
         FROM at_cut GROUP BY 1
-    )
-    SELECT CAST(look AS BIGINT) AS look, cutoff_day,
-           CAST(n0 + n1 AS BIGINT) AS n_total,
-           ROUND((CAST(s1 AS DOUBLE) / CAST(n1 AS DOUBLE)
-                  - CAST(s0 AS DOUBLE) / CAST(n0 AS DOUBLE))
-                 / SQRT(((CAST(ss0 AS DOUBLE)
-                          - CAST(s0 AS DOUBLE) * CAST(s0 AS DOUBLE)
-                            / CAST(n0 AS DOUBLE)) / (CAST(n0 AS DOUBLE) - 1))
-                        / CAST(n0 AS DOUBLE)
-                        + ((CAST(ss1 AS DOUBLE)
-                            - CAST(s1 AS DOUBLE) * CAST(s1 AS DOUBLE)
-                              / CAST(n1 AS DOUBLE)) / (CAST(n1 AS DOUBLE) - 1))
-                          / CAST(n1 AS DOUBLE)), 4) AS z_stat,
-           CAST(ABS(ROUND((CAST(s1 AS DOUBLE) / CAST(n1 AS DOUBLE)
-                  - CAST(s0 AS DOUBLE) / CAST(n0 AS DOUBLE))
-                 / SQRT(((CAST(ss0 AS DOUBLE)
-                          - CAST(s0 AS DOUBLE) * CAST(s0 AS DOUBLE)
-                            / CAST(n0 AS DOUBLE)) / (CAST(n0 AS DOUBLE) - 1))
-                        / CAST(n0 AS DOUBLE)
-                        + ((CAST(ss1 AS DOUBLE)
-                            - CAST(s1 AS DOUBLE) * CAST(s1 AS DOUBLE)
-                              / CAST(n1 AS DOUBLE)) / (CAST(n1 AS DOUBLE) - 1))
-                          / CAST(n1 AS DOUBLE)), 4)) >= 2.413 AS BOOLEAN)
-               AS crossed
-    FROM wide
-    """,
-)
-def group_sequential_pocock_ztest(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Group-sequential two-arm monitoring: the Welch-style z statistic
-    evaluated at 5 equally-spaced interim LOOKS (calendar-day grid cut
-    into fifths by day rank), each compared against the Pocock K=5,
-    two-sided α=0.05 boundary 2.413 — a fixed published constant
-    (Pocock 1977, Table 2), embedded as ONE literal in both engines
-    (the `mde_sample_size_plan` doctrine: no boundary computation ever
-    executes). This is the "peeking correctly" layer the fixed-horizon
-    tests (`welch_t_value_by_cohort`) can't provide: five raw z>1.96
-    peeks inflate type-I error to ~14%; the Pocock boundary holds it at
-    5%.
+    )"""
 
-    Exactness: per-(day, arm) moments are exact integers; per-look
-    cumulative moments are exact window sums over the day-grain series
-    (calendar-bounded rows, never data-sized); z is one fixed float
-    expression over six exact integers, rounded once; the crossing flag
-    compares the ROUNDED z so both engines flip together. Scale: one
-    map-combinable daily aggregate, then windows over ≤ days×2 rows."""
+_GS_Z = """(CAST(s1 AS DOUBLE) / CAST(n1 AS DOUBLE)
+                  - CAST(s0 AS DOUBLE) / CAST(n0 AS DOUBLE))
+                 / SQRT(((CAST(ss0 AS DOUBLE)
+                          - CAST(s0 AS DOUBLE) * CAST(s0 AS DOUBLE)
+                            / CAST(n0 AS DOUBLE)) / (CAST(n0 AS DOUBLE) - 1))
+                        / CAST(n0 AS DOUBLE)
+                        + ((CAST(ss1 AS DOUBLE)
+                            - CAST(s1 AS DOUBLE) * CAST(s1 AS DOUBLE)
+                              / CAST(n1 AS DOUBLE)) / (CAST(n1 AS DOUBLE) - 1))
+                          / CAST(n1 AS DOUBLE))"""
+
+
+def _gs_oracle(crossed_sql: str, extra_cols: str = "") -> str:
+    """Shared group-sequential oracle: the daily-moments → look-grid →
+    cumulative-window CTE chain, with the boundary rule plugged in."""
+    return f"""
+    {_GS_CTES}SELECT CAST(look AS BIGINT) AS look, cutoff_day,
+           CAST(n0 + n1 AS BIGINT) AS n_total,
+           ROUND({_GS_Z}, 4) AS z_stat{extra_cols},
+           {crossed_sql} AS crossed
+    FROM wide
+    """.format(_GS_CTES=_GS_CTES, _GS_Z=_GS_Z, extra_cols=extra_cols,
+               crossed_sql=crossed_sql)
+
+
+def _gs_wide_and_z(spark: SparkSession, sf_dir: str):
+    """Shared group-sequential machinery: per-look cumulative exact
+    moments (wide frame: look, cutoff_day, n/s/ss per arm) and the
+    Welch-style z Column over them — one implementation for every
+    boundary family (Pocock, O'Brien-Fleming)."""
     ev = load_table(spark, sf_dir, "events")
     d38 = "decimal(38,0)"
     cents = (dec2("value") * 100).cast("long")
@@ -3903,10 +3887,82 @@ def group_sequential_pocock_ztest(spark: SparkSession, sf_dir: str) -> DataFrame
     v0 = (ss0d - s0d * s0d / n0d) / (n0d - 1)
     v1 = (ss1d - s1d * s1d / n1d) / (n1d - 1)
     z = (s1d / n1d - s0d / n0d) / F.sqrt(v0 / n0d + v1 / n1d)
+    return wide, z
+
+
+@register(
+    "group_sequential_pocock_ztest",
+    oracle=_gs_oracle(
+        "CAST(ABS(ROUND(" + _GS_Z + ", 4)) >= 2.413 AS BOOLEAN)"
+    ),
+)
+def group_sequential_pocock_ztest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Group-sequential two-arm monitoring: the Welch-style z statistic
+    evaluated at 5 equally-spaced interim LOOKS (calendar-day grid cut
+    into fifths by day rank), each compared against the Pocock K=5,
+    two-sided α=0.05 boundary 2.413 — a fixed published constant
+    (Pocock 1977, Table 2), embedded as ONE literal in both engines
+    (the `mde_sample_size_plan` doctrine: no boundary computation ever
+    executes). This is the "peeking correctly" layer the fixed-horizon
+    tests (`welch_t_value_by_cohort`) can't provide: five raw z>1.96
+    peeks inflate type-I error to ~14%; the Pocock boundary holds it at
+    5%.
+
+    Exactness: per-(day, arm) moments are exact integers; per-look
+    cumulative moments are exact window sums over the day-grain series
+    (calendar-bounded rows, never data-sized); z is one fixed float
+    expression over six exact integers, rounded once; the crossing flag
+    compares the ROUNDED z so both engines flip together. Scale: one
+    map-combinable daily aggregate, then windows over ≤ days×2 rows."""
+    wide, z = _gs_wide_and_z(spark, sf_dir)
     return wide.select(
         F.col("look").cast("long").alias("look"),
         "cutoff_day",
         (F.col("n0") + F.col("n1")).cast("long").alias("n_total"),
         F.round(z, 4).alias("z_stat"),
         (F.abs(F.round(z, 4)) >= 2.413).alias("crossed"),
+    )
+
+
+@register(
+    "group_sequential_obf_ztest",
+    oracle=_gs_oracle(
+        "CAST(ABS(ROUND(" + _GS_Z + """, 4)) >=
+             CASE look WHEN 1 THEN 4.562 WHEN 2 THEN 3.226 WHEN 3 THEN 2.634
+                       WHEN 4 THEN 2.281 ELSE 2.040 END AS BOOLEAN)""",
+        extra_cols=""",
+           CAST(CASE look WHEN 1 THEN 4.562 WHEN 2 THEN 3.226
+                          WHEN 3 THEN 2.634 WHEN 4 THEN 2.281
+                          ELSE 2.040 END AS DOUBLE) AS boundary""",
+    ),
+)
+def group_sequential_obf_ztest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """O'Brien-Fleming sibling of `group_sequential_pocock_ztest` — the
+    OTHER canonical spending shape: conservative early (look-1 boundary
+    4.562, nearly impossible to cross on noise) and close to the fixed-
+    horizon 1.96 at the final look (2.040), so the experiment keeps
+    almost full terminal power while still allowing a dramatic-effect
+    early stop — the boundary most real experimentation platforms
+    default to, vs Pocock's flat 2.413 which spends alpha evenly and
+    pays ~0.08 z of terminal power for easier early stops. All five
+    boundaries are the published O'Brien-Fleming K=5 two-sided α=0.05
+    constants (4.562, 3.226, 2.634, 2.281, 2.040 — Pocock 1977 Table 2
+    / Jennison & Turnbull), embedded as LITERALS in both engines; the
+    look machinery, exact cumulative moments and z expression are the
+    shared `_gs_wide_and_z` / `_gs_oracle` used by the Pocock entry."""
+    wide, z = _gs_wide_and_z(spark, sf_dir)
+    boundary = (
+        F.when(F.col("look") == 1, 4.562)
+        .when(F.col("look") == 2, 3.226)
+        .when(F.col("look") == 3, 2.634)
+        .when(F.col("look") == 4, 2.281)
+        .otherwise(2.040)
+    )
+    return wide.select(
+        F.col("look").cast("long").alias("look"),
+        "cutoff_day",
+        (F.col("n0") + F.col("n1")).cast("long").alias("n_total"),
+        F.round(z, 4).alias("z_stat"),
+        boundary.alias("boundary"),
+        (F.abs(F.round(z, 4)) >= boundary).alias("crossed"),
     )

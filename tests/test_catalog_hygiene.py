@@ -127,6 +127,8 @@ def test_catalog_plans_free_of_scale_antipatterns(spark, sf_dir):
         "bigram_backoff_nll_docs",
         # 1-row day-count scalar onto the calendar-bounded day ranks
         "group_sequential_pocock_ztest",
+        # same shared _gs machinery, O'Brien-Fleming boundary
+        "group_sequential_obf_ztest",
         # dense candidate list scores the corpus against ONE query
         # vector (brute_force_topk's broadcast query matrix, 1 row by
         # construction) + the BM25 1-row count/avgdl scalars
