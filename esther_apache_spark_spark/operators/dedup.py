@@ -953,6 +953,7 @@ def ngram_jaccard_pairs(
     max_df: int | None = 100_000,
     collapse_exact: bool = False,
     expand_cap: int | None = None,
+    _df_weight_col: str | None = None,
 ) -> DataFrame:
     """Exact n-gram Jaccard similarity for candidate pairs via an
     inverted-index join (explode shingles → join on shingle → exact
@@ -984,18 +985,28 @@ def ngram_jaccard_pairs(
     expansion via the cap/chunk contract of ``_expand_collapsed_pairs``
     — set it when the consumer is connected components (cluster
     structure preserved, pair COUNT linear); leave ``None`` for the
-    complete exact pair set."""
+    complete exact pair set.
+
+    Pruning basis under collapse (ADVICE r7): each representative's
+    shingles count toward document frequency with the group's MEMBER
+    COUNT as weight, so df here is exactly the direct path's df (a
+    shingle in a d-deep clone cluster contributes d, not 1) and the
+    byte-identical-to-direct claim holds all the way to the ``max_df``
+    boundary — any df-mirroring oracle sees the same pruning decisions
+    either way."""
     df = _non_null_text(df, text_col)
     if collapse_exact:
         groups, members = _collapse_identical_text(df, id_col, text_col)
+        gw = members.groupBy("_tkey").agg(F.count(F.lit(1)).alias("_dfw"))
         rep_pairs = ngram_jaccard_pairs(
-            groups,
+            groups.join(gw, "_tkey"),
             id_col=id_col,
             text_col=text_col,
             shingle_n=shingle_n,
             threshold=threshold,
             max_df=max_df,
             collapse_exact=False,
+            _df_weight_col="_dfw",
         )
         nonempty = groups.filter(
             F.size(
@@ -1017,20 +1028,28 @@ def ngram_jaccard_pairs(
     # Shingles travel as 64-bit hashes, not strings: same distinct-set
     # cardinality w.h.p. (64-bit collisions negligible), far cheaper to
     # build, and the inverted-index join shuffles longs instead of text.
-    shingled = _cache(df.select(
+    sel = [
         F.col(id_col).alias("_id"),
-        F.array_distinct(shingle_hashes(tokenize(F.col(text_col)), shingle_n)).alias("_sh"),
-    ))  # feeds the index join and the exact-recount joins
+        F.array_distinct(
+            shingle_hashes(tokenize(F.col(text_col)), shingle_n)
+        ).alias("_sh"),
+    ]
+    if _df_weight_col is not None:
+        sel.append(F.col(_df_weight_col).cast("long").alias("_dfw"))
+    shingled = _cache(df.select(*sel))
+    # feeds the index join and the exact-recount joins
     inv = shingled.select("_id", F.explode("_sh").alias("_g"))
     if max_df is not None:
-        # document frequency per shingle is a map-side-combinable count;
+        # document frequency per shingle is a map-side-combinable count
+        # (weighted by member count under collapse — see docstring);
         # the hot-shingle list is tiny (≤ distinct_shingles/max_df) → broadcast anti-join
-        hot = (
-            inv.groupBy("_g")
-            .agg(F.count(F.lit(1)).alias("_df"))
-            .filter(F.col("_df") > max_df)
-            .select("_g")
-        )
+        if _df_weight_col is not None:
+            dfagg = shingled.select(
+                "_dfw", F.explode("_sh").alias("_g")
+            ).groupBy("_g").agg(F.sum("_dfw").alias("_df"))
+        else:
+            dfagg = inv.groupBy("_g").agg(F.count(F.lit(1)).alias("_df"))
+        hot = dfagg.filter(F.col("_df") > max_df).select("_g")
         inv = inv.join(F.broadcast(hot), "_g", "left_anti")
     cand = (
         inv.alias("a")

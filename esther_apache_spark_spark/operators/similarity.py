@@ -1135,9 +1135,12 @@ def pq_codebook_lloyd(
                 F.array_sort(F.collect_list(F.struct("pos", "s"))), lambda p: p["s"]
             ).alias("_sv"),
             F.first("n").alias("n"),
-            # sn2 was summed once per dim row; every dim row carries the
-            # same per-member Σ‖x‖², so divide by d_sub to undo
-            (F.first("sn2") / F.lit(d_sub)).alias("_sn2x"),
+            # every (sub,cid,pos) row carries the SAME per-cluster
+            # Σ‖x‖² (sum of member subvector norm² over members), so
+            # one row IS the cluster total — take it as-is (ADVICE r7:
+            # the old /d_sub shrank every centroid by sqrt(d_sub) vs
+            # the documented sqrt(Σ‖x‖²/n) and the driver trainer)
+            F.first("sn2").alias("_sn2x"),
         )
         new = mu.select(
             "sub",

@@ -3570,7 +3570,7 @@ _ANOMALY_ORACLE = """
         SELECT event_type, day, cents,
                CAST(COUNT(*) OVER w AS BIGINT) AS pn,
                CAST(SUM(cents) OVER w AS BIGINT) AS ps,
-               CAST(SUM(cents * cents) OVER w AS BIGINT) AS pss
+               SUM(CAST(cents AS HUGEINT) * cents) OVER w AS pss
         FROM daily
         WINDOW w AS (PARTITION BY event_type ORDER BY day
                      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
@@ -3650,9 +3650,15 @@ def daily_anomaly_zscore_by_type(spark: SparkSession, sf_dir: str) -> DataFrame:
         "cents",
         F.count(F.lit(1)).over(w).alias("pn"),
         F.coalesce(F.sum("cents").over(w), F.lit(0)).alias("ps"),
-        F.coalesce(F.sum(F.col("cents") * F.col("cents")).over(w), F.lit(0)).alias(
-            "pss"
-        ),
+        # squares widened to decimal(38,0) before summing (ADVICE r7):
+        # plain BIGINT cents*cents wraps silently past ~3M-cent days
+        # while the HUGEINT oracle errors — same widening discipline as
+        # _gs_wide_and_z, so batch stays exact where the int64-bounded
+        # streaming fold documents its limit
+        F.coalesce(
+            F.sum(F.col("cents").cast("decimal(38,0)") * F.col("cents")).over(w),
+            F.lit(0).cast("decimal(38,0)"),
+        ).alias("pss"),
     )
     return _anomaly_readout(wind)
 
@@ -3823,8 +3829,7 @@ def _gs_oracle(crossed_sql: str, extra_cols: str = "") -> str:
            ROUND({_GS_Z}, 4) AS z_stat{extra_cols},
            {crossed_sql} AS crossed
     FROM wide
-    """.format(_GS_CTES=_GS_CTES, _GS_Z=_GS_Z, extra_cols=extra_cols,
-               crossed_sql=crossed_sql)
+    """
 
 
 def _gs_wide_and_z(spark: SparkSession, sf_dir: str):

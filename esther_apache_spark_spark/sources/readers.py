@@ -193,11 +193,13 @@ def read_binary_files(
     never OOM ahead of the check; (2) a ``raise_error`` projection on
     the length column keeps the repo-styled message (with the offending
     path) for rows that slip past a later conf change. The conf is
-    session-scoped and read at SCAN time, so the most recent
-    ``read_binary_files`` call wins for every binaryFile scan executed
-    after it (a call without ``max_bytes`` resets the conf to its
-    default); the ``raise_error`` layer is what stays pinned to THIS
-    DataFrame regardless."""
+    session-scoped and read at SCAN time, so among GUARDED calls the
+    most recently set bound wins for every binaryFile scan executed
+    after it; a call WITHOUT ``max_bytes`` leaves the conf untouched
+    (ADVICE r7 — unsetting here silently stripped the allocation-level
+    guard from guarded DataFrames built earlier but evaluated later).
+    The ``raise_error`` layer is what stays pinned to THIS DataFrame
+    regardless, and its message names the last-call-wins hazard."""
     reader = spark.read.format("binaryFile")
     if glob is not None:
         reader = reader.option("pathGlobFilter", glob)
@@ -207,10 +209,11 @@ def read_binary_files(
     if max_bytes is not None:
         # fail-fast at the SOURCE: length check against file status,
         # before content materialization (the raise_error layer below
-        # runs after the row exists and cannot guard the allocation)
+        # runs after the row exists and cannot guard the allocation).
+        # Deliberately NEVER unset on guard-less calls: the conf is read
+        # at scan time, so unsetting would strip layer 1 from guarded
+        # DataFrames built earlier but evaluated later (ADVICE r7).
         spark.conf.set(_MAXLEN_CONF, int(max_bytes))
-    else:
-        spark.conf.unset(_MAXLEN_CONF)
     df = reader.load(list(path))
     if max_bytes is not None:
         from pyspark.sql import functions as F
@@ -222,7 +225,13 @@ def read_binary_files(
                 oversize,
                 F.raise_error(
                     F.concat(
-                        F.lit("binary file exceeds max_bytes: "), F.col("path")
+                        F.lit("binary file exceeds max_bytes: "),
+                        F.col("path"),
+                        F.lit(
+                            " (post-materialization layer; the allocation"
+                            "-level binaryFile.maxLength conf follows the"
+                            " most recent guarded read_binary_files call)"
+                        ),
                     )
                 ).cast("binary"),
             ).otherwise(F.col("content")),

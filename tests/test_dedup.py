@@ -589,3 +589,38 @@ def test_freshkart_dim_storage_level_param(spark):
     a = sorted(map(tuple, default["daily_city_sales"].collect()))
     b = sorted(map(tuple, disk["daily_city_sales"].collect()))
     assert a == b
+
+
+def test_ngram_collapse_max_df_weighted_by_members(spark):
+    """ADVICE r7: under collapse_exact, max_df pruning must count a
+    shingle's document frequency over MEMBER docs (representative rows
+    weighted by clone-group size), not distinct texts — otherwise near
+    the cap the collapsed path emits pairs the direct path (and any
+    df-mirroring oracle) prunes. Construction: shingle "a b c" lives in
+    4 member docs (a 3-deep clone of t1, plus t2) but only 2 distinct
+    texts; max_df=3 prunes it on the direct path, so the collapsed path
+    must prune it too — cross-text pairs vanish, intra-clone pairs
+    survive via the unpruned "b c d" (member df exactly 3)."""
+    t1 = "a b c d"  # shingles {abc, bcd}
+    t2 = "z a b c"  # shingles {zab, abc}; overlap with t1 = {abc} only
+    df = _docs_df(spark, [t1, t1, t1, t2])
+
+    def pairs(d):
+        return {(r["id_a"], r["id_b"]) for r in d.collect()}
+
+    kw = dict(shingle_n=3, threshold=0.3, max_df=3)
+    direct = pairs(D.ngram_jaccard_pairs(df, **kw))
+    collapsed = pairs(D.ngram_jaccard_pairs(df, collapse_exact=True, **kw))
+    # direct: abc pruned (member df 4 > 3) → no cross pair to doc 3;
+    # clones still pair through bcd (df 3)
+    assert direct == {(0, 1), (0, 2), (1, 2)}
+    assert collapsed == direct
+    # sanity: without pruning both paths agree on the full pair set
+    # (cross pairs appear — jaccard(t1,t2) = 1/3 ≥ 0.3)
+    kw_full = dict(shingle_n=3, threshold=0.3, max_df=None)
+    direct_full = pairs(D.ngram_jaccard_pairs(df, **kw_full))
+    collapsed_full = pairs(
+        D.ngram_jaccard_pairs(df, collapse_exact=True, **kw_full)
+    )
+    assert direct_full == collapsed_full
+    assert direct_full == direct | {(0, 3), (1, 3), (2, 3)}

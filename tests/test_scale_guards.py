@@ -806,3 +806,34 @@ def test_capped_running_balance_clamps_and_matches_reference(spark):
     assert (out[1]["final_cents"], out[1]["n_clamped"]) == (b1, c1)
     assert (out[2]["final_cents"], out[2]["n_clamped"]) == (b2, c2)
     assert c1 >= 2 and c2 == 0
+
+
+def test_pq_lloyd_centroid_magnitude_rms_norm(spark):
+    """ADVICE r7 (medium): the distributed PQ trainer's norm-preserving
+    update must rescale each centroid direction to the members' RMS
+    subvector norm sqrt(Σ‖x‖²/n) — the old F.first(sn2)/d_sub shrank
+    every centroid by sqrt(d_sub), drifting Lloyd assignments and ADC
+    reconstruction magnitudes vs the driver trainer's mean-norm rescale.
+    Construction: two concentrated clusters (every member shares one
+    exact int8 code norm, ±1 entries → ±127 codes), where RMS = that
+    norm exactly, so the final centroid magnitudes are pinned in closed
+    form: 127·√2 for the 2-hot cluster, 254 for the ±1⁴ cluster."""
+    import math
+
+    rows = []
+    # cluster A (even ids): 2-hot nonneg patterns, code norm 127·√2
+    for i, v in enumerate(
+        [[1, 1, 0, 0], [1, 0, 1, 0], [1, 0, 0, 1], [0, 1, 1, 0]]
+    ):
+        rows.append((2 * i, [float(x) for x in v]))
+    # cluster B (odd ids): mostly-negative ±1 patterns, code norm 254
+    for i, v in enumerate(
+        [[-1, -1, -1, -1], [-1, -1, -1, 1], [-1, -1, 1, -1], [-1, 1, -1, -1]]
+    ):
+        rows.append((2 * i + 1, [float(x) for x in v]))
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+
+    cb = S.pq_codebook_lloyd(emb, m_sub=1, ksub=2, iters=3, dim=4)
+    norms = sorted(float(np.linalg.norm(cb[0, c])) for c in range(2))
+    assert math.isclose(norms[0], 127.0 * math.sqrt(2.0), rel_tol=1e-9), norms
+    assert math.isclose(norms[1], 254.0, rel_tol=1e-9), norms

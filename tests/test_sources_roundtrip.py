@@ -383,9 +383,19 @@ def test_binary_file_source_reads_blobs(spark, tmp_path):
         guarded.collect()
     ok = read_binary_files(spark, str(tmp_path), glob="a.bin", max_bytes=100)
     assert ok.count() == 1
-    # a later unguarded call resets the session conf — big blobs readable
-    again = read_binary_files(spark, str(tmp_path), glob="b.bin")
-    assert again.count() == 1
+    # ADVICE r7: an unguarded call LEAVES the conf alone — the earlier
+    # guarded DataFrame keeps its allocation-level layer even when a
+    # guard-less read happens in between and evaluates after it
+    unguarded = read_binary_files(spark, str(tmp_path), glob="b.bin")
+    with pytest.raises(Exception, match="(?i)max_bytes|maxlength|exceeds"):
+        unguarded.collect()
+    with pytest.raises(Exception, match="(?i)max_bytes|maxlength|exceeds"):
+        guarded.collect()
+    # a LATER guarded call with a wider bound is the documented
+    # last-call-wins path for raising the allocation-level limit
+    wider = read_binary_files(spark, str(tmp_path), glob="b.bin", max_bytes=4096)
+    assert wider.count() == 1
+    spark.conf.unset("spark.sql.sources.binaryFile.maxLength")
 
 
 def test_sqlite_upsert_batch_exactly_once(tmp_path):
