@@ -37,6 +37,11 @@ the 19-query headline never covered — reported as ``pipeline_total`` /
 ``pipeline_queries`` (+ ``pipeline_first_runs`` warm); the primary
 ``value`` stays headline-only for cross-round continuity. Pass
 ``--no-pipeline`` to skip the set.
+
+Emission: progress goes to stderr only; stdout carries exactly one
+compact JSON line, printed last (after session shutdown), and the same
+line is written to ``bench_result.json`` beside this file so the
+numbers survive any stdout-tail clipping in the caller.
 """
 
 from __future__ import annotations
@@ -127,6 +132,14 @@ def main() -> None:
         _ensure_scale(sf_dir, 100)
         sf: object = 10.0
         cold_sf1 = True  # same cold protocol, bigger data
+        # Reliable disk checkpoints for the survivor family's connected
+        # components (r8): localCheckpoint blocks live on the driver
+        # heap in local mode and OOMed 8g/48g at sf10 (r7); with a
+        # checkpoint dir the default 8g heap suffices and the protocol
+        # no longer needs SPARK_DRIVER_MEMORY=48g.
+        os.environ.setdefault(
+            "SPARK_GRAFT_CHECKPOINT_DIR", "/tmp/spark_graft_ckpt"
+        )
     elif cold_sf1:
         sf_dir = os.environ.get("SPARK_GRAFT_SF1_DIR", "/tmp/scale/sf1")
         _ensure_scale(sf_dir, 10)
@@ -250,8 +263,23 @@ def main() -> None:
             "load_factor": round(load_factor, 3),
         }
         out["value_load_normalized"] = round(total / load_factor, 3)
-    print(json.dumps(out))
+    # Emission contract (VERDICT r7 #2 — the r7 driver failed to parse
+    # the result because the final line outgrew its stdout tail window):
+    # compact separators, progress strictly on stderr, the JSON object
+    # is the very LAST stdout line (after spark.stop(), which can emit
+    # shutdown noise), and a copy lands on disk as bench_result.json so
+    # a clipped pipe never loses the numbers.
+    line = json.dumps(out, separators=(",", ":"))
+    result_path = os.path.join(
+        os.path.dirname(os.path.abspath(__file__)), "bench_result.json"
+    )
+    try:
+        with open(result_path, "w") as f:
+            f.write(line + "\n")
+    except OSError as exc:
+        print(f"[bench] could not write {result_path}: {exc}", file=sys.stderr)
     spark.stop()
+    print(line, flush=True)
 
 
 if __name__ == "__main__":

@@ -444,6 +444,60 @@ def simhash_vec(token_hashes: Column, bits: int = 64) -> Column:
     return _fp(token_hashes)
 
 
+# Auto-collapse threshold (VERDICT r7 #1): the pair-level APIs default
+# to collapse_exact="auto" — a one-aggregate dup-mass probe flips the
+# clone-collapse front end on when ≥ this fraction of rows are exact
+# content duplicates. The r7 sf10 checkpoint measured the direct pair
+# paths at 73× (embedding) / 4× (simhash) the collapsed cost on a
+# 100-deep-clone corpus (dup mass 0.99), while clone-light corpora
+# (bench sf0.1: dup mass 0.0016) pay ~1.6× for collapse they don't
+# need — the regimes sit decades apart, so any threshold in [0.05,
+# 0.5] separates them; 0.10 leaves ~2× margin over the HLL probe's
+# ~5% relative error on a fully-distinct corpus.
+AUTO_COLLAPSE_DUP_MASS = 0.10
+
+# Probe memo keyed by (analyzed-plan semanticHash, content-key kind):
+# the probe is one narrow count+HLL aggregate (partial-aggregated, no
+# wide shuffle — ~the cost of a count(*) over the key column), and the
+# memo keeps repeated calls on the SAME source (warm bench medians,
+# multi-op pipelines over one corpus) from re-running it. Bounded;
+# cleared wholesale when full.
+_AUTO_PROBE_CACHE: dict[tuple[int, str], bool] = {}
+
+
+def _resolve_collapse_exact(df: DataFrame, key: Column, collapse_exact, kind: str) -> bool:
+    """Resolve the tri-state ``collapse_exact`` knob: True/False pass
+    through; ``"auto"`` probes the corpus's exact-duplicate mass
+    (1 − approx_count_distinct(content key)/count — ONE aggregate over
+    the key expression, HLL-sketched so the shuffle is bytes, not keys)
+    and enables the clone-collapse front end at ≥
+    ``AUTO_COLLAPSE_DUP_MASS``. This is the AQE-style posture for the
+    measured sf10 scale-killer: a d-deep verbatim clone cluster costs
+    the direct candidate paths O(d²) while the probe costs one narrow
+    scan — at 100 TB the scan is noise and the d² blowup is fatal."""
+    if collapse_exact != "auto":
+        return bool(collapse_exact)
+    ck = None
+    try:
+        ck = (df.semanticHash(), kind)
+        hit = _AUTO_PROBE_CACHE.get(ck)
+        if hit is not None:
+            return hit
+    except Exception:  # noqa: BLE001 — memo is an optimization only
+        pass
+    row = df.agg(
+        F.count(F.lit(1)).alias("_n"), F.approx_count_distinct(key).alias("_d")
+    ).first()
+    n = int(row["_n"] or 0)
+    mass = 0.0 if n == 0 else max(0.0, 1.0 - int(row["_d"]) / n)
+    decision = mass >= AUTO_COLLAPSE_DUP_MASS
+    if ck is not None:
+        if len(_AUTO_PROBE_CACHE) > 256:
+            _AUTO_PROBE_CACHE.clear()
+        _AUTO_PROBE_CACHE[ck] = decision
+    return decision
+
+
 def _collapse_identical_text(
     df: DataFrame, id_col: str, text_col: str
 ) -> tuple[DataFrame, DataFrame]:
@@ -745,7 +799,7 @@ def minhash_lsh_candidates(
     bands: int = 8,
     shingle_n: int = 3,
     max_bucket: int | None = 4096,
-    collapse_exact: bool = False,
+    collapse_exact: bool | str = "auto",
     hash_family: str = "xxhash64",
 ) -> DataFrame:
     """Near-duplicate candidate pairs via MinHash + LSH banding.
@@ -761,6 +815,14 @@ def minhash_lsh_candidates(
     boilerplate cluster costs O(shards·max_bucket²) pairs instead of
     O(cluster²).
 
+    ``collapse_exact="auto"`` (default, VERDICT r7 #1): a one-aggregate
+    dup-mass probe turns the exact-clone collapse front end on when ≥
+    ``AUTO_COLLAPSE_DUP_MASS`` of rows are byte-identical texts — the
+    adversarial regime where every shingle's df multiplies by the clone
+    depth. Pass True/False to skip the probe and force a path (the
+    collapsed pair set is exact for clone groups ≤ max_bucket, chunked
+    cliques above it — same bound the direct shards deliver).
+
     ``hash_family="md5"`` swaps every hash site (shingle base hash,
     permutation fold, band hash, shard salt) to the md5-hex→BIGINT
     scheme so the WHOLE pipeline — signature → bands → pairs →
@@ -773,6 +835,9 @@ def minhash_lsh_candidates(
     if rows_per_band * bands != num_perm:
         raise ValueError("num_perm must be divisible by bands")
     df = _non_null_text(df, text_col)
+    collapse_exact = _resolve_collapse_exact(
+        df, F.md5(F.coalesce(F.col(text_col), F.lit(""))), collapse_exact, "text"
+    )
     if collapse_exact:
         groups, members = _collapse_identical_text(df, id_col, text_col)
         rep_pairs = minhash_lsh_candidates(
@@ -951,7 +1016,7 @@ def ngram_jaccard_pairs(
     shingle_n: int = 3,
     threshold: float = 0.5,
     max_df: int | None = 100_000,
-    collapse_exact: bool = False,
+    collapse_exact: bool | str = "auto",
     expand_cap: int | None = None,
     _df_weight_col: str | None = None,
 ) -> DataFrame:
@@ -977,7 +1042,10 @@ def ngram_jaccard_pairs(
     d-deep verbatim clone cluster no longer multiplies every shingle's
     document frequency by d — the r7 sf10 checkpoint measured the
     DIRECT path OOMing a 48 GB heap on 100-deep planted clones, where
-    the collapsed path runs at the distinct-text corpus's cost. Exact:
+    the collapsed path runs at the distinct-text corpus's cost. The
+    ``"auto"`` default (VERDICT r7 #1) probes the corpus's dup mass
+    with one narrow aggregate and flips the collapse on at ≥
+    ``AUTO_COLLAPSE_DUP_MASS``; pass True/False to force a path. Exact:
     cross-group pairs recompute Jaccard on the representative shingle
     sets (identical texts ⇒ identical sets) and intra-group pairs are
     Jaccard 1.0 by definition (empty-shingle texts excluded — the
@@ -995,6 +1063,9 @@ def ngram_jaccard_pairs(
     boundary — any df-mirroring oracle sees the same pruning decisions
     either way."""
     df = _non_null_text(df, text_col)
+    collapse_exact = _resolve_collapse_exact(
+        df, F.md5(F.coalesce(F.col(text_col), F.lit(""))), collapse_exact, "text"
+    )
     if collapse_exact:
         groups, members = _collapse_identical_text(df, id_col, text_col)
         gw = members.groupBy("_tkey").agg(F.count(F.lit(1)).alias("_dfw"))
@@ -1127,7 +1198,7 @@ def simhash_candidates(
     text_col: str = "text",
     band_bits: int = 16,
     max_bucket: int | None = 4096,
-    collapse_exact: bool = False,
+    collapse_exact: bool | str = "auto",
     bits: int = 64,
     hash_family: str = "xxhash64",
 ) -> DataFrame:
@@ -1139,6 +1210,10 @@ def simhash_candidates(
     additionally collapses byte-identical texts to one representative
     first (identical fingerprints — pair set preserved exactly, clone
     clusters stop inflating buckets; see _collapse_identical_text).
+    The ``"auto"`` default (VERDICT r7 #1 — the sf10 checkpoint read
+    122 s direct on a 100-deep-clone corpus) probes dup mass with one
+    narrow aggregate and collapses at ≥ ``AUTO_COLLAPSE_DUP_MASS``;
+    pass True/False to force a path.
 
     ``hash_family="md5"`` (pair with ``bits=60``, ``band_bits=15``)
     hashes tokens with the md5-hex→BIGINT scheme: 60 informative bits,
@@ -1152,6 +1227,9 @@ def simhash_candidates(
     if bits % band_bits:
         raise ValueError("bits must be divisible by band_bits")
     df = _non_null_text(df, text_col)
+    collapse_exact = _resolve_collapse_exact(
+        df, F.md5(F.coalesce(F.col(text_col), F.lit(""))), collapse_exact, "text"
+    )
     if collapse_exact:
         groups, members = _collapse_identical_text(df, id_col, text_col)
         rep_pairs = simhash_candidates(
@@ -1260,7 +1338,7 @@ def embedding_cosine_dups(
     seed: int = 42,
     dim: int | None = None,
     max_bucket: int | None = 4096,
-    collapse_exact: bool = False,
+    collapse_exact: bool | str = "auto",
 ) -> DataFrame:
     """Embedding near-dup pairs: multi-table random-hyperplane LSH
     candidate generation, then exact cosine ≥ threshold within buckets.
@@ -1271,9 +1349,12 @@ def embedding_cosine_dups(
     ~87% recall at cosine 0.4 (see ``srp_table_buckets``). At larger
     corpora raise n_planes (smaller buckets) and n_tables together.
 
-    ``collapse_exact`` (default **off** — it costs ~1.6× on clone-free
-    corpora and wins ~2.6× on clone-heavy ones, see BASELINE.md; enable
-    it when the corpus is known to carry boilerplate clones) collapses
+    ``collapse_exact`` (default ``"auto"`` since r8 — a one-aggregate
+    dup-mass probe picks the path: collapse costs ~1.6× on clone-free
+    corpora and won 73× at the r7 sf10 checkpoint's 100-deep clones,
+    see BASELINE.md; the regimes sit decades apart so the probe
+    threshold ``AUTO_COLLAPSE_DUP_MASS`` separates them cleanly; pass
+    True/False to force a path) collapses
     byte-identical vectors to one representative BEFORE the LSH pipeline
     and expands pairs back afterwards. Identical vectors land in identical buckets in every
     table, so a clone cluster of size k inflates every one of its
@@ -1299,6 +1380,12 @@ def embedding_cosine_dups(
     from esther_apache_spark_spark.operators.similarity import srp_table_buckets_vec
 
     df = _non_null_vec(df, vec_col)
+    # same content key the collapse branch uses (md5 over to_json — see
+    # the null-element note below), so the probe measures exactly the
+    # mass the collapse would remove
+    collapse_exact = _resolve_collapse_exact(
+        df, F.md5(F.to_json(F.col(vec_col))), collapse_exact, "vec"
+    )
     if dim is None:
         first = df.select(F.size(vec_col).alias("d")).first()
         if first is None:

@@ -18,7 +18,7 @@ from esther_apache_spark_spark.operators import similarity as S
 from esther_apache_spark_spark.operators import textstats as TS
 from esther_apache_spark_spark.operators.asof import as_of_join
 from esther_apache_spark_spark.operators.windows import keep_first
-from esther_apache_spark_spark.plans.catalog import register
+from esther_apache_spark_spark.plans.catalog import QUERIES, register
 from esther_apache_spark_spark.schemas import EMBEDDING_DIM, load_table
 from esther_apache_spark_spark.streaming.events import (
     run_streaming_tumbling_agg,
@@ -687,11 +687,11 @@ def dedup_embedding_cosine_collapsed(spark: SparkSession, sf_dir: str) -> DataFr
     the SAME oracle as dedup_embedding_cosine: byte-identical vectors
     collapse to one representative before LSH, pairs expand afterwards
     (sub-cap groups exactly — chunked-clique beyond; see
-    _expand_collapsed_pairs). Off by default in the operator because
-    clone-free corpora pay its shuffles for nothing (bench sf0.1:
-    ~3× overhead), but a 2.6× end-to-end win on the 10-deep clone
-    clusters of the sf1 scale set — this entry keeps the path under the
-    driver's hash gate so the trade stays a flag, not a fork."""
+    _expand_collapsed_pairs). Since r8 the operator picks the path
+    itself (``collapse_exact="auto"`` dup-mass probe); this entry
+    forces the collapse ON so the machinery stays under the driver's
+    hash gate even on the clone-free driver corpus, where the probe
+    would choose direct — the trade stays a flag, not a fork."""
     emb = load_table(spark, sf_dir, "embeddings")
     return D.embedding_cosine_dups(
         emb,
@@ -700,6 +700,90 @@ def dedup_embedding_cosine_collapsed(spark: SparkSession, sf_dir: str) -> DataFr
         n_tables=12,
         dim=EMBEDDING_DIM,
         collapse_exact=True,
+    )
+
+
+# ---------------------------------------------------------------------------
+# Fenced path pins for the r8 adaptive collapse (VERDICT r7 #1): the main
+# dedup_* entries now run collapse_exact="auto" — a dup-mass probe picks
+# direct vs collapsed per corpus. These entries FORCE each path under the
+# same oracle as their adaptive twin, so both code paths stay hash-gated
+# at driver scale no matter which one the probe would choose (the driver
+# corpus is clone-free, so the adaptive entries exercise direct there and
+# the *_collapsed pins are what keep the collapse machinery oracled).
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "dedup_simhash_direct", oracle=QUERIES["dedup_simhash"].oracle
+)
+def dedup_simhash_direct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """``dedup_simhash`` with the dup-mass probe forced OFF — the
+    fenced direct-path pin under the same fully-replayed oracle (the
+    probe itself never changes emitted pairs below the expansion cap;
+    this entry proves it by hash equality)."""
+    docs = load_table(spark, sf_dir, "documents")
+    return D.simhash_candidates(
+        docs, band_bits=15, bits=60, hash_family="md5", collapse_exact=False
+    ).filter(F.col("hamming") <= 8)
+
+
+@register(
+    "dedup_simhash_collapsed", oracle=QUERIES["dedup_simhash"].oracle
+)
+def dedup_simhash_collapsed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """``dedup_simhash`` with the clone collapse forced ON — identical
+    texts collapse before fingerprinting and pairs re-expand (exact for
+    groups ≤ max_bucket), so the hash gate pins collapsed ≡ direct on
+    the driver corpus under the one shared oracle."""
+    docs = load_table(spark, sf_dir, "documents")
+    return D.simhash_candidates(
+        docs, band_bits=15, bits=60, hash_family="md5", collapse_exact=True
+    ).filter(F.col("hamming") <= 8)
+
+
+@register(
+    "dedup_ngram_jaccard_direct", oracle=QUERIES["dedup_ngram_jaccard"].oracle
+)
+def dedup_ngram_jaccard_direct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """``dedup_ngram_jaccard`` with the dup-mass probe forced OFF (the
+    fenced direct inverted-index path, same all-pairs oracle)."""
+    docs = load_table(spark, sf_dir, "documents")
+    return D.ngram_jaccard_pairs(
+        docs, shingle_n=3, threshold=0.5, collapse_exact=False
+    )
+
+
+@register(
+    "dedup_ngram_jaccard_collapsed", oracle=QUERIES["dedup_ngram_jaccard"].oracle
+)
+def dedup_ngram_jaccard_collapsed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """``dedup_ngram_jaccard`` with the clone collapse forced ON —
+    member-weighted df pruning (ADVICE r7) keeps pruning decisions
+    identical to the direct path, so the shared oracle hash-matches
+    both ways."""
+    docs = load_table(spark, sf_dir, "documents")
+    return D.ngram_jaccard_pairs(
+        docs, shingle_n=3, threshold=0.5, collapse_exact=True
+    )
+
+
+@register(
+    "dedup_embedding_cosine_direct",
+    oracle=QUERIES["dedup_embedding_cosine"].oracle,
+)
+def dedup_embedding_cosine_direct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """``dedup_embedding_cosine`` with the dup-mass probe forced OFF —
+    the fenced direct SRP-LSH path (its forced-ON twin is
+    ``dedup_embedding_cosine_collapsed``); same seeded-plane oracle."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    return D.embedding_cosine_dups(
+        emb,
+        threshold=0.4,
+        n_planes=4,
+        n_tables=12,
+        dim=EMBEDDING_DIM,
+        collapse_exact=False,
     )
 
 

@@ -76,6 +76,11 @@ def get_spark(
         # it only protects the medium-file regime.
         .config("spark.sql.files.minPartitionNum", str(cores))
         .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEMORY", "8g"))
+        # Reliable checkpoints (connected_components with
+        # SPARK_GRAFT_CHECKPOINT_DIR set) are deleted once their RDD is
+        # GC'd — without this the checkpoint dir grows by the full edge
+        # frame every CC round until session exit.
+        .config("spark.cleaner.referenceTracking.cleanCheckpoints", "true")
         .config("spark.ui.enabled", "false")
     )
     if master is not None:

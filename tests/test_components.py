@@ -74,3 +74,33 @@ def _union_find_components(pairs):
 )
 def test_matches_union_find_oracle(spark, pairs):
     assert _cc(spark, pairs) == _union_find_components(pairs)
+
+
+def test_reliable_checkpoint_dir_identical_labels(spark, tmp_path, monkeypatch):
+    """r8 (VERDICT r7 #5): ``checkpoint_dir=`` swaps the per-round
+    localCheckpoint (driver-heap blocks in local mode — the sf10 OOM)
+    for reliable disk checkpoints. Labels must be identical, the dir
+    must actually receive checkpoint data, and the env-var route
+    (``SPARK_GRAFT_CHECKPOINT_DIR`` — how bench --sf10-cold wires it)
+    must behave the same."""
+    import os
+
+    pairs = [(1, 2), (2, 3), (3, 4), (10, 11), (11, 12), (12, 10), (20, 20)]
+    edges = spark.createDataFrame(pairs, "src long, dst long")
+    base = {r["node"]: r["comp"] for r in connected_components(edges).collect()}
+
+    ckdir = str(tmp_path / "ck")
+    via_param = {
+        r["node"]: r["comp"]
+        for r in connected_components(edges, checkpoint_dir=ckdir).collect()
+    }
+    assert via_param == base
+    assert any(os.scandir(ckdir)), "no checkpoint data written to the dir"
+
+    envdir = str(tmp_path / "ck_env")
+    monkeypatch.setenv("SPARK_GRAFT_CHECKPOINT_DIR", envdir)
+    via_env = {
+        r["node"]: r["comp"] for r in connected_components(edges).collect()
+    }
+    assert via_env == base
+    assert any(os.scandir(envdir))

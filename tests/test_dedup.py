@@ -624,3 +624,42 @@ def test_ngram_collapse_max_df_weighted_by_members(spark):
     )
     assert direct_full == collapsed_full
     assert direct_full == direct | {(0, 3), (1, 3), (2, 3)}
+
+
+def test_auto_collapse_dup_mass_probe(spark):
+    """VERDICT r7 #1: collapse_exact="auto" (now the default on all four
+    pair-level dedup APIs) probes exact-duplicate mass with one narrow
+    aggregate and flips the clone-collapse front end on only above
+    AUTO_COLLAPSE_DUP_MASS. Pins: (1) the resolver's decisions on
+    clone-free vs clone-heavy corpora, (2) pass-through of explicit
+    True/False, (3) end-to-end pair-set equality between the auto path
+    (collapse fires) and the forced-direct path on a clone-heavy corpus."""
+    key = F.md5(F.coalesce(F.col("text"), F.lit("")))
+    distinct = _docs_df(
+        spark, [f"unique document {i} alpha beta gamma delta" for i in range(40)]
+    )
+    assert D._resolve_collapse_exact(distinct, key, "auto", "t") is False
+    # 40 distinct texts × 5 clones each → dup mass 0.8 ≫ threshold
+    heavy = distinct
+    for i in (1, 2, 3, 4):
+        heavy = heavy.unionByName(
+            distinct.select(
+                (F.col("doc_id") + F.lit(10_000 * i)).alias("doc_id"), "text"
+            )
+        )
+    assert D._resolve_collapse_exact(heavy, key, "auto", "t") is True
+    # explicit knob bypasses the probe entirely
+    assert D._resolve_collapse_exact(distinct, key, True, "t") is True
+    assert D._resolve_collapse_exact(heavy, key, False, "t") is False
+
+    def pairs(d):
+        return {(r["id_a"], r["id_b"]) for r in d.select("id_a", "id_b").collect()}
+
+    # auto fires collapse on the clone-heavy corpus; output must equal
+    # the forced-direct pair set (clone groups of 5 ≪ every cap)
+    auto = pairs(D.simhash_candidates(heavy))
+    direct = pairs(D.simhash_candidates(heavy, collapse_exact=False))
+    assert auto == direct and len(auto) >= 4 * 40
+    auto_ng = pairs(D.ngram_jaccard_pairs(heavy, threshold=0.5))
+    direct_ng = pairs(D.ngram_jaccard_pairs(heavy, threshold=0.5, collapse_exact=False))
+    assert auto_ng == direct_ng

@@ -201,8 +201,11 @@ def test_ngram_df_pruning_drops_hot_keeps_exact_values(spark):
 
 
 def test_embedding_dim_param_skips_driver_probe(spark):
-    """With ``dim`` given, no driver job probes the data — an empty
-    frame no longer raises (the probe was the only eager step)."""
+    """With ``dim`` given AND ``collapse_exact`` explicit, no driver job
+    probes the data (fully lazy construction); the r8 ``"auto"`` default
+    adds an eager dup-mass probe that must be EMPTY-SAFE (resolves to
+    the direct path, no raise), and the dim probe still guards when dim
+    is omitted."""
     empty = spark.createDataFrame(
         [],
         T.StructType(
@@ -212,10 +215,13 @@ def test_embedding_dim_param_skips_driver_probe(spark):
             ]
         ),
     )
-    out = D.embedding_cosine_dups(empty, dim=16)  # lazy: no job, no raise
+    # explicit knob: lazy, no job at construction
+    out = D.embedding_cosine_dups(empty, dim=16, collapse_exact=False)
     assert out.count() == 0
+    # auto default: dup-mass probe runs but tolerates the empty frame
+    assert D.embedding_cosine_dups(empty, dim=16).count() == 0
     with pytest.raises(ValueError, match="pass dim"):
-        D.embedding_cosine_dups(empty)  # probe path still guards
+        D.embedding_cosine_dups(empty)  # dim probe still guards
 
 
 def test_kmeans_centroids_deterministic_and_better_recall(spark):
