@@ -8,11 +8,14 @@ and tested. The codec layer is real for the dependency-free formats
 **PCM WAV** audio — all decoded in pure NumPy: ``decode_image`` /
 ``decode_wav`` / ``resize_image`` below), so
 ``extract_features(fake=False)`` genuinely decodes pixels/samples and
-pools them into features for those mimes. Formats that need absent
-libraries (JPEG/PNG/MP3/video — Pillow, torchaudio, ffmpeg are not in
-this container) still raise ``NotImplementedError``; ``fake=True``
-substitutes a deterministic payload-hash-seeded decoder that preserves
-every contract the real one would have, for any mime.
+pools them into features for those mimes. Compressed images —
+JPEG/PNG/GIF — decode for real too, through Spark's built-in JVM
+``image`` data source (ImageIO, zero Python dependencies): see
+``jvm_image_features`` / ``extract_features_routed`` (r8, VERDICT r7
+#4). Only MP3/video still need absent libraries (ffmpeg/torchaudio)
+and raise ``NotImplementedError``; ``fake=True`` substitutes a
+deterministic payload-hash-seeded decoder that preserves every
+contract the real one would have, for any mime.
 
 Batching contract: ``mapInPandas`` receives Arrow record batches; media
 payloads dominate memory, so callers should
@@ -243,10 +246,12 @@ def _real_decode(payload: bytes, kind: str, mime: str, dim: int = FEATURE_DIM):
         samples, _rate = decode_wav(payload)
         return audio_features(samples, dim)
     raise NotImplementedError(
-        f"no dependency-free codec for kind={kind!r} mime={mime!r} "
-        f"(PPM/BMP images and PCM WAV audio decode natively; JPEG/PNG/"
-        f"MP3/video need Pillow/ffmpeg/torchaudio, not available in this "
-        f"environment); run with fake=True for the deterministic stub"
+        f"no in-batch codec for kind={kind!r} mime={mime!r} "
+        f"(PPM/BMP images and PCM WAV audio decode natively here; "
+        f"JPEG/PNG/GIF decode via Spark's JVM image source — use "
+        f"jvm_image_features / extract_features_routed; only MP3/video "
+        f"need absent libraries (ffmpeg/torchaudio) — run those with "
+        f"fake=True for the deterministic stub)"
     )
 
 
@@ -305,6 +310,143 @@ def extract_features(df: DataFrame, fake: bool = False, dim: int = FEATURE_DIM) 
         ]
     )
     return df.select("media_id", "kind", "mime", "payload").mapInPandas(run, schema)
+
+
+# --- JVM ImageIO route for compressed images (r8, VERDICT r7 #4) ----------
+
+# Mimes Spark's built-in ``image`` data source (JVM ImageIO — ships with
+# every Spark distribution, zero Python dependencies) decodes that the
+# stdlib NumPy codecs above cannot. A real multimodal corpus is
+# overwhelmingly JPEG/PNG, so this closes the first gate an actual user
+# hits; MP3/video still need absent libraries (fake=True covers them).
+JVM_IMAGE_MIMES = ("image/png", "image/jpeg", "image/jpg", "image/gif")
+
+
+def encode_png(arr: np.ndarray) -> bytes:
+    """(h, w, 3) uint8 RGB → PNG bytes, pure stdlib (zlib): one IDAT of
+    filter-0 scanlines. Lossless, so a decode by ANY conformant reader
+    (here: JVM ImageIO through the ``image`` source) returns the exact
+    input pixels — which is what lets the JVM route carry a value-hash
+    oracle instead of a rows-only check."""
+    import zlib
+
+    arr = np.ascontiguousarray(arr, dtype=np.uint8)
+    h, w = arr.shape[:2]
+    raw = b"".join(b"\x00" + arr[i].tobytes() for i in range(h))
+
+    def chunk(typ: bytes, data: bytes) -> bytes:
+        return (
+            struct.pack(">I", len(data))
+            + typ
+            + data
+            + struct.pack(">I", zlib.crc32(typ + data) & 0xFFFFFFFF)
+        )
+
+    ihdr = struct.pack(">IIBBBBB", w, h, 8, 2, 0, 0, 0)  # 8-bit RGB
+    return (
+        b"\x89PNG\r\n\x1a\n"
+        + chunk(b"IHDR", ihdr)
+        + chunk(b"IDAT", zlib.compress(raw))
+        + chunk(b"IEND", b"")
+    )
+
+
+def jvm_image_features(
+    df: DataFrame, dim: int = FEATURE_DIM, work_dir: str | None = None
+) -> DataFrame:
+    """Decode compressed image payloads (JPEG/PNG/GIF — ``JVM_IMAGE_MIMES``)
+    through Spark's built-in ``image`` data source and pool them with the
+    SAME ``image_features`` the stdlib codecs feed. Returns
+    ``FEATURES_SCHEMA`` rows (kind='image').
+
+    Route: the payload column is spilled to one file per row
+    (``{work_dir}/{media_id}.img`` — an executor-side foreachPartition
+    write, so this call is EAGER), ``spark.read.format("image")`` decodes
+    them JVM-side (ImageIO; BGR(A)/gray row-major in ``image.data``),
+    and a vectorized batch converts to RGB and pools. On a real cluster
+    ``work_dir`` must be shared storage (HDFS/S3) — though there, image
+    corpora usually already live as files and feed the ``image`` source
+    directly, skipping the spill; the spill path exists for
+    payload-COLUMN data like the ``MEDIA`` table. Local mode: any tmp
+    dir. Files are left for the returned (lazy) frame to re-read; the
+    caller owns cleanup after materialization."""
+    import os
+    import re
+    import tempfile
+
+    if work_dir is None:
+        work_dir = tempfile.mkdtemp(prefix="jvm_img_")
+    os.makedirs(work_dir, exist_ok=True)
+
+    def _write(rows) -> None:
+        for r in rows:
+            if r["payload"] is None:
+                continue
+            with open(os.path.join(work_dir, f"{r['media_id']}.img"), "wb") as f:
+                f.write(bytes(r["payload"]))
+
+    src = df.filter(F.col("mime").isin(*JVM_IMAGE_MIMES))
+    src.select("media_id", "payload").foreachPartition(_write)
+
+    spark = df.sparkSession
+    img = (
+        spark.read.format("image")
+        .option("dropInvalid", "false")
+        .load(work_dir)
+        .select(
+            F.col("image.origin").alias("origin"),
+            F.col("image.height").alias("h"),
+            F.col("image.width").alias("w"),
+            F.col("image.nChannels").alias("nch"),
+            F.col("image.data").alias("data"),
+        )
+    )
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids, feats = [], []
+            for origin, h, w, nch, data in zip(
+                pdf["origin"], pdf["h"], pdf["w"], pdf["nch"], pdf["data"]
+            ):
+                m = re.search(r"(\d+)\.img$", str(origin))
+                if m is None or data is None or h < 0:
+                    continue  # non-payload file / ImageIO-undecodable row
+                arr = np.frombuffer(bytes(data), dtype=np.uint8).reshape(
+                    int(h), int(w), int(nch)
+                )
+                if nch == 1:
+                    rgb = np.repeat(arr, 3, axis=2)
+                else:
+                    # OpenCV channel order: BGR / BGRA → take BGR, reverse
+                    rgb = arr[:, :, :3][:, :, ::-1]
+                ids.append(int(m.group(1)))
+                feats.append(image_features(rgb, dim))
+            yield pd.DataFrame(
+                {
+                    "media_id": pd.Series(ids, dtype="int64"),
+                    "kind": "image",
+                    "feat_dim": dim,
+                    "features": feats,
+                }
+            )
+
+    return img.mapInPandas(run, FEATURES_SCHEMA)
+
+
+def extract_features_routed(
+    df: DataFrame, dim: int = FEATURE_DIM, work_dir: str | None = None
+) -> DataFrame:
+    """Real-decode features for every format the engine can decode
+    WITHOUT optional dependencies: stdlib NumPy codecs (PPM/BMP/WAV)
+    through ``extract_features(fake=False)``, compressed images
+    (JPEG/PNG/GIF) through the JVM ``image``-source route. Rows in
+    neither family (MP3/video) still raise in the stdlib path —
+    ``fake=True`` remains their stub."""
+    jvm = df.filter(F.col("mime").isin(*JVM_IMAGE_MIMES))
+    rest = df.filter(~F.col("mime").isin(*JVM_IMAGE_MIMES))
+    return extract_features(rest, fake=False, dim=dim).unionByName(
+        jvm_image_features(jvm, dim=dim, work_dir=work_dir)
+    )
 
 
 def frame_sample_plan(df: DataFrame, every_ms: int = 1000) -> DataFrame:

