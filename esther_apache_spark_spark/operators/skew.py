@@ -6,7 +6,16 @@ First line of defense is AQE (``spark.sql.adaptive.skewJoin`` is on in
 runtime. These helpers cover the cases AQE can't fix:
 
 - a *broadcast-ineligible* join where one left key dominates → salt the
-  left, replicate the right ``n_salts`` ways, join on (key, salt);
+  left, replicate the right ``n_salts`` ways, join on (key, salt).
+  Measured boundary (r8 planted-skew checkpoint, sf1skew = one user at
+  50% of 1M events): ``OptimizeSkewedJoin`` splits the hot partition
+  ONLY when both SortMergeJoin children read a shuffle stage directly.
+  A build side whose DISTINCT/pre-agg groups on the join key leaves
+  the final HashAggregate between the shuffle read and the join (its
+  exchange IS the join-feeding shuffle), and the hot partition stays
+  whole no matter the thresholds; materialize the build side
+  (checkpoint / table) to restore AQE's split, broadcast it if small,
+  or use ``salted_join``, which never depends on plan shape;
 - value-retaining aggregations (``collect_list``-style) where one group's
   values overwhelm a single reducer → two-stage salted aggregate.
 

@@ -3995,8 +3995,14 @@ def salted_join_event_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
     is pure overhead (~n_salts× the id-list rows); it earns its keep
     when one user owns a reducer-sized share — the `key_skew_report`
     max_share reading is the trigger. AQE skew-join handles the
-    post-shuffle-partition case automatically; this operator covers
-    the broadcast-ineligible build side AQE can't split."""
+    post-shuffle-partition case automatically ONLY when both join
+    children read shuffles directly: this exact query's build side
+    (purchasers via DISTINCT) leaves a HashAggregate above the shuffle
+    read, which blocks OptimizeSkewedJoin at any threshold — measured
+    on the r8 sf1skew corpus (one user = 50% of 1M events), where the
+    oracle still holds and the salted plan's hot rows spread over 8
+    reducers while the plain SMJ's hot partition stays whole (see
+    BASELINE.md r8 and operators/skew.py)."""
     from esther_apache_spark_spark.operators.skew import salted_join
 
     ev = load_table(spark, sf_dir, "events")

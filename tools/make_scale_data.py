@@ -17,8 +17,18 @@ k identical copies of every doc is a planted near-dup stress — the LSH
 family must absorb k-sized dup clusters while staying within its
 hot-bucket bounds.
 
-Usage: python tools/make_scale_data.py [k] [base_dir] [out_dir]
+Usage: python tools/make_scale_data.py [k] [base_dir] [out_dir] [hot_frac]
 Defaults: 10 /root/testdata/sf0.1 /tmp/scale/sf1  (≈6M lineitem = sf1)
+
+``hot_frac`` (default 0 = off) plants KEY SKEW in events: that fraction
+of event rows (selected by the deterministic ``event_id % 100`` gate,
+so replicas stay identical run-to-run) is reassigned to ONE hot
+user_id (``HOT_USER``). At 0.5 one key carries ~50% of the table —
+the regime where a plain shuffle join puts half the data on one
+reducer and AQE's skew-join split / the salted-join operator earn
+their keep (r8 planted-skew checkpoint, VERDICT r7 #6). Only
+events.user_id is touched; user_id is not a foreign key into any
+other table, so referential shape is unchanged.
 """
 
 from __future__ import annotations
@@ -29,6 +39,7 @@ import sys
 import duckdb
 
 OFFSET = 100_000_000  # far above any base key
+HOT_USER = 424_242_424_242  # planted hot key, far above any shifted id
 
 # Parquet can't split below row-group granularity: DuckDB's default
 # ~122k-row groups left sf10's 500k-row documents.parquet with FIVE
@@ -58,6 +69,7 @@ def main() -> None:
     k = int(sys.argv[1]) if len(sys.argv) > 1 else 10
     base = sys.argv[2] if len(sys.argv) > 2 else "/root/testdata/sf0.1"
     out = sys.argv[3] if len(sys.argv) > 3 else "/tmp/scale/sf1"
+    hot_frac = float(sys.argv[4]) if len(sys.argv) > 4 else 0.0
     os.makedirs(out, exist_ok=True)
     con = duckdb.connect()
     for t in COPY_AS_IS:
@@ -76,6 +88,18 @@ def main() -> None:
         proj = ", ".join(
             f"{c} + i * {OFFSET} AS {c}" if c in keys else c for c in cols
         )
+        if t == "events" and hot_frac > 0:
+            # deterministic gate on the PRE-shift event_id so every
+            # replica contributes the same fraction; applied after the
+            # shift projection below via an outer SELECT
+            gate = int(round(hot_frac * 100))
+            proj = ", ".join(
+                f"CASE WHEN event_id % 100 < {gate} THEN {HOT_USER} "
+                f"ELSE user_id + i * {OFFSET} END AS user_id"
+                if c == "user_id"
+                else (f"{c} + i * {OFFSET} AS {c}" if c in keys else c)
+                for c in cols
+            )
         rg = (
             f", ROW_GROUP_SIZE {ROW_GROUP_ROWS[t]}" if t in ROW_GROUP_ROWS else ""
         )
