@@ -617,6 +617,73 @@ def _expand_collapsed_pairs(
     return cross.unionByName(intra)
 
 
+def _quotient_labels(
+    rep_pairs: DataFrame,
+    groups: DataFrame,
+    members: DataFrame,
+    id_col: str,
+    key_col: str,
+    intra_members: DataFrame | None = None,
+    max_iter: int = 25,
+    checkpoint_dir: str | None = None,
+) -> DataFrame:
+    """Member-level component labels ``(node, comp)`` computed on the
+    QUOTIENT graph — identical to ``connected_components(
+    _expand_collapsed_pairs(rep_pairs, ...))`` at any ``cap``, without
+    materializing a single expanded edge.
+
+    Why this is sound: expansion preserves the component structure by
+    contract (each group's intra members form one connected blob via
+    cap-chunked cliques + connector chains; cross edges connect groups
+    exactly where a representative pair exists), so components of the
+    expanded member graph are unions of whole groups over components of
+    the REP graph (nodes = groups, edges = ``rep_pairs``), plus one
+    self-component per edge-free group with ≥ 2 intra members. Labels
+    are min member ids, and each group's representative IS its min
+    member id (``_collapse_identical_*`` builds groups with
+    ``F.min(id)``), so the member label = min rep id over the quotient
+    component — precisely what ``connected_components`` over
+    ``rep_pairs`` yields.
+
+    Scale shape — the reason this function exists: the survivor-family
+    consumers only need LABELS, and at the r8 sf10 checkpoint the
+    expanded edge set they fed through connected components was 18.16M
+    rows (100-deep clone clusters) while the quotient graph has one
+    node per DISTINCT content. The iterative stage shrinks by the
+    clone depth squared; the member map is touched once, in the final
+    linear join.
+
+    Contract (both call sites satisfy it): every group appearing in
+    ``rep_pairs`` has its full member set present in
+    ``intra_members`` — true for text collapse (groups with ≥ 1
+    shingle) and vector collapse (nonzero-norm groups), because a
+    representative can only reach the pair stage when its content
+    shingles/norm qualify, and members are byte-identical content."""
+    from esther_apache_spark_spark.operators.components import (
+        connected_components,
+    )
+
+    im = intra_members if intra_members is not None else members
+    rep_lab = connected_components(
+        rep_pairs.select(F.col("id_a").alias("src"), F.col("id_b").alias("dst")),
+        max_iter=max_iter,
+        checkpoint_dir=checkpoint_dir,
+    ).withColumnRenamed("node", "_rep")
+    gsz = im.groupBy(key_col).agg(F.count(F.lit(1)).alias("_gn"))
+    glab = (
+        groups.select(F.col(id_col).alias("_rep"), key_col)
+        .join(gsz, key_col)
+        .join(rep_lab, "_rep", "left")
+        # edge-connected groups keep the rep-graph label; edge-free
+        # groups are their own cluster when ≥ 2 identical members exist
+        # (the expanded path's intra-only component); edge-free
+        # singletons have no edges in the expanded graph either — drop.
+        .filter(F.col("comp").isNotNull() | (F.col("_gn") >= 2))
+        .select(key_col, F.coalesce("comp", "_rep").alias("comp"))
+    )
+    return im.join(glab, key_col).select(F.col("_mid").alias("node"), "comp")
+
+
 def _mh_shard_hash_fn(hash_family: str):
     """Per-(id, band) shard hash for hot-bucket sharding, in the given
     hash family (md5 = SQL-replayable, xxhash64 = fast path)."""
@@ -1009,6 +1076,102 @@ def minhash_cross_matches(
     )
 
 
+def _ngram_collapsed_parts(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    shingle_n: int,
+    threshold: float,
+    max_df: int | None,
+) -> tuple[DataFrame, DataFrame, DataFrame, DataFrame]:
+    """Collapsed n-gram-Jaccard candidate machinery shared by the pair
+    and component-label entry points: ``(rep_pairs, groups, members,
+    intra_members)``. Representative pairs run the direct inverted-index
+    join over DISTINCT texts with member-count-weighted df pruning (so
+    pruning decisions equal the direct path's — ADVICE r7);
+    ``intra_members`` narrows to groups with ≥ 1 shingle, matching the
+    direct path's inability to pair empty-shingle texts."""
+    groups, members = _collapse_identical_text(df, id_col, text_col)
+    gw = members.groupBy("_tkey").agg(F.count(F.lit(1)).alias("_dfw"))
+    rep_pairs = ngram_jaccard_pairs(
+        groups.join(gw, "_tkey"),
+        id_col=id_col,
+        text_col=text_col,
+        shingle_n=shingle_n,
+        threshold=threshold,
+        max_df=max_df,
+        collapse_exact=False,
+        _df_weight_col="_dfw",
+    )
+    nonempty = groups.filter(
+        F.size(
+            F.array_distinct(shingle_hashes(tokenize(F.col(text_col)), shingle_n))
+        )
+        > 0
+    ).select("_tkey")
+    return rep_pairs, groups, members, members.join(nonempty, "_tkey", "semi")
+
+
+def ngram_jaccard_components(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    shingle_n: int = 3,
+    threshold: float = 0.5,
+    max_df: int | None = 100_000,
+    collapse_exact: bool | str = "auto",
+    max_iter: int = 25,
+    checkpoint_dir: str | None = None,
+) -> DataFrame:
+    """Near-dup cluster labels ``(node, comp)`` for exact n-gram Jaccard
+    ≥ ``threshold`` — what the survivor/leakage-split consumers feed
+    connected components. Identical output to ``connected_components``
+    over ``ngram_jaccard_pairs(...)`` edges (any ``expand_cap``), but
+    under collapse the iterative stage runs on the QUOTIENT graph (one
+    node per distinct text) via ``_quotient_labels`` — no clique
+    expansion is ever materialized, so a d-deep verbatim clone cluster
+    costs the component stage O(1) nodes instead of O(d) nodes and
+    O(d·cap) edges. The r8 sf10 checkpoint fed 18.16M expanded edges
+    through CC in every survivor-family query; the quotient graph at
+    the same corpus has ~5k nodes."""
+    df = _non_null_text(df, text_col)
+    collapse_exact = _resolve_collapse_exact(
+        df, F.md5(F.coalesce(F.col(text_col), F.lit(""))), collapse_exact, "text"
+    )
+    if not collapse_exact:
+        from esther_apache_spark_spark.operators.components import (
+            connected_components,
+        )
+
+        pairs = ngram_jaccard_pairs(
+            df,
+            id_col=id_col,
+            text_col=text_col,
+            shingle_n=shingle_n,
+            threshold=threshold,
+            max_df=max_df,
+            collapse_exact=False,
+        )
+        return connected_components(
+            pairs.select(F.col("id_a").alias("src"), F.col("id_b").alias("dst")),
+            max_iter=max_iter,
+            checkpoint_dir=checkpoint_dir,
+        )
+    rep_pairs, groups, members, im = _ngram_collapsed_parts(
+        df, id_col, text_col, shingle_n, threshold, max_df
+    )
+    return _quotient_labels(
+        rep_pairs,
+        groups,
+        members,
+        id_col,
+        "_tkey",
+        intra_members=im,
+        max_iter=max_iter,
+        checkpoint_dir=checkpoint_dir,
+    )
+
+
 def ngram_jaccard_pairs(
     df: DataFrame,
     id_col: str = "doc_id",
@@ -1067,26 +1230,9 @@ def ngram_jaccard_pairs(
         df, F.md5(F.coalesce(F.col(text_col), F.lit(""))), collapse_exact, "text"
     )
     if collapse_exact:
-        groups, members = _collapse_identical_text(df, id_col, text_col)
-        gw = members.groupBy("_tkey").agg(F.count(F.lit(1)).alias("_dfw"))
-        rep_pairs = ngram_jaccard_pairs(
-            groups.join(gw, "_tkey"),
-            id_col=id_col,
-            text_col=text_col,
-            shingle_n=shingle_n,
-            threshold=threshold,
-            max_df=max_df,
-            collapse_exact=False,
-            _df_weight_col="_dfw",
+        rep_pairs, groups, members, im = _ngram_collapsed_parts(
+            df, id_col, text_col, shingle_n, threshold, max_df
         )
-        nonempty = groups.filter(
-            F.size(
-                F.array_distinct(
-                    shingle_hashes(tokenize(F.col(text_col)), shingle_n)
-                )
-            )
-            > 0
-        ).select("_tkey")
         return _expand_collapsed_pairs(
             rep_pairs,
             groups,
@@ -1094,7 +1240,7 @@ def ngram_jaccard_pairs(
             id_col,
             {"jaccard": F.lit(1.0)},
             cap=expand_cap,
-            intra_members=members.join(nonempty, "_tkey", "semi"),
+            intra_members=im,
         )
     # Shingles travel as 64-bit hashes, not strings: same distinct-set
     # cardinality w.h.p. (64-bit collisions negligible), far cheaper to
@@ -1374,11 +1520,6 @@ def embedding_cosine_dups(
     row. ``max_bucket`` shards hot buckets so the per-bucket GEMM rerank
     is bounded at O(max_bucket²) memory/compute no matter how large a
     boilerplate cluster gets (see module docstring)."""
-    import numpy as np
-    import pandas as pd
-
-    from esther_apache_spark_spark.operators.similarity import srp_table_buckets_vec
-
     df = _non_null_vec(df, vec_col)
     # same content key the collapse branch uses (md5 over to_json — see
     # the null-element note below), so the probe measures exactly the
@@ -1399,27 +1540,91 @@ def embedding_cosine_dups(
     # information. Expression-level consumers below cast locally.
     base = df.select(F.col(id_col).alias("_id"), F.col(vec_col).alias("_v"))
     if collapse_exact:
-        # Content key: md5 over the JSON rendering — identical values
-        # only (an ulp of difference keeps rows apart, which is safe:
-        # they just don't collapse). JSON, not concat_ws: concat_ws
-        # silently DROPS null elements, so [1.0, null, 2.0] and
-        # [1.0, 2.0] would collide; to_json encodes nulls explicitly.
-        # 128-bit key → collision-free in practice at any corpus size.
-        vkey = F.md5(F.to_json(F.col("_v")))
-        keyed = base.withColumn("_vkey", vkey)
-        # Narrow member map (no vectors) — reused by both expansion
-        # joins; cached per module cache doctrine (plan barrier + reuse).
-        members = _cache(keyed.select("_vkey", F.col("_id").alias("_mid")))
-        # One row per distinct vector; representative = min id. Cached:
-        # feeds the LSH pipeline AND the rep→key map. Holds one vector
-        # per DISTINCT content — spills to disk at corpus scale.
-        groups = _cache(
-            keyed.groupBy("_vkey")
-            .agg(F.min("_id").alias("_id"), F.first("_v").alias("_v"))
-        )
+        groups, members = _collapse_identical_vec(base)
         src = groups.select("_id", "_v")
     else:
         src = base
+
+    rep_pairs = _srp_rep_pairs(
+        src, threshold, n_planes, n_tables, seed, dim, max_bucket
+    )
+    if not collapse_exact:
+        return rep_pairs
+
+    # Expand representative pairs back to member pairs (see
+    # _expand_collapsed_pairs for the cap/chunk contract). Intra pairs
+    # exist only among nonzero-norm members — zero-norm vectors have
+    # undefined cosine and the kernel drops them, so the expansion must
+    # too. If the threshold exceeds 1.0, intra pairs (cosine exactly
+    # 1.0) cannot qualify — expand cross pairs only.
+    nz_keys = _nonzero_vec_keys(groups)
+    mm = members.join(nz_keys, "_vkey") if threshold <= 1.0 else members.limit(0)
+    return _expand_collapsed_pairs(
+        rep_pairs,
+        groups,
+        members,
+        "_id",
+        {"cosine": F.lit(1.0)},
+        key_col="_vkey",
+        cap=max_bucket,
+        intra_members=mm,
+    )
+
+
+def _collapse_identical_vec(base: DataFrame) -> tuple[DataFrame, DataFrame]:
+    """(groups, members) for exact-vector collapse over a ``(_id, _v)``
+    frame. Content key: md5 over the JSON rendering — identical values
+    only (an ulp of difference keeps rows apart, which is safe: they
+    just don't collapse). JSON, not concat_ws: concat_ws silently DROPS
+    null elements, so [1.0, null, 2.0] and [1.0, 2.0] would collide;
+    to_json encodes nulls explicitly. 128-bit key → collision-free in
+    practice at any corpus size. Both frames cached per the module
+    cache doctrine (members is the narrow no-vector map reused by the
+    expansion joins; groups holds one vector per DISTINCT content and
+    spills to disk at corpus scale)."""
+    keyed = base.withColumn("_vkey", F.md5(F.to_json(F.col("_v"))))
+    members = _cache(keyed.select("_vkey", F.col("_id").alias("_mid")))
+    groups = _cache(
+        keyed.groupBy("_vkey")
+        .agg(F.min("_id").alias("_id"), F.first("_v").alias("_v"))
+    )
+    return groups, members
+
+
+def _nonzero_vec_keys(groups: DataFrame) -> DataFrame:
+    """Group keys whose vector has nonzero norm — the only groups whose
+    identical members can form intra pairs (cosine of identical
+    NONZERO vectors is 1.0; zero-norm cosine is undefined and the GEMM
+    kernel drops those rows). Cast locally: x*x in float32 can
+    underflow to 0 for subnormal-ish inputs where the kernel's float64
+    square stays positive."""
+    return groups.filter(
+        F.aggregate(
+            F.col("_v").cast("array<double>"),
+            F.lit(0.0),
+            lambda acc, x: acc + x * x,
+        )
+        > 0
+    ).select("_vkey")
+
+
+def _srp_rep_pairs(
+    src: DataFrame,
+    threshold: float,
+    n_planes: int,
+    n_tables: int,
+    seed: int,
+    dim: int,
+    max_bucket: int | None,
+) -> DataFrame:
+    """SRP-LSH candidate generation + exact in-bucket cosine rerank over
+    a ``(_id, _v)`` frame → ``(id_a, id_b, cosine)``. The shared core of
+    ``embedding_cosine_dups`` (direct path, and collapsed path over
+    distinct vectors) and ``embedding_cosine_components``."""
+    import numpy as np
+    import pandas as pd
+
+    from esther_apache_spark_spark.operators.similarity import srp_table_buckets_vec
 
     proj = src.select(
         "_id",
@@ -1503,38 +1708,83 @@ def embedding_cosine_dups(
         lo, hi = np.minimum(a, bb), np.maximum(a, bb)
         return pd.DataFrame({"id_a": lo, "id_b": hi, "cosine": cos[ok]})
 
-    rep_pairs = b.groupBy(*group_keys).applyInPandas(
+    return b.groupBy(*group_keys).applyInPandas(
         bucket_pairs, "id_a long, id_b long, cosine double"
     )
-    if not collapse_exact:
-        return rep_pairs
 
-    # Expand representative pairs back to member pairs (see
-    # _expand_collapsed_pairs for the cap/chunk contract). Intra pairs
-    # exist only among nonzero-norm members — zero-norm vectors have
-    # undefined cosine and the kernel drops them, so the expansion must
-    # too. If the threshold exceeds 1.0, intra pairs (cosine exactly
-    # 1.0) cannot qualify — expand cross pairs only.
-    # Cast locally: x*x in float32 can underflow to 0 for subnormal-ish
-    # inputs where the kernel's float64 square stays positive.
-    nz_keys = groups.filter(
-        F.aggregate(
-            F.col("_v").cast("array<double>"),
-            F.lit(0.0),
-            lambda acc, x: acc + x * x,
+
+def embedding_cosine_components(
+    df: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    threshold: float = 0.4,
+    n_planes: int = 4,
+    n_tables: int = 12,
+    seed: int = 42,
+    dim: int | None = None,
+    max_bucket: int | None = 4096,
+    collapse_exact: bool | str = "auto",
+    max_iter: int = 25,
+    checkpoint_dir: str | None = None,
+) -> DataFrame:
+    """Semantic near-dup cluster labels ``(node, comp)`` for cosine ≥
+    ``threshold`` — the embedding twin of ``ngram_jaccard_components``.
+    Identical output to ``connected_components`` over
+    ``embedding_cosine_dups(...)`` edges (any ``max_bucket``), but
+    under collapse the iterative stage runs on the QUOTIENT graph (one
+    node per distinct vector) via ``_quotient_labels`` — clique
+    expansion never materializes, so clone-heavy corpora (the r7/r8
+    sf10 checkpoints' 100-deep planted clusters → 18.16M expanded
+    edges) feed connected components a graph the size of the DISTINCT
+    corpus instead."""
+    df = _non_null_vec(df, vec_col)
+    collapse_exact = _resolve_collapse_exact(
+        df, F.md5(F.to_json(F.col(vec_col))), collapse_exact, "vec"
+    )
+    if not collapse_exact:
+        from esther_apache_spark_spark.operators.components import (
+            connected_components,
         )
-        > 0
-    ).select("_vkey")
+
+        pairs = embedding_cosine_dups(
+            df,
+            id_col=id_col,
+            vec_col=vec_col,
+            threshold=threshold,
+            n_planes=n_planes,
+            n_tables=n_tables,
+            seed=seed,
+            dim=dim,
+            max_bucket=max_bucket,
+            collapse_exact=False,
+        )
+        return connected_components(
+            pairs.select(F.col("id_a").alias("src"), F.col("id_b").alias("dst")),
+            max_iter=max_iter,
+            checkpoint_dir=checkpoint_dir,
+        )
+    if dim is None:
+        first = df.select(F.size(vec_col).alias("d")).first()
+        if first is None:
+            raise ValueError("empty dataframe; pass dim explicitly")
+        dim = first["d"]
+    base = df.select(F.col(id_col).alias("_id"), F.col(vec_col).alias("_v"))
+    groups, members = _collapse_identical_vec(base)
+    rep_pairs = _srp_rep_pairs(
+        groups.select("_id", "_v"), threshold, n_planes, n_tables, seed, dim,
+        max_bucket,
+    )
+    nz_keys = _nonzero_vec_keys(groups)
     mm = members.join(nz_keys, "_vkey") if threshold <= 1.0 else members.limit(0)
-    return _expand_collapsed_pairs(
+    return _quotient_labels(
         rep_pairs,
         groups,
         members,
         "_id",
-        {"cosine": F.lit(1.0)},
-        key_col="_vkey",
-        cap=max_bucket,
+        "_vkey",
         intra_members=mm,
+        max_iter=max_iter,
+        checkpoint_dir=checkpoint_dir,
     )
 
 

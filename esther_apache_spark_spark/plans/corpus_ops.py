@@ -1389,20 +1389,16 @@ def leakage_safe_split(spark: SparkSession, sf_dir: str) -> DataFrame:
     components iterate over the PAIR set only, and the final gate is a
     pushdown-able filter — identical posture to the survivor queries."""
     from esther_apache_spark_spark.operators import dedup as D
-    from esther_apache_spark_spark.operators.components import connected_components
     from esther_apache_spark_spark.operators.sampling import hash_bucket
 
     docs = load_table(spark, sf_dir, "documents")
-    # collapse_exact + expand_cap: byte-identical clones collapse before
-    # the inverted index (the r7 sf10 checkpoint OOMed the direct path on
-    # 100-deep planted clones) and re-expand as capped cliques — the
-    # component structure, and therefore every cluster_rep and split
-    # label, is byte-identical to the direct path's (oracle unchanged)
-    pairs = D.ngram_jaccard_pairs(
-        docs, shingle_n=3, threshold=0.5, collapse_exact=True, expand_cap=256
-    )
-    edges = pairs.select(F.col("id_a").alias("src"), F.col("id_b").alias("dst"))
-    lab = connected_components(edges)
+    # Quotient-graph component labels (r8, ngram_jaccard_components):
+    # byte-identical clones collapse before the inverted index (the r7
+    # sf10 checkpoint OOMed the direct path on 100-deep planted clones)
+    # and connected components iterate over one node per DISTINCT text —
+    # every cluster_rep and split label is byte-identical to CC over the
+    # pair API's output, collapsed or direct (oracle unchanged)
+    lab = D.ngram_jaccard_components(docs, shingle_n=3, threshold=0.5)
     rep = F.coalesce(F.col("comp"), F.col("doc_id"))
     return (
         docs.select("doc_id")

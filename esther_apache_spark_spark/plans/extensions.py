@@ -848,24 +848,22 @@ def semantic_dedup_survivors(spark: SparkSession, sf_dir: str) -> DataFrame:
     join); the survivor filter is one broadcast-size join of labels
     back onto the id column. Raw vectors never enter the iterative
     stage."""
-    from esther_apache_spark_spark.operators.components import connected_components
-
     emb = load_table(spark, sf_dir, "embeddings")
-    # collapse_exact: byte-identical vectors collapse before the LSH
-    # tables and re-expand as cap-chunked cliques — components, and
-    # therefore survivors + cluster sizes, are byte-identical (oracle
-    # unchanged); the r7 sf10 checkpoint measured the direct pair stage
-    # at 18.5 min on 100-deep planted clones vs seconds collapsed
-    pairs = D.embedding_cosine_dups(
+    # Component labels straight from the QUOTIENT graph (r8,
+    # operators/dedup.embedding_cosine_components): byte-identical
+    # vectors collapse before the LSH tables and connected components
+    # iterate over one node per DISTINCT vector — the cap-chunked
+    # clique expansion the pair API would feed CC (18.16M edges at the
+    # r8 sf10 checkpoint's 100-deep clones) never materializes. Labels,
+    # and therefore survivors + cluster sizes, are byte-identical
+    # (oracle unchanged; equality pinned in tests/test_quotient_components.py).
+    lab = D.embedding_cosine_components(
         emb,
         threshold=0.4,
         n_planes=4,
         n_tables=12,
         dim=EMBEDDING_DIM,
-        collapse_exact=True,
     )
-    edges = pairs.select(F.col("id_a").alias("src"), F.col("id_b").alias("dst"))
-    lab = connected_components(edges)
     # sizes.comp values are representative ids (all present in lab), so a
     # singleton's vec_id can never collide with another cluster's label.
     sizes = lab.groupBy("comp").agg(F.count(F.lit(1)).alias("sz")).select(
@@ -937,17 +935,12 @@ def lexical_dedup_survivors(spark: SparkSession, sf_dir: str) -> DataFrame:
     modalities a corpus pipeline actually runs. Same scale shape as the
     semantic twin: candidate generation is an equi-join, the iterative
     step sees only the pair set, survivors come from one label join."""
-    from esther_apache_spark_spark.operators.components import connected_components
-
     docs = load_table(spark, sf_dir, "documents")
-    # collapsed front end (see ngram_jaccard_pairs): clone clusters cost
-    # O(distinct texts); capped clique expansion preserves components,
-    # so survivors and cluster sizes are byte-identical (oracle unchanged)
-    pairs = D.ngram_jaccard_pairs(
-        docs, shingle_n=3, threshold=0.5, collapse_exact=True, expand_cap=256
-    )
-    edges = pairs.select(F.col("id_a").alias("src"), F.col("id_b").alias("dst"))
-    lab = connected_components(edges)
+    # Quotient-graph component labels (r8, see
+    # ngram_jaccard_components): clone clusters cost the component
+    # stage O(distinct texts) — no clique expansion, labels
+    # byte-identical to CC over the pair API (oracle unchanged)
+    lab = D.ngram_jaccard_components(docs, shingle_n=3, threshold=0.5)
     sizes = lab.groupBy("comp").agg(F.count(F.lit(1)).alias("sz")).select(
         F.col("comp").alias("rep"), "sz"
     )
@@ -3319,16 +3312,11 @@ def lexical_dedup_survivors_by_quality(spark: SparkSession, sf_dir: str) -> Data
     projection and a per-cluster keep-first window (partial
     WindowGroupLimit via the rank-1 filter)."""
     from esther_apache_spark_spark.operators import dedup as D
-    from esther_apache_spark_spark.operators.components import connected_components
     from esther_apache_spark_spark.operators.textstats import quality_score
 
     docs = load_table(spark, sf_dir, "documents")
-    pairs = D.ngram_jaccard_pairs(
-        docs, shingle_n=3, threshold=0.5, collapse_exact=True, expand_cap=256
-    )
-    lab = connected_components(
-        pairs.select(F.col("id_a").alias("src"), F.col("id_b").alias("dst"))
-    )
+    # quotient-graph labels (r8): see lexical_dedup_survivors
+    lab = D.ngram_jaccard_components(docs, shingle_n=3, threshold=0.5)
     memb = (
         docs.select("doc_id", quality_score(F.col("text")).alias("quality"))
         .join(lab, F.col("doc_id") == F.col("node"), "left")
