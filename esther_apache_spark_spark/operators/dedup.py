@@ -1888,6 +1888,7 @@ def substring_dup_spans(
     k: int = 8,
     min_doc_freq: int = 2,
     scope: str = "cross_doc",
+    collapse_exact: bool | str = "auto",
 ) -> DataFrame:
     """Exact substring-level duplicate spans (the deduplicate-text-
     datasets operator of Lee et al. 2022, k-gram approximation): find,
@@ -1925,60 +1926,109 @@ def substring_dup_spans(
 
     SQL-replayable end-to-end: window hashing is the md5-hex→BIGINT
     scheme and every later step is relational — see
-    ``dedup_substring_spans``'s DuckDB oracle in plans/extensions.py."""
+    ``dedup_substring_spans``'s DuckDB oracle in plans/extensions.py.
+
+    ``collapse_exact`` (True/False/"auto", same probe as the pair APIs):
+    byte-identical texts have byte-identical window sets and therefore
+    byte-identical spans, so under collapse the tokenize → explode →
+    islands pipeline runs once per DISTINCT text, window document
+    frequency is summed with each distinct text weighted by its member
+    count (exactly the count the direct path computes — cross_doc
+    counts distinct docs, "any" counts occurrences, and every member
+    contributes identically), and the finished spans replicate to
+    members in ONE final join. A d-deep verbatim clone cluster costs
+    the heavy stages 1× instead of d× with identical output — the r8
+    sf10 corpus (100-deep planted clones) spent 46-60 s here, the
+    single remaining clone-linear pipeline stage after the quotient-CC
+    change."""
     if k < 2:
         raise ValueError("k must be >= 2")
     if 2 * k > len(SPAN_COMBINE):
         raise ValueError(f"k must be <= {len(SPAN_COMBINE) // 2}")
     if scope not in ("cross_doc", "any"):
         raise ValueError(f"unknown scope: {scope!r}")
+    df = _non_null_text(df, text_col)
+    collapse_exact = _resolve_collapse_exact(
+        df, F.md5(F.coalesce(F.col(text_col), F.lit(""))), collapse_exact, "text"
+    )
+
     # Tokens are md5-hashed ONCE; each k-window combines its tokens'
     # 30-bit halves with the fixed SPAN_COMBINE weights — exact 64-bit
     # integer arithmetic in both engines (the k-window-STRING md5 form
     # this replaces was measured 87 s/run at sf1; this is ~6 s).
-    th = _non_null_text(df, text_col).select(
-        F.col(id_col).alias("_id"),
-        F.transform(tokenize(F.col(text_col)), lambda t: md5_long(t)).alias("_th"),
-    )
-    starts = F.sequence(F.lit(0), F.size("_th") - k)
+    def _pos_windows(src: DataFrame, key_col: str) -> DataFrame:
+        th = src.select(
+            F.col(key_col).alias("_id"),
+            F.transform(tokenize(F.col(text_col)), lambda t: md5_long(t)).alias(
+                "_th"
+            ),
+        )
+        starts = F.sequence(F.lit(0), F.size("_th") - k)
 
-    def _wcomb(i: Column) -> Column:
-        out = None
-        for j in range(k):
-            h = F.get("_th", i + F.lit(j))
-            lo = h.bitwiseAND(F.lit((1 << 30) - 1)) * F.lit(SPAN_COMBINE[2 * j])
-            hi = F.shiftright(h, 30) * F.lit(SPAN_COMBINE[2 * j + 1])
-            out = lo if out is None else out + lo
-            out = out + hi
-        return out
+        def _wcomb(i: Column) -> Column:
+            out = None
+            for j in range(k):
+                h = F.get("_th", i + F.lit(j))
+                lo = h.bitwiseAND(F.lit((1 << 30) - 1)) * F.lit(SPAN_COMBINE[2 * j])
+                hi = F.shiftright(h, 30) * F.lit(SPAN_COMBINE[2 * j + 1])
+                out = lo if out is None else out + lo
+                out = out + hi
+            return out
 
-    wins = F.when(F.size("_th") >= k, F.transform(starts, _wcomb)).otherwise(
-        F.array().cast("array<bigint>")
-    )
-    pos_h = th.select("_id", F.posexplode(wins).alias("_pos", "_h"))
-    occurrences = pos_h.select("_h", "_id")
-    if scope == "cross_doc":
-        occurrences = occurrences.distinct()
-    dup_h = (
-        occurrences.groupBy("_h")
-        .agg(F.count(F.lit(1)).alias("_docs"))
-        .filter(F.col("_docs") >= min_doc_freq)
-        .select("_h")
-    )
+        wins = F.when(F.size("_th") >= k, F.transform(starts, _wcomb)).otherwise(
+            F.array().cast("array<bigint>")
+        )
+        return th.select("_id", F.posexplode(wins).alias("_pos", "_h"))
+
+    members = None
+    if collapse_exact:
+        groups, members = _collapse_identical_text(df, id_col, text_col)
+        gw = members.groupBy("_tkey").agg(F.count(F.lit(1)).alias("_w"))
+        # cached: feeds both the df aggregate and the dup-position
+        # semi-join — one tokenize/explode pass per distinct text total
+        pos_h = _cache(_pos_windows(groups, "_tkey"))
+        occurrences = pos_h.select("_h", "_id")
+        if scope == "cross_doc":
+            occurrences = occurrences.distinct()
+        dup_h = (
+            occurrences.join(gw.withColumnRenamed("_tkey", "_id"), "_id")
+            .groupBy("_h")
+            .agg(F.sum("_w").alias("_docs"))
+            .filter(F.col("_docs") >= min_doc_freq)
+            .select("_h")
+        )
+    else:
+        # cached for the same two consumers as the collapsed branch —
+        # the recompute this replaces paid tokenize+explode twice
+        # (measured 2× whole-query at sf0.1). pos_h is 3 narrow columns
+        # but O(corpus tokens) rows: it spills to executor disk at
+        # scale, which is still far cheaper than a second full scan +
+        # per-token md5 pass.
+        pos_h = _cache(_pos_windows(df, id_col))
+        occurrences = pos_h.select("_h", "_id")
+        if scope == "cross_doc":
+            occurrences = occurrences.distinct()
+        dup_h = (
+            occurrences.groupBy("_h")
+            .agg(F.count(F.lit(1)).alias("_docs"))
+            .filter(F.col("_docs") >= min_doc_freq)
+            .select("_h")
+        )
     dup_pos = pos_h.join(dup_h, "_h", "left_semi")
     w = Window.partitionBy("_id").orderBy("_pos")
     runs = dup_pos.withColumn("_grp", F.col("_pos") - F.row_number().over(w))
-    return (
-        runs.groupBy("_id", "_grp")
-        .agg(
-            F.min("_pos").alias("span_start"),
-            (F.max("_pos") - F.min("_pos") + F.lit(k)).alias("span_len"),
-        )
-        .select(
-            F.col("_id").alias(id_col),
-            F.col("span_start").cast("int").alias("span_start"),
-            F.col("span_len").cast("int").alias("span_len"),
-        )
+    spans = runs.groupBy("_id", "_grp").agg(
+        F.min("_pos").alias("span_start"),
+        (F.max("_pos") - F.min("_pos") + F.lit(k)).alias("span_len"),
+    )
+    if collapse_exact:
+        spans = spans.join(
+            members.withColumnRenamed("_tkey", "_id"), "_id"
+        ).select(F.col("_mid").alias("_id"), "span_start", "span_len")
+    return spans.select(
+        F.col("_id").alias(id_col),
+        F.col("span_start").cast("int").alias("span_start"),
+        F.col("span_len").cast("int").alias("span_len"),
     )
 
 
