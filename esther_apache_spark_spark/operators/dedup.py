@@ -1474,6 +1474,92 @@ def simhash_candidates(
     return pairs.select("id_a", "id_b", F.bit_count(xor).alias("hamming"))
 
 
+def simhash_components(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    band_bits: int = 16,
+    max_bucket: int | None = 4096,
+    collapse_exact: bool | str = "auto",
+    bits: int = 64,
+    hash_family: str = "xxhash64",
+    max_hamming: int | None = None,
+    max_iter: int = 25,
+    checkpoint_dir: str | None = None,
+) -> DataFrame:
+    """Near-dup cluster labels ``(node, comp)`` from SimHash banding —
+    the fingerprint-modality sibling of ``ngram_jaccard_components`` /
+    ``embedding_cosine_components``. Identical output to
+    ``connected_components`` over ``simhash_candidates(...)`` edges
+    (optionally gated at ``hamming <= max_hamming``; ``None`` keeps all
+    banded candidates), but under collapse the iterative stage runs on
+    the QUOTIENT graph via ``_quotient_labels`` — one node per DISTINCT
+    text, no clique expansion.
+
+    Unlike the ngram/vector twins there is NO intra-membership
+    narrowing: EVERY text has a fingerprint (zero tokens included —
+    ``simhash_vec`` ties all bit votes at 0 and emits the all-ones tie
+    pattern), identical texts are always Hamming 0, and 0 passes any
+    sensible ``max_hamming`` — so every clone group with >= 2 members
+    intra-clusters, and ``intra_members`` stays the full member map."""
+    if max_hamming is not None and max_hamming < 0:
+        raise ValueError("max_hamming must be >= 0")
+    df = _non_null_text(df, text_col)
+    collapse_exact = _resolve_collapse_exact(
+        df, F.md5(F.coalesce(F.col(text_col), F.lit(""))), collapse_exact, "text"
+    )
+
+    def _gate(pairs: DataFrame) -> DataFrame:
+        if max_hamming is None:
+            return pairs
+        return pairs.filter(F.col("hamming") <= max_hamming)
+
+    if not collapse_exact:
+        from esther_apache_spark_spark.operators.components import (
+            connected_components,
+        )
+
+        pairs = _gate(
+            simhash_candidates(
+                df,
+                id_col=id_col,
+                text_col=text_col,
+                band_bits=band_bits,
+                max_bucket=max_bucket,
+                collapse_exact=False,
+                bits=bits,
+                hash_family=hash_family,
+            )
+        )
+        return connected_components(
+            pairs.select(F.col("id_a").alias("src"), F.col("id_b").alias("dst")),
+            max_iter=max_iter,
+            checkpoint_dir=checkpoint_dir,
+        )
+    groups, members = _collapse_identical_text(df, id_col, text_col)
+    rep_pairs = _gate(
+        simhash_candidates(
+            groups,
+            id_col=id_col,
+            text_col=text_col,
+            band_bits=band_bits,
+            max_bucket=max_bucket,
+            collapse_exact=False,
+            bits=bits,
+            hash_family=hash_family,
+        )
+    )
+    return _quotient_labels(
+        rep_pairs,
+        groups,
+        members,
+        id_col,
+        "_tkey",
+        max_iter=max_iter,
+        checkpoint_dir=checkpoint_dir,
+    )
+
+
 def embedding_cosine_dups(
     df: DataFrame,
     id_col: str = "vec_id",

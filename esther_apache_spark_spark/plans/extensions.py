@@ -743,6 +743,37 @@ def dedup_simhash_collapsed(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "dedup_simhash_clusters",
+    oracle="""
+    WITH RECURSIVE pairs AS ({base}),
+    und AS (
+        SELECT id_a AS src, id_b AS dst FROM pairs
+        UNION SELECT id_b, id_a FROM pairs
+    ),
+    walk(node, comp) AS (
+        SELECT src, src FROM und
+        UNION
+        SELECT u.dst, w.comp FROM walk w JOIN und u ON u.src = w.node
+    )
+    SELECT node, MIN(comp) AS comp FROM walk GROUP BY node
+    """.replace("{base}", QUERIES["dedup_simhash"].oracle),
+)
+def dedup_simhash_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cluster labels over the ``dedup_simhash`` pair set (hamming ≤ 8)
+    via ``simhash_components`` — the fingerprint-modality labels API.
+    Pins the quotient-graph branch this modality alone exercises:
+    intra-membership is the FULL member map (every text fingerprints,
+    identical texts are always Hamming 0), unlike the shingle- /
+    norm-qualified twins. Oracle = the replayed simhash pair SQL fed
+    through the same recursive-CTE reachability the survivor oracles
+    use."""
+    docs = load_table(spark, sf_dir, "documents")
+    return D.simhash_components(
+        docs, band_bits=15, bits=60, hash_family="md5", max_hamming=8
+    )
+
+
+@register(
     "dedup_ngram_jaccard_direct", oracle=QUERIES["dedup_ngram_jaccard"].oracle
 )
 def dedup_ngram_jaccard_direct(spark: SparkSession, sf_dir: str) -> DataFrame:

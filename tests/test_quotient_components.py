@@ -87,6 +87,59 @@ def test_ngram_components_direct_path_matches(ngram_docs):
     ) == _cc_over_pairs(D.ngram_jaccard_pairs(ngram_docs, collapse_exact=False))
 
 
+# --- simhash ---------------------------------------------------------------
+
+SIMHASH_KW = dict(band_bits=15, bits=60, hash_family="md5")
+
+
+def test_simhash_quotient_equals_expanded_and_direct(ngram_docs):
+    quotient = _labels(
+        D.simhash_components(
+            ngram_docs, collapse_exact=True, max_hamming=8, **SIMHASH_KW
+        )
+    )
+    expanded = _cc_over_pairs(
+        D.simhash_candidates(
+            ngram_docs, collapse_exact=True, max_bucket=3, **SIMHASH_KW
+        ).filter(F.col("hamming") <= 8)
+    )
+    direct = _cc_over_pairs(
+        D.simhash_candidates(
+            ngram_docs, collapse_exact=False, **SIMHASH_KW
+        ).filter(F.col("hamming") <= 8)
+    )
+    assert quotient == expanded == direct
+    # full intra-membership: the EMPTY-text clone pair fingerprints
+    # (all-ones tie pattern) at Hamming 0 and must cluster — exactly
+    # where this modality differs from the shingle-qualified ngram twin
+    assert quotient[41] == quotient[42]
+    # clone clusters of NEAR_A / NEAR_B each cluster (Hamming 0 intra)
+    assert len({quotient[i] for i in range(1, 8)}) == 1
+    assert len({quotient[i] for i in (11, 12, 13)}) == 1
+
+
+def test_simhash_components_direct_path_matches(ngram_docs):
+    assert _labels(
+        D.simhash_components(
+            ngram_docs, collapse_exact=False, max_hamming=8, **SIMHASH_KW
+        )
+    ) == _cc_over_pairs(
+        D.simhash_candidates(
+            ngram_docs, collapse_exact=False, **SIMHASH_KW
+        ).filter(F.col("hamming") <= 8)
+    )
+
+
+def test_simhash_components_ungated(ngram_docs):
+    # max_hamming=None keeps every banded candidate — same labels as CC
+    # over the raw candidate set
+    assert _labels(
+        D.simhash_components(ngram_docs, collapse_exact=True, **SIMHASH_KW)
+    ) == _cc_over_pairs(
+        D.simhash_candidates(ngram_docs, collapse_exact=False, **SIMHASH_KW)
+    )
+
+
 # --- embedding cosine ------------------------------------------------------
 
 
