@@ -2125,6 +2125,8 @@ def ngram_containment_pairs(
     shingle_n: int = 3,
     threshold: float = 0.8,
     max_df: int | None = 100_000,
+    collapse_exact: bool | str = "auto",
+    _df_weight_col: str | None = None,
 ) -> DataFrame:
     """Directional n-gram CONTAINMENT pairs: C(src→dst) =
     |shingles(src) ∩ shingles(dst)| / |shingles(src)| ≥ ``threshold``.
@@ -2145,22 +2147,120 @@ def ngram_containment_pairs(
     pruning affects candidate recall only — the emitted containment is
     recomputed exactly on the full shingle sets), candidate dedup, then
     two array-intersect recount joins. Never all-pairs; empty-shingle
-    docs are excluded (containment undefined)."""
-    shingled = _cache(_non_null_text(df, text_col).select(
+    docs are excluded (containment undefined).
+
+    ``collapse_exact`` (True/False/"auto" — the same dup-mass probe as
+    the Jaccard op) collapses byte-identical texts before the inverted
+    index and expands DIRECTIONALLY afterwards: a cross pair (A→B, c)
+    replicates to every ordered member pair (identical texts ⇒
+    identical shingle sets ⇒ identical containment), and intra pairs
+    within a clone group are containment 1.0 in both directions —
+    gated on the group having ≥ 1 KEPT (non-hot, nonempty) shingle,
+    because identical docs pair in the direct path iff some shared
+    shingle survives pruning, and this op's oracle mirrors the pruning.
+    Document frequency is member-count-weighted so pruning decisions
+    equal the direct path's at any depth (ADVICE r7, same basis as the
+    Jaccard op). Output is row-identical AT ANY max_df; the collapse
+    buys the CANDIDATE stage — the direct path pays d² array-intersect
+    recounts per clone cluster, the collapsed path one. The output pair
+    count stays d² (inherent to pair semantics — consumers that only
+    need clusters should use the ``*_components`` APIs instead)."""
+    df = _non_null_text(df, text_col)
+    collapse_exact = _resolve_collapse_exact(
+        df, F.md5(F.coalesce(F.col(text_col), F.lit(""))), collapse_exact, "text"
+    )
+    if collapse_exact:
+        groups, members = _collapse_identical_text(df, id_col, text_col)
+        gw = members.groupBy("_tkey").agg(F.count(F.lit(1)).alias("_dfw"))
+        rep_pairs = ngram_containment_pairs(
+            groups.join(gw, "_tkey"),
+            id_col=id_col,
+            text_col=text_col,
+            shingle_n=shingle_n,
+            threshold=threshold,
+            max_df=max_df,
+            collapse_exact=False,
+            _df_weight_col="_dfw",
+        )
+        # Intra eligibility must mirror the direct path EXACTLY: two
+        # identical docs pair iff they share at least one KEPT shingle
+        # (every shingle of the text hotter than max_df ⇒ no candidate
+        # row survives the pruned inverted index ⇒ no pair — and this
+        # op's oracle mirrors that pruning, unlike the Jaccard op's
+        # unpruned all-pairs oracle). Gate on "group has ≥ 1 shingle
+        # with member-weighted df ≤ max_df"; with pruning off this is
+        # just the nonempty-shingle gate.
+        sh_g = groups.select(
+            "_tkey",
+            F.explode(
+                F.array_distinct(
+                    shingle_hashes(tokenize(F.col(text_col)), shingle_n)
+                )
+            ).alias("_g"),
+        )
+        if max_df is not None:
+            dfagg = (
+                sh_g.join(gw, "_tkey")
+                .groupBy("_g")
+                .agg(F.sum("_dfw").alias("_df"))
+            )
+            hot = dfagg.filter(F.col("_df") > max_df).select("_g")
+            eligible_keys = (
+                sh_g.join(F.broadcast(hot), "_g", "left_anti")
+                .select("_tkey")
+                .distinct()
+            )
+        else:
+            eligible_keys = sh_g.select("_tkey").distinct()
+        rep_map = groups.select(F.col(id_col).alias("_rep"), "_tkey")
+        memb = members.join(rep_map, "_tkey").select("_rep", "_mid")
+        msrc = memb.select(F.col("_rep").alias("src_id"), F.col("_mid").alias("_ms"))
+        mdst = memb.select(F.col("_rep").alias("dst_id"), F.col("_mid").alias("_md"))
+        cross = (
+            rep_pairs.join(msrc, "src_id")
+            .join(mdst, "dst_id")
+            .select(
+                F.col("_ms").alias("src_id"),
+                F.col("_md").alias("dst_id"),
+                "containment",
+            )
+        )
+        if threshold <= 1.0:
+            im = members.join(eligible_keys, "_tkey", "semi")
+            ia = im.select("_tkey", F.col("_mid").alias("_ia"))
+            ib = im.select("_tkey", F.col("_mid").alias("_ib"))
+            intra = (
+                ia.join(ib, "_tkey")
+                .filter(F.col("_ia") != F.col("_ib"))
+                .select(
+                    F.col("_ia").alias("src_id"),
+                    F.col("_ib").alias("dst_id"),
+                    F.lit(1.0).alias("containment"),
+                )
+            )
+            return cross.unionByName(intra)
+        return cross
+    sel = [
         F.col(id_col).alias("_id"),
         F.array_distinct(
             shingle_hashes(tokenize(F.col(text_col)), shingle_n)
         ).alias("_sh"),
-    ))
+    ]
+    if _df_weight_col is not None:
+        sel.append(F.col(_df_weight_col).cast("long").alias("_dfw"))
+    shingled = _cache(df.select(*sel))
     nonempty = shingled.filter(F.size("_sh") > 0)
     inv = nonempty.select("_id", F.explode("_sh").alias("_g"))
     if max_df is not None:
-        hot = (
-            inv.groupBy("_g")
-            .agg(F.count(F.lit(1)).alias("_df"))
-            .filter(F.col("_df") > max_df)
-            .select("_g")
-        )
+        if _df_weight_col is not None:
+            dfagg = (
+                nonempty.select("_dfw", F.explode("_sh").alias("_g"))
+                .groupBy("_g")
+                .agg(F.sum("_dfw").alias("_df"))
+            )
+        else:
+            dfagg = inv.groupBy("_g").agg(F.count(F.lit(1)).alias("_df"))
+        hot = dfagg.filter(F.col("_df") > max_df).select("_g")
         inv = inv.join(F.broadcast(hot), "_g", "left_anti")
     cand = (
         inv.alias("a")
