@@ -653,12 +653,20 @@ def _quotient_labels(
     clone depth squared; the member map is touched once, in the final
     linear join.
 
-    Contract (both call sites satisfy it): every group appearing in
-    ``rep_pairs`` has its full member set present in
-    ``intra_members`` — true for text collapse (groups with ≥ 1
-    shingle) and vector collapse (nonzero-norm groups), because a
-    representative can only reach the pair stage when its content
-    shingles/norm qualify, and members are byte-identical content."""
+    Contract (all call sites satisfy it by construction): intra
+    eligibility is a PER-KEY property — ``intra_members`` is a
+    key-level semijoin of ``members`` (a group's members are all
+    present or all absent), true for text collapse (≥ 1 kept shingle
+    is a property of the text) and vector collapse (nonzero norm is a
+    property of the vector), because members of a group are
+    byte-identical content. The contract is otherwise structural
+    (ADVICE r8): a group connected by ``rep_pairs`` cross edges keeps
+    its rep-graph label and labels its FULL member set regardless of
+    intra eligibility — mirroring ``_expand_collapsed_pairs``, which
+    expands cross pairs over the full member map and suppresses only
+    intra pairs — so a degenerate config (e.g. cosine threshold > 1.0
+    with ``intra_members`` empty) can no longer silently unlabel
+    cross-edge-derived components."""
     from esther_apache_spark_spark.operators.components import (
         connected_components,
     )
@@ -672,16 +680,24 @@ def _quotient_labels(
     gsz = im.groupBy(key_col).agg(F.count(F.lit(1)).alias("_gn"))
     glab = (
         groups.select(F.col(id_col).alias("_rep"), key_col)
-        .join(gsz, key_col)
+        .join(gsz, key_col, "left")
         .join(rep_lab, "_rep", "left")
-        # edge-connected groups keep the rep-graph label; edge-free
-        # groups are their own cluster when ≥ 2 identical members exist
-        # (the expanded path's intra-only component); edge-free
-        # singletons have no edges in the expanded graph either — drop.
-        .filter(F.col("comp").isNotNull() | (F.col("_gn") >= 2))
+        # edge-connected groups keep the rep-graph label (never gated
+        # on intra eligibility — left join + coalesce(_gn, 0));
+        # edge-free groups are their own cluster when ≥ 2 identical
+        # INTRA-ELIGIBLE members exist (the expanded path's intra-only
+        # component); edge-free singletons have no edges in the
+        # expanded graph either — drop.
+        .filter(
+            F.col("comp").isNotNull() | (F.coalesce("_gn", F.lit(0)) >= 2)
+        )
         .select(key_col, F.coalesce("comp", "_rep").alias("comp"))
     )
-    return im.join(glab, key_col).select(F.col("_mid").alias("node"), "comp")
+    # Final member join over the FULL map: cross-labeled groups label
+    # every member (matching the expanded path's cross expansion); for
+    # edge-free fallback groups the per-key contract makes this
+    # identical to joining intra_members.
+    return members.join(glab, key_col).select(F.col("_mid").alias("node"), "comp")
 
 
 def _mh_shard_hash_fn(hash_family: str):
@@ -2126,6 +2142,7 @@ def ngram_containment_pairs(
     threshold: float = 0.8,
     max_df: int | None = 100_000,
     collapse_exact: bool | str = "auto",
+    expand_cap: int | None = None,
     _df_weight_col: str | None = None,
 ) -> DataFrame:
     """Directional n-gram CONTAINMENT pairs: C(src→dst) =
@@ -2160,11 +2177,26 @@ def ngram_containment_pairs(
     shingle survives pruning, and this op's oracle mirrors the pruning.
     Document frequency is member-count-weighted so pruning decisions
     equal the direct path's at any depth (ADVICE r7, same basis as the
-    Jaccard op). Output is row-identical AT ANY max_df; the collapse
-    buys the CANDIDATE stage — the direct path pays d² array-intersect
-    recounts per clone cluster, the collapsed path one. The output pair
-    count stays d² (inherent to pair semantics — consumers that only
-    need clusters should use the ``*_components`` APIs instead)."""
+    Jaccard op). With ``expand_cap=None`` (default) output is
+    row-identical AT ANY max_df; the collapse buys the CANDIDATE
+    stage — the direct path pays d² array-intersect recounts per clone
+    cluster, the collapsed path one — but the OUTPUT pair count stays
+    d² (inherent to pair semantics).
+
+    ``expand_cap`` (ADVICE r8) additionally bounds output
+    MATERIALIZATION for pathologically deep clones, the directional
+    analog of ``_expand_collapsed_pairs``' cap: each group's cross
+    expansion uses its first ``expand_cap`` members (by id) and intra
+    expansion chunks members into ``expand_cap``-sized bidirectional
+    cliques joined by bidirectional connector edges between chunk
+    leads — per-member degree O(expand_cap), linear total pairs, every
+    clone cluster still one connected blob in both directions. The
+    emitted pairs are then a REACHABILITY-PRESERVING SUBSET of the
+    exact pair set (all emitted containments remain exact), no longer
+    row-identical to the direct path — consumers that only need
+    clusters should use the ``*_components`` APIs, which never expand
+    at all. Only meaningful under collapse; the direct path ignores
+    it."""
     df = _non_null_text(df, text_col)
     collapse_exact = _resolve_collapse_exact(
         df, F.md5(F.coalesce(F.col(text_col), F.lit(""))), collapse_exact, "text"
@@ -2213,7 +2245,16 @@ def ngram_containment_pairs(
         else:
             eligible_keys = sh_g.select("_tkey").distinct()
         rep_map = groups.select(F.col(id_col).alias("_rep"), "_tkey")
-        memb = members.join(rep_map, "_tkey").select("_rep", "_mid")
+        if expand_cap is not None:
+            wcap = Window.partitionBy("_tkey").orderBy("_mid")
+            head = (
+                members.withColumn("_rn", F.row_number().over(wcap))
+                .filter(F.col("_rn") <= expand_cap)
+                .drop("_rn")
+            )
+        else:
+            head = members
+        memb = head.join(rep_map, "_tkey").select("_rep", "_mid")
         msrc = memb.select(F.col("_rep").alias("src_id"), F.col("_mid").alias("_ms"))
         mdst = memb.select(F.col("_rep").alias("dst_id"), F.col("_mid").alias("_md"))
         cross = (
@@ -2227,17 +2268,56 @@ def ngram_containment_pairs(
         )
         if threshold <= 1.0:
             im = members.join(eligible_keys, "_tkey", "semi")
-            ia = im.select("_tkey", F.col("_mid").alias("_ia"))
-            ib = im.select("_tkey", F.col("_mid").alias("_ib"))
-            intra = (
-                ia.join(ib, "_tkey")
-                .filter(F.col("_ia") != F.col("_ib"))
-                .select(
-                    F.col("_ia").alias("src_id"),
-                    F.col("_ib").alias("dst_id"),
-                    F.lit(1.0).alias("containment"),
+            one = F.lit(1.0).alias("containment")
+            if expand_cap is None:
+                ia = im.select("_tkey", F.col("_mid").alias("_ia"))
+                ib = im.select("_tkey", F.col("_mid").alias("_ib"))
+                intra = (
+                    ia.join(ib, "_tkey")
+                    .filter(F.col("_ia") != F.col("_ib"))
+                    .select(
+                        F.col("_ia").alias("src_id"),
+                        F.col("_ib").alias("dst_id"),
+                        one,
+                    )
                 )
-            )
+            else:
+                wcap = Window.partitionBy("_tkey").orderBy("_mid")
+                ranked = im.withColumn("_rn", F.row_number().over(wcap)).withColumn(
+                    "_chunk", F.floor((F.col("_rn") - 1) / expand_cap)
+                )
+                ia = ranked.select("_tkey", "_chunk", F.col("_mid").alias("_ia"))
+                ib = ranked.select("_tkey", "_chunk", F.col("_mid").alias("_ib"))
+                cliques = (
+                    ia.join(ib, ["_tkey", "_chunk"])
+                    .filter(F.col("_ia") != F.col("_ib"))
+                    .select(
+                        F.col("_ia").alias("src_id"),
+                        F.col("_ib").alias("dst_id"),
+                        one,
+                    )
+                )
+                leads = ranked.filter((F.col("_rn") - 1) % expand_cap == 0).select(
+                    "_tkey", "_chunk", F.col("_mid").alias("_lead")
+                )
+                nxt = leads.select(
+                    "_tkey",
+                    (F.col("_chunk") - 1).alias("_chunk"),
+                    F.col("_lead").alias("_lead_next"),
+                )
+                ljoin = leads.join(nxt, ["_tkey", "_chunk"])
+                connectors = ljoin.select(
+                    F.col("_lead").alias("src_id"),
+                    F.col("_lead_next").alias("dst_id"),
+                    one,
+                ).unionByName(
+                    ljoin.select(
+                        F.col("_lead_next").alias("src_id"),
+                        F.col("_lead").alias("dst_id"),
+                        one,
+                    )
+                )
+                intra = cliques.unionByName(connectors)
             return cross.unionByName(intra)
         return cross
     sel = [

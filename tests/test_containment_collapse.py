@@ -86,3 +86,59 @@ def test_member_weighted_pruning_matches_direct(cont_docs):
     assert collapsed == direct
     # the short->long pairs are gone (their only shared shingles are hot)
     assert (1, 11) not in collapsed
+
+def test_expand_cap_bounds_output_preserving_reachability(cont_docs):
+    # ADVICE r8: expand_cap bounds output materialization for deep
+    # clones. cap=2 on the 4-deep QUOTED cluster / 3-deep LONG cluster:
+    # the emitted pairs must be a subset of the exact set with exact
+    # containments, per-member degree bounded, and every clone cluster
+    # plus the cross bridge still one connected blob in BOTH directions.
+    full = _pairs(
+        D.ngram_containment_pairs(cont_docs, threshold=0.0, collapse_exact=True)
+    )
+    capped = _pairs(
+        D.ngram_containment_pairs(
+            cont_docs, threshold=0.0, collapse_exact=True, expand_cap=2
+        )
+    )
+    assert set(capped) < set(full)
+    assert all(capped[p] == full[p] for p in capped)
+    # per-member out-degree bound: chunk clique (<= cap-1) + connectors
+    # (<= 2) + cross head-expansion (cap per cross-connected group)
+    from collections import defaultdict
+
+    deg = defaultdict(int)
+    for s, _d in capped:
+        deg[s] += 1
+    assert max(deg.values()) <= 2 * (2 + 2)
+    # reachability: directed BFS over capped pairs joins each clone
+    # cluster; short cluster reaches long cluster (containment bridge)
+    adj = defaultdict(set)
+    for s, d in capped:
+        adj[s].add(d)
+    def reach(start):
+        seen, stack = set(), [start]
+        while stack:
+            n = stack.pop()
+            if n in seen:
+                continue
+            seen.add(n)
+            stack.extend(adj[n])
+        return seen
+    assert {1, 2, 3, 4}.issubset(reach(1))
+    assert {11, 12, 13}.issubset(reach(11))
+    assert {11, 12, 13}.issubset(reach(1))  # via the directional bridge
+    # reverse direction inside clusters (bidirectional cliques/connectors)
+    radj = defaultdict(set)
+    for s, d in capped:
+        radj[d].add(s)
+    def rreach(start):
+        seen, stack = set(), [start]
+        while stack:
+            n = stack.pop()
+            if n in seen:
+                continue
+            seen.add(n)
+            stack.extend(radj[n])
+        return seen
+    assert {1, 2, 3, 4}.issubset(rreach(4))

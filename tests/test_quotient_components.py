@@ -192,3 +192,54 @@ def test_embedding_components_threshold_above_one(vec_docs):
         ).count()
         == 0
     )
+
+def test_quotient_labels_cross_edges_survive_empty_intra(spark):
+    # ADVICE r8: the structural contract — groups connected by rep_pairs
+    # cross edges must label their FULL member set even when
+    # intra_members is empty (the degenerate threshold>1.0 shape where
+    # a float-error pair survives the rerank). Before the fix the inner
+    # join on gsz dropped every group.
+    groups = spark.createDataFrame(
+        [(1, "ka"), (5, "kb"), (9, "kc")], "_id long, _tkey string"
+    )
+    members = spark.createDataFrame(
+        [(1, "ka"), (2, "ka"), (5, "kb"), (9, "kc"), (10, "kc")],
+        "_tkey_id long, _tkey string",
+    ).select(F.col("_tkey"), F.col("_tkey_id").alias("_mid"))
+    rep_pairs = spark.createDataFrame([(1, 5)], "id_a long, id_b long")
+    labels = _labels(
+        D._quotient_labels(
+            rep_pairs,
+            groups,
+            members,
+            "_id",
+            "_tkey",
+            intra_members=members.limit(0),
+        )
+    )
+    # cross-connected groups ka+kb label ALL their members with the rep
+    # component (min rep id = 1); edge-free group kc has no intra
+    # eligibility -> unlabeled
+    assert labels == {1: 1, 2: 1, 5: 1}
+
+
+def test_quotient_labels_edge_free_needs_intra(spark):
+    # edge-free groups still require >= 2 INTRA-ELIGIBLE members: with
+    # empty intra_members and no rep pairs, nothing is labeled.
+    groups = spark.createDataFrame([(21, "kx")], "_id long, _tkey string")
+    members = spark.createDataFrame(
+        [("kx", 21), ("kx", 22)], "_tkey string, _mid long"
+    )
+    empty_pairs = spark.createDataFrame([], "id_a long, id_b long")
+    assert (
+        D._quotient_labels(
+            empty_pairs, groups, members, "_id", "_tkey",
+            intra_members=members.limit(0),
+        ).count()
+        == 0
+    )
+    # and with intra eligibility present, the pair forms its own comp
+    labels = _labels(
+        D._quotient_labels(empty_pairs, groups, members, "_id", "_tkey")
+    )
+    assert labels == {21: 21, 22: 21}
