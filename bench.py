@@ -179,26 +179,42 @@ def main() -> None:
     first_runs: dict[str, float] = {}
     dropped = True
 
-    def _probe() -> float:
-        """Median of 5 calibration-probe runs (cheap: ~0.1 s each)."""
+    def _probe(probe_dir: str | None = None) -> float:
+        """Median of 5 calibration-probe runs (cheap: ~0.1 s each).
+        Cold protocols pass the WARM sf0.1 dir: the probe measures
+        ambient machine load (the thing CALIBRATION_REF is pinned
+        against), never the cold protocol's own data scale."""
+        probe_dir = probe_dir or sf_dir
         spec = plans.QUERIES[CALIBRATION_QUERY]
         spec.fn(spark, warm_dir).count()  # codegen warmup
-        spec.fn(spark, sf_dir).count()  # first-touch at the bench SF
+        spec.fn(spark, probe_dir).count()  # first-touch at the probe SF
         samples = []
         for _ in range(5):
             t0 = time.perf_counter()
-            spec.fn(spark, sf_dir).count()
+            spec.fn(spark, probe_dir).count()
             samples.append(time.perf_counter() - t0)
         return statistics.median(samples)
 
     include_pipeline = "--no-pipeline" not in sys.argv
-    probe_before = None if cold_sf1 else _probe()
+    # VERDICT r8 #4: cold rows must cite their own load factor — probe
+    # warm sf0.1 before/after the cold loop so 81-vs-184 s swings are
+    # attributable without cross-referencing same-hour warm runs.
+    _CAL_DIR = "/root/testdata/sf0.1"
+    probe_before = _probe(_CAL_DIR) if cold_sf1 else _probe()
     pipeline_timings: dict[str, float] = {}
     pipeline_first: dict[str, float] = {}
     errors: dict[str, str] = {}
+    # Per-query dup-mass-probe accounting (VERDICT r8 #3): snapshot the
+    # adaptive operators' probe counters around each query so the JSON
+    # shows where probe time lands (first_runs: one miss per adaptive
+    # source; warm medians: memo hits only, 0 ms).
+    from esther_apache_spark_spark.operators.dedup import AUTO_PROBE_STATS
+
+    probe_stats: dict[str, dict] = {}
     for name in HEADLINE + (PIPELINE if include_pipeline else []):
         print(f"[bench] {name}", file=sys.stderr, flush=True)
         spec = plans.QUERIES[name]
+        _ps0 = dict(AUTO_PROBE_STATS)
         try:
             spec.fn(spark, warm_dir).count()  # warmup: codegen + classloading
             if cold_sf1:
@@ -217,6 +233,16 @@ def main() -> None:
             errors[name] = str(exc).split("\n")[0][:200]
             print(f"[bench] {name} FAILED: {errors[name]}", file=sys.stderr, flush=True)
             continue
+        _d_miss = AUTO_PROBE_STATS["misses"] - _ps0["misses"]
+        _d_hit = AUTO_PROBE_STATS["hits"] - _ps0["hits"]
+        if _d_miss or _d_hit:
+            probe_stats[name] = {
+                "probe_ms": round(
+                    (AUTO_PROBE_STATS["probe_sec"] - _ps0["probe_sec"]) * 1000, 1
+                ),
+                "memo_misses": _d_miss,
+                "memo_hits": _d_hit,
+            }
         into_t = pipeline_timings if name in PIPELINE else timings
         into_f = pipeline_first if name in PIPELINE else first_runs
         into_t[name] = round(statistics.median(samples), 3)
@@ -245,8 +271,19 @@ def main() -> None:
         out["pipeline_queries"] = pipeline_timings
     if errors:
         out["errors"] = errors
+    if probe_stats:
+        out["probe_stats"] = probe_stats
     if cold_sf1:
         out["cold"] = dropped
+        probe_after = _probe(_CAL_DIR)
+        probe_median = statistics.median([probe_before, probe_after])
+        out["calibration"] = {
+            "query": CALIBRATION_QUERY,
+            "ref_sec": CALIBRATION_REF,
+            "probe_before_sec": round(probe_before, 4),
+            "probe_after_sec": round(probe_after, 4),
+            "load_factor": round(probe_median / CALIBRATION_REF, 3),
+        }
     else:
         out["first_run_total"] = round(sum(first_runs.values()), 3)
         out["first_runs"] = first_runs

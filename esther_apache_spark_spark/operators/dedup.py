@@ -464,6 +464,12 @@ AUTO_COLLAPSE_DUP_MASS = 0.10
 # cleared wholesale when full.
 _AUTO_PROBE_CACHE: dict[tuple[int, str], bool] = {}
 
+# Steady-state accounting for the probe (VERDICT r8 #3): bench.py
+# snapshots this around each query and reports per-query probe_ms +
+# memo hit/miss deltas, so a warm-median drift can be attributed to
+# the probe (misses inside timed runs) or ruled out (all hits).
+AUTO_PROBE_STATS = {"hits": 0, "misses": 0, "probe_sec": 0.0}
+
 
 def _resolve_collapse_exact(df: DataFrame, key: Column, collapse_exact, kind: str) -> bool:
     """Resolve the tri-state ``collapse_exact`` knob: True/False pass
@@ -482,12 +488,18 @@ def _resolve_collapse_exact(df: DataFrame, key: Column, collapse_exact, kind: st
         ck = (df.semanticHash(), kind)
         hit = _AUTO_PROBE_CACHE.get(ck)
         if hit is not None:
+            AUTO_PROBE_STATS["hits"] += 1
             return hit
     except Exception:  # noqa: BLE001 — memo is an optimization only
         pass
+    import time as _time
+
+    _t0 = _time.perf_counter()
     row = df.agg(
         F.count(F.lit(1)).alias("_n"), F.approx_count_distinct(key).alias("_d")
     ).first()
+    AUTO_PROBE_STATS["misses"] += 1
+    AUTO_PROBE_STATS["probe_sec"] += _time.perf_counter() - _t0
     n = int(row["_n"] or 0)
     mass = 0.0 if n == 0 else max(0.0, 1.0 - int(row["_d"]) / n)
     decision = mass >= AUTO_COLLAPSE_DUP_MASS

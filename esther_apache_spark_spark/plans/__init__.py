@@ -14,6 +14,7 @@ from esther_apache_spark_spark.plans import extensions  # noqa: E402,F401
 from esther_apache_spark_spark.plans import freshkart_plans  # noqa: E402,F401
 from esther_apache_spark_spark.plans import tpch_more  # noqa: E402,F401
 from esther_apache_spark_spark.plans import corpus_ops  # noqa: E402,F401
+from esther_apache_spark_spark.plans import incremental_plans  # noqa: E402,F401
 from esther_apache_spark_spark.plans import analytics  # noqa: E402,F401
 from esther_apache_spark_spark.plans import evaluation  # noqa: E402,F401
 from esther_apache_spark_spark.plans import warehouse  # noqa: E402,F401

@@ -295,6 +295,27 @@ _SRP_TABLES = "\n        UNION ALL\n        ".join(
     for t in range(12)
 )
 
+# Bucketing + candidate generation + exact 4-dp cosine rerank at the
+# 0.4 threshold, as a reusable CTE chain ending in
+# ``srp_pairs(id_a, id_b)`` — consumed by the incremental-merge oracles
+# in plans/incremental_plans.py (the pair/survivor entries below keep
+# their original inline strings).
+SRP_PAIRS_CTE_BODY = """v AS (SELECT vec_id AS _id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
+    b AS ({tables}),
+    cand AS (
+        SELECT DISTINCT a._id AS id_a, b2._id AS id_b
+        FROM b a JOIN b b2
+          ON a._table = b2._table AND a._bucket = b2._bucket AND a._id < b2._id
+    ),
+    srp_pairs AS (
+        SELECT id_a, id_b FROM (
+            SELECT id_a, id_b,
+                   ROUND(list_cosine_similarity(va.e, vb.e), 4) + 0.0 AS cosine
+            FROM cand JOIN v va ON va._id = cand.id_a
+                      JOIN v vb ON vb._id = cand.id_b
+        ) WHERE cosine >= 0.4
+    )""".replace("{tables}", _SRP_TABLES)
+
 
 @register(
     "dedup_fingerprint",
@@ -331,10 +352,11 @@ _TOKS_CTE = """
 """
 
 
-@register(
-    "dedup_minhash_lsh",
-    oracle=f"""
-    WITH consts AS (SELECT {_MINHASH_PERMS}),
+# The full signature→bands→bucket-join→first-meet-band CTE chain,
+# shared by the pair entry below and the incremental-merge oracles in
+# plans/incremental_plans.py (which append a recursive-CTE component
+# walk). Ends with ``mh_pairs(id_a, id_b, agree)``.
+MINHASH_PAIRS_CTE_BODY = f"""consts AS (SELECT {_MINHASH_PERMS}),
     toks AS ({_TOKS_CTE}),
     th AS (
         SELECT doc_id,
@@ -373,14 +395,22 @@ _TOKS_CTE = """
     expl AS (
         SELECT doc_id, sig, bands, CAST(r.b AS INTEGER) AS band, bands[r.b + 1] AS bucket
         FROM banded CROSS JOIN (SELECT unnest(range(8)) AS b) r
-    )
-    SELECT id_a, id_b, ROUND(agree / 32.0, 4) + 0.0 AS sig_agreement FROM (
+    ),
+    mh_pairs AS (
         SELECT a.doc_id AS id_a, b.doc_id AS id_b,
                len(list_filter(range(32), i -> a.sig[i+1] = b.sig[i+1])) AS agree
         FROM expl a JOIN expl b
           ON a.band = b.band AND a.bucket = b.bucket AND a.doc_id < b.doc_id
         WHERE list_position(list_transform(range(8), j -> a.bands[j+1] = b.bands[j+1]), true) = a.band + 1
-    )
+    )"""
+
+
+@register(
+    "dedup_minhash_lsh",
+    oracle=f"""
+    WITH {MINHASH_PAIRS_CTE_BODY}
+    SELECT id_a, id_b, ROUND(agree / 32.0, 4) + 0.0 AS sig_agreement
+    FROM mh_pairs
     """,
 )
 def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -729,6 +729,82 @@ def run_stream_bloom_novelty(
     return spark.table(name)
 
 
+def run_stream_minhash_novelty(
+    spark: SparkSession,
+    sf_dir: str,
+    index_path: str,
+    num_perm: int = 32,
+    bands: int = 8,
+    shingle_n: int = 3,
+    hash_family: str = "md5",
+) -> DataFrame:
+    """Streaming NEAR-dup novelty gate against the persisted MinHash
+    band index of ``operators/incremental.py`` — the banded sibling of
+    ``run_stream_bloom_novelty`` (exact ids), sharing ONE index format
+    with the batch ingest path (VERDICT r8 #6): the nightly job writes
+    ``bucket_reps``; both the batch merge and this stream probe it.
+
+    Per micro-batch (foreachBatch — the banding needs a batch context:
+    signature frames cache, and the probe is an ordinary equi-join):
+    arriving docs are banded, band keys semi-joined against the index's
+    (band, bucket) set, and docs with NO bucket co-occupancy in history
+    — no LSH near-dup candidate — pass through as novel. Docs with
+    empty/whitespace text share the sentinel signature, so they are
+    novel only if history has no such doc; null-text docs never band
+    and always pass. The index is RE-READ each micro-batch, so a
+    concurrent nightly rebuild is picked up at the next trigger —
+    streaming state is ZERO (the gate is a join against storage, not a
+    state store), which is the 100 TB/day posture: per-key streaming
+    state grows with corpus age, the index is already maintained by the
+    batch path. Returns the accumulated (batch) novel-docs table."""
+    import tempfile as _tempfile
+
+    from esther_apache_spark_spark.operators import dedup as D
+    from esther_apache_spark_spark.operators.sampling import hash_bucket
+    from esther_apache_spark_spark.schemas import TESTDATA
+
+    out_dir = _tempfile.mkdtemp(prefix="stream_mh_novel_")
+
+    src = (
+        spark.readStream.schema(TESTDATA["documents"])
+        .option("maxFilesPerTrigger", "1")
+        .option("pathGlobFilter", "documents.parquet")
+        .parquet(sf_dir)
+        .filter(
+            hash_bucket(F.col("doc_id"), salt="incrmh") >= int(0.8 * (1 << 32))
+        )
+    )
+
+    def _gate_batch(batch_df: DataFrame, batch_id: int) -> None:
+        reps = spark.read.parquet(f"{index_path}/bucket_reps")
+        sig = D.minhash_band_frame(
+            batch_df,
+            num_perm=num_perm,
+            bands=bands,
+            shingle_n=shingle_n,
+            hash_family=hash_family,
+        )
+        bband = sig.select("_id", F.posexplode("_bh").alias("_band", "_bucket"))
+        hits = (
+            bband.join(
+                reps.select("_band", "_bucket"), ["_band", "_bucket"], "semi"
+            )
+            .select(F.col("_id").alias("doc_id"))
+            .distinct()
+        )
+        novel = batch_df.join(hits, "doc_id", "left_anti").select(
+            "doc_id", "lang"
+        )
+        novel.write.mode("append").parquet(out_dir)
+
+    q = src.writeStream.foreachBatch(_gate_batch).start()
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    return spark.read.parquet(out_dir)
+
+
 def _transitions_update(key, pdfs, state):
     """The ``applyInPandasWithState`` fold for
     ``event_transitions_stream`` — module-level so the cross-batch
