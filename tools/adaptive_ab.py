@@ -27,8 +27,11 @@ import time
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
+# minhash has no fenced _direct/_collapsed catalog twins (the r8 pins
+# cover simhash/ngram/embedding); its adaptive entry still reports the
+# probe counters, which is the A/B's real question.
 FAMILIES = {
-    "minhash": ["dedup_minhash_lsh", "dedup_minhash_lsh_direct"],
+    "minhash": ["dedup_minhash_lsh"],
     "simhash": ["dedup_simhash", "dedup_simhash_direct", "dedup_simhash_collapsed"],
     "embedding": [
         "dedup_embedding_cosine",
