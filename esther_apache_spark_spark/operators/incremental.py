@@ -27,7 +27,7 @@ Index formats (plain parquet directories; see ``write_index``):
   cosine rerank needs — persisted INTO the index so the merge never
   re-reads the history embedding source), plus ``labels``. Cosine gates
   each candidate, so buckets cannot collapse to reps here; the rerank
-  is per candidate pair.
+  is one cross-GEMM per (table, bucket, shard) cogroup.
 
 Merge (``incremental_minhash_merge`` / ``incremental_srp_merge``):
 the arriving batch is banded/bucketed (one narrow pass over BATCH
@@ -310,23 +310,6 @@ def build_srp_vector_index(
     return {"buckets": buckets, "vectors": vectors, "labels": labels}
 
 
-def _cosine4(a, b):
-    """round(cos(a, b), 4) as a column expression over double arrays —
-    the same dot/(‖a‖·‖b‖) formula as DuckDB's
-    ``list_cosine_similarity`` (and 4-dp-equal to the GEMM kernel, the
-    equality every existing SRP oracle already rests on)."""
-    dot = F.aggregate(
-        F.zip_with(a, b, lambda x, y: x * y), F.lit(0.0), lambda acc, x: acc + x
-    )
-    na = F.sqrt(
-        F.aggregate(a, F.lit(0.0), lambda acc, x: acc + x * x)
-    )
-    nb = F.sqrt(
-        F.aggregate(b, F.lit(0.0), lambda acc, x: acc + x * x)
-    )
-    return F.round(dot / (na * nb), 4)
-
-
 def srp_merge_edges(
     batch: DataFrame,
     buckets: DataFrame,
@@ -345,7 +328,22 @@ def srp_merge_edges(
     batch↔history edges (history entering as its component label) plus
     batch↔batch edges. Split out so its lineage can be audited: the
     plan scans the index parquet tables and the BATCH slice only (CC's
-    checkpoints would truncate this from the final labels frame)."""
+    checkpoints would truncate this from the final labels frame).
+
+    Rerank shape (r9 sf1 finding): the first cut joined candidate
+    PAIRS to both vector tables and folded the cosine as a per-pair
+    interpreted expression — 148 s vs the direct path's 19 s at sf1,
+    because the direct path GEMMs each bucket. This version cogroups
+    batch and history rows per (table, bucket) and reranks as ONE
+    numpy cross-GEMM per group (Arrow-batched applyInPandas, float64,
+    round-4 — the same kernel contract as ``_srp_rep_pairs``), with
+    the batch side chunked inside the kernel so memory stays bounded.
+    ``max_bucket`` shards the HISTORY side of hot buckets (batch rows
+    replicate to every shard — the pair set is exactly preserved, the
+    per-task GEMM is bounded at O(chunk × max_bucket))."""
+    import numpy as np
+    import pandas as pd
+
     from esther_apache_spark_spark.operators.similarity import (
         srp_table_buckets_vec,
     )
@@ -358,34 +356,107 @@ def srp_merge_edges(
     bproj = D._cache(
         batch.select(
             F.col(id_col).alias("_bid"),
-            F.col(vec_col).cast("array<double>").alias("_bv"),
+            F.col(vec_col).alias("_bv"),
             srp_table_buckets_vec(
                 F.col(vec_col), dim, n_planes, n_tables, seed
             ).alias("_all"),
         )
     )
     bbuck = bproj.select(
-        "_bid", F.posexplode("_all").alias("_table", "_bucket")
+        "_bid", "_bv", F.posexplode("_all").alias("_table", "_bucket")
     )
-    cand = (
-        bbuck.join(
-            buckets.select(
-                F.col("_id").alias("_hid"), "_table", "_bucket"
-            ),
-            ["_table", "_bucket"],
+    hbuck = buckets.select(
+        F.col("_id").alias("_hid"), "_table", "_bucket"
+    ).join(
+        vectors.select(F.col("_id").alias("_hid"), F.col("_v").alias("_hv")),
+        "_hid",
+    )
+    if max_bucket is not None:
+        # hot-bucket sharding, cross-join flavor: split the HISTORY
+        # rows of any (table, bucket) over ceil(n/max_bucket) shards
+        # and replicate the batch rows to every shard — same pairs,
+        # bounded per-task GEMM, restored parallelism on boilerplate
+        # buckets (the self-join analog lives in _srp_rep_pairs)
+        hcnt = hbuck.groupBy("_table", "_bucket").agg(
+            F.count(F.lit(1)).alias("_hn")
         )
-        .select("_bid", "_hid")
-        .distinct()
+        hot = hcnt.filter(F.col("_hn") > max_bucket).select(
+            "_table",
+            "_bucket",
+            F.ceil(F.col("_hn") / max_bucket).cast("int").alias("_nsh"),
+        )
+        hbuck = hbuck.join(F.broadcast(hot), ["_table", "_bucket"], "left").withColumn(
+            "_shard",
+            F.when(
+                F.col("_nsh").isNotNull(),
+                F.pmod(F.xxhash64("_hid"), F.col("_nsh")),
+            ).otherwise(F.lit(0)),
+        ).drop("_nsh")
+        bbuck = bbuck.join(F.broadcast(hot), ["_table", "_bucket"], "left").withColumn(
+            "_shard",
+            F.explode(
+                F.sequence(
+                    F.lit(0),
+                    F.coalesce(F.col("_nsh"), F.lit(1)) - 1,
+                )
+            ),
+        ).drop("_nsh")
+    else:
+        hbuck = hbuck.withColumn("_shard", F.lit(0))
+        bbuck = bbuck.withColumn("_shard", F.lit(0))
+
+    bside = bbuck.select(
+        "_table", "_bucket", "_shard",
+        F.col("_bid").alias("_rid"), F.col("_bv").alias("_rv"),
+        F.lit("b").alias("_side"),
     )
-    hv = vectors.select(
-        F.col("_id").alias("_hid"), F.col("_v").cast("array<double>").alias("_hv")
+    hside = hbuck.select(
+        "_table", "_bucket", "_shard",
+        F.col("_hid").alias("_rid"), F.col("_hv").alias("_rv"),
+        F.lit("h").alias("_side"),
     )
+    thr = float(threshold)
+
+    def _cross_rerank(pdf: pd.DataFrame) -> pd.DataFrame:
+        empty = pd.DataFrame({"_bid": [], "_hid": []}).astype(
+            {"_bid": "int64", "_hid": "int64"}
+        )
+        bm = pdf[pdf["_side"] == "b"]
+        hm = pdf[pdf["_side"] == "h"]
+        if bm.empty or hm.empty:
+            return empty
+        bids = bm["_rid"].to_numpy()
+        hids = hm["_rid"].to_numpy()
+        mb = np.array(bm["_rv"].tolist(), dtype="float64")
+        mh = np.array(hm["_rv"].tolist(), dtype="float64")
+        nb_ = np.linalg.norm(mb, axis=1)
+        nh_ = np.linalg.norm(mh, axis=1)
+        kb, kh = nb_ > 0, nh_ > 0  # zero-norm: cosine undefined, drop
+        bids, mb, nb_ = bids[kb], mb[kb], nb_[kb]
+        hids, mh, nh_ = hids[kh], mh[kh], nh_[kh]
+        if len(bids) == 0 or len(hids) == 0:
+            return empty
+        mb = mb / nb_[:, None]
+        mh = mh / nh_[:, None]
+        out_b, out_h = [], []
+        chunk = 1024  # bounds the GEMM block at chunk × |hist shard|
+        for lo in range(0, len(bids), chunk):
+            s = np.round(mb[lo : lo + chunk] @ mh.T, 4)
+            ii, jj = np.nonzero(s >= thr)
+            out_b.append(bids[lo : lo + chunk][ii])
+            out_h.append(hids[jj])
+        return pd.DataFrame(
+            {
+                "_bid": np.concatenate(out_b) if out_b else [],
+                "_hid": np.concatenate(out_h) if out_h else [],
+            }
+        ).astype({"_bid": "int64", "_hid": "int64"})
+
     gated = (
-        cand.join(bproj.select("_bid", "_bv"), "_bid")
-        .join(hv, "_hid")
-        .withColumn("_cos", _cosine4(F.col("_bv"), F.col("_hv")))
-        .filter(F.col("_cos") >= threshold)  # null cosine (zero norm) fails
-        .select("_bid", "_hid")
+        bside.unionByName(hside)
+        .groupBy("_table", "_bucket", "_shard")
+        .applyInPandas(_cross_rerank, "_bid long, _hid long")
+        .dropDuplicates(["_bid", "_hid"])
     )
     bh = (
         gated.join(labels, gated._hid == labels.node, "left")
