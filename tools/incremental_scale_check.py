@@ -49,6 +49,10 @@ def main() -> None:
     sf_dir = args[0] if args else "/root/testdata/sf0.1"
     batch_frac = float(args[1]) if len(args) > 1 else 0.02
     cold = "--cold" in sys.argv
+    # reliable disk checkpoints for every CC round — same posture as
+    # bench.py --sf10-cold (localCheckpoint blocks live on the driver
+    # heap in local mode and are the sf10 OOM/GC-thrash axis, r7/r8)
+    os.environ.setdefault("SPARK_GRAFT_CHECKPOINT_DIR", "/tmp/spark_graft_ckpt")
 
     from pyspark.sql import functions as F
 
