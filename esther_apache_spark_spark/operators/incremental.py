@@ -385,14 +385,17 @@ def srp_merge_edges(
             "_bucket",
             F.ceil(F.col("_hn") / max_bucket).cast("int").alias("_nsh"),
         )
-        hbuck = hbuck.join(F.broadcast(hot), ["_table", "_bucket"], "left").withColumn(
+        # no forced broadcast: the hot-bucket list is usually tiny
+        # (boilerplate clusters) but grows with corpus in the worst
+        # case — AQE broadcasts it while it fits (repo hint doctrine)
+        hbuck = hbuck.join(hot, ["_table", "_bucket"], "left").withColumn(
             "_shard",
             F.when(
                 F.col("_nsh").isNotNull(),
                 F.pmod(F.xxhash64("_hid"), F.col("_nsh")),
             ).otherwise(F.lit(0)),
         ).drop("_nsh")
-        bbuck = bbuck.join(F.broadcast(hot), ["_table", "_bucket"], "left").withColumn(
+        bbuck = bbuck.join(hot, ["_table", "_bucket"], "left").withColumn(
             "_shard",
             F.explode(
                 F.sequence(
@@ -537,3 +540,146 @@ def incremental_srp_merge(
         .select(F.col("node").alias("old_comp"), F.col("comp").alias("new_comp"))
     )
     return batch_labels, remap
+
+
+# ---------------------------------------------------------------------------
+# Index maintenance: fold a merge back into the persisted index.
+# ---------------------------------------------------------------------------
+
+
+def _with_rep_self_rows(labels: DataFrame) -> DataFrame:
+    """Close a labels frame under representative self-rows: every comp
+    value referenced by a member must itself carry (comp, comp) — the
+    shape ``connected_components`` emits (the min node of a component
+    labels itself). The update paths need this for reps that newly
+    GAINED members: a previously-unlabeled history singleton joined by
+    a larger-id batch doc, or the min id of an all-novel batch clone
+    group — neither appears as a member row or in the remap."""
+    comps = labels.select(F.col("comp").alias("node")).distinct()
+    self_rows = comps.join(labels, "node", "left_anti").select(
+        "node", F.col("node").alias("comp")
+    )
+    return labels.unionByName(self_rows)
+
+
+def apply_minhash_merge_to_index(
+    bucket_reps: DataFrame,
+    labels: DataFrame,
+    batch: DataFrame,
+    batch_labels: DataFrame,
+    remap: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    num_perm: int = 32,
+    bands: int = 8,
+    shingle_n: int = 3,
+    hash_family: str = "md5",
+) -> dict[str, DataFrame]:
+    """Fold a day's merge back into the MinHash index — the step that
+    makes the NIGHTLY job itself incremental: with this, the index is
+    never rebuilt from the corpus; it absorbs each batch's bands and
+    the merge's label moves, and ``tests/test_incremental_dedup.py``
+    pins that the result is byte-identical to ``build_minhash_
+    bucket_index`` over the unioned corpus.
+
+    - ``labels``: remap applied to existing rows (old_comp → new_comp,
+      which also inserts the previously-singleton reps the remap
+      carries), plus the batch's non-self labels. Self-labeled batch
+      docs (novel singletons) stay out — matching the fresh build,
+      where CC labels only nodes with edges.
+    - ``bucket_reps``: existing reps pushed through the remap, plus the
+      batch's band keys with each doc's final label, dropping
+      duplicates. History content is never touched — the new band rows
+      come from the BATCH text (one narrow pass, the same frame the
+      merge banded)."""
+    rm = remap.select("old_comp", "new_comp")
+    new_labels = (
+        labels.join(rm, labels.comp == rm.old_comp, "left")
+        .select("node", F.coalesce("new_comp", "comp").alias("comp"))
+        .unionByName(
+            # singleton history reps that gained a component: the remap
+            # row IS their label row (old_comp = the node itself)
+            rm.join(labels, rm.old_comp == labels.node, "left_anti")
+            .select(F.col("old_comp").alias("node"), F.col("new_comp").alias("comp"))
+        )
+        .unionByName(
+            batch_labels.filter(F.col("comp") != F.col(id_col)).select(
+                F.col(id_col).alias("node"), "comp"
+            )
+        )
+    )
+    new_labels = _with_rep_self_rows(new_labels)
+    bsig = D.minhash_band_frame(
+        batch,
+        id_col=id_col,
+        text_col=text_col,
+        num_perm=num_perm,
+        bands=bands,
+        shingle_n=shingle_n,
+        hash_family=hash_family,
+    )
+    bband = bsig.select("_id", F.posexplode("_bh").alias("_band", "_bucket"))
+    bl = batch_labels.select(F.col(id_col).alias("_id"), F.col("comp").alias("_rep"))
+    new_reps = (
+        bucket_reps.join(rm, bucket_reps._rep == rm.old_comp, "left")
+        .select("_band", "_bucket", F.coalesce("new_comp", "_rep").alias("_rep"))
+        .unionByName(bband.join(bl, "_id").select("_band", "_bucket", "_rep"))
+        .distinct()
+    )
+    return {"bucket_reps": new_reps, "labels": new_labels}
+
+
+def apply_srp_merge_to_index(
+    buckets: DataFrame,
+    vectors: DataFrame,
+    labels: DataFrame,
+    batch: DataFrame,
+    batch_labels: DataFrame,
+    remap: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    n_planes: int = 4,
+    n_tables: int = 12,
+    seed: int = 42,
+    dim: int | None = None,
+) -> dict[str, DataFrame]:
+    """SRP twin of ``apply_minhash_merge_to_index``: labels absorb the
+    remap + batch labels; ``buckets``/``vectors`` are per-doc rows, so
+    the update is a plain append of the batch's projections (one
+    GEMM pass over BATCH vectors — history vectors untouched)."""
+    from esther_apache_spark_spark.operators.similarity import (
+        srp_table_buckets_vec,
+    )
+
+    if dim is None:
+        first = batch.select(F.size(vec_col).alias("d")).first()
+        if first is None:
+            raise ValueError("empty batch; pass dim explicitly")
+        dim = first["d"]
+    rm = remap.select("old_comp", "new_comp")
+    new_labels = (
+        labels.join(rm, labels.comp == rm.old_comp, "left")
+        .select("node", F.coalesce("new_comp", "comp").alias("comp"))
+        .unionByName(
+            rm.join(labels, rm.old_comp == labels.node, "left_anti")
+            .select(F.col("old_comp").alias("node"), F.col("new_comp").alias("comp"))
+        )
+        .unionByName(
+            batch_labels.filter(F.col("comp") != F.col(id_col)).select(
+                F.col(id_col).alias("node"), "comp"
+            )
+        )
+    )
+    new_labels = _with_rep_self_rows(new_labels)
+    bproj = batch.select(
+        F.col(id_col).alias("_id"),
+        F.col(vec_col).alias("_v"),
+        srp_table_buckets_vec(
+            F.col(vec_col), dim, n_planes, n_tables, seed
+        ).alias("_all"),
+    )
+    new_buckets = buckets.unionByName(
+        bproj.select("_id", F.posexplode("_all").alias("_table", "_bucket"))
+    )
+    new_vectors = vectors.unionByName(bproj.select("_id", "_v"))
+    return {"buckets": new_buckets, "vectors": new_vectors, "labels": new_labels}

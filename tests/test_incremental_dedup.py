@@ -273,3 +273,82 @@ def test_merge_plan_reads_index_not_history(spark, sf_dir):
         assert batch_labels.count() == b.count()
     finally:
         shutil.rmtree(root, ignore_errors=True)
+
+
+# --- index maintenance: fold the merge back into the index -------------------
+
+
+def _kv(df, *cols):
+    return {tuple(int(r[c]) if not isinstance(r[c], str) else r[c] for c in cols)
+            for r in df.collect()}
+
+
+def test_apply_minhash_merge_to_index_equals_fresh_build(spark, sf_dir):
+    """After the merge is folded back (apply_minhash_merge_to_index),
+    the index must equal build_minhash_bucket_index over the UNIONED
+    corpus row-for-row — labels AND bucket reps — so the nightly job
+    never needs a from-scratch rebuild."""
+    from esther_apache_spark_spark.operators.sampling import hash_bucket
+    from esther_apache_spark_spark.schemas import load_table
+
+    docs = load_table(spark, sf_dir, "documents")
+    in_hist = hash_bucket(F.col("doc_id"), salt="incrmh") < int(0.8 * (1 << 32))
+    h, b = docs.filter(in_hist), docs.filter(~in_hist)
+    idx = I.build_minhash_bucket_index(h, hash_family="md5")
+    batch_labels, remap = I.incremental_minhash_merge(
+        b, idx["bucket_reps"], hash_family="md5"
+    )
+    updated = I.apply_minhash_merge_to_index(
+        idx["bucket_reps"], idx["labels"], b, batch_labels, remap,
+        hash_family="md5",
+    )
+    fresh = I.build_minhash_bucket_index(docs, hash_family="md5")
+    assert _kv(updated["labels"], "node", "comp") == _kv(
+        fresh["labels"], "node", "comp"
+    )
+    assert _kv(updated["bucket_reps"], "_band", "_bucket", "_rep") == _kv(
+        fresh["bucket_reps"], "_band", "_bucket", "_rep"
+    )
+
+
+def test_apply_minhash_merge_to_index_fixture_shapes(spark, mh_split):
+    """The adversarial shapes on the tiny fixture: singleton-gains-
+    member (30+3), smaller-batch-id remap (10->5), all-novel batch
+    self-rows — updated index == fresh build over the union."""
+    h, b = mh_split
+    idx = I.build_minhash_bucket_index(h, hash_family="md5")
+    batch_labels, remap = I.incremental_minhash_merge(
+        b, idx["bucket_reps"], hash_family="md5"
+    )
+    updated = I.apply_minhash_merge_to_index(
+        idx["bucket_reps"], idx["labels"], b, batch_labels, remap,
+        hash_family="md5",
+    )
+    fresh = I.build_minhash_bucket_index(h.unionByName(b), hash_family="md5")
+    assert _kv(updated["labels"], "node", "comp") == _kv(
+        fresh["labels"], "node", "comp"
+    )
+    assert _kv(updated["bucket_reps"], "_band", "_bucket", "_rep") == _kv(
+        fresh["bucket_reps"], "_band", "_bucket", "_rep"
+    )
+
+
+def test_apply_srp_merge_to_index_equals_fresh_build(spark, vec_split):
+    h, b = vec_split
+    kw = dict(threshold=0.4, n_planes=4, n_tables=12, dim=4)
+    idx = I.build_srp_vector_index(h, **kw)
+    batch_labels, remap = I.incremental_srp_merge(
+        b, idx["buckets"], idx["vectors"], idx["labels"], **kw
+    )
+    updated = I.apply_srp_merge_to_index(
+        idx["buckets"], idx["vectors"], idx["labels"], b, batch_labels,
+        remap, n_planes=4, n_tables=12, dim=4,
+    )
+    fresh = I.build_srp_vector_index(h.unionByName(b), **kw)
+    assert _kv(updated["labels"], "node", "comp") == _kv(
+        fresh["labels"], "node", "comp"
+    )
+    assert _kv(updated["buckets"], "_id", "_table", "_bucket") == _kv(
+        fresh["buckets"], "_id", "_table", "_bucket"
+    )
+    assert updated["vectors"].count() == fresh["vectors"].count()
