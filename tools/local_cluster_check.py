@@ -66,7 +66,15 @@ def main() -> None:
             f"read_parquet('{sf_dir}/{t}.parquet')"
         )
 
-    names = bench.HEADLINE + bench.PIPELINE
+    # beyond the frozen bench sets: the r9 incremental-index family —
+    # applyInPandas cross-GEMM, parquet index probe, CC and a streaming
+    # foreachBatch sink all crossing real executor-process boundaries
+    extras = [
+        "incremental_minhash_dedup_new_docs",
+        "incremental_semantic_dedup_new_docs",
+        "streaming_minhash_novelty_docs",
+    ]
+    names = bench.HEADLINE + bench.PIPELINE + extras
     failures: dict[str, str] = {}
     timings: dict[str, float] = {}
     for name in names:
