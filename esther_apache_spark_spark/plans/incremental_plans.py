@@ -106,7 +106,7 @@ def incremental_minhash_dedup_new_docs(
     I.write_index(
         I.build_minhash_bucket_index(history, hash_family="md5"), path
     )
-    idx = I.read_index(spark, path, ["bucket_reps", "labels"])
+    idx = I.read_index(spark, path, ["bucket_reps"])
     batch_labels, _remap = I.incremental_minhash_merge(
         batch, idx["bucket_reps"], hash_family="md5"
     )

@@ -352,3 +352,43 @@ def test_apply_srp_merge_to_index_equals_fresh_build(spark, vec_split):
         fresh["buckets"], "_id", "_table", "_bucket"
     )
     assert updated["vectors"].count() == fresh["vectors"].count()
+
+
+def test_two_day_merge_fold_merge_equals_fresh(spark, mh_split):
+    """Induction pinned concretely: day-1 merge folded into the index,
+    then a day-2 batch merged against the UPDATED index — labels and
+    index equal a from-scratch build over all three slices."""
+    h, b1 = mh_split
+    b2 = spark.createDataFrame(
+        [(60, TXT_D), (2, TXT_C), (70, "yet more genuinely novel content here")],
+        "doc_id long, text string",
+    )
+    idx = I.build_minhash_bucket_index(h, hash_family="md5")
+    bl1, rm1 = I.incremental_minhash_merge(b1, idx["bucket_reps"], hash_family="md5")
+    day1 = I.apply_minhash_merge_to_index(
+        idx["bucket_reps"], idx["labels"], b1, bl1, rm1, hash_family="md5"
+    )
+    bl2, rm2 = I.incremental_minhash_merge(
+        b2, day1["bucket_reps"], hash_family="md5"
+    )
+    day2 = I.apply_minhash_merge_to_index(
+        day1["bucket_reps"], day1["labels"], b2, bl2, rm2, hash_family="md5"
+    )
+    union = h.unionByName(b1).unionByName(b2)
+    fresh = I.build_minhash_bucket_index(union, hash_family="md5")
+    assert _kv(day2["labels"], "node", "comp") == _kv(
+        fresh["labels"], "node", "comp"
+    )
+    assert _kv(day2["bucket_reps"], "_band", "_bucket", "_rep") == _kv(
+        fresh["bucket_reps"], "_band", "_bucket", "_rep"
+    )
+    # day-2 batch labels equal the full recompute over the union
+    full = _full_labels(
+        union.select("doc_id"), "doc_id",
+        D.minhash_lsh_candidates(union, hash_family="md5"),
+    )
+    got2 = _labels(bl2)
+    assert got2 == {k: full[k] for k in got2}
+    # day-2 id 2 clones C and undercuts the component's previous min
+    # (20): the second remap must rewrite a label the FIRST fold wrote
+    assert got2[2] == 2
