@@ -795,7 +795,14 @@ def run_stream_minhash_novelty(
         novel = batch_df.join(hits, "doc_id", "left_anti").select(
             "doc_id", "lang"
         )
-        novel.write.mode("append").parquet(out_dir)
+        try:
+            novel.write.mode("append").parquet(out_dir)
+        finally:
+            # the band frame persists per micro-batch (module cache
+            # doctrine); on an unbounded stream those entries would
+            # accumulate one per trigger — release each after its
+            # batch's write consumed it
+            sig.unpersist()
 
     q = src.writeStream.foreachBatch(_gate_batch).start()
     try:
