@@ -101,6 +101,43 @@ PIPELINE = [
 ]
 
 
+# Keys allowed on the stdout line, in emission order. The per-query
+# HEADLINE map stays (the driver brief's contract names it) — it is the
+# pipeline_* / first_runs / probe_stats breakdowns that blew the window
+# in r7 and r9; those live only in bench_result.json.
+_SLIM_FIELDS = (
+    "metric",
+    "value",
+    "unit",
+    "sf",
+    "queries",
+    "pipeline_total",
+    "first_run_total",
+    "cold",
+    "calibration",
+    "value_load_normalized",
+)
+# Driver stdout tail window is ~2000 bytes (measured r7/r9); leave slack.
+SLIM_BUDGET_BYTES = 1500
+
+
+def build_slim_result(out: dict) -> dict:
+    """Project the full bench result onto the slim stdout contract.
+
+    VERDICT r9 #1: the final stdout JSON line must stay parseable inside
+    the driver's ~2000-byte tail window. Pinned <= SLIM_BUDGET_BYTES by
+    tests/test_bench_emission.py; if a future field pushes past budget
+    anyway, the per-query map is dropped first — metric/value/
+    calibration must always survive.
+    """
+    slim = {k: out[k] for k in _SLIM_FIELDS if k in out}
+    if out.get("errors"):
+        slim["error_count"] = len(out["errors"])
+    if len(json.dumps(slim, separators=(",", ":"))) > SLIM_BUDGET_BYTES:
+        slim.pop("queries", None)
+    return slim
+
+
 def _drop_caches() -> bool:
     """Best-effort OS page-cache drop; False when unprivileged."""
     try:
@@ -199,7 +236,16 @@ def main() -> None:
     # VERDICT r8 #4: cold rows must cite their own load factor — probe
     # warm sf0.1 before/after the cold loop so 81-vs-184 s swings are
     # attributable without cross-referencing same-hour warm runs.
-    _CAL_DIR = "/root/testdata/sf0.1"
+    # ADVICE r9: the calibration dir follows SPARK_GRAFT_CAL_DIR (default
+    # the canonical sf0.1 path) so cold modes work on hosts without
+    # /root/testdata; fail loudly before any timing if it's absent.
+    _CAL_DIR = os.environ.get("SPARK_GRAFT_CAL_DIR", "/root/testdata/sf0.1")
+    if cold_sf1 and not os.path.isdir(_CAL_DIR):
+        sys.exit(
+            f"[bench] calibration dir {_CAL_DIR!r} is absent — set "
+            "SPARK_GRAFT_CAL_DIR to a warm sf0.1-scale parquet dir "
+            "(the cold protocols probe it to report load_factor)"
+        )
     probe_before = _probe(_CAL_DIR) if cold_sf1 else _probe()
     pipeline_timings: dict[str, float] = {}
     pipeline_first: dict[str, float] = {}
@@ -214,9 +260,12 @@ def main() -> None:
     for name in HEADLINE + (PIPELINE if include_pipeline else []):
         print(f"[bench] {name}", file=sys.stderr, flush=True)
         spec = plans.QUERIES[name]
-        _ps0 = dict(AUTO_PROBE_STATS)
         try:
             spec.fn(spark, warm_dir).count()  # warmup: codegen + classloading
+            # ADVICE r9: snapshot the probe counters AFTER the warmup
+            # pass so probe_ms attributes only probes paid at the bench
+            # SF, not the warmup-dir probe at sf0.001.
+            _ps0 = dict(AUTO_PROBE_STATS)
             if cold_sf1:
                 # data pages cold per query; codegen stays JIT-warm in the JVM
                 dropped = _drop_caches() and dropped
@@ -300,21 +349,23 @@ def main() -> None:
             "load_factor": round(load_factor, 3),
         }
         out["value_load_normalized"] = round(total / load_factor, 3)
-    # Emission contract (VERDICT r7 #2 — the r7 driver failed to parse
-    # the result because the final line outgrew its stdout tail window):
-    # compact separators, progress strictly on stderr, the JSON object
-    # is the very LAST stdout line (after spark.stop(), which can emit
-    # shutdown noise), and a copy lands on disk as bench_result.json so
-    # a clipped pipe never loses the numbers.
-    line = json.dumps(out, separators=(",", ":"))
+    # Emission contract (VERDICT r7 #2, recurred r9 as parsed:null —
+    # the full result object outgrew the driver's ~2000-byte stdout
+    # tail window TWICE): stdout carries a SLIM headline object only
+    # (judge-measured ~300 bytes; build_slim_result is pinned <1500
+    # bytes in tests/test_bench_emission.py so a future field can't
+    # re-break it), printed as the very LAST stdout line after
+    # spark.stop(); the FULL detail (queries, first_runs, probe_stats,
+    # pipeline_* breakdowns) lives only in bench_result.json on disk.
     result_path = os.path.join(
         os.path.dirname(os.path.abspath(__file__)), "bench_result.json"
     )
     try:
         with open(result_path, "w") as f:
-            f.write(line + "\n")
+            f.write(json.dumps(out, separators=(",", ":")) + "\n")
     except OSError as exc:
         print(f"[bench] could not write {result_path}: {exc}", file=sys.stderr)
+    line = json.dumps(build_slim_result(out), separators=(",", ":"))
     spark.stop()
     print(line, flush=True)
 

@@ -60,6 +60,14 @@ from pyspark.sql import functions as F
 from esther_apache_spark_spark.operators import dedup as D
 from esther_apache_spark_spark.operators.components import connected_components
 
+# Single definition of the simulated history/batch split used by every
+# incremental catalog entry, its DuckDB oracle, AND the streaming
+# novelty gates (ADVICE r9: the gate was duplicated inline in
+# streaming/events.py — changing it in one place silently desynced the
+# streaming entry from its oracle). hash_bucket(id, salt) < HIST_GATE_FRAC
+# selects the 80% "history" slice; >= is the arriving batch.
+HIST_GATE_FRAC = int(0.8 * (1 << 32))
+
 
 # ---------------------------------------------------------------------------
 # Index persistence (plain parquet; one subdirectory per table).

@@ -35,7 +35,8 @@ from esther_apache_spark_spark.plans.extensions import (
 )
 from esther_apache_spark_spark.schemas import EMBEDDING_DIM, load_table
 
-_HIST_FRAC = int(0.8 * (1 << 32))
+# Shared with the streaming novelty gates (ADVICE r9): one definition.
+_HIST_FRAC = I.HIST_GATE_FRAC
 
 # The recursive min-label walk shared by both oracles; expects a
 # ``pairs(id_a, id_b)`` CTE in scope and yields ``lab(node, comp)``.
@@ -63,13 +64,32 @@ def _batch_gate_sql(id_expr: str, salt: str) -> str:
 
 
 def _index_dir(kind: str, sf_dir: str) -> str:
-    """Stable per-(kind, sf_dir) scratch path for the simulated nightly
-    index — deterministic content, overwrite semantics, so repeated
-    driver/bench invocations reuse one location."""
+    """Per-(kind, sf_dir, PID) scratch path for the simulated nightly
+    index. Keyed by PID (ADVICE r9): every catalog invocation rewrites
+    the index with overwrite semantics, so two concurrent driver/bench
+    processes sharing one stable path could overlap a delete-then-
+    rewrite with the other's read. Within a process the path is stable
+    (entries sharing a kind reuse it); the whole per-process root is
+    removed at interpreter exit."""
     h = hashlib.md5(os.path.abspath(sf_dir).encode()).hexdigest()[:10]
-    return os.path.join(
-        tempfile.gettempdir(), "spark_graft_incr", f"{kind}_{h}"
+    root = os.path.join(
+        tempfile.gettempdir(), "spark_graft_incr", f"pid{os.getpid()}"
     )
+    _reap_at_exit(root)
+    return os.path.join(root, f"{kind}_{h}")
+
+
+_REAP_REGISTERED: set[str] = set()
+
+
+def _reap_at_exit(root: str) -> None:
+    if root in _REAP_REGISTERED:
+        return
+    _REAP_REGISTERED.add(root)
+    import atexit
+    import shutil
+
+    atexit.register(shutil.rmtree, root, ignore_errors=True)
 
 
 @register(

@@ -737,6 +737,8 @@ def run_stream_minhash_novelty(
     bands: int = 8,
     shingle_n: int = 3,
     hash_family: str = "md5",
+    hist_frac: int | None = None,
+    hist_salt: str = "incrmh",
 ) -> DataFrame:
     """Streaming NEAR-dup novelty gate against the persisted MinHash
     band index of ``operators/incremental.py`` — the banded sibling of
@@ -760,9 +762,15 @@ def run_stream_minhash_novelty(
     import tempfile as _tempfile
 
     from esther_apache_spark_spark.operators import dedup as D
+    from esther_apache_spark_spark.operators.incremental import HIST_GATE_FRAC
     from esther_apache_spark_spark.operators.sampling import hash_bucket
     from esther_apache_spark_spark.schemas import TESTDATA
 
+    # ADVICE r9: the history/batch split derives from the ONE shared
+    # constant (and is overridable), so the plan entry, this gate, and
+    # the DuckDB oracle can never silently desynchronize.
+    if hist_frac is None:
+        hist_frac = HIST_GATE_FRAC
     out_dir = _tempfile.mkdtemp(prefix="stream_mh_novel_")
 
     src = (
@@ -770,9 +778,7 @@ def run_stream_minhash_novelty(
         .option("maxFilesPerTrigger", "1")
         .option("pathGlobFilter", "documents.parquet")
         .parquet(sf_dir)
-        .filter(
-            hash_bucket(F.col("doc_id"), salt="incrmh") >= int(0.8 * (1 << 32))
-        )
+        .filter(hash_bucket(F.col("doc_id"), salt=hist_salt) >= hist_frac)
     )
 
     def _gate_batch(batch_df: DataFrame, batch_id: int) -> None:

@@ -27,6 +27,10 @@ import time
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
+# ADVICE r9: share the pinned idle-condition probe median with bench.py
+# so a re-pin there can never leave this tool reporting stale factors.
+from bench import CALIBRATION_REF  # noqa: E402
+
 # minhash has no fenced _direct/_collapsed catalog twins (the r8 pins
 # cover simhash/ngram/embedding); its adaptive entry still reports the
 # probe counters, which is the A/B's real question.
@@ -102,7 +106,9 @@ def main() -> None:
     out["calibration"] = {
         "probe_before_sec": round(before, 4),
         "probe_after_sec": round(after, 4),
-        "load_factor": round(statistics.median([before, after]) / 0.125, 3),
+        "load_factor": round(
+            statistics.median([before, after]) / CALIBRATION_REF, 3
+        ),
     }
     spark.stop()
     print(json.dumps(out, separators=(",", ":")), flush=True)
