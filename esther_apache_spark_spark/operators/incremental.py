@@ -106,12 +106,23 @@ def build_minhash_bucket_index(
     hash_family: str = "md5",
     max_bucket: int | None = 4096,
     collapse_exact: bool | str = "auto",
+    include_doc_bands: bool = True,
 ) -> dict[str, DataFrame]:
     """The nightly index build: history's component ``labels`` (CC over
     ``minhash_lsh_candidates`` pairs — min-member-id labels) and the
     ``bucket_reps`` map (one row per occupied (band, bucket) per
     distinct component rep occupying it). History content is read ONCE
-    here and never again by the merge."""
+    here and never again by the merge.
+
+    ``include_doc_bands`` (default on) also emits the PER-DOC band keys
+    ``doc_bands (_id, _band, _bucket)`` — the inverse mapping document
+    RETIREMENT needs (``retire_minhash_docs``): ``bucket_reps`` merges
+    each bucket's members into component reps, so without the per-doc
+    rows a takedown could neither re-elect a component's minimum nor
+    detect a bridge-doc split without re-reading (possibly already
+    TTL'd) corpus content. Cost: ``bands`` narrow rows per doc off the
+    already-cached signature frame — the same order as the SRP index's
+    ``buckets`` table."""
     pairs = D.minhash_lsh_candidates(
         history,
         id_col=id_col,
@@ -145,7 +156,10 @@ def build_minhash_bucket_index(
         )
         .distinct()
     )
-    return {"bucket_reps": bucket_reps, "labels": labels}
+    out = {"bucket_reps": bucket_reps, "labels": labels}
+    if include_doc_bands:
+        out["doc_bands"] = banded
+    return out
 
 
 def minhash_merge_edges(
@@ -318,11 +332,10 @@ def build_srp_vector_index(
     return {"buckets": buckets, "vectors": vectors, "labels": labels}
 
 
-def srp_merge_edges(
+def srp_batch_history_hits(
     batch: DataFrame,
     buckets: DataFrame,
     vectors: DataFrame,
-    labels: DataFrame,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     threshold: float = 0.4,
@@ -332,11 +345,14 @@ def srp_merge_edges(
     dim: int | None = None,
     max_bucket: int | None = 4096,
 ) -> DataFrame:
-    """The SRP merge graph's edge set ``(src, dst)`` — cosine-gated
-    batch↔history edges (history entering as its component label) plus
-    batch↔batch edges. Split out so its lineage can be audited: the
-    plan scans the index parquet tables and the BATCH slice only (CC's
-    checkpoints would truncate this from the final labels frame).
+    """Cosine-gated batch↔history candidate pairs ``(_bid, _hid)``
+    against the persisted SRP index — the probe shared by the batch
+    merge (``srp_merge_edges``) and the streaming novelty gate
+    (``streaming/events.run_stream_srp_novelty``): batch vectors are
+    SRP-bucketed, bucket co-occupancy with the index ``buckets``
+    nominates candidates, and the index ``vectors`` copy supplies the
+    exact rerank (4-dp cosine ≥ ``threshold``) — the history embedding
+    SOURCE is never read.
 
     Rerank shape (r9 sf1 finding): the first cut joined candidate
     PAIRS to both vector tables and folded the cosine as a per-pair
@@ -463,11 +479,46 @@ def srp_merge_edges(
             }
         ).astype({"_bid": "int64", "_hid": "int64"})
 
-    gated = (
+    return (
         bside.unionByName(hside)
         .groupBy("_table", "_bucket", "_shard")
         .applyInPandas(_cross_rerank, "_bid long, _hid long")
         .dropDuplicates(["_bid", "_hid"])
+    )
+
+
+def srp_merge_edges(
+    batch: DataFrame,
+    buckets: DataFrame,
+    vectors: DataFrame,
+    labels: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    threshold: float = 0.4,
+    n_planes: int = 4,
+    n_tables: int = 12,
+    seed: int = 42,
+    dim: int | None = None,
+    max_bucket: int | None = 4096,
+) -> DataFrame:
+    """The SRP merge graph's edge set ``(src, dst)`` — cosine-gated
+    batch↔history edges from ``srp_batch_history_hits`` (history
+    entering as its component label) plus batch↔batch edges. Split out
+    so its lineage can be audited: the plan scans the index parquet
+    tables and the BATCH slice only (CC's checkpoints would truncate
+    this from the final labels frame)."""
+    gated = srp_batch_history_hits(
+        batch,
+        buckets,
+        vectors,
+        id_col=id_col,
+        vec_col=vec_col,
+        threshold=threshold,
+        n_planes=n_planes,
+        n_tables=n_tables,
+        seed=seed,
+        dim=dim,
+        max_bucket=max_bucket,
     )
     bh = (
         gated.join(labels, gated._hid == labels.node, "left")
@@ -582,6 +633,7 @@ def apply_minhash_merge_to_index(
     bands: int = 8,
     shingle_n: int = 3,
     hash_family: str = "md5",
+    doc_bands: DataFrame | None = None,
 ) -> dict[str, DataFrame]:
     """Fold a day's merge back into the MinHash index — the step that
     makes the NIGHTLY job itself incremental: with this, the index is
@@ -634,7 +686,11 @@ def apply_minhash_merge_to_index(
         .unionByName(bband.join(bl, "_id").select("_band", "_bucket", "_rep"))
         .distinct()
     )
-    return {"bucket_reps": new_reps, "labels": new_labels}
+    out = {"bucket_reps": new_reps, "labels": new_labels}
+    if doc_bands is not None:
+        # per-doc rows are label-free: the fold is a plain append
+        out["doc_bands"] = doc_bands.unionByName(bband)
+    return out
 
 
 def apply_srp_merge_to_index(
@@ -691,3 +747,423 @@ def apply_srp_merge_to_index(
     )
     new_vectors = vectors.unionByName(bproj.select("_id", "_v"))
     return {"buckets": new_buckets, "vectors": new_vectors, "labels": new_labels}
+
+
+# ---------------------------------------------------------------------------
+# Index lifecycle (VERDICT r9 #2): document retirement (tombstones) and
+# sub-linear folds (append + remap log + compaction).
+#
+# The r9 index could only GROW: every fold rewrote the ENTIRE labels /
+# bucket_reps tables (at 100 TB the nightly job re-writes the whole
+# index daily), and there was no way to retire documents — takedowns
+# and TTL'd crawl slices, which a production pipeline hits within its
+# first month. Two additions close both:
+#
+# RETIREMENT (``retire_minhash_docs`` / ``retire_srp_docs``): exact
+# deletion is NOT "drop the member rows" — removing a doc can
+# (a) orphan a component label (the retired doc WAS the min id: the
+#     survivors must re-elect their minimum),
+# (b) SPLIT a component (the retired doc was the only bridge between
+#     two halves: survivors must re-partition into several components),
+# (c) orphan bucket rows (buckets only the retired doc occupied must
+#     stop attracting future merge edges).
+# All three are resolved by re-running CC over the SURVIVORS OF THE
+# AFFECTED COMPONENTS ONLY — sub-linear: retirement never touches a
+# component without a retired member, and never re-reads corpus
+# content (minhash re-pairs survivors from the index's own per-doc
+# ``doc_bands``; SRP re-ranks from the index's ``vectors`` copy).
+# Result is pinned equal to a fresh build over the surviving corpus.
+#
+# SUB-LINEAR FOLDS (``append_*_merge_to_index`` + ``remap_log`` +
+# ``compact_index``): the rewrite folds (``apply_*_merge_to_index``)
+# stay as the compaction-time semantics; the daily path instead
+# APPENDS (new parquet files only — O(batch) rows written): the
+# batch's labels/bands/vectors plus the merge's remap appended to a
+# ``remap_log`` table. Readers resolve labels through the log's
+# transitive closure (``resolve_remap_log`` — CC over the log's
+# (old, new) edges; exact because merge labels only ever DECREASE to
+# the new component minimum, so the closure's min IS the final label;
+# retirement, which can RAISE labels, is a compaction-class operation
+# and runs on the resolved view). ``compact_index`` materializes the
+# resolved view and truncates the log — the weekly job. The fold-vs-
+# rewrite cost split is measured by tools/index_lifecycle_check.py
+# (BASELINE.md row).
+# ---------------------------------------------------------------------------
+
+
+def _chain_edges_within(keys_df: DataFrame, id_col: str, part_cols: list[str]) -> DataFrame:
+    """Connectivity-preserving linear edge set: within each partition
+    (bucket), chain members in id order — (prev, id) per consecutive
+    pair. For CC purposes a path is equivalent to the bucket's full
+    clique while emitting O(members) edges instead of O(members²), so
+    a 10⁶-member boilerplate bucket costs 10⁶ edges, not 10¹². (The
+    window sorts each bucket in one task — linear output, and hot
+    buckets are bounded upstream by the build's ``max_bucket`` caps.)"""
+    from pyspark.sql import Window
+
+    w = Window.partitionBy(*part_cols).orderBy(id_col)
+    return (
+        keys_df.withColumn("_prev", F.lag(id_col).over(w))
+        .filter(F.col("_prev").isNotNull() & (F.col("_prev") != F.col(id_col)))
+        .select(F.col("_prev").alias("src"), F.col(id_col).alias("dst"))
+    )
+
+
+def retire_minhash_docs(
+    bucket_reps: DataFrame,
+    labels: DataFrame,
+    doc_bands: DataFrame,
+    retired: DataFrame,
+    id_col: str = "doc_id",
+    checkpoint_dir: str | None = None,
+) -> dict[str, DataFrame]:
+    """Retire documents from a MinHash index (takedowns / TTL): returns
+    the index frames exactly equal to ``build_minhash_bucket_index``
+    over the surviving corpus (pinned by tests/test_index_lifecycle.py,
+    including min-re-election, bridge-split, whole-component and
+    singleton retirement).
+
+    Plan: the AFFECTED components are those with a retired member;
+    their surviving members' band keys are pulled from ``doc_bands``
+    (corpus content is never read — the takedown may arrive after the
+    crawl slice was TTL'd), re-connected via per-bucket chain edges
+    (clique-equivalent for CC, linear in bucket size) and re-labeled by
+    ONE CC over that subgraph — which re-elects minima and realizes
+    splits in the same pass. ``bucket_reps`` drops every row owned by
+    an affected component or a retired singleton and regenerates the
+    survivors' contribution under their new labels; unaffected rows
+    pass through untouched (components never share buckets, so the
+    rewrite is proportional to the affected slice, not the index)."""
+    rid = retired.select(F.col(id_col).alias("_retid")).distinct()
+    aff = (
+        labels.join(rid, labels.node == rid._retid, "semi")
+        .select("comp")
+        .distinct()
+    )
+    members = labels.join(aff, "comp", "semi")
+    surv = members.join(rid, members.node == rid._retid, "left_anti").select(
+        "node"
+    )
+    sb = doc_bands.join(surv, doc_bands._id == surv.node, "semi")
+    sub = connected_components(
+        _chain_edges_within(sb.select("_id", "_band", "_bucket"), "_id",
+                            ["_band", "_bucket"]),
+        checkpoint_dir=checkpoint_dir,
+    )
+    new_labels = labels.join(aff, "comp", "left_anti").unionByName(sub)
+    # rows to drop: every row owned by an affected component, plus the
+    # retired docs' own-id rows (unlabeled singletons are their own rep
+    # and never share a bucket — sharing one would make them a pair)
+    drop = aff.select(F.col("comp").alias("_rep")).unionByName(
+        rid.select(F.col("_retid").alias("_rep"))
+    )
+    kept = bucket_reps.join(drop, "_rep", "left_anti")
+    surv_bands = doc_bands.join(surv, doc_bands._id == surv.node, "semi")
+    regen = (
+        surv_bands.join(sub, surv_bands._id == sub.node, "left")
+        .select(
+            "_band", "_bucket", F.coalesce("comp", F.col("_id")).alias("_rep")
+        )
+        .distinct()
+    )
+    new_doc_bands = doc_bands.join(
+        rid, doc_bands._id == rid._retid, "left_anti"
+    )
+    return {
+        "bucket_reps": kept.unionByName(regen),
+        "labels": new_labels,
+        "doc_bands": new_doc_bands,
+    }
+
+
+def retire_srp_docs(
+    buckets: DataFrame,
+    vectors: DataFrame,
+    labels: DataFrame,
+    retired: DataFrame,
+    id_col: str = "vec_id",
+    threshold: float = 0.4,
+    n_planes: int = 4,
+    n_tables: int = 12,
+    seed: int = 42,
+    dim: int | None = None,
+    max_bucket: int | None = 4096,
+    checkpoint_dir: str | None = None,
+) -> dict[str, DataFrame]:
+    """SRP twin of ``retire_minhash_docs``. ``buckets``/``vectors`` are
+    per-doc tables, so their retirement is a plain anti-join; labels of
+    AFFECTED components are re-derived by re-ranking the surviving
+    members' vectors — read from the index's own ``vectors`` copy, the
+    embedding source is never touched — through the SAME pair operator
+    the fresh build uses (``embedding_cosine_dups``: seeded SRP
+    buckets, exact 4-dp cosine gate, hot-bucket sharding), then one CC
+    over those pairs. Cosine edges are not transitive, so the minhash
+    path's chain shortcut does not apply here; the pair operator's
+    ``max_bucket`` caps bound the rerank instead."""
+    rid = retired.select(F.col(id_col).alias("_retid")).distinct()
+    aff = (
+        labels.join(rid, labels.node == rid._retid, "semi")
+        .select("comp")
+        .distinct()
+    )
+    members = labels.join(aff, "comp", "semi")
+    surv = members.join(rid, members.node == rid._retid, "left_anti").select(
+        "node"
+    )
+    surv_vecs = vectors.join(surv, vectors._id == surv.node, "semi").select(
+        F.col("_id").alias(id_col), F.col("_v").alias("embedding")
+    )
+    pairs = D.embedding_cosine_dups(
+        surv_vecs,
+        id_col=id_col,
+        vec_col="embedding",
+        threshold=threshold,
+        n_planes=n_planes,
+        n_tables=n_tables,
+        seed=seed,
+        dim=dim,
+        max_bucket=max_bucket,
+    ).select(F.col("id_a").alias("src"), F.col("id_b").alias("dst"))
+    sub = connected_components(pairs, checkpoint_dir=checkpoint_dir)
+    new_labels = labels.join(aff, "comp", "left_anti").unionByName(sub)
+    return {
+        "buckets": buckets.join(rid, buckets._id == rid._retid, "left_anti"),
+        "vectors": vectors.join(rid, vectors._id == rid._retid, "left_anti"),
+        "labels": new_labels,
+    }
+
+
+# ---------------------------------------------------------------------------
+# Sub-linear folds: append + remap log + compaction.
+# ---------------------------------------------------------------------------
+
+
+def append_index(index: dict[str, DataFrame], path: str) -> None:
+    """Append rows to an index's tables (new parquet files only — no
+    existing file is rewritten). The daily-fold write primitive."""
+    for name, df in index.items():
+        df.write.mode("append").parquet(f"{path}/{name}")
+
+
+def append_minhash_merge_to_index(
+    path: str,
+    batch: DataFrame,
+    batch_labels: DataFrame,
+    remap: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    num_perm: int = 32,
+    bands: int = 8,
+    shingle_n: int = 3,
+    hash_family: str = "md5",
+) -> None:
+    """The SUB-LINEAR nightly fold (VERDICT r9 #2b): where
+    ``apply_minhash_merge_to_index`` rebuilds the full labels /
+    bucket_reps frames (the nightly job rewrites the ENTIRE index
+    daily — linear in corpus age), this appends O(batch) rows and the
+    merge's remap to a ``remap_log``; readers resolve stale labels
+    through the log's closure (``read_minhash_index_resolved``), and
+    ``compact_index`` materializes + truncates weekly.
+
+    Appended: batch band keys under their final labels (bucket_reps),
+    the per-doc band rows (doc_bands), the batch's non-self labels
+    PLUS the remap rows as label rows — (old_comp → new_comp) is
+    exactly the label row a previously-singleton rep gains, and for
+    already-labeled reps it duplicates what log resolution computes
+    (the resolved read's distinct folds it) — and the remap itself
+    (remap_log). Correctness precondition, pinned by test: merges must
+    run against the RESOLVED view, so each remap's old_comp is a
+    CURRENT label and the log stays a forest of strictly-decreasing
+    chains whose closure-min is the final label."""
+    bsig = D.minhash_band_frame(
+        batch,
+        id_col=id_col,
+        text_col=text_col,
+        num_perm=num_perm,
+        bands=bands,
+        shingle_n=shingle_n,
+        hash_family=hash_family,
+    )
+    bband = bsig.select("_id", F.posexplode("_bh").alias("_band", "_bucket"))
+    bl = batch_labels.select(
+        F.col(id_col).alias("_id"), F.col("comp").alias("_rep")
+    )
+    rm = remap.select("old_comp", "new_comp")
+    append_index(
+        {
+            "bucket_reps": bband.join(bl, "_id")
+            .select("_band", "_bucket", "_rep")
+            .distinct(),
+            "doc_bands": bband,
+            "labels": batch_labels.filter(F.col("comp") != F.col(id_col))
+            .select(F.col(id_col).alias("node"), "comp")
+            .unionByName(
+                rm.select(
+                    F.col("old_comp").alias("node"),
+                    F.col("new_comp").alias("comp"),
+                )
+            ),
+            "remap_log": rm,
+        },
+        path,
+    )
+
+
+def append_srp_merge_to_index(
+    path: str,
+    batch: DataFrame,
+    batch_labels: DataFrame,
+    remap: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    n_planes: int = 4,
+    n_tables: int = 12,
+    seed: int = 42,
+    dim: int | None = None,
+) -> None:
+    """SRP twin of ``append_minhash_merge_to_index``: ``buckets`` /
+    ``vectors`` are per-doc tables, so their deltas are plain appends
+    of the batch's projections; labels and the remap follow the same
+    log discipline as the minhash fold."""
+    from esther_apache_spark_spark.operators.similarity import (
+        srp_table_buckets_vec,
+    )
+
+    if dim is None:
+        first = batch.select(F.size(vec_col).alias("d")).first()
+        if first is None:
+            raise ValueError("empty batch; pass dim explicitly")
+        dim = first["d"]
+    bproj = batch.select(
+        F.col(id_col).alias("_id"),
+        F.col(vec_col).alias("_v"),
+        srp_table_buckets_vec(
+            F.col(vec_col), dim, n_planes, n_tables, seed
+        ).alias("_all"),
+    )
+    rm = remap.select("old_comp", "new_comp")
+    append_index(
+        {
+            "buckets": bproj.select(
+                "_id", F.posexplode("_all").alias("_table", "_bucket")
+            ),
+            "vectors": bproj.select("_id", "_v"),
+            "labels": batch_labels.filter(F.col("comp") != F.col(id_col))
+            .select(F.col(id_col).alias("node"), "comp")
+            .unionByName(
+                rm.select(
+                    F.col("old_comp").alias("node"),
+                    F.col("new_comp").alias("comp"),
+                )
+            ),
+            "remap_log": rm,
+        },
+        path,
+    )
+
+
+def resolve_remap_log(spark: SparkSession, path: str) -> DataFrame | None:
+    """Transitive closure of the appended remap log as a resolution map
+    ``(node=any logged comp value, comp=its final label)`` — CC over
+    the log's (old, new) edges. Exact because merge-remaps only ever
+    LOWER a label to the new component minimum: the log is a forest of
+    decreasing chains/trees whose connected minimum IS the final label
+    (retirement can raise labels, which is why it is compaction-class
+    and never enters the log). The log is O(components touched per
+    fold) — tiny next to the index — so this closure is cheap and its
+    application to the base tables is a broadcast-size join."""
+    import os as _os
+
+    log_dir = f"{path}/remap_log"
+    if not _os.path.isdir(log_dir):
+        return None
+    log = spark.read.parquet(log_dir)
+    return connected_components(
+        log.select(
+            F.col("old_comp").alias("src"), F.col("new_comp").alias("dst")
+        )
+    )
+
+
+def _resolve_col(
+    df: DataFrame, col: str, res: DataFrame | None
+) -> DataFrame:
+    """Rewrite ``col`` through a resolution map (left join + coalesce);
+    identity when the index has no log."""
+    if res is None:
+        return df
+    rl = res.select(F.col("node").alias("_rold"), F.col("comp").alias("_rnew"))
+    others = [c for c in df.columns if c != col]
+    return (
+        df.join(rl, df[col] == rl._rold, "left")
+        .select(*others, F.coalesce("_rnew", col).alias(col))
+        .select(*df.columns)
+    )
+
+
+def read_minhash_index_resolved(
+    spark: SparkSession, path: str
+) -> dict[str, DataFrame]:
+    """Open an append-mode MinHash index as the resolved view the
+    rewrite fold would have produced: labels and bucket reps pushed
+    through the remap-log closure, duplicates folded, label frame
+    closed under rep self-rows. Equal (pinned) to
+    ``apply_minhash_merge_to_index`` run fold-by-fold, and therefore
+    to a fresh build over the accumulated corpus."""
+    import os as _os
+
+    names = ["bucket_reps", "labels"]
+    if _os.path.isdir(f"{path}/doc_bands"):
+        names.append("doc_bands")
+    raw = read_index(spark, path, names)
+    res = resolve_remap_log(spark, path)
+    labels = _with_rep_self_rows(
+        _resolve_col(raw["labels"], "comp", res).distinct()
+    )
+    reps = _resolve_col(raw["bucket_reps"], "_rep", res).distinct()
+    out = {"bucket_reps": reps, "labels": labels}
+    if "doc_bands" in raw:
+        out["doc_bands"] = raw["doc_bands"]
+    return out
+
+
+def read_srp_index_resolved(
+    spark: SparkSession, path: str
+) -> dict[str, DataFrame]:
+    """SRP twin of ``read_minhash_index_resolved`` (buckets/vectors are
+    per-doc appends and pass through raw)."""
+    raw = read_index(spark, path, ["buckets", "vectors", "labels"])
+    res = resolve_remap_log(spark, path)
+    labels = _with_rep_self_rows(
+        _resolve_col(raw["labels"], "comp", res).distinct()
+    )
+    return {
+        "buckets": raw["buckets"],
+        "vectors": raw["vectors"],
+        "labels": labels,
+    }
+
+
+def compact_index(spark: SparkSession, path: str, kind: str) -> None:
+    """The weekly compaction: materialize the resolved view into fresh
+    base tables and truncate the remap log, bounding resolved-read cost
+    between compactions. ``kind`` is ``"minhash"`` or ``"srp"``. The
+    resolved frames are written to a sibling scratch dir FIRST (the
+    write is the action that reads the old files), then swapped in."""
+    import os as _os
+    import shutil as _shutil
+
+    if kind == "minhash":
+        resolved = read_minhash_index_resolved(spark, path)
+    elif kind == "srp":
+        resolved = read_srp_index_resolved(spark, path)
+    else:
+        raise ValueError(f"unknown index kind: {kind!r}")
+    tmp = f"{path}.compacting"
+    _shutil.rmtree(tmp, ignore_errors=True)
+    write_index(resolved, tmp)
+    for name in resolved:
+        _shutil.rmtree(f"{path}/{name}", ignore_errors=True)
+        _os.rename(f"{tmp}/{name}", f"{path}/{name}")
+    _shutil.rmtree(f"{path}/remap_log", ignore_errors=True)
+    _shutil.rmtree(tmp, ignore_errors=True)

@@ -404,6 +404,16 @@ MINHASH_PAIRS_CTE_BODY = f"""consts AS (SELECT {_MINHASH_PERMS}),
         WHERE list_position(list_transform(range(8), j -> a.bands[j+1] = b.bands[j+1]), true) = a.band + 1
     )"""
 
+def minhash_pairs_cte_body(source: str = "documents") -> str:
+    """``MINHASH_PAIRS_CTE_BODY`` with the corpus source swapped — the
+    retirement oracle (plans/incremental_plans.py) replays the fresh
+    build over a ``surviving`` CTE instead of the raw table."""
+    return MINHASH_PAIRS_CTE_BODY.replace(
+        "FROM documents WHERE text IS NOT NULL",
+        f"FROM {source} WHERE text IS NOT NULL",
+    )
+
+
 
 @register(
     "dedup_minhash_lsh",

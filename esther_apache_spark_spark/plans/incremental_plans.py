@@ -32,6 +32,7 @@ from esther_apache_spark_spark.plans.catalog import register
 from esther_apache_spark_spark.plans.extensions import (
     MINHASH_PAIRS_CTE_BODY,
     SRP_PAIRS_CTE_BODY,
+    minhash_pairs_cte_body,
 )
 from esther_apache_spark_spark.schemas import EMBEDDING_DIM, load_table
 
@@ -60,6 +61,19 @@ def _batch_gate_sql(id_expr: str, salt: str) -> str:
     return (
         f"CAST(CONCAT('0x', substr(md5('{salt}' || CAST({id_expr} AS VARCHAR)),"
         f" 1, 8)) AS BIGINT) >= CAST({_HIST_FRAC} AS BIGINT)"
+    )
+
+
+# The retirement entry's simulated takedown slice: 30% of HISTORY docs
+# by an independent hash gate — enough retired docs at every test SF to
+# exercise min re-election and component splits.
+_RETIRE_FRAC = int(0.3 * (1 << 32))
+
+
+def _retire_gate_sql(id_expr: str) -> str:
+    return (
+        f"CAST(CONCAT('0x', substr(md5('retire' || CAST({id_expr} AS"
+        f" VARCHAR)), 1, 8)) AS BIGINT) < CAST({_RETIRE_FRAC} AS BIGINT)"
     )
 
 
@@ -220,3 +234,106 @@ def streaming_minhash_novelty_docs(spark: SparkSession, sf_dir: str) -> DataFram
         I.build_minhash_bucket_index(history, hash_family="md5"), path
     )
     return run_stream_minhash_novelty(spark, sf_dir, path)
+
+
+@register(
+    "incremental_dedup_after_retire",
+    oracle=f"""
+    WITH RECURSIVE surviving AS (
+        SELECT * FROM documents
+        WHERE NOT (NOT ({_batch_gate_sql('doc_id', 'incrmh')})
+                   AND {_retire_gate_sql('doc_id')})
+    ),
+    {minhash_pairs_cte_body('surviving')},
+    pairs AS (SELECT id_a, id_b FROM mh_pairs),
+    {_CC_CTES}
+    SELECT d.doc_id, CAST(COALESCE(l.comp, d.doc_id) AS BIGINT) AS comp
+    FROM documents d LEFT JOIN lab l ON l.node = d.doc_id
+    WHERE {_batch_gate_sql('d.doc_id', 'incrmh')}
+    """,
+)
+def incremental_dedup_after_retire(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Index lifecycle end-to-end (VERDICT r9 #2a): the nightly MinHash
+    index is built over history, a takedown slice (30% of history by an
+    independent hash gate) is RETIRED from the persisted index —
+    ``retire_minhash_docs`` re-elects component minima, realizes
+    bridge-splits and drops orphaned bucket rows from the index's own
+    per-doc ``doc_bands``, never re-reading corpus content — and the
+    arriving batch then merges against the pruned index. Returns
+    (doc_id, comp) for batch docs; the oracle replays the fresh build
+    over the SURVIVING corpus (documents minus the retired history
+    slice) restricted to batch docs, so a single leaked bucket row or
+    stale label in the pruned index would shift a component minimum and
+    break the hash."""
+    from esther_apache_spark_spark.operators.sampling import hash_bucket
+
+    docs = load_table(spark, sf_dir, "documents")
+    in_hist = hash_bucket(F.col("doc_id"), salt="incrmh") < _HIST_FRAC
+    history, batch = docs.filter(in_hist), docs.filter(~in_hist)
+
+    path = _index_dir("mh", sf_dir)
+    I.write_index(
+        I.build_minhash_bucket_index(history, hash_family="md5"), path
+    )
+    idx = I.read_index(spark, path, ["bucket_reps", "labels", "doc_bands"])
+    retired = history.filter(
+        hash_bucket(F.col("doc_id"), salt="retire") < _RETIRE_FRAC
+    ).select("doc_id")
+    pruned = I.retire_minhash_docs(
+        idx["bucket_reps"], idx["labels"], idx["doc_bands"], retired
+    )
+    rpath = _index_dir("mhret", sf_dir)
+    I.write_index({"bucket_reps": pruned["bucket_reps"]}, rpath)
+    reps = I.read_index(spark, rpath, ["bucket_reps"])["bucket_reps"]
+    batch_labels, _remap = I.incremental_minhash_merge(
+        batch, reps, hash_family="md5"
+    )
+    return batch_labels.select(
+        "doc_id", F.col("comp").cast("long").alias("comp")
+    )
+
+
+@register(
+    "streaming_srp_novelty_docs",
+    oracle=f"""
+    WITH {SRP_PAIRS_CTE_BODY},
+    hist AS (
+        SELECT vec_id FROM embeddings
+        WHERE NOT ({_batch_gate_sql('vec_id', 'incrsem')})
+    ),
+    hits AS (
+        SELECT p.id_a AS vid FROM srp_pairs p JOIN hist h ON p.id_b = h.vec_id
+        UNION
+        SELECT p.id_b FROM srp_pairs p JOIN hist h ON p.id_a = h.vec_id
+    )
+    SELECT e.vec_id, e.label FROM embeddings e
+    WHERE {_batch_gate_sql('e.vec_id', 'incrsem')}
+      AND NOT EXISTS (SELECT 1 FROM hits WHERE hits.vid = e.vec_id)
+    """,
+)
+def streaming_srp_novelty_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming SEMANTIC novelty over a file stream of arriving
+    embeddings, gated against the SAME persisted SRP index the batch
+    incremental merge probes (VERDICT r9 #4 — the embedding twin of
+    ``streaming_minhash_novelty_docs``). Bucket co-occupancy alone is
+    only a candidate for embeddings, so the gate reranks against the
+    index's ``vectors`` copy through the batch merge's own probe
+    (``srp_batch_history_hits``): vectors with no exact-cosine hit
+    ≥ 0.4 anywhere in history are novel and stream through. The oracle
+    replays SRP buckets + cosine rerank for the WHOLE corpus and checks
+    batch vectors for a reranked history partner — exactly the gate's
+    semantics, no index modeled."""
+    from esther_apache_spark_spark.operators.sampling import hash_bucket
+    from esther_apache_spark_spark.streaming.events import (
+        run_stream_srp_novelty,
+    )
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    history = emb.filter(
+        hash_bucket(F.col("vec_id"), salt="incrsem") < _HIST_FRAC
+    )
+    path = _index_dir("srp", sf_dir)
+    I.write_index(
+        I.build_srp_vector_index(history, dim=EMBEDDING_DIM), path
+    )
+    return run_stream_srp_novelty(spark, sf_dir, path, dim=EMBEDDING_DIM)

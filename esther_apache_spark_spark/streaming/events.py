@@ -818,6 +818,92 @@ def run_stream_minhash_novelty(
     return spark.read.parquet(out_dir)
 
 
+def run_stream_srp_novelty(
+    spark: SparkSession,
+    sf_dir: str,
+    index_path: str,
+    threshold: float = 0.4,
+    n_planes: int = 4,
+    n_tables: int = 12,
+    seed: int = 42,
+    dim: int | None = None,
+    max_bucket: int | None = 4096,
+    hist_frac: int | None = None,
+    hist_salt: str = "incrsem",
+) -> DataFrame:
+    """Streaming SEMANTIC novelty gate — the embedding twin of
+    ``run_stream_minhash_novelty`` (VERDICT r9 #4): arriving embeddings
+    are gated against the persisted SRP index the batch merge maintains
+    (``operators/incremental.py`` — ONE index format for both ingest
+    paths). Unlike the minhash gate, bucket co-occupancy alone is only
+    a CANDIDATE here — the gate needs the index's ``vectors`` copy for
+    the exact 4-dp cosine ≥ ``threshold`` rerank, via the SAME probe
+    the batch merge runs (``srp_batch_history_hits``: bucket equi-join,
+    hot-bucket history sharding, per-(table, bucket, shard) cross-GEMM).
+    Vectors with NO reranked history hit have no near-duplicate
+    anywhere in history — novel, streamed through; the rest are held
+    for the batch merge.
+
+    Same 100 TB posture as the minhash gate: ZERO streaming state (the
+    gate is a join against storage — per-key state would grow with
+    corpus age), index re-read each trigger (a concurrent nightly
+    rebuild is picked up at the next trigger), per-trigger plan-barrier
+    caches released via ``cache_scope``. Returns the accumulated
+    (batch) novel-vectors table."""
+    import tempfile as _tempfile
+
+    from esther_apache_spark_spark.operators import dedup as D
+    from esther_apache_spark_spark.operators import incremental as I
+    from esther_apache_spark_spark.operators.sampling import hash_bucket
+    from esther_apache_spark_spark.schemas import TESTDATA
+
+    if hist_frac is None:
+        hist_frac = I.HIST_GATE_FRAC
+    out_dir = _tempfile.mkdtemp(prefix="stream_srp_novel_")
+
+    src = (
+        spark.readStream.schema(TESTDATA["embeddings"])
+        .option("maxFilesPerTrigger", "1")
+        .option("pathGlobFilter", "embeddings.parquet")
+        .parquet(sf_dir)
+        .filter(hash_bucket(F.col("vec_id"), salt=hist_salt) >= hist_frac)
+    )
+
+    def _gate_batch(batch_df: DataFrame, batch_id: int) -> None:
+        buckets = spark.read.parquet(f"{index_path}/buckets")
+        vectors = spark.read.parquet(f"{index_path}/vectors")
+        with D.cache_scope():
+            hits = (
+                I.srp_batch_history_hits(
+                    batch_df,
+                    buckets,
+                    vectors,
+                    threshold=threshold,
+                    n_planes=n_planes,
+                    n_tables=n_tables,
+                    seed=seed,
+                    dim=dim,
+                    max_bucket=max_bucket,
+                )
+                .select(F.col("_bid").alias("vec_id"))
+                .distinct()
+            )
+            novel = batch_df.join(hits, "vec_id", "left_anti").select(
+                "vec_id", "label"
+            )
+            # materialize INSIDE the scope (the scope unpersists the
+            # probe's plan-barrier caches on exit — r9's per-trigger
+            # cache-release doctrine, a44b097)
+            novel.write.mode("append").parquet(out_dir)
+
+    q = src.writeStream.foreachBatch(_gate_batch).start()
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    return spark.read.parquet(out_dir)
+
+
 def _transitions_update(key, pdfs, state):
     """The ``applyInPandasWithState`` fold for
     ``event_transitions_stream`` — module-level so the cross-batch

@@ -1,0 +1,421 @@
+"""Index lifecycle (VERDICT r9 #2): document retirement (tombstones)
+and sub-linear append-folds with a remap log + compaction.
+
+Retirement claims, pinned per modality:
+
+1. EXACTNESS — ``retire_*_docs`` output equals a fresh index build over
+   the surviving corpus, table for table, including the three shapes a
+   naive "drop the member rows" misses: the retired doc WAS the
+   component minimum (survivors must re-elect), the retired doc was
+   the only BRIDGE between two halves (the component must split), and
+   buckets only the retired doc occupied (rows must stop attracting
+   future merge edges).
+2. INDEX-LOCALITY — retirement reads the index's own per-doc tables
+   (minhash ``doc_bands``, SRP ``vectors``); corpus content never
+   enters the plan (a takedown may arrive after the slice was TTL'd).
+
+Append-fold claims:
+
+3. The resolved read of an append-mode index (appends + remap log)
+   equals the rewrite fold's output and the fresh build over the
+   accumulated corpus — including a three-day chain where a remap's
+   target is itself remapped later (log closure, not last-entry).
+4. ``compact_index`` preserves the resolved view and truncates the log.
+"""
+
+from __future__ import annotations
+
+import shutil
+import tempfile
+
+import pytest
+from pyspark.sql import functions as F
+
+from esther_apache_spark_spark.operators import dedup as D
+from esther_apache_spark_spark.operators import incremental as I
+
+
+def _kv(df, *cols):
+    return {tuple(int(r[c]) for c in cols) for r in df.collect()}
+
+
+TXT_A = "the quick brown fox jumps over the lazy dog again and again"
+TXT_C = "completely different text about spark catalyst optimizer internals"
+TXT_D = "yet another unrelated document mentioning parquet row groups only"
+
+
+def _docs(spark, rows):
+    return spark.createDataFrame(rows, "doc_id long, text string")
+
+
+def _retired(spark, ids, id_col="doc_id"):
+    return spark.createDataFrame([(int(i),) for i in ids], f"{id_col} long")
+
+
+def _assert_minhash_equals_fresh(surviving, got):
+    fresh = I.build_minhash_bucket_index(surviving, hash_family="md5")
+    assert _kv(got["labels"], "node", "comp") == _kv(
+        fresh["labels"], "node", "comp"
+    )
+    assert _kv(got["bucket_reps"], "_band", "_bucket", "_rep") == _kv(
+        fresh["bucket_reps"], "_band", "_bucket", "_rep"
+    )
+    assert _kv(got["doc_bands"], "_id", "_band", "_bucket") == _kv(
+        fresh["doc_bands"], "_id", "_band", "_bucket"
+    )
+
+
+# --- minhash retirement ------------------------------------------------------
+
+
+def test_retire_minhash_min_reelection_and_singleton(spark):
+    """Retire the component MINIMUM (survivors re-elect theirs) plus an
+    unlabeled singleton (its bucket rows must vanish so future merges
+    stop landing on it)."""
+    corpus = _docs(
+        spark,
+        [(10, TXT_A), (11, TXT_A), (12, TXT_A), (20, TXT_C), (30, TXT_D)],
+    )
+    idx = I.build_minhash_bucket_index(corpus, hash_family="md5")
+    got = I.retire_minhash_docs(
+        idx["bucket_reps"], idx["labels"], idx["doc_bands"],
+        _retired(spark, [10, 30]),
+    )
+    surviving = corpus.filter(~F.col("doc_id").isin(10, 30))
+    _assert_minhash_equals_fresh(surviving, got)
+    labs = {int(r["node"]): int(r["comp"]) for r in got["labels"].collect()}
+    assert labs[11] == 11 and labs[12] == 11  # re-elected minimum
+    # the retired singleton's buckets are gone entirely
+    assert got["bucket_reps"].filter(F.col("_rep") == 30).count() == 0
+
+
+def test_retire_minhash_whole_component_and_pair_to_singleton(spark):
+    """Retire an ENTIRE component (every trace must vanish) and shrink
+    a clone pair to one survivor (who becomes unlabeled, as in a fresh
+    build where CC labels only docs with a pair)."""
+    corpus = _docs(
+        spark, [(10, TXT_A), (11, TXT_A), (20, TXT_C), (21, TXT_C)]
+    )
+    idx = I.build_minhash_bucket_index(corpus, hash_family="md5")
+    got = I.retire_minhash_docs(
+        idx["bucket_reps"], idx["labels"], idx["doc_bands"],
+        _retired(spark, [10, 11, 20]),
+    )
+    surviving = corpus.filter(F.col("doc_id") == 21)
+    _assert_minhash_equals_fresh(surviving, got)
+    assert got["labels"].count() == 0  # 21 has no pair left -> unlabeled
+    # 21's buckets now carry its own id as rep
+    assert {int(r["_rep"]) for r in got["bucket_reps"].collect()} == {21}
+
+
+def test_retire_minhash_bridge_split_synthetic_topology(spark):
+    """The shape only per-doc band storage can resolve: doc 2 is the
+    ONLY bridge between doc 1 and doc 3 (1-2 share bucket X, 2-3 share
+    bucket Y, 1-3 share nothing). Retiring 2 must SPLIT the component
+    {1,2,3} into unlabeled singletons 1 and 3 — and retiring 1 instead
+    must keep {2,3} intact. Built on synthetic index frames so the
+    topology is deterministic (real texts hit this shape too, but which
+    shingle sets bridge is hash-dependent)."""
+    doc_bands = spark.createDataFrame(
+        [(1, 0, 100), (2, 0, 100), (2, 1, 200), (3, 1, 200), (3, 2, 300)],
+        "_id long, _band int, _bucket long",
+    )
+    labels = spark.createDataFrame(
+        [(1, 1), (2, 1), (3, 1)], "node long, comp long"
+    )
+    bucket_reps = spark.createDataFrame(
+        [(0, 100, 1), (1, 200, 1), (2, 300, 1)],
+        "_band int, _bucket long, _rep long",
+    )
+    got = I.retire_minhash_docs(
+        bucket_reps, labels, doc_bands, _retired(spark, [2])
+    )
+    assert got["labels"].count() == 0  # split into two singletons
+    assert _kv(got["bucket_reps"], "_band", "_bucket", "_rep") == {
+        (0, 100, 1), (1, 200, 3), (2, 300, 3),
+    }
+    # retiring an endpoint instead keeps the rest connected
+    got2 = I.retire_minhash_docs(
+        bucket_reps, labels, doc_bands, _retired(spark, [1])
+    )
+    assert _kv(got2["labels"], "node", "comp") == {(2, 2), (3, 2)}
+    assert _kv(got2["bucket_reps"], "_band", "_bucket", "_rep") == {
+        (0, 100, 2), (1, 200, 2), (2, 300, 2),
+    }
+
+
+def test_retire_minhash_on_testdata_then_merge(spark, sf_dir):
+    """The catalog entry's shape on the real documents table: build
+    over history, retire a hash-gated slice, merge the batch against
+    the RETIRED index — batch labels equal the full recompute over
+    (history - retired) + batch."""
+    from esther_apache_spark_spark.operators.sampling import hash_bucket
+    from esther_apache_spark_spark.schemas import load_table
+
+    docs = load_table(spark, sf_dir, "documents")
+    in_hist = hash_bucket(F.col("doc_id"), salt="incrmh") < I.HIST_GATE_FRAC
+    h, b = docs.filter(in_hist), docs.filter(~in_hist)
+    retire_gate = hash_bucket(F.col("doc_id"), salt="retire") < int(
+        0.3 * (1 << 32)
+    )
+    retired = h.filter(retire_gate).select("doc_id")
+    idx = I.build_minhash_bucket_index(h, hash_family="md5")
+    got = I.retire_minhash_docs(
+        idx["bucket_reps"], idx["labels"], idx["doc_bands"], retired
+    )
+    surviving_hist = h.filter(~retire_gate)
+    _assert_minhash_equals_fresh(surviving_hist, got)
+    batch_labels, _ = I.incremental_minhash_merge(
+        b, got["bucket_reps"], hash_family="md5"
+    )
+    surviving = surviving_hist.unionByName(b)
+    from esther_apache_spark_spark.operators.components import (
+        connected_components,
+    )
+
+    full = connected_components(
+        D.minhash_lsh_candidates(surviving, hash_family="md5").select(
+            F.col("id_a").alias("src"), F.col("id_b").alias("dst")
+        )
+    )
+    expect = {
+        int(r["doc_id"]): int(r["comp"])
+        for r in b.select("doc_id")
+        .join(full, F.col("doc_id") == full.node, "left")
+        .select("doc_id", F.coalesce("comp", F.col("doc_id")).alias("comp"))
+        .collect()
+    }
+    gotb = {int(r["doc_id"]): int(r["comp"]) for r in batch_labels.collect()}
+    assert gotb == expect
+
+
+def test_retire_minhash_reads_index_not_corpus(spark, sf_dir):
+    """Index-locality: the retirement plan scans the persisted index
+    parquet only — the documents source never enters (takedowns work
+    after the corpus slice is TTL'd)."""
+    from esther_apache_spark_spark.operators.sampling import hash_bucket
+    from esther_apache_spark_spark.schemas import load_table
+
+    docs = load_table(spark, sf_dir, "documents")
+    h = docs.filter(
+        hash_bucket(F.col("doc_id"), salt="incrmh") < I.HIST_GATE_FRAC
+    )
+    retired = h.filter(
+        hash_bucket(F.col("doc_id"), salt="retire") < int(0.3 * (1 << 32))
+    ).select("doc_id")
+    root = tempfile.mkdtemp(prefix="retpin_")
+    try:
+        path = f"{root}/mhindex"
+        I.write_index(I.build_minhash_bucket_index(h, hash_family="md5"), path)
+        rpath = f"{root}/retids"
+        retired.write.parquet(rpath)
+        idx = I.read_index(
+            spark, path, ["bucket_reps", "labels", "doc_bands"]
+        )
+        got = I.retire_minhash_docs(
+            idx["bucket_reps"], idx["labels"], idx["doc_bands"],
+            spark.read.parquet(rpath),
+        )
+        for name in ("bucket_reps", "labels", "doc_bands"):
+            files = got[name].inputFiles()
+            assert any("mhindex" in f for f in files), name
+            assert not any("documents.parquet" in f for f in files), name
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
+
+
+# --- SRP retirement -----------------------------------------------------------
+
+
+def _vecs(spark, rows):
+    return spark.createDataFrame(
+        [(i, [float(x) for x in v]) for i, v in rows],
+        "vec_id long, embedding array<float>",
+    )
+
+
+def _assert_srp_equals_fresh(surviving, got, kw):
+    fresh = I.build_srp_vector_index(surviving, **kw)
+    assert _kv(got["labels"], "node", "comp") == _kv(
+        fresh["labels"], "node", "comp"
+    )
+    assert _kv(got["buckets"], "_id", "_table", "_bucket") == _kv(
+        fresh["buckets"], "_id", "_table", "_bucket"
+    )
+    assert got["vectors"].count() == fresh["vectors"].count()
+
+
+SRP_KW = dict(threshold=0.4, n_planes=4, n_tables=12, seed=42, dim=4)
+
+
+def test_retire_srp_bridge_split_and_reelection(spark):
+    """Cosine bridges are constructible exactly: mid sits at ~45° from
+    both base and other (cos ≈ 0.7 each) while cos(base, other) = 0 —
+    retiring mid must split the component; retiring the minimum of a
+    clone pair must re-elect."""
+    base, mid, other = [1.0, 0.0, 0.0, 0.0], [0.7, 0.7, 0.0, 0.0], [0.0, 1.0, 0.0, 0.0]
+    corpus = _vecs(
+        spark, [(10, base), (11, base), (20, mid), (30, other)]
+    )
+    bkw = {k: v for k, v in SRP_KW.items() if k != "seed"}
+    idx = I.build_srp_vector_index(corpus, **bkw)
+    # precondition: one component {10,11,20,30} bridged by 20
+    assert {int(r["comp"]) for r in idx["labels"].collect()} == {10}
+    got = I.retire_srp_docs(
+        idx["buckets"], idx["vectors"], idx["labels"],
+        _retired(spark, [20], "vec_id"), **SRP_KW,
+    )
+    _assert_srp_equals_fresh(
+        corpus.filter(F.col("vec_id") != 20), got, bkw
+    )
+    labs = {int(r["node"]): int(r["comp"]) for r in got["labels"].collect()}
+    assert labs == {10: 10, 11: 10}  # split: 30 unlabeled, clone pair stays
+    # now retire the minimum of the surviving pair: re-election to 11
+    got2 = I.retire_srp_docs(
+        got["buckets"], got["vectors"], got["labels"],
+        _retired(spark, [10], "vec_id"), **SRP_KW,
+    )
+    _assert_srp_equals_fresh(
+        corpus.filter(~F.col("vec_id").isin(10, 20)), got2, bkw
+    )
+    assert got2["labels"].count() == 0  # 11 alone: unlabeled
+    assert got2["vectors"].count() == 2
+
+
+def test_retire_srp_on_testdata(spark, sf_dir):
+    from esther_apache_spark_spark.operators.sampling import hash_bucket
+    from esther_apache_spark_spark.schemas import EMBEDDING_DIM, load_table
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    in_hist = hash_bucket(F.col("vec_id"), salt="incrsem") < I.HIST_GATE_FRAC
+    h = emb.filter(in_hist)
+    retire_gate = hash_bucket(F.col("vec_id"), salt="retire") < int(
+        0.3 * (1 << 32)
+    )
+    kw = dict(threshold=0.4, n_planes=4, n_tables=12, dim=EMBEDDING_DIM)
+    idx = I.build_srp_vector_index(h, **kw)
+    got = I.retire_srp_docs(
+        idx["buckets"], idx["vectors"], idx["labels"],
+        h.filter(retire_gate).select("vec_id"), **{**kw, "seed": 42},
+    )
+    _assert_srp_equals_fresh(h.filter(~retire_gate), got, kw)
+
+
+# --- append-folds + remap log + compaction ------------------------------------
+
+
+def test_append_fold_three_day_chain_equals_fresh(spark):
+    """Three daily batches folded by APPEND (new files + remap log —
+    no base rewrite), each merge run against the RESOLVED view. Day 2
+    remaps 20→2 and day 3 remaps 2→1: the log holds a CHAIN whose
+    closure (not its last entry) is the final label. Resolved read
+    must equal the fresh build over all four slices, and compaction
+    must preserve it while truncating the log."""
+    import os
+
+    h = _docs(spark, [(10, TXT_A), (11, TXT_A), (20, TXT_C), (21, TXT_C)])
+    days = [
+        _docs(spark, [(5, TXT_A), (50, "totally novel content one")]),
+        _docs(spark, [(2, TXT_C), (60, TXT_D)]),
+        _docs(spark, [(1, TXT_C), (61, TXT_D)]),
+    ]
+    root = tempfile.mkdtemp(prefix="appendfold_")
+    try:
+        path = f"{root}/mh"
+        I.write_index(I.build_minhash_bucket_index(h, hash_family="md5"), path)
+        union = h
+        for day in days:
+            resolved = I.read_minhash_index_resolved(spark, path)
+            bl, rm = I.incremental_minhash_merge(
+                day, resolved["bucket_reps"], hash_family="md5"
+            )
+            I.append_minhash_merge_to_index(path, day, bl, rm, hash_family="md5")
+            union = union.unionByName(day)
+        # the chained remap really happened: 20→2 then 2→1
+        log = _kv(spark.read.parquet(f"{path}/remap_log"), "old_comp", "new_comp")
+        assert (20, 2) in log and (2, 1) in log
+        got = I.read_minhash_index_resolved(spark, path)
+        _assert_minhash_equals_fresh(union, got)
+        # compaction preserves the view and truncates the log
+        I.compact_index(spark, path, "minhash")
+        assert not os.path.isdir(f"{path}/remap_log")
+        _assert_minhash_equals_fresh(
+            union, I.read_minhash_index_resolved(spark, path)
+        )
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
+
+
+def test_append_fold_srp_equals_fresh(spark):
+    base = [1.0, 0.2, 0.1, 0.05]
+    other = [-0.1, 1.0, -0.3, 0.2]
+    h = _vecs(spark, [(10, base), (11, base), (20, other), (30, other)])
+    days = [
+        _vecs(spark, [(5, base), (50, [0.0, 0.0, 0.1, -1.0])]),
+        _vecs(spark, [(2, other)]),
+    ]
+    bkw = {k: v for k, v in SRP_KW.items() if k != "seed"}
+    root = tempfile.mkdtemp(prefix="appendsrp_")
+    try:
+        path = f"{root}/srp"
+        I.write_index(I.build_srp_vector_index(h, **bkw), path)
+        union = h
+        for day in days:
+            resolved = I.read_srp_index_resolved(spark, path)
+            bl, rm = I.incremental_srp_merge(
+                day, resolved["buckets"], resolved["vectors"],
+                resolved["labels"], **bkw,
+            )
+            I.append_srp_merge_to_index(
+                path, day, bl, rm, n_planes=4, n_tables=12, dim=4
+            )
+            union = union.unionByName(day)
+        got = I.read_srp_index_resolved(spark, path)
+        _assert_srp_equals_fresh(union, got, bkw)
+        I.compact_index(spark, path, "srp")
+        _assert_srp_equals_fresh(
+            union, I.read_srp_index_resolved(spark, path), bkw
+        )
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
+
+
+def test_append_fold_writes_are_o_batch(spark):
+    """The sub-linearity claim in file terms: a day's append fold must
+    not rewrite base files — every base parquet file (mtime AND size)
+    survives the fold untouched; the fold only ADDS files."""
+    import os
+
+    h = _docs(spark, [(10, TXT_A), (11, TXT_A), (20, TXT_C), (21, TXT_C)])
+    day = _docs(spark, [(5, TXT_A), (50, "totally novel content one")])
+    root = tempfile.mkdtemp(prefix="appendob_")
+    try:
+        path = f"{root}/mh"
+        I.write_index(I.build_minhash_bucket_index(h, hash_family="md5"), path)
+
+        def snapshot():
+            # data files only: the append legitimately re-touches the
+            # _SUCCESS marker (and its .crc); rewriting a part file is
+            # what the claim forbids
+            out = {}
+            for dirpath, _, names in os.walk(path):
+                for n in names:
+                    if "part-" not in n:
+                        continue
+                    p = os.path.join(dirpath, n)
+                    st = os.stat(p)
+                    out[p] = (st.st_mtime_ns, st.st_size)
+            return out
+
+        before = snapshot()
+        resolved = I.read_minhash_index_resolved(spark, path)
+        bl, rm = I.incremental_minhash_merge(
+            day, resolved["bucket_reps"], hash_family="md5"
+        )
+        I.append_minhash_merge_to_index(path, day, bl, rm, hash_family="md5")
+        after = snapshot()
+        for p, sig in before.items():
+            assert after.get(p) == sig, f"base file rewritten by fold: {p}"
+        assert len(after) > len(before)  # the fold added delta files
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
