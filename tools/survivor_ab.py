@@ -87,41 +87,53 @@ def main() -> None:
             samples.append(time.perf_counter() - t0)
         return statistics.median(samples)
 
-    def _arm(label: str) -> dict:
-        out = {}
-        for name in QUERIES:
-            spec = plans.QUERIES[name]
-            spec.fn(spark, warm_dir).count()
-            samples = []
-            for _ in range(runs):
-                t0 = time.perf_counter()
-                spec.fn(spark, sf_dir).count()
-                samples.append(time.perf_counter() - t0)
-            out[name] = {
-                "median": round(statistics.median(samples), 3),
-                "first": round(samples[0], 3),
-                "all": [round(s, 3) for s in samples],
-            }
-            print(f"[ab:{label}] {name} = {out[name]}", file=sys.stderr, flush=True)
-        return out
-
-    before = _cal()
-    head = _arm("head")
-    mid = _cal()
     original = D._quotient_labels
-    D._quotient_labels = _r8_quotient_labels
-    try:
-        r8 = _arm("r8")
-    finally:
-        D._quotient_labels = original
-    after = _cal()
 
-    probes = [before, mid, after]
+    def _one(name: str, variant) -> float:
+        D._quotient_labels = variant
+        try:
+            t0 = time.perf_counter()
+            plans.QUERIES[name].fn(spark, sf_dir).count()
+            return time.perf_counter() - t0
+        finally:
+            D._quotient_labels = original
+
+    # Warm both variants' codegen/caches at sf0.001 first, then
+    # INTERLEAVE arms per repetition — the first cut ran arm A fully
+    # before arm B and a decaying load transient landed entirely on A
+    # (probes 0.91 → 0.15 s), which is exactly the confound the watch
+    # item is about.
+    for name in QUERIES:
+        plans.QUERIES[name].fn(spark, warm_dir).count()
+    samples: dict[str, dict[str, list[float]]] = {
+        n: {"head": [], "r8": []} for n in QUERIES
+    }
+    probes = [_cal()]
+    for i in range(runs):
+        for name in QUERIES:
+            for label, variant in (
+                ("head", original), ("r8", _r8_quotient_labels)
+            ):
+                s = _one(name, variant)
+                samples[name][label].append(s)
+                print(
+                    f"[ab:{label}] {name} run{i} = {s:.3f}s",
+                    file=sys.stderr, flush=True,
+                )
+        probes.append(_cal())
+
+    def _summ(vals: list[float]) -> dict:
+        return {
+            "median": round(statistics.median(vals), 3),
+            "first": round(vals[0], 3),
+            "all": [round(s, 3) for s in vals],
+        }
+
     out = {
         "sf_dir": sf_dir,
         "runs": runs,
-        "head": head,
-        "r8_semantics": r8,
+        "head": {n: _summ(samples[n]["head"]) for n in QUERIES},
+        "r8_semantics": {n: _summ(samples[n]["r8"]) for n in QUERIES},
         "calibration": {
             "probes_sec": [round(p, 4) for p in probes],
             "load_factor": round(statistics.median(probes) / CALIBRATION_REF, 3),
