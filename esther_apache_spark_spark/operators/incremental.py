@@ -91,6 +91,22 @@ def read_index(
     return {n: spark.read.parquet(f"{path}/{n}") for n in names}
 
 
+def read_index_tables(
+    spark: SparkSession, path: str, names: list[str]
+) -> dict[str, DataFrame]:
+    """Snapshot-aware RAW table read: on a snapshot store
+    (``sources/index_store.py``) all ``names`` come from ONE pinned
+    manifest version — a concurrent fold/compaction cannot hand a
+    reader table A from before it and table B from after; on a plain
+    directory index this is ``read_index``. The accessor the
+    per-trigger streaming novelty gates use."""
+    from esther_apache_spark_spark.sources import index_store as _S
+
+    if _S.has_snapshots(path):
+        return _S.read_snapshot(spark, path, names)
+    return read_index(spark, path, names)
+
+
 # ---------------------------------------------------------------------------
 # MinHash band index.
 # ---------------------------------------------------------------------------
@@ -975,6 +991,36 @@ def append_minhash_merge_to_index(
     run against the RESOLVED view, so each remap's old_comp is a
     CURRENT label and the log stays a forest of strictly-decreasing
     chains whose closure-min is the final label."""
+    append_index(
+        _minhash_fold_delta(
+            batch,
+            batch_labels,
+            remap,
+            id_col=id_col,
+            text_col=text_col,
+            num_perm=num_perm,
+            bands=bands,
+            shingle_n=shingle_n,
+            hash_family=hash_family,
+        ),
+        path,
+    )
+
+
+def _minhash_fold_delta(
+    batch: DataFrame,
+    batch_labels: DataFrame,
+    remap: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    num_perm: int = 32,
+    bands: int = 8,
+    shingle_n: int = 3,
+    hash_family: str = "md5",
+) -> dict[str, DataFrame]:
+    """The per-table row delta ONE MinHash fold contributes — shared by
+    the plain-directory append fold above and the snapshot commit fold
+    (``commit_minhash_fold``)."""
     bsig = D.minhash_band_frame(
         batch,
         id_col=id_col,
@@ -989,24 +1035,21 @@ def append_minhash_merge_to_index(
         F.col(id_col).alias("_id"), F.col("comp").alias("_rep")
     )
     rm = remap.select("old_comp", "new_comp")
-    append_index(
-        {
-            "bucket_reps": bband.join(bl, "_id")
-            .select("_band", "_bucket", "_rep")
-            .distinct(),
-            "doc_bands": bband,
-            "labels": batch_labels.filter(F.col("comp") != F.col(id_col))
-            .select(F.col(id_col).alias("node"), "comp")
-            .unionByName(
-                rm.select(
-                    F.col("old_comp").alias("node"),
-                    F.col("new_comp").alias("comp"),
-                )
-            ),
-            "remap_log": rm,
-        },
-        path,
-    )
+    return {
+        "bucket_reps": bband.join(bl, "_id")
+        .select("_band", "_bucket", "_rep")
+        .distinct(),
+        "doc_bands": bband,
+        "labels": batch_labels.filter(F.col("comp") != F.col(id_col))
+        .select(F.col(id_col).alias("node"), "comp")
+        .unionByName(
+            rm.select(
+                F.col("old_comp").alias("node"),
+                F.col("new_comp").alias("comp"),
+            )
+        ),
+        "remap_log": rm,
+    }
 
 
 def append_srp_merge_to_index(
@@ -1025,6 +1068,35 @@ def append_srp_merge_to_index(
     ``vectors`` are per-doc tables, so their deltas are plain appends
     of the batch's projections; labels and the remap follow the same
     log discipline as the minhash fold."""
+    append_index(
+        _srp_fold_delta(
+            batch,
+            batch_labels,
+            remap,
+            id_col=id_col,
+            vec_col=vec_col,
+            n_planes=n_planes,
+            n_tables=n_tables,
+            seed=seed,
+            dim=dim,
+        ),
+        path,
+    )
+
+
+def _srp_fold_delta(
+    batch: DataFrame,
+    batch_labels: DataFrame,
+    remap: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    n_planes: int = 4,
+    n_tables: int = 12,
+    seed: int = 42,
+    dim: int | None = None,
+) -> dict[str, DataFrame]:
+    """The per-table row delta ONE SRP fold contributes — shared by the
+    plain-directory append fold above and ``commit_srp_fold``."""
     from esther_apache_spark_spark.operators.similarity import (
         srp_table_buckets_vec,
     )
@@ -1042,27 +1114,26 @@ def append_srp_merge_to_index(
         ).alias("_all"),
     )
     rm = remap.select("old_comp", "new_comp")
-    append_index(
-        {
-            "buckets": bproj.select(
-                "_id", F.posexplode("_all").alias("_table", "_bucket")
-            ),
-            "vectors": bproj.select("_id", "_v"),
-            "labels": batch_labels.filter(F.col("comp") != F.col(id_col))
-            .select(F.col(id_col).alias("node"), "comp")
-            .unionByName(
-                rm.select(
-                    F.col("old_comp").alias("node"),
-                    F.col("new_comp").alias("comp"),
-                )
-            ),
-            "remap_log": rm,
-        },
-        path,
-    )
+    return {
+        "buckets": bproj.select(
+            "_id", F.posexplode("_all").alias("_table", "_bucket")
+        ),
+        "vectors": bproj.select("_id", "_v"),
+        "labels": batch_labels.filter(F.col("comp") != F.col(id_col))
+        .select(F.col(id_col).alias("node"), "comp")
+        .unionByName(
+            rm.select(
+                F.col("old_comp").alias("node"),
+                F.col("new_comp").alias("comp"),
+            )
+        ),
+        "remap_log": rm,
+    }
 
 
-def resolve_remap_log(spark: SparkSession, path: str) -> DataFrame | None:
+def resolve_remap_log(
+    spark: SparkSession, path: str, version: int | None = None
+) -> DataFrame | None:
     """Transitive closure of the appended remap log as a resolution map
     ``(node=any logged comp value, comp=its final label)`` — CC over
     the log's (old, new) edges. Exact because merge-remaps only ever
@@ -1071,13 +1142,27 @@ def resolve_remap_log(spark: SparkSession, path: str) -> DataFrame | None:
     (retirement can raise labels, which is why it is compaction-class
     and never enters the log). The log is O(components touched per
     fold) — tiny next to the index — so this closure is cheap and its
-    application to the base tables is a broadcast-size join."""
+    application to the base tables is a broadcast-size join.
+
+    On a snapshot store (``sources/index_store.py``) the log is read
+    from the pinned manifest ``version`` so it is consistent with the
+    base tables read at the same version."""
     import os as _os
 
-    log_dir = f"{path}/remap_log"
-    if not _os.path.isdir(log_dir):
-        return None
-    log = spark.read.parquet(log_dir)
+    from esther_apache_spark_spark.sources import index_store as _S
+
+    if _S.has_snapshots(path):
+        m = _S.read_manifest(path, version)
+        if "remap_log" not in m["tables"]:
+            return None
+        log = _S.read_snapshot(spark, path, ["remap_log"], m["version"])[
+            "remap_log"
+        ]
+    else:
+        log_dir = f"{path}/remap_log"
+        if not _os.path.isdir(log_dir):
+            return None
+        log = spark.read.parquet(log_dir)
     return connected_components(
         log.select(
             F.col("old_comp").alias("src"), F.col("new_comp").alias("dst")
@@ -1102,21 +1187,38 @@ def _resolve_col(
 
 
 def read_minhash_index_resolved(
-    spark: SparkSession, path: str
+    spark: SparkSession, path: str, version: int | None = None
 ) -> dict[str, DataFrame]:
     """Open an append-mode MinHash index as the resolved view the
     rewrite fold would have produced: labels and bucket reps pushed
     through the remap-log closure, duplicates folded, label frame
     closed under rep self-rows. Equal (pinned) to
     ``apply_minhash_merge_to_index`` run fold-by-fold, and therefore
-    to a fresh build over the accumulated corpus."""
+    to a fresh build over the accumulated corpus.
+
+    On a snapshot store, ALL tables (including the remap log) are read
+    from one pinned manifest version (latest by default), so concurrent
+    folds/compactions cannot tear the view; ``version`` time-travels."""
     import os as _os
 
-    names = ["bucket_reps", "labels"]
-    if _os.path.isdir(f"{path}/doc_bands"):
-        names.append("doc_bands")
-    raw = read_index(spark, path, names)
-    res = resolve_remap_log(spark, path)
+    from esther_apache_spark_spark.sources import index_store as _S
+
+    if _S.has_snapshots(path):
+        m = _S.read_manifest(path, version)
+        version = m["version"]
+        names = [
+            n
+            for n in ("bucket_reps", "labels", "doc_bands")
+            if n in m["tables"]
+        ]
+        raw = _S.read_snapshot(spark, path, names, version)
+        res = resolve_remap_log(spark, path, version)
+    else:
+        names = ["bucket_reps", "labels"]
+        if _os.path.isdir(f"{path}/doc_bands"):
+            names.append("doc_bands")
+        raw = read_index(spark, path, names)
+        res = resolve_remap_log(spark, path)
     labels = _with_rep_self_rows(
         _resolve_col(raw["labels"], "comp", res).distinct()
     )
@@ -1128,12 +1230,22 @@ def read_minhash_index_resolved(
 
 
 def read_srp_index_resolved(
-    spark: SparkSession, path: str
+    spark: SparkSession, path: str, version: int | None = None
 ) -> dict[str, DataFrame]:
     """SRP twin of ``read_minhash_index_resolved`` (buckets/vectors are
     per-doc appends and pass through raw)."""
-    raw = read_index(spark, path, ["buckets", "vectors", "labels"])
-    res = resolve_remap_log(spark, path)
+    from esther_apache_spark_spark.sources import index_store as _S
+
+    if _S.has_snapshots(path):
+        m = _S.read_manifest(path, version)
+        version = m["version"]
+        raw = _S.read_snapshot(
+            spark, path, ["buckets", "vectors", "labels"], version
+        )
+        res = resolve_remap_log(spark, path, version)
+    else:
+        raw = read_index(spark, path, ["buckets", "vectors", "labels"])
+        res = resolve_remap_log(spark, path)
     labels = _with_rep_self_rows(
         _resolve_col(raw["labels"], "comp", res).distinct()
     )
@@ -1147,18 +1259,37 @@ def read_srp_index_resolved(
 def compact_index(spark: SparkSession, path: str, kind: str) -> None:
     """The weekly compaction: materialize the resolved view into fresh
     base tables and truncate the remap log, bounding resolved-read cost
-    between compactions. ``kind`` is ``"minhash"`` or ``"srp"``. The
-    resolved frames are written to a sibling scratch dir FIRST (the
-    write is the action that reads the old files), then swapped in."""
+    between compactions. ``kind`` is ``"minhash"`` or ``"srp"``.
+
+    Plain-directory store: the resolved frames are written to a sibling
+    scratch dir FIRST (the write is the action that reads the old
+    files), then swapped in — single-writer only; a concurrent reader
+    can catch the swap window. Snapshot store: the resolved view is
+    published as one replace-commit — concurrent readers keep whatever
+    version they pinned, the log truncates to an empty table in the
+    same commit, and old files survive until ``vacuum_snapshots``."""
     import os as _os
     import shutil as _shutil
 
+    from esther_apache_spark_spark.sources import index_store as _S
+
+    snap = _S.has_snapshots(path)
+    version = _S.latest_version(path) if snap else None
     if kind == "minhash":
-        resolved = read_minhash_index_resolved(spark, path)
+        resolved = read_minhash_index_resolved(spark, path, version)
     elif kind == "srp":
-        resolved = read_srp_index_resolved(spark, path)
+        resolved = read_srp_index_resolved(spark, path, version)
     else:
         raise ValueError(f"unknown index kind: {kind!r}")
+    if snap:
+        m = _S.read_manifest(path, version)
+        if "remap_log" in m["tables"]:
+            log = _S.read_snapshot(spark, path, ["remap_log"], version)[
+                "remap_log"
+            ]
+            resolved = {**resolved, "remap_log": log.limit(0)}
+        _S.commit_snapshot(path, resolved, mode="replace")
+        return
     tmp = f"{path}.compacting"
     _shutil.rmtree(tmp, ignore_errors=True)
     write_index(resolved, tmp)
@@ -1167,3 +1298,126 @@ def compact_index(spark: SparkSession, path: str, kind: str) -> None:
         _os.rename(f"{tmp}/{name}", f"{path}/{name}")
     _shutil.rmtree(f"{path}/remap_log", ignore_errors=True)
     _shutil.rmtree(tmp, ignore_errors=True)
+
+
+# ---------------------------------------------------------------------------
+# Snapshot-isolated index commits (sources/index_store.py): the shared-
+# index deployment, where the nightly fold WRITES while streaming
+# novelty gates and ad-hoc merges READ the same path. Directory
+# append/overwrite tears under that concurrency; these wrappers publish
+# every lifecycle step as an atomic manifest commit instead. The frames
+# produced are identical to the directory API's (pinned by
+# tests/test_index_snapshots.py) — only the storage protocol differs.
+# ---------------------------------------------------------------------------
+
+
+def commit_index(
+    index: dict[str, DataFrame], path: str, mode: str = "replace"
+) -> int:
+    """Publish an index (e.g. a fresh ``build_*_index`` output) as one
+    atomic snapshot commit; returns the published version."""
+    from esther_apache_spark_spark.sources import index_store as _S
+
+    return _S.commit_snapshot(path, index, mode=mode)
+
+
+def commit_minhash_fold(
+    path: str,
+    batch: DataFrame,
+    batch_labels: DataFrame,
+    remap: DataFrame,
+    **kw,
+) -> int:
+    """Snapshot twin of ``append_minhash_merge_to_index``: the same
+    O(batch) fold delta, published as ONE append-commit — a reader
+    never sees the fold's ``bucket_reps`` without its ``remap_log``."""
+    from esther_apache_spark_spark.sources import index_store as _S
+
+    return _S.commit_snapshot(
+        path,
+        _minhash_fold_delta(batch, batch_labels, remap, **kw),
+        mode="append",
+    )
+
+
+def commit_srp_fold(
+    path: str,
+    batch: DataFrame,
+    batch_labels: DataFrame,
+    remap: DataFrame,
+    **kw,
+) -> int:
+    """Snapshot twin of ``append_srp_merge_to_index``."""
+    from esther_apache_spark_spark.sources import index_store as _S
+
+    return _S.commit_snapshot(
+        path,
+        _srp_fold_delta(batch, batch_labels, remap, **kw),
+        mode="append",
+    )
+
+
+def retire_minhash_index(
+    spark: SparkSession,
+    path: str,
+    retired: DataFrame,
+    id_col: str = "doc_id",
+    checkpoint_dir: str | None = None,
+) -> int:
+    """Retire documents from a snapshot-store MinHash index: read the
+    resolved view at one pinned version, prune it with
+    ``retire_minhash_docs``, and publish the pruned index as a
+    replace-commit. Retirement re-elects labels (it can RAISE them), so
+    the remap log — whose closure assumes labels only ever decrease —
+    is truncated in the same commit; the pruned tables it publishes are
+    already fully resolved."""
+    from esther_apache_spark_spark.sources import index_store as _S
+
+    version = _S.latest_version(path)
+    resolved = read_minhash_index_resolved(spark, path, version)
+    pruned = retire_minhash_docs(
+        resolved["bucket_reps"],
+        resolved["labels"],
+        resolved["doc_bands"],
+        retired,
+        id_col=id_col,
+        checkpoint_dir=checkpoint_dir,
+    )
+    m = _S.read_manifest(path, version)
+    if "remap_log" in m["tables"]:
+        log = _S.read_snapshot(spark, path, ["remap_log"], version)[
+            "remap_log"
+        ]
+        pruned = {**pruned, "remap_log": log.limit(0)}
+    return _S.commit_snapshot(path, pruned, mode="replace")
+
+
+def retire_srp_index(
+    spark: SparkSession,
+    path: str,
+    retired: DataFrame,
+    id_col: str = "vec_id",
+    checkpoint_dir: str | None = None,
+    **retire_kw,
+) -> int:
+    """SRP twin of ``retire_minhash_index``."""
+    from esther_apache_spark_spark.sources import index_store as _S
+
+    version = _S.latest_version(path)
+    resolved = read_srp_index_resolved(spark, path, version)
+    pruned = retire_srp_docs(
+        resolved["buckets"],
+        resolved["vectors"],
+        resolved["labels"],
+        retired,
+        id_col=id_col,
+        checkpoint_dir=checkpoint_dir,
+        **retire_kw,
+    )
+    m = _S.read_manifest(path, version)
+    if "remap_log" in m["tables"]:
+        log = _S.read_snapshot(spark, path, ["remap_log"], version)[
+            "remap_log"
+        ]
+        pruned = {**pruned, "remap_log": log.limit(0)}
+    return _S.commit_snapshot(path, pruned, mode="replace")

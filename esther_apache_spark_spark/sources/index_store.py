@@ -1,0 +1,238 @@
+"""Snapshot-isolated commits for multi-table parquet stores.
+
+The incremental dedup index (``operators/incremental.py``) is a set of
+parquet tables that one job WRITES (the nightly fold, weekly compaction,
+takedown retirement) while other jobs READ — the streaming novelty gates
+re-open it every trigger, and ad-hoc merges probe it. Plain directory
+reads over ``append``/``overwrite`` writes tear under that concurrency:
+a reader that lists ``bucket_reps`` after a fold's files landed but
+``remap_log`` before its append finishes resolves labels against a
+half-applied fold, and ``compact_index``'s rmtree+rename swap has a
+window where a table directory simply does not exist.
+
+This module is the minimal fix, the commit idea behind Delta Lake /
+Apache Iceberg (public designs) reduced to what a shared index needs:
+
+* Data files are immutable once written; every commit writes its rows
+  into a fresh ``{table}/c-{uuid}/`` directory, so no live file is ever
+  rewritten or deleted by a commit.
+* A commit is PUBLISHED by a single atomic manifest-file creation
+  (``_manifests/v{N}.json``, written to a temp name, fsynced, then
+  ``os.link``ed into place — link fails if the version already exists,
+  which is the optimistic-concurrency conflict signal; the loser
+  re-reads the latest manifest, re-merges its file lists, and retries
+  at N+1). Readers resolve the highest published version and read the
+  exact file list it names — they see every commit entirely or not at
+  all, never a torn middle.
+* Old versions stay readable (time travel: pin the snapshot a training
+  run consumed) until ``vacuum_snapshots`` drops files unreferenced by
+  the kept manifests.
+
+At 100 TB the same protocol holds on an object store that supports
+if-absent puts (S3 conditional PUT, GCS preconditions); the manifest is
+KB-scale regardless of index size, so publishing cost is flat.
+
+This is deliberately NOT a general table format: no partition specs, no
+row-level deletes, no schema evolution — index tables are replaced or
+appended wholesale, which is all the lifecycle (build / fold / retire /
+compact) needs.
+"""
+
+from __future__ import annotations
+
+import glob
+import json
+import os
+import uuid
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql.types import StructType
+
+_MANIFEST_DIR = "_manifests"
+
+
+def _manifest_path(path: str, version: int) -> str:
+    return os.path.join(path, _MANIFEST_DIR, f"v{version:08d}.json")
+
+
+def _list_versions(path: str) -> list[int]:
+    pat = os.path.join(path, _MANIFEST_DIR, "v*.json")
+    out = []
+    for p in glob.glob(pat):
+        stem = os.path.basename(p)[1:-5]
+        if stem.isdigit():
+            out.append(int(stem))
+    return sorted(out)
+
+
+def latest_version(path: str) -> int | None:
+    """Highest published snapshot version, or None for an empty store."""
+    vs = _list_versions(path)
+    return vs[-1] if vs else None
+
+
+def read_manifest(path: str, version: int | None = None) -> dict | None:
+    """Load a published manifest (latest by default). A visible manifest
+    is always complete — publication is an atomic link of a fully
+    fsynced temp file."""
+    if version is None:
+        version = latest_version(path)
+        if version is None:
+            return None
+    with open(_manifest_path(path, version)) as f:
+        m = json.load(f)
+    m["version"] = version
+    return m
+
+
+def _write_table_files(df: DataFrame, path: str, table: str) -> list[str]:
+    """Write ``df`` into a fresh commit directory and return the data
+    files it produced (relative to ``path`` so the store can be moved)."""
+    cdir = f"{table}/c-{uuid.uuid4().hex[:12]}"
+    df.write.mode("overwrite").parquet(os.path.join(path, cdir))
+    files = sorted(
+        os.path.join(cdir, os.path.basename(p))
+        for p in glob.glob(os.path.join(path, cdir, "*.parquet"))
+    )
+    return files
+
+
+def _publish(path: str, base_version: int, tables: dict) -> int:
+    """Atomically publish ``tables`` as the next manifest version after
+    ``base_version``; returns the published version. Raises
+    FileExistsError only internally (the retry is the caller's merge
+    loop in ``commit_snapshot``)."""
+    mdir = os.path.join(path, _MANIFEST_DIR)
+    os.makedirs(mdir, exist_ok=True)
+    body = json.dumps({"tables": tables}, sort_keys=True)
+    tmp = os.path.join(mdir, f".tmp-{uuid.uuid4().hex}")
+    with open(tmp, "w") as f:
+        f.write(body)
+        f.flush()
+        os.fsync(f.fileno())
+    try:
+        os.link(tmp, _manifest_path(path, base_version + 1))
+    finally:
+        os.unlink(tmp)
+    return base_version + 1
+
+
+def commit_snapshot(
+    path: str,
+    delta: dict[str, DataFrame],
+    mode: str = "append",
+) -> int:
+    """Commit ``delta`` (table name → DataFrame) to the store.
+
+    ``mode="append"`` adds the delta's rows to each named table;
+    ``mode="replace"`` makes the delta's rows the table's new full
+    contents. Untouched tables carry over from the latest snapshot
+    unchanged. Returns the published version.
+
+    Concurrency: the data files are written first (invisible until
+    published); the manifest link is create-if-absent, so two
+    concurrent commits serialize — the loser re-reads the winner's
+    manifest and re-merges. Two appends both survive a conflict with
+    both deltas visible; replace-vs-replace of the SAME table is
+    last-publisher-wins (documented; the lifecycle's replaces — build,
+    retire, compact — are nightly/weekly singletons in practice).
+    """
+    if mode not in ("append", "replace"):
+        raise ValueError(f"unknown commit mode: {mode!r}")
+    written: dict[str, dict] = {}
+    for name, df in delta.items():
+        written[name] = {
+            "files": _write_table_files(df, path, name),
+            "schema": df.schema.json(),
+        }
+    while True:
+        latest = read_manifest(path)
+        base_tables = dict(latest["tables"]) if latest else {}
+        base_version = latest["version"] if latest else 0
+        tables = {k: dict(v) for k, v in base_tables.items()}
+        for name, w in written.items():
+            if mode == "append" and name in tables:
+                tables[name] = {
+                    "files": list(tables[name]["files"]) + w["files"],
+                    "schema": w["schema"],
+                }
+            else:
+                tables[name] = w
+        try:
+            return _publish(path, base_version, tables)
+        except FileExistsError:
+            continue
+
+
+def read_snapshot(
+    spark: SparkSession,
+    path: str,
+    names: list[str] | None = None,
+    version: int | None = None,
+) -> dict[str, DataFrame]:
+    """Open tables from a published snapshot (latest by default;
+    ``version`` pins an older one — time travel). Each DataFrame reads
+    the exact files the manifest names, so concurrent commits and
+    compactions cannot tear it. A table with no files resolves to an
+    empty frame with its committed schema."""
+    m = read_manifest(path, version)
+    if m is None:
+        raise FileNotFoundError(f"no published snapshot under {path}")
+    if names is None:
+        names = sorted(m["tables"])
+    out = {}
+    for n in names:
+        t = m["tables"][n]
+        files = [os.path.join(path, f) for f in t["files"]]
+        if files:
+            out[n] = spark.read.parquet(*files)
+        else:
+            schema = StructType.fromJson(json.loads(t["schema"]))
+            out[n] = spark.createDataFrame([], schema)
+    return out
+
+
+def has_snapshots(path: str) -> bool:
+    """True when ``path`` is a snapshot store (vs a plain-directory
+    index) — the switch the snapshot-aware readers key on."""
+    return latest_version(path) is not None
+
+
+def vacuum_snapshots(path: str, keep_last: int = 2) -> dict:
+    """Drop data files unreferenced by the newest ``keep_last``
+    manifests and delete the older manifests. Readers pinned to a
+    kept version are unaffected; time travel beyond the horizon is
+    traded for space, exactly like Delta's VACUUM. Returns counts."""
+    if keep_last < 1:
+        raise ValueError("keep_last must be >= 1")
+    versions = _list_versions(path)
+    if not versions:
+        return {"files_deleted": 0, "manifests_deleted": 0}
+    kept = versions[-keep_last:]
+    referenced: set[str] = set()
+    for v in kept:
+        m = read_manifest(path, v)
+        for t in m["tables"].values():
+            referenced.update(t["files"])
+    files_deleted = 0
+    for p in glob.glob(os.path.join(path, "*", "c-*", "*.parquet")):
+        rel = os.path.relpath(p, path)
+        if rel not in referenced:
+            os.unlink(p)
+            files_deleted += 1
+    # Sweep emptied commit dirs (and their _SUCCESS markers).
+    for d in glob.glob(os.path.join(path, "*", "c-*")):
+        entries = os.listdir(d)
+        if not any(e.endswith(".parquet") for e in entries):
+            for e in entries:
+                os.unlink(os.path.join(d, e))
+            os.rmdir(d)
+    manifests_deleted = 0
+    for v in versions:
+        if v not in kept:
+            os.unlink(_manifest_path(path, v))
+            manifests_deleted += 1
+    return {
+        "files_deleted": files_deleted,
+        "manifests_deleted": manifests_deleted,
+    }

@@ -782,7 +782,16 @@ def run_stream_minhash_novelty(
     )
 
     def _gate_batch(batch_df: DataFrame, batch_id: int) -> None:
-        reps = spark.read.parquet(f"{index_path}/bucket_reps")
+        from esther_apache_spark_spark.operators.incremental import (
+            read_index_tables,
+        )
+
+        # snapshot-aware: on a snapshot-store index this pins one
+        # manifest version per trigger, so a nightly fold committing
+        # mid-stream is picked up atomically at the NEXT trigger
+        reps = read_index_tables(spark, index_path, ["bucket_reps"])[
+            "bucket_reps"
+        ]
         sig = D.minhash_band_frame(
             batch_df,
             num_perm=num_perm,
@@ -870,8 +879,12 @@ def run_stream_srp_novelty(
     )
 
     def _gate_batch(batch_df: DataFrame, batch_id: int) -> None:
-        buckets = spark.read.parquet(f"{index_path}/buckets")
-        vectors = spark.read.parquet(f"{index_path}/vectors")
+        # snapshot-aware AND version-consistent: buckets and vectors
+        # come from one pinned manifest on a snapshot-store index — the
+        # cosine rerank must never join a newer buckets table against
+        # an older vectors table
+        idx = I.read_index_tables(spark, index_path, ["buckets", "vectors"])
+        buckets, vectors = idx["buckets"], idx["vectors"]
         with D.cache_scope():
             hits = (
                 I.srp_batch_history_hits(

@@ -1,0 +1,343 @@
+"""Snapshot-isolated index commits (sources/index_store.py).
+
+The shared-index deployment runs the nightly fold / weekly compaction /
+takedown retirement as WRITERS while streaming novelty gates and ad-hoc
+merges READ the same path; plain directory reads tear under that. The
+store's claims, each pinned here:
+
+1. EQUIVALENCE — every lifecycle step run through snapshot commits
+   (build → fold → fold → retire → compact) yields the SAME resolved
+   frames as the plain-directory API, which are themselves pinned equal
+   to fresh builds (tests/test_index_lifecycle.py).
+2. ATOMICITY — data files written but not yet published are invisible;
+   a reader resolves only complete manifests (publication is a single
+   create-if-absent link of an fsynced temp file).
+3. IMMUTABILITY — no commit (including compaction) rewrites or deletes
+   a live data file; only ``vacuum_snapshots`` deletes, and only files
+   outside the kept horizon.
+4. TIME TRAVEL — a pinned version keeps reading the exact frames it
+   named even after later folds, retirement, and compaction.
+5. OPTIMISTIC CONCURRENCY — a version collision re-merges and republishes;
+   both appends survive with both deltas visible.
+
+The live reader-vs-writer race (folds + compaction + vacuum against a
+resolved-read loop in another thread) is driven by
+``tools/index_snapshot_check.py`` — wall-clock-heavy, so it lives with
+the other drills rather than in pytest.
+"""
+
+from __future__ import annotations
+
+import glob
+import json
+import os
+import shutil
+import tempfile
+
+import pytest
+from pyspark.sql import functions as F
+
+from esther_apache_spark_spark.operators import incremental as I
+from esther_apache_spark_spark.sources import index_store as S
+
+TXT_A = "the quick brown fox jumps over the lazy dog again and again"
+TXT_C = "completely different text about spark catalyst optimizer internals"
+TXT_D = "yet another unrelated document mentioning parquet row groups only"
+
+
+def _docs(spark, rows):
+    return spark.createDataFrame(rows, "doc_id long, text string")
+
+
+def _kv(df, *cols):
+    return {tuple(int(r[c]) for c in cols) for r in df.collect()}
+
+
+def _labels_set(resolved):
+    return _kv(resolved["labels"], "node", "comp")
+
+
+def _data_file_sigs(path):
+    out = {}
+    for p in glob.glob(os.path.join(path, "*", "c-*", "*.parquet")):
+        st = os.stat(p)
+        out[p] = (st.st_mtime_ns, st.st_size)
+    return out
+
+
+@pytest.fixture()
+def store_root():
+    root = tempfile.mkdtemp(prefix="idxsnap_")
+    yield root
+    shutil.rmtree(root, ignore_errors=True)
+
+
+def _fold_once(spark, path, day):
+    resolved = I.read_minhash_index_resolved(spark, path)
+    bl, rm = I.incremental_minhash_merge(
+        day, resolved["bucket_reps"], hash_family="md5"
+    )
+    return I.commit_minhash_fold(path, day, bl, rm, hash_family="md5")
+
+
+def test_snapshot_lifecycle_equals_fresh_build(spark, store_root):
+    """Claim 1 end-to-end: build/fold/fold/retire/compact as snapshot
+    commits; after every step the resolved view equals a fresh build
+    over the then-current corpus."""
+    path = f"{store_root}/mh"
+    h = _docs(spark, [(10, TXT_A), (11, TXT_A), (20, TXT_C), (21, TXT_C)])
+    v = I.commit_index(I.build_minhash_bucket_index(h, hash_family="md5"), path)
+    assert v == 1
+
+    def check(corpus):
+        got = I.read_minhash_index_resolved(spark, path)
+        fresh = I.build_minhash_bucket_index(corpus, hash_family="md5")
+        assert _labels_set(got) == _labels_set(fresh)
+        assert _kv(got["bucket_reps"], "_band", "_bucket", "_rep") == _kv(
+            fresh["bucket_reps"], "_band", "_bucket", "_rep"
+        )
+
+    union = h
+    for day in (
+        _docs(spark, [(5, TXT_A), (50, "totally novel content one")]),
+        _docs(spark, [(2, TXT_C), (60, TXT_D)]),
+    ):
+        _fold_once(spark, path, day)
+        union = union.unionByName(day)
+        check(union)
+
+    I.retire_minhash_index(
+        spark, path, spark.createDataFrame([(2,), (50,)], "doc_id long")
+    )
+    union = union.filter(~F.col("doc_id").isin(2, 50))
+    check(union)
+
+    I.compact_index(spark, path, "minhash")
+    check(union)
+    # the log is truncated by the compaction commit (0 rows — the
+    # commit may still carry one empty schema-bearing parquet file)
+    log = S.read_snapshot(spark, path, ["remap_log"])["remap_log"]
+    assert log.count() == 0
+
+
+def test_unpublished_files_are_invisible(spark, store_root):
+    """Claim 2: rows written without a manifest publication do not
+    reach readers — the exact torn state the directory protocol
+    exposes mid-fold."""
+    path = f"{store_root}/mh"
+    h = _docs(spark, [(10, TXT_A), (11, TXT_A)])
+    I.commit_index(I.build_minhash_bucket_index(h, hash_family="md5"), path)
+    before = _labels_set(I.read_minhash_index_resolved(spark, path))
+    # land data files for a bogus label row, but never publish
+    S._write_table_files(
+        spark.createDataFrame([(999, 1)], "node long, comp long"),
+        path,
+        "labels",
+    )
+    assert _labels_set(I.read_minhash_index_resolved(spark, path)) == before
+
+
+def test_commits_never_touch_live_files_and_time_travel(spark, store_root):
+    """Claims 3+4: across fold, retirement, and compaction every
+    pre-existing data file survives byte-identical, and a version
+    pinned BEFORE those steps still reads its original frames."""
+    path = f"{store_root}/mh"
+    h = _docs(spark, [(10, TXT_A), (11, TXT_A), (20, TXT_C), (21, TXT_C)])
+    I.commit_index(I.build_minhash_bucket_index(h, hash_family="md5"), path)
+    v1 = S.latest_version(path)
+    labels_v1 = _labels_set(I.read_minhash_index_resolved(spark, path, v1))
+    sigs = _data_file_sigs(path)
+
+    _fold_once(spark, path, _docs(spark, [(5, TXT_A)]))
+    I.retire_minhash_index(
+        spark, path, spark.createDataFrame([(20,)], "doc_id long")
+    )
+    I.compact_index(spark, path, "minhash")
+
+    after = _data_file_sigs(path)
+    for p, sig in sigs.items():
+        assert after.get(p) == sig, f"live data file touched: {p}"
+    assert _labels_set(
+        I.read_minhash_index_resolved(spark, path, v1)
+    ) == labels_v1
+    # and the latest view reflects all three steps
+    assert _labels_set(I.read_minhash_index_resolved(spark, path)) == {
+        (5, 5), (10, 5), (11, 5),
+    }
+
+
+def test_optimistic_concurrency_merges_both_appends(spark, store_root):
+    """Claim 5: a commit that loses the version race re-merges against
+    the winner's manifest — both append deltas are visible after."""
+    path = f"{store_root}/t"
+    S.commit_snapshot(
+        path,
+        {"labels": spark.createDataFrame([(1, 1)], "node long, comp long")},
+        mode="replace",
+    )
+
+    orig = S._publish
+    raced = {"done": False}
+
+    def racing_publish(p, base_version, tables):
+        # first attempt: another writer lands the same version first
+        if not raced["done"]:
+            raced["done"] = True
+            win = {
+                "labels": {
+                    "files": S._write_table_files(
+                        spark.createDataFrame(
+                            [(2, 2)], "node long, comp long"
+                        ),
+                        p,
+                        "labels",
+                    ),
+                    "schema": tables["labels"]["schema"],
+                }
+            }
+            win["labels"]["files"] = (
+                S.read_manifest(p)["tables"]["labels"]["files"]
+                + win["labels"]["files"]
+            )
+            orig(p, base_version, win)
+        return orig(p, base_version, tables)
+
+    S._publish = racing_publish
+    try:
+        v = S.commit_snapshot(
+            path,
+            {
+                "labels": spark.createDataFrame(
+                    [(3, 3)], "node long, comp long"
+                )
+            },
+            mode="append",
+        )
+    finally:
+        S._publish = orig
+    assert v == 3  # lost v2 to the racer, republished at v3
+    got = _kv(S.read_snapshot(spark, path, ["labels"])["labels"],
+              "node", "comp")
+    assert got == {(1, 1), (2, 2), (3, 3)}
+
+
+def test_vacuum_keeps_horizon_and_drops_the_rest(spark, store_root):
+    """Vacuum deletes exactly the files outside the kept manifests and
+    the old manifests themselves; the kept versions read unchanged."""
+    path = f"{store_root}/mh"
+    h = _docs(spark, [(10, TXT_A), (11, TXT_A), (20, TXT_C), (21, TXT_C)])
+    I.commit_index(I.build_minhash_bucket_index(h, hash_family="md5"), path)
+    _fold_once(spark, path, _docs(spark, [(5, TXT_A)]))
+    I.compact_index(spark, path, "minhash")  # v3: fresh files only
+    want = _labels_set(I.read_minhash_index_resolved(spark, path))
+
+    n_files_before = len(_data_file_sigs(path))
+    stats = S.vacuum_snapshots(path, keep_last=1)
+    assert stats["manifests_deleted"] == 2
+    assert stats["files_deleted"] > 0
+    assert len(_data_file_sigs(path)) == n_files_before - stats["files_deleted"]
+    # kept version unchanged; vacuumed versions are gone
+    assert _labels_set(I.read_minhash_index_resolved(spark, path)) == want
+    with pytest.raises(FileNotFoundError):
+        S.read_manifest(path, 1)
+    # referenced-file accounting was exact: nothing the kept manifest
+    # names was deleted (the read above already proves readability; this
+    # pins the inverse — every remaining file is referenced)
+    m = S.read_manifest(path)
+    referenced = {
+        os.path.join(path, f)
+        for t in m["tables"].values()
+        for f in t["files"]
+    }
+    assert set(_data_file_sigs(path)) == referenced
+
+
+def test_empty_table_round_trips_schema(spark, store_root):
+    """A truncated table (the compacted remap log) reads back as an
+    empty frame with its committed schema."""
+    path = f"{store_root}/t"
+    df = spark.createDataFrame([(1, 2)], "old_comp long, new_comp long")
+    S.commit_snapshot(path, {"remap_log": df.limit(0)}, mode="replace")
+    got = S.read_snapshot(spark, path, ["remap_log"])["remap_log"]
+    assert got.count() == 0
+    assert got.schema == df.schema
+
+
+def test_srp_snapshot_fold_and_retire(spark, store_root):
+    """SRP twin of the lifecycle equivalence: snapshot build + fold +
+    retire resolves to the fresh build over the surviving vectors."""
+    base = [1.0, 0.2, 0.1, 0.05]
+    other = [-0.1, 1.0, -0.3, 0.2]
+
+    def _vecs(rows):
+        return spark.createDataFrame(
+            rows, "vec_id long, embedding array<float>"
+        )
+
+    kw = dict(threshold=0.4, n_planes=4, n_tables=12, dim=4)
+    bkw = dict(kw)
+    path = f"{store_root}/srp"
+    h = _vecs([(10, base), (11, base), (20, other), (30, other)])
+    I.commit_index(I.build_srp_vector_index(h, **bkw), path)
+    day = _vecs([(5, base), (50, [0.0, 0.0, 0.1, -1.0])])
+    resolved = I.read_srp_index_resolved(spark, path)
+    bl, rm = I.incremental_srp_merge(
+        day, resolved["buckets"], resolved["vectors"], resolved["labels"],
+        **bkw,
+    )
+    I.commit_srp_fold(path, day, bl, rm, n_planes=4, n_tables=12, dim=4)
+    I.retire_srp_index(
+        spark, path, spark.createDataFrame([(10,)], "vec_id long"),
+        **{**kw, "seed": 42},
+    )
+    got = I.read_srp_index_resolved(spark, path)
+    fresh = I.build_srp_vector_index(
+        h.unionByName(day).filter(F.col("vec_id") != 10), **bkw
+    )
+    assert _labels_set(got) == _labels_set(fresh)
+    assert _kv(got["vectors"], "_id") == _kv(fresh["vectors"], "_id")
+
+
+def test_streaming_gate_reads_snapshot_store(spark, sf_dir, store_root):
+    """The per-trigger streaming novelty gate is the concurrent reader
+    the store exists for: over a SNAPSHOT-committed index it must admit
+    exactly the novel set it admits over the directory index (the gate
+    routes through ``read_index_tables``, pinning one manifest version
+    per trigger)."""
+    from esther_apache_spark_spark.operators.sampling import hash_bucket
+    from esther_apache_spark_spark.schemas import load_table
+    from esther_apache_spark_spark.streaming.events import (
+        run_stream_minhash_novelty,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    history = docs.filter(
+        hash_bucket(F.col("doc_id"), salt="incrmh") < I.HIST_GATE_FRAC
+    )
+    idx = I.build_minhash_bucket_index(history, hash_family="md5")
+    dir_path, snap_path = f"{store_root}/dir", f"{store_root}/snap"
+    I.write_index(idx, dir_path)
+    I.commit_index(
+        I.build_minhash_bucket_index(history, hash_family="md5"), snap_path
+    )
+    want = _kv(run_stream_minhash_novelty(spark, sf_dir, dir_path), "doc_id")
+    got = _kv(run_stream_minhash_novelty(spark, sf_dir, snap_path), "doc_id")
+    assert got == want and len(got) > 0
+
+
+def test_manifest_is_json_and_relative_paths(spark, store_root):
+    """The manifest is portable: plain JSON, file paths relative to the
+    store root (the store can be moved / mirrored)."""
+    path = f"{store_root}/t"
+    S.commit_snapshot(
+        path,
+        {"labels": spark.createDataFrame([(1, 1)], "node long, comp long")},
+        mode="replace",
+    )
+    raw = json.load(open(S._manifest_path(path, 1)))
+    files = raw["tables"]["labels"]["files"]
+    assert files and all(not f.startswith("/") for f in files)
+    moved = f"{store_root}/moved"
+    shutil.move(path, moved)
+    got = S.read_snapshot(spark, moved, ["labels"])["labels"]
+    assert _kv(got, "node", "comp") == {(1, 1)}
