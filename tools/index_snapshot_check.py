@@ -23,6 +23,11 @@ Two arms over the same sf0.1 MinHash index workload:
    (timing-dependent on one box, so not asserted — zero just means the
    race window was not hit this run).
 
+The snapshot arm is also runnable under real separate executor JVMs
+via ``tools/local_cluster_check.py --snapshot-drill`` (this module's
+arms are imported there), so the store's executor-side data-file
+writes + driver-side manifest publication cross process boundaries.
+
 Prints one JSON line. Run idle.
 
 Usage: python tools/index_snapshot_check.py [--folds K] [--readers N]
@@ -33,14 +38,13 @@ from __future__ import annotations
 import argparse
 import json
 import os
+import shutil
 import sys
+import tempfile
 import threading
 import time
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
-
-import shutil  # noqa: E402
-import tempfile  # noqa: E402
 
 
 def _checksum(resolved) -> tuple:
@@ -49,15 +53,182 @@ def _checksum(resolved) -> tuple:
     (a fold's reps visible without its remap log) shifts it."""
     from pyspark.sql import functions as F
 
+    # decimal accumulator: a plain long sum of xxhash64 overflows under
+    # ANSI mode
     lab = resolved["labels"].agg(
-        F.sum(F.xxhash64("node", "comp")).alias("s"),
+        F.sum(F.xxhash64("node", "comp").cast("decimal(38,0)")).alias("s"),
         F.count(F.lit(1)).alias("c"),
     ).first()
     rep = resolved["bucket_reps"].agg(
-        F.sum(F.xxhash64("_band", "_bucket", "_rep")).alias("s"),
+        F.sum(
+            F.xxhash64("_band", "_bucket", "_rep").cast("decimal(38,0)")
+        ).alias("s"),
         F.count(F.lit(1)).alias("c"),
     ).first()
-    return (lab["s"], lab["c"], rep["s"], rep["c"])
+    return (str(lab["s"]), lab["c"], str(rep["s"]), rep["c"])
+
+
+def build_inputs(spark, sf_dir: str, folds: int):
+    """History slice, K disjoint daily batches, and a retirement slice
+    over the documents table — the shared workload of both arms."""
+    from pyspark.sql import functions as F
+
+    from esther_apache_spark_spark.operators import incremental as I
+    from esther_apache_spark_spark.operators.sampling import hash_bucket
+    from esther_apache_spark_spark.schemas import load_table
+
+    docs = load_table(spark, sf_dir, "documents")
+    gate = hash_bucket(F.col("doc_id"), salt="incrmh")
+    history = docs.filter(gate < I.HIST_GATE_FRAC).localCheckpoint()
+    batch = docs.filter(gate >= I.HIST_GATE_FRAC)
+    days = [
+        batch.filter(
+            hash_bucket(F.col("doc_id"), salt="day") % folds == i
+        ).localCheckpoint()
+        for i in range(folds)
+    ]
+    retired = history.filter(
+        hash_bucket(F.col("doc_id"), salt="retire") < int(0.1 * (1 << 32))
+    ).select("doc_id").localCheckpoint()
+    return history, days, retired
+
+
+def snapshot_arm(spark, path: str, history, days, retired,
+                 readers: int = 2) -> dict:
+    """Run the full snapshot-commit lifecycle against concurrent reader
+    threads; verify every observation post-hoc via time travel."""
+    from esther_apache_spark_spark.operators import incremental as I
+    from esther_apache_spark_spark.sources import index_store as S
+
+    stop = threading.Event()
+    observations: list = []
+    errors: list = []
+
+    def reader_loop() -> None:
+        while not stop.is_set():
+            try:
+                v = S.latest_version(path)
+                if v is None:
+                    time.sleep(0.02)
+                    continue
+                chk = _checksum(
+                    I.read_minhash_index_resolved(spark, path, v)
+                )
+                observations.append((v, chk))
+            except Exception as e:  # noqa: BLE001
+                errors.append(f"{type(e).__name__}: {e}"[:200])
+
+    threads = [
+        threading.Thread(target=reader_loop, daemon=True)
+        for _ in range(readers)
+    ]
+    t0 = time.perf_counter()
+    I.commit_index(
+        I.build_minhash_bucket_index(history, hash_family="md5"), path
+    )
+    for th in threads:
+        th.start()
+    commit_secs = []
+    for day in days:
+        t1 = time.perf_counter()
+        resolved = I.read_minhash_index_resolved(spark, path)
+        bl, rm = I.incremental_minhash_merge(
+            day, resolved["bucket_reps"], hash_family="md5"
+        )
+        I.commit_minhash_fold(path, day, bl, rm, hash_family="md5")
+        commit_secs.append(round(time.perf_counter() - t1, 3))
+    t1 = time.perf_counter()
+    I.retire_minhash_index(spark, path, retired)
+    retire_sec = round(time.perf_counter() - t1, 3)
+    t1 = time.perf_counter()
+    I.compact_index(spark, path, "minhash")
+    compact_sec = round(time.perf_counter() - t1, 3)
+    # let readers catch the final state before stopping
+    time.sleep(1.0)
+    stop.set()
+    for th in threads:
+        th.join(timeout=120)
+    wall = time.perf_counter() - t0
+
+    # verification: every observation equals the canonical checksum of
+    # ITS version, recomputed via time travel after the fact
+    canon = {
+        v: _checksum(I.read_minhash_index_resolved(spark, path, v))
+        for v in sorted({v for v, _ in observations})
+    }
+    mismatches = [(v, chk) for v, chk in observations if canon[v] != chk]
+    vac = S.vacuum_snapshots(path, keep_last=2)
+    latest_ok = _checksum(
+        I.read_minhash_index_resolved(spark, path)
+    ) == canon[S.latest_version(path)]
+    out = {
+        "wall_sec": round(wall, 3),
+        "versions_published": S.latest_version(path),
+        "reads_completed": len(observations),
+        "distinct_versions_observed": len(canon),
+        "reader_errors": len(errors),
+        "checksum_mismatches": len(mismatches),
+        "fold_commit_secs": commit_secs,
+        "retire_sec": retire_sec,
+        "compact_sec": compact_sec,
+        "vacuum": vac,
+        "latest_reads_after_vacuum": latest_ok,
+        "ok": not errors and not mismatches and latest_ok,
+    }
+    if errors:
+        out["first_error"] = errors[0]
+    return out
+
+
+def legacy_arm(spark, path: str, history, days, readers: int = 2,
+               compactions: int = 6) -> dict:
+    """Serve the same index as a plain directory and hammer it with
+    readers while compaction swaps run; report torn reads."""
+    from esther_apache_spark_spark.operators import incremental as I
+
+    I.write_index(
+        I.build_minhash_bucket_index(history, hash_family="md5"), path
+    )
+    for day in days:
+        resolved = I.read_minhash_index_resolved(spark, path)
+        bl, rm = I.incremental_minhash_merge(
+            day, resolved["bucket_reps"], hash_family="md5"
+        )
+        I.append_minhash_merge_to_index(path, day, bl, rm, hash_family="md5")
+    quiesced = _checksum(I.read_minhash_index_resolved(spark, path))
+    lstop = threading.Event()
+    ltorn: list = []
+    lreads = [0]
+
+    def legacy_reader() -> None:
+        while not lstop.is_set():
+            try:
+                chk = _checksum(I.read_minhash_index_resolved(spark, path))
+                lreads[0] += 1
+                if chk != quiesced:
+                    ltorn.append(("checksum", str(chk)))
+            except Exception as e:  # noqa: BLE001
+                ltorn.append(("exception", f"{type(e).__name__}: {e}"[:160]))
+
+    lthreads = [
+        threading.Thread(target=legacy_reader, daemon=True)
+        for _ in range(readers)
+    ]
+    for th in lthreads:
+        th.start()
+    # compaction preserves the view, so every deviation a reader sees
+    # during these swaps is a torn read by definition
+    for _ in range(compactions):
+        I.compact_index(spark, path, "minhash")
+    lstop.set()
+    for th in lthreads:
+        th.join(timeout=120)
+    return {
+        "compactions": compactions,
+        "reads_completed": lreads[0],
+        "torn_reads": len(ltorn),
+        "first_torn": ltorn[0] if ltorn else None,
+    }
 
 
 def main() -> None:
@@ -67,170 +238,23 @@ def main() -> None:
     ap.add_argument("--legacy-compactions", type=int, default=6)
     args = ap.parse_args()
 
-    from pyspark.sql import functions as F
-
-    from esther_apache_spark_spark.operators import incremental as I
-    from esther_apache_spark_spark.operators.sampling import hash_bucket
-    from esther_apache_spark_spark.schemas import load_table
     from esther_apache_spark_spark.session import get_spark
-    from esther_apache_spark_spark.sources import index_store as S
 
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     spark = get_spark("index-snapshot-check")
     spark.sparkContext.setLogLevel("ERROR")
 
-    docs = load_table(spark, sf_dir, "documents")
-    gate = hash_bucket(F.col("doc_id"), salt="incrmh")
-    history = docs.filter(gate < I.HIST_GATE_FRAC).localCheckpoint()
-    batch = docs.filter(gate >= I.HIST_GATE_FRAC)
-    # K disjoint daily batches
-    days = [
-        batch.filter(
-            hash_bucket(F.col("doc_id"), salt="day") % args.folds == i
-        ).localCheckpoint()
-        for i in range(args.folds)
-    ]
-    retired = history.filter(
-        hash_bucket(F.col("doc_id"), salt="retire") < int(0.1 * (1 << 32))
-    ).select("doc_id").localCheckpoint()
-
+    history, days, retired = build_inputs(spark, sf_dir, args.folds)
     root = tempfile.mkdtemp(prefix="idxsnapchk_")
     out: dict = {"folds": args.folds, "readers": args.readers}
     try:
-        # ------------------------------------------------ snapshot arm
-        path = f"{root}/snap"
-        stop = threading.Event()
-        observations: list = []
-        errors: list = []
-
-        def reader_loop() -> None:
-            while not stop.is_set():
-                try:
-                    v = S.latest_version(path)
-                    if v is None:
-                        time.sleep(0.02)
-                        continue
-                    chk = _checksum(
-                        I.read_minhash_index_resolved(spark, path, v)
-                    )
-                    observations.append((v, chk))
-                except Exception as e:  # noqa: BLE001
-                    errors.append(f"{type(e).__name__}: {e}"[:200])
-
-        threads = [
-            threading.Thread(target=reader_loop, daemon=True)
-            for _ in range(args.readers)
-        ]
-        t0 = time.perf_counter()
-        I.commit_index(
-            I.build_minhash_bucket_index(history, hash_family="md5"), path
+        out["snapshot"] = snapshot_arm(
+            spark, f"{root}/snap", history, days, retired, args.readers
         )
-        for th in threads:
-            th.start()
-        commit_secs = []
-        for day in days:
-            t1 = time.perf_counter()
-            resolved = I.read_minhash_index_resolved(spark, path)
-            bl, rm = I.incremental_minhash_merge(
-                day, resolved["bucket_reps"], hash_family="md5"
-            )
-            I.commit_minhash_fold(path, day, bl, rm, hash_family="md5")
-            commit_secs.append(round(time.perf_counter() - t1, 3))
-        t1 = time.perf_counter()
-        I.retire_minhash_index(spark, path, retired)
-        retire_sec = round(time.perf_counter() - t1, 3)
-        t1 = time.perf_counter()
-        I.compact_index(spark, path, "minhash")
-        compact_sec = round(time.perf_counter() - t1, 3)
-        # let readers catch the final state before stopping
-        time.sleep(1.0)
-        stop.set()
-        for th in threads:
-            th.join(timeout=120)
-        wall = time.perf_counter() - t0
-
-        # verification: every observation equals the canonical checksum
-        # of ITS version, recomputed via time travel after the fact
-        canon = {
-            v: _checksum(I.read_minhash_index_resolved(spark, path, v))
-            for v in sorted({v for v, _ in observations})
-        }
-        mismatches = [
-            (v, chk) for v, chk in observations if canon[v] != chk
-        ]
-        vac = S.vacuum_snapshots(path, keep_last=2)
-        latest_ok = _checksum(
-            I.read_minhash_index_resolved(spark, path)
-        ) == canon[S.latest_version(path)]
-        out["snapshot"] = {
-            "wall_sec": round(wall, 3),
-            "versions_published": S.latest_version(path),
-            "reads_completed": len(observations),
-            "distinct_versions_observed": len(canon),
-            "reader_errors": len(errors),
-            "checksum_mismatches": len(mismatches),
-            "fold_commit_secs": commit_secs,
-            "retire_sec": retire_sec,
-            "compact_sec": compact_sec,
-            "vacuum": vac,
-            "latest_reads_after_vacuum": latest_ok,
-        }
-        ok = not errors and not mismatches and latest_ok
-        out["snapshot"]["ok"] = ok
-        if errors:
-            out["snapshot"]["first_error"] = errors[0]
-
-        # -------------------------------------------------- legacy arm
-        lpath = f"{root}/legacy"
-        I.write_index(
-            I.build_minhash_bucket_index(history, hash_family="md5"), lpath
+        out["legacy"] = legacy_arm(
+            spark, f"{root}/legacy", history, days, args.readers,
+            args.legacy_compactions,
         )
-        for day in days:
-            resolved = I.read_minhash_index_resolved(spark, lpath)
-            bl, rm = I.incremental_minhash_merge(
-                day, resolved["bucket_reps"], hash_family="md5"
-            )
-            I.append_minhash_merge_to_index(
-                lpath, day, bl, rm, hash_family="md5"
-            )
-        quiesced = _checksum(I.read_minhash_index_resolved(spark, lpath))
-        lstop = threading.Event()
-        ltorn: list = []
-        lreads = [0]
-
-        def legacy_reader() -> None:
-            while not lstop.is_set():
-                try:
-                    chk = _checksum(
-                        I.read_minhash_index_resolved(spark, lpath)
-                    )
-                    lreads[0] += 1
-                    if chk != quiesced:
-                        ltorn.append(("checksum", str(chk)))
-                except Exception as e:  # noqa: BLE001
-                    ltorn.append(
-                        ("exception", f"{type(e).__name__}: {e}"[:160])
-                    )
-
-        lthreads = [
-            threading.Thread(target=legacy_reader, daemon=True)
-            for _ in range(args.readers)
-        ]
-        for th in lthreads:
-            th.start()
-        # compaction preserves the view, so every deviation a reader
-        # sees during these swaps is a torn read by definition
-        for _ in range(args.legacy_compactions):
-            I.compact_index(spark, lpath, "minhash")
-        lstop.set()
-        for th in lthreads:
-            th.join(timeout=120)
-        out["legacy"] = {
-            "compactions": args.legacy_compactions,
-            "reads_completed": lreads[0],
-            "torn_reads": len(ltorn),
-            "first_torn": ltorn[0] if ltorn else None,
-        }
     finally:
         shutil.rmtree(root, ignore_errors=True)
 

@@ -15,6 +15,7 @@ crashes, serialization errors, or lost rows).
 Usage:
     python tools/local_cluster_check.py [sf_dir]      # default sf0.01
     python tools/local_cluster_check.py --kill-executor [sf_dir]  # sf0.1
+    python tools/local_cluster_check.py --snapshot-drill [sf_dir] # sf0.01
 Prints one JSON line: {"ok": bool, "ran": n, "failures": {...}, ...}.
 Exit code 0 iff every query ran and row counts matched.
 
@@ -141,10 +142,55 @@ def _kill_executor_drill(sf_dir: str) -> None:
     sys.exit(0 if ok else 1)
 
 
+def _snapshot_drill(sf_dir: str) -> None:
+    """The snapshot-store race drill (tools/index_snapshot_check.py)
+    under REAL separate executor JVMs: data files are written by
+    executor processes while the atomic manifest publication happens
+    driver-side — this proves the commit protocol isn't accidentally
+    relying on local[k]'s shared JVM (e.g. a file visible to the
+    driver before executors finished writing it)."""
+    import shutil
+    import tempfile
+
+    from esther_apache_spark_spark.session import get_spark
+
+    sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+    import index_snapshot_check as isc
+
+    spark = get_spark(
+        "local-cluster-snapshot-drill",
+        master="local-cluster[2,8,4096]",
+        shuffle_partitions=16,
+        extra_conf={"spark.executor.memory": "3g"},
+    )
+    spark.sparkContext.setLogLevel("ERROR")
+    history, days, retired = isc.build_inputs(spark, sf_dir, folds=4)
+    root = tempfile.mkdtemp(prefix="lcsnap_")
+    try:
+        out = isc.snapshot_arm(
+            spark, f"{root}/snap", history, days, retired, readers=2
+        )
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
+        spark.stop()
+    out = {
+        "mode": "snapshot-drill",
+        "master": "local-cluster[2,8,4096]",
+        "sf_dir": sf_dir,
+        **out,
+    }
+    print(json.dumps(out, separators=(",", ":")), flush=True)
+    sys.exit(0 if out["ok"] else 1)
+
+
 def main() -> None:
     if "--kill-executor" in sys.argv:
         args = [a for a in sys.argv[1:] if a != "--kill-executor"]
         _kill_executor_drill(args[0] if args else "/root/testdata/sf0.1")
+        return
+    if "--snapshot-drill" in sys.argv:
+        args = [a for a in sys.argv[1:] if a != "--snapshot-drill"]
+        _snapshot_drill(args[0] if args else "/root/testdata/sf0.01")
         return
     sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
     os.environ.setdefault("SPARK_GRAFT_CHECKPOINT_DIR", "/tmp/spark_graft_ckpt_lc")
