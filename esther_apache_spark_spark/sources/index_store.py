@@ -198,11 +198,23 @@ def has_snapshots(path: str) -> bool:
     return latest_version(path) is not None
 
 
-def vacuum_snapshots(path: str, keep_last: int = 2) -> dict:
+def vacuum_snapshots(
+    path: str, keep_last: int = 2, grace_seconds: float = 600.0
+) -> dict:
     """Drop data files unreferenced by the newest ``keep_last``
     manifests and delete the older manifests. Readers pinned to a
     kept version are unaffected; time travel beyond the horizon is
-    traded for space, exactly like Delta's VACUUM. Returns counts."""
+    traded for space, exactly like Delta's VACUUM. Returns counts.
+
+    ``grace_seconds`` protects a CONCURRENT writer that has written its
+    commit's data files but not yet published its manifest — those
+    files are unreferenced too, so without the grace window a racing
+    vacuum would delete a commit in flight (the same hazard Delta's
+    retention period exists for). Unreferenced files younger than the
+    grace are left for the next vacuum; crashed commits' orphans age
+    out and are swept then. Pass 0 only when no writer can be active."""
+    import time as _time
+
     if keep_last < 1:
         raise ValueError("keep_last must be >= 1")
     versions = _list_versions(path)
@@ -215,9 +227,15 @@ def vacuum_snapshots(path: str, keep_last: int = 2) -> dict:
         for t in m["tables"].values():
             referenced.update(t["files"])
     files_deleted = 0
+    now = _time.time()
     for p in glob.glob(os.path.join(path, "*", "c-*", "*.parquet")):
         rel = os.path.relpath(p, path)
         if rel not in referenced:
+            try:
+                if now - os.stat(p).st_mtime < grace_seconds:
+                    continue  # possibly a commit in flight
+            except OSError:
+                continue
             os.unlink(p)
             files_deleted += 1
     # Sweep emptied commit dirs (and their _SUCCESS markers).
@@ -232,6 +250,15 @@ def vacuum_snapshots(path: str, keep_last: int = 2) -> dict:
         if v not in kept:
             os.unlink(_manifest_path(path, v))
             manifests_deleted += 1
+    # a writer that crashed mid-_publish leaves a .tmp- manifest (its
+    # data files age out above — unpublished means unreferenced); drop
+    # those too, same grace window for a publish in flight
+    for p in glob.glob(os.path.join(path, _MANIFEST_DIR, ".tmp-*")):
+        try:
+            if now - os.stat(p).st_mtime >= grace_seconds:
+                os.unlink(p)
+        except OSError:
+            pass
     return {
         "files_deleted": files_deleted,
         "manifests_deleted": manifests_deleted,

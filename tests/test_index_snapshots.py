@@ -232,7 +232,7 @@ def test_vacuum_keeps_horizon_and_drops_the_rest(spark, store_root):
     want = _labels_set(I.read_minhash_index_resolved(spark, path))
 
     n_files_before = len(_data_file_sigs(path))
-    stats = S.vacuum_snapshots(path, keep_last=1)
+    stats = S.vacuum_snapshots(path, keep_last=1, grace_seconds=0)
     assert stats["manifests_deleted"] == 2
     assert stats["files_deleted"] > 0
     assert len(_data_file_sigs(path)) == n_files_before - stats["files_deleted"]
@@ -250,6 +250,88 @@ def test_vacuum_keeps_horizon_and_drops_the_rest(spark, store_root):
         for f in t["files"]
     }
     assert set(_data_file_sigs(path)) == referenced
+
+
+def test_real_concurrent_writers_all_appends_survive(spark, store_root):
+    """Claim 5 under REAL thread concurrency (the monkeypatch test above
+    pins the merge logic; this pins the whole protocol): N threads
+    append-commit distinct rows simultaneously — every commit must
+    publish a distinct version and the final table must hold all rows."""
+    import threading
+
+    path = f"{store_root}/t"
+    S.commit_snapshot(
+        path,
+        {"labels": spark.createDataFrame([(0, 0)], "node long, comp long")},
+        mode="replace",
+    )
+    n = 6
+    versions: list = []
+    errors: list = []
+
+    def writer(i: int) -> None:
+        try:
+            versions.append(
+                S.commit_snapshot(
+                    path,
+                    {
+                        "labels": spark.createDataFrame(
+                            [(i, i)], "node long, comp long"
+                        )
+                    },
+                    mode="append",
+                )
+            )
+        except Exception as e:  # noqa: BLE001
+            errors.append(repr(e))
+
+    threads = [
+        threading.Thread(target=writer, args=(i,)) for i in range(1, n + 1)
+    ]
+    for t in threads:
+        t.start()
+    for t in threads:
+        t.join()
+    assert not errors
+    assert sorted(versions) == list(range(2, n + 2))  # all distinct
+    got = _kv(S.read_snapshot(spark, path, ["labels"])["labels"],
+              "node", "comp")
+    assert got == {(i, i) for i in range(0, n + 1)}
+
+
+def test_vacuum_grace_spares_inflight_and_sweeps_crashed(spark, store_root):
+    """A crashed commit's data files and tmp manifest are unreferenced:
+    inside the grace window vacuum must NOT touch them (they could be a
+    commit in flight); with the grace elapsed it sweeps both."""
+    path = f"{store_root}/t"
+    S.commit_snapshot(
+        path,
+        {"labels": spark.createDataFrame([(1, 1)], "node long, comp long")},
+        mode="replace",
+    )
+    # simulate a writer that died between data-file write and publish
+    orphan = S._write_table_files(
+        spark.createDataFrame([(9, 9)], "node long, comp long"),
+        path,
+        "labels",
+    )
+    tmp = os.path.join(path, S._MANIFEST_DIR, ".tmp-crashed")
+    with open(tmp, "w") as f:
+        f.write("{}")
+    # fresh files: the grace window protects them
+    stats = S.vacuum_snapshots(path, keep_last=1, grace_seconds=3600)
+    assert stats["files_deleted"] == 0
+    assert os.path.exists(os.path.join(path, orphan[0]))
+    assert os.path.exists(tmp)
+    # grace elapsed (grace 0): the orphans are swept
+    stats = S.vacuum_snapshots(path, keep_last=1, grace_seconds=0)
+    assert stats["files_deleted"] == len(orphan)
+    assert not os.path.exists(os.path.join(path, orphan[0]))
+    assert not os.path.exists(tmp)
+    # the published snapshot is untouched throughout
+    got = _kv(S.read_snapshot(spark, path, ["labels"])["labels"],
+              "node", "comp")
+    assert got == {(1, 1)}
 
 
 def test_empty_table_round_trips_schema(spark, store_root):

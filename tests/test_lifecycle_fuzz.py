@@ -132,7 +132,9 @@ def test_random_lifecycle_schedule_matches_fresh_build(spark, seed):
                 I.compact_index(spark, path, "minhash")
                 trace.append("compact")
             else:
-                stats = S.vacuum_snapshots(path, keep_last=2)
+                # grace 0: ops are single-threaded here, no writer in
+                # flight
+                stats = S.vacuum_snapshots(path, keep_last=2, grace_seconds=0)
                 trace.append(f"vacuum({stats['files_deleted']}f)")
             _assert_resolved_equals_fresh(spark, path, live, trace)
     finally:

@@ -157,7 +157,7 @@ def snapshot_arm(spark, path: str, history, days, retired,
         for v in sorted({v for v, _ in observations})
     }
     mismatches = [(v, chk) for v, chk in observations if canon[v] != chk]
-    vac = S.vacuum_snapshots(path, keep_last=2)
+    vac = S.vacuum_snapshots(path, keep_last=2, grace_seconds=0)
     latest_ok = _checksum(
         I.read_minhash_index_resolved(spark, path)
     ) == canon[S.latest_version(path)]
