@@ -119,6 +119,27 @@ def main() -> None:
             I.append_minhash_merge_to_index(path, batch, bl, rm, hash_family="md5")
             append_sec = time.perf_counter() - t0
 
+            # snapshot-commit arm: the SAME fold delta published through
+            # sources/index_store.py — prices the isolation protocol's
+            # overhead (manifest write + per-commit dirs) over the plain
+            # directory append; the manifest is KB-scale regardless of
+            # index size, so the delta should stay flat across scales
+            spath = f"{root}/{tag}_snap"
+            I.commit_index(
+                I.build_minhash_bucket_index(history, hash_family="md5"),
+                spath,
+            )
+            pre_commit = _du(spath)
+            t0 = time.perf_counter()
+            I.commit_minhash_fold(spath, batch, bl, rm, hash_family="md5")
+            commit_sec = time.perf_counter() - t0
+            import glob as _glob
+
+            manifest_bytes = sum(
+                os.path.getsize(p)
+                for p in _glob.glob(f"{spath}/_manifests/v*.json")
+            )
+
             row = {
                 "docs": n,
                 "batch_docs": batch.count(),
@@ -126,11 +147,14 @@ def main() -> None:
                 "merge_sec": round(merge_sec, 2),
                 "fold_rewrite_sec": round(rewrite_sec, 2),
                 "fold_append_sec": round(append_sec, 2),
+                "fold_snapshot_commit_sec": round(commit_sec, 2),
                 # single-box wall-clock is job-launch-floor-dominated at
                 # these scales; the sub-linearity that matters at 100 TB
                 # is WRITTEN BYTES — full-index rewrite vs O(batch) delta
                 "fold_rewrite_bytes": _du(f"{root}/{tag}_rewritten"),
                 "fold_append_bytes": _du(path) - pre_append,
+                "fold_snapshot_commit_bytes": _du(spath) - pre_commit,
+                "snapshot_manifest_bytes": manifest_bytes,
             }
 
             if tag == "sf1":
