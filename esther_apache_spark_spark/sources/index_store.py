@@ -36,6 +36,14 @@ This is deliberately NOT a general table format: no partition specs, no
 row-level deletes, no schema evolution — index tables are replaced or
 appended wholesale, which is all the lifecycle (build / fold / retire /
 compact) needs.
+
+Relation to ``sources/sinks.py:publish_parquet_atomic``: that is the
+SINGLE-table, full-replace-only publish (one dataset, symlink pointer
+swap, predecessor kept for rollback) for pipeline OUTPUT datasets; this
+store exists for the index's needs that primitive cannot express —
+multiple tables changing in one atomic commit, O(batch) append deltas
+(a fold must not rewrite the index), concurrent writers, and reads
+pinned to arbitrary retained versions.
 """
 
 from __future__ import annotations

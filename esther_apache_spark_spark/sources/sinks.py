@@ -440,7 +440,12 @@ def publish_parquet_atomic(df: DataFrame, path: str) -> str:
     On an object store the same protocol holds with the symlink replaced
     by a pointer object (small JSON naming the current version prefix)
     — step 3 becomes one PUT, which S3/GCS make atomic per-key. Returns
-    the published version directory."""
+    the published version directory.
+
+    For MULTI-table state with append deltas, concurrent writers, and
+    arbitrary version pinning (the incremental dedup index), use
+    ``sources/index_store.py`` — this sink is the single-dataset,
+    full-replace publish for pipeline outputs."""
     import os as _os
 
     versions_root = path.rstrip("/") + ".versions"
