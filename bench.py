@@ -61,6 +61,30 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 CALIBRATION_REF = 0.125
 CALIBRATION_QUERY = "global_agg"
 
+
+def calibration_probe(spark, probe_dir: str, runs: int = 5,
+                      first_touch: bool = True) -> float:
+    """Median of ``runs`` calibration-probe executions at ``probe_dir``
+    — THE load-factor protocol CALIBRATION_REF is pinned against.
+    Tools (survivor_ab, index_lifecycle_check, adaptive_ab) import this
+    instead of re-rolling the loop, so a future re-pin of the protocol
+    (run count, warmup discipline) cannot silently desynchronize their
+    load factors from bench's."""
+    import statistics as _statistics
+    import time as _time
+
+    from esther_apache_spark_spark import plans as _plans
+
+    spec = _plans.QUERIES[CALIBRATION_QUERY]
+    if first_touch:
+        spec.fn(spark, probe_dir).count()
+    samples = []
+    for _ in range(runs):
+        t0 = _time.perf_counter()
+        spec.fn(spark, probe_dir).count()
+        samples.append(_time.perf_counter() - t0)
+    return _statistics.median(samples)
+
 HEADLINE = [
     "flagship_daily_segment_sales",
     "multikey_agg",
@@ -222,15 +246,8 @@ def main() -> None:
         ambient machine load (the thing CALIBRATION_REF is pinned
         against), never the cold protocol's own data scale."""
         probe_dir = probe_dir or sf_dir
-        spec = plans.QUERIES[CALIBRATION_QUERY]
-        spec.fn(spark, warm_dir).count()  # codegen warmup
-        spec.fn(spark, probe_dir).count()  # first-touch at the probe SF
-        samples = []
-        for _ in range(5):
-            t0 = time.perf_counter()
-            spec.fn(spark, probe_dir).count()
-            samples.append(time.perf_counter() - t0)
-        return statistics.median(samples)
+        plans.QUERIES[CALIBRATION_QUERY].fn(spark, warm_dir).count()  # codegen warmup
+        return calibration_probe(spark, probe_dir)
 
     include_pipeline = "--no-pipeline" not in sys.argv
     # VERDICT r8 #4: cold rows must cite their own load factor — probe

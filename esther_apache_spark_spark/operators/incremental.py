@@ -1282,13 +1282,13 @@ def compact_index(spark: SparkSession, path: str, kind: str) -> None:
     else:
         raise ValueError(f"unknown index kind: {kind!r}")
     if snap:
-        m = _S.read_manifest(path, version)
-        if "remap_log" in m["tables"]:
-            log = _S.read_snapshot(spark, path, ["remap_log"], version)[
-                "remap_log"
-            ]
-            resolved = {**resolved, "remap_log": log.limit(0)}
-        _S.commit_snapshot(path, resolved, mode="replace")
+        resolved = _with_truncated_log(spark, path, version, resolved)
+        # expected_base: the resolved frames were computed at `version`;
+        # a commit landing in between must fail the publish
+        # (ConcurrentReplaceError) rather than be silently erased
+        _S.commit_snapshot(
+            path, resolved, mode="replace", expected_base=version
+        )
         return
     tmp = f"{path}.compacting"
     _shutil.rmtree(tmp, ignore_errors=True)
@@ -1309,6 +1309,22 @@ def compact_index(spark: SparkSession, path: str, kind: str) -> None:
 # produced are identical to the directory API's (pinned by
 # tests/test_index_snapshots.py) — only the storage protocol differs.
 # ---------------------------------------------------------------------------
+
+
+def _with_truncated_log(
+    spark: SparkSession, path: str, version: int, frames: dict
+) -> dict:
+    """Attach an EMPTY remap_log to a replace-commit's frames when the
+    snapshot at ``version`` carries one: retirement and compaction both
+    publish fully-resolved labels, so any surviving log rows would
+    re-lower them wrongly at read."""
+    from esther_apache_spark_spark.sources import index_store as _S
+
+    m = _S.read_manifest(path, version)
+    if "remap_log" not in m["tables"]:
+        return frames
+    log = _S.read_snapshot(spark, path, ["remap_log"], version)["remap_log"]
+    return {**frames, "remap_log": log.limit(0)}
 
 
 def commit_index(
@@ -1375,6 +1391,13 @@ def retire_minhash_index(
 
     version = _S.latest_version(path)
     resolved = read_minhash_index_resolved(spark, path, version)
+    if "doc_bands" not in resolved:
+        raise ValueError(
+            "retirement needs the per-doc band table: this index was "
+            "built without doc_bands (build_minhash_bucket_index("
+            "include_doc_bands=False)) — rebuild with the default "
+            "include_doc_bands=True to enable takedowns"
+        )
     pruned = retire_minhash_docs(
         resolved["bucket_reps"],
         resolved["labels"],
@@ -1383,13 +1406,10 @@ def retire_minhash_index(
         id_col=id_col,
         checkpoint_dir=checkpoint_dir,
     )
-    m = _S.read_manifest(path, version)
-    if "remap_log" in m["tables"]:
-        log = _S.read_snapshot(spark, path, ["remap_log"], version)[
-            "remap_log"
-        ]
-        pruned = {**pruned, "remap_log": log.limit(0)}
-    return _S.commit_snapshot(path, pruned, mode="replace")
+    pruned = _with_truncated_log(spark, path, version, pruned)
+    return _S.commit_snapshot(
+        path, pruned, mode="replace", expected_base=version
+    )
 
 
 def retire_srp_index(
@@ -1414,10 +1434,7 @@ def retire_srp_index(
         checkpoint_dir=checkpoint_dir,
         **retire_kw,
     )
-    m = _S.read_manifest(path, version)
-    if "remap_log" in m["tables"]:
-        log = _S.read_snapshot(spark, path, ["remap_log"], version)[
-            "remap_log"
-        ]
-        pruned = {**pruned, "remap_log": log.limit(0)}
-    return _S.commit_snapshot(path, pruned, mode="replace")
+    pruned = _with_truncated_log(spark, path, version, pruned)
+    return _S.commit_snapshot(
+        path, pruned, mode="replace", expected_base=version
+    )

@@ -125,10 +125,25 @@ def _publish(path: str, base_version: int, tables: dict) -> int:
     return base_version + 1
 
 
+class ConcurrentReplaceError(RuntimeError):
+    """A replace commit's base version was overtaken by another commit.
+
+    A replace publishes frames COMPUTED FROM a specific snapshot
+    (retirement prunes the resolved view at version V; compaction
+    materializes it); if any commit lands after V, blindly publishing
+    would silently erase that commit's rows (an append fold's documents
+    would vanish) or break the remap log's decreasing-chain invariant.
+    The caller must re-derive its frames from the new latest version
+    and retry — which the lifecycle wrappers surface rather than hide,
+    since re-deriving means re-running the pruning/materialization
+    plan."""
+
+
 def commit_snapshot(
     path: str,
     delta: dict[str, DataFrame],
     mode: str = "append",
+    expected_base: int | None = None,
 ) -> int:
     """Commit ``delta`` (table name → DataFrame) to the store.
 
@@ -139,11 +154,14 @@ def commit_snapshot(
 
     Concurrency: the data files are written first (invisible until
     published); the manifest link is create-if-absent, so two
-    concurrent commits serialize — the loser re-reads the winner's
-    manifest and re-merges. Two appends both survive a conflict with
-    both deltas visible; replace-vs-replace of the SAME table is
-    last-publisher-wins (documented; the lifecycle's replaces — build,
-    retire, compact — are nightly/weekly singletons in practice).
+    concurrent commits serialize — a losing APPEND re-reads the
+    winner's manifest and re-merges, so two appends both survive a
+    conflict with both deltas visible. A REPLACE must instead pass
+    ``expected_base`` (the version its frames were computed from):
+    losing the race raises :class:`ConcurrentReplaceError` rather than
+    silently erasing the winner's rows, because replace frames are
+    derived from a snapshot and cannot be re-merged mechanically — the
+    caller re-derives from the new latest and retries.
     """
     if mode not in ("append", "replace"):
         raise ValueError(f"unknown commit mode: {mode!r}")
@@ -157,6 +175,15 @@ def commit_snapshot(
         latest = read_manifest(path)
         base_tables = dict(latest["tables"]) if latest else {}
         base_version = latest["version"] if latest else 0
+        if (
+            mode == "replace"
+            and expected_base is not None
+            and base_version != expected_base
+        ):
+            raise ConcurrentReplaceError(
+                f"replace computed from v{expected_base} but the store "
+                f"is at v{base_version}; re-derive and retry"
+            )
         tables = {k: dict(v) for k, v in base_tables.items()}
         for name, w in written.items():
             if mode == "append" and name in tables:
@@ -246,13 +273,22 @@ def vacuum_snapshots(
                 continue
             os.unlink(p)
             files_deleted += 1
-    # Sweep emptied commit dirs (and their _SUCCESS markers).
+    # Sweep emptied commit dirs (and their _SUCCESS/_temporary leavings)
+    # — same grace window: a dir with no parquet yet may be a commit
+    # mid-write (Spark is still filling its _temporary subdir), and the
+    # sweep must also handle subdirectories, not just marker files.
+    import shutil as _shutil
+
     for d in glob.glob(os.path.join(path, "*", "c-*")):
-        entries = os.listdir(d)
-        if not any(e.endswith(".parquet") for e in entries):
-            for e in entries:
-                os.unlink(os.path.join(d, e))
-            os.rmdir(d)
+        try:
+            if now - os.stat(d).st_mtime < grace_seconds:
+                continue
+            if not any(
+                e.endswith(".parquet") for e in os.listdir(d)
+            ):
+                _shutil.rmtree(d, ignore_errors=True)
+        except OSError:
+            continue
     manifests_deleted = 0
     for v in versions:
         if v not in kept:

@@ -879,6 +879,12 @@ def run_stream_srp_novelty(
     )
 
     def _gate_batch(batch_df: DataFrame, batch_id: int) -> None:
+        # a trigger whose rows all fall in the history slice yields an
+        # empty batch; with dim=None the probe's dim inference would
+        # raise inside foreachBatch and kill the whole stream — an
+        # empty batch gates to an empty novel set, so skip it
+        if batch_df.isEmpty():
+            return
         # snapshot-aware AND version-consistent: buckets and vectors
         # come from one pinned manifest on a snapshot-store index — the
         # cosine rerank must never join a newer buckets table against
@@ -914,6 +920,14 @@ def run_stream_srp_novelty(
         q.processAllAvailable()
     finally:
         q.stop()
+    import os as _os
+
+    if not any(n.endswith(".parquet") for n in _os.listdir(out_dir)):
+        # every trigger was empty (all rows in the history slice):
+        # nothing was appended, so build the empty result directly
+        return spark.createDataFrame([], TESTDATA["embeddings"]).select(
+            "vec_id", "label"
+        )
     return spark.read.parquet(out_dir)
 
 

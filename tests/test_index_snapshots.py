@@ -221,6 +221,62 @@ def test_optimistic_concurrency_merges_both_appends(spark, store_root):
     assert got == {(1, 1), (2, 2), (3, 3)}
 
 
+def test_replace_conflict_raises_instead_of_clobbering(spark, store_root):
+    """A replace's frames are computed from a pinned version; if any
+    commit (e.g. an append fold) lands in between, publishing blindly
+    would erase that commit's rows. With ``expected_base`` the replace
+    raises ConcurrentReplaceError and the interleaved append survives;
+    re-deriving from the new latest then succeeds."""
+    path = f"{store_root}/t"
+
+    def _df(*pairs):
+        return spark.createDataFrame(list(pairs), "node long, comp long")
+
+    S.commit_snapshot(path, {"labels": _df((1, 1))}, mode="replace")
+    base = S.latest_version(path)  # a replace computed from v1...
+    S.commit_snapshot(path, {"labels": _df((2, 2))}, mode="append")  # ...races a fold
+    with pytest.raises(S.ConcurrentReplaceError):
+        S.commit_snapshot(
+            path, {"labels": _df((9, 9))}, mode="replace",
+            expected_base=base,
+        )
+    got = _kv(S.read_snapshot(spark, path, ["labels"])["labels"],
+              "node", "comp")
+    assert got == {(1, 1), (2, 2)}  # the fold's rows survived
+    # re-derived from the new latest: the replace goes through
+    v = S.commit_snapshot(
+        path, {"labels": _df((9, 9))}, mode="replace",
+        expected_base=S.latest_version(path),
+    )
+    assert v == 3  # the failed replace published nothing
+    got = _kv(S.read_snapshot(spark, path, ["labels"])["labels"],
+              "node", "comp")
+    assert got == {(9, 9)}
+
+
+def test_srp_stream_gate_survives_all_empty_triggers(spark, sf_dir, store_root):
+    """A trigger whose rows all fall in the history slice yields an
+    empty micro-batch; with dim unset the probe's dim inference used to
+    raise inside foreachBatch and kill the stream. hist_frac at the
+    hash ceiling makes EVERY trigger empty — the gate must return an
+    empty novel set, not crash."""
+    from esther_apache_spark_spark.schemas import EMBEDDING_DIM, load_table
+    from esther_apache_spark_spark.streaming.events import (
+        run_stream_srp_novelty,
+    )
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    path = f"{store_root}/srp"
+    I.write_index(
+        I.build_srp_vector_index(emb.limit(50), dim=EMBEDDING_DIM), path
+    )
+    got = run_stream_srp_novelty(
+        spark, sf_dir, path, hist_frac=(1 << 32)
+    )
+    assert got.count() == 0
+    assert set(got.columns) == {"vec_id", "label"}
+
+
 def test_vacuum_keeps_horizon_and_drops_the_rest(spark, store_root):
     """Vacuum deletes exactly the files outside the kept manifests and
     the old manifests themselves; the kept versions read unchanged."""

@@ -151,16 +151,19 @@ def snapshot_arm(spark, path: str, history, days, retired,
     wall = time.perf_counter() - t0
 
     # verification: every observation equals the canonical checksum of
-    # ITS version, recomputed via time travel after the fact
+    # ITS version, recomputed via time travel after the fact (the
+    # latest version is always canonized, even if no reader happened to
+    # observe it — the post-vacuum check below needs it)
+    latest = S.latest_version(path)
     canon = {
         v: _checksum(I.read_minhash_index_resolved(spark, path, v))
-        for v in sorted({v for v, _ in observations})
+        for v in sorted({v for v, _ in observations} | {latest})
     }
     mismatches = [(v, chk) for v, chk in observations if canon[v] != chk]
     vac = S.vacuum_snapshots(path, keep_last=2, grace_seconds=0)
     latest_ok = _checksum(
         I.read_minhash_index_resolved(spark, path)
-    ) == canon[S.latest_version(path)]
+    ) == canon[latest]
     out = {
         "wall_sec": round(wall, 3),
         "versions_published": S.latest_version(path),

@@ -25,7 +25,7 @@ import time
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
-from bench import CALIBRATION_QUERY, CALIBRATION_REF  # noqa: E402
+from bench import CALIBRATION_REF  # noqa: E402
 
 QUERIES = ["lexical_dedup_survivors", "semantic_dedup_survivors"]
 
@@ -78,14 +78,11 @@ def main() -> None:
     spark.sparkContext.setLogLevel("ERROR")
 
     def _cal() -> float:
-        spec = plans.QUERIES[CALIBRATION_QUERY]
-        spec.fn(spark, sf_dir).count()
-        samples = []
-        for _ in range(5):
-            t0 = time.perf_counter()
-            spec.fn(spark, sf_dir).count()
-            samples.append(time.perf_counter() - t0)
-        return statistics.median(samples)
+        # the ONE probe protocol, imported from bench (a drift here
+        # would desynchronize this tool's load factor from bench's)
+        from bench import calibration_probe
+
+        return calibration_probe(spark, sf_dir)
 
     original = D._quotient_labels
 
