@@ -1285,9 +1285,12 @@ def compact_index(spark: SparkSession, path: str, kind: str) -> None:
         resolved = _with_truncated_log(spark, path, version, resolved)
         # expected_base: the resolved frames were computed at `version`;
         # a commit landing in between must fail the publish
-        # (ConcurrentReplaceError) rather than be silently erased
+        # (ConcurrentReplaceError) rather than be silently erased.
+        # bump_epoch=False: compaction preserves the logical view, so a
+        # concurrent fold's delta stays valid and may re-merge.
         _S.commit_snapshot(
-            path, resolved, mode="replace", expected_base=version
+            path, resolved, mode="replace", expected_base=version,
+            bump_epoch=False,
         )
         return
     tmp = f"{path}.compacting"
@@ -1331,10 +1334,19 @@ def commit_index(
     index: dict[str, DataFrame], path: str, mode: str = "replace"
 ) -> int:
     """Publish an index (e.g. a fresh ``build_*_index`` output) as one
-    atomic snapshot commit; returns the published version."""
+    atomic snapshot commit; returns the published version. A replace
+    over an EXISTING store is compare-and-swapped against the current
+    latest version (a commit racing in between raises
+    ``ConcurrentReplaceError`` — rebuilds derive from the corpus, so
+    the caller decides whether the race matters and re-publishes)."""
     from esther_apache_spark_spark.sources import index_store as _S
 
-    return _S.commit_snapshot(path, index, mode=mode)
+    expected = (
+        _S.latest_version(path) if mode == "replace" else None
+    )
+    return _S.commit_snapshot(
+        path, index, mode=mode, expected_base=expected
+    )
 
 
 def commit_minhash_fold(
@@ -1342,17 +1354,25 @@ def commit_minhash_fold(
     batch: DataFrame,
     batch_labels: DataFrame,
     remap: DataFrame,
+    expected_epoch: int | None = None,
     **kw,
 ) -> int:
     """Snapshot twin of ``append_minhash_merge_to_index``: the same
     O(batch) fold delta, published as ONE append-commit — a reader
-    never sees the fold's ``bucket_reps`` without its ``remap_log``."""
+    never sees the fold's ``bucket_reps`` without its ``remap_log``.
+
+    Pass ``expected_epoch`` (the manifest ``epoch`` captured when the
+    resolved view the merge ran against was read): a retirement landing
+    between derivation and commit then raises ``StaleAppendError``
+    instead of silently re-merging labels that may reference retired
+    documents."""
     from esther_apache_spark_spark.sources import index_store as _S
 
     return _S.commit_snapshot(
         path,
         _minhash_fold_delta(batch, batch_labels, remap, **kw),
         mode="append",
+        expected_epoch=expected_epoch,
     )
 
 
@@ -1361,15 +1381,18 @@ def commit_srp_fold(
     batch: DataFrame,
     batch_labels: DataFrame,
     remap: DataFrame,
+    expected_epoch: int | None = None,
     **kw,
 ) -> int:
-    """Snapshot twin of ``append_srp_merge_to_index``."""
+    """Snapshot twin of ``append_srp_merge_to_index``; see
+    ``commit_minhash_fold`` for the ``expected_epoch`` contract."""
     from esther_apache_spark_spark.sources import index_store as _S
 
     return _S.commit_snapshot(
         path,
         _srp_fold_delta(batch, batch_labels, remap, **kw),
         mode="append",
+        expected_epoch=expected_epoch,
     )
 
 

@@ -105,14 +105,15 @@ def _write_table_files(df: DataFrame, path: str, table: str) -> list[str]:
     return files
 
 
-def _publish(path: str, base_version: int, tables: dict) -> int:
+def _publish(path: str, base_version: int, tables: dict,
+             epoch: int = 0) -> int:
     """Atomically publish ``tables`` as the next manifest version after
     ``base_version``; returns the published version. Raises
     FileExistsError only internally (the retry is the caller's merge
     loop in ``commit_snapshot``)."""
     mdir = os.path.join(path, _MANIFEST_DIR)
     os.makedirs(mdir, exist_ok=True)
-    body = json.dumps({"tables": tables}, sort_keys=True)
+    body = json.dumps({"tables": tables, "epoch": epoch}, sort_keys=True)
     tmp = os.path.join(mdir, f".tmp-{uuid.uuid4().hex}")
     with open(tmp, "w") as f:
         f.write(body)
@@ -139,11 +140,28 @@ class ConcurrentReplaceError(RuntimeError):
     plan."""
 
 
+class StaleAppendError(RuntimeError):
+    """An append delta was derived from a snapshot whose SEMANTIC epoch
+    has since changed (a retirement or other meaning-changing replace
+    landed in between).
+
+    An append that merely loses the version race to another APPEND can
+    be re-merged mechanically (both deltas are independent row sets).
+    But an append derived from pre-retirement state must not land on
+    the pruned index: its labels/remap rows can reference retired
+    documents, silently un-doing the takedown. The caller re-derives
+    the delta from the new resolved view and retries. (Compaction
+    preserves the logical view, so it does NOT bump the epoch — a fold
+    racing a compaction re-merges fine.)"""
+
+
 def commit_snapshot(
     path: str,
     delta: dict[str, DataFrame],
     mode: str = "append",
     expected_base: int | None = None,
+    expected_epoch: int | None = None,
+    bump_epoch: bool = True,
 ) -> int:
     """Commit ``delta`` (table name → DataFrame) to the store.
 
@@ -154,17 +172,32 @@ def commit_snapshot(
 
     Concurrency: the data files are written first (invisible until
     published); the manifest link is create-if-absent, so two
-    concurrent commits serialize — a losing APPEND re-reads the
-    winner's manifest and re-merges, so two appends both survive a
-    conflict with both deltas visible. A REPLACE must instead pass
-    ``expected_base`` (the version its frames were computed from):
-    losing the race raises :class:`ConcurrentReplaceError` rather than
-    silently erasing the winner's rows, because replace frames are
-    derived from a snapshot and cannot be re-merged mechanically — the
-    caller re-derives from the new latest and retries.
+    concurrent commits serialize.
+
+    * APPEND: a loser re-reads the winner's manifest and re-merges, so
+      two appends both survive with both deltas visible. Pass
+      ``expected_epoch`` (the manifest ``epoch`` at the snapshot the
+      delta was DERIVED from): if a meaning-changing replace (e.g. a
+      retirement) landed in between, the re-merge would resurrect
+      retired state, so the commit raises :class:`StaleAppendError`
+      instead and the caller re-derives.
+    * REPLACE on a non-empty store REQUIRES ``expected_base`` (the
+      version its frames were computed from) — enforced, because a
+      replace that loses a race cannot be re-merged mechanically;
+      losing raises :class:`ConcurrentReplaceError` and the caller
+      re-derives from the new latest. ``bump_epoch=True`` (default)
+      marks the replace as meaning-changing (retirement, rebuild);
+      compaction — which preserves the logical view — passes False so
+      concurrent appends keep their mechanical re-merge.
     """
     if mode not in ("append", "replace"):
         raise ValueError(f"unknown commit mode: {mode!r}")
+    if mode == "replace" and expected_base is None and has_snapshots(path):
+        raise ValueError(
+            "replace on a non-empty store requires expected_base (the "
+            "version the replacement frames were computed from) — "
+            "otherwise a concurrent commit can be silently erased"
+        )
     written: dict[str, dict] = {}
     for name, df in delta.items():
         written[name] = {
@@ -175,6 +208,7 @@ def commit_snapshot(
         latest = read_manifest(path)
         base_tables = dict(latest["tables"]) if latest else {}
         base_version = latest["version"] if latest else 0
+        base_epoch = latest.get("epoch", 0) if latest else 0
         if (
             mode == "replace"
             and expected_base is not None
@@ -183,6 +217,16 @@ def commit_snapshot(
             raise ConcurrentReplaceError(
                 f"replace computed from v{expected_base} but the store "
                 f"is at v{base_version}; re-derive and retry"
+            )
+        if (
+            mode == "append"
+            and expected_epoch is not None
+            and base_epoch != expected_epoch
+        ):
+            raise StaleAppendError(
+                f"append derived at epoch {expected_epoch} but the "
+                f"store is at epoch {base_epoch} (a meaning-changing "
+                "replace landed); re-derive from the resolved view"
             )
         tables = {k: dict(v) for k, v in base_tables.items()}
         for name, w in written.items():
@@ -193,8 +237,9 @@ def commit_snapshot(
                 }
             else:
                 tables[name] = w
+        epoch = base_epoch + (1 if mode == "replace" and bump_epoch else 0)
         try:
-            return _publish(path, base_version, tables)
+            return _publish(path, base_version, tables, epoch)
         except FileExistsError:
             continue
 
@@ -274,19 +319,27 @@ def vacuum_snapshots(
             os.unlink(p)
             files_deleted += 1
     # Sweep emptied commit dirs (and their _SUCCESS/_temporary leavings)
-    # — same grace window: a dir with no parquet yet may be a commit
-    # mid-write (Spark is still filling its _temporary subdir), and the
-    # sweep must also handle subdirectories, not just marker files.
+    # — same grace window, aged by the NEWEST mtime anywhere in the
+    # dir's subtree: the c-dir's own mtime freezes at write start while
+    # Spark fills `_temporary/`, so a long-running in-flight write must
+    # be aged by its most recent activity, not its start.
     import shutil as _shutil
 
     for d in glob.glob(os.path.join(path, "*", "c-*")):
         try:
-            if now - os.stat(d).st_mtime < grace_seconds:
+            if any(e.endswith(".parquet") for e in os.listdir(d)):
                 continue
-            if not any(
-                e.endswith(".parquet") for e in os.listdir(d)
-            ):
-                _shutil.rmtree(d, ignore_errors=True)
+            newest = os.stat(d).st_mtime
+            for sub, _dirs, names in os.walk(d):
+                newest = max(
+                    newest,
+                    os.stat(sub).st_mtime,
+                    *(os.stat(os.path.join(sub, n)).st_mtime
+                      for n in names),
+                )
+            if now - newest < grace_seconds:
+                continue  # possibly a commit in flight
+            _shutil.rmtree(d, ignore_errors=True)
         except OSError:
             continue
     manifests_deleted = 0

@@ -73,11 +73,19 @@ def store_root():
 
 
 def _fold_once(spark, path, day):
-    resolved = I.read_minhash_index_resolved(spark, path)
+    # the production fold pattern: capture the epoch WITH the resolved
+    # view the merge derives from, so a retirement landing in between
+    # fails the commit (StaleAppendError) instead of re-merging stale
+    # labels
+    m = S.read_manifest(path)
+    resolved = I.read_minhash_index_resolved(spark, path, m["version"])
     bl, rm = I.incremental_minhash_merge(
         day, resolved["bucket_reps"], hash_family="md5"
     )
-    return I.commit_minhash_fold(path, day, bl, rm, hash_family="md5")
+    return I.commit_minhash_fold(
+        path, day, bl, rm, expected_epoch=m.get("epoch", 0),
+        hash_family="md5",
+    )
 
 
 def test_snapshot_lifecycle_equals_fresh_build(spark, store_root):
@@ -179,7 +187,7 @@ def test_optimistic_concurrency_merges_both_appends(spark, store_root):
     orig = S._publish
     raced = {"done": False}
 
-    def racing_publish(p, base_version, tables):
+    def racing_publish(p, base_version, tables, epoch=0):
         # first attempt: another writer lands the same version first
         if not raced["done"]:
             raced["done"] = True
@@ -199,8 +207,8 @@ def test_optimistic_concurrency_merges_both_appends(spark, store_root):
                 S.read_manifest(p)["tables"]["labels"]["files"]
                 + win["labels"]["files"]
             )
-            orig(p, base_version, win)
-        return orig(p, base_version, tables)
+            orig(p, base_version, win, epoch)
+        return orig(p, base_version, tables, epoch)
 
     S._publish = racing_publish
     try:
@@ -252,6 +260,98 @@ def test_replace_conflict_raises_instead_of_clobbering(spark, store_root):
     got = _kv(S.read_snapshot(spark, path, ["labels"])["labels"],
               "node", "comp")
     assert got == {(9, 9)}
+
+
+def test_stale_append_fails_after_semantic_replace(spark, store_root):
+    """The other direction of the fold-vs-retire race: a fold delta
+    derived BEFORE a retirement must not re-merge onto the pruned index
+    (its labels can resurrect retired docs). A meaning-changing replace
+    bumps the manifest epoch, so the stale append raises; a compaction
+    (bump_epoch=False) does not invalidate concurrent folds."""
+    path = f"{store_root}/t"
+
+    def _df(*pairs):
+        return spark.createDataFrame(list(pairs), "node long, comp long")
+
+    S.commit_snapshot(path, {"labels": _df((1, 1))}, mode="replace")
+    epoch0 = S.read_manifest(path).get("epoch", 0)
+    # a compaction-class replace: logical view preserved, no bump
+    S.commit_snapshot(
+        path, {"labels": _df((1, 1))}, mode="replace",
+        expected_base=S.latest_version(path), bump_epoch=False,
+    )
+    v = S.commit_snapshot(
+        path, {"labels": _df((2, 2))}, mode="append",
+        expected_epoch=epoch0,
+    )
+    assert v == 3  # fold survives a compaction race
+    # a retirement-class replace: epoch bumps, stale appends fail
+    S.commit_snapshot(
+        path, {"labels": _df((1, 1))}, mode="replace",
+        expected_base=S.latest_version(path),
+    )
+    with pytest.raises(S.StaleAppendError):
+        S.commit_snapshot(
+            path, {"labels": _df((3, 3))}, mode="append",
+            expected_epoch=epoch0,
+        )
+    got = _kv(S.read_snapshot(spark, path, ["labels"])["labels"],
+              "node", "comp")
+    assert got == {(1, 1)}  # the stale delta never landed
+
+
+def test_replace_requires_expected_base_on_nonempty_store(spark, store_root):
+    """The replace contract is enforced, not advisory: omitting
+    expected_base on a store that already has versions raises (the
+    first commit on an empty store is exempt)."""
+    path = f"{store_root}/t"
+    df = spark.createDataFrame([(1, 1)], "node long, comp long")
+    S.commit_snapshot(path, {"labels": df}, mode="replace")  # empty: ok
+    with pytest.raises(ValueError, match="expected_base"):
+        S.commit_snapshot(path, {"labels": df}, mode="replace")
+
+
+def test_retire_invalidates_inflight_fold_end_to_end(spark, store_root):
+    """Wrapper-level twin of the stale-append test: a minhash fold
+    merged against the pre-retirement resolved view must fail its
+    commit once retire_minhash_index has landed."""
+    path = f"{store_root}/mh"
+    h = _docs(spark, [(10, TXT_A), (11, TXT_A), (20, TXT_C), (21, TXT_C)])
+    I.commit_index(I.build_minhash_bucket_index(h, hash_family="md5"), path)
+    m = S.read_manifest(path)
+    resolved = I.read_minhash_index_resolved(spark, path, m["version"])
+    day = _docs(spark, [(5, TXT_A)])
+    bl, rm = I.incremental_minhash_merge(
+        day, resolved["bucket_reps"], hash_family="md5"
+    )
+    bl = bl.localCheckpoint()
+    rm = rm.localCheckpoint()
+    # the retirement lands while the fold is in flight
+    I.retire_minhash_index(
+        spark, path, spark.createDataFrame([(10,)], "doc_id long")
+    )
+    with pytest.raises(S.StaleAppendError):
+        I.commit_minhash_fold(
+            path, day, bl, rm, expected_epoch=m.get("epoch", 0),
+            hash_family="md5",
+        )
+    # re-derived against the post-retirement view: goes through and
+    # equals the fresh build over the post-retirement corpus
+    m2 = S.read_manifest(path)
+    resolved2 = I.read_minhash_index_resolved(spark, path, m2["version"])
+    bl2, rm2 = I.incremental_minhash_merge(
+        day, resolved2["bucket_reps"], hash_family="md5"
+    )
+    I.commit_minhash_fold(
+        path, day, bl2, rm2, expected_epoch=m2.get("epoch", 0),
+        hash_family="md5",
+    )
+    got = I.read_minhash_index_resolved(spark, path)
+    fresh = I.build_minhash_bucket_index(
+        h.filter(F.col("doc_id") != 10).unionByName(day),
+        hash_family="md5",
+    )
+    assert _labels_set(got) == _labels_set(fresh)
 
 
 def test_srp_stream_gate_survives_all_empty_triggers(spark, sf_dir, store_root):

@@ -106,11 +106,17 @@ def test_random_lifecycle_schedule_matches_fresh_build(spark, seed):
                 batch = spark.createDataFrame(
                     sorted(batch_rows.items()), "doc_id long, text string"
                 )
-                resolved = I.read_minhash_index_resolved(spark, path)
+                m = S.read_manifest(path)
+                resolved = I.read_minhash_index_resolved(
+                    spark, path, m["version"]
+                )
                 bl, rm = I.incremental_minhash_merge(
                     batch, resolved["bucket_reps"], hash_family="md5"
                 )
-                I.commit_minhash_fold(path, batch, bl, rm, hash_family="md5")
+                I.commit_minhash_fold(
+                    path, batch, bl, rm,
+                    expected_epoch=m.get("epoch", 0), hash_family="md5",
+                )
                 live.update(batch_rows)
                 trace.append(f"fold({batch_ids})")
             elif op == "retire":

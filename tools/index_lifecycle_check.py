@@ -122,10 +122,9 @@ def main() -> None:
             # directory append; the manifest is KB-scale regardless of
             # index size, so the delta should stay flat across scales
             spath = f"{root}/{tag}_snap"
-            I.commit_index(
-                I.build_minhash_bucket_index(history, hash_family="md5"),
-                spath,
-            )
+            # seed from the already-built index frames (a parquet copy),
+            # not a second full build
+            I.commit_index(idx, spath)
             pre_commit = _du(spath)
             t0 = time.perf_counter()
             I.commit_minhash_fold(spath, batch, bl, rm, hash_family="md5")

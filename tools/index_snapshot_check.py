@@ -131,11 +131,15 @@ def snapshot_arm(spark, path: str, history, days, retired,
     commit_secs = []
     for day in days:
         t1 = time.perf_counter()
-        resolved = I.read_minhash_index_resolved(spark, path)
+        m = S.read_manifest(path)
+        resolved = I.read_minhash_index_resolved(spark, path, m["version"])
         bl, rm = I.incremental_minhash_merge(
             day, resolved["bucket_reps"], hash_family="md5"
         )
-        I.commit_minhash_fold(path, day, bl, rm, hash_family="md5")
+        I.commit_minhash_fold(
+            path, day, bl, rm, expected_epoch=m.get("epoch", 0),
+            hash_family="md5",
+        )
         commit_secs.append(round(time.perf_counter() - t1, 3))
     t1 = time.perf_counter()
     I.retire_minhash_index(spark, path, retired)
