@@ -19,6 +19,11 @@ store's claims, each pinned here:
    named even after later folds, retirement, and compaction.
 5. OPTIMISTIC CONCURRENCY — a version collision re-merges and republishes;
    both appends survive with both deltas visible.
+6. EPOCH FENCE — a meaning-changing replace (retirement) bumps the
+   manifest epoch, so a fold delta derived before it cannot land
+   (StaleAppendError → re-derive); compaction does not bump. Both
+   writers' retry loops converge under real thread concurrency to the
+   fresh build over the final corpus.
 
 The live reader-vs-writer race (folds + compaction + vacuum against a
 resolved-read loop in another thread) is driven by
@@ -351,6 +356,95 @@ def test_retire_invalidates_inflight_fold_end_to_end(spark, store_root):
         h.filter(F.col("doc_id") != 10).unionByName(day),
         hash_family="md5",
     )
+    assert _labels_set(got) == _labels_set(fresh)
+
+
+def test_two_writer_fold_vs_retire_race_converges(spark, store_root):
+    """Claim 6 under REAL thread concurrency: a fold writer running the
+    production pattern (derive at a pinned manifest, commit with
+    expected_epoch, re-derive on StaleAppendError) races a retirement
+    writer (replace CAS; the wrapper re-reads latest each call, so the
+    retry is simply calling it again on ConcurrentReplaceError).
+    Whatever interleaving the scheduler produces, both writers' loops
+    must converge and the resolved view must equal the fresh build over
+    the final corpus — i.e. the concurrent execution equals SOME serial
+    schedule, and every serial schedule is pinned correct by
+    tests/test_lifecycle_fuzz.py."""
+    import threading
+
+    path = f"{store_root}/mh"
+    history = [
+        (10, TXT_A), (11, TXT_A), (20, TXT_C), (21, TXT_C), (30, TXT_D),
+    ]
+    h = _docs(spark, history)
+    I.commit_index(I.build_minhash_bucket_index(h, hash_family="md5"), path)
+
+    batches = [[(5, TXT_A)], [(6, TXT_C), (7, TXT_D)]]
+    retire_ids = [10, 20]
+    errors: list = []
+    stale_retries = {"fold": 0, "retire": 0}
+    start = threading.Barrier(2)
+
+    def fold_writer() -> None:
+        try:
+            start.wait()
+            for rows in batches:
+                day = _docs(spark, rows)
+                for _ in range(12):
+                    m = S.read_manifest(path)
+                    resolved = I.read_minhash_index_resolved(
+                        spark, path, m["version"]
+                    )
+                    bl, rm = I.incremental_minhash_merge(
+                        day, resolved["bucket_reps"], hash_family="md5"
+                    )
+                    try:
+                        I.commit_minhash_fold(
+                            path, day, bl, rm,
+                            expected_epoch=m.get("epoch", 0),
+                            hash_family="md5",
+                        )
+                        break
+                    except S.StaleAppendError:
+                        stale_retries["fold"] += 1
+                        continue
+                else:
+                    raise AssertionError("fold never landed in 12 tries")
+        except Exception as e:  # noqa: BLE001
+            errors.append(repr(e))
+
+    def retire_writer() -> None:
+        try:
+            start.wait()
+            for rid in retire_ids:
+                ids = spark.createDataFrame([(rid,)], "doc_id long")
+                for _ in range(12):
+                    try:
+                        I.retire_minhash_index(spark, path, ids)
+                        break
+                    except S.ConcurrentReplaceError:
+                        stale_retries["retire"] += 1
+                        continue
+                else:
+                    raise AssertionError("retire never landed in 12 tries")
+        except Exception as e:  # noqa: BLE001
+            errors.append(repr(e))
+
+    threads = [
+        threading.Thread(target=fold_writer),
+        threading.Thread(target=retire_writer),
+    ]
+    for t in threads:
+        t.start()
+    for t in threads:
+        t.join()
+    assert not errors, (errors, stale_retries)
+
+    final_corpus = h.unionByName(
+        _docs(spark, [r for b in batches for r in b])
+    ).filter(~F.col("doc_id").isin(retire_ids))
+    fresh = I.build_minhash_bucket_index(final_corpus, hash_family="md5")
+    got = I.read_minhash_index_resolved(spark, path)
     assert _labels_set(got) == _labels_set(fresh)
 
 
