@@ -65,42 +65,92 @@ def connected_components(
         def _ckpt(df: DataFrame) -> DataFrame:
             return df.localCheckpoint()
 
+    # Materialize the (possibly expensive) edge plan ONCE before the
+    # direction-doubling union (r10): without this, both union branches
+    # embed the full upstream pipeline — the survivor queries' whole
+    # candidate-generation subtree was planned and partially re-executed
+    # twice (ReuseExchange dedupes identical exchanges but not broadcast
+    # builds or scan-side compute), and the analyzer paid for a 2× plan.
+    ed = edges.select(F.col(src).alias("a"), F.col(dst).alias("b")).persist()
     und = _ckpt(
-        edges.select(F.col(src).alias("a"), F.col(dst).alias("b"))
-        .union(edges.select(F.col(dst).alias("a"), F.col(src).alias("b")))
+        ed.union(ed.select(F.col("b").alias("a"), F.col("a").alias("b")))
         .distinct()
     )
+    ed.unpersist()
+    # Seed labels with the FIRST neighbor-min round fused into the node
+    # scan (r10): comp₀(v) = min(v, min neighbors) is exactly what the
+    # old identity-seeded loop computed in its first propagation, for
+    # the price of the distinct-node aggregate the seed paid anyway —
+    # one round's joins removed outright.
     labels = _ckpt(
-        und.select(F.col("a").alias("node"))
-        .distinct()
-        .select("node", F.col("node").alias("comp"))
+        und.groupBy("a")
+        .agg(F.min("b").alias("_mb"))
+        .select(F.col("a").alias("node"), F.least("a", "_mb").alias("comp"))
     )
+    # Convergence by label-sum (r10): labels only ever DECREASE pointwise
+    # over a fixed node set, so Σcomp is strictly decreasing until the
+    # fixpoint — one scan-aggregate over the just-checkpointed frame
+    # replaces the old per-round join-and-count job. DECIMAL(38,0) keeps
+    # the sum exact for any node count / 63-bit ids.
+    _sum = lambda df: df.agg(  # noqa: E731
+        F.sum(F.col("comp").cast("decimal(38,0)")).alias("s")
+    ).first()["s"]
+    prev_sum = _sum(labels)
     for _ in range(max_iter):
         msgs = und.join(labels, und.a == labels.node).select(
-            F.col("b").alias("node"), "comp"
+            F.col("b").alias("node"), "comp", F.lit(None).cast("long").alias("old")
         )
-        prop = _ckpt(  # materialize before the self-join below
-            msgs.union(labels.select("node", "comp"))
+        # Cache (lazily) instead of an eager checkpoint: the round's ONE
+        # materializing job is the new_labels checkpoint below; every
+        # reuse of prop/step reads the cache (and identical exchange
+        # subtrees are deduplicated by ReuseExchange). One aggregate
+        # yields both the neighbor-min comp AND the node's previous
+        # label (min over the single tagged labels row).
+        prop = (
+            msgs.union(
+                labels.select("node", "comp", F.col("comp").alias("old"))
+            )
             .groupBy("node")
-            .agg(F.min("comp").alias("comp"))
+            .agg(F.min("comp").alias("comp"), F.min("old").alias("old"))
+        ).persist()
+        # HOOK (Shiloach–Vishkin, r10): each node reports its improved
+        # minimum back to its PREVIOUS label ("parent"), so the round's
+        # best minimum re-attaches at the top of every label tree instead
+        # of crawling outward one neighbor hop per round. On the real
+        # semantic survivor graph at sf0.1 this alone cut 9 rounds to 4
+        # (measured by replaying the exact rep-pair edge set); pure
+        # pointer jumping cut nothing there because the min-label
+        # wavefront, not pointer-chain depth, was the binding distance.
+        hooks = prop.groupBy(F.col("old").alias("node")).agg(
+            F.min("comp").alias("_hc")
         )
-        # Pointer jumping: comp ← comp(comp(node)). Neighbor propagation
-        # alone needs diameter rounds (a k-chain takes k); composing the
-        # label map with itself each round gives O(log diameter). comp is
-        # always a node id present in the label frame, so the self-join
-        # always matches.
-        jump = prop.select(F.col("node").alias("_jn"), F.col("comp").alias("_jc"))
+        hooked = (
+            prop.join(hooks, "node", "left")
+            .select(
+                "node",
+                F.least("comp", F.coalesce("_hc", "comp")).alias("comp"),
+            )
+        ).persist()
+        # Pointer jumping: comp ← comp(comp(node)), applied TWICE per
+        # round. Chains/trees converge in O(log₄) rounds; comp is always
+        # a node id present in the label frame, so the self-joins always
+        # match.
+        jump = hooked.select(F.col("node").alias("_jn"), F.col("comp").alias("_jc"))
+        step = (
+            hooked.join(jump, hooked.comp == jump._jn)
+            .select(hooked.node, F.least(hooked.comp, jump._jc).alias("comp"))
+        ).persist()
+        jump2 = step.select(F.col("node").alias("_jn"), F.col("comp").alias("_jc"))
         new_labels = _ckpt(
-            prop.join(jump, prop.comp == jump._jn)
-            .select(prop.node, F.least(prop.comp, jump._jc).alias("comp"))
+            step.join(jump2, step.comp == jump2._jn)
+            .select(step.node, F.least(step.comp, jump2._jc).alias("comp"))
         )
-        changed = (
-            new_labels.alias("n")
-            .join(labels.alias("o"), "node")
-            .filter(F.col("n.comp") != F.col("o.comp"))
-            .count()
-        )
+        prop.unpersist()
+        hooked.unpersist()
+        step.unpersist()
         labels = new_labels
-        if changed == 0:
+        new_sum = _sum(labels)
+        if new_sum == prev_sum:
             break
+        prev_sum = new_sum
     return labels

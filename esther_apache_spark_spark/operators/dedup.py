@@ -1284,6 +1284,8 @@ def ngram_jaccard_pairs(
     shingled = _cache(df.select(*sel))
     # feeds the index join and the exact-recount joins
     inv = shingled.select("_id", F.explode("_sh").alias("_g"))
+    hot = None
+    inv_kept = inv
     if max_df is not None:
         # document frequency per shingle is a map-side-combinable count
         # (weighted by member count under collapse — see docstring);
@@ -1295,25 +1297,70 @@ def ngram_jaccard_pairs(
         else:
             dfagg = inv.groupBy("_g").agg(F.count(F.lit(1)).alias("_df"))
         hot = dfagg.filter(F.col("_df") > max_df).select("_g")
-        inv = inv.join(F.broadcast(hot), "_g", "left_anti")
-    cand = (
-        inv.alias("a")
-        .join(inv.alias("b"), "_g")
+        inv_kept = inv.join(F.broadcast(hot), "_g", "left_anti")
+    # Intersection by COUNTING the inverted-index join (r10): the arrays
+    # are distinct per document, so the self-join emits exactly one row
+    # per (pair, shared kept shingle) and a partial-aggregable count IS
+    # |A∩B| over kept shingles — the guide-§8 move (shuffle keys, not
+    # payloads). The former shape re-joined the full shingle ARRAYS onto
+    # every candidate pair (two exchanges carrying the heaviest column)
+    # and ran array_intersect per pair — 120 CPU-seconds at sf0.1 vs a
+    # counting shuffle of (id, id) rows.
+    common = (
+        inv_kept.alias("a")
+        .join(inv_kept.alias("b"), "_g")
         .filter(F.col("a._id") < F.col("b._id"))
-        .select(F.col("a._id").alias("id_a"), F.col("b._id").alias("id_b"))
-        .dropDuplicates(["id_a", "id_b"])
+        .groupBy(F.col("a._id").alias("id_a"), F.col("b._id").alias("id_b"))
+        .agg(F.count(F.lit(1)).alias("_common"))
     )
-    sa = shingled.select(F.col("_id").alias("id_a"), F.col("_sh").alias("_sha"))
-    sb = shingled.select(F.col("_id").alias("id_b"), F.col("_sh").alias("_shb"))
+    if hot is not None:
+        # Exact correction for shingles ABOVE max_df: the counting join
+        # sees only kept shingles, but the emitted jaccard is defined on
+        # the FULL sets. Each doc's hot subset is a tiny array (≤ |hot|),
+        # distributed via the inverted index — no driver collect.
+        hsub = (
+            inv.join(F.broadcast(hot), "_g", "semi")
+            .groupBy("_id")
+            .agg(F.collect_set("_g").alias("_hsh"))
+        )
+        common = (
+            common.join(
+                hsub.select(F.col("_id").alias("id_a"), F.col("_hsh").alias("_hsha")),
+                "id_a",
+                "left",
+            )
+            .join(
+                hsub.select(F.col("_id").alias("id_b"), F.col("_hsh").alias("_hshb")),
+                "id_b",
+                "left",
+            )
+            .select(
+                "id_a",
+                "id_b",
+                (
+                    F.col("_common")
+                    + F.when(
+                        F.col("_hsha").isNotNull() & F.col("_hshb").isNotNull(),
+                        F.size(F.array_intersect("_hsha", "_hshb")),
+                    ).otherwise(F.lit(0))
+                ).alias("_common"),
+            )
+        )
+    sizes = shingled.select("_id", F.size("_sh").alias("_sz"))
     # jaccard = |A∩B| / |A∪B| as a raw double ratio — int/int division is
     # bit-identical across engines (no decimal re-rounding to drift)
     jac = (
-        cand.join(sa, "id_a")
-        .join(sb, "id_b")
-        .withColumn("_common", F.size(F.array_intersect("_sha", "_shb")))
+        common.join(
+            sizes.select(F.col("_id").alias("id_a"), F.col("_sz").alias("_sza")),
+            "id_a",
+        )
+        .join(
+            sizes.select(F.col("_id").alias("id_b"), F.col("_sz").alias("_szb")),
+            "id_b",
+        )
         .withColumn(
             "jaccard",
-            F.col("_common") / (F.size("_sha") + F.size("_shb") - F.col("_common")),
+            F.col("_common") / (F.col("_sza") + F.col("_szb") - F.col("_common")),
         )
     )
     return jac.filter(F.col("jaccard") >= threshold).select("id_a", "id_b", "jaccard")
