@@ -271,12 +271,24 @@ def main() -> None:
     # adaptive operators' probe counters around each query so the JSON
     # shows where probe time lands (first_runs: one miss per adaptive
     # source; warm medians: memo hits only, 0 ms).
-    from esther_apache_spark_spark.operators.dedup import AUTO_PROBE_STATS
+    from esther_apache_spark_spark.operators.dedup import (
+        AUTO_PROBE_STATS,
+        cache_scope,
+    )
 
     probe_stats: dict[str, dict] = {}
     for name in HEADLINE + (PIPELINE if include_pipeline else []):
         print(f"[bench] {name}", file=sys.stderr, flush=True)
         spec = plans.QUERIES[name]
+        # r10 harness hygiene: scope each query's plan-barrier caches to
+        # its own warmup+runs block. Within-query behavior is unchanged
+        # (the 3 timed runs still share the signature caches, as every
+        # prior round measured); what changes is that 27 queries' worth
+        # of MEMORY_AND_DISK blocks no longer accumulate on the 8 GB
+        # local heap for the rest of the bench — late-bench queries were
+        # competing with dead caches for execution memory.
+        _scope = cache_scope()
+        _scope.__enter__()
         try:
             spec.fn(spark, warm_dir).count()  # warmup: codegen + classloading
             # ADVICE r9: snapshot the probe counters AFTER the warmup
@@ -299,6 +311,8 @@ def main() -> None:
             errors[name] = str(exc).split("\n")[0][:200]
             print(f"[bench] {name} FAILED: {errors[name]}", file=sys.stderr, flush=True)
             continue
+        finally:
+            _scope.__exit__(None, None, None)
         _d_miss = AUTO_PROBE_STATS["misses"] - _ps0["misses"]
         _d_hit = AUTO_PROBE_STATS["hits"] - _ps0["hits"]
         if _d_miss or _d_hit:

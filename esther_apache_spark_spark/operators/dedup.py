@@ -243,28 +243,20 @@ def _with_shards(src: DataFrame, nsh: DataFrame | None, nbands: int) -> DataFram
     return src.withColumn("_nsh_arr", F.coalesce("_nsh_arr", ones))
 
 
-def _shard_arr(src: DataFrame, shard_hash, nbands: int) -> DataFrame:
+def _shard_arr(src: DataFrame, shard_hash_sql, nbands: int) -> DataFrame:
     """Materialize every band's shard value ONCE per row as ``_sh_arr``
     (0 on the all-ones modulus — no hot bucket — else the exact join-key
     shard formula). The banded join key reads its element, and the
     first-meet-band pair filter compares elements instead of re-deriving
-    shard hashes per candidate pair."""
-    return src.withColumn(
-        "_sh_arr",
-        F.array(
-            *[
-                F.when(
-                    F.element_at("_nsh_arr", b + 1) == 1, F.lit(0).cast("long")
-                ).otherwise(
-                    F.pmod(
-                        shard_hash(F.col("_id"), F.lit(b)),
-                        F.element_at("_nsh_arr", b + 1),
-                    )
-                )
-                for b in range(nbands)
-            ]
-        ),
-    ).drop("_nsh_arr")
+    shard hashes per candidate pair. ``shard_hash_sql(id_expr, band)``
+    returns a SQL fragment; the whole array is ONE ``F.expr`` (one py4j
+    round-trip instead of ~10 per band — see ``_md5_long_sql``)."""
+    elems = ", ".join(
+        f"CASE WHEN element_at(_nsh_arr, {b + 1}) = 1 THEN CAST(0 AS BIGINT) "
+        f"ELSE pmod({shard_hash_sql('_id', b)}, element_at(_nsh_arr, {b + 1})) END"
+        for b in range(nbands)
+    )
+    return src.withColumn("_sh_arr", F.expr(f"array({elems})")).drop("_nsh_arr")
 
 
 def minhash_signature(
@@ -333,6 +325,16 @@ def md5_long(col: Column, salt: str = "", hexlen: int = 15) -> Column:
     stays available as the cheaper non-replayable default."""
     s = F.concat(F.lit(salt), col) if salt else col
     return F.conv(F.substring(F.md5(s), 1, hexlen), 16, 10).cast("long")
+
+
+def _md5_long_sql(expr: str, salt: str = "", hexlen: int = 15) -> str:
+    """``md5_long`` as a SQL fragment — used by the band/shard expression
+    builders that assemble one ``F.expr`` string instead of nesting
+    Column objects (every Column call is a py4j round-trip; the unrolled
+    per-band loops cost 1.5-2 s of driver wall PER PLAN BUILD at r10,
+    measured on dedup_minhash_lsh)."""
+    s = f"concat('{salt}', {expr})" if salt else expr
+    return f"cast(conv(substr(md5({s}), 1, {hexlen}), 16, 10) as bigint)"
 
 
 def minhash_perm_constants(
@@ -713,18 +715,22 @@ def _quotient_labels(
 
 
 def _mh_shard_hash_fn(hash_family: str):
-    """Per-(id, band) shard hash for hot-bucket sharding, in the given
-    hash family (md5 = SQL-replayable, xxhash64 = fast path)."""
+    """Per-(id, band) shard hash for hot-bucket sharding as a SQL
+    fragment builder ``(id_expr: str, band: int) -> str``, in the given
+    hash family (md5 = SQL-replayable, xxhash64 = fast path). Same
+    values as the former Column builder: the md5 family hashes
+    ``'shard:' || id || ':' || band``; xxhash64 hashes (id, band) with
+    the band as an int literal, exactly like ``F.lit(band)``."""
 
-    def shard_hash(idc: Column, band: Column) -> Column:
+    def shard_hash_sql(id_expr: str, band: int) -> str:
         if hash_family == "md5":
-            return md5_long(
-                F.concat_ws(":", idc.cast("string"), band.cast("string")),
+            return _md5_long_sql(
+                f"concat_ws(':', cast({id_expr} as string), '{band}')",
                 salt="shard:",
             )
-        return F.xxhash64(idc, band)
+        return f"xxhash64({id_expr}, {band})"
 
-    return shard_hash
+    return shard_hash_sql
 
 
 def shingle_base_frame(
@@ -865,15 +871,18 @@ def minhash_band_frame(
     # plan barrier that keeps the Arrow-batched UDF out of the posexplode
     # generator (Python UDFs cannot run inside Generate), and it is the
     # relation both sides of the join reuse (reference C1).
-    def band_hash(sig, b: int) -> Column:
-        joined = F.concat_ws(",", *[
-            F.element_at(sig, b * rows_per_band + r + 1).cast("string")
+    def band_hash_sql(sig: str, b: int) -> str:
+        joined = "concat_ws(',', " + ", ".join(
+            f"cast(element_at({sig}, {b * rows_per_band + r + 1}) as string)"
             for r in range(rows_per_band)
-        ])
+        ) + ")"
         if hash_family == "md5":
-            return md5_long(joined)
-        return F.xxhash64(joined)
+            return _md5_long_sql(joined)
+        return f"xxhash64({joined})"
 
+    bh_arr = "array(" + ", ".join(
+        band_hash_sql("_sig", b) for b in range(bands)
+    ) + ")"
     return _cache(base_df.select(
         "_id",
         minhash_signature_vec(
@@ -881,9 +890,7 @@ def minhash_band_frame(
             num_perm,
             mask_bits=63 if hash_family == "md5" else None,
         ).alias("_sig"),
-    ).select(
-        "_id", "_sig", F.array(*[band_hash("_sig", b) for b in range(bands)]).alias("_bh")
-    ))
+    ).select("_id", "_sig", F.expr(bh_arr).alias("_bh")))
 
 
 def minhash_lsh_candidates(
@@ -1015,13 +1022,11 @@ def minhash_lsh_candidates(
     # sf1 candidate filter). When band hashes agree the two rows share a
     # bucket and therefore a modulus, so element equality is exactly the
     # old pmod-equality semantics.
-    meets = F.array(
-        *[
-            (F.element_at("bh_a", b + 1) == F.element_at("bh_b", b + 1))
-            & (F.element_at("sh_a", b + 1) == F.element_at("sh_b", b + 1))
-            for b in range(bands)
-        ]
-    )
+    meets = F.expr("array(" + ", ".join(
+        f"(element_at(bh_a, {b + 1}) = element_at(bh_b, {b + 1}))"
+        f" AND (element_at(sh_a, {b + 1}) = element_at(sh_b, {b + 1}))"
+        for b in range(bands)
+    ) + ")")
     pairs = (
         left.join(right, keys)
         .filter(F.col("id_a") < F.col("id_b"))
@@ -1482,13 +1487,7 @@ def simhash_candidates(
             tokenize(F.col(text_col)), lambda t: F.xxhash64(t)
         )
 
-    def shard_hash(idc: Column, band: Column) -> Column:
-        if hash_family == "md5":
-            return md5_long(
-                F.concat_ws(":", idc.cast("string"), band.cast("string")),
-                salt="shard:",
-            )
-        return F.xxhash64(idc, band)
+    shard_hash = _mh_shard_hash_fn(hash_family)
 
     # cache = reuse across both join sides AND a plan barrier keeping the
     # Arrow UDF out of the posexplode generator (see minhash note)
@@ -1498,10 +1497,12 @@ def simhash_candidates(
     ))
     mask = (1 << band_bits) - 1
 
-    def band_val(col: Column | str, b: int) -> Column:
-        return F.shiftright(col, b * band_bits).bitwiseAND(F.lit(mask).cast("long"))
+    def band_val_sql(col: str, b: int) -> str:
+        return f"(shiftright({col}, {b * band_bits}) & cast({mask} as bigint))"
 
-    band_arr = F.array(*[band_val("_fp", b) for b in range(nbands)])
+    band_arr = F.expr("array(" + ", ".join(
+        band_val_sql("_fp", b) for b in range(nbands)
+    ) + ")")
     if max_bucket is not None:
         narrow = fp.select("_id", F.posexplode(band_arr).alias("_band", "_bucket"))
         nsh = _hot_nsh_arr(narrow, "_id", "_band", "_bucket", nbands, max_bucket)
@@ -1524,16 +1525,11 @@ def simhash_candidates(
     # mega-clusters connected; pair set byte-identical to the
     # dropDuplicates form; inlining the shard formula per pair blew the
     # codegen size and cost ~9× on the sf1 filter).
-    meets = F.array(
-        *[
-            (band_val(F.col("a._fp"), b) == band_val(F.col("b._fp"), b))
-            & (
-                F.element_at(F.col("a._sh_arr"), b + 1)
-                == F.element_at(F.col("b._sh_arr"), b + 1)
-            )
-            for b in range(nbands)
-        ]
-    )
+    meets = F.expr("array(" + ", ".join(
+        f"({band_val_sql('a._fp', b)} = {band_val_sql('b._fp', b)})"
+        f" AND (element_at(a._sh_arr, {b + 1}) = element_at(b._sh_arr, {b + 1}))"
+        for b in range(nbands)
+    ) + ")")
     pairs = (
         l.join(r, keys)
         .filter(F.col("a._id") < F.col("b._id"))

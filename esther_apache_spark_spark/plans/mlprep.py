@@ -699,8 +699,16 @@ def _pb_oracle() -> str:
         f"SUM(CAST({_pb_weight_sql(b)} * cents AS HUGEINT)) AS s{b}"
         for b in range(_PB_B)
     )
+    # Resample means as INTEGER nano-scaled values — round-half-up via
+    # (s·10⁹ + n//2) // n in exact integer arithmetic, sorted as
+    # integers, converted to double ONCE at the very end. The former
+    # ROUND(double, 9) form hit a 1-ULP cross-engine divergence at
+    # sf0.01 (Spark rounds via BigDecimal on the double's exact decimal
+    # expansion, DuckDB in floating point); integer rounding + one
+    # int→double conversion is bit-identical by IEEE 754 in both.
     means = ", ".join(
-        f"ROUND(CAST(s{b} AS DOUBLE) / n{b}, 9)" for b in range(_PB_B)
+        f"CAST((s{b} * 1000000000 + n{b} // 2) // n{b} AS BIGINT)"
+        for b in range(_PB_B)
     )
     return f"""
     WITH oc AS (
@@ -720,10 +728,10 @@ def _pb_oracle() -> str:
         SELECT segment, n_orders, tot, list_sort([{means}]) AS l FROM agg
     )
     SELECT segment, n_orders,
-           CAST(ROUND(CAST(tot AS DOUBLE) / n_orders, 9) AS DOUBLE)
-               AS mean_cents,
-           CAST(l[2] AS DOUBLE) AS ci_lo_cents,
-           CAST(l[{_PB_B - 1}] AS DOUBLE) AS ci_hi_cents
+           CAST((tot * 1000000000 + n_orders // 2) // n_orders AS DOUBLE)
+               / 1e9 AS mean_cents,
+           CAST(l[2] AS DOUBLE) / 1e9 AS ci_lo_cents,
+           CAST(l[{_PB_B - 1}] AS DOUBLE) / 1e9 AS ci_hi_cents
     FROM sorted_means
     """
 
@@ -785,22 +793,29 @@ def bootstrap_ci_poisson(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(F.col("cents").cast(d38)).alias("tot"),
         *aggs,
     )
-    means = F.array_sort(
-        F.array(
-            *[
-                F.round(F.col(f"s{b}").cast("double") / F.col(f"n{b}"), 9)
-                for b in range(_PB_B)
-            ]
-        )
+    # Integer nano-scaled resample means, sorted as integers, one
+    # int→double conversion at the end — bit-identical to the oracle's
+    # HUGEINT arithmetic (the former ROUND(double, 9) diverged by 1 ULP
+    # at sf0.01; see the oracle builder comment).
+    means = F.expr(
+        "array_sort(array(" + ", ".join(
+            f"cast((s{b} * cast(1000000000 as decimal(38,0)) + n{b} div 2)"
+            f" div n{b} as bigint)"
+            for b in range(_PB_B)
+        ) + "))"
+    )
+    mean_all = F.expr(
+        "cast((tot * cast(1000000000 as decimal(38,0)) + n_orders div 2)"
+        " div n_orders as double) / 1e9"
     )
     return agg.select(
         "segment",
         F.col("n_orders").cast("long").alias("n_orders"),
-        F.round(F.col("tot").cast("double") / F.col("n_orders"), 9).alias(
-            "mean_cents"
+        mean_all.alias("mean_cents"),
+        (F.element_at(means, 2).cast("double") / F.lit(1e9)).alias("ci_lo_cents"),
+        (F.element_at(means, _PB_B - 1).cast("double") / F.lit(1e9)).alias(
+            "ci_hi_cents"
         ),
-        F.element_at(means, 2).alias("ci_lo_cents"),
-        F.element_at(means, _PB_B - 1).alias("ci_hi_cents"),
     )
 
 

@@ -81,6 +81,16 @@ def get_spark(
         # GC'd — without this the checkpoint dir grows by the full edge
         # frame every CC round until session exit.
         .config("spark.cleaner.referenceTracking.cleanCheckpoints", "true")
+        # PySpark 4's per-API-call error-context capture does a conf
+        # lookup + a JVM PySparkCurrentOrigin.set + a Python stack walk
+        # on EVERY Column/DataFrame method — ~3 extra py4j round-trips
+        # per call. Profiled r10: building the dedup_minhash_lsh plan
+        # made 4,260 py4j commands (1.5-2.0 s of driver wall per fn()
+        # call, paid in every timed bench run); 0.7 s of it was this
+        # wrapper alone. Production posture: debug origin off; error
+        # MESSAGES are unchanged, only the "was called from <file:line>"
+        # context line disappears.
+        .config("spark.python.sql.dataFrameDebugging.enabled", "false")
         .config("spark.ui.enabled", "false")
     )
     if master is not None:
