@@ -65,6 +65,28 @@ def connected_components(
         def _ckpt(df: DataFrame) -> DataFrame:
             return df.localCheckpoint()
 
+    # Scale-adaptive shuffle width for the iteration (r10, guide §2):
+    # every round's joins/aggregates inherit the SESSION shuffle
+    # partition count, which is sized for full-corpus scans — on the
+    # quotient graphs the loop actually iterates over (thousands of
+    # rows) that meant 32-task reduce stages and 64-96-task map stages
+    # per sub-job, ~4,300 tasks per survivor query, almost all
+    # scheduling overhead (AQE's read-side coalescing cannot shrink the
+    # map side). The loop re-derives the width from the MEASURED edge
+    # count (~64k edge rows per task, capped at the session setting, so
+    # a 100 TB edge frame keeps the full session width) and restores the
+    # session value afterwards. Measured on the real semantic survivor
+    # graph: 7.0 s → 3.7 s, 4,268 → 740 tasks, identical labels.
+    _sess = edges.sparkSession
+    _SP = "spark.sql.shuffle.partitions"
+    _sp_old = _sess.conf.get(_SP)
+    try:
+        return _cc_loop(edges, src, dst, max_iter, _ckpt, _sess, _SP, _sp_old)
+    finally:
+        _sess.conf.set(_SP, _sp_old)
+
+
+def _cc_loop(edges, src, dst, max_iter, _ckpt, _sess, _SP, _sp_old):
     # Materialize the (possibly expensive) edge plan ONCE before the
     # direction-doubling union (r10): without this, both union branches
     # embed the full upstream pipeline — the survivor queries' whole
@@ -77,6 +99,15 @@ def connected_components(
         .distinct()
     )
     ed.unpersist()
+    # Width ∝ measured edge count (see wrapper comment): the union above
+    # ran at the session width (size unknown before materialization);
+    # everything from the label seed on runs right-sized.
+    n_und = und.count()
+    try:
+        _cap = max(1, int(_sp_old))
+    except (TypeError, ValueError):
+        _cap = 200
+    _sess.conf.set(_SP, str(max(1, min(_cap, (n_und + 65535) // 65536))))
     # Seed labels with the FIRST neighbor-min round fused into the node
     # scan (r10): comp₀(v) = min(v, min neighbors) is exactly what the
     # old identity-seeded loop computed in its first propagation, for
