@@ -104,3 +104,25 @@ def test_reliable_checkpoint_dir_identical_labels(spark, tmp_path, monkeypatch):
     }
     assert via_env == base
     assert any(os.scandir(envdir))
+
+
+def test_session_shuffle_width_restored_after_cc(spark):
+    """r10: connected_components temporarily right-sizes
+    spark.sql.shuffle.partitions from the measured edge count (tiny
+    quotient graphs were paying 96-task stages per round at the session
+    width). The override must never leak: the session value is restored
+    after the call, including when the edge plan is invalid."""
+    import pyspark
+
+    base = spark.conf.get("spark.sql.shuffle.partitions")
+    edges = spark.createDataFrame([(1, 2), (2, 3)], "src long, dst long")
+    labels = {r["node"]: r["comp"] for r in connected_components(edges).collect()}
+    assert labels == {1: 1, 2: 1, 3: 1}
+    assert spark.conf.get("spark.sql.shuffle.partitions") == base
+
+    bad = edges.select("src")  # missing dst column -> analysis error
+    try:
+        connected_components(bad).collect()
+    except pyspark.errors.exceptions.base.PySparkException:
+        pass
+    assert spark.conf.get("spark.sql.shuffle.partitions") == base
