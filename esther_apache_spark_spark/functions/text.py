@@ -28,6 +28,16 @@ def tokenize(col: Column, normalize: bool = True) -> Column:
     return F.filter(toks, lambda t: t != "")
 
 
+def tokenize_sql(expr: str, normalize: bool = True) -> str:
+    """``tokenize`` as a SQL fragment — same expression tree, assembled
+    as one string so plan-building hot paths (the LSH family builds
+    inside the bench's timed region) pay one py4j round-trip instead of
+    ~45 (guide §4, driver side). Backslashes are doubled because Spark's
+    SQL string literals are backslash-escaped by default."""
+    base = f"regexp_replace(lower({expr}), '[^\\\\w\\\\s]', '')" if normalize else expr
+    return f"filter(split(trim({base}), '\\\\s+'), t -> t != '')"
+
+
 def word_shingles(tokens: Column, n: int = 3) -> Column:
     """array<string> tokens -> array<string> of n-word shingles.
 

@@ -24,15 +24,19 @@ Scale notes:
   the same way, blocks live on disk instead of heap, and on a real
   cluster the dir is shared storage (HDFS/S3) so executor loss is
   also survivable mid-iteration.
-- The convergence check is a count of changed labels — one tiny action
-  per round, the canonical Pregel-style stop condition.
+- The convergence check rides the round's checkpoint job as an
+  ``observe`` metric (count of labels the round changed — the canonical
+  Pregel-style stop condition): ONE action per round, no separate
+  convergence job (r11; the r10 label-sum scan cost ~80 ms × rounds ×
+  every CC consumer, and its DECIMAL cast silently broke on non-numeric
+  node ids — the changed-count comparison is type-agnostic).
 """
 
 from __future__ import annotations
 
 import os
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Observation
 from pyspark.sql import functions as F
 
 
@@ -46,6 +50,7 @@ def connected_components(
     """(node, comp) for every node appearing in ``edges``; ``comp`` is
     the minimum node id of the node's connected component. Edges are
     treated as undirected; self-loops and duplicate edges are fine.
+    Node ids may be any orderable type (longs, strings, ...).
 
     ``checkpoint_dir`` (default: the ``SPARK_GRAFT_CHECKPOINT_DIR``
     env var, else None) selects reliable disk checkpoints over
@@ -65,123 +70,163 @@ def connected_components(
         def _ckpt(df: DataFrame) -> DataFrame:
             return df.localCheckpoint()
 
-    # Scale-adaptive shuffle width for the iteration (r10, guide §2):
-    # every round's joins/aggregates inherit the SESSION shuffle
-    # partition count, which is sized for full-corpus scans — on the
-    # quotient graphs the loop actually iterates over (thousands of
-    # rows) that meant 32-task reduce stages and 64-96-task map stages
-    # per sub-job, ~4,300 tasks per survivor query, almost all
-    # scheduling overhead (AQE's read-side coalescing cannot shrink the
-    # map side). The loop re-derives the width from the MEASURED edge
-    # count (~64k edge rows per task, capped at the session setting, so
-    # a 100 TB edge frame keeps the full session width) and restores the
-    # session value afterwards. Measured on the real semantic survivor
-    # graph: 7.0 s → 3.7 s, 4,268 → 740 tasks, identical labels.
-    _sess = edges.sparkSession
-    _SP = "spark.sql.shuffle.partitions"
-    _sp_old = _sess.conf.get(_SP)
-    try:
-        return _cc_loop(edges, src, dst, max_iter, _ckpt, _sess, _SP, _sp_old)
-    finally:
-        _sess.conf.set(_SP, _sp_old)
+    return _cc_loop(edges, src, dst, max_iter, _ckpt)
 
 
-def _cc_loop(edges, src, dst, max_iter, _ckpt, _sess, _SP, _sp_old):
-    # Materialize the (possibly expensive) edge plan ONCE before the
-    # direction-doubling union (r10): without this, both union branches
-    # embed the full upstream pipeline — the survivor queries' whole
-    # candidate-generation subtree was planned and partially re-executed
-    # twice (ReuseExchange dedupes identical exchanges but not broadcast
-    # builds or scan-side compute), and the analyzer paid for a 2× plan.
-    ed = edges.select(F.col(src).alias("a"), F.col(dst).alias("b")).persist()
-    und = _ckpt(
-        ed.union(ed.select(F.col("b").alias("a"), F.col("a").alias("b")))
-        .distinct()
-    )
-    ed.unpersist()
-    # Width ∝ measured edge count (see wrapper comment): the union above
-    # ran at the session width (size unknown before materialization);
-    # everything from the label seed on runs right-sized.
-    n_und = und.count()
+def _loop_width(n_edges: int, session) -> int:
+    """Scale-adaptive shuffle width for the iteration (r10, guide §2):
+    the loop's joins/aggregates would otherwise inherit the SESSION
+    shuffle partition count, which is sized for full-corpus scans — on
+    the quotient graphs the loop actually iterates over (thousands of
+    rows) that meant 32-task reduce stages and 64-96-task map stages
+    per sub-job, ~4,300 tasks per survivor query, almost all scheduling
+    overhead (AQE cannot re-optimize the checkpoint executions the loop
+    is made of). Width = ~64k undirected-edge rows per task (2× the
+    measured directed count bounds |und|), CAPPED at the session
+    setting, so a 100 TB edge frame keeps the full session width — the
+    derivation only ever narrows tiny iteration graphs. Applied as
+    explicit ``repartition(n, keys)`` on the loop frames (r11) rather
+    than a session-conf override: same exchanges, same task counts,
+    but nothing session-global mutates — a streaming trigger or second
+    CC call planning concurrently on the same session keeps its own
+    width."""
     try:
-        _cap = max(1, int(_sp_old))
+        cap = max(1, int(session.conf.get("spark.sql.shuffle.partitions")))
     except (TypeError, ValueError):
-        _cap = 200
-    _sess.conf.set(_SP, str(max(1, min(_cap, (n_und + 65535) // 65536))))
+        cap = 200
+    return max(1, min(cap, (2 * n_edges + 65535) // 65536))
+
+
+def _cc_loop(edges, src, dst, max_iter, _ckpt):
+    # Materialize the (possibly expensive) edge plan ONCE — with an
+    # EAGER action — before the direction-doubling union (r11). The r10
+    # persist() alone was lazy: the union-distinct checkpoint was the
+    # first action, and its two legs' tasks run concurrently over the
+    # same cache-in-progress, so each leg re-executed the full upstream
+    # candidate pipeline (measured at sf0.1: a second full GEMM/UDF
+    # pass, ~4-5 CPU-s; at 100 TB a second pass over the corpus-scale
+    # candidate generation). count() executes the plan exactly once
+    # under normal AQE (coalesced post-shuffle partitions, runtime
+    # joins), fills the cache, and both union legs then read blocks.
+    ed = edges.select(F.col(src).alias("a"), F.col(dst).alias("b")).persist()
+    try:
+        n_ed = ed.count()
+        n = _loop_width(n_ed, edges.sparkSession)
+        und = _ckpt(
+            ed.union(ed.select(F.col("b").alias("a"), F.col("a").alias("b")))
+            .repartition(n, "a", "b")
+            .distinct()
+        )
+    finally:
+        ed.unpersist()
     # Seed labels with the FIRST neighbor-min round fused into the node
     # scan (r10): comp₀(v) = min(v, min neighbors) is exactly what the
     # old identity-seeded loop computed in its first propagation, for
     # the price of the distinct-node aggregate the seed paid anyway —
-    # one round's joins removed outright.
+    # one round's joins removed outright. (repartition(n, key) followed
+    # by groupBy(key) shares the one exchange: HashPartitioning(key, n)
+    # satisfies the aggregate's required distribution.)
     labels = _ckpt(
-        und.groupBy("a")
+        und.repartition(n, "a")
+        .groupBy("a")
         .agg(F.min("b").alias("_mb"))
         .select(F.col("a").alias("node"), F.least("a", "_mb").alias("comp"))
     )
-    # Convergence by label-sum (r10): labels only ever DECREASE pointwise
-    # over a fixed node set, so Σcomp is strictly decreasing until the
-    # fixpoint — one scan-aggregate over the just-checkpointed frame
-    # replaces the old per-round join-and-count job. DECIMAL(38,0) keeps
-    # the sum exact for any node count / 63-bit ids.
-    _sum = lambda df: df.agg(  # noqa: E731
-        F.sum(F.col("comp").cast("decimal(38,0)")).alias("s")
-    ).first()["s"]
-    prev_sum = _sum(labels)
+    comp_type = labels.schema["comp"].dataType
     for _ in range(max_iter):
         msgs = und.join(labels, und.a == labels.node).select(
-            F.col("b").alias("node"), "comp", F.lit(None).cast("long").alias("old")
+            F.col("b").alias("node"), "comp",
+            F.lit(None).cast(comp_type).alias("_old"),
         )
         # Cache (lazily) instead of an eager checkpoint: the round's ONE
         # materializing job is the new_labels checkpoint below; every
         # reuse of prop/step reads the cache (and identical exchange
         # subtrees are deduplicated by ReuseExchange). One aggregate
         # yields both the neighbor-min comp AND the node's previous
-        # label (min over the single tagged labels row).
+        # label (min over the single tagged labels row — every und node
+        # has a labels row, so _old is never NULL after the aggregate).
         prop = (
             msgs.union(
-                labels.select("node", "comp", F.col("comp").alias("old"))
+                labels.select("node", "comp", F.col("comp").alias("_old"))
             )
+            .repartition(n, "node")
             .groupBy("node")
-            .agg(F.min("comp").alias("comp"), F.min("old").alias("old"))
+            .agg(F.min("comp").alias("comp"), F.min("_old").alias("_old"))
         ).persist()
-        # HOOK (Shiloach–Vishkin, r10): each node reports its improved
-        # minimum back to its PREVIOUS label ("parent"), so the round's
-        # best minimum re-attaches at the top of every label tree instead
-        # of crawling outward one neighbor hop per round. On the real
-        # semantic survivor graph at sf0.1 this alone cut 9 rounds to 4
-        # (measured by replaying the exact rep-pair edge set); pure
-        # pointer jumping cut nothing there because the min-label
-        # wavefront, not pointer-chain depth, was the binding distance.
-        hooks = prop.groupBy(F.col("old").alias("node")).agg(
-            F.min("comp").alias("_hc")
-        )
-        hooked = (
-            prop.join(hooks, "node", "left")
-            .select(
-                "node",
-                F.least("comp", F.coalesce("_hc", "comp")).alias("comp"),
+        try:
+            # HOOK (Shiloach–Vishkin, r10): each node reports its improved
+            # minimum back to its PREVIOUS label ("parent"), so the round's
+            # best minimum re-attaches at the top of every label tree instead
+            # of crawling outward one neighbor hop per round. On the real
+            # semantic survivor graph at sf0.1 this alone cut 9 rounds to 4
+            # (measured by replaying the exact rep-pair edge set); pure
+            # pointer jumping cut nothing there because the min-label
+            # wavefront, not pointer-chain depth, was the binding distance.
+            hooks = (
+                prop.repartition(n, "_old")
+                .groupBy(F.col("_old").alias("node"))
+                .agg(F.min("comp").alias("_hc"))
             )
-        ).persist()
-        # Pointer jumping: comp ← comp(comp(node)), applied TWICE per
-        # round. Chains/trees converge in O(log₄) rounds; comp is always
-        # a node id present in the label frame, so the self-joins always
-        # match.
-        jump = hooked.select(F.col("node").alias("_jn"), F.col("comp").alias("_jc"))
-        step = (
-            hooked.join(jump, hooked.comp == jump._jn)
-            .select(hooked.node, F.least(hooked.comp, jump._jc).alias("comp"))
-        ).persist()
-        jump2 = step.select(F.col("node").alias("_jn"), F.col("comp").alias("_jc"))
-        new_labels = _ckpt(
-            step.join(jump2, step.comp == jump2._jn)
-            .select(step.node, F.least(step.comp, jump2._jc).alias("comp"))
-        )
-        prop.unpersist()
-        hooked.unpersist()
-        step.unpersist()
-        labels = new_labels
-        new_sum = _sum(labels)
-        if new_sum == prev_sum:
+            hooked = (
+                prop.join(hooks, "node", "left")
+                .select(
+                    "node",
+                    F.least("comp", F.coalesce("_hc", "comp")).alias("comp"),
+                    "_old",
+                )
+            ).persist()
+            try:
+                # Pointer jumping: comp ← comp(comp(node)), applied TWICE per
+                # round. Chains/trees converge in O(log₄) rounds; comp is
+                # always a node id present in the label frame, so the
+                # self-joins always match.
+                jump = hooked.select(
+                    F.col("node").alias("_jn"), F.col("comp").alias("_jc")
+                )
+                step = (
+                    hooked.join(jump, hooked.comp == jump._jn)
+                    .select(
+                        hooked.node,
+                        F.least(hooked.comp, jump._jc).alias("comp"),
+                        hooked._old,
+                    )
+                ).persist()
+                try:
+                    jump2 = step.select(
+                        F.col("node").alias("_jn"), F.col("comp").alias("_jc")
+                    )
+                    # Convergence rides the checkpoint job (r11): labels only
+                    # ever DECREASE pointwise over a fixed node set, so the
+                    # round is the fixpoint iff it changed no label. The
+                    # changed-count is an observe() metric on the exact frame
+                    # being checkpointed — zero extra actions, works for any
+                    # id type (no numeric cast), and a NULL comparison (never
+                    # expected — see prop) conservatively counts as changed.
+                    obs = Observation()
+                    new_full = _ckpt(
+                        step.join(jump2, step.comp == jump2._jn)
+                        .select(
+                            step.node,
+                            F.least(step.comp, jump2._jc).alias("comp"),
+                            step._old,
+                        )
+                        .observe(
+                            obs,
+                            F.sum(
+                                F.coalesce(
+                                    (F.col("comp") != F.col("_old")).cast("long"),
+                                    F.lit(1),
+                                )
+                            ).alias("chg"),
+                        )
+                    )
+                finally:
+                    step.unpersist()
+            finally:
+                hooked.unpersist()
+        finally:
+            prop.unpersist()
+        labels = new_full.select("node", "comp")
+        if not obs.get["chg"]:
             break
-        prev_sum = new_sum
     return labels

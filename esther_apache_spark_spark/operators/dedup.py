@@ -44,6 +44,7 @@ Scale notes:
 from __future__ import annotations
 
 import contextlib
+import re
 from contextvars import ContextVar
 
 import numpy as np
@@ -205,29 +206,35 @@ def _hot_nsh_arr(
     broadcasts), and only ids touching a hot bucket reach the per-id
     aggregation. Consumers left-join the result and coalesce missing ids
     to all-ones, so the capped plan is byte-identical to the uncapped
-    plan on non-pathological data."""
+    plan on non-pathological data.
+
+    Expressions are assembled as SQL strings (r11, guide §4 driver
+    side): the former Column-builder form cost ~40 py4j round-trips per
+    call and this helper sits on every LSH plan build (3 headline
+    queries pay it inside their timed region)."""
+    mb = int(max_bucket)
     hot = (
         exploded.groupBy(band_col, bucket_col)
-        .agg(F.count(F.lit(1)).alias("_n"))
-        .filter(F.col("_n") > max_bucket)
-        .select(
+        .agg(F.expr("count(1)").alias("_n"))
+        .filter(f"_n > {mb}")
+        .selectExpr(
             band_col,
             bucket_col,
-            F.ceil(F.col("_n") / F.lit(max_bucket)).cast("long").alias("_nsh"),
+            f"cast(ceil(_n / {mb}) as bigint) AS _nsh",
         )
     )
     return (
         exploded.join(hot, [band_col, bucket_col])
         .groupBy(id_col)
         .agg(
-            F.map_from_entries(F.collect_list(F.struct(band_col, "_nsh"))).alias("_m")
+            F.expr(
+                f"map_from_entries(collect_list(struct({band_col}, _nsh)))"
+            ).alias("_m")
         )
-        .select(
+        .selectExpr(
             id_col,
-            F.transform(
-                F.sequence(F.lit(0), F.lit(nbands - 1)),
-                lambda b: F.coalesce(F.try_element_at("_m", b), F.lit(1).cast("long")),
-            ).alias("_nsh_arr"),
+            f"transform(sequence(0, {nbands - 1}), "
+            "b -> coalesce(try_element_at(_m, b), cast(1 as bigint))) AS _nsh_arr",
         )
     )
 
@@ -238,9 +245,13 @@ def _with_shards(src: DataFrame, nsh: DataFrame | None, nbands: int) -> DataFram
     if nsh is not None:
         src = src.join(nsh, "_id", "left")
     else:
-        src = src.withColumn("_nsh_arr", F.lit(None).cast("array<bigint>"))
-    ones = F.array_repeat(F.lit(1).cast("long"), nbands)
-    return src.withColumn("_nsh_arr", F.coalesce("_nsh_arr", ones))
+        src = src.withColumn("_nsh_arr", F.expr("cast(null as array<bigint>)"))
+    return src.withColumn(
+        "_nsh_arr",
+        F.expr(
+            f"coalesce(_nsh_arr, array_repeat(cast(1 as bigint), {nbands}))"
+        ),
+    )
 
 
 def _shard_arr(src: DataFrame, shard_hash_sql, nbands: int) -> DataFrame:
@@ -332,7 +343,16 @@ def _md5_long_sql(expr: str, salt: str = "", hexlen: int = 15) -> str:
     builders that assemble one ``F.expr`` string instead of nesting
     Column objects (every Column call is a py4j round-trip; the unrolled
     per-band loops cost 1.5-2 s of driver wall PER PLAN BUILD at r10,
-    measured on dedup_minhash_lsh)."""
+    measured on dedup_minhash_lsh).
+
+    INTERNAL-ONLY contract (ADVICE r10): ``salt`` is interpolated into a
+    SQL string literal with no escaping, and ``expr`` must be a SQL
+    expression the caller already controls. Every in-repo salt is a
+    fixed ``[A-Za-z0-9:_-]`` literal; the assert keeps a future caller
+    from smuggling a quote and getting a parse error far from the
+    cause."""
+    if salt and not re.fullmatch(r"[A-Za-z0-9:_\-]*", salt):
+        raise ValueError(f"_md5_long_sql salt must match [A-Za-z0-9:_-]*: {salt!r}")
     s = f"concat('{salt}', {expr})" if salt else expr
     return f"cast(conv(substr(md5({s}), 1, {hexlen}), 16, 10) as bigint)"
 
@@ -757,6 +777,14 @@ def shingle_base_frame(
     # fails with INTERNAL_ERROR), while an attribute-based expression
     # extracts cleanly — and CollapseProject keeps the stage split
     # because `_th` is non-cheap and referenced n+2 times.
+    # Both projections are assembled as selectExpr strings (r11, guide
+    # §4 driver side): the Column-builder form cost ~185 py4j
+    # round-trips per plan build on the md5 path — the largest single
+    # block of the dedup_minhash_lsh build's driver wall. The SQL trees
+    # are the same expressions (spelling differences only).
+    from esther_apache_spark_spark.functions.text import tokenize_sql
+
+    tok_sql = tokenize_sql(f"`{text_col}`")
     if hash_family == "md5":
         # SQL-replayable base: each TOKEN md5-hashed once (the same
         # per-token cost profile as the simhash md5 family, ~+20% over
@@ -775,65 +803,47 @@ def shingle_base_frame(
                 f"md5 family supports shingle_n <= {len(SHINGLE_COMBINE) // 2}"
             )
         if shingle_n:
-            th = df.select(
-                F.col(id_col).alias("_id"),
-                F.transform(tokenize(F.col(text_col)), lambda t: md5_long(t)).alias("_th"),
+            th = df.selectExpr(
+                f"`{id_col}` AS _id",
+                f"transform({tok_sql}, t -> {_md5_long_sql('t')}) AS _th",
             )
-            starts = F.sequence(F.lit(0), F.size("_th") - shingle_n)
-
-            def _combine(i: Column) -> Column:
-                out = None
-                for j in range(shingle_n):
-                    h = F.get("_th", i + F.lit(j))
-                    lo = h.bitwiseAND(F.lit((1 << 30) - 1)) * F.lit(
-                        SHINGLE_COMBINE[2 * j]
-                    )
-                    hi = F.shiftright(h, 30) * F.lit(SHINGLE_COMBINE[2 * j + 1])
-                    out = lo if out is None else out + lo
-                    out = out + hi
-                return out
-
-            grams = F.transform(starts, _combine)
-            base_df = th.select(
+            combine = " + ".join(
+                f"(get(_th, i + {j}) & {(1 << 30) - 1}) * {SHINGLE_COMBINE[2 * j]}"
+                f" + shiftright(get(_th, i + {j}), 30) * {SHINGLE_COMBINE[2 * j + 1]}"
+                for j in range(shingle_n)
+            )
+            base_df = th.selectExpr(
                 "_id",
-                F.array_distinct(
-                    F.when(F.size("_th") >= shingle_n, grams).otherwise(
-                        F.array().cast("array<bigint>")
-                    )
-                ).alias("_base"),
+                "array_distinct(CASE WHEN size(_th) >= "
+                f"{shingle_n} THEN transform(sequence(0, size(_th) - "
+                f"{shingle_n}), i -> {combine}) "
+                "ELSE cast(array() as array<bigint>) END) AS _base",
             )
         else:
-            base_df = df.select(
-                F.col(id_col).alias("_id"),
-                F.transform(
-                    F.array_distinct(tokenize(F.col(text_col))),
-                    lambda e: md5_long(e),
-                ).alias("_base"),
+            base_df = df.selectExpr(
+                f"`{id_col}` AS _id",
+                f"transform(array_distinct({tok_sql}), "
+                f"e -> {_md5_long_sql('e')}) AS _base",
             )
     elif shingle_n:
-        th = df.select(
-            F.col(id_col).alias("_id"),
-            F.transform(tokenize(F.col(text_col)), lambda t: F.xxhash64(t)).alias("_th"),
+        th = df.selectExpr(
+            f"`{id_col}` AS _id",
+            f"transform({tok_sql}, t -> xxhash64(t)) AS _th",
         )
-        starts = F.sequence(F.lit(0), F.size("_th") - shingle_n)
-        grams = F.transform(
-            starts,
-            lambda i: F.xxhash64(*[F.get("_th", i + F.lit(j)) for j in range(shingle_n)]),
-        )
-        base_df = th.select(
+        gram = "xxhash64(" + ", ".join(
+            f"get(_th, i + {j})" for j in range(shingle_n)
+        ) + ")"
+        base_df = th.selectExpr(
             "_id",
-            F.array_distinct(
-                F.when(F.size("_th") >= shingle_n, grams).otherwise(
-                    F.array().cast("array<bigint>")
-                )
-            ).alias("_base"),
+            "array_distinct(CASE WHEN size(_th) >= "
+            f"{shingle_n} THEN transform(sequence(0, size(_th) - "
+            f"{shingle_n}), i -> {gram}) "
+            "ELSE cast(array() as array<bigint>) END) AS _base",
         )
     else:
-        base_df = df.select(
-            F.col(id_col).alias("_id"),
-            F.transform(
-                F.array_distinct(tokenize(F.col(text_col))), lambda e: F.xxhash64(e)
-            ).alias("_base"),
+        base_df = df.selectExpr(
+            f"`{id_col}` AS _id",
+            f"transform(array_distinct({tok_sql}), e -> xxhash64(e)) AS _base",
         )
 
     return base_df
@@ -980,22 +990,19 @@ def minhash_lsh_candidates(
         nsh = None
     banded = (
         _shard_arr(_with_shards(sig, nsh, bands), shard_hash, bands)
-        .select("_id", "_sig", "_bh", "_sh_arr", F.posexplode("_bh").alias("_band", "_bucket"))
-        .withColumn("_shard", F.element_at("_sh_arr", F.col("_band") + 1))
+        .selectExpr(
+            "_id", "_sig", "_bh", "_sh_arr",
+            "posexplode(_bh) AS (_band, _bucket)",
+        )
+        .withColumn("_shard", F.expr("element_at(_sh_arr, _band + 1)"))
     )
     keys = ["_band", "_bucket", "_shard"]
-    left = banded.select(
-        F.col("_id").alias("id_a"),
-        F.col("_sig").alias("sig_a"),
-        F.col("_bh").alias("bh_a"),
-        F.col("_sh_arr").alias("sh_a"),
+    left = banded.selectExpr(
+        "_id AS id_a", "_sig AS sig_a", "_bh AS bh_a", "_sh_arr AS sh_a",
         *keys,
     )
-    right = banded.select(
-        F.col("_id").alias("id_b"),
-        F.col("_sig").alias("sig_b"),
-        F.col("_bh").alias("bh_b"),
-        F.col("_sh_arr").alias("sh_b"),
+    right = banded.selectExpr(
+        "_id AS id_b", "_sig AS sig_b", "_bh AS bh_b", "_sh_arr AS sh_b",
         *keys,
     )
     # First-MEET-band filter in place of dropDuplicates: a pair sharing k
@@ -1022,23 +1029,20 @@ def minhash_lsh_candidates(
     # sf1 candidate filter). When band hashes agree the two rows share a
     # bucket and therefore a modulus, so element equality is exactly the
     # old pmod-equality semantics.
-    meets = F.expr("array(" + ", ".join(
+    meets = "array(" + ", ".join(
         f"(element_at(bh_a, {b + 1}) = element_at(bh_b, {b + 1}))"
         f" AND (element_at(sh_a, {b + 1}) = element_at(sh_b, {b + 1}))"
         for b in range(bands)
-    ) + ")")
-    pairs = (
+    ) + ")"
+    return (
         left.join(right, keys)
-        .filter(F.col("id_a") < F.col("id_b"))
-        .filter(F.array_position(meets, F.lit(True)) == F.col("_band") + 1)
-        .select("id_a", "id_b", "sig_a", "sig_b")
-    )
-    agree = (
-        F.size(F.filter(F.zip_with("sig_a", "sig_b", lambda a, b: a == b), lambda x: x))
-        / F.lit(float(num_perm))
-    )
-    return pairs.select(
-        "id_a", "id_b", F.round(agree, 4).alias("sig_agreement")
+        .filter("id_a < id_b")
+        .filter(f"array_position({meets}, true) = _band + 1")
+        .selectExpr(
+            "id_a", "id_b",
+            "round(size(filter(zip_with(sig_a, sig_b, (a, b) -> a = b),"
+            f" x -> x)) / {float(num_perm)!r}D, 4) AS sig_agreement",
+        )
     )
 
 
@@ -1500,18 +1504,23 @@ def simhash_candidates(
     def band_val_sql(col: str, b: int) -> str:
         return f"(shiftright({col}, {b * band_bits}) & cast({mask} as bigint))"
 
-    band_arr = F.expr("array(" + ", ".join(
+    band_arr_sql = "array(" + ", ".join(
         band_val_sql("_fp", b) for b in range(nbands)
-    ) + ")")
+    ) + ")"
     if max_bucket is not None:
-        narrow = fp.select("_id", F.posexplode(band_arr).alias("_band", "_bucket"))
+        narrow = fp.selectExpr(
+            "_id", f"posexplode({band_arr_sql}) AS (_band, _bucket)"
+        )
         nsh = _hot_nsh_arr(narrow, "_id", "_band", "_bucket", nbands, max_bucket)
     else:
         nsh = None
     banded = (
         _shard_arr(_with_shards(fp, nsh, nbands), shard_hash, nbands)
-        .select("_id", "_fp", "_sh_arr", F.posexplode(band_arr).alias("_band", "_bucket"))
-        .withColumn("_shard", F.element_at("_sh_arr", F.col("_band") + 1))
+        .selectExpr(
+            "_id", "_fp", "_sh_arr",
+            f"posexplode({band_arr_sql}) AS (_band, _bucket)",
+        )
+        .withColumn("_shard", F.expr("element_at(_sh_arr, _band + 1)"))
     )
     keys = ["_band", "_bucket", "_shard"]
     l, r = banded.alias("a"), banded.alias("b")
@@ -1525,24 +1534,20 @@ def simhash_candidates(
     # mega-clusters connected; pair set byte-identical to the
     # dropDuplicates form; inlining the shard formula per pair blew the
     # codegen size and cost ~9× on the sf1 filter).
-    meets = F.expr("array(" + ", ".join(
+    meets = "array(" + ", ".join(
         f"({band_val_sql('a._fp', b)} = {band_val_sql('b._fp', b)})"
         f" AND (element_at(a._sh_arr, {b + 1}) = element_at(b._sh_arr, {b + 1}))"
         for b in range(nbands)
-    ) + ")")
-    pairs = (
+    ) + ")"
+    return (
         l.join(r, keys)
-        .filter(F.col("a._id") < F.col("b._id"))
-        .filter(F.array_position(meets, F.lit(True)) == F.col("_band") + 1)
-        .select(
-            F.col("a._id").alias("id_a"),
-            F.col("b._id").alias("id_b"),
-            F.col("a._fp").alias("fp_a"),
-            F.col("b._fp").alias("fp_b"),
+        .filter("a._id < b._id")
+        .filter(f"array_position({meets}, true) = _band + 1")
+        .selectExpr(
+            "a._id AS id_a", "b._id AS id_b",
+            "bit_count(a._fp ^ b._fp) AS hamming",
         )
     )
-    xor = F.col("fp_a").bitwiseXOR(F.col("fp_b"))
-    return pairs.select("id_a", "id_b", F.bit_count(xor).alias("hamming"))
 
 
 def simhash_components(
@@ -1795,7 +1800,9 @@ def _srp_rep_pairs(
         # deliberately: joining the (id, buckets) projection back by id
         # would shuffle the VECTORS, which costs far more than one extra
         # GEMM pass over the input.
-        narrow = proj.select("_id", F.posexplode("_all").alias("_table", "_bucket"))
+        narrow = proj.selectExpr(
+            "_id", "posexplode(_all) AS (_table, _bucket)"
+        )
         nsh = _hot_nsh_arr(narrow, "_id", "_table", "_bucket", n_tables, max_bucket)
     else:
         nsh = None
@@ -1803,16 +1810,16 @@ def _srp_rep_pairs(
         _with_shards(proj, nsh, n_tables)
         .withColumn(
             "_shard_arr",
-            F.transform(
-                F.sequence(F.lit(0), F.lit(n_tables - 1)),
-                lambda t: F.pmod(F.xxhash64("_id", t), F.element_at("_nsh_arr", t + 1)),
+            F.expr(
+                f"transform(sequence(0, {n_tables - 1}), "
+                "t -> pmod(xxhash64(_id, t), element_at(_nsh_arr, t + 1)))"
             ),
         )
-        .select(
+        .selectExpr(
             "_id", "_v", "_all", "_shard_arr",
-            F.posexplode("_all").alias("_table", "_bucket"),
+            "posexplode(_all) AS (_table, _bucket)",
         )
-        .withColumn("_shard", F.element_at("_shard_arr", F.col("_table") + 1))
+        .withColumn("_shard", F.expr("element_at(_shard_arr, _table + 1)"))
     )
     group_keys = ["_table", "_bucket", "_shard"]
 

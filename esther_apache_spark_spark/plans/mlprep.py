@@ -797,6 +797,12 @@ def bootstrap_ci_poisson(spark: SparkSession, sf_dir: str) -> DataFrame:
     # int→double conversion at the end — bit-identical to the oracle's
     # HUGEINT arithmetic (the former ROUND(double, 9) diverged by 1 ULP
     # at sf0.01; see the oracle builder comment).
+    # PRECONDITION (ADVICE r10): resample sums are NON-NEGATIVE (cents
+    # come from o_totalprice > 0), which is what makes Spark's `div`
+    # (IntegralDivide, truncates toward zero) agree with the oracle's
+    # `//` (floor division). If refunds/credits ever make a bucket sum
+    # negative, switch BOTH engines to an explicitly floor-consistent
+    # form before trusting the hash compare.
     means = F.expr(
         "array_sort(array(" + ", ".join(
             f"cast((s{b} * cast(1000000000 as decimal(38,0)) + n{b} div 2)"
