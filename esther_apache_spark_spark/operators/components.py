@@ -138,13 +138,17 @@ def _cc_loop(edges, src, dst, max_iter, _ckpt):
             F.col("b").alias("node"), "comp",
             F.lit(None).cast(comp_type).alias("_old"),
         )
-        # Cache (lazily) instead of an eager checkpoint: the round's ONE
-        # materializing job is the new_labels checkpoint below; every
-        # reuse of prop/step reads the cache (and identical exchange
-        # subtrees are deduplicated by ReuseExchange). One aggregate
-        # yields both the neighbor-min comp AND the node's previous
-        # label (min over the single tagged labels row — every und node
-        # has a labels row, so _old is never NULL after the aggregate).
+        # No per-round persists (r11): the round has exactly ONE
+        # materializing job — the checkpoint below — and within that job
+        # ReuseExchange deduplicates prop's and step's repeated subtrees
+        # (shuffle map sides run once; broadcast builds are shared).
+        # The r10 lazy persists only added block-manager writes and
+        # extra jobs per round — A/B'd on the three survivor queries:
+        # jobs 75/49/47 -> 61/44/42, CPU −6..13%, identical labels.
+        # One aggregate yields both the neighbor-min comp AND the
+        # node's previous label (min over the single tagged labels row
+        # — every und node has a labels row, so _old is never NULL
+        # after the aggregate).
         prop = (
             msgs.union(
                 labels.select("node", "comp", F.col("comp").alias("_old"))
@@ -152,80 +156,71 @@ def _cc_loop(edges, src, dst, max_iter, _ckpt):
             .repartition(n, "node")
             .groupBy("node")
             .agg(F.min("comp").alias("comp"), F.min("_old").alias("_old"))
-        ).persist()
-        try:
-            # HOOK (Shiloach–Vishkin, r10): each node reports its improved
-            # minimum back to its PREVIOUS label ("parent"), so the round's
-            # best minimum re-attaches at the top of every label tree instead
-            # of crawling outward one neighbor hop per round. On the real
-            # semantic survivor graph at sf0.1 this alone cut 9 rounds to 4
-            # (measured by replaying the exact rep-pair edge set); pure
-            # pointer jumping cut nothing there because the min-label
-            # wavefront, not pointer-chain depth, was the binding distance.
-            hooks = (
-                prop.repartition(n, "_old")
-                .groupBy(F.col("_old").alias("node"))
-                .agg(F.min("comp").alias("_hc"))
+        )
+        # HOOK (Shiloach–Vishkin, r10): each node reports its improved
+        # minimum back to its PREVIOUS label ("parent"), so the round's
+        # best minimum re-attaches at the top of every label tree instead
+        # of crawling outward one neighbor hop per round. On the real
+        # semantic survivor graph at sf0.1 this alone cut 9 rounds to 4
+        # (measured by replaying the exact rep-pair edge set); pure
+        # pointer jumping cut nothing there because the min-label
+        # wavefront, not pointer-chain depth, was the binding distance.
+        hooks = (
+            prop.repartition(n, "_old")
+            .groupBy(F.col("_old").alias("node"))
+            .agg(F.min("comp").alias("_hc"))
+        )
+        hooked = (
+            prop.join(hooks, "node", "left")
+            .select(
+                "node",
+                F.least("comp", F.coalesce("_hc", "comp")).alias("comp"),
+                "_old",
             )
-            hooked = (
-                prop.join(hooks, "node", "left")
-                .select(
-                    "node",
-                    F.least("comp", F.coalesce("_hc", "comp")).alias("comp"),
-                    "_old",
-                )
-            ).persist()
-            try:
-                # Pointer jumping: comp ← comp(comp(node)), applied TWICE per
-                # round. Chains/trees converge in O(log₄) rounds; comp is
-                # always a node id present in the label frame, so the
-                # self-joins always match.
-                jump = hooked.select(
-                    F.col("node").alias("_jn"), F.col("comp").alias("_jc")
-                )
-                step = (
-                    hooked.join(jump, hooked.comp == jump._jn)
-                    .select(
-                        hooked.node,
-                        F.least(hooked.comp, jump._jc).alias("comp"),
-                        hooked._old,
+        )
+        # Pointer jumping: comp ← comp(comp(node)), applied TWICE per
+        # round. Chains/trees converge in O(log₄) rounds; comp is
+        # always a node id present in the label frame, so the
+        # self-joins always match.
+        jump = hooked.select(
+            F.col("node").alias("_jn"), F.col("comp").alias("_jc")
+        )
+        step = (
+            hooked.join(jump, hooked.comp == jump._jn)
+            .select(
+                hooked.node,
+                F.least(hooked.comp, jump._jc).alias("comp"),
+                hooked._old,
+            )
+        )
+        jump2 = step.select(
+            F.col("node").alias("_jn"), F.col("comp").alias("_jc")
+        )
+        # Convergence rides the checkpoint job (r11): labels only
+        # ever DECREASE pointwise over a fixed node set, so the
+        # round is the fixpoint iff it changed no label. The
+        # changed-count is an observe() metric on the exact frame
+        # being checkpointed — zero extra actions, works for any
+        # id type (no numeric cast), and a NULL comparison (never
+        # expected — see prop) conservatively counts as changed.
+        obs = Observation()
+        new_full = _ckpt(
+            step.join(jump2, step.comp == jump2._jn)
+            .select(
+                step.node,
+                F.least(step.comp, jump2._jc).alias("comp"),
+                step._old,
+            )
+            .observe(
+                obs,
+                F.sum(
+                    F.coalesce(
+                        (F.col("comp") != F.col("_old")).cast("long"),
+                        F.lit(1),
                     )
-                ).persist()
-                try:
-                    jump2 = step.select(
-                        F.col("node").alias("_jn"), F.col("comp").alias("_jc")
-                    )
-                    # Convergence rides the checkpoint job (r11): labels only
-                    # ever DECREASE pointwise over a fixed node set, so the
-                    # round is the fixpoint iff it changed no label. The
-                    # changed-count is an observe() metric on the exact frame
-                    # being checkpointed — zero extra actions, works for any
-                    # id type (no numeric cast), and a NULL comparison (never
-                    # expected — see prop) conservatively counts as changed.
-                    obs = Observation()
-                    new_full = _ckpt(
-                        step.join(jump2, step.comp == jump2._jn)
-                        .select(
-                            step.node,
-                            F.least(step.comp, jump2._jc).alias("comp"),
-                            step._old,
-                        )
-                        .observe(
-                            obs,
-                            F.sum(
-                                F.coalesce(
-                                    (F.col("comp") != F.col("_old")).cast("long"),
-                                    F.lit(1),
-                                )
-                            ).alias("chg"),
-                        )
-                    )
-                finally:
-                    step.unpersist()
-            finally:
-                hooked.unpersist()
-        finally:
-            prop.unpersist()
+                ).alias("chg"),
+            )
+        )
         labels = new_full.select("node", "comp")
         if not obs.get["chg"]:
             break

@@ -129,3 +129,8 @@ def test_manifest_detects_truncated_file(spark, tmp_path):
     assert not manifest_valid(vdir)
     with pytest.raises(FileNotFoundError):
         read_published(spark, path)
+
+
+# slow tier (VERDICT r10 #2): excluded from the default fast tier;
+# run with --full-tests / SPARK_GRAFT_FULL_TESTS=1 (the round-close gate)
+pytestmark = pytest.mark.slow

@@ -10,10 +10,43 @@ import math
 import pandas as pd
 import pytest
 
+from conftest import driver_panel_queries
+
 from esther_apache_spark_spark import plans
 
 ORACLE_QUERIES = sorted(n for n, s in plans.QUERIES.items() if s.oracle)
 ROWS_ONLY_QUERIES = sorted(n for n, s in plans.QUERIES.items() if not s.oracle)
+
+# Tiering (VERDICT r10 #2): the fast default tier keeps (a) the driver's
+# own 50-query panel — the exact set the round driver hash-verifies —
+# and (b) the two frozen bench sets (HEADLINE + PIPELINE), so every
+# graded query stays oracle-checked by default; the rest of the
+# 360-query sweep carries the slow mark (full tier: --full-tests /
+# SPARK_GRAFT_FULL_TESTS=1, the round-close gate).
+import sys as _sys
+from pathlib import Path as _Path
+
+_sys.path.insert(0, str(_Path(__file__).resolve().parents[1]))
+import bench as _bench
+
+# one oracle representative per family the panel/bench sets miss
+_FAMILY_REPS = {
+    "incremental_minhash_dedup_new_docs",
+    "streaming_minhash_novelty_docs",
+}
+_PANEL = (
+    driver_panel_queries()
+    | set(_bench.HEADLINE)
+    | set(_bench.PIPELINE)
+    | _FAMILY_REPS
+)
+
+
+def _tiered(names):
+    return [
+        n if n in _PANEL else pytest.param(n, marks=pytest.mark.slow)
+        for n in names
+    ]
 
 
 def _canon(df: pd.DataFrame) -> pd.DataFrame:
@@ -30,7 +63,7 @@ def _canon(df: pd.DataFrame) -> pd.DataFrame:
     return df.sort_values(by=list(df.columns), ignore_index=True)
 
 
-@pytest.mark.parametrize("name", ORACLE_QUERIES)
+@pytest.mark.parametrize("name", _tiered(ORACLE_QUERIES))
 def test_query_matches_oracle(name, spark, duck, sf_dir):
     spec = plans.QUERIES[name]
     got = _canon(spec.fn(spark, sf_dir).toPandas())
@@ -42,7 +75,7 @@ def test_query_matches_oracle(name, spark, duck, sf_dir):
     pd.testing.assert_frame_equal(got, want, check_dtype=False, check_exact=True)
 
 
-@pytest.mark.parametrize("name", ROWS_ONLY_QUERIES)
+@pytest.mark.parametrize("name", _tiered(ROWS_ONLY_QUERIES))
 def test_rows_only_queries_run(name, spark, sf_dir):
     spec = plans.QUERIES[name]
     df = spec.fn(spark, sf_dir)
@@ -58,7 +91,7 @@ def test_entry_smoke(spark):
     assert set(e.oracle_sql()) <= set(e.queries())
 
 
-@pytest.mark.parametrize("name", ROWS_ONLY_QUERIES)
+@pytest.mark.parametrize("name", _tiered(ROWS_ONLY_QUERIES))
 def test_rows_only_queries_deterministic_across_partitioning(name, spark, sf_dir):
     """Rows-only queries have no oracle cross-check, so pin the next
     best thing: the result must be bit-identical when the shuffle

@@ -106,12 +106,13 @@ def test_reliable_checkpoint_dir_identical_labels(spark, tmp_path, monkeypatch):
     assert any(os.scandir(envdir))
 
 
-def test_session_shuffle_width_restored_after_cc(spark):
-    """r10: connected_components temporarily right-sizes
-    spark.sql.shuffle.partitions from the measured edge count (tiny
-    quotient graphs were paying 96-task stages per round at the session
-    width). The override must never leak: the session value is restored
-    after the call, including when the edge plan is invalid."""
+def test_session_shuffle_width_untouched_by_cc(spark):
+    """r11 (VERDICT r10 #3): the loop width is scale-derived but applied
+    as explicit repartition(n, keys) on the loop frames — the
+    session-global spark.sql.shuffle.partitions must never be mutated,
+    even transiently, so anything planning concurrently on the same
+    session (a streaming trigger, a second CC call) keeps its own
+    width. Also covers the invalid-edge-plan path."""
     import pyspark
 
     base = spark.conf.get("spark.sql.shuffle.partitions")
@@ -126,3 +127,52 @@ def test_session_shuffle_width_restored_after_cc(spark):
     except pyspark.errors.exceptions.base.PySparkException:
         pass
     assert spark.conf.get("spark.sql.shuffle.partitions") == base
+
+
+def test_cc_concurrent_with_other_query_keeps_width(spark):
+    """Two CC loops plus unrelated aggregates planned CONCURRENTLY on
+    one session (VERDICT r10 #3): the r10 conf override silently
+    narrowed any query planned mid-loop to the quotient-graph width and
+    two interleaved CC calls could leave the session narrowed. The r11
+    frame-scoped repartition must keep the session conf stable at every
+    observation point and both label sets exact."""
+    from concurrent.futures import ThreadPoolExecutor
+
+    from pyspark.sql import functions as F
+
+    base = spark.conf.get("spark.sql.shuffle.partitions")
+    e1 = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 1), (10, 11)], "src long, dst long"
+    )
+    e2 = spark.createDataFrame([(5, 6), (7, 8), (8, 9)], "src long, dst long")
+    observed: list[str] = []
+
+    def probe(_):
+        # a shuffling aggregate planned while both CC loops run; record
+        # the session width it plans against
+        spark.range(1000).groupBy((F.col("id") % 7).alias("k")).count().collect()
+        observed.append(spark.conf.get("spark.sql.shuffle.partitions"))
+
+    with ThreadPoolExecutor(max_workers=3) as pool:
+        f1 = pool.submit(lambda: connected_components(e1).collect())
+        f2 = pool.submit(lambda: connected_components(e2).collect())
+        probes = [pool.submit(probe, i) for i in range(3)]
+        lab1 = {r["node"]: r["comp"] for r in f1.result()}
+        lab2 = {r["node"]: r["comp"] for r in f2.result()}
+        [p.result() for p in probes]
+    assert lab1 == {1: 1, 2: 1, 3: 1, 10: 10, 11: 10}
+    assert lab2 == {5: 5, 6: 5, 7: 7, 8: 7, 9: 7}
+    assert observed == [base] * len(observed)
+    assert spark.conf.get("spark.sql.shuffle.partitions") == base
+
+
+def test_string_node_ids_converge_exactly(spark):
+    """ADVICE r10 (medium): the r10 label-sum convergence check cast
+    comp to decimal and returned NULL sums on string ids — every round
+    compared None == None and stopped after one iteration, silently
+    under-converging long chains. The r11 changed-count check is
+    type-agnostic; a 6-hop string chain must fully converge."""
+    chain = [(f"doc{i:02d}", f"doc{i + 1:02d}") for i in range(6)]
+    edges = spark.createDataFrame(chain, "src string, dst string")
+    labels = {r["node"]: r["comp"] for r in connected_components(edges).collect()}
+    assert labels == {f"doc{i:02d}": "doc00" for i in range(7)}

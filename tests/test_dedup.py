@@ -366,11 +366,18 @@ def _n_persistent(spark) -> int:
     return spark.sparkContext._jsc.getPersistentRDDs().size()
 
 
+def _persistent_ids(spark) -> set[int]:
+    m = spark.sparkContext._jsc.getPersistentRDDs()
+    return {int(k) for k in m.keySet().toArray()}
+
+
 def test_cache_scope_frees_storage_after_composed_pipeline(spark):
     """A pipeline composing several dedup passes in one session must be
     able to free each pass's plan-barrier caches: inside cache_scope the
     operators cache as usual; on exit every enrolled frame is
-    unpersisted, returning executor storage to the pre-scope level."""
+    unpersisted. Tracked by RDD ID (not count): the async ContextCleaner
+    reaps stale entries from EARLIER tests at its own pace, so absolute
+    counts against a pre-scope baseline are racy in a shared session."""
     from esther_apache_spark_spark.operators.dedup import (
         cache_scope,
         minhash_lsh_candidates,
@@ -385,14 +392,15 @@ def test_cache_scope_frees_storage_after_composed_pipeline(spark):
     docs = spark.createDataFrame(
         [(i, t) for i, t in enumerate(texts)], "doc_id long, text string"
     )
-    base = _n_persistent(spark)
+    before = _persistent_ids(spark)
     with cache_scope():
         mh = minhash_lsh_candidates(docs)
         sh = simhash_candidates(docs)
         mh.count()
         sh.count()
-        assert _n_persistent(spark) > base  # caches live inside the scope
-    assert _n_persistent(spark) == base  # and are freed on exit
+        created = _persistent_ids(spark) - before
+        assert created  # caches live inside the scope
+    assert not (_persistent_ids(spark) & created)  # and are freed on exit
 
 
 def test_cache_scope_nests_and_default_unscoped_behavior_unchanged(spark):

@@ -14,6 +14,10 @@ import pytest
 
 from esther_apache_spark_spark import fuzz
 
+# fuzz tier (VERDICT r10 #2): excluded from the default fast tier;
+# run with --full-tests / SPARK_GRAFT_FULL_TESTS=1 (the round-close gate)
+pytestmark = pytest.mark.fuzz
+
 SEEDS = range(120)
 
 

@@ -28,6 +28,10 @@ from esther_apache_spark_spark.operators import dedup as D
 from esther_apache_spark_spark.operators import incremental as I
 from esther_apache_spark_spark.operators.components import connected_components
 
+# slow tier (VERDICT r10 #2): excluded from the default fast tier;
+# run with --full-tests / SPARK_GRAFT_FULL_TESTS=1 (the round-close gate)
+pytestmark = pytest.mark.slow
+
 
 def _labels(df, id_col="doc_id") -> dict[int, int]:
     return {int(r[id_col]): int(r["comp"]) for r in df.collect()}

@@ -34,6 +34,10 @@ from pyspark.sql import functions as F
 from esther_apache_spark_spark.operators import dedup as D
 from esther_apache_spark_spark.operators import incremental as I
 
+# slow tier (VERDICT r10 #2): excluded from the default fast tier;
+# run with --full-tests / SPARK_GRAFT_FULL_TESTS=1 (the round-close gate)
+pytestmark = pytest.mark.slow
+
 
 def _kv(df, *cols):
     return {tuple(int(r[c]) for c in cols) for r in df.collect()}

@@ -20,6 +20,10 @@ import textwrap
 
 import pytest
 
+# slow tier (VERDICT r10 #2): excluded from the default fast tier;
+# run with --full-tests / SPARK_GRAFT_FULL_TESTS=1 (the round-close gate)
+pytestmark = pytest.mark.slow
+
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 
 

@@ -29,6 +29,10 @@ from pyspark.sql import functions as F
 from esther_apache_spark_spark.operators import incremental as I
 from esther_apache_spark_spark.sources import index_store as S
 
+# fuzz tier (VERDICT r10 #2): excluded from the default fast tier;
+# run with --full-tests / SPARK_GRAFT_FULL_TESTS=1 (the round-close gate)
+pytestmark = pytest.mark.fuzz
+
 FAMILIES = [
     "the quick brown fox jumps over the lazy dog again and again",
     "completely different text about spark catalyst optimizer internals",

@@ -120,6 +120,7 @@ def test_conformal_coverage_near_nominal(spark, sf_dir):
         assert r["qhat_value"] > 0
 
 
+@pytest.mark.slow  # minutes-long single test; full tier only (VERDICT r10 #2)
 def test_pca_top2_against_numpy_spectrum(spark, sf_dir):
     import numpy as np
     import pyarrow.parquet as pq

@@ -532,6 +532,7 @@ def test_ann_query_panel_guard_fails_fast_on_oversized_queries(spark):
     assert out.groupBy("query_id").count().agg(F.min("count")).first()[0] >= 2
 
 
+@pytest.mark.slow  # minutes-long single test; full tier only (VERDICT r10 #2)
 def test_distributed_trainers_recall_geq_driver_samplers(spark, sf_dir):
     """VERDICT r06 #3: the distributed full-corpus trainers
     (``kmeans_centroids_lloyd``, ``pq_codebook_lloyd``) must recall at
