@@ -902,9 +902,8 @@ def minhash_band_frame(
         raise ValueError("num_perm must be divisible by bands")
     df = _non_null_text(df, text_col)
 
-    # r11: unstick the shingle+signature cache fill from a narrow scan
     base_df = shingle_base_frame(
-        _spread_narrow_input(df), id_col=id_col, text_col=text_col,
+        df, id_col=id_col, text_col=text_col,
         shingle_n=shingle_n, hash_family=hash_family,
     )
 
@@ -1323,9 +1322,11 @@ def ngram_jaccard_pairs(
     ]
     if _df_weight_col is not None:
         sel.append(F.col(_df_weight_col).cast("long").alias("_dfw"))
-    # r11: unstick the tokenize+shingle cache fill from a narrow scan
-    # (no-op on wide/corpus-scale inputs — see _spread_narrow_input)
-    shingled = _cache(_spread_narrow_input(df).select(*sel))
+    # (A narrow-scan spread before this cache fill was A/B'd in r11 and
+    # LOST at warm medians — the repartition + wide cache reads cost more
+    # than the fill parallelism buys; the spread stays only in
+    # substring_dup_spans, where it measured 1.5x.)
+    shingled = _cache(df.select(*sel))
     # feeds the index join and the exact-recount joins
     inv = shingled.select("_id", F.explode("_sh").alias("_g"))
     hot = None
@@ -1529,9 +1530,8 @@ def simhash_candidates(
     shard_hash = _mh_shard_hash_fn(hash_family)
 
     # cache = reuse across both join sides AND a plan barrier keeping the
-    # Arrow UDF out of the posexplode generator (see minhash note);
-    # spread (r11) unsticks the fill from a narrow scan
-    fp = _cache(_spread_narrow_input(df).select(  # df NULL-text-filtered at entry
+    # Arrow UDF out of the posexplode generator (see minhash note)
+    fp = _cache(df.select(  # df already NULL-text-filtered at entry
         F.col(id_col).alias("_id"),
         simhash_vec(token_hashes, bits=bits).alias("_fp"),
     ))
@@ -1833,7 +1833,7 @@ def _srp_rep_pairs(
     # it), and spills MEMORY_AND_DISK at corpus scale. Measured at
     # sf0.1: dedup_embedding_cosine 1.68 -> 1.34 s warm, identical
     # pairs.
-    proj = _cache(_spread_narrow_input(src).select(
+    proj = _cache(src.select(
         "_id",
         "_v",
         srp_table_buckets_vec(F.col("_v"), dim, n_planes, n_tables, seed).alias(
@@ -2433,9 +2433,11 @@ def ngram_containment_pairs(
     ]
     if _df_weight_col is not None:
         sel.append(F.col(_df_weight_col).cast("long").alias("_dfw"))
-    # r11: unstick the tokenize+shingle cache fill from a narrow scan
-    # (no-op on wide/corpus-scale inputs — see _spread_narrow_input)
-    shingled = _cache(_spread_narrow_input(df).select(*sel))
+    # (A narrow-scan spread before this cache fill was A/B'd in r11 and
+    # LOST at warm medians — the repartition + wide cache reads cost more
+    # than the fill parallelism buys; the spread stays only in
+    # substring_dup_spans, where it measured 1.5x.)
+    shingled = _cache(df.select(*sel))
     nonempty = shingled.filter(F.size("_sh") > 0)
     inv = nonempty.select("_id", F.explode("_sh").alias("_g"))
     if max_df is not None:
